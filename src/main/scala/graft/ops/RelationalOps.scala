@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Breadth operators over the star schema — the reference's dashboard
+  * capabilities (filter → group → sort → limit, SURVEY.md §2.C) generalized
+  * to the relational surface a real analytics engine needs: joins of every
+  * flavor, multi-key and hierarchical aggregation, window functions, set
+  * operations, distinct aggregation.
+  *
+  * Scale notes (100 TB design intent, tested at sf0.1):
+  *  - `nation`/`region`/`part`/`supplier` are bounded dimensions → always
+  *    broadcast (no shuffle of the fact side).
+  *  - `customer` scales with SF → left to AQE, which broadcasts when the
+  *    runtime size is under the threshold and shuffle-joins otherwise.
+  *  - aggregate-then-join (q13) shrinks the fact table before the join
+  *    instead of joining then aggregating.
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-shaped pricing summary: multi-key hash aggregate with partial
+    * (map-side) combine over the full lineitem scan. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue by nation: orders ⋈ customer ⋈ nation. `nation` (25 rows at any
+    * SF) is broadcast explicitly; `customer` is AQE's call. */
+  def revenueByNation(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(desc("revenue"), col("n_name"))
+
+  /** Top-10 customers by lifetime spend. Aggregates orders FIRST (fact →
+    * one row per customer), then joins the shrunken result to customer —
+    * the join input is |customers|, not |orders|. */
+  def topCustomers(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spend = orders.groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("total_spend"), count(lit(1)).as("n_orders"))
+    spend
+      .join(customer, spend("o_custkey") === customer("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
+      .orderBy(desc("total_spend"), col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Hierarchical aggregate: ROLLUP(returnflag, linestatus) with subtotal
+    * rows; grouping nulls coalesced to 'ALL' so Spark's nulls-first and
+    * DuckDB's nulls-last sort orders can't diverge. */
+  def rollupReturns(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Ranking window function: top-2 orders per customer (the per-key analog
+    * of the dashboard's latest-N table, C4). One shuffle on the partition
+    * key; rank predicate prunes before the final sort. */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 2): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Left-semi join: customers having at least one order above the
+    * threshold. The probe side never materializes order columns. */
+  def bigSpenders(customer: DataFrame, orders: DataFrame, minPrice: Double = 450000.0): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_totalprice") > minPrice),
+        customer("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers with NO order above the threshold. */
+  def notBigSpenders(customer: DataFrame, orders: DataFrame, minPrice: Double = 450000.0): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_totalprice") > minPrice),
+        customer("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Set intersection: users seen in both event types (INTERSECT = distinct). */
+  def usersInBoth(events: DataFrame, typeA: String = "purchase", typeB: String = "error"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA).select("user_id")
+    val b = events.filter(col("event_type") === typeB).select("user_id")
+    a.intersect(b).orderBy("user_id")
+  }
+
+  /** Set difference: users seen in A but never in B (EXCEPT = distinct). */
+  def usersOnlyIn(events: DataFrame, typeA: String = "purchase", typeB: String = "error"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA).select("user_id")
+    val b = events.filter(col("event_type") === typeB).select("user_id")
+    a.except(b).orderBy("user_id")
+  }
+
+  /** Exact distinct aggregation per group (expands to a two-phase plan). */
+  def distinctUsersPerType(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Approximate distinct (HLL++) — the sketch path for cardinalities at
+    * 100 TB where exact distinct would shuffle every key. Deterministic for
+    * a fixed input but NOT DuckDB-comparable → no oracle entry (SURVEY §7.4). */
+  def approxDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .orderBy("event_type")
+
+  /** Multi-way broadcast join: lineitem ⋈ part ⋈ supplier, revenue per brand.
+    * Both dims broadcast → the fact table is never shuffled for the joins. */
+  def revenueByBrand(lineitem: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  /** Running total per customer over order date — an analytic window frame
+    * (ROWS UNBOUNDED PRECEDING), restricted to a keyset to bound output. */
+  def runningSpend(orders: DataFrame, maxCustkey: Long = 100L): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .filter(col("o_custkey") < maxCustkey)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+}
