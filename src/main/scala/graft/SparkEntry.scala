@@ -1,13 +1,175 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{EventOps, RelationalOps}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (parity surface) and §7.3-7.4 (breadth + extended surface),
+  * each with a DuckDB-equivalent `oracleSql` unless the op is not
+  * SQL-expressible (then the driver records a weaker rows-only check).
+  *
+  * Determinism rules (SURVEY.md §7.5 / FIXTURES.md §3): unique-key
+  * tie-break on every ORDER BY, double aggregates rounded identically on
+  * both sides, UTC everywhere, no wall-clock-relative predicates.
+  */
 object SparkEntry {
+  private type Q = (SparkSession, String) => DataFrame
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EventOps.top10ByUser(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, Q] = Map[String, Q](
+    // §2.A / §2.C parity surface over `events` (the transactions analog)
+    "q01_fraud_filter"     -> ((s, d) => EventOps.fraudFilter(Tables.events(s, d))),
+    "q02_top10_by_user"    -> ((s, d) => EventOps.top10ByUser(Tables.events(s, d))),
+    "q03_stats"            -> ((s, d) => EventOps.statsGlobal(Tables.events(s, d))),
+    "q04_latest_n"         -> ((s, d) => EventOps.latestN(Tables.events(s, d))),
+    "q05_windowed_mean"    -> ((s, d) => EventOps.windowedMean(Tables.events(s, d))),
+    "q06_tag_filter"       -> ((s, d) => EventOps.tagFilter(Tables.events(s, d))),
+    "q07_raw_range"        -> ((s, d) => EventOps.rawRange(Tables.events(s, d))),
+    "q08_parse_props"      -> ((s, d) => EventOps.parseProps(Tables.events(s, d))),
+    "q09_branch_other"     -> ((s, d) => EventOps.branchOther(Tables.events(s, d))),
+    "q10_json_serialize"   -> ((s, d) => EventOps.jsonSerialize(Tables.events(s, d))),
+    // §7.3 breadth over the star schema
+    "q11_pricing_summary"  -> ((s, d) => RelationalOps.pricingSummary(Tables.lineitem(s, d))),
+    "q12_revenue_by_nation" -> ((s, d) =>
+      RelationalOps.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q13_top_customers"    -> ((s, d) =>
+      RelationalOps.topCustomers(Tables.orders(s, d), Tables.customer(s, d))),
+    "q14_rollup_returns"   -> ((s, d) => RelationalOps.rollupReturns(Tables.lineitem(s, d))),
+    "q15_top_orders_per_customer" -> ((s, d) =>
+      RelationalOps.topOrdersPerCustomer(Tables.orders(s, d))),
+    "q16_big_spenders"     -> ((s, d) =>
+      RelationalOps.bigSpenders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q17_not_big_spenders" -> ((s, d) =>
+      RelationalOps.notBigSpenders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q18_users_in_both"    -> ((s, d) => RelationalOps.usersInBoth(Tables.events(s, d))),
+    "q19_users_only_in"    -> ((s, d) => RelationalOps.usersOnlyIn(Tables.events(s, d))),
+    "q20_distinct_users_per_type" -> ((s, d) =>
+      RelationalOps.distinctUsersPerType(Tables.events(s, d))),
+    "q21_approx_distinct"  -> ((s, d) =>
+      RelationalOps.approxDistinctUsers(Tables.events(s, d))),
+    "q22_revenue_by_brand" -> ((s, d) =>
+      RelationalOps.revenueByBrand(Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d))),
+    "q23_running_spend"    -> ((s, d) => RelationalOps.runningSpend(Tables.orders(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_fraud_filter" ->
+      "SELECT event_id, user_id, value, ts FROM events WHERE value > 100.0 ORDER BY event_id",
+    "q02_top10_by_user" ->
+      """SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value,
+                COUNT(*) AS n_txn
+         FROM events WHERE value > 100.0
+         GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10""",
+    "q03_stats" ->
+      """SELECT MIN(value) AS min_value, MAX(value) AS max_value,
+                SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value,
+                COUNT(*) AS n_txn
+         FROM events WHERE value > 100.0""",
+    "q04_latest_n" ->
+      """SELECT ts, user_id, value, event_id FROM events WHERE value > 100.0
+         ORDER BY ts DESC, event_id DESC LIMIT 20""",
+    "q05_windowed_mean" ->
+      """SELECT date_trunc('hour', ts) AS w_start,
+                date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+                user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) / (100.0 * COUNT(*)) AS mean_value,
+                COUNT(*) AS n
+         FROM events GROUP BY 1, 2, 3 ORDER BY w_start, user_id""",
+    "q06_tag_filter" ->
+      """SELECT event_id, user_id, value, ts FROM events
+         WHERE value > 100.0 AND user_id IN (1, 3, 5, 7) ORDER BY event_id""",
+    "q07_raw_range" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM events
+         WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' ORDER BY event_id""",
+    "q08_parse_props" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
+    "q09_branch_other" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE NOT (value > 100.0) ORDER BY event_id""",
+    "q10_json_serialize" ->
+      """SELECT event_id,
+                '{"event_id":' || event_id || ',"user_id":' || user_id || '}' AS json
+         FROM events ORDER BY event_id""",
+    "q11_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+                SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+                SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / (100.0 * COUNT(*)) AS avg_disc,
+                COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q12_revenue_by_nation" ->
+      """SELECT n_name, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+                COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q13_top_customers" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend,
+                  COUNT(*) AS n_orders
+           FROM orders GROUP BY o_custkey)
+         SELECT c_custkey, c_name, total_spend, n_orders
+         FROM spend JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_spend DESC, c_custkey LIMIT 10""",
+    "q14_rollup_returns" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q15_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 2 ORDER BY o_custkey, rn""",
+    "q16_big_spenders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+         ORDER BY c_custkey""",
+    "q17_not_big_spenders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+         ORDER BY c_custkey""",
+    "q18_users_in_both" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'error'
+         ORDER BY user_id""",
+    "q19_users_only_in" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'error'
+         ORDER BY user_id""",
+    "q20_distinct_users_per_type" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // q21_approx_distinct: HLL++ sketch — not DuckDB-comparable, rows-only check.
+    "q22_revenue_by_brand" ->
+      """SELECT p_brand,
+                SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+                       JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q23_running_spend" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend
+         FROM orders WHERE o_custkey < 100
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+  )
 }

@@ -40,7 +40,7 @@ object EventOps {
   def top10ByUser(events: DataFrame): DataFrame =
     events.filter(fraud)
       .groupBy("user_id")
-      .agg(round(sum("value"), 2).as("total_value"), count(lit(1)).as("n_txn"))
+      .agg(Exact.sumD(col("value"), 2).as("total_value"), count(lit(1)).as("n_txn"))
       .orderBy(desc("total_value"), col("user_id"))
       .limit(10)
 
@@ -52,7 +52,7 @@ object EventOps {
       .agg(
         min("value").as("min_value"),
         max("value").as("max_value"),
-        round(sum("value"), 2).as("total_value"),
+        Exact.sumD(col("value"), 2).as("total_value"),
         count(lit(1)).as("n_txn"))
 
   /** C4 — "Latest Fraud Transactions" table: sort by time desc, take N.
@@ -72,7 +72,7 @@ object EventOps {
   def windowedMean(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
-      .agg(round(avg("value"), 2).as("mean_value"), count(lit(1)).as("n"))
+      .agg(Exact.avgD(col("value"), 2).as("mean_value"), count(lit(1)).as("n"))
       .select(
         col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("user_id"), col("mean_value"), col("n"))
@@ -101,7 +101,8 @@ object EventOps {
     events
       .select(
         col("event_id"),
-        from_json(col("props"), "k INT").getField("k").as("k"))
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
       .orderBy("event_id")
 
   /** A5 — record → JSON serialization (`TransactionProcessor.java:44-51`),

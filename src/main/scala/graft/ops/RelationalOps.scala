@@ -27,11 +27,12 @@ object RelationalOps {
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        Exact.sumD(col("l_extendedprice"), 2).as("sum_base_price"),
+        (sum(Exact.units(col("l_extendedprice"), 2) * (lit(100L) - Exact.units(col("l_discount"), 2)))
+          / lit(10000.0)).as("sum_disc_price"),
+        (sum(col("l_quantity").cast("long")) / count(lit(1)).cast("double")).as("avg_qty"),
+        Exact.avgD(col("l_discount"), 2).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -42,7 +43,7 @@ object RelationalOps {
       .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(Exact.sumD(col("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy(desc("revenue"), col("n_name"))
 
   /** Top-10 customers by lifetime spend. Aggregates orders FIRST (fact →
@@ -50,7 +51,7 @@ object RelationalOps {
     * the join input is |customers|, not |orders|. */
   def topCustomers(orders: DataFrame, customer: DataFrame): DataFrame = {
     val spend = orders.groupBy("o_custkey")
-      .agg(round(sum("o_totalprice"), 2).as("total_spend"), count(lit(1)).as("n_orders"))
+      .agg(Exact.sumD(col("o_totalprice"), 2).as("total_spend"), count(lit(1)).as("n_orders"))
     spend
       .join(customer, spend("o_custkey") === customer("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
@@ -64,7 +65,7 @@ object RelationalOps {
   def rollupReturns(lineitem: DataFrame): DataFrame =
     lineitem
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -143,7 +144,8 @@ object RelationalOps {
       .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
       .groupBy("p_brand")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        (sum(Exact.units(col("l_extendedprice"), 2) * (lit(100L) - Exact.units(col("l_discount"), 2)))
+          / lit(10000.0)).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
@@ -157,7 +159,7 @@ object RelationalOps {
       .filter(col("o_custkey") < maxCustkey)
       .select(
         col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+        (sum(Exact.units(col("o_totalprice"), 2)).over(w) / lit(100.0)).as("running_spend"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 }
