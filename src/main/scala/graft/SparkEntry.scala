@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{EventOps, RelationalOps}
+import graft.ops.{DedupOps, EventOps, RelationalOps, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (parity surface) and §7.3-7.4 (breadth + extended surface),
@@ -53,6 +53,19 @@ object SparkEntry {
     "q22_revenue_by_brand" -> ((s, d) =>
       RelationalOps.revenueByBrand(Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d))),
     "q23_running_spend"    -> ((s, d) => RelationalOps.runningSpend(Tables.orders(s, d))),
+    // §7.1 graft.ext — text analysis over `documents`
+    "q30_token_stats"      -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
+    "q31_quality_score"    -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "q32_lang_stats"       -> ((s, d) => TextOps.langStats(Tables.documents(s, d))),
+    "q33_fingerprint"      -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "q34_exact_dedup"      -> ((s, d) => TextOps.exactDedup(Tables.documents(s, d))),
+    "q35_lang_id"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    // §7.1 graft.ext — near-dup detection over `documents`
+    "q36_minhash_signature" -> ((s, d) => DedupOps.minhashSignature(Tables.documents(s, d))),
+    "q37_lsh_pairs"        -> ((s, d) => DedupOps.lshPairs(Tables.documents(s, d))),
+    "q38_jaccard_pairs"    -> ((s, d) => DedupOps.jaccardPairs(Tables.documents(s, d))),
+    "q39_simhash"          -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
+    "q40_simhash_pairs"    -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -171,5 +184,5 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend
          FROM orders WHERE o_custkey < 100
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
-  )
+  ) ++ TextOps.oracles ++ DedupOps.oracles
 }

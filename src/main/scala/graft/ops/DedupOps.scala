@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents`: MinHash signatures, LSH
+  * banding, exact n-gram Jaccard, and SimHash — the scale path for corpus
+  * dedup at 100 TB, demonstrated and oracle-checked at test scale.
+  *
+  * Cross-engine determinism trick: every hash in these ops is md5 (identical
+  * lowercase-hex output in Spark and DuckDB), so MinHash mins (string mins
+  * over hex), LSH band keys, and SimHash bit votes are bit-identical to the
+  * oracle. Seeded families come from salting the md5 input (`"k:" + x`).
+  *
+  * Scale notes:
+  *  - signatures/simhash: one scan + one shuffle by doc_id (or none when
+  *    computed as row-local array expressions) — linear in corpus size.
+  *  - LSH candidate join: shuffle on band key; band count × row count keys,
+  *    each bucket tiny by construction. This replaces the O(n²) all-pairs
+  *    join — the only strategy that survives 100 TB.
+  *  - exact-Jaccard verify runs only on LSH candidates (or within bounded
+  *    buckets for the oracle-checked exact variant).
+  */
+object DedupOps {
+  val NumHashes = 8           // MinHash family size
+  val Bands = 4               // LSH bands (rows-per-band = 2)
+  val JaccardThreshold = 0.5
+  val SimhashBits = 60        // 15 hex chars of md5 → fits a signed long
+  val HammingThreshold = 16
+
+  /** Distinct 3-gram word shingles as a row-local array column. */
+  private val shinglesExpr =
+    """array_distinct(transform(
+         sequence(1, size(split(text, ' ')) - 2),
+         i -> concat(element_at(split(text, ' '), i), ' ',
+                     element_at(split(text, ' '), i + 1), ' ',
+                     element_at(split(text, ' '), i + 2))))"""
+
+  /** doc_id + distinct shingle set (docs with < 3 tokens are dropped). */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.filter(expr("size(split(text, ' ')) >= 3"))
+      .selectExpr("doc_id", s"$shinglesExpr AS shs")
+
+  private def mhCol(k: Int): Column =
+    expr(s"array_min(transform(shs, s -> md5(concat('$k:', s))))").as(s"mh$k")
+
+  /** q36 — MinHash signature: per-doc min of k salted md5s over the shingle
+    * set. Row-local (no shuffle, no UDF). */
+  def minhashSignature(docs: DataFrame): DataFrame =
+    shingled(docs)
+      .select(col("doc_id") +: (0 until NumHashes).map(mhCol): _*)
+      .orderBy("doc_id")
+
+  /** q37 — MinHash-LSH near-dup pairs: band the signature (md5 of 2
+    * concatenated minhashes per band), join on band key for candidates,
+    * verify with exact shingle-Jaccard ≥ threshold. */
+  def lshPairs(docs: DataFrame): DataFrame = {
+    val sig = shingled(docs)
+      .select(col("doc_id") +: col("shs") +: (0 until NumHashes).map(mhCol): _*)
+    val bandExprs = (0 until Bands).map(b => s"md5(concat(mh${2 * b}, mh${2 * b + 1}))")
+    val bands = sig.selectExpr("doc_id", s"explode(array(${bandExprs.mkString(", ")})) AS band")
+    val cand = bands.as("x").join(bands.as("y"), col("x.band") === col("y.band")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sets = sig.select(col("doc_id"), col("shs"))
+    cand
+      .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
+      .selectExpr("a_id", "b_id",
+        "size(array_intersect(sa.shs, sb.shs)) AS inter",
+        "size(sa.shs) AS na", "size(sb.shs) AS nb")
+      .selectExpr("a_id", "b_id", "inter / CAST(na + nb - inter AS DOUBLE) AS jac")
+      .filter(col("jac") >= JaccardThreshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q38 — exact n-gram Jaccard within bounded (lang, source) buckets: the
+    * all-pairs ground truth, feasible only because buckets are small. */
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+    val d = docs.filter(expr("size(split(text, ' ')) >= 3"))
+      .selectExpr("doc_id", "lang", "source", s"$shinglesExpr AS shs")
+    d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+          && col("x.doc_id") < col("y.doc_id"))
+      .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id",
+        "size(array_intersect(x.shs, y.shs)) AS inter",
+        "size(x.shs) AS na", "size(y.shs) AS nb")
+      .selectExpr("a_id", "b_id", "inter / CAST(na + nb - inter AS DOUBLE) AS jac")
+      .filter(col("jac") >= JaccardThreshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Per-token 60-bit hash: first 15 hex chars of md5, as a positive long. */
+  private val tokenHash =
+    "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+
+  /** q39 — SimHash: explode distinct tokens, vote per bit (+1/-1 by the
+    * token-hash bit), majority → bit set. One shuffle by doc_id. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS t")
+      .selectExpr("doc_id", s"$tokenHash AS h")
+    val votes = tok.groupBy("doc_id").agg(
+      sum(when(expr("shiftright(h, 0) & 1") === 1, 1).otherwise(-1)).as("v0"),
+      (1 until SimhashBits).map(j =>
+        sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j")): _*)
+    val sh = (0 until SimhashBits)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sh.as("simhash")).orderBy("doc_id")
+  }
+
+  /** q40 — SimHash near-dup pairs: hamming distance (popcount of xor) under
+    * threshold within (lang, source) buckets. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sh = simhash(docs)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+    sh.as("x").join(sh.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+          && col("x.doc_id") < col("y.doc_id"))
+      .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id",
+        "CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming")
+      .filter(col("hamming") <= HammingThreshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** DuckDB equivalents. Same md5-salting construction, generated from the
+    * same constants so the two sides cannot drift. */
+  def oracles: Map[String, String] = {
+    val shSql =
+      """list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+           i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+                || ' ' || str_split(text, ' ')[i+2]))"""
+    val baseCte =
+      s"""base AS (SELECT doc_id, $shSql AS shs FROM documents
+                   WHERE len(str_split(text, ' ')) >= 3)"""
+    val mhSql = (0 until NumHashes)
+      .map(k => s"list_min(list_transform(shs, s -> md5('$k:' || s))) AS mh$k")
+      .mkString(", ")
+    val bandList = (0 until Bands)
+      .map(b => s"md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
+    val jacSql =
+      """len(list_filter(sa.shs, s -> list_contains(sb.shs, s)))
+           / CAST(len(sa.shs) + len(sb.shs)
+                  - len(list_filter(sa.shs, s -> list_contains(sb.shs, s))) AS DOUBLE)"""
+    val voteSql = (0 until SimhashBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val shBits = (0 until SimhashBits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    val simhashCte =
+      s"""tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS t
+                  FROM documents),
+          h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+          v AS (SELECT doc_id, $voteSql FROM h GROUP BY doc_id),
+          sh AS (SELECT doc_id, $shBits AS simhash FROM v)"""
+    Map(
+      "q36_minhash_signature" ->
+        s"""WITH $baseCte
+            SELECT doc_id, $mhSql FROM base ORDER BY doc_id""",
+      "q37_lsh_pairs" ->
+        s"""WITH $baseCte,
+            sig AS (SELECT doc_id, shs, $mhSql FROM base),
+            bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sig),
+            cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                     FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.doc_id < y.doc_id)
+            SELECT a_id, b_id, $jacSql AS jac
+            FROM cand JOIN base sa ON sa.doc_id = a_id
+                      JOIN base sb ON sb.doc_id = b_id
+            WHERE $jacSql >= $JaccardThreshold
+            ORDER BY a_id, b_id""",
+      "q38_jaccard_pairs" ->
+        s"""WITH d AS (SELECT doc_id, lang, source, $shSql AS shs FROM documents
+                       WHERE len(str_split(text, ' ')) >= 3)
+            SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, $jacSql AS jac
+            FROM d sa JOIN d sb
+            ON sa.lang = sb.lang AND sa.source = sb.source AND sa.doc_id < sb.doc_id
+            WHERE $jacSql >= $JaccardThreshold
+            ORDER BY a_id, b_id""",
+      "q39_simhash" ->
+        s"""WITH $simhashCte
+            SELECT doc_id, simhash FROM sh ORDER BY doc_id""",
+      "q40_simhash_pairs" ->
+        s"""WITH $simhashCte,
+            m AS (SELECT s.doc_id, simhash, lang, source
+                  FROM sh s JOIN documents d ON s.doc_id = d.doc_id)
+            SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+            FROM m x JOIN m y
+            ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingThreshold
+            ORDER BY a_id, b_id""",
+    )
+  }
+}

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (token counting, quality scoring, language ID,
+  * fingerprinting, exact dedup).
+  *
+  * Everything is a row-local expression (no UDFs — whole-stage codegen'd
+  * Catalyst built-ins only) followed by at most one hash aggregate, so each
+  * op is a single scan + at most one shuffle at any scale. Integer and
+  * md5-string outputs keep the DuckDB oracle hash-exact; ratio outputs are a
+  * single IEEE division of exact integers (bit-identical across engines).
+  *
+  * Reference scope note: the reference has no scalar function library at all
+  * (SURVEY.md §2.D); these ops are the §7.1 `graft.ext` extended surface.
+  */
+object TextOps {
+  /** Disjoint stop-word sets per language for the voting heuristic. */
+  val langSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is"),
+    "de" -> Seq("der", "und", "das"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "les", "une"),
+    "zh" -> Seq("de_zh", "shi_zh", "le_zh"))
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  /** q30 — token counting: whitespace tokenizer + distinct-token count. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+      "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_uniq_tokens",
+      "CAST(length(text) AS BIGINT) AS n_chars_calc")
+      .orderBy("doc_id")
+
+  /** q31 — quality scoring: stop-word ratio + mean token length. The two
+    * ratios are single divisions of exact integers → deterministic doubles. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+      s"CAST(size(filter(split(text, ' '), t -> t IN (${inList(stopwords)}))) AS BIGINT) AS n_stop")
+      .selectExpr(
+        "doc_id", "n_tokens", "n_stop",
+        "n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio")
+      .orderBy("doc_id")
+
+  /** q32 — corpus stats by language (exact integer sums → exact mean). */
+  def langStats(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        (sum("n_chars") / count(lit(1)).cast("double")).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** q33 — document fingerprinting: full-text md5 + order-independent
+    * bag-of-words md5 (sorted distinct tokens — canonical form). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      "md5(text) AS fp",
+      "md5(concat_ws(' ', array_sort(array_distinct(split(text, ' '))))) AS bow_fp")
+      .orderBy("doc_id")
+
+  /** q34 — exact content dedup: group by canonical fingerprint, keep the
+    * smallest doc_id. One hash-agg shuffle on a 32-byte key — at 100 TB this
+    * is the cheapest possible exact-dedup plan (no row comparisons). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      "md5(concat_ws(' ', array_sort(array_distinct(split(text, ' '))))) AS bow_fp")
+      .groupBy("bow_fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  /** q35 — language ID via stop-word voting (n-gram-free heuristic):
+    * count hits from each language's marker set, argmax with a fixed
+    * priority order for ties. Row-local, codegen'd, no shuffle. */
+  def langId(docs: DataFrame): DataFrame = {
+    val hits = langSets.map { case (l, ws) =>
+      s"CAST(size(filter(split(text, ' '), t -> t IN (${inList(ws)}))) AS BIGINT) AS hits_$l"
+    }
+    val langs = langSets.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"hits_$l >= hits_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    docs.selectExpr(Seq("doc_id", "lang") ++ hits: _*)
+      .selectExpr(
+        "doc_id",
+        s"CASE $cases ELSE '${langs.last}' END AS pred_lang",
+        "lang")
+      .selectExpr("doc_id", "pred_lang", "pred_lang = lang AS agrees")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB equivalents, kept adjacent so Spark and oracle can't drift. */
+  def oracles: Map[String, String] = {
+    val langs = langSets.map(_._1)
+    val hitSql = langSets.map { case (l, ws) =>
+      s"len(list_filter(str_split(text, ' '), t -> t IN (${inList(ws)}))) AS hits_$l"
+    }.mkString(", ")
+    val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"hits_$l >= hits_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    Map(
+      "q30_token_stats" ->
+        """SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
+                  len(list_distinct(str_split(text, ' '))) AS n_uniq_tokens,
+                  length(text) AS n_chars_calc
+           FROM documents ORDER BY doc_id""",
+      "q31_quality_score" ->
+        s"""SELECT doc_id, n_tokens, n_stop,
+                   n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio
+            FROM (SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
+                         len(list_filter(str_split(text, ' '),
+                             t -> t IN (${inList(stopwords)}))) AS n_stop
+                  FROM documents)
+            ORDER BY doc_id""",
+      "q32_lang_stats" ->
+        """SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                  CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+                  COUNT(DISTINCT source) AS n_sources
+           FROM documents GROUP BY lang ORDER BY lang""",
+      "q33_fingerprint" ->
+        """SELECT doc_id, md5(text) AS fp,
+                  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS bow_fp
+           FROM documents ORDER BY doc_id""",
+      "q34_exact_dedup" ->
+        """SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS bow_fp,
+                  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+           FROM documents GROUP BY 1 ORDER BY keep_id""",
+      "q35_lang_id" ->
+        s"""SELECT doc_id, pred_lang, pred_lang = lang AS agrees
+            FROM (SELECT doc_id, lang,
+                         CASE $caseSql ELSE '${langs.last}' END AS pred_lang
+                  FROM (SELECT doc_id, lang, $hitSql FROM documents))
+            ORDER BY doc_id""",
+    )
+  }
+}
