@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{DedupOps, EventOps, RelationalOps, TextOps}
+import graft.ops.{DedupOps, EventOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (parity surface) and §7.3-7.4 (breadth + extended surface),
@@ -66,6 +66,13 @@ object SparkEntry {
     "q38_jaccard_pairs"    -> ((s, d) => DedupOps.jaccardPairs(Tables.documents(s, d))),
     "q39_simhash"          -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "q40_simhash_pairs"    -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
+    // §7.1 graft.ext — similarity search over `embeddings`
+    "q42_knn_brute"        -> ((s, d) => SimilarityOps.knnBruteForce(Tables.embeddings(s, d))),
+    "q43_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(Tables.embeddings(s, d))),
+    "q44_label_centroids"  -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
+    // §7.1 graft.ext — multimodal plumbing (decode stubbed; rows-only check)
+    "q50_media_features"   -> ((s, d) =>
+      graft.multimodal.MediaOps.mediaFeatureStats(s, Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -184,5 +191,5 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend
          FROM orders WHERE o_custkey < 100
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
-  ) ++ TextOps.oracles ++ DedupOps.oracles
+  ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles
 }

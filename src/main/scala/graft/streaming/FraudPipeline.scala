@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.model.Transaction
+
+/** The reference's streaming topology (`TransactionProcessor.java:25-54`),
+  * re-expressed as Structured Streaming transforms.
+  *
+  * Every stage is a pure `DataFrame => DataFrame` so the same code runs on a
+  * `readStream` source (production) and on a `MemoryStream`/batch DataFrame
+  * (tests) — Catalyst plans both identically per micro-batch.
+  *
+  * Topology mapping (SURVEY.md §2.A):
+  *  - A1 source scan    → `spark.readStream` (kafka/rate/memory)
+  *  - A2 parse (json)   → [[parse]] (PERMISSIVE `from_json` → null on bad)
+  *  - A3 null-guard     → [[parse]] (filter isNotNull)
+  *  - A4 branch         → [[branchFraud]] (two complementary filters)
+  *  - A5 serialize      → [[serialize]] (`to_json`)
+  *  - A7 peek           → `observe()` metrics in [[fraudAlerts]]
+  *  - A8 sink           → [[startAlertSink]] (foreachBatch → parquet table,
+  *                        the InfluxDB-analog sink of B5)
+  * Beyond the reference (§2.D gaps closed): event-time tumbling windows
+  * with a watermark for late data ([[windowedFraudStats]]).
+  */
+object FraudPipeline {
+
+  /** A2+A3 — JSON wire value → typed columns; malformed records dropped,
+    * stream never fails (`TransactionProcessor.java:30-37` semantics). */
+  def parse(raw: DataFrame): DataFrame =
+    raw.withColumn("txn", Transaction.parseJson(col("value")))
+      .filter(col("txn").isNotNull
+        && col("txn.userId").isNotNull && col("txn.amount").isNotNull)
+      .select(col("txn.userId").as("userId"), col("txn.amount").as("amount"),
+        col("txn.timestamp").as("timestamp"))
+
+  /** A4 — the branch: (fraud leg, everything else). Strict `>` — an amount
+    * equal to the threshold is NOT fraud (`TransactionProcessor.java:15,39`). */
+  def branchFraud(txns: DataFrame,
+                  threshold: Double = Transaction.FraudThreshold): (DataFrame, DataFrame) =
+    (txns.filter(col("amount") > threshold), txns.filter(!(col("amount") > threshold)))
+
+  /** A5+A6 — fraud leg back to the JSON wire format. */
+  def serialize(txns: DataFrame): DataFrame =
+    txns.select(col("userId").as("key"),
+      Transaction.toJsonCol(col("userId"), col("amount"), col("timestamp")).as("value"))
+
+  /** A2–A8 composed: raw wire stream → serialized fraud alerts, with an
+    * `observe` metric as the A7 peek analog (no side-effect in the plan). */
+  def fraudAlerts(raw: DataFrame, threshold: Double = Transaction.FraudThreshold): DataFrame = {
+    val (fraud, _) = branchFraud(parse(raw), threshold)
+    serialize(fraud.observe("fraud_metrics", count(lit(1)).as("n_alerts")))
+  }
+
+  /** Event-time tumbling-window stats over the fraud leg with a watermark —
+    * the streaming form of the dashboard's C5 `aggregateWindow`. Late data
+    * beyond the watermark is dropped (an explicit policy the reference
+    * lacks, SURVEY.md §2.D). */
+  def windowedFraudStats(txns: DataFrame, windowLen: String = "10 seconds",
+                         watermark: String = "30 seconds"): DataFrame =
+    txns
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("userId"))
+      .agg(count(lit(1)).as("n"), sum("amount").as("total"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("userId"), col("n"), col("total"))
+
+  /** B1 — synthetic transaction generator on the rate source
+    * (1 row/sec default like `TransactionProducer.java:40`, but scalable). */
+  def generator(spark: SparkSession, rowsPerSecond: Int = 1): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond.toString).load()
+      .selectExpr(
+        "format_string('user_%03d', CAST(pmod(hash(value), 200) AS INT)) AS userId",
+        "1000.0 + pmod(abs(hash(value, 7)), 10000) + rand() AS amount",
+        "CAST(unix_timestamp(timestamp) AS INT) AS timestamp")
+      .select(col("userId").as("key"),
+        Transaction.toJsonCol(col("userId"), col("amount"), col("timestamp")).as("value"))
+
+  /** B5 — the sink: append fraud alerts to a parquet "fraud table" (the
+    * InfluxDB analog) via foreachBatch; idempotent-enough for at-least-once
+    * (duplicates possible on restart, same as the reference's auto-commit
+    * consumer — documented, not hidden). */
+  def startAlertSink(alerts: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    alerts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .start()
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{DedupOps, TextOps}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two near-dups (one word changed), one unrelated doc; same (lang, source)
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today", "en", "s1", 0L),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today", "en", "s1", 0L),
+    (3L, "completely different content about spark query planning and shuffles", "en", "s1", 0L),
+    (4L, "tiny doc", "en", "s1", 0L) // < 3 tokens: dropped by shingling
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("minhash signature: identical docs get identical signatures") {
+    val two = Seq((1L, "a b c d e", "en", "s1", 0L), (2L, "a b c d e", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sig = DedupOps.minhashSignature(two).collect()
+    assert(sig.length === 2)
+    assert(sig(0).toSeq.drop(1) === sig(1).toSeq.drop(1))
+  }
+
+  test("LSH pairs finds the near-dup pair and not the unrelated one") {
+    val pairs = DedupOps.lshPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("LSH candidates recall >= exact jaccard pairs on the same scope") {
+    val exact = DedupOps.jaccardPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.lshPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // both verify with the same threshold; LSH may only miss candidates,
+    // and on this corpus it must not
+    assert(exact.subsetOf(lsh))
+  }
+
+  test("simhash: identical token sets get identical simhash, hamming 0") {
+    val sh = DedupOps.simhash(
+      Seq((1L, "x y z w v u t s", "en", "s1", 0L),
+          (2L, "x y z w v u t s", "en", "s1", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+  }
+
+  test("simhash pairs: near-dups within hamming threshold, bucketed") {
+    val pairs = DedupOps.simhashPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("exact dedup keeps min doc_id per canonical fingerprint") {
+    val d = Seq(
+      (5L, "b a c", "en", "s1", 0L),
+      (7L, "c b a", "en", "s1", 0L), // same bag of words
+      (9L, "d e f", "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TextOps.exactDedup(d).select("keep_id", "n_dups")
+      .as[(Long, Long)].collect().toMap
+    assert(kept === Map(5L -> 2L, 9L -> 1L))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.FraudPipeline
+
+/** Semantics from FIXTURES.md §1: strict `> 10000.0`, malformed JSON
+  * dropped without failing, branch legs disjoint and complete. */
+class FraudPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wire = Seq(
+    """{"userId":"user_183","amount":10384.25,"timestamp":1737028306}""", // fraud
+    """{"userId":"user_001","amount":10000.0,"timestamp":1737028401}""",  // == threshold: NOT fraud
+    """{"userId":"user_002","amount":10000.0000001,"timestamp":1737028402}""", // fraud
+    """{"userId":"user_003","amount":-5.0,"timestamp":1737028403}""",     // not fraud
+    """not json at all""",                                                 // dropped
+    """{"userId":"user_004","amount":"oops","timestamp":1737028404}""",    // type mismatch: dropped
+  )
+
+  test("parse drops malformed records and keeps the stream alive") {
+    val parsed = FraudPipeline.parse(wire.toDF("value"))
+    assert(parsed.count() === 4)
+    assert(parsed.columns.toSeq === Seq("userId", "amount", "timestamp"))
+  }
+
+  test("fraud branch is strict > threshold; legs are disjoint and complete") {
+    val parsed = FraudPipeline.parse(wire.toDF("value"))
+    val (fraud, other) = FraudPipeline.branchFraud(parsed)
+    val fraudUsers = fraud.select("userId").as[String].collect().sorted
+    assert(fraudUsers === Array("user_002", "user_183"))
+    assert(fraud.count() + other.count() === parsed.count())
+    assert(fraud.intersect(other).count() === 0)
+  }
+
+  test("serialize round-trips through parse") {
+    val parsed = FraudPipeline.parse(wire.toDF("value"))
+    val roundTrip = FraudPipeline.parse(FraudPipeline.serialize(parsed))
+    assert(roundTrip.orderBy("userId").collect().toSeq ===
+      parsed.orderBy("userId").collect().toSeq)
+  }
+
+  test("streaming fraudAlerts emits only fraud records via MemoryStream") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val alerts = FraudPipeline.fraudAlerts(mem.toDF().withColumnRenamed("value", "value"))
+    val query = alerts.writeStream.format("memory").queryName("alerts_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(wire: _*)
+      query.processAllAvailable()
+      val got = spark.table("alerts_test").select("key").as[String].collect().sorted
+      assert(got === Array("user_002", "user_183"))
+    } finally query.stop()
+  }
+
+  test("windowed fraud stats groups by tumbling event-time window") {
+    val txns = Seq(
+      ("user_a", 10500.0, 1737028300), ("user_a", 10600.0, 1737028305), // same 10s window
+      ("user_a", 10700.0, 1737028312)                                   // next window
+    ).toDF("userId", "amount", "timestamp")
+    val stats = FraudPipeline.windowedFraudStats(txns)
+      .orderBy("w_start").collect()
+    assert(stats.length === 2)
+    assert(stats(0).getAs[Long]("n") === 2)
+    assert(stats(1).getAs[Long]("n") === 1)
+  }
+}
