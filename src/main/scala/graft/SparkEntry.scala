@@ -53,6 +53,13 @@ object SparkEntry {
     "q22_revenue_by_brand" -> ((s, d) =>
       RelationalOps.revenueByBrand(Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d))),
     "q23_running_spend"    -> ((s, d) => RelationalOps.runningSpend(Tables.orders(s, d))),
+    "q24_cube_returns"     -> ((s, d) => RelationalOps.cubeReturns(Tables.lineitem(s, d))),
+    "q25_monthly_orders"   -> ((s, d) => RelationalOps.monthlyOrders(Tables.orders(s, d))),
+    "q26_string_funcs"     -> ((s, d) => RelationalOps.customerNameFeatures(Tables.customer(s, d))),
+    "q27_value_histogram"  -> ((s, d) => RelationalOps.valueHistogram(Tables.events(s, d))),
+    "q28_percentiles"      -> ((s, d) => RelationalOps.valuePercentiles(Tables.events(s, d))),
+    "q29_order_sequence"   -> ((s, d) => RelationalOps.orderSequence(Tables.orders(s, d))),
+    "q46_users_in_either"  -> ((s, d) => RelationalOps.usersInEither(Tables.events(s, d))),
     // §7.1 graft.ext — text analysis over `documents`
     "q30_token_stats"      -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q31_quality_score"    -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -60,6 +67,7 @@ object SparkEntry {
     "q33_fingerprint"      -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "q34_exact_dedup"      -> ((s, d) => TextOps.exactDedup(Tables.documents(s, d))),
     "q35_lang_id"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "q41_regex_tokens"     -> ((s, d) => TextOps.regexTokens(Tables.documents(s, d))),
     // §7.1 graft.ext — near-dup detection over `documents`
     "q36_minhash_signature" -> ((s, d) => DedupOps.minhashSignature(Tables.documents(s, d))),
     "q37_lsh_pairs"        -> ((s, d) => DedupOps.lshPairs(Tables.documents(s, d))),
@@ -70,6 +78,7 @@ object SparkEntry {
     "q42_knn_brute"        -> ((s, d) => SimilarityOps.knnBruteForce(Tables.embeddings(s, d))),
     "q43_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(Tables.embeddings(s, d))),
     "q44_label_centroids"  -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
+    "q45_embedding_dups"   -> ((s, d) => SimilarityOps.embeddingDups(Tables.embeddings(s, d))),
     // §7.1 graft.ext — multimodal plumbing (decode stubbed; rows-only check)
     "q50_media_features"   -> ((s, d) =>
       graft.multimodal.MediaOps.mediaFeatureStats(s, Tables.documents(s, d))),
@@ -191,5 +200,41 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend
          FROM orders WHERE o_custkey < 100
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q24_cube_returns" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q25_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+         FROM orders GROUP BY 1 ORDER BY month""",
+    "q26_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+                substring(c_name, 1, 8) AS name_prefix,
+                length(c_name) AS name_len,
+                concat(c_mktsegment, '/', c_name) AS segment_name,
+                replace(c_name, '#', '-') AS name_dashed
+         FROM customer ORDER BY c_custkey""",
+    "q27_value_histogram" ->
+      """SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n,
+                MIN(value) AS min_value, MAX(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY bucket""",
+    // q28_percentiles: interpolation op-order differs across engines → rows-only.
+    "q29_order_sequence" ->
+      """SELECT o_custkey, o_orderkey,
+                price_c / 100.0 AS price,
+                lag(price_c, 1) OVER w / 100.0 AS prev_price,
+                lead(price_c, 1) OVER w / 100.0 AS next_price,
+                first_value(price_c) OVER w / 100.0 AS first_price
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+               FROM orders WHERE o_custkey < 50)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q46_users_in_either" ->
+      """SELECT DISTINCT user_id FROM events
+         WHERE event_type IN ('purchase', 'error') ORDER BY user_id""",
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles
 }

@@ -149,6 +149,81 @@ object RelationalOps {
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
+  /** Full CUBE over returnflag × linestatus — all 4 grouping-set levels. */
+  def cubeReturns(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Calendar aggregation: revenue per month (date_trunc + exact cents). */
+  def monthlyOrders(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), Exact.sumD(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+
+  /** String function surface: case mapping, substring, concat, length,
+    * replace — all row-local codegen'd expressions. */
+  def customerNameFeatures(customer: DataFrame): DataFrame =
+    customer.selectExpr(
+      "c_custkey",
+      "upper(c_name) AS name_upper",
+      "substring(c_name, 1, 8) AS name_prefix",
+      "CAST(length(c_name) AS BIGINT) AS name_len",
+      "concat(c_mktsegment, '/', c_name) AS segment_name",
+      "replace(c_name, '#', '-') AS name_dashed")
+      .orderBy("c_custkey")
+
+  /** Histogram: fixed-width value buckets over the fraud-stream analog. */
+  def valueHistogram(events: DataFrame, width: Double = 50.0): DataFrame =
+    events
+      .groupBy(floor(col("value") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .orderBy("bucket")
+
+  /** Percentile surface: exact percentile + approx (t-digest style) —
+    * cross-engine interpolation order differs, so rows-only check (same
+    * family as q21's HLL sketch). */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("approx_percentile(value, 0.99, 10000)").as("p99_approx"))
+      .orderBy("event_type")
+
+  /** Analytic functions beyond frames: lag/lead/first/last over a
+    * deterministic per-customer order sequence. */
+  def orderSequence(orders: DataFrame, maxCustkey: Long = 50L): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders.filter(col("o_custkey") < maxCustkey)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        Exact.units(col("o_totalprice"), 2).as("price_c"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        (col("price_c") / 100.0).as("price"),
+        (lag("price_c", 1).over(w) / 100.0).as("prev_price"),
+        (lead("price_c", 1).over(w) / 100.0).as("next_price"),
+        (first("price_c").over(w) / 100.0).as("first_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set union: per-type user sets recombined distinct (the reference's
+    * branch legs are never recombined — SURVEY §2.D; this closes that gap). */
+  def usersInEither(events: DataFrame, typeA: String = "purchase", typeB: String = "error"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA).select("user_id")
+    val b = events.filter(col("event_type") === typeB).select("user_id")
+    a.union(b).distinct().orderBy("user_id")
+  }
+
   /** Running total per customer over order date — an analytic window frame
     * (ROWS UNBOUNDED PRECEDING), restricted to a keyset to bound output. */
   def runningSpend(orders: DataFrame, maxCustkey: Long = 100L): DataFrame = {

@@ -86,6 +86,20 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** q45 — embedding-cosine near-duplicate pairs: all pairs within an LSH
+    * bucket whose cosine clears a high threshold — the vector-space member
+    * of the dedup family (exact/minhash/simhash/ngram live in [[DedupOps]]).
+    * At scale: shuffle on the 8-bit bucket key, never an all-pairs join. */
+  def embeddingDups(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+    val all = vecs(emb).selectExpr("vec_id", "v", "n2", s"${sparkBucket("v")} AS bucket")
+    all.as("x").join(all.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .selectExpr("x.vec_id AS a_id", "y.vec_id AS b_id",
+        s"${sparkDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos")
+      .filter(col("cos") >= minCos)
+      .orderBy("a_id", "b_id")
+  }
+
   /** q44 — per-label centroids in long format (label, dim, centroid, n).
     * Element values are quantized to exact 1e-6 integers before the sum, so
     * the aggregate is order-independent (same trick as [[Exact]]). */
@@ -134,6 +148,15 @@ object SimilarityOps {
                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
             FROM pairs)
           WHERE rank <= $TopK ORDER BY q_id, rank""",
+    "q45_embedding_dups" ->
+      s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2,
+                       ${duckBucket("v")} AS bucket FROM vecs)
+          SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+                 ${duckDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+          FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE ${duckDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) >= 0.4
+          ORDER BY a_id, b_id""",
     "q44_label_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
                 SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))

@@ -101,6 +101,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation —
+    * the GPT-2-style pre-tokenization shape, simplified to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB). */
+  val BpeRegex = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** q41 — regex (BPE-ish) token counting next to whitespace counting. */
+  def regexTokens(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"CAST(size(regexp_extract_all(text, '$BpeRegex', 0)) AS BIGINT) AS n_bpe_tokens",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_ws_tokens")
+      .orderBy("doc_id")
+
   /** DuckDB equivalents, kept adjacent so Spark and oracle can't drift. */
   def oracles: Map[String, String] = {
     val langs = langSets.map(_._1)
@@ -139,6 +152,11 @@ object TextOps {
         """SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS bow_fp,
                   MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
            FROM documents GROUP BY 1 ORDER BY keep_id""",
+      "q41_regex_tokens" ->
+        s"""SELECT doc_id,
+                   len(regexp_extract_all(text, '$BpeRegex')) AS n_bpe_tokens,
+                   len(str_split(text, ' ')) AS n_ws_tokens
+            FROM documents ORDER BY doc_id""",
       "q35_lang_id" ->
         s"""SELECT doc_id, pred_lang, pred_lang = lang AS agrees
             FROM (SELECT doc_id, lang,
