@@ -28,67 +28,85 @@ object DedupOps {
   val SimhashBits = 60        // 15 hex chars of md5 → fits a signed long
   val HammingThreshold = 16
 
-  /** Distinct 3-gram word shingles as a row-local array column. */
-  private val shinglesExpr =
-    """array_distinct(transform(
-         sequence(1, size(split(text, ' ')) - 2),
-         i -> concat(element_at(split(text, ' '), i), ' ',
-                     element_at(split(text, ' '), i + 1), ' ',
-                     element_at(split(text, ' '), i + 2))))"""
+  /** Distinct 3-gram shingles as ROWS (doc_id, shingle): tokenize once per
+    * doc (posexplode), assemble shingles with `lead` over the token order,
+    * dedup. An array-expression formulation would re-inline `split(text)`
+    * into every element access after Catalyst's project-collapse — O(n²)
+    * work per doc (observed 11-20 s per dedup query at bench; this shape is
+    * sub-second). Row form is also what scales: shingles stream through
+    * shuffles instead of living as one giant array value per doc. */
+  def shingleRows(docs: DataFrame): DataFrame = rawShingleRows(docs).distinct()
 
-  /** doc_id + distinct shingle set (docs with < 3 tokens are dropped). */
-  def shingled(docs: DataFrame): DataFrame =
-    docs.filter(expr("size(split(text, ' ')) >= 3"))
-      .selectExpr("doc_id", s"$shinglesExpr AS shs")
-
-  private def mhCol(k: Int): Column =
-    expr(s"array_min(transform(shs, s -> md5(concat('$k:', s))))").as(s"mh$k")
+  /** Shingle rows WITHOUT the distinct shuffle — enough for MIN aggregates
+    * (idempotent over duplicates); Jaccard counting needs [[shingleRows]]. */
+  private def rawShingleRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumn("t1", lead("col", 1).over(w))
+      .withColumn("t2", lead("col", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat(col("col"), lit(" "), col("t1"), lit(" "), col("t2")).as("shingle"))
+  }
 
   /** q36 — MinHash signature: per-doc min of k salted md5s over the shingle
-    * set. Row-local (no shuffle, no UDF). */
+    * rows — one hash-agg with k parallel MIN aggregates, partial map-side
+    * combine included. */
   def minhashSignature(docs: DataFrame): DataFrame =
-    shingled(docs)
-      .select(col("doc_id") +: (0 until NumHashes).map(mhCol): _*)
+    rawShingleRows(docs)
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
+        (1 until NumHashes).map(k =>
+          min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"mh$k")): _*)
       .orderBy("doc_id")
+
+  /** Exact Jaccard over candidate pairs, computed relationally: shared
+    * shingles via an equi-join on the shingle string (shuffle on shingle),
+    * set sizes via one count per doc. No per-pair array materialization. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("b_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("b_id") === col("cb.doc_id"))
+      .selectExpr("a_id", "b_id",
+        "inter / CAST(ca.n + cb.n - inter AS DOUBLE) AS jac")
+      .filter(col("jac") >= JaccardThreshold)
+      .orderBy("a_id", "b_id")
+  }
 
   /** q37 — MinHash-LSH near-dup pairs: band the signature (md5 of 2
     * concatenated minhashes per band), join on band key for candidates,
     * verify with exact shingle-Jaccard ≥ threshold. */
   def lshPairs(docs: DataFrame): DataFrame = {
-    val sig = shingled(docs)
-      .select(col("doc_id") +: col("shs") +: (0 until NumHashes).map(mhCol): _*)
+    val sh = shingleRows(docs)
+    val sig = minhashSignature(docs)
     val bandExprs = (0 until Bands).map(b => s"md5(concat(mh${2 * b}, mh${2 * b + 1}))")
     val bands = sig.selectExpr("doc_id", s"explode(array(${bandExprs.mkString(", ")})) AS band")
     val cand = bands.as("x").join(bands.as("y"), col("x.band") === col("y.band")
         && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sets = sig.select(col("doc_id"), col("shs"))
-    cand
-      .join(sets.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("b_id") === col("sb.doc_id"))
-      .selectExpr("a_id", "b_id",
-        "size(array_intersect(sa.shs, sb.shs)) AS inter",
-        "size(sa.shs) AS na", "size(sb.shs) AS nb")
-      .selectExpr("a_id", "b_id", "inter / CAST(na + nb - inter AS DOUBLE) AS jac")
-      .filter(col("jac") >= JaccardThreshold)
-      .orderBy("a_id", "b_id")
+    verifyJaccard(cand, sh)
   }
 
   /** q38 — exact n-gram Jaccard within bounded (lang, source) buckets: the
     * all-pairs ground truth, feasible only because buckets are small. */
   def jaccardPairs(docs: DataFrame): DataFrame = {
-    val d = docs.filter(expr("size(split(text, ' ')) >= 3"))
-      .selectExpr("doc_id", "lang", "source", s"$shinglesExpr AS shs")
-    d.as("x").join(d.as("y"),
+    val meta = docs.filter(expr("size(split(text, ' ')) >= 3"))
+      .select("doc_id", "lang", "source")
+    val cand = meta.as("x").join(meta.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
           && col("x.doc_id") < col("y.doc_id"))
-      .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id",
-        "size(array_intersect(x.shs, y.shs)) AS inter",
-        "size(x.shs) AS na", "size(y.shs) AS nb")
-      .selectExpr("a_id", "b_id", "inter / CAST(na + nb - inter AS DOUBLE) AS jac")
-      .filter(col("jac") >= JaccardThreshold)
-      .orderBy("a_id", "b_id")
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    verifyJaccard(cand, shingleRows(docs))
   }
 
   /** Per-token 60-bit hash: first 15 hex chars of md5, as a positive long. */
