@@ -29,13 +29,14 @@ object SimilarityOps {
   private def dotChain(terms: Seq[String]): String =
     terms.mkString("(0.0 + ", " + ", ")")
 
-  /** Spark side uses `zip_with` + `aggregate` (left fold from 0.0 — the
-    * exact IEEE op sequence of the oracle's explicit chain) instead of a
-    * generated 64-term expression: Catalyst's project-collapse would inline
-    * the array cast into every term and the optimizer goes quadratic on the
-    * resulting ~10k-node tree (observed: minutes of planning per query). */
+  /** Spark side uses the native codegen'd [[graft.expressions.DotProduct]]
+    * (tight Java loop in WSCG). Same left-to-right fold from 0.0 as the
+    * oracle's explicit chain, so results are bit-identical. (A generated
+    * 64-term expression is not an option: Catalyst's project-collapse
+    * inlines the array cast into every term and the optimizer goes
+    * quadratic on the ~10k-node tree — observed minutes of planning.) */
   private def sparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    s"graft_dot($a, $b)"
 
   private def sparkPlaneDot(v: String, p: Int): String = {
     val w = (0 until Dim).map(d => s"${plane(p, d)}D").mkString("array(", ", ", ")")
@@ -47,10 +48,13 @@ object SimilarityOps {
       .map(p => s"(CASE WHEN ${sparkPlaneDot(v, p)} > 0.0 THEN ${1L << p}L ELSE 0L END)")
       .mkString("(", " + ", ")")
 
-  /** vec_id, v (double array), n2 (squared norm) — shared prep. */
-  private def vecs(emb: DataFrame): DataFrame =
+  /** vec_id, v (double array), n2 (squared norm) — shared prep. Registers
+    * the native function idempotently so the ops work on any session. */
+  private def vecs(emb: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
     emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
       .selectExpr("vec_id", "v", s"${sparkDot("v", "v")} AS n2")
+  }
 
   /** q42 — brute-force cosine top-k: broadcast the query set against the
     * full corpus (the fact side is never shuffled), rank per query. */

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.GraftFunctions
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withFn[A](f: => A): A = { GraftFunctions.register(spark); f }
+
+  test("graft_dot equals the HOF fold bit-for-bit") {
+    withFn {
+      val df = Seq((Seq(1.5, -2.25, 3.0), Seq(0.5, 4.0, -1.125)))
+        .toDF("a", "b")
+        .selectExpr(
+          "graft_dot(a, b) AS native",
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS hof")
+      val r = df.collect().head
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(0) === 1.5 * 0.5 + -2.25 * 4.0 + 3.0 * -1.125)
+    }
+  }
+
+  test("null array propagates null; null elements contribute zero") {
+    withFn {
+      val df = Seq(
+        (Some(Seq(Some(1.0), None, Some(2.0))), Some(Seq(Some(3.0), Some(4.0), Some(5.0)))),
+        (None, Some(Seq(Some(1.0))))
+      ).toDF("a", "b").selectExpr("graft_dot(a, b) AS d")
+      val rows = df.collect()
+      assert(rows(0).getDouble(0) === 1.0 * 3.0 + 2.0 * 5.0)
+      assert(rows(1).isNullAt(0))
+    }
+  }
+
+  test("float arrays implicit-cast to double arrays (analyzer rule)") {
+    withFn {
+      val df = Seq((Seq(1.5f, 2.5f), Seq(2.0f, 4.0f))).toDF("a", "b")
+        .selectExpr("graft_dot(a, b) AS d")
+      assert(df.collect().head.getDouble(0) === 1.5 * 2.0 + 2.5 * 4.0)
+    }
+  }
+
+  test("expression survives both codegen and interpreted paths") {
+    withFn {
+      val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      val on = df.selectExpr("graft_dot(a, b) AS d").collect().head.getDouble(0)
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val off =
+        try df.selectExpr("graft_dot(a, b) AS d").collect().head.getDouble(0)
+        finally {
+          spark.conf.set("spark.sql.codegen.wholeStage", "true")
+          spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        }
+      assert(on === off)
+      assert(on === 11.0)
+    }
+  }
+}
