@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface beyond the reference's Kafka-only I/O
+  * (`TransactionProcessor.java:27`): columnar + text formats, partitioned
+  * layout for pruning, and bucketed tables for shuffle-free joins.
+  *
+  * 100 TB notes baked into the API:
+  *  - Partitioned parquet (`writePartitioned`) gives partition pruning: a
+  *    date-filtered query reads only matching directories — the on-disk
+  *    analog of the dashboard's time-range filter (C5/C7).
+  *  - Bucketed tables (`writeBucketed`) pre-shuffle ONCE at write time;
+  *    joins and aggregations on the bucket key then plan with zero
+  *    exchanges (asserted in `SourceSinksSpec`). This is how the fact-table
+  *    joins stay shuffle-free at cluster scale.
+  *  - CSV/JSON readers take an explicit schema — schema inference is a
+  *    full extra pass over the data and is never acceptable at scale.
+  */
+object SourceSinks {
+
+  def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Explicit schema — no inference pass. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Bucketed + sorted managed table: one shuffle at write time, zero at
+    * every subsequent join/agg on `bucketCol`. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.SourceSinks
+
+class SourceSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    (1L, "2024-01-01", 5L, 10.0), (2L, "2024-01-01", 6L, 200.0),
+    (3L, "2024-01-02", 5L, 150.0), (4L, "2024-01-03", 7L, 20.0)
+  ).toDF("event_id", "day", "user_id", "value")
+
+  test("partitioned parquet round-trips and prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    SourceSinks.writeParquetPartitioned(events, dir, "day")
+    val back = SourceSinks.readParquet(spark, dir)
+    assert(back.count() === 4)
+    val pruned = back.filter(col("day") === "2024-01-01")
+    assert(pruned.count() === 2)
+    // pruning is visible in the scan: only one partition directory read
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PartitionFilters"), scanDesc.take(400))
+  }
+
+  test("csv and json round-trip with explicit schemas (no inference pass)") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("day", StringType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val cdir = Files.createTempDirectory("graft_csv").toString
+    SourceSinks.writeCsv(events, cdir)
+    val cback = SourceSinks.readCsv(spark, cdir, schema).orderBy("event_id")
+    assert(cback.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val jdir = Files.createTempDirectory("graft_json").toString
+    SourceSinks.writeJsonLines(events, jdir)
+    val jback = SourceSinks.readJsonLines(spark, jdir, schema)
+    assert(jback.count() === 4)
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    SourceSinks.writeBucketed(events.select("event_id", "user_id", "value"),
+      "ev_bucketed", "user_id")
+    SourceSinks.writeBucketed(Seq((5L, "alice"), (6L, "bob"), (7L, "carol"))
+      .toDF("user_id", "name"), "users_bucketed", "user_id")
+    val joined = spark.table("ev_bucketed")
+      .join(spark.table("users_bucketed"), "user_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n${plan.take(800)}")
+    assert(joined.count() === 4)
+  }
+}

@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // let bucketed-join tests see SMJ
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
