@@ -60,6 +60,9 @@ object SparkEntry {
     "q28_percentiles"      -> ((s, d) => RelationalOps.valuePercentiles(Tables.events(s, d))),
     "q29_order_sequence"   -> ((s, d) => RelationalOps.orderSequence(Tables.orders(s, d))),
     "q46_users_in_either"  -> ((s, d) => RelationalOps.usersInEither(Tables.events(s, d))),
+    "q47_orders_outer"     -> ((s, d) =>
+      RelationalOps.ordersPerCustomerOuter(Tables.customer(s, d), Tables.orders(s, d))),
+    "q48_asof_join"        -> ((s, d) => RelationalOps.asofJoin(Tables.events(s, d))),
     // §7.1 graft.ext — text analysis over `documents`
     "q30_token_stats"      -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q31_quality_score"    -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -236,5 +239,21 @@ object SparkEntry {
     "q46_users_in_either" ->
       """SELECT DISTINCT user_id FROM events
          WHERE event_type IN ('purchase', 'error') ORDER BY user_id""",
+    "q47_orders_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+                COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 0.0) AS spend
+         FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q48_asof_join" ->
+      """SELECT event_id, user_id, ts, ref_id, ref_ts FROM (
+           SELECT event_id, user_id, ts, event_type,
+                  last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+                    OVER w AS ref_id,
+                  last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                    OVER w AS ref_ts
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         WHERE event_type = 'purchase' ORDER BY event_id""",
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles
 }

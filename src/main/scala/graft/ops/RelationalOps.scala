@@ -216,6 +216,37 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Left-outer join + aggregate: every customer with their order count and
+    * spend, zero-order customers included (COUNT of the right side's key,
+    * not COUNT(*), so the null row counts as 0). */
+  def ordersPerCustomerOuter(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(Exact.sumD(col("o_totalprice"), 2), lit(0.0)).as("spend"))
+      .orderBy("c_custkey")
+
+  /** As-of join (the time-series operator Spark has no primitive for,
+    * composed per the design rules from built-ins): for every `leftType`
+    * event, the most recent prior-or-equal `refType` event of the same
+    * user. One shuffle on user_id; `last(..., ignoreNulls)` over an
+    * explicit ROWS frame — no per-row subquery, linear in the stream. */
+  def asofJoin(events: DataFrame, leftType: String = "purchase",
+               refType: String = "signup"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("ref_id",
+        last(when(col("event_type") === refType, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("ref_ts",
+        last(when(col("event_type") === refType, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === leftType)
+      .select("event_id", "user_id", "ts", "ref_id", "ref_ts")
+      .orderBy("event_id")
+  }
+
   /** Set union: per-type user sets recombined distinct (the reference's
     * branch legs are never recombined — SURVEY §2.D; this closes that gap). */
   def usersInEither(events: DataFrame, typeA: String = "purchase", typeB: String = "error"): DataFrame = {
