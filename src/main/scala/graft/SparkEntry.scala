@@ -63,6 +63,8 @@ object SparkEntry {
     "q47_orders_outer"     -> ((s, d) =>
       RelationalOps.ordersPerCustomerOuter(Tables.customer(s, d), Tables.orders(s, d))),
     "q48_asof_join"        -> ((s, d) => RelationalOps.asofJoin(Tables.events(s, d))),
+    "q49_shipping_priority" -> ((s, d) => RelationalOps.shippingPriority(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     // §7.1 graft.ext — text analysis over `documents`
     "q30_token_stats"      -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q31_quality_score"    -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -255,5 +257,18 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q49_shipping_priority" ->
+      """SELECT l_orderkey,
+                SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+                o_orderdate, o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles
 }

@@ -216,6 +216,27 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** TPC-H Q3-shaped shipping priority: the engine's largest join — both
+    * fact tables filtered BEFORE the join (predicate pushdown to both
+    * scans), customer broadcast by AQE, orders⋈lineitem shuffle join on
+    * the order key, then agg + top-k. The canonical 100 TB shape: filters
+    * first, small side broadcast, single co-keyed shuffle. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: String = "BUILDING"): DataFrame = {
+    val cutoff = lit("1995-03-15 00:00:00").cast("timestamp")
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders.filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cutoff),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg((sum(Exact.units(col("l_extendedprice"), 2) * (lit(100L) - Exact.units(col("l_discount"), 2)))
+        / lit(10000.0)).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
   /** Left-outer join + aggregate: every customer with their order count and
     * spend, zero-order customers included (COUNT of the right side's key,
     * not COUNT(*), so the null row counts as 0). */

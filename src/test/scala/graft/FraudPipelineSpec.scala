@@ -55,6 +55,14 @@ class FraudPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("generator emits the kafka wire schema as a streaming source") {
+    val gen = FraudPipeline.generator(spark, rowsPerSecond = 10)
+    assert(gen.isStreaming)
+    assert(gen.columns.toSeq === Seq("key", "value"))
+    // the generator's wire format is parseable by the detector's parser
+    assert(FraudPipeline.parse(gen).columns.toSeq === Seq("userId", "amount", "timestamp"))
+  }
+
   test("windowed fraud stats groups by tumbling event-time window") {
     val txns = Seq(
       ("user_a", 10500.0, 1737028300), ("user_a", 10600.0, 1737028305), // same 10s window
