@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   *    first-query-in-JVM overhead otherwise dominates and measures the JVM,
   *    not the plan);
   *  - results go to the `noop` sink: the whole plan executes (unlike
-  *    `count()`, which lets Catalyst prune projections) with zero sink cost.
+  *    `count()`, which lets Catalyst prune projections) with zero sink cost;
+  *  - TWO measured passes, per-query MIN reported: the host shows noisy-
+  *    neighbor CPU steal (observed 3 s → 19 s on an identical warm plan),
+  *    and min-of-2 is the standard estimator for "the plan's cost" under
+  *    external interference.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,12 +37,13 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try runOne(fn) catch { case _: Throwable => () }
     }
-    // measured pass
-    val results = queries.map { case (name, fn) =>
+    def measuredPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try runOne(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val (p1, p2) = (measuredPass(), measuredPass())
+    val results = p1.zip(p2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -44,7 +44,7 @@ class FraudPipelineSpec extends SparkSpec {
   test("streaming fraudAlerts emits only fraud records via MemoryStream") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[String]
-    val alerts = FraudPipeline.fraudAlerts(mem.toDF().withColumnRenamed("value", "value"))
+    val alerts = FraudPipeline.fraudAlerts(mem.toDF()) // MemoryStream[String] column is already "value"
     val query = alerts.writeStream.format("memory").queryName("alerts_test")
       .outputMode("append").start()
     try {
