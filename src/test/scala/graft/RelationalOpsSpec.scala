@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.RelationalOps
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def customers = Seq(
+    (1L, "c1", 0, 10.0, "BUILDING"), (2L, "c2", 1, 20.0, "AUTO"), (3L, "c3", 0, 30.0, "AUTO")
+  ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  private def orders = Seq(
+    (10L, 1L, "O", 600000.0, new java.sql.Timestamp(0), "1-URGENT"),
+    (11L, 1L, "O", 100.0, new java.sql.Timestamp(86400000), "2-HIGH"),
+    (12L, 2L, "F", 200.0, new java.sql.Timestamp(0), "3-MEDIUM")
+  ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  test("semi/anti joins partition customers exactly") {
+    val big = RelationalOps.bigSpenders(customers, orders)
+      .select("c_custkey").as[Long].collect().toSet
+    val notBig = RelationalOps.notBigSpenders(customers, orders)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(big === Set(1L))            // only c1 has an order > 450k
+    assert(notBig === Set(2L, 3L))     // c3 has no orders at all — still included
+    assert((big & notBig).isEmpty)
+  }
+
+  test("outer-join aggregate keeps zero-order customers with spend 0") {
+    val rows = RelationalOps.ordersPerCustomerOuter(customers, orders)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows === Seq((1L, 2L, 600100.0), (2L, 1L, 200.0), (3L, 0L, 0.0)))
+  }
+
+  test("as-of join picks the latest prior reference event per user") {
+    val ev = Seq(
+      (1L, ts(100), 1L, "signup", 0.0, "{}"),
+      (2L, ts(200), 1L, "purchase", 5.0, "{}"),   // ref -> 1
+      (3L, ts(300), 1L, "signup", 0.0, "{}"),
+      (4L, ts(400), 1L, "purchase", 6.0, "{}"),   // ref -> 3
+      (5L, ts(500), 2L, "purchase", 7.0, "{}")    // no signup: ref null
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.asofJoin(ev).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got === Seq((2L, 1L), (4L, 3L), (5L, -1L)))
+  }
+
+  test("rollup includes subtotals and grand total") {
+    val li = Seq(
+      ("A", "F", 2.0), ("A", "O", 3.0), ("B", "F", 5.0)
+    ).map { case (rf, ls, q) => (rf, ls, q, 0.0, 0.0, 0.0, 0.0) }
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "x")
+    val rows = RelationalOps.rollupReturns(li)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSeq
+    assert(rows.contains(("ALL", "ALL", 10L)))  // grand total
+    assert(rows.contains(("A", "ALL", 5L)))     // subtotal
+    assert(rows.contains(("B", "F", 5L)))       // leaf
+  }
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+}
