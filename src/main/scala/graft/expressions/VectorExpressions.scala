@@ -61,6 +61,54 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Consecutive n-gram word shingles over a token array.
+  *
+  * Why a custom expression: composing this from built-ins either re-inlines
+  * the `split(text)` child into every element access (`transform(sequence,
+  * i -> element_at(split, i)...)` — O(tokens²) per doc after Catalyst's
+  * project-collapse) or needs a `lead()` window (an extra shuffle + sort per
+  * use). As a unary expression the tokenization child is evaluated ONCE per
+  * row and the shingles build in one linear pass — no shuffle, no quadratic
+  * blowup. Interpreted eval only (`CodegenFallback`): the loop allocates
+  * arrays of strings, which codegen cannot beat meaningfully.
+  *
+  * Fewer than `n` tokens → empty array (the doc simply yields no shingles).
+  */
+case class ShingleArray(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = arr.numElements()
+    if (num < n) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val out = new Array[Any](num - n + 1)
+      var i = 0
+      while (i <= num - n) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+        var j = 0
+        while (j < n) {
+          if (j > 0) parts(2 * j - 1) = sep
+          parts(2 * j) = arr.getUTF8String(i + j)
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Function registration, both as a `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)`) and as an idempotent imperative
   * call for sessions the library does not construct. */
@@ -72,12 +120,24 @@ object GraftFunctions {
     DotProduct(children.head, children(1))
   }
 
-  def registerAll(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  private val shinglesIdent = FunctionIdentifier("graft_shingles")
+  private val shinglesInfo = new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles")
+  private val shinglesBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2 && children(1).foldable,
+      "graft_shingles(tokens, n) takes an array and a literal shingle size")
+    ShingleArray(children.head, children(1).eval().asInstanceOf[Number].intValue())
+  }
+
+  def registerAll(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((dotIdent, dotInfo, dotBuilder))
+    ext.injectFunction((shinglesIdent, shinglesInfo, shinglesBuilder))
+  }
 
   /** Idempotent: safe to call from every query builder. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(dotIdent, dotInfo, dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(shinglesIdent, shinglesInfo, shinglesBuilder)
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

@@ -28,26 +28,21 @@ object DedupOps {
   val SimhashBits = 60        // 15 hex chars of md5 → fits a signed long
   val HammingThreshold = 16
 
-  /** Distinct 3-gram shingles as ROWS (doc_id, shingle): tokenize once per
-    * doc (posexplode), assemble shingles with `lead` over the token order,
-    * dedup. An array-expression formulation would re-inline `split(text)`
-    * into every element access after Catalyst's project-collapse — O(n²)
-    * work per doc (observed 11-20 s per dedup query at bench; this shape is
-    * sub-second). Row form is also what scales: shingles stream through
-    * shuffles instead of living as one giant array value per doc. */
+  /** Distinct 3-gram shingles as ROWS (doc_id, shingle), via the native
+    * [[graft.expressions.ShingleArray]] expression: split evaluates once
+    * per doc (it is the expression's child), shingles build in one linear
+    * pass, explode streams them out — no shuffle, no window, and none of
+    * the O(tokens²) project-collapse blowup a `transform(sequence, ...)`
+    * formulation hits. Row form is also what scales: shingles stream
+    * through shuffles instead of living as one giant array value per doc. */
   def shingleRows(docs: DataFrame): DataFrame = rawShingleRows(docs).distinct()
 
   /** Shingle rows WITHOUT the distinct shuffle — enough for MIN aggregates
     * (idempotent over duplicates); Jaccard counting needs [[shingleRows]]. */
   private def rawShingleRows(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumn("t1", lead("col", 1).over(w))
-      .withColumn("t2", lead("col", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat(col("col"), lit(" "), col("t1"), lit(" "), col("t2")).as("shingle"))
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id",
+      "explode(graft_shingles(split(text, ' '), 3)) AS shingle")
   }
 
   /** q36 — MinHash signature: per-doc min of k salted md5s over the shingle
