@@ -93,15 +93,26 @@ object DedupOps {
   }
 
   /** q38 — exact n-gram Jaccard within bounded (lang, source) buckets: the
-    * all-pairs ground truth, feasible only because buckets are small. */
+    * all-pairs ground truth, feasible only because buckets are small.
+    * Shared-shingle counts come from ONE self-join of the shingle rows on
+    * (bucket, shingle) — pairs sharing nothing never materialize, and no
+    * candidate × shingle intermediate is built. */
   def jaccardPairs(docs: DataFrame): DataFrame = {
-    val meta = docs.filter(expr("size(split(text, ' ')) >= 3"))
-      .select("doc_id", "lang", "source")
-    val cand = meta.as("x").join(meta.as("y"),
-        col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-    verifyJaccard(cand, shingleRows(docs))
+    val sh = shingleRows(docs)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("sa").join(sh.as("sb"),
+        col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source")
+          && col("sa.shingle") === col("sb.shingle")
+          && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("a_id"), col("sb.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.as("ca"), col("a_id") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("b_id") === col("cb.doc_id"))
+      .selectExpr("a_id", "b_id",
+        "inter / CAST(ca.n + cb.n - inter AS DOUBLE) AS jac")
+      .filter(col("jac") >= JaccardThreshold)
+      .orderBy("a_id", "b_id")
   }
 
   /** Per-token 60-bit hash: first 15 hex chars of md5, as a positive long. */
