@@ -80,16 +80,20 @@ object FraudPipeline {
       .select(col("userId").as("key"),
         Transaction.toJsonCol(col("userId"), col("amount"), col("timestamp")).as("value"))
 
-  /** B5 — the sink: append fraud alerts to a parquet "fraud table" (the
-    * InfluxDB analog) via foreachBatch; idempotent-enough for at-least-once
-    * (duplicates possible on restart, same as the reference's auto-commit
-    * consumer — documented, not hidden). */
+  /** B5 — the sink: fraud alerts into a parquet "fraud table" (the InfluxDB
+    * analog) via foreachBatch, written idempotently: each micro-batch
+    * overwrites its own `batch_id=N` partition, so a batch re-delivered
+    * after a failure replaces itself instead of duplicating — upgrading the
+    * reference's at-least-once auto-commit consumer
+    * (`FraudAlertConsumer.java:42`) to effective exactly-once. Readers see
+    * one table (`spark.read.parquet(path)`) with `batch_id` as a partition
+    * column they can ignore. */
   def startAlertSink(alerts: DataFrame, path: String, checkpoint: String): StreamingQuery =
     alerts.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
       }
       .start()
 }
