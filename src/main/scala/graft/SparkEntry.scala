@@ -65,6 +65,8 @@ object SparkEntry {
     "q48_asof_join"        -> ((s, d) => RelationalOps.asofJoin(Tables.events(s, d))),
     "q49_shipping_priority" -> ((s, d) => RelationalOps.shippingPriority(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q51_cohort_pivot"     -> ((s, d) => RelationalOps.cohortTypePivot(Tables.events(s, d))),
+    "q52_token_frequencies" -> ((s, d) => RelationalOps.tokenFrequencies(Tables.documents(s, d))),
     // §7.1 graft.ext — text analysis over `documents`
     "q30_token_stats"      -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q31_quality_score"    -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -270,5 +272,17 @@ object SparkEntry {
            AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q51_cohort_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+                COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1 ORDER BY cohort""",
+    "q52_token_frequencies" ->
+      """SELECT token, COUNT(*) AS n
+         FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token""",
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles
 }

@@ -268,6 +268,29 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** The event-type domain (fixed in the testdata generator). Pivoting on
+    * an EXPLICIT value list keeps the plan a single pass (no extra distinct
+    * scan to discover values) and the output schema static — both required
+    * at 100 TB and for the oracle compare. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: user-cohort × event-type counts (wide form of q20). */
+  def cohortTypePivot(events: DataFrame): DataFrame =
+    events
+      .groupBy(pmod(col("user_id"), lit(10)).as("cohort"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy("cohort")
+
+  /** Generator / lateral view: explode tokens, global frequency table —
+    * the word-count shape (explode → hash agg with map-side combine). */
+  def tokenFrequencies(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+
   /** Set union: per-type user sets recombined distinct (the reference's
     * branch legs are never recombined — SURVEY §2.D; this closes that gap). */
   def usersInEither(events: DataFrame, typeA: String = "purchase", typeB: String = "error"): DataFrame = {
