@@ -33,21 +33,36 @@ object Bench {
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // warmup pass (not timed)
+    // One-line JSON-safe error rendering (no quotes/newlines/backslashes).
+    def errMsg(e: Throwable): String =
+      (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+        .replaceAll("[\"\\\\\r\n\t]", " ").take(200)
+
+    // warmup pass (not timed; failures surface in the measured passes)
     queries.foreach { case (_, fn) =>
       try runOne(fn) catch { case _: Throwable => () }
     }
-    def measuredPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
+    // A failing query is recorded as an error, never as a timing — a
+    // regression must be visible in the bench JSON, not scored as ~0 s.
+    def measuredPass(): Seq[(String, Either[String, Double])] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try runOne(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { runOne(fn); name -> Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => name -> Left(errMsg(e)) }
     }
     val (p1, p2) = (measuredPass(), measuredPass())
-    val results = p1.zip(p2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val merged = p1.zip(p2).map {
+      case ((name, Right(a)), (_, Right(b))) => name -> Right(math.min(a, b))
+      case ((name, Right(a)), (_, Left(_)))  => name -> Right(a)
+      case ((name, Left(_)), (_, Right(b)))  => name -> Right(b)
+      case ((name, Left(e)), (_, Left(_)))   => name -> Left(e)
+    }
+    val ok = merged.collect { case (k, Right(v)) => k -> v }
+    val errors = merged.collect { case (k, Left(e)) => k -> e }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) System.err.println(s"BENCH FAILURES: ${errors.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }

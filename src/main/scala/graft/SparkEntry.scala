@@ -58,6 +58,7 @@ object SparkEntry {
     "q26_string_funcs"     -> ((s, d) => RelationalOps.customerNameFeatures(Tables.customer(s, d))),
     "q27_value_histogram"  -> ((s, d) => RelationalOps.valueHistogram(Tables.events(s, d))),
     "q28_percentiles"      -> ((s, d) => RelationalOps.valuePercentiles(Tables.events(s, d))),
+    "q53_approx_percentiles" -> ((s, d) => RelationalOps.approxPercentiles(Tables.events(s, d))),
     "q29_order_sequence"   -> ((s, d) => RelationalOps.orderSequence(Tables.orders(s, d))),
     "q46_users_in_either"  -> ((s, d) => RelationalOps.usersInEither(Tables.events(s, d))),
     "q47_orders_outer"     -> ((s, d) =>
@@ -228,7 +229,31 @@ object SparkEntry {
       """SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n,
                 MIN(value) AS min_value, MAX(value) AS max_value
          FROM events GROUP BY 1 ORDER BY bucket""",
-    // q28_percentiles: interpolation op-order differs across engines → rows-only.
+    "q28_percentiles" ->
+      """WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+         r AS (SELECT event_type, c,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn
+               FROM c),
+         n AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY event_type),
+         a AS (SELECT r.event_type, MAX(n.n) AS nn,
+                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(FLOOR((n.n - 1) * 0.5) AS BIGINT)
+                               THEN r.c END) AS DOUBLE) AS cl_p50,
+                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(CEIL((n.n - 1) * 0.5) AS BIGINT)
+                               THEN r.c END) AS DOUBLE) AS ch_p50,
+                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(FLOOR((n.n - 1) * 0.95) AS BIGINT)
+                               THEN r.c END) AS DOUBLE) AS cl_p95,
+                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(CEIL((n.n - 1) * 0.95) AS BIGINT)
+                               THEN r.c END) AS DOUBLE) AS ch_p95
+               FROM r JOIN n ON r.event_type = n.event_type
+               GROUP BY r.event_type)
+         SELECT event_type,
+                (cl_p50 + ((nn - 1) * 0.5 - FLOOR((nn - 1) * 0.5)) * (ch_p50 - cl_p50))
+                  / 100.0 AS p50,
+                (cl_p95 + ((nn - 1) * 0.95 - FLOOR((nn - 1) * 0.95)) * (ch_p95 - cl_p95))
+                  / 100.0 AS p95
+         FROM a ORDER BY event_type""",
+    // q53_approx_percentiles: t-digest sketch — not DuckDB-comparable, rows-only
+    // check; accuracy vs q28's exact values asserted in RelationalOpsSpec.
     "q29_order_sequence" ->
       """SELECT o_custkey, o_orderkey,
                 price_c / 100.0 AS price,

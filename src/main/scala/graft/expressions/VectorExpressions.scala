@@ -73,6 +73,9 @@ case class DotProduct(left: Expression, right: Expression)
   * arrays of strings, which codegen cannot beat meaningfully.
   *
   * Fewer than `n` tokens → empty array (the doc simply yields no shingles).
+  * Null TOKENS (possible on arbitrary SQL-supplied arrays — `split` never
+  * produces them) are substituted with the empty string, so the declared
+  * `containsNull = false` output contract holds for any input.
   */
 case class ShingleArray(child: Expression, n: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -88,6 +91,7 @@ case class ShingleArray(child: Expression, n: Int)
     if (num < n) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     else {
       val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val empty = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
       val out = new Array[Any](num - n + 1)
       var i = 0
       while (i <= num - n) {
@@ -95,7 +99,10 @@ case class ShingleArray(child: Expression, n: Int)
         var j = 0
         while (j < n) {
           if (j > 0) parts(2 * j - 1) = sep
-          parts(2 * j) = arr.getUTF8String(i + j)
+          // null token → "" so the containsNull=false output contract holds
+          // (UTF8String.concat returns null if ANY part is null)
+          val t = if (arr.isNullAt(i + j)) empty else arr.getUTF8String(i + j)
+          parts(2 * j) = t
           j += 1
         }
         out(i) = org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)

@@ -27,6 +27,7 @@ object DedupOps {
   val JaccardThreshold = 0.5
   val SimhashBits = 60        // 15 hex chars of md5 → fits a signed long
   val HammingThreshold = 16
+  val DfCap = 20              // max shingle document frequency for exact Jaccard
 
   /** Distinct 3-gram shingles as ROWS (doc_id, shingle), via the native
     * [[graft.expressions.ShingleArray]] expression: split evaluates once
@@ -92,15 +93,22 @@ object DedupOps {
     verifyJaccard(cand, sh)
   }
 
-  /** q38 — exact n-gram Jaccard within bounded (lang, source) buckets: the
-    * all-pairs ground truth, feasible only because buckets are small.
-    * Shared-shingle counts come from ONE self-join of the shingle rows on
-    * (bucket, shingle) — pairs sharing nothing never materialize, and no
-    * candidate × shingle intermediate is built. */
-  def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs)
-      .join(docs.select("doc_id", "lang", "source"), "doc_id")
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  /** q38 — exact n-gram Jaccard over DISCRIMINATIVE shingles: shingles with
+    * document frequency above `dfCap` are dropped on BOTH sides of the
+    * Jaccard (intersection and set sizes) before the pair join — standard
+    * near-dup practice (boilerplate shingles carry no dedup signal).
+    *
+    * This is what makes the exact variant scale-safe: pairs materialize
+    * only through a shared kept shingle, and a kept shingle emits ≤ dfCap²
+    * join rows — the pair space is Σ_shingle df² ≤ dfCap × |shingle rows|,
+    * LINEAR in the corpus instead of quadratic in the hottest (lang,
+    * source) bucket, and no hot-shingle join-key skew can exist by
+    * construction. The df filter itself is one map-side-combined count
+    * plus an equi-join on the same shingle key the pair join shuffles on. */
+  def jaccardPairs(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
+    val rare = dfCappedShingles(docs, dfCap)
+    val sh = rare.join(docs.select("doc_id", "lang", "source"), "doc_id")
+    val counts = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("sa").join(sh.as("sb"),
         col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source")
           && col("sa.shingle") === col("sb.shingle")
@@ -113,6 +121,19 @@ object DedupOps {
         "inter / CAST(ca.n + cb.n - inter AS DOUBLE) AS jac")
       .filter(col("jac") >= JaccardThreshold)
       .orderBy("a_id", "b_id")
+  }
+
+  /** Shingle rows restricted to shingles whose document frequency is at
+    * most `dfCap`. Formulated as an ANTI-join against the HOT set (df >
+    * cap): hot shingles number at most |shingle rows| / dfCap and in real
+    * corpora are a tiny boilerplate vocabulary, so AQE turns this into a
+    * broadcast anti-join — the shingle rows are filtered in place with no
+    * extra shuffle of the majority side. */
+  private def dfCappedShingles(docs: DataFrame, dfCap: Int): DataFrame = {
+    val sh = shingleRows(docs)
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    sh.join(hot, Seq("shingle"), "left_anti").select("doc_id", "shingle")
   }
 
   /** Per-token 60-bit hash: first 15 hex chars of md5, as a positive long. */
@@ -198,11 +219,23 @@ object DedupOps {
             ORDER BY a_id, b_id""",
       "q38_jaccard_pairs" ->
         s"""WITH d AS (SELECT doc_id, lang, source, $shSql AS shs FROM documents
-                       WHERE len(str_split(text, ' ')) >= 3)
-            SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, $jacSql AS jac
-            FROM d sa JOIN d sb
-            ON sa.lang = sb.lang AND sa.source = sb.source AND sa.doc_id < sb.doc_id
-            WHERE $jacSql >= $JaccardThreshold
+                       WHERE len(str_split(text, ' ')) >= 3),
+            sh AS (SELECT doc_id, lang, source, unnest(shs) AS shingle FROM d),
+            keep AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df
+                                          FROM sh GROUP BY shingle) WHERE df <= $DfCap),
+            rare AS (SELECT sh.doc_id, sh.lang, sh.source, sh.shingle
+                     FROM sh JOIN keep ON sh.shingle = keep.shingle),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY doc_id),
+            inter AS (SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, COUNT(*) AS i
+                      FROM rare sa JOIN rare sb
+                      ON sa.lang = sb.lang AND sa.source = sb.source
+                         AND sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+                      GROUP BY 1, 2)
+            SELECT a_id, b_id, jac FROM (
+              SELECT a_id, b_id, i / CAST(ca.n + cb.n - i AS DOUBLE) AS jac
+              FROM inter JOIN cnt ca ON a_id = ca.doc_id
+                         JOIN cnt cb ON b_id = cb.doc_id)
+            WHERE jac >= $JaccardThreshold
             ORDER BY a_id, b_id""",
       "q39_simhash" ->
         s"""WITH $simhashCte

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -187,15 +187,53 @@ object RelationalOps {
         min("value").as("min_value"), max("value").as("max_value"))
       .orderBy("bucket")
 
-  /** Percentile surface: exact percentile + approx (t-digest style) —
-    * cross-engine interpolation order differs, so rows-only check (same
-    * family as q21's HLL sketch). */
-  def valuePercentiles(events: DataFrame): DataFrame =
+  /** q28 — exact percentiles via EXPLICIT linear interpolation over integer
+    * cents. Engine `percentile` builtins interpolate with different op
+    * orders, so the formula is spelled out and written identically in the
+    * DuckDB oracle — every step is the same IEEE double op on both sides:
+    * pos = (n-1)*p; pct = (c_floor(pos) + (pos - floor(pos)) *
+    * (c_ceil(pos) - c_floor(pos))) / 100.
+    * Plan: one window sort per group (inherent to exact percentiles — the
+    * approx path for 100 TB is [[approxPercentiles]]), counts broadcast,
+    * one final hash agg. Ties in `c` need no tie-break: row_number among
+    * equal cents picks equal values either way. */
+  def valuePercentiles(events: DataFrame, ps: Seq[(String, Double)] =
+      Seq("p50" -> 0.5, "p95" -> 0.95)): DataFrame = {
+    val cents = events.select(col("event_type"), Exact.units(col("value"), 2).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("c")
+    val ranked = cents.withColumn("rn", row_number().over(w))
+    val counts = cents.groupBy("event_type").agg(count(lit(1)).as("n"))
+    def pos(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
+    val picks = ps.flatMap { case (name, p) =>
+      Seq(
+        sum(when((col("rn") - 1).cast("long") === floor(pos(p)), col("c")))
+          .cast("double").as(s"cl_$name"),
+        sum(when((col("rn") - 1).cast("long") === ceil(pos(p)), col("c")))
+          .cast("double").as(s"ch_$name"))
+    }
+    val agg = ranked.join(broadcast(counts), "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("nn"), picks: _*)
+    val outCols = col("event_type") +: ps.map { case (name, p) =>
+      val po = (col("nn") - 1).cast("double") * lit(p)
+      ((col(s"cl_$name") + (po - floor(po).cast("double"))
+        * (col(s"ch_$name") - col(s"cl_$name"))) / lit(100.0)).as(name)
+    }
+    agg.select(outCols: _*).orderBy("event_type")
+  }
+
+  /** q53 — approximate percentiles (t-digest style sketch): the single-pass,
+    * no-global-sort path for 100 TB quantiles. Deterministic for a fixed
+    * input but not DuckDB-expressible → rows-only check; accuracy is
+    * asserted against [[valuePercentiles]] in `RelationalOpsSpec`
+    * (approx_percentile with accuracy 10000 is exact-rank within 1/10000
+    * of the input size). */
+  def approxPercentiles(events: DataFrame): DataFrame =
     events
       .groupBy("event_type")
       .agg(
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.95)").as("p95"),
+        expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95_approx"),
         expr("approx_percentile(value, 0.99, 10000)").as("p99_approx"))
       .orderBy("event_type")
 
@@ -238,16 +276,21 @@ object RelationalOps {
   }
 
   /** Left-outer join + aggregate: every customer with their order count and
-    * spend, zero-order customers included (COUNT of the right side's key,
-    * not COUNT(*), so the null row counts as 0). */
-  def ordersPerCustomerOuter(customer: DataFrame, orders: DataFrame): DataFrame =
+    * spend, zero-order customers included. Aggregates orders per custkey
+    * FIRST (the q13 shape — shuffle carries one narrow row per customer,
+    * not every wide joined order row), then left-outer-joins customer to
+    * the shrunken result; missing customers coalesce to (0, 0.0). */
+  def ordersPerCustomerOuter(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders0"), Exact.sumD(col("o_totalprice"), 2).as("spend0"))
     customer
-      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_outer")
-      .groupBy("c_custkey", "c_name")
-      .agg(
-        count(col("o_orderkey")).as("n_orders"),
-        coalesce(Exact.sumD(col("o_totalprice"), 2), lit(0.0)).as("spend"))
+      .join(perCust, customer("c_custkey") === perCust("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders0"), lit(0L)).as("n_orders"),
+        coalesce(col("spend0"), lit(0.0)).as("spend"))
       .orderBy("c_custkey")
+  }
 
   /** As-of join (the time-series operator Spark has no primitive for,
     * composed per the design rules from built-ins): for every `leftType`

@@ -24,8 +24,11 @@ object ScaleOps {
     * never `rand()`, which breaks retry idempotency: a re-run task would
     * re-salt rows differently and double-count under speculative execution).
     *
-    * Works for any algebraic aggregate; exposed for sum/count which cover
-    * the engine's money aggregates. */
+    * Determinism contract: results are byte-identical to the naive
+    * single-phase aggregate only when `sumCol` is an EXACT type (long /
+    * integer cents per [[Exact]]) — double addition is non-associative, so
+    * for raw doubles the two-phase sum may differ in the last ulp. Pass
+    * `Exact.units(col, 2)` (or any integral column), divide at the end. */
   def saltedSumCount(df: DataFrame, key: String, uniqueCol: String,
                      sumCol: Column, salts: Int = 16): DataFrame =
     df.withColumn("__salt", pmod(hash(col(uniqueCol)), lit(salts)))

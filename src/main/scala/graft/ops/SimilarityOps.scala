@@ -20,7 +20,15 @@ object SimilarityOps {
   val Dim = 64            // embedding dimensionality (TESTDATA/FIXTURES.md)
   val NumQueries = 5      // vec_id < 5 are the query vectors
   val TopK = 3
-  val NumPlanes = 8       // hyperplane-LSH bits → 256 buckets
+
+  /** Banded hyperplane-LSH geometry. Bucket count per band is
+    * 2^PlanesPerBand and must GROW with corpus size (more planes →
+    * exponentially narrower buckets); recall lost to narrower buckets is
+    * recovered by ORing `VBands` independent bands, exactly like MinHash
+    * banding in [[DedupOps]]. Both are runtime parameters of the ops —
+    * size PlanesPerBand ≈ log2(N / targetBucketRows) at 10⁹+ vectors. */
+  val PlanesPerBand = 8   // bits per band key → 256 buckets per band
+  val VBands = 4          // independent ORed bands
 
   /** Deterministic integer hyperplanes: w(p)(d) in [-9, 9]. */
   def plane(p: Int, d: Int): Int = ((1009 * p + 31 * d + 7) % 19) - 9
@@ -38,15 +46,33 @@ object SimilarityOps {
   private def sparkDot(a: String, b: String): String =
     s"graft_dot($a, $b)"
 
-  private def sparkPlaneDot(v: String, p: Int): String = {
-    val w = (0 until Dim).map(d => s"${plane(p, d)}D").mkString("array(", ", ", ")")
-    s"aggregate(zip_with($v, $w, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  /** Plane-sign band key for band `b`: the sign bits of `planesPerBand`
+    * integer plane dots, offset by band*2^planesPerBand so keys from
+    * different bands can never collide in a plain equi-join.
+    *
+    * Determinism is STRUCTURAL here, not IEEE-argued: the vector is
+    * quantized to exact 1e-6 integers (`vq`, same construction the q44
+    * centroids use) and the hyperplanes are integers, so the dot is exact
+    * int64 arithmetic — associative, order-independent, bit-identical in
+    * any engine. A float dot's sign could flip near zero under reordering;
+    * an integer dot's cannot. */
+  private def sparkBandKey(vq: String, band: Int, planesPerBand: Int): String = {
+    val bits = (0 until planesPerBand).map { p =>
+      val g = band * planesPerBand + p
+      val wq = (0 until Dim).map(d => s"${plane(g, d)}L").mkString("array(", ", ", ")")
+      s"(CASE WHEN aggregate(zip_with($vq, $wq, (x, y) -> x * y), 0L, (acc, x) -> acc + x) > 0L THEN ${1L << p}L ELSE 0L END)"
+    }
+    bits.mkString(s"(${band.toLong << planesPerBand}L + ", " + ", ")")
   }
 
-  private def sparkBucket(v: String): String =
-    (0 until NumPlanes)
-      .map(p => s"(CASE WHEN ${sparkPlaneDot(v, p)} > 0.0 THEN ${1L << p}L ELSE 0L END)")
-      .mkString("(", " + ", ")")
+  /** (vec_id, band) rows — one narrow row per vector per band, the only
+    * thing the candidate join shuffles. */
+  private def bandRows(emb: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    val keys = (0 until bands).map(b => sparkBandKey("vq", b, planesPerBand))
+    vecs(emb)
+      .selectExpr("vec_id", s"transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS vq")
+      .selectExpr("vec_id", s"explode(array(${keys.mkString(", ")})) AS band")
+  }
 
   /** vec_id, v (double array), n2 (squared norm) — shared prep. Registers
     * the native function idempotently so the ops work on any session. */
@@ -72,16 +98,25 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  /** q43 — LSH-bucketed ANN: assign every vector an 8-bit hyperplane-sign
-    * bucket (row-local), then search only the query's bucket. At scale this
-    * is a broadcast-able per-bucket join instead of an all-pairs product. */
-  def annLsh(emb: DataFrame): DataFrame = {
-    val all = vecs(emb).selectExpr("vec_id", "v", "n2", s"${sparkBucket("v")} AS bucket")
-    val q = all.filter(col("vec_id") < NumQueries)
-      .selectExpr("vec_id AS q_id", "v AS qv", "n2 AS qn2", "bucket")
-    broadcast(q).join(all, Seq("bucket"))
+  /** q43 — banded-LSH ANN: candidates are vectors sharing ANY of the
+    * query's band keys (distinct on the narrow (q_id, vec_id) pair), then a
+    * vector gather + exact cosine ranking on candidates only. At scale:
+    * the band join shuffles 16-byte rows on the band key, the gather is a
+    * co-keyed join on vec_id (the IVF probe-then-gather shape) — the
+    * corpus' vector payloads are never in the candidate shuffle. */
+  def annLsh(emb: DataFrame, bands: Int = VBands,
+             planesPerBand: Int = PlanesPerBand): DataFrame = {
+    val all = vecs(emb)
+    val b = bandRows(emb, bands, planesPerBand)
+    val qBands = b.filter(col("vec_id") < NumQueries).selectExpr("vec_id AS q_id", "band")
+    val cand = broadcast(qBands).join(b, "band")
       .filter(col("q_id") =!= col("vec_id"))
-      .selectExpr("q_id", "vec_id AS n_id", "bucket",
+      .select("q_id", "vec_id").distinct()
+    val qVecs = all.filter(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS q_id", "v AS qv", "n2 AS qn2")
+    cand.join(broadcast(qVecs), "q_id")
+      .join(all, "vec_id")
+      .selectExpr("q_id", "vec_id AS n_id",
         s"${sparkDot("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos")
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -90,16 +125,26 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  /** q45 — embedding-cosine near-duplicate pairs: all pairs within an LSH
-    * bucket whose cosine clears a high threshold — the vector-space member
-    * of the dedup family (exact/minhash/simhash/ngram live in [[DedupOps]]).
-    * At scale: shuffle on the 8-bit bucket key, never an all-pairs join. */
-  def embeddingDups(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
-    val all = vecs(emb).selectExpr("vec_id", "v", "n2", s"${sparkBucket("v")} AS bucket")
-    all.as("x").join(all.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .selectExpr("x.vec_id AS a_id", "y.vec_id AS b_id",
-        s"${sparkDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos")
+  /** q45 — embedding-cosine near-duplicate pairs: candidate pairs from the
+    * banded self-join (any shared band), exact cosine ≥ threshold on
+    * candidates only — the vector-space member of the dedup family
+    * (exact/minhash/simhash/ngram live in [[DedupOps]]). The pair space is
+    * bounded by per-band bucket collisions, and bucket width shrinks
+    * exponentially with `planesPerBand` — raise it as the corpus grows and
+    * recall is held up by the ORed bands, never by widening buckets. */
+  def embeddingDups(emb: DataFrame, minCos: Double = 0.4, bands: Int = VBands,
+                    planesPerBand: Int = PlanesPerBand): DataFrame = {
+    val all = vecs(emb)
+    val b = bandRows(emb, bands, planesPerBand)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(all.selectExpr("vec_id AS a_id", "v AS va", "n2 AS na"), "a_id")
+      .join(all.selectExpr("vec_id AS b_id", "v AS vb", "n2 AS nb"), "b_id")
+      .selectExpr("a_id", "b_id",
+        s"${sparkDot("va", "vb")} / (sqrt(na) * sqrt(nb)) AS cos")
       .filter(col("cos") >= minCos)
       .orderBy("a_id", "b_id")
   }
@@ -120,11 +165,23 @@ object SimilarityOps {
   private def duckDot(a: String, b: String): String =
     dotChain((1 to Dim).map(d => s"$a[$d] * $b[$d]"))
 
-  private def duckBucket(v: String): String =
-    (0 until NumPlanes).map { p =>
-      val dot = dotChain((1 to Dim).map(d => s"$v[$d] * ${plane(p, d - 1)}.0"))
-      s"(CASE WHEN $dot > 0.0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"
-    }.mkString("(", " + ", ")")
+  /** Same banded key as [[sparkBandKey]]: exact integer plane dots over the
+    * 1e-6-quantized vector; the plane weight is the same integer formula
+    * inlined as SQL arithmetic (list_sum over BIGINTs is exact, so fold
+    * order is irrelevant — structural cross-engine determinism). */
+  private def duckBandKey(v: String, band: Int, planesPerBand: Int): String = {
+    val bits = (0 until planesPerBand).map { p =>
+      val g = band * planesPerBand + p
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+            d -> CAST(ROUND($v[d] * 1000000) AS BIGINT)
+                 * (((${1009 * g} + 31 * (d - 1) + 7) % 19) - 9))) > 0
+          THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)"""
+    }
+    bits.mkString(s"(${band.toLong << planesPerBand}::BIGINT + ", " + ", ")")
+  }
+
+  private def duckBandList(v: String): String =
+    (0 until VBands).map(b => duckBandKey(v, b, PlanesPerBand)).mkString("[", ", ", "]")
 
   def oracles: Map[String, String] = Map(
     "q42_knn_brute" ->
@@ -140,33 +197,40 @@ object SimilarityOps {
           WHERE rank <= $TopK ORDER BY q_id, rank""",
     "q43_ann_lsh" ->
       s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2,
-                       ${duckBucket("v")} AS bucket FROM vecs),
-          pairs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.bucket,
+          n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),
+          b AS (SELECT vec_id, unnest(${duckBandList("v")}) AS band FROM vecs),
+          cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+                   FROM b q JOIN b c
+                   ON q.band = c.band AND q.vec_id < $NumQueries
+                      AND q.vec_id != c.vec_id),
+          pairs AS (SELECT q_id, n_id,
                            ${duckDot("q.v", "c.v")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
-                    FROM n q JOIN n c
-                    ON q.bucket = c.bucket AND q.vec_id < $NumQueries
-                       AND q.vec_id != c.vec_id)
-          SELECT q_id, n_id, bucket, cos, rank FROM (
-            SELECT q_id, n_id, bucket, cos,
+                    FROM cand JOIN n q ON q_id = q.vec_id
+                              JOIN n c ON n_id = c.vec_id)
+          SELECT q_id, n_id, cos, rank FROM (
+            SELECT q_id, n_id, cos,
                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
             FROM pairs)
           WHERE rank <= $TopK ORDER BY q_id, rank""",
     "q45_embedding_dups" ->
       s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2,
-                       ${duckBucket("v")} AS bucket FROM vecs)
-          SELECT x.vec_id AS a_id, y.vec_id AS b_id,
-                 ${duckDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
-          FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-          WHERE ${duckDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) >= 0.4
+          n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),
+          b AS (SELECT vec_id, unnest(${duckBandList("v")}) AS band FROM vecs),
+          cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+                   FROM b x JOIN b y ON x.band = y.band AND x.vec_id < y.vec_id)
+          SELECT a_id, b_id, cos FROM (
+            SELECT a_id, b_id,
+                   ${duckDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+            FROM cand JOIN n x ON a_id = x.vec_id
+                      JOIN n y ON b_id = y.vec_id)
+          WHERE cos >= 0.4
           ORDER BY a_id, b_id""",
     "q44_label_centroids" ->
-      """SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+      s"""SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
                 SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
                   / (1000000.0 * COUNT(*)) AS centroid,
                 COUNT(*) AS n
-         FROM embeddings, range(1, 65) t(i)
+         FROM embeddings, range(1, ${Dim + 1}) t(i)
          GROUP BY 1, 2 ORDER BY label, dim""",
   )
 }

@@ -38,6 +38,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(exact.subsetOf(lsh))
   }
 
+  test("jaccard df-cap drops boilerplate shingles from both sides") {
+    // 25 docs share one boilerplate sentence: its shingles have df=25 > cap,
+    // so they are excluded from intersection AND set sizes — no pair can
+    // form through boilerplate alone (the hot-shingle k² scale killer)
+    val boiler = (1 to 25).map(i =>
+      (i.toLong, s"shared boiler plate text here uniq$i", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(DedupOps.jaccardPairs(boiler).count() === 0)
+    // with the cap lifted the same corpus is all-pairs boilerplate matches
+    assert(DedupOps.jaccardPairs(boiler, dfCap = 100).count() === 25L * 24 / 2)
+  }
+
   test("simhash: identical token sets get identical simhash, hamming 0") {
     val sh = DedupOps.simhash(
       Seq((1L, "x y z w v u t s", "en", "s1", 0L),

@@ -33,6 +33,26 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(b2.contains(4L)) // same direction → same hyperplane signs
   }
 
+  test("banded LSH finds every near-identical pair (recall vs brute force)") {
+    // 0/1 nearly parallel and 2/4 an exact scaled copy: cosine ≈ 1 means
+    // identical plane signs, so EVERY band collides — the dedup must
+    // surface exactly the pairs brute-force cosine ≥ 0.99 would
+    val d = SimilarityOps.embeddingDups(emb, minCos = 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(d.contains((0L, 1L)))
+    assert(d.contains((2L, 4L)))
+  }
+
+  test("recall is monotone in bands: band-0 pairs never lost by adding bands") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(b: Int) = SimilarityOps.embeddingDups(embT, minCos = 0.3, bands = b)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val one = pairs(1)
+    val four = pairs(4)
+    assert(one.subsetOf(four))
+    assert(four.nonEmpty) // testdata has cross-bucket cosines ≥ 0.3
+  }
+
   test("label centroids: one row per (label, dim), mean of quantized values") {
     val c = SimilarityOps.labelCentroids(emb)
     assert(c.count() === 3 * 64)
