@@ -1,5 +1,8 @@
 package graft.multimodal
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,17 +18,21 @@ case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte], meta: M
 /** Fixed-size feature vector extracted from a payload. */
 case class MediaFeatures(media_id: Long, kind: String, dim: Int, features: Array[Float])
 
+/** Decoded-image facts: true dimensions + an order-stable pixel checksum. */
+case class ImageStats(media_id: Long, width: Int, height: Int, pixel_checksum: Long)
+
 /** One sampled frame of a "video" payload. */
 case class MediaFrame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
 /** Multimodal-column operators.
   *
-  * The Spark-side plumbing (schema, `Dataset` encoders, partition-batched
-  * processing via `mapPartitions`, flat frame sampling) is real and tested;
-  * the actual image/audio DECODE step is a clearly-marked deterministic
-  * STUB (`fakeDecode`) because codec libraries are not in this container.
-  * A real deployment swaps `fakeDecode` for a decoder without touching any
-  * of the dataflow around it.
+  * IMAGE decode is REAL: payloads are genuine PNG files and the decoder is
+  * JDK `javax.imageio` (no external dependency), running per-partition
+  * behind the `mapPartitions` seam. Audio/video decode remains a
+  * clearly-marked deterministic STUB (`fakeDecode`) — the JDK ships no
+  * audio/video codecs and the container has no codec libraries; a real
+  * deployment swaps `fakeDecode` for a codec without touching any of the
+  * dataflow around it.
   *
   * Scale notes: decode runs per-partition with no shuffle; feature
   * extraction is embarrassingly parallel; `frameSample` is a flatMap (1→N)
@@ -33,29 +40,70 @@ case class MediaFrame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
   */
 object MediaOps {
 
-  /** Deterministic fake media corpus derived from `documents` (text bytes as
-    * payload; kind round-robins over image/audio/video). Test scaffolding —
-    * a real corpus would be read from parquet with this exact schema. */
+  /** Deterministic tiny PNG: pixel (x, y) is a pure function of (seed, x, y),
+    * losslessly encoded by ImageIO — decode recovers the exact raster on any
+    * JVM. Used to synthesize the image leg of the fake corpus; real corpora
+    * read `binary` payload columns from parquet with the same schema. */
+  def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = seed * 6364136223846793005L + (x * 31L + y * 131L + 17L) * 2654435761L
+        img.setRGB(x, y, ((v >>> 16) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Row-major rolling hash over the decoded RGB raster — stable across
+    * JVMs (PNG is lossless, the traversal order is fixed). */
+  def pixelChecksum(img: BufferedImage): Long = {
+    var h = 1125899906842597L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        h = 31 * h + (img.getRGB(x, y) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Deterministic fake media corpus derived from `documents`: doc_id % 3
+    * picks the kind; IMAGE payloads are real PNGs ([[pngBytes]]), audio and
+    * video payloads are opaque text bytes (their decode is stubbed). */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.selectExpr(
-      "doc_id AS media_id",
-      "element_at(array('image/png','audio/wav','video/mp4'), CAST(doc_id % 3 AS INT) + 1) AS mime",
-      "encode(text, 'UTF-8') AS bytes",
-      "CAST(n_chars AS INT) AS n")
-      .selectExpr(
-        "media_id",
-        "CASE WHEN mime LIKE 'image%' THEN 'image' WHEN mime LIKE 'audio%' THEN 'audio' ELSE 'video' END AS kind",
-        "bytes",
-        "named_struct('mime', mime, 'width', pmod(n, 640) + 1, 'height', pmod(n, 480) + 1, 'durationMs', CAST(n AS BIGINT) * 10) AS meta")
-      .as[MediaRecord]
+    docs.selectExpr("doc_id", "text", "CAST(n_chars AS INT) AS n")
+      .as[(Long, String, Int)]
+      .map { case (id, text, n) =>
+        (id % 3) match {
+          case 0 =>
+            val w = n % 16 + 4
+            val h = n % 12 + 3
+            MediaRecord(id, "image", pngBytes(id, w, h), MediaMeta("image/png", w, h, 0L))
+          case 1 =>
+            MediaRecord(id, "audio", text.getBytes("UTF-8"),
+              MediaMeta("audio/wav", n % 640 + 1, n % 480 + 1, n.toLong * 10))
+          case _ =>
+            MediaRecord(id, "video", text.getBytes("UTF-8"),
+              MediaMeta("video/mp4", n % 640 + 1, n % 480 + 1, n.toLong * 10))
+        }
+      }
   }
 
-  /** STUB decode: a real implementation would decode the payload with a
-    * codec library here. This deterministic fake derives `dim` floats from
-    * a rolling hash of the bytes so the downstream dataflow (batching,
-    * schema, partitioning) is fully exercised and reproducible. */
+  /** STUB decode for audio/video: derives `dim` floats from a rolling hash
+    * of the bytes so the downstream dataflow (batching, schema,
+    * partitioning) is fully exercised and reproducible. */
   private[multimodal] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L // rolling polynomial hash, deterministic
@@ -70,16 +118,69 @@ object MediaOps {
     out
   }
 
+  /** REAL image features: decode the PNG with ImageIO, bucket the raster
+    * into `dim` cells row-major, mean luminance per cell in [0, 1].
+    * Payloads ImageIO cannot decode fall back to the stub (the corpus
+    * contract is "image payloads are decodable"; the fallback keeps a
+    * corrupt record from killing a 100 TB job, mirroring the tolerant
+    * JSON parse of the streaming leg). */
+  private[multimodal] def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) return fakeDecode(bytes, dim)
+    val sums = new Array[Long](dim)
+    val counts = new Array[Int](dim)
+    var i = 0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        val b = i % dim
+        sums(b) += lum
+        counts(b) += 1
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](dim)
+    var d = 0
+    while (d < dim) {
+      out(d) = if (counts(d) == 0) 0f else sums(d).toFloat / (counts(d) * 765f)
+      d += 1
+    }
+    out
+  }
+
   /** Feature extraction: per-partition batch over the payload column.
-    * `mapPartitions` (not per-row UDF) so a real decoder could amortize
-    * model/codec init once per partition — the Spark idiom for expensive
-    * per-record libraries. */
+    * `mapPartitions` (not per-row UDF) so decoder/model init amortizes once
+    * per partition — the Spark idiom for expensive per-record libraries.
+    * Images decode for real; audio/video go through the stub. */
   def decodeFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // (real impl: init decoder once here)
-      it.map(m => MediaFeatures(m.media_id, m.kind, dim, fakeDecode(m.bytes, dim)))
+      // (real impl: init audio/video codecs once here; ImageIO is static)
+      it.map { m =>
+        val f = if (m.kind == "image") imageFeatures(m.bytes, dim)
+                else fakeDecode(m.bytes, dim)
+        MediaFeatures(m.media_id, m.kind, dim, f)
+      }
+    }
+  }
+
+  /** Decoded-image facts via the REAL decoder: true raster dimensions and
+    * an order-stable pixel checksum per image. */
+  def imageStats(media: Dataset[MediaRecord]): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap { m =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(m.bytes))
+        if (img == null) None
+        else Some(ImageStats(m.media_id, img.getWidth, img.getHeight, pixelChecksum(img)))
+      }
     }
   }
 
@@ -108,14 +209,22 @@ object MediaOps {
     }
   }
 
-  /** q50 (rows-only check) — media pipeline end-to-end: fake corpus →
-    * decode → per-kind feature stats. Exercises the full plumbing. */
+  /** q50 (rows-only check) — media pipeline end-to-end: corpus → decode →
+    * per-kind stats. The image row carries REAL decoded facts (summed
+    * dimensions + an order-independent XOR of pixel checksums — bit_xor so
+    * combine order and overflow cannot perturb it); audio/video rows have
+    * null decode facts (their decode is the declared stub). */
   def mediaFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    decodeFeatures(fromDocuments(docs))
-      .groupByKey(_.kind)
-      .agg(count(lit(1)).as("n_media").as[Long])
-      .toDF("kind", "n_media")
-      .orderBy("kind")
+    val media = fromDocuments(docs)
+    val counts = decodeFeatures(media)
+      .groupBy("kind").agg(count(lit(1)).as("n_media"))
+    val img = imageStats(media)
+      .agg(
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        expr("bit_xor(pixel_checksum)").as("pixel_checksum_xor"))
+      .withColumn("kind", lit("image"))
+    counts.join(img, Seq("kind"), "left_outer").orderBy("kind")
   }
 }

@@ -129,7 +129,10 @@ object RelationalOps {
 
   /** Approximate distinct (HLL++) — the sketch path for cardinalities at
     * 100 TB where exact distinct would shuffle every key. Deterministic for
-    * a fixed input but NOT DuckDB-comparable → no oracle entry (SURVEY §7.4). */
+    * a fixed input but NOT DuckDB-comparable → no oracle entry (SURVEY
+    * §7.4). Accuracy bound: default relative standard deviation 0.05;
+    * `RelationalOpsSpec` asserts every estimate lands within 3×rsd of
+    * [[distinctUsersPerType]]'s exact count on the testdata. */
   def approxDistinctUsers(events: DataFrame): DataFrame =
     events
       .groupBy("event_type")

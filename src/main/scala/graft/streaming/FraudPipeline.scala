@@ -80,6 +80,65 @@ object FraudPipeline {
       .select(col("userId").as("key"),
         Transaction.toJsonCol(col("userId"), col("amount"), col("timestamp")).as("value"))
 
+  /** A1 (production form) — the reference's ACTUAL source is a Kafka topic
+    * (`TransactionProcessor.java:27`, topic `transactions` at `:13`). The
+    * builders below construct the real `format("kafka")` streams; the
+    * sandbox has no broker or connector jar, so tests assert the option
+    * plumbing and drive the identical wire-decode on memory streams
+    * (`KafkaConnectSpec`), and the query surface is broker-independent
+    * (every transform is a pure DataFrame => DataFrame).
+    *
+    * Option choices for an unbounded production stream:
+    *  - `startingOffsets=earliest` for a reprocessing job, `latest` for a
+    *    tail-following dashboard (the reference consumer's
+    *    `AUTO_OFFSET_RESET_CONFIG=earliest`, `FraudAlertConsumer.java:38`);
+    *  - `failOnDataLoss=false`: a compacted/expired offset should not kill
+    *    a long-running topology;
+    *  - `maxOffsetsPerTrigger` bounds micro-batch size so one backlogged
+    *    partition cannot produce an unbounded batch after downtime. */
+  def kafkaSourceOptions(bootstrap: String, topic: String,
+                         startingOffsets: String = "earliest",
+                         maxOffsetsPerTrigger: Long = 1000000L): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets,
+    "failOnDataLoss" -> "false",
+    "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString)
+
+  /** Kafka wire record → the (key, value) STRING frame every pipeline stage
+    * consumes (key/value arrive as BINARY — SURVEY §1.2 casts). Pure
+    * transform: also applied to memory/file streams in tests. */
+  def decodeWire(raw: DataFrame): DataFrame =
+    raw.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
+  /** `readStream.format("kafka")` + options + wire decode, composed. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+                  startingOffsets: String = "earliest"): DataFrame = {
+    val reader = spark.readStream.format("kafka")
+    kafkaSourceOptions(bootstrap, topic, startingOffsets)
+      .foreach { case (k, v) => reader.option(k, v) }
+    decodeWire(reader.load())
+  }
+
+  /** A8 (production form) — serialized alerts back to the alerts topic
+    * (`TransactionProcessor.java:54`, topic `fraud-alerts` at `:14`).
+    * Returns the configured writer; callers `.start()` it. */
+  def kafkaSinkOptions(bootstrap: String, topic: String,
+                       checkpoint: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "topic" -> topic,
+    "checkpointLocation" -> checkpoint)
+
+  def kafkaSink(alerts: DataFrame, bootstrap: String, topic: String,
+                checkpoint: String): DataStreamWriter[Row] = {
+    val writer = alerts
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+      .writeStream.format("kafka")
+    kafkaSinkOptions(bootstrap, topic, checkpoint)
+      .foreach { case (k, v) => writer.option(k, v) }
+    writer
+  }
+
   /** B5 — the sink: fraud alerts into a parquet "fraud table" (the InfluxDB
     * analog) via foreachBatch, written idempotently: each micro-batch
     * overwrites its own `batch_id=N` partition, so a batch re-delivered

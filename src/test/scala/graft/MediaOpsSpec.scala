@@ -14,8 +14,22 @@ class MediaOpsSpec extends SparkSpec {
   test("fromDocuments builds typed media records with opaque bytes + metadata") {
     val media = MediaOps.fromDocuments(docs).collect().sortBy(_.media_id)
     assert(media.map(_.kind).toSeq === Seq("image", "audio", "video"))
-    assert(media(0).bytes sameElements "image payload text here".getBytes("UTF-8"))
+    // the image payload is a REAL PNG file (magic bytes), not text
+    assert(media(0).bytes.take(4) sameElements Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(media(1).bytes sameElements "audio payload somewhat longer text content".getBytes("UTF-8"))
     assert(media(2).meta.mime === "video/mp4")
+  }
+
+  test("imageStats decodes real PNGs: exact dimensions + stable pixel checksum") {
+    // doc 0: n_chars=23 → 11×5 raster by construction (23%16+4, 23%12+3)
+    val stats = MediaOps.imageStats(MediaOps.fromDocuments(docs)).collect()
+    assert(stats.length === 1)
+    val s = stats.head
+    assert((s.width, s.height) === ((23 % 16 + 4, 23 % 12 + 3)))
+    // the distributed decode must agree with a local ImageIO round-trip
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MediaOps.pngBytes(0L, s.width, s.height)))
+    assert(s.pixel_checksum === MediaOps.pixelChecksum(img))
   }
 
   test("decodeFeatures is deterministic with a fixed dim batch shape") {

@@ -56,5 +56,44 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows.contains(("B", "F", 5L)))       // leaf
   }
 
+  test("q21 self-check: HLL estimate within rsd bound of the exact count") {
+    // approx_count_distinct defaults to rsd = 0.05; on the testdata's
+    // cardinalities (hundreds of users per type) the estimate must land
+    // within 3×rsd = 15% of q20's exact distinct count — the executable
+    // accuracy statement behind q21's no-oracle row
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = RelationalOps.distinctUsersPerType(events)
+      .select("event_type", "n_users").as[(String, Long)].collect().toMap
+    val approx = RelationalOps.approxDistinctUsers(events)
+      .select("event_type", "n_users_approx").as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (t, est) =>
+      val err = math.abs(est.toDouble - exact(t)) / exact(t)
+      assert(err <= 0.15, s"type $t: estimate $est vs exact ${exact(t)} (err $err)")
+    }
+  }
+
+  test("q53 self-check: approx percentiles exact-rank-close to q28's values") {
+    // accuracy 10000 → rank error ≤ n/10000 < 1 on this data, so the
+    // approx sketch must return a value between the neighbors of the
+    // exact interpolated percentile (within one bucket width)
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = RelationalOps.valuePercentiles(events)
+      .select("event_type", "p50", "p95").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val approx = RelationalOps.approxPercentiles(events)
+      .select("event_type", "p50_approx", "p95_approx")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (t, (p50, p95)) =>
+      // approx_percentile returns an actual data value; the interpolated
+      // exact value sits between adjacent data points, which at ~200
+      // samples per type can be a few percent apart at the p95 tail —
+      // 5% relative covers the spacing (observed max ≈ 4%), deterministic
+      assert(math.abs(p50 - exact(t)._1) / math.max(exact(t)._1, 1.0) <= 0.05)
+      assert(math.abs(p95 - exact(t)._2) / math.max(exact(t)._2, 1.0) <= 0.05)
+    }
+  }
+
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 }

@@ -28,6 +28,53 @@ class VelocityDetectorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time variant: out-of-order replay yields identical alerts") {
+    implicit val sc = spark.sqlContext
+    def run(data: Seq[Txn], name: String): Seq[Alert] = {
+      val mem = MemoryStream[Txn]
+      val q = VelocityDetector.detectEventTime(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        mem.addData(data: _*)
+        q.processAllAvailable()
+        spark.table(name).as[Alert].collect().toSeq
+          .sortBy(a => (a.userId, a.timestamp, a.kind))
+      } finally q.stop()
+    }
+    val inOrder = Seq(Txn("u1", 10, 100), Txn("u1", 11, 110),
+      Txn("u1", 12, 120), Txn("u1", 13, 130))
+    val outOfOrder = Seq(inOrder(2), inOrder(0), inOrder(3), inOrder(1))
+    val a = run(inOrder, "ev_in_order")
+    val b = run(outOfOrder, "ev_out_of_order")
+    assert(a === b) // event-time processing: arrival order is irrelevant
+    assert(a.exists(_.kind === "velocity"))
+  }
+
+  test("event-time state expiry follows the data clock, not wall clock") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Txn]
+    val alerts = VelocityDetector.detectEventTime(mem.toDS(),
+      stateTtlSec = 60, watermarkDelay = "0 seconds")
+    val q = alerts.writeStream.format("memory").queryName("ev_expiry")
+      .outputMode("append").start()
+    try {
+      // u1 warms up (3 txns, mean 100) at data time ≈ 100
+      mem.addData(Txn("u1", 100, 100), Txn("u1", 110, 101), Txn("u1", 90, 102))
+      q.processAllAvailable()
+      // the DATA clock jumps far past u1's TTL → watermark passes 102+60
+      mem.addData(Txn("u2", 1, 10000))
+      q.processAllAvailable()
+      mem.addData(Txn("u2", 1, 10001)) // next batch: u1's timeout fires
+      q.processAllAvailable()
+      // u1 returns with a 50× amount: state was expired by the data clock,
+      // so the warm-up is gone and NO deviation alert may fire
+      mem.addData(Txn("u1", 5000, 10050))
+      q.processAllAvailable()
+      val got = spark.table("ev_expiry").as[Alert].collect()
+      assert(!got.exists(_.kind === "deviation"))
+    } finally q.stop()
+  }
+
   test("deviation alert fires on 3x the running mean after warm-up") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Txn]
