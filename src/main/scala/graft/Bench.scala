@@ -29,7 +29,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // optional arg: comma-separated name prefixes (local iteration only;
+    // the driver invokes with no args → full suite)
+    val prefixes = if (args.nonEmpty) args(0).split(",").toSeq else Seq("")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => prefixes.exists(name.startsWith) }
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 

@@ -59,6 +59,7 @@ object SparkEntry {
     "q27_value_histogram"  -> ((s, d) => RelationalOps.valueHistogram(Tables.events(s, d))),
     "q28_percentiles"      -> ((s, d) => RelationalOps.valuePercentiles(Tables.events(s, d))),
     "q53_approx_percentiles" -> ((s, d) => RelationalOps.approxPercentiles(Tables.events(s, d))),
+    "q54_sessionize"       -> ((s, d) => RelationalOps.sessionize(Tables.events(s, d))),
     "q29_order_sequence"   -> ((s, d) => RelationalOps.orderSequence(Tables.orders(s, d))),
     "q46_users_in_either"  -> ((s, d) => RelationalOps.usersInEither(Tables.events(s, d))),
     "q47_orders_outer"     -> ((s, d) =>
@@ -254,6 +255,20 @@ object SparkEntry {
          FROM a ORDER BY event_type""",
     // q53_approx_percentiles: t-digest sketch — not DuckDB-comparable, rows-only
     // check; accuracy vs q28's exact values asserted in RelationalOpsSpec.
+    "q54_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, event_id, us,
+                      CASE WHEN LAG(us) OVER w IS NULL
+                             OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (SELECT user_id, us,
+                      CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+               FROM f)
+         SELECT user_id, session_idx, COUNT(*) AS n_events,
+                MIN(us) AS start_us, MAX(us) AS end_us,
+                MAX(us) - MIN(us) AS duration_us
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
     "q29_order_sequence" ->
       """SELECT o_custkey, o_orderkey,
                 price_c / 100.0 AS price,

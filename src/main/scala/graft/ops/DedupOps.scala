@@ -35,8 +35,15 @@ object DedupOps {
     * pass, explode streams them out — no shuffle, no window, and none of
     * the O(tokens²) project-collapse blowup a `transform(sequence, ...)`
     * formulation hits. Row form is also what scales: shingles stream
-    * through shuffles instead of living as one giant array value per doc. */
-  def shingleRows(docs: DataFrame): DataFrame = rawShingleRows(docs).distinct()
+    * through shuffles instead of living as one giant array value per doc.
+    * Per-doc dedup is ROW-LOCAL (`array_distinct` before the explode, the
+    * analog of the oracle's `list_distinct`) — cross-doc rows are already
+    * distinct by doc_id, so no global distinct shuffle is ever needed. */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id",
+      "explode(array_distinct(graft_shingles(split(text, ' '), 3))) AS shingle")
+  }
 
   /** Shingle rows WITHOUT the distinct shuffle — enough for MIN aggregates
     * (idempotent over duplicates); Jaccard counting needs [[shingleRows]]. */
@@ -103,12 +110,19 @@ object DedupOps {
     * join rows — the pair space is Σ_shingle df² ≤ dfCap × |shingle rows|,
     * LINEAR in the corpus instead of quadratic in the hottest (lang,
     * source) bucket, and no hot-shingle join-key skew can exist by
-    * construction. The df filter itself is one map-side-combined count
-    * plus an equi-join on the same shingle key the pair join shuffles on. */
+    * construction. The df filter is one map-side-combined count plus an
+    * ANTI-join against the hot set — at most |shingle rows| / dfCap
+    * entries, in practice a tiny boilerplate vocabulary that AQE
+    * broadcasts, so the majority side is filtered in place. */
   def jaccardPairs(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
-    val rare = dfCappedShingles(docs, dfCap)
-    val sh = rare.join(docs.select("doc_id", "lang", "source"), "doc_id")
-    val counts = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    // bucket columns ride along through the explode — no join back to docs
+    val sh0 = docs.selectExpr("doc_id", "lang", "source",
+      "explode(array_distinct(graft_shingles(split(text, ' '), 3))) AS shingle")
+    val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    val sh = sh0.join(hot, Seq("shingle"), "left_anti")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("sa").join(sh.as("sb"),
         col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source")
           && col("sa.shingle") === col("sb.shingle")
@@ -121,19 +135,6 @@ object DedupOps {
         "inter / CAST(ca.n + cb.n - inter AS DOUBLE) AS jac")
       .filter(col("jac") >= JaccardThreshold)
       .orderBy("a_id", "b_id")
-  }
-
-  /** Shingle rows restricted to shingles whose document frequency is at
-    * most `dfCap`. Formulated as an ANTI-join against the HOT set (df >
-    * cap): hot shingles number at most |shingle rows| / dfCap and in real
-    * corpora are a tiny boilerplate vocabulary, so AQE turns this into a
-    * broadcast anti-join — the shingle rows are filtered in place with no
-    * extra shuffle of the majority side. */
-  private def dfCappedShingles(docs: DataFrame, dfCap: Int): DataFrame = {
-    val sh = shingleRows(docs)
-    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("shingle")
-    sh.join(hot, Seq("shingle"), "left_anti").select("doc_id", "shingle")
   }
 
   /** Per-token 60-bit hash: first 15 hex chars of md5, as a positive long. */

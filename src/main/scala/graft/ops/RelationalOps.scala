@@ -337,6 +337,31 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("token"))
 
+  /** q54 — sessionization: a user's events split into sessions wherever the
+    * gap since their previous event exceeds `gapSec` — the classic
+    * training-pipeline / clickstream primitive. Plan: ONE shuffle on
+    * user_id serves both window passes (gap flag via lag, session index
+    * via running sum) and the final per-session aggregate — no self-join,
+    * no per-session subquery, linear in the stream. All arithmetic is
+    * exact integer micros, so the oracle comparison is structural. */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag("us", 1).over(w).isNull
+          || col("us") - lag("us", 1).over(w) > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_s").over(cum))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("us").as("start_us"),
+        max("us").as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Set union: per-type user sets recombined distinct (the reference's
     * branch legs are never recombined — SURVEY §2.D; this closes that gap). */
   def usersInEither(events: DataFrame, typeA: String = "purchase", typeB: String = "error"): DataFrame = {

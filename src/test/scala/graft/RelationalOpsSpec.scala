@@ -56,6 +56,19 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows.contains(("B", "F", 5L)))       // leaf
   }
 
+  test("sessionize splits on gaps > threshold and numbers sessions per user") {
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(100), 1L, "view", 0.0, "{}"),        // 100s gap: same session
+      (3L, ts(100 + 1801), 1L, "view", 0.0, "{}"), // 1801s gap: new session
+      (4L, ts(50), 2L, "view", 0.0, "{}")          // other user: own session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.sessionize(ev)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
   test("q21 self-check: HLL estimate within rsd bound of the exact count") {
     // approx_count_distinct defaults to rsd = 0.05; on the testdata's
     // cardinalities (hundreds of users per type) the estimate must land
