@@ -88,6 +88,7 @@ object SparkEntry {
     "q43_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(Tables.embeddings(s, d))),
     "q44_label_centroids"  -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
     "q45_embedding_dups"   -> ((s, d) => SimilarityOps.embeddingDups(Tables.embeddings(s, d))),
+    "q55_ivf_ann"          -> ((s, d) => SimilarityOps.ivfAnn(Tables.embeddings(s, d))),
     // §7.1 graft.ext — multimodal plumbing (decode stubbed; rows-only check)
     "q50_media_features"   -> ((s, d) =>
       graft.multimodal.MediaOps.mediaFeatureStats(s, Tables.documents(s, d))),

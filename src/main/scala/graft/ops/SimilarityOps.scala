@@ -149,6 +149,62 @@ object SimilarityOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** q55 — IVF (inverted-file) ANN: the coarse-quantizer alternative to
+    * hyperplane LSH. Cells are the per-label centroids (the label stands in
+    * for a k-means coarse quantizer — the assignment/probe machinery is
+    * identical); every vector is assigned to its NEAREST cell, queries
+    * probe the `nprobe` nearest cells and run exact cosine only on members.
+    *
+    * Cross-engine determinism is structural: cell distances are computed in
+    * EXACT integer space — v quantized to 1e-3 ints, centroid kept as its
+    * exact rational (sum_q, n), and ‖n·q3 − sum_q‖² compared as int64 —
+    * so the argmin cannot be perturbed by float summation order.
+    *
+    * Scale shape: centroids are a bounded dim table (K cells × D dims) —
+    * broadcast, never a collect; assignment is one scan with map-side
+    * partial aggregation (N·K narrow rows shuffled, payloads never);
+    * probing is a broadcast of the query cells; the gather is the same
+    * co-keyed join as [[annLsh]]. At 10⁹ vectors, raise K so N/K fits a
+    * probe budget — the plan is unchanged. */
+  def ivfAnn(emb: DataFrame, nprobe: Int = 2): DataFrame = {
+    val q3 = emb.select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("label").cast("long").as("label"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos").cast("long").as("d"),
+        expr("CAST(ROUND(CAST(col AS DOUBLE) * 1000) AS BIGINT)").as("q3"))
+    val cells = q3.groupBy(col("label").as("cell"), col("d"))
+      .agg(sum("q3").as("sq"), count(lit(1)).as("n"))
+    val dist = q3.select("vec_id", "d", "q3")
+      .join(broadcast(cells), "d")
+      .groupBy("vec_id", "cell")
+      .agg(sum((col("q3") * col("n") - col("sq"))
+        * (col("q3") * col("n") - col("sq"))).as("dist"))
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    val assigned = dist.withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val probes = dist.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val all = vecs(emb)
+    val cand = broadcast(probes).join(assigned, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id").distinct()
+    val qVecs = all.filter(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS q_id", "v AS qv", "n2 AS qn2")
+    cand.join(broadcast(qVecs), "q_id")
+      .join(all, "vec_id")
+      .selectExpr("q_id", "vec_id AS n_id",
+        s"${sparkDot("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos")
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("cos"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
   /** q44 — per-label centroids in long format (label, dim, centroid, n).
     * Element values are quantized to exact 1e-6 integers before the sum, so
     * the aggregate is order-independent (same trick as [[Exact]]). */
@@ -225,6 +281,37 @@ object SimilarityOps {
                       JOIN n y ON b_id = y.vec_id)
           WHERE cos >= 0.4
           ORDER BY a_id, b_id""",
+    "q55_ivf_ann" ->
+      s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,
+                             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3,
+                             CAST(label AS BIGINT) AS label
+                      FROM embeddings, range(1, ${Dim + 1}) t(i)),
+          cells AS (SELECT label AS cell, d, SUM(q3) AS sq, COUNT(*) AS n
+                    FROM q3 GROUP BY 1, 2),
+          dist AS (SELECT q3.vec_id, cells.cell,
+                          SUM((q3.q3 * cells.n - cells.sq) * (q3.q3 * cells.n - cells.sq)) AS dist
+                   FROM q3 JOIN cells ON q3.d = cells.d GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell FROM (
+                         SELECT vec_id, cell,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                         FROM dist) WHERE rn = 1),
+          probes AS (SELECT vec_id AS q_id, cell FROM (
+                       SELECT vec_id, cell,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                       FROM dist WHERE vec_id < $NumQueries) WHERE rn <= 2),
+          cand AS (SELECT DISTINCT q_id, a.vec_id AS n_id
+                   FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id != a.vec_id),
+          vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),
+          pairs AS (SELECT q_id, n_id,
+                           ${duckDot("q.v", "c.v")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+                    FROM cand JOIN n q ON q_id = q.vec_id
+                              JOIN n c ON n_id = c.vec_id)
+          SELECT q_id, n_id, cos, rank FROM (
+            SELECT q_id, n_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM pairs)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
     "q44_label_centroids" ->
       s"""SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
                 SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.{DedupOps, RelationalOps}
+
+/** Regression guards for the plan shapes the scale design depends on —
+  * a refactor that silently reintroduces a join-then-aggregate or a global
+  * distinct shuffle should fail HERE, not in a 100 TB run. Asserts on the
+  * pre-execution physical plan (AQE may further improve it at runtime). */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Tables.events(spark, "/root/testdata/sf0.001")
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("q47 aggregates orders BEFORE the outer join (one narrow exchange)") {
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val plan = RelationalOps.ordersPerCustomerOuter(customer, orders)
+      .queryExecution.executedPlan.toString
+    // the aggregate must sit under the join's build side, so the joined
+    // rows are |customers| wide-free aggregates, not every order row
+    assert(plan.contains("HashAggregate"))
+    val joinIdx = plan.indexOf("LeftOuter")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"expected aggregate under the join:\n${plan.take(1200)}")
+  }
+
+  test("q38 pair join carries no global distinct and anti-joins the hot set") {
+    val plan = DedupOps.jaccardPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "df-cap anti-join missing")
+    // per-doc shingle dedup is row-local (array_distinct), so no
+    // aggregate-shaped DISTINCT keyed on (doc_id, shingle) may appear
+    // (the legitimate pair-count agg is keyed on two doc_ids instead)
+    val distinctOnShingles = "keys=\\[doc_id#\\d+L?, shingle".r
+    assert(distinctOnShingles.findFirstIn(plan).isEmpty,
+      s"unexpected global distinct on shingle rows:\n${plan.take(1200)}")
+  }
+
+  test("q54 sessionization reuses ONE user_id exchange for both windows") {
+    val plan = RelationalOps.sessionize(events).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, // one for the windows, one for the final agg at most
+      s"expected <= 2 hash exchanges, got $exchanges:\n${plan.take(1200)}")
+  }
+}

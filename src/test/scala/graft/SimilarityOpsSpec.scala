@@ -53,6 +53,15 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(four.nonEmpty) // testdata has cross-bucket cosines ≥ 0.3
   }
 
+  test("IVF ANN probes the right cell: scaled copy found via its centroid") {
+    // vectors 2 and 4 share a direction and a label (cell 2): the exact
+    // integer assignment puts both in cell 2, the probe finds it, and the
+    // exact cosine ranks 4 first for query 2
+    val top = SimilarityOps.ivfAnn(emb)
+      .filter("q_id = 2 AND rank = 1").select("n_id").as[Long].collect()
+    assert(top.head === 4L)
+  }
+
   test("label centroids: one row per (label, dim), mean of quantized values") {
     val c = SimilarityOps.labelCentroids(emb)
     assert(c.count() === 3 * 64)
