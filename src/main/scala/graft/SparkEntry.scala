@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{DedupOps, EventOps, RelationalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, EventOps, PipelineOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (parity surface) and §7.3-7.4 (breadth + extended surface),
@@ -77,6 +77,10 @@ object SparkEntry {
     "q34_exact_dedup"      -> ((s, d) => TextOps.exactDedup(Tables.documents(s, d))),
     "q35_lang_id"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q41_regex_tokens"     -> ((s, d) => TextOps.regexTokens(Tables.documents(s, d))),
+    // §7.1 graft.ext — corpus-build pipeline stages over `documents`
+    "q56_normalize"        -> ((s, d) => PipelineOps.normalizeDocs(Tables.documents(s, d))),
+    "q57_split"            -> ((s, d) => PipelineOps.splitAssign(Tables.documents(s, d))),
+    "q58_stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(Tables.documents(s, d))),
     // §7.1 graft.ext — near-dup detection over `documents`
     "q36_minhash_signature" -> ((s, d) => DedupOps.minhashSignature(Tables.documents(s, d))),
     "q37_lsh_pairs"        -> ((s, d) => DedupOps.lshPairs(Tables.documents(s, d))),
@@ -325,5 +329,5 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS n
          FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token""",
-  ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles
+  ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++ PipelineOps.oracles
 }

@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.PipelineOps
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize lowercases, strips punctuation, collapses whitespace; redaction masks digits") {
+    val d = Seq((1L, "Hello,  WORLD!! 42 times", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = PipelineOps.normalizeDocs(d).collect().head
+    assert(row.getString(1) === "hello world 42 times")
+    assert(row.getString(2) === "Hello,  WORLD!! <NUM> times")
+  }
+
+  test("split is total, deterministic, and ~80/10/10") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = PipelineOps.splitAssign(docs).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = PipelineOps.splitAssign(docs).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a === b)                        // pure function of doc_id
+    assert(a.size === docs.count())        // every doc assigned exactly once
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac("val") > 0.03 && frac("test") > 0.03)
+  }
+
+  test("stratified sample keeps exactly ceil(frac * n) docs per stratum") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = PipelineOps.stratifiedSample(docs, frac = 0.2)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept.keySet === n.keySet)
+    kept.foreach { case (lang, k) =>
+      assert(k === math.ceil(n(lang) * 0.2).toLong, s"stratum $lang")
+    }
+  }
+}
