@@ -37,10 +37,12 @@ object Bench {
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // One-line JSON-safe error rendering (no quotes/newlines/backslashes).
+    // One-line JSON-safe error rendering: strip backslash, quote, and ALL
+    // control chars (same rule as Verify's escaper — any raw control byte
+    // would make the driver's json.load fail and zero the bench line).
     def errMsg(e: Throwable): String =
       (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-        .replaceAll("[\"\\\\\r\n\t]", " ").take(200)
+        .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c).take(200)
 
     // warmup pass (not timed; failures surface in the measured passes)
     queries.foreach { case (_, fn) =>
@@ -54,14 +56,17 @@ object Bench {
       catch { case e: Throwable => name -> Left(errMsg(e)) }
     }
     val (p1, p2) = (measuredPass(), measuredPass())
+    // A pass failure is ALWAYS visible in `errors` — an intermittently
+    // failing query keeps its surviving timing but is flagged as flaky,
+    // never silently scored as healthy.
     val merged = p1.zip(p2).map {
-      case ((name, Right(a)), (_, Right(b))) => name -> Right(math.min(a, b))
-      case ((name, Right(a)), (_, Left(_)))  => name -> Right(a)
-      case ((name, Left(_)), (_, Right(b)))  => name -> Right(b)
-      case ((name, Left(e)), (_, Left(_)))   => name -> Left(e)
+      case ((name, Right(a)), (_, Right(b))) => (name, Some(math.min(a, b)), None)
+      case ((name, Right(a)), (_, Left(e)))  => (name, Some(a), Some(s"flaky (pass 2): $e"))
+      case ((name, Left(e)), (_, Right(b)))  => (name, Some(b), Some(s"flaky (pass 1): $e"))
+      case ((name, Left(e)), (_, Left(_)))   => (name, None, Some(e))
     }
-    val ok = merged.collect { case (k, Right(v)) => k -> v }
-    val errors = merged.collect { case (k, Left(e)) => k -> e }
+    val ok = merged.collect { case (k, Some(v), _) => k -> v }
+    val errors = merged.collect { case (k, _, Some(e)) => k -> e }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum

@@ -21,6 +21,11 @@ case class MediaFeatures(media_id: Long, kind: String, dim: Int, features: Array
 /** Decoded-image facts: true dimensions + an order-stable pixel checksum. */
 case class ImageStats(media_id: Long, width: Int, height: Int, pixel_checksum: Long)
 
+/** One fully-decoded record: features for every kind, decode facts for
+  * images (None for the stubbed kinds / undecodable payloads). */
+case class MediaDecoded(media_id: Long, kind: String, features: Array[Float],
+                        width: Option[Int], height: Option[Int], checksum: Option[Long])
+
 /** One sampled frame of a "video" payload. */
 case class MediaFrame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
@@ -126,7 +131,12 @@ object MediaOps {
     * JSON parse of the streaming leg). */
   private[multimodal] def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-    if (img == null) return fakeDecode(bytes, dim)
+    if (img == null) fakeDecode(bytes, dim) else featuresOf(img, dim)
+  }
+
+  /** Feature extraction over an ALREADY-decoded raster — shared by the
+    * per-op paths and the single-decode combined pass. */
+  private def featuresOf(img: BufferedImage, dim: Int): Array[Float] = {
     val sums = new Array[Long](dim)
     val counts = new Array[Int](dim)
     var i = 0
@@ -209,22 +219,41 @@ object MediaOps {
     }
   }
 
-  /** q50 (rows-only check) — media pipeline end-to-end: corpus → decode →
-    * per-kind stats. The image row carries REAL decoded facts (summed
-    * dimensions + an order-independent XOR of pixel checksums — bit_xor so
-    * combine order and overflow cannot perturb it); audio/video rows have
-    * null decode facts (their decode is the declared stub). */
+  /** Single-decode combined pass: every payload is decoded ONCE per record
+    * (feature extraction and image facts share the raster) — at corpus
+    * scale the decode dominates, so a second decode pass would double the
+    * dominant cost. Undecodable image payloads fall back to the stub with
+    * null decode facts (a corrupt record must not kill the job). */
+  def decodeAll(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = if (m.kind == "image")
+          javax.imageio.ImageIO.read(new ByteArrayInputStream(m.bytes)) else null
+        if (img == null)
+          MediaDecoded(m.media_id, m.kind, fakeDecode(m.bytes, dim), None, None, None)
+        else
+          MediaDecoded(m.media_id, m.kind, featuresOf(img, dim),
+            Some(img.getWidth), Some(img.getHeight), Some(pixelChecksum(img)))
+      }
+    }
+  }
+
+  /** q50 (rows-only check) — media pipeline end-to-end: corpus → ONE decode
+    * pass → per-kind stats. The image row carries REAL decoded facts
+    * (summed dimensions + an order-independent XOR of pixel checksums —
+    * bit_xor so combine order and overflow cannot perturb it); audio/video
+    * rows have null decode facts (their decode is the declared stub). */
   def mediaFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val media = fromDocuments(docs)
-    val counts = decodeFeatures(media)
-      .groupBy("kind").agg(count(lit(1)).as("n_media"))
-    val img = imageStats(media)
+    decodeAll(fromDocuments(docs))
+      .groupBy("kind")
       .agg(
+        count(lit(1)).as("n_media"),
         sum(col("width").cast("long")).as("sum_width"),
         sum(col("height").cast("long")).as("sum_height"),
-        expr("bit_xor(pixel_checksum)").as("pixel_checksum_xor"))
-      .withColumn("kind", lit("image"))
-    counts.join(img, Seq("kind"), "left_outer").orderBy("kind")
+        expr("bit_xor(checksum)").as("pixel_checksum_xor"))
+      .orderBy("kind")
   }
 }

@@ -29,6 +29,7 @@ object SimilarityOps {
     * size PlanesPerBand ≈ log2(N / targetBucketRows) at 10⁹+ vectors. */
   val PlanesPerBand = 8   // bits per band key → 256 buckets per band
   val VBands = 4          // independent ORed bands
+  val NProbe = 2          // IVF cells probed per query
 
   /** Deterministic integer hyperplanes: w(p)(d) in [-9, 9]. */
   def plane(p: Int, d: Int): Int = ((1009 * p + 31 * d + 7) % 19) - 9
@@ -157,8 +158,12 @@ object SimilarityOps {
     *
     * Cross-engine determinism is structural: cell distances are computed in
     * EXACT integer space — v quantized to 1e-3 ints, centroid kept as its
-    * exact rational (sum_q, n), and ‖n·q3 − sum_q‖² compared as int64 —
-    * so the argmin cannot be perturbed by float summation order.
+    * exact rational (sum_q, n), ‖n·q3 − sum_q‖² accumulated as int64
+    * (exact for cells up to ~10⁵ members at this quantization; shrink the
+    * quantization scale for larger cells), then normalized by n² with ONE
+    * IEEE division per (vector, cell) — both inputs exact integers, so the
+    * quotient is identical in any engine and the cross-cell argmin is
+    * fair regardless of cell imbalance.
     *
     * Scale shape: centroids are a bounded dim table (K cells × D dims) —
     * broadcast, never a collect; assignment is one scan with map-side
@@ -166,7 +171,7 @@ object SimilarityOps {
     * probing is a broadcast of the query cells; the gather is the same
     * co-keyed join as [[annLsh]]. At 10⁹ vectors, raise K so N/K fits a
     * probe budget — the plan is unchanged. */
-  def ivfAnn(emb: DataFrame, nprobe: Int = 2): DataFrame = {
+  def ivfAnn(emb: DataFrame, nprobe: Int = NProbe): DataFrame = {
     val q3 = emb.select(
         col("vec_id").cast("long").as("vec_id"),
         col("label").cast("long").as("label"),
@@ -178,8 +183,9 @@ object SimilarityOps {
     val dist = q3.select("vec_id", "d", "q3")
       .join(broadcast(cells), "d")
       .groupBy("vec_id", "cell")
-      .agg(sum((col("q3") * col("n") - col("sq"))
-        * (col("q3") * col("n") - col("sq"))).as("dist"))
+      .agg((sum((col("q3") * col("n") - col("sq"))
+          * (col("q3") * col("n") - col("sq"))).cast("double")
+        / (max("n") * max("n")).cast("double")).as("dist"))
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     val assigned = dist.withColumn("rn", row_number().over(byDist))
@@ -289,7 +295,8 @@ object SimilarityOps {
           cells AS (SELECT label AS cell, d, SUM(q3) AS sq, COUNT(*) AS n
                     FROM q3 GROUP BY 1, 2),
           dist AS (SELECT q3.vec_id, cells.cell,
-                          SUM((q3.q3 * cells.n - cells.sq) * (q3.q3 * cells.n - cells.sq)) AS dist
+                          CAST(SUM((q3.q3 * cells.n - cells.sq) * (q3.q3 * cells.n - cells.sq)) AS DOUBLE)
+                            / CAST(MAX(cells.n) * MAX(cells.n) AS DOUBLE) AS dist
                    FROM q3 JOIN cells ON q3.d = cells.d GROUP BY 1, 2),
           assigned AS (SELECT vec_id, cell FROM (
                          SELECT vec_id, cell,
@@ -298,7 +305,7 @@ object SimilarityOps {
           probes AS (SELECT vec_id AS q_id, cell FROM (
                        SELECT vec_id, cell,
                               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-                       FROM dist WHERE vec_id < $NumQueries) WHERE rn <= 2),
+                       FROM dist WHERE vec_id < $NumQueries) WHERE rn <= $NProbe),
           cand AS (SELECT DISTINCT q_id, a.vec_id AS n_id
                    FROM probes p JOIN assigned a ON p.cell = a.cell AND p.q_id != a.vec_id),
           vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -84,37 +84,59 @@ object VelocityDetector {
       }
   }
 
-  /** Event-time expiry variant: the watermark (data clock) drives state
-    * TTL, so replaying the same events — in any order, at any wall-clock
-    * speed — produces identical alerts, and backfills expire state exactly
-    * where the original run did. Late data beyond `watermarkDelay` is
-    * dropped by the watermark (explicit policy, like the windowed aggs). */
+  /** Buffered per-key event-time state: not-yet-sealed events, the folded
+    * detector state, and the max event time ever seen. */
+  case class EvState(buffer: List[Txn], core: UserState, lastSeen: Long)
+
+  /** Event-time variant, replay-invariant ACROSS micro-batches: incoming
+    * events are BUFFERED in state and folded through the detector only
+    * once the watermark seals them (ts ≤ watermark), in event-time order —
+    * so how events are split into batches, their arrival order, and the
+    * wall-clock replay speed cannot change the alerts. The price is the
+    * watermark's detection latency (an alert fires once the watermark
+    * passes its event), which is the standard event-time trade; events
+    * later than the watermark are dropped by the stateful operator's late
+    * filter (explicit policy, like the windowed aggs).
+    *
+    * State expiry also follows the data clock: a key with an empty buffer
+    * expires `stateTtlSec` after its last event; a key with sealed-but-
+    * unprocessed events is woken by a timeout instead of waiting for new
+    * data, and the timeout never regresses below last-seen + TTL because
+    * `lastSeen` is monotone in state. */
   def detectEventTime(txns: Dataset[Txn], maxTxns: Int = 3, windowSec: Long = 60,
                       stateTtlSec: Long = 3600,
-                      watermarkDelay: String = "30 seconds"): Dataset[Alert] = {
+                      watermarkDelaySec: Long = 30): Dataset[Alert] = {
     val spark = txns.sparkSession
     import spark.implicits._
     txns
       .withColumn("eventTime", timestamp_seconds(col("timestamp")))
-      .withWatermark("eventTime", watermarkDelay)
+      .withWatermark("eventTime", s"$watermarkDelaySec seconds")
       .as[TxnEv]
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[UserState, Alert](
+      .flatMapGroupsWithState[EvState, Alert](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: String, rows: Iterator[TxnEv], state: GroupState[UserState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
+        (userId: String, rows: Iterator[TxnEv], state: GroupState[EvState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(EvState(Nil, UserState(Nil, 0L, 0.0), Long.MinValue))
+          val buf = st0.buffer ++ rows.map(t => Txn(t.userId, t.amount, t.timestamp))
+          // the watermark SEALS a prefix of event time: fold exactly that
+          // prefix, in event order — batch boundaries can't be observed
+          val (ready, pending) = buf.partition(_.timestamp * 1000L <= wmMs)
+          val (alerts, core1) = advance(userId,
+            ready.sortBy(t => (t.timestamp, t.amount)), st0.core, maxTxns, windowSec)
+          val lastSeen = (st0.lastSeen +: buf.map(_.timestamp)).max
+          if (state.hasTimedOut && buf.isEmpty) {
+            state.remove() // idle past TTL, nothing left to process
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(_.timestamp)
-            val st0 = state.getOption.getOrElse(UserState(Nil, 0L, 0.0))
-            val (alerts, st1) = advance(userId,
-              sorted.map(t => Txn(t.userId, t.amount, t.timestamp)),
-              st0, maxTxns, windowSec)
-            state.update(st1)
-            // expire when the WATERMARK passes last-seen + TTL — the
-            // data's clock, immune to replay speed and wall-clock pauses
-            state.setTimeoutTimestamp((sorted.last.timestamp + stateTtlSec) * 1000L)
+            state.update(EvState(pending, core1, lastSeen))
+            // wake when the earliest pending event can be sealed; with an
+            // empty buffer, expire TTL after the newest event ever seen
+            val next =
+              if (pending.nonEmpty)
+                pending.map(_.timestamp).min * 1000L + watermarkDelaySec * 1000L + 1
+              else (lastSeen + stateTtlSec) * 1000L
+            state.setTimeoutTimestamp(math.max(next, wmMs + 1))
             alerts.iterator
           }
       }

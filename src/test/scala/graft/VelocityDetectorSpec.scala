@@ -28,33 +28,38 @@ class VelocityDetectorSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("event-time variant: out-of-order replay yields identical alerts") {
+  test("event-time variant: replay in any batch split/order yields identical alerts") {
     implicit val sc = spark.sqlContext
-    def run(data: Seq[Txn], name: String): Seq[Alert] = {
+    def run(batches: Seq[Seq[Txn]], name: String): Seq[Alert] = {
       val mem = MemoryStream[Txn]
-      val q = VelocityDetector.detectEventTime(mem.toDS())
+      val q = VelocityDetector.detectEventTime(mem.toDS(), watermarkDelaySec = 60)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
-        mem.addData(data: _*)
-        q.processAllAvailable()
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        // sentinel batches push the watermark far past every event so the
+        // buffered prefix seals and the wake-up timeouts fire
+        mem.addData(Txn("sentinel", 1, 1000000)); q.processAllAvailable()
+        mem.addData(Txn("sentinel", 1, 1000001)); q.processAllAvailable()
         spark.table(name).as[Alert].collect().toSeq
+          .filterNot(_.userId == "sentinel")
           .sortBy(a => (a.userId, a.timestamp, a.kind))
       } finally q.stop()
     }
-    val inOrder = Seq(Txn("u1", 10, 100), Txn("u1", 11, 110),
+    val evs = Seq(Txn("u1", 10, 100), Txn("u1", 11, 110),
       Txn("u1", 12, 120), Txn("u1", 13, 130))
-    val outOfOrder = Seq(inOrder(2), inOrder(0), inOrder(3), inOrder(1))
-    val a = run(inOrder, "ev_in_order")
-    val b = run(outOfOrder, "ev_out_of_order")
-    assert(a === b) // event-time processing: arrival order is irrelevant
-    assert(a.exists(_.kind === "velocity"))
+    val oneBatchInOrder = run(Seq(evs), "ev_one_batch")
+    // the round-2 failure mode: later events ARRIVE in earlier batches
+    val scrambledBatches = run(
+      Seq(Seq(evs(2)), Seq(evs(0), evs(3)), Seq(evs(1))), "ev_scrambled")
+    assert(oneBatchInOrder === scrambledBatches)
+    assert(oneBatchInOrder.exists(_.kind === "velocity"))
   }
 
   test("event-time state expiry follows the data clock, not wall clock") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Txn]
     val alerts = VelocityDetector.detectEventTime(mem.toDS(),
-      stateTtlSec = 60, watermarkDelay = "0 seconds")
+      stateTtlSec = 60, watermarkDelaySec = 0)
     val q = alerts.writeStream.format("memory").queryName("ev_expiry")
       .outputMode("append").start()
     try {
@@ -64,11 +69,15 @@ class VelocityDetectorSpec extends SparkSpec {
       // the DATA clock jumps far past u1's TTL → watermark passes 102+60
       mem.addData(Txn("u2", 1, 10000))
       q.processAllAvailable()
-      mem.addData(Txn("u2", 1, 10001)) // next batch: u1's timeout fires
+      mem.addData(Txn("u2", 1, 10001)) // next batch: u1's idle TTL fires
       q.processAllAvailable()
       // u1 returns with a 50× amount: state was expired by the data clock,
       // so the warm-up is gone and NO deviation alert may fire
       mem.addData(Txn("u1", 5000, 10050))
+      q.processAllAvailable()
+      mem.addData(Txn("u2", 1, 10200)) // seal u1's return event
+      q.processAllAvailable()
+      mem.addData(Txn("u2", 1, 10201))
       q.processAllAvailable()
       val got = spark.table("ev_expiry").as[Alert].collect()
       assert(!got.exists(_.kind === "deviation"))
