@@ -93,6 +93,10 @@ object SparkEntry {
     "q44_label_centroids"  -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
     "q45_embedding_dups"   -> ((s, d) => SimilarityOps.embeddingDups(Tables.embeddings(s, d))),
     "q55_ivf_ann"          -> ((s, d) => SimilarityOps.ivfAnn(Tables.embeddings(s, d))),
+    // cross-modal: text near-dup pairs (LSH) enriched with embedding cosine
+    "q59_crossmodal_dups"  -> ((s, d) => SimilarityOps
+      .pairCosine(DedupOps.lshPairs(Tables.documents(s, d)), Tables.embeddings(s, d))
+      .select("a_id", "b_id", "jac", "cos").orderBy("a_id", "b_id")),
     // §7.1 graft.ext — multimodal plumbing (decode stubbed; rows-only check)
     "q50_media_features"   -> ((s, d) =>
       graft.multimodal.MediaOps.mediaFeatureStats(s, Tables.documents(s, d))),

@@ -211,6 +211,20 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Attach the exact embedding cosine to an (a_id, b_id) pair table — the
+    * cross-modal join primitive: candidate pairs from ANY modality (text
+    * LSH, simhash, metadata) gathered against the vector table on the
+    * shared id. Two co-keyed joins; the pair table is the small side at
+    * candidate scale. Used by q59 (text near-dups × embedding similarity). */
+  def pairCosine(pairs: DataFrame, emb: DataFrame): DataFrame = {
+    val all = vecs(emb)
+    pairs
+      .join(all.selectExpr("vec_id AS a_id", "v AS va", "n2 AS na"), "a_id")
+      .join(all.selectExpr("vec_id AS b_id", "v AS vb", "n2 AS nb"), "b_id")
+      .withColumn("cos", expr(s"${sparkDot("va", "vb")} / (sqrt(na) * sqrt(nb))"))
+      .drop("va", "vb", "na", "nb")
+  }
+
   /** q44 — per-label centroids in long format (label, dim, centroid, n).
     * Element values are quantized to exact 1e-6 integers before the sum, so
     * the aggregate is order-independent (same trick as [[Exact]]). */
@@ -286,6 +300,15 @@ object SimilarityOps {
             FROM cand JOIN n x ON a_id = x.vec_id
                       JOIN n y ON b_id = y.vec_id)
           WHERE cos >= 0.4
+          ORDER BY a_id, b_id""",
+    "q59_crossmodal_dups" ->
+      s"""WITH t AS (${graft.ops.DedupOps.oracles("q37_lsh_pairs")}),
+          vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs)
+          SELECT t.a_id AS a_id, t.b_id AS b_id, t.jac AS jac,
+                 ${duckDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+          FROM t JOIN n x ON t.a_id = x.vec_id
+                 JOIN n y ON t.b_id = y.vec_id
           ORDER BY a_id, b_id""",
     "q55_ivf_ann" ->
       s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,
