@@ -17,4 +17,28 @@ object Catalog {
     }
     graft.expressions.GraftFunctions.register(spark)
   }
+
+  /** The extended operators as SQL views: a pure-SQL user composes dedup /
+    * similarity / corpus-build results with ordinary SELECTs. Views are
+    * lazy plans, so Catalyst optimizes the consumer query TOGETHER with
+    * the view's plan: for the row-local views (`doc_splits`) predicates
+    * reach the scan; for the aggregate/window-shaped views the upstream
+    * computation necessarily runs before a consumer filter applies (and
+    * the views' trailing ORDER BY is dropped by EliminateSorts wherever a
+    * consumer's aggregation or re-sort makes it irrelevant).
+    *
+    * Requires [[registerTables]] first: views are built FROM the
+    * registered `documents`/`embeddings`/`events` views, so they can
+    * never silently point at a different dataset than the tables a SQL
+    * user joins them with. */
+  def registerOpViews(spark: SparkSession): Unit = {
+    val docs = spark.table("documents")
+    val emb = spark.table("embeddings")
+    ops.TextOps.exactDedup(docs).createOrReplaceTempView("doc_exact_dedup")
+    ops.DedupOps.lshPairs(docs).createOrReplaceTempView("doc_neardup_pairs")
+    ops.PipelineOps.splitAssign(docs).createOrReplaceTempView("doc_splits")
+    ops.SimilarityOps.annLsh(emb).createOrReplaceTempView("embedding_ann")
+    ops.RelationalOps.sessionize(spark.table("events"))
+      .createOrReplaceTempView("user_sessions")
+  }
 }

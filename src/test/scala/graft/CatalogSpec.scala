@@ -17,4 +17,25 @@ class CatalogSpec extends SparkSpec {
     assert(sim.count() === 1)
     assert(!sim.collect().head.isNullAt(2))
   }
+
+  test("extended operators are consumable as SQL views, composable with tables") {
+    Catalog.registerTables(spark, "/root/testdata/sf0.001")
+    Catalog.registerOpViews(spark)
+    // corpus-build split view: totals match the base table
+    val splits = spark.sql(
+      "SELECT split, COUNT(*) AS n FROM doc_splits GROUP BY split")
+    assert(splits.collect().map(_.getLong(1)).sum === 500L)
+    // a view JOINS back to a raw table in plain SQL
+    val joined = spark.sql(
+      """SELECT s.split, SUM(d.n_chars) AS chars
+        |FROM doc_splits s JOIN documents d ON s.doc_id = d.doc_id
+        |GROUP BY s.split""".stripMargin)
+    assert(joined.count() === 3)
+    // every view EXECUTES through the SQL path (not just analyzes)
+    assert(spark.sql("SELECT * FROM doc_exact_dedup").count() > 0)
+    assert(spark.sql("SELECT * FROM user_sessions WHERE n_events > 1").count() > 0)
+    assert(spark.sql("SELECT * FROM doc_neardup_pairs WHERE jac >= 0.5").count() > 0)
+    assert(spark.sql(
+      "SELECT q_id, COUNT(*) AS k FROM embedding_ann GROUP BY q_id").count() > 0)
+  }
 }
