@@ -55,13 +55,14 @@ object DedupOps {
 
   /** q36 — MinHash signature: per-doc min of k salted md5s over the shingle
     * rows — one hash-agg with k parallel MIN aggregates, partial map-side
-    * combine included. */
-  def minhashSignature(docs: DataFrame): DataFrame =
+    * combine included. `numHashes` is a runtime dial: more hashes tighten
+    * the Jaccard estimate (σ ≈ 1/√k) at linear aggregate cost. */
+  def minhashSignature(docs: DataFrame, numHashes: Int = NumHashes): DataFrame =
     rawShingleRows(docs)
       .groupBy("doc_id")
       .agg(
         min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
-        (1 until NumHashes).map(k =>
+        (1 until numHashes).map(k =>
           min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"mh$k")): _*)
       .orderBy("doc_id")
 
@@ -85,15 +86,27 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** q37 — MinHash-LSH near-dup pairs: band the signature (md5 of 2
-    * concatenated minhashes per band), join on band key for candidates,
-    * verify with exact shingle-Jaccard ≥ threshold. */
-  def lshPairs(docs: DataFrame): DataFrame = {
+  /** q37 — MinHash-LSH near-dup pairs: band the signature (md5 of the
+    * band's concatenated minhashes), join on band key for candidates,
+    * verify with exact shingle-Jaccard ≥ threshold. `bands`/`numHashes`
+    * are runtime dials: rows-per-band = numHashes/bands sets the
+    * similarity threshold the bands are sensitive to (s-curve at
+    * (1/bands)^(bands/numHashes)); raise numHashes and rows-per-band as
+    * the corpus grows so candidate volume stays bounded, and recall is
+    * held by the ORed bands — same recipe as the hyperplane banding in
+    * [[SimilarityOps]]. */
+  def lshPairs(docs: DataFrame, bands: Int = Bands,
+               numHashes: Int = NumHashes): DataFrame = {
+    require(numHashes % bands == 0, "bands must evenly divide numHashes")
+    val rows = numHashes / bands
     val sh = shingleRows(docs)
-    val sig = minhashSignature(docs)
-    val bandExprs = (0 until Bands).map(b => s"md5(concat(mh${2 * b}, mh${2 * b + 1}))")
-    val bands = sig.selectExpr("doc_id", s"explode(array(${bandExprs.mkString(", ")})) AS band")
-    val cand = bands.as("x").join(bands.as("y"), col("x.band") === col("y.band")
+    val sig = minhashSignature(docs, numHashes)
+    val bandExprs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
+      s"md5(concat($cols))"
+    }
+    val bands0 = sig.selectExpr("doc_id", s"explode(array(${bandExprs.mkString(", ")})) AS band")
+    val cand = bands0.as("x").join(bands0.as("y"), col("x.band") === col("y.band")
         && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
