@@ -114,6 +114,25 @@ object TextOps {
       "CAST(size(split(text, ' ')) AS BIGINT) AS n_ws_tokens")
       .orderBy("doc_id")
 
+  /** q60 — repetition score: the most-repeated 3-gram's share of all
+    * 3-grams, the C4/Gopher-style boilerplate filter (a looping or
+    * template-stamped document scores near 1). Shingles WITH duplicates
+    * this time — repetition IS the signal — via the linear
+    * `graft_shingles` expression; one narrow shuffle on (doc_id, shingle)
+    * with map-side combine, then a per-doc aggregate. Docs with fewer
+    * than 3 tokens have no 3-grams and no row (same domain as q36–q38). */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id",
+      "explode(graft_shingles(split(text, ' '), 3)) AS shingle")
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_shingles"), max("c").as("max_rep"))
+      .selectExpr("doc_id", "n_shingles", "max_rep",
+        "max_rep / CAST(n_shingles AS DOUBLE) AS rep_ratio")
+      .orderBy("doc_id")
+  }
+
   /** DuckDB equivalents, kept adjacent so Spark and oracle can't drift. */
   def oracles: Map[String, String] = {
     val langs = langSets.map(_._1)
@@ -125,6 +144,19 @@ object TextOps {
       s"WHEN $rest THEN '$l'"
     }.mkString(" ")
     Map(
+      "q60_repetition" ->
+        """WITH sh AS (SELECT doc_id,
+                              unnest(list_transform(range(1, len(str_split(text, ' ')) - 1),
+                                i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+                                     || ' ' || str_split(text, ' ')[i+2])) AS shingle
+                       FROM documents WHERE len(str_split(text, ' ')) >= 3),
+            c AS (SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2),
+            a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
+                         CAST(MAX(c) AS BIGINT) AS max_rep
+                  FROM c GROUP BY doc_id)
+           SELECT doc_id, n_shingles, max_rep,
+                  max_rep / CAST(n_shingles AS DOUBLE) AS rep_ratio
+           FROM a ORDER BY doc_id""",
       "q30_token_stats" ->
         """SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
                   len(list_distinct(str_split(text, ' '))) AS n_uniq_tokens,

@@ -11,6 +11,18 @@ class TextOpsSpec extends SparkSpec {
   private def docs(rows: (Long, String, String, String, Long)*) =
     rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("repetition score: template-stamped text scores 1.0, varied text low") {
+    val d = docs(
+      doc(1, "spam spam spam spam spam spam"),       // every 3-gram identical
+      doc(2, "all tokens here are quite different"), // 4 distinct 3-grams
+      doc(3, "too few"))                             // < 3 tokens: no row
+    val got = TextOps.repetitionScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 0.25)
+    assert(!got.contains(3L))
+  }
+
   test("token stats: empty text yields one empty token (split semantics), null text yields nulls") {
     val d = docs(doc(1, "two words"), doc(2, ""), (3L, null, "en", "s1", 0L))
     val rows = TextOps.tokenStats(d).collect()
