@@ -44,6 +44,25 @@ object FraudScorer {
       .fit(assembled)
   }
 
+  /** Held-out evaluation: train on ~80% of events, report AUC on the
+    * rest. The fold assignment is the md5-bucket discipline from
+    * [[graft.ops.PipelineOps.splitAssign]] — a pure function of event_id,
+    * never `rand()`, so retries, re-runs, and repartitioning produce the
+    * identical split and the metric is reproducible to the bit. */
+  def trainAndEvaluate(events: DataFrame): (LogisticRegressionModel, Double) = {
+    val bucket =
+      expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+    val model = train(events.filter(bucket < 204))
+    val held = new VectorAssembler()
+      .setInputCols(FeatureCols.toArray).setOutputCol("features")
+      .transform(featurize(events.filter(bucket >= 204)))
+    val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC")
+      .evaluate(model.transform(held))
+    (model, auc)
+  }
+
   /** Inference as a pure transform — usable on a batch DF or inside
     * `foreachBatch` on a stream. */
   def score(model: LogisticRegressionModel, events: DataFrame): DataFrame = {

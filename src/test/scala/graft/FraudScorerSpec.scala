@@ -20,6 +20,13 @@ class FraudScorerSpec extends SparkSpec {
     assert(byLabel(0.0) < 0.2, s"non-fraud mean p=${byLabel(0.0)}")
   }
 
+  test("held-out AUC via the deterministic md5 split is reproducible and high") {
+    val (_, auc1) = FraudScorer.trainAndEvaluate(events)
+    val (_, auc2) = FraudScorer.trainAndEvaluate(events)
+    assert(auc1 === auc2)    // split + training are deterministic
+    assert(auc1 > 0.95, s"AUC $auc1") // value is a feature; near-separable
+  }
+
   test("scoring works inside a streaming foreachBatch (per-micro-batch transform)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
