@@ -133,6 +133,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q61 — the composite training-data filter: the corpus-build decision
+    * that ties the quality surface together. A document is kept for
+    * training iff it is long enough, its language ID agrees with its
+    * metadata, its stop-word ratio is in the plausible-prose band, and it
+    * is not boilerplate (repetition capped). Thresholds are runtime dials
+    * (defaults sized to the testdata's distributions so both branches are
+    * exercised); every signal is an exact-deterministic value from
+    * [[qualityScore]]/[[langId]]/[[repetitionScore]], so the boolean is
+    * oracle-exact too. Docs too short to shingle have null rep_ratio and
+    * are dropped. */
+  def trainingFilter(docs: DataFrame, minTokens: Long = 20, minStop: Double = 0.02,
+                     maxStop: Double = 0.8, maxRep: Double = 0.1): DataFrame =
+    qualityScore(docs).select("doc_id", "n_tokens", "stop_ratio")
+      .join(langId(docs).select("doc_id", "agrees"), "doc_id")
+      .join(repetitionScore(docs).select("doc_id", "rep_ratio"), Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "n_tokens", "stop_ratio", "rep_ratio", "agrees",
+        s"""(n_tokens >= $minTokens AND agrees
+             AND stop_ratio >= $minStop AND stop_ratio <= $maxStop
+             AND (rep_ratio IS NOT NULL AND rep_ratio <= $maxRep)) AS keep""")
+      .orderBy("doc_id")
+
   /** DuckDB equivalents, kept adjacent so Spark and oracle can't drift. */
   def oracles: Map[String, String] = {
     val langs = langSets.map(_._1)
@@ -143,7 +164,7 @@ object TextOps {
       val rest = langs.drop(i + 1).map(r => s"hits_$l >= hits_$r").mkString(" AND ")
       s"WHEN $rest THEN '$l'"
     }.mkString(" ")
-    Map(
+    val base = Map(
       "q60_repetition" ->
         """WITH sh AS (SELECT doc_id,
                               unnest(list_transform(range(1, len(str_split(text, ' ')) - 1),
@@ -196,5 +217,20 @@ object TextOps {
                   FROM (SELECT doc_id, lang, $hitSql FROM documents))
             ORDER BY doc_id""",
     )
+    // q61 composes the three component oracles verbatim, so the filter's
+    // inputs cannot drift from the individually-verified queries
+    base + ("q61_training_filter" ->
+      s"""WITH q AS (${base("q31_quality_score")}),
+          l AS (${base("q35_lang_id")}),
+          r AS (${base("q60_repetition")})
+          SELECT q.doc_id AS doc_id, q.n_tokens AS n_tokens,
+                 q.stop_ratio AS stop_ratio, r.rep_ratio AS rep_ratio,
+                 l.agrees AS agrees,
+                 (q.n_tokens >= 20 AND l.agrees
+                  AND q.stop_ratio >= 0.02 AND q.stop_ratio <= 0.8
+                  AND (r.rep_ratio IS NOT NULL AND r.rep_ratio <= 0.1)) AS keep
+          FROM q JOIN l ON q.doc_id = l.doc_id
+                 LEFT OUTER JOIN r ON q.doc_id = r.doc_id
+          ORDER BY doc_id""")
   }
 }

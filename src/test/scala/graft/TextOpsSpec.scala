@@ -23,6 +23,15 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("training filter keeps plausible prose, drops unshingleable docs") {
+    val prose = "the cat is a fine friend and the dog is a good pal of ours to keep in mind for sure okay"
+    val d = docs(doc(1, "a b"), doc(2, prose))
+    val keep = TextOps.trainingFilter(d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(keep(1L) === false) // too short to shingle → null rep_ratio → drop
+    assert(keep(2L) === true)
+  }
+
   test("token stats: empty text yields one empty token (split semantics), null text yields nulls") {
     val d = docs(doc(1, "two words"), doc(2, ""), (3L, null, "en", "s1", 0L))
     val rows = TextOps.tokenStats(d).collect()
