@@ -89,6 +89,7 @@ object SparkEntry {
     "q38_jaccard_pairs"    -> ((s, d) => DedupOps.jaccardPairs(Tables.documents(s, d))),
     "q39_simhash"          -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "q40_simhash_pairs"    -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
+    "q62_simhash_lsh"      -> ((s, d) => DedupOps.simhashLshPairs(Tables.documents(s, d))),
     // §7.1 graft.ext — similarity search over `embeddings`
     "q42_knn_brute"        -> ((s, d) => SimilarityOps.knnBruteForce(Tables.embeddings(s, d))),
     "q43_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(Tables.embeddings(s, d))),

@@ -170,6 +170,42 @@ object DedupOps {
     votes.select(col("doc_id"), sh.as("simhash")).orderBy("doc_id")
   }
 
+  /** q62 — SimHash-LSH pairs, the GLOBAL scale path: slice the 60-bit
+    * simhash into `bands` contiguous bit-bands; candidates share at least
+    * one band verbatim; verify exact hamming on candidates only.
+    *
+    * Pigeonhole recall GUARANTEE (not probabilistic like MinHash bands):
+    * `threshold < bands` means any pair within the hamming threshold has
+    * fewer differing bits than bands, so some band is untouched and the
+    * pair MUST collide — recall is exactly 1 while the candidate space is
+    * bounded by per-band collisions (each band key is 15 bits → 32k
+    * buckets, and band count/width are runtime dials). This is the
+    * classic web-dedup formulation; q40's bucket-bounded variant stays as
+    * the oracle for looser thresholds that banding cannot guarantee. */
+  def simhashLshPairs(docs: DataFrame, threshold: Int = 3, bands: Int = 4): DataFrame = {
+    require(threshold < bands,
+      "pigeonhole guarantee needs threshold < bands (else recall < 1)")
+    require(SimhashBits % bands == 0, "bands must evenly divide SimhashBits")
+    val bits = SimhashBits / bands
+    val mask = (1L << bits) - 1
+    val sh = simhash(docs)
+    val keys = (0 until bands).map(b =>
+      s"(${b.toLong << bits}L + (shiftright(simhash, ${b * bits}) & ${mask}L))")
+    val bandRows = sh.selectExpr("doc_id",
+      s"explode(array(${keys.mkString(", ")})) AS band")
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sh.selectExpr("doc_id AS a_id", "simhash AS sa"), "a_id")
+      .join(sh.selectExpr("doc_id AS b_id", "simhash AS sb"), "b_id")
+      .selectExpr("a_id", "b_id",
+        "CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming")
+      .filter(col("hamming") <= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
   /** q40 — SimHash near-dup pairs: hamming distance (popcount of xor) under
     * threshold within (lang, source) buckets. */
   def simhashPairs(docs: DataFrame): DataFrame = {
@@ -254,6 +290,22 @@ object DedupOps {
       "q39_simhash" ->
         s"""WITH $simhashCte
             SELECT doc_id, simhash FROM sh ORDER BY doc_id""",
+      "q62_simhash_lsh" -> {
+        val bits = SimhashBits / 4
+        val mask = (1L << bits) - 1
+        val bandList = (0 until 4).map(b =>
+          s"(${b.toLong << bits} + ((simhash >> ${b * bits}) & $mask))").mkString(", ")
+        s"""WITH $simhashCte,
+            b AS (SELECT doc_id, unnest([$bandList]) AS band FROM sh),
+            cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                     FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id)
+            SELECT a_id, b_id,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+            FROM cand JOIN sh x ON a_id = x.doc_id
+                      JOIN sh y ON b_id = y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+            ORDER BY a_id, b_id"""
+      },
       "q40_simhash_pairs" ->
         s"""WITH $simhashCte,
             m AS (SELECT s.doc_id, simhash, lang, source

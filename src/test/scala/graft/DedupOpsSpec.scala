@@ -65,6 +65,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash-LSH pigeonhole: exactly the brute-force hamming<=3 pairs") {
+    // threshold 3 < 4 bands → a qualifying pair always shares a band
+    // (recall 1), and the verify step keeps precision 1 — so the banded
+    // result must EQUAL the all-pairs ground truth, not just contain it
+    val sh = DedupOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sh.keys.toSeq.sorted
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    val got = DedupOps.simhashLshPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === truth)
+  }
+
   test("exact dedup keeps min doc_id per canonical fingerprint") {
     val d = Seq(
       (5L, "b a c", "en", "s1", 0L),
