@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Exact
+
+/** Seeded randomized properties for the determinism-critical primitives —
+  * the invariants the oracle machinery rests on, checked over hundreds of
+  * adversarial inputs rather than a handful of fixtures. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("graft_shingles equals the naive sliding window on 300 random token arrays") {
+    graft.expressions.GraftFunctions.register(spark)
+    val cases = (1 to 300).map { i =>
+      val n = rnd.nextInt(8)
+      // tokens may be empty strings — split() produces those too
+      val tokens = Seq.fill(n)(rnd.alphanumeric.take(rnd.nextInt(4)).mkString)
+      (i.toLong, tokens.mkString(" "))
+    }
+    val got = cases.toDF("id", "text")
+      .selectExpr("id", "graft_shingles(split(text, ' '), 3) AS sh")
+      .as[(Long, Seq[String])].collect().toMap
+    cases.foreach { case (id, text) =>
+      val tokens = text.split(" ", -1).toSeq // -1: keep trailing empties, like Spark
+      val naive =
+        if (tokens.length < 3) Seq.empty
+        else tokens.sliding(3).map(_.mkString(" ")).toSeq
+      assert(got(id) === naive, s"case $id: '$text'")
+    }
+  }
+
+  test("exact-cents sums are invariant under repartitioning (500 random amounts)") {
+    val amounts = Seq.fill(500)((rnd.nextInt(2000000) - 1000000) / 100.0).toDF("v")
+    def total(partitions: Int): Double =
+      amounts.repartition(partitions)
+        .agg(Exact.sumD(col("v"), 2).as("s")).as[Double].collect().head
+    val expected = total(1)
+    Seq(3, 7, 32).foreach { p =>
+      assert(java.lang.Double.doubleToRawLongBits(total(p))
+        === java.lang.Double.doubleToRawLongBits(expected), s"partitions $p")
+    }
+  }
+
+  test("graft_dot is bit-identical to the HOF fold on 200 random vector pairs") {
+    graft.expressions.GraftFunctions.register(spark)
+    val pairs = (1 to 200).map { i =>
+      val d = 1 + rnd.nextInt(64)
+      (i.toLong,
+        Seq.fill(d)(rnd.nextDouble() * 20 - 10),
+        Seq.fill(d)(rnd.nextDouble() * 20 - 10))
+    }
+    val rows = pairs.toDF("id", "a", "b").selectExpr(
+      "id",
+      "graft_dot(a, b) AS native",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS hof")
+      .as[(Long, Double, Double)].collect()
+    rows.foreach { case (id, native, hof) =>
+      assert(java.lang.Double.doubleToRawLongBits(native)
+        === java.lang.Double.doubleToRawLongBits(hof), s"case $id")
+    }
+    // and both equal the local left fold
+    val local = pairs.map { case (id, a, b) =>
+      id -> a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    }.toMap
+    rows.foreach { case (id, native, _) =>
+      assert(java.lang.Double.doubleToRawLongBits(native)
+        === java.lang.Double.doubleToRawLongBits(local(id)), s"local $id")
+    }
+  }
+}
