@@ -79,6 +79,7 @@ object SparkEntry {
     "q41_regex_tokens"     -> ((s, d) => TextOps.regexTokens(Tables.documents(s, d))),
     "q60_repetition"       -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d))),
     "q61_training_filter"  -> ((s, d) => TextOps.trainingFilter(Tables.documents(s, d))),
+    "q63_term_index"       -> ((s, d) => TextOps.termIndex(Tables.documents(s, d))),
     // §7.1 graft.ext — corpus-build pipeline stages over `documents`
     "q56_normalize"        -> ((s, d) => PipelineOps.normalizeDocs(Tables.documents(s, d))),
     "q57_split"            -> ((s, d) => PipelineOps.splitAssign(Tables.documents(s, d))),

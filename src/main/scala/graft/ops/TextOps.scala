@@ -154,6 +154,24 @@ object TextOps {
              AND (rep_ratio IS NOT NULL AND rep_ratio <= $maxRep)) AS keep""")
       .orderBy("doc_id")
 
+  /** q63 — the inverted-index term table: per-(doc, token) term frequency
+    * joined with corpus document frequency — the structure tf-idf, BM25,
+    * and vocabulary pruning are all built from. tf/df is exposed as an
+    * exact single-division ratio; idf's logarithm is left to the caller
+    * because transcendental functions are not bit-portable across engines
+    * (libm implementations differ in the last ulp — the one function
+    * class the oracle machinery cannot hash-compare). Two map-side-combined
+    * aggregates; the join key is the token the df aggregate just shuffled
+    * on, so the exchange is reused. */
+  def termIndex(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+      .selectExpr("doc_id", "token", "tf", "df", "tf / CAST(df AS DOUBLE) AS tf_over_df")
+      .orderBy("doc_id", "token")
+  }
+
   /** DuckDB equivalents, kept adjacent so Spark and oracle can't drift. */
   def oracles: Map[String, String] = {
     val langs = langSets.map(_._1)
@@ -165,6 +183,14 @@ object TextOps {
       s"WHEN $rest THEN '$l'"
     }.mkString(" ")
     val base = Map(
+      "q63_term_index" ->
+        """WITH tf AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+            t AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+            d AS (SELECT token, COUNT(*) AS df FROM t GROUP BY token)
+           SELECT t.doc_id AS doc_id, t.token AS token, t.tf AS tf, d.df AS df,
+                  t.tf / CAST(d.df AS DOUBLE) AS tf_over_df
+           FROM t JOIN d ON t.token = d.token
+           ORDER BY doc_id, token""",
       "q60_repetition" ->
         """WITH sh AS (SELECT doc_id,
                               unnest(list_transform(range(1, len(str_split(text, ' ')) - 1),
