@@ -125,7 +125,7 @@ object SparkEntry {
     "q05_windowed_mean" ->
       """SELECT date_trunc('hour', ts) AS w_start,
                 date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
-                user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) / (100.0 * COUNT(*)) AS mean_value,
+                user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) / (100.0 * COUNT(value)) AS mean_value,
                 COUNT(*) AS n
          FROM events GROUP BY 1, 2, 3 ORDER BY w_start, user_id""",
     "q06_tag_filter" ->
@@ -135,7 +135,9 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value, props FROM events
          WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' ORDER BY event_id""",
     "q08_parse_props" ->
-      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+      """SELECT event_id,
+                CASE WHEN json_valid(props)
+                     THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
          FROM events ORDER BY event_id""",
     "q09_branch_other" ->
       """SELECT event_id, user_id, value FROM events
@@ -151,7 +153,7 @@ object SparkEntry {
                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-                SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / (100.0 * COUNT(*)) AS avg_disc,
+                SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / (100.0 * COUNT(l_discount)) AS avg_disc,
                 COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",

@@ -19,6 +19,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // SESSION-WIDE side effect, deliberate: the nanos flag must be live
+    // whenever an events scan plans OR executes, so it cannot be scoped to
+    // this call. Consequence for other code in the same session: a
+    // TIMESTAMP(NANOS) parquet column elsewhere reads as LongType nanos
+    // instead of erroring — convert it the way this loader does.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")

@@ -25,12 +25,24 @@ object Transaction {
     * (`TransactionProcessor.java:39`) — `amount == 10000.0` is NOT fraud. */
   val FraudThreshold: Double = 10000.0
 
-  /** JSON string → typed struct column. Spark's PERMISSIVE mode yields a
-    * null struct on malformed input, matching the reference's
-    * drop-and-continue parse (`TransactionProcessor.java:30-37`). */
+  /** JSON string → typed struct column. NOTE Spark's PERMISSIVE mode does
+    * NOT yield a null struct on malformed input — it yields a non-null
+    * struct whose FIELDS are null (only SQL NULL input gives a null
+    * struct; verified on this Spark build). The reference's
+    * drop-and-continue parse (`TransactionProcessor.java:30-37`) is
+    * therefore reproduced by null-guarding the required fields, as
+    * `FraudPipeline.parse` does — not by checking the struct itself. */
   def parseJson(value: Column): Column = from_json(value, schema)
 
-  /** Typed columns → JSON string (`TransactionProcessor.java:44-51`). */
+  /** Typed columns → JSON string (`TransactionProcessor.java:44-51`).
+    * `ignoreNullFields=false` + a 0 default for timestamp: Jackson
+    * serializes every `@JsonProperty` key, and a missing wire timestamp
+    * parses to the primitive-int default 0 (`Transaction.java:28`) — so
+    * the re-serialized record carries `"timestamp":0`, never omits the
+    * key the way Spark's default to_json would. */
   def toJsonCol(userId: Column, amount: Column, timestamp: Column): Column =
-    to_json(struct(userId.as("userId"), amount.as("amount"), timestamp.as("timestamp")))
+    to_json(
+      struct(userId.as("userId"), amount.as("amount"),
+        coalesce(timestamp, lit(0)).as("timestamp")),
+      Map("ignoreNullFields" -> "false"))
 }

@@ -95,8 +95,12 @@ object EventOps {
       .orderBy("event_id")
 
   /** A2 — null-tolerant JSON parse of `events.props` (the wire-format
-    * analog of `TransactionProcessor.java:29-36`): malformed JSON → null
-    * struct → null field; the stream never fails on a bad record. */
+    * analog of `TransactionProcessor.java:29-36`): malformed JSON or an
+    * uncoercible value → null FIELD (PERMISSIVE mode keeps the struct
+    * non-null and nulls the fields); the stream never fails on a bad
+    * record. The q08 oracle mirrors this with a json_valid guard +
+    * TRY_CAST, so the tolerant semantics are oracle-checked, not just
+    * asserted. */
   def parseProps(events: DataFrame): DataFrame =
     events
       .select(

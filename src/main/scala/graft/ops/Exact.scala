@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB this is also the *faster* plan: long sums beat double sums and
   * need no post-hoc rounding pass.
+  *
+  * Overflow headroom: int64 cents hold ~9·10^16 dollars. Under Spark 4's
+  * default ANSI mode an overflowing long sum FAILS LOUDLY (it cannot wrap
+  * silently); a deployment summing beyond that headroom should swap the
+  * accumulator to `sum(units(c, s).cast("decimal(38,0)"))` — DuckDB's
+  * SUM(BIGINT) already widens to int128, so only the Spark side needs it.
   */
 object Exact {
   /** Exact integer (10^scale)-ths of a 2..4-decimal double column. */
@@ -26,9 +32,12 @@ object Exact {
   def sumD(c: Column, scale: Int): Column =
     sum(units(c, scale)) / lit(math.pow(10, scale))
 
-  /** Order-independent AVG of a `scale`-decimal column, as double. */
+  /** Order-independent AVG of a `scale`-decimal column, as double — true
+    * SQL AVG semantics: null values are excluded from numerator AND
+    * denominator (`count(c)`, not `count(*)` — with `count(*)` a null row
+    * would dilute the mean). */
   def avgD(c: Column, scale: Int): Column =
-    sum(units(c, scale)) / (lit(math.pow(10, scale)) * count(lit(1)))
+    sum(units(c, scale)) / (lit(math.pow(10, scale)) * count(c))
 
   /** DuckDB-side equivalents (kept next to the Spark forms so the two can
     * never drift): */
@@ -37,6 +46,6 @@ object Exact {
   def sqlSum(col: String, scale: Int): String =
     s"SUM(${sqlUnits(col, scale)}) / ${u(scale)}.0"
   def sqlAvg(col: String, scale: Int): String =
-    s"SUM(${sqlUnits(col, scale)}) / (${u(scale)}.0 * COUNT(*))"
+    s"SUM(${sqlUnits(col, scale)}) / (${u(scale)}.0 * COUNT($col))"
   private def u(scale: Int): Long = math.pow(10, scale).toLong
 }

@@ -26,12 +26,22 @@ object SourceSinks {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** CSV cannot natively distinguish null from "" — both serialize to an
+    * empty field and Spark's defaults read both back as null. A sentinel
+    * nullValue plus quoted emptyValue makes the round-trip lossless (a
+    * string column's "" survives as "", null survives as null). */
+  private val CsvNull = "\\N"
+
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite").option("header", "true")
+      .option("nullValue", CsvNull).option("emptyValue", "\"\"")
+      .csv(path)
 
   /** Explicit schema — no inference pass. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(path)
+    spark.read.option("header", "true").schema(schema)
+      .option("nullValue", CsvNull).option("emptyValue", "")
+      .csv(path)
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

@@ -29,13 +29,17 @@ import graft.model.Transaction
 object FraudPipeline {
 
   /** A2+A3 — JSON wire value → typed columns; malformed records dropped,
-    * stream never fails (`TransactionProcessor.java:30-37` semantics). */
+    * stream never fails (`TransactionProcessor.java:30-37` semantics).
+    * The guard is on the REQUIRED FIELDS: PERMISSIVE from_json nulls the
+    * fields of a malformed record, not the struct (see
+    * [[Transaction.parseJson]]). A parseable record with a missing
+    * timestamp keeps Jackson's primitive-int default 0
+    * (`Transaction.java:28`). */
   def parse(raw: DataFrame): DataFrame =
     raw.withColumn("txn", Transaction.parseJson(col("value")))
-      .filter(col("txn").isNotNull
-        && col("txn.userId").isNotNull && col("txn.amount").isNotNull)
+      .filter(col("txn.userId").isNotNull && col("txn.amount").isNotNull)
       .select(col("txn.userId").as("userId"), col("txn.amount").as("amount"),
-        col("txn.timestamp").as("timestamp"))
+        coalesce(col("txn.timestamp"), lit(0)).as("timestamp"))
 
   /** A4 — the branch: (fraud leg, everything else). Strict `>` — an amount
     * equal to the threshold is NOT fraud (`TransactionProcessor.java:15,39`). */

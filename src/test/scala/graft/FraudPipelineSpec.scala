@@ -34,6 +34,14 @@ class FraudPipelineSpec extends SparkSpec {
     assert(fraud.intersect(other).count() === 0)
   }
 
+  test("missing timestamp defaults to 0 and is serialized, like Jackson's primitive int") {
+    val parsed = FraudPipeline.parse(
+      Seq("""{"userId":"u1","amount":10500.0}""").toDF("value"))
+    assert(parsed.select("timestamp").as[Int].collect().head === 0)
+    val json = FraudPipeline.serialize(parsed).select("value").as[String].collect().head
+    assert(json.contains(""""timestamp":0"""))
+  }
+
   test("serialize round-trips through parse") {
     val parsed = FraudPipeline.parse(wire.toDF("value"))
     val roundTrip = FraudPipeline.parse(FraudPipeline.serialize(parsed))

@@ -41,6 +41,18 @@ class SourceSinksSpec extends SparkSpec {
     assert(jback.count() === 4)
   }
 
+  test("csv round-trip preserves the null vs empty-string distinction") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val df = Seq((1L, "x"), (2L, ""), (3L, null)).toDF("id", "s")
+    val dir = Files.createTempDirectory("graft_csv_null").toString
+    SourceSinks.writeCsv(df, dir)
+    val back = SourceSinks.readCsv(spark, dir, schema).orderBy("id").collect()
+    assert(back(0).getString(1) === "x")
+    assert(back(1).getString(1) === "")   // empty string survives as ""
+    assert(back(2).isNullAt(1))           // null survives as null
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     SourceSinks.writeBucketed(events.select("event_id", "user_id", "value"),
       "ev_bucketed", "user_id")
