@@ -245,28 +245,33 @@ object SparkEntry {
       """SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n,
                 MIN(value) AS min_value, MAX(value) AS max_value
          FROM events GROUP BY 1 ORDER BY bucket""",
+    // q28: percentile fractions must be IEEE DOUBLE on both sides — DuckDB
+    // parses bare 0.95 as DECIMAL and computes the fraction exactly, which
+    // differs from Spark's double arithmetic in low bits; the explicit
+    // CAST(0.x AS DOUBLE) forces the identical IEEE sequence.
     "q28_percentiles" ->
-      """WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+      """WITH c AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+                    FROM events WHERE value IS NOT NULL),
          r AS (SELECT event_type, c,
                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn
                FROM c),
          n AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY event_type),
          a AS (SELECT r.event_type, MAX(n.n) AS nn,
-                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(FLOOR((n.n - 1) * 0.5) AS BIGINT)
+                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(FLOOR((n.n - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT)
                                THEN r.c END) AS DOUBLE) AS cl_p50,
-                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(CEIL((n.n - 1) * 0.5) AS BIGINT)
+                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(CEIL((n.n - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT)
                                THEN r.c END) AS DOUBLE) AS ch_p50,
-                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(FLOOR((n.n - 1) * 0.95) AS BIGINT)
+                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(FLOOR((n.n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT)
                                THEN r.c END) AS DOUBLE) AS cl_p95,
-                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(CEIL((n.n - 1) * 0.95) AS BIGINT)
+                      CAST(SUM(CASE WHEN r.rn - 1 = CAST(CEIL((n.n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT)
                                THEN r.c END) AS DOUBLE) AS ch_p95
                FROM r JOIN n ON r.event_type = n.event_type
                GROUP BY r.event_type)
          SELECT event_type,
-                (cl_p50 + ((nn - 1) * 0.5 - FLOOR((nn - 1) * 0.5)) * (ch_p50 - cl_p50))
-                  / 100.0 AS p50,
-                (cl_p95 + ((nn - 1) * 0.95 - FLOOR((nn - 1) * 0.95)) * (ch_p95 - cl_p95))
-                  / 100.0 AS p95
+                (cl_p50 + ((nn - 1) * CAST(0.5 AS DOUBLE) - FLOOR((nn - 1) * CAST(0.5 AS DOUBLE)))
+                   * (ch_p50 - cl_p50)) / 100.0 AS p50,
+                (cl_p95 + ((nn - 1) * CAST(0.95 AS DOUBLE) - FLOOR((nn - 1) * CAST(0.95 AS DOUBLE)))
+                   * (ch_p95 - cl_p95)) / 100.0 AS p95
          FROM a ORDER BY event_type""",
     // q53_approx_percentiles: t-digest sketch — not DuckDB-comparable, rows-only
     // check; accuracy vs q28's exact values asserted in RelationalOpsSpec.

@@ -17,9 +17,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Delete each query's previous output BEFORE running it: a failure
+    // that fires before the write executes must leave NO output behind,
+    // or a reused outDir would let the compare pass on stale results.
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete()
+    }
     SparkEntry.queries
       .filter { case (name, _) => prefixes.exists(name.startsWith) }
       .foreach { case (name, fn) =>
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

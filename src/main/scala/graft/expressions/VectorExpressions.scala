@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * — the exact IEEE sequence of the HOF fold and of the DuckDB oracle's
   * explicit chain, so swapping implementations cannot change results.
   *
-  * Null handling: inherits BinaryExpression's null-propagating eval (null
-  * array → null). Null *elements* are treated as 0 contribution.
+  * Null handling: null array → null; MISMATCHED lengths → null (a ragged
+  * pair is data corruption — surfacing null matches the oracle's
+  * out-of-range list indexing instead of silently truncating to the
+  * shorter array). Null *elements* are treated as 0 contribution.
   *
   * Preference order per the engine's design rules: built-in ops first, a
   * custom `Expression` only where measurably better — this is the §7.4
@@ -28,12 +30,14 @@ case class DotProduct(left: Expression, right: Expression)
   // return type inferred as Seq[ArrayType] — AbstractDataType is private[sql]
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged input → null
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -43,17 +47,28 @@ case class DotProduct(left: Expression, right: Expression)
     s
   }
 
+  // identifiers MUST be freshName'd: with non-nullable children,
+  // nullSafeExec adds no brace scope, so two graft_dot calls in one
+  // projection would otherwise redeclare the same Java locals — Janino
+  // fails and Spark silently falls back to interpreted eval
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    acc += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = acc;
        """.stripMargin
     })
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * bit-for-bit. This is the same discipline `ScaleOps` applies to salting.
   */
 object PipelineOps {
+
+  /** First md5 byte of a stable key, as 0–255 — THE deterministic bucket
+    * primitive, shared by [[splitAssign]] and the ML train/test fold
+    * (`FraudScorer.trainAndEvaluate`) so the split recipe has exactly one
+    * definition. */
+  def md5Bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long")
+
+  /** ~80/10/10 bucket cuts shared with the q57 oracle. */
+  val TrainCut = 204
+  val ValCut = 230
 
   /** q56 — normalization + redaction: lowercase, strip non-alphanumerics,
     * collapse whitespace; digits masked to a sentinel in a parallel
@@ -33,13 +44,11 @@ object PipelineOps {
     * based splits lack: under speculative re-execution they re-deal the
     * corpus). Row-local; no shuffle at all. */
   def splitAssign(docs: DataFrame): DataFrame =
-    docs.selectExpr(
-      "doc_id",
-      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT) AS bucket")
+    docs.select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"))
       .selectExpr("doc_id", "bucket",
-        """CASE WHEN bucket < 204 THEN 'train'
-                WHEN bucket < 230 THEN 'val'
-                ELSE 'test' END AS split""")
+        s"""CASE WHEN bucket < $TrainCut THEN 'train'
+                 WHEN bucket < $ValCut THEN 'val'
+                 ELSE 'test' END AS split""")
       .orderBy("doc_id")
 
   /** q58 — stratified sample: the same `frac` of every language stratum,
@@ -70,9 +79,9 @@ object PipelineOps {
                 regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted_text
          FROM documents ORDER BY doc_id""",
     "q57_split" ->
-      """SELECT doc_id, bucket,
-                CASE WHEN bucket < 204 THEN 'train'
-                     WHEN bucket < 230 THEN 'val'
+      s"""SELECT doc_id, bucket,
+                CASE WHEN bucket < $TrainCut THEN 'train'
+                     WHEN bucket < $ValCut THEN 'val'
                      ELSE 'test' END AS split
          FROM (SELECT doc_id,
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket

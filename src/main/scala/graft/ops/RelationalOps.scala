@@ -202,7 +202,10 @@ object RelationalOps {
     * equal cents picks equal values either way. */
   def valuePercentiles(events: DataFrame, ps: Seq[(String, Double)] =
       Seq("p50" -> 0.5, "p95" -> 0.95)): DataFrame = {
-    val cents = events.select(col("event_type"), Exact.units(col("value"), 2).as("c"))
+    // null values are excluded per SQL percentile semantics (they would
+    // otherwise rank nulls-first in Spark but nulls-last in DuckDB)
+    val cents = events.filter(col("value").isNotNull)
+      .select(col("event_type"), Exact.units(col("value"), 2).as("c"))
     val w = Window.partitionBy("event_type").orderBy("c")
     val ranked = cents.withColumn("rn", row_number().over(w))
     val counts = cents.groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -320,10 +323,12 @@ object RelationalOps {
     * at 100 TB and for the oracle compare. */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
-  /** Pivot: user-cohort × event-type counts (wide form of q20). */
+  /** Pivot: user-cohort × event-type counts (wide form of q20). The cohort
+    * uses `%` (sign-preserving remainder), not pmod — the oracle's `%` is
+    * sign-preserving too, and the two must agree on negative ids. */
   def cohortTypePivot(events: DataFrame): DataFrame =
     events
-      .groupBy(pmod(col("user_id"), lit(10)).as("cohort"))
+      .groupBy((col("user_id") % lit(10)).as("cohort"))
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0L, EventTypes)

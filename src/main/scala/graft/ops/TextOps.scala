@@ -29,6 +29,12 @@ object TextOps {
 
   private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
 
+  /** Canonical bag-of-words fingerprint — ONE definition per engine side
+    * (used by q33, q34, and `StreamDedup.dedupDocsByFingerprint`); editing
+    * the canonicalization in one place keeps every consumer in agreement. */
+  val BowFpExpr = "md5(concat_ws(' ', array_sort(array_distinct(split(text, ' ')))))"
+  val BowFpSql = "md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))"
+
   /** q30 — token counting: whitespace tokenizer + distinct-token count. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.selectExpr(
@@ -50,7 +56,9 @@ object TextOps {
         "n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio")
       .orderBy("doc_id")
 
-  /** q32 — corpus stats by language (exact integer sums → exact mean). */
+  /** q32 — corpus stats by language (exact integer sums → exact mean).
+    * nulls-last ordering: Spark sorts nulls first by default, DuckDB
+    * last — a null-lang group would otherwise land at opposite ends. */
   def langStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")
       .agg(
@@ -58,7 +66,7 @@ object TextOps {
         sum("n_chars").as("total_chars"),
         (sum("n_chars") / count(lit(1)).cast("double")).as("avg_chars"),
         countDistinct(col("source")).as("n_sources"))
-      .orderBy("lang")
+      .orderBy(col("lang").asc_nulls_last)
 
   /** q33 — document fingerprinting: full-text md5 + order-independent
     * bag-of-words md5 (sorted distinct tokens — canonical form). */
@@ -66,7 +74,7 @@ object TextOps {
     docs.selectExpr(
       "doc_id",
       "md5(text) AS fp",
-      "md5(concat_ws(' ', array_sort(array_distinct(split(text, ' '))))) AS bow_fp")
+      s"$BowFpExpr AS bow_fp")
       .orderBy("doc_id")
 
   /** q34 — exact content dedup: group by canonical fingerprint, keep the
@@ -75,7 +83,7 @@ object TextOps {
   def exactDedup(docs: DataFrame): DataFrame =
     docs.selectExpr(
       "doc_id",
-      "md5(concat_ws(' ', array_sort(array_distinct(split(text, ' '))))) AS bow_fp")
+      s"$BowFpExpr AS bow_fp")
       .groupBy("bow_fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
@@ -224,13 +232,12 @@ object TextOps {
                   COUNT(DISTINCT source) AS n_sources
            FROM documents GROUP BY lang ORDER BY lang""",
       "q33_fingerprint" ->
-        """SELECT doc_id, md5(text) AS fp,
-                  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS bow_fp
-           FROM documents ORDER BY doc_id""",
+        s"""SELECT doc_id, md5(text) AS fp, $BowFpSql AS bow_fp
+            FROM documents ORDER BY doc_id""",
       "q34_exact_dedup" ->
-        """SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS bow_fp,
-                  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-           FROM documents GROUP BY 1 ORDER BY keep_id""",
+        s"""SELECT $BowFpSql AS bow_fp,
+                   MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY 1 ORDER BY keep_id""",
       "q41_regex_tokens" ->
         s"""SELECT doc_id,
                    len(regexp_extract_all(text, '$BpeRegex')) AS n_bpe_tokens,

@@ -38,7 +38,6 @@ object StreamDedup {
   def dedupDocsByFingerprint(docs: DataFrame, tsCol: String,
                              delay: String = "10 minutes"): DataFrame =
     dedupWithinWatermark(
-      docs.withColumn("fp",
-        expr("md5(concat_ws(' ', array_sort(array_distinct(split(text, ' ')))))")),
+      docs.withColumn("fp", expr(graft.ops.TextOps.BowFpExpr)),
       Seq("fp"), tsCol, delay)
 }

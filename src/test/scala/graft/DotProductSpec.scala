@@ -42,6 +42,28 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("two graft_dot calls in ONE projection stay correct (codegen scope regression)") {
+    withFn {
+      // fixed local identifiers would redeclare in the shared Janino scope
+      // → silent interpreted fallback; freshName'd locals keep codegen live
+      val r = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0)))
+        .toDF("a", "b", "c")
+        .selectExpr("graft_dot(a, b) AS ab", "graft_dot(a, c) AS ac", "graft_dot(b, c) AS bc")
+        .collect().head
+      assert(r.getDouble(0) === 11.0)
+      assert(r.getDouble(1) === 17.0)
+      assert(r.getDouble(2) === 39.0)
+    }
+  }
+
+  test("mismatched array lengths yield null (corruption surfaces, not truncates)") {
+    withFn {
+      val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+        .selectExpr("graft_dot(a, b) AS d")
+      assert(df.collect().head.isNullAt(0))
+    }
+  }
+
   test("expression survives both codegen and interpreted paths") {
     withFn {
       val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
