@@ -64,6 +64,23 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("doGenCode output is present in the generated whole-stage source (no silent fallback)") {
+    withFn {
+      // spark.range produces a real WholeStageCodegen stage (a local
+      // relation would plan as LocalTableScan with no codegen at all)
+      val df = spark.range(1)
+        .selectExpr("array(CAST(id AS DOUBLE) + 1.0, 2.0) AS a", "array(3.0, 4.0) AS b")
+        .selectExpr("graft_dot(a, b) AS ab", "graft_dot(b, a) AS ba")
+      // the freshName'd locals only appear if doGenCode's loop was
+      // actually emitted into the whole-stage source (a regression to
+      // fixed identifiers would Janino-fail and fall back silently)
+      val code = org.apache.spark.sql.execution.debug
+        .codegenString(df.queryExecution.executedPlan)
+      assert(code.contains("dotAcc"), "generated source lacks the codegen'd loop")
+      assert(df.collect().head.getDouble(0) === 11.0)
+    }
+  }
+
   test("expression survives both codegen and interpreted paths") {
     withFn {
       val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
