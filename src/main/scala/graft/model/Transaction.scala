@@ -30,9 +30,23 @@ object Transaction {
     * struct whose FIELDS are null (only SQL NULL input gives a null
     * struct; verified on this Spark build). The reference's
     * drop-and-continue parse (`TransactionProcessor.java:30-37`) is
-    * therefore reproduced by null-guarding the required fields, as
-    * `FraudPipeline.parse` does — not by checking the struct itself. */
+    * therefore reproduced via [[parseJsonCorrupt]]'s corrupt-record
+    * column, as `FraudPipeline.parse` does. */
   def parseJson(value: Column): Column = from_json(value, schema)
+
+  /** Corrupt-record column name for [[parseJsonCorrupt]]. */
+  val CorruptCol = "_corrupt"
+
+  /** Wire schema + corrupt-record capture: a record Jackson would THROW on
+    * (malformed JSON, wrong field type) gets `_corrupt` set; a merely
+    * INCOMPLETE record (missing keys) parses cleanly with null fields —
+    * exactly the reference's two cases (`TransactionProcessor.java:30-37`
+    * drops the thrower, keeps the incomplete record with POJO primitive
+    * defaults). */
+  def parseJsonCorrupt(value: Column): Column =
+    from_json(value,
+      StructType(schema.fields :+ StructField(CorruptCol, StringType)),
+      Map("columnNameOfCorruptRecord" -> CorruptCol))
 
   /** Typed columns → JSON string (`TransactionProcessor.java:44-51`).
     * `ignoreNullFields=false` + a 0 default for timestamp: Jackson

@@ -39,10 +39,15 @@ object DedupOps {
     * Per-doc dedup is ROW-LOCAL (`array_distinct` before the explode, the
     * analog of the oracle's `list_distinct`) — cross-doc rows are already
     * distinct by doc_id, so no global distinct shuffle is ever needed. */
+  /** The distinct-shingle generator — ONE definition of the tokenization +
+    * shingle recipe, consumed by q36–q38 (a drift here would silently make
+    * the dedup family disagree with itself). */
+  private val ShingleGen =
+    "explode(array_distinct(graft_shingles(split(text, ' '), 3))) AS shingle"
+
   def shingleRows(docs: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
-    docs.selectExpr("doc_id",
-      "explode(array_distinct(graft_shingles(split(text, ' '), 3))) AS shingle")
+    docs.selectExpr("doc_id", ShingleGen)
   }
 
   /** Shingle rows WITHOUT the distinct shuffle — enough for MIN aggregates
@@ -130,8 +135,7 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     // bucket columns ride along through the explode — no join back to docs
-    val sh0 = docs.selectExpr("doc_id", "lang", "source",
-      "explode(array_distinct(graft_shingles(split(text, ' '), 3))) AS shingle")
+    val sh0 = docs.selectExpr("doc_id", "lang", "source", ShingleGen)
     val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("shingle")
     val sh = sh0.join(hot, Seq("shingle"), "left_anti")
@@ -233,8 +237,13 @@ object DedupOps {
     val mhSql = (0 until NumHashes)
       .map(k => s"list_min(list_transform(shs, s -> md5('$k:' || s))) AS mh$k")
       .mkString(", ")
-    val bandList = (0 until Bands)
-      .map(b => s"md5(mh${2 * b} || mh${2 * b + 1})").mkString(", ")
+    // derived from NumHashes/Bands like the Spark side — never hardcode
+    // rows-per-band, or retuning the constants silently desyncs the sides
+    val rowsPerBand = NumHashes / Bands
+    val bandList = (0 until Bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || ")
+      s"md5($cols)"
+    }.mkString(", ")
     val jacSql =
       """len(list_filter(sa.shs, s -> list_contains(sb.shs, s)))
            / CAST(len(sa.shs) + len(sb.shs)

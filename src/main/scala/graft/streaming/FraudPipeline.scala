@@ -28,17 +28,23 @@ import graft.model.Transaction
   */
 object FraudPipeline {
 
-  /** A2+A3 — JSON wire value → typed columns; malformed records dropped,
-    * stream never fails (`TransactionProcessor.java:30-37` semantics).
-    * The guard is on the REQUIRED FIELDS: PERMISSIVE from_json nulls the
-    * fields of a malformed record, not the struct (see
-    * [[Transaction.parseJson]]). A parseable record with a missing
-    * timestamp keeps Jackson's primitive-int default 0
-    * (`Transaction.java:28`). */
+  /** A2+A3 — JSON wire value → typed columns, with the reference's EXACT
+    * drop/keep split (`TransactionProcessor.java:30-37` + the POJO's
+    * primitive fields): a record Jackson would throw on — malformed JSON,
+    * wrong field type — is dropped (`_corrupt` set by the PERMISSIVE
+    * parser); a VALID record that merely omits fields is KEPT with the
+    * POJO primitive defaults (`amount` → 0.0, `timestamp` → 0,
+    * `Transaction.java:23,28`) — so an amount-less record rides the
+    * non-fraud leg instead of vanishing from both. `userId` stays null
+    * like Jackson's object default (the reference happily produces a
+    * null Kafka key). */
   def parse(raw: DataFrame): DataFrame =
-    raw.withColumn("txn", Transaction.parseJson(col("value")))
-      .filter(col("txn.userId").isNotNull && col("txn.amount").isNotNull)
-      .select(col("txn.userId").as("userId"), col("txn.amount").as("amount"),
+    raw.withColumn("txn", Transaction.parseJsonCorrupt(col("value")))
+      .filter(col("txn").isNotNull
+        && col("txn")(Transaction.CorruptCol).isNull)
+      .select(
+        col("txn.userId").as("userId"),
+        coalesce(col("txn.amount"), lit(0.0)).as("amount"),
         coalesce(col("txn.timestamp"), lit(0)).as("timestamp"))
 
   /** A4 — the branch: (fraud leg, everything else). Strict `>` — an amount
@@ -66,6 +72,10 @@ object FraudPipeline {
   def windowedFraudStats(txns: DataFrame, windowLen: String = "10 seconds",
                          watermark: String = "30 seconds"): DataFrame =
     txns
+      // timestamp-less records carry the epoch-0 default (see [[parse]]):
+      // no usable event time, so exclude them EXPLICITLY here — the
+      // watermark would otherwise discard them silently as late data
+      .filter(col("timestamp") > 0)
       .withColumn("ts", to_timestamp(col("timestamp")))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("userId"))
@@ -79,7 +89,10 @@ object FraudPipeline {
     spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond.toString).load()
       .selectExpr(
         "format_string('user_%03d', CAST(pmod(hash(value), 200) AS INT)) AS userId",
-        "1000.0 + pmod(abs(hash(value, 7)), 10000) + rand() AS amount",
+        // fractional cents from a second hash, NOT rand(): a replayed or
+        // speculatively re-executed micro-batch must regenerate identical
+        // rows or the idempotent sink's overwrite rewrites history
+        "1000.0 + pmod(abs(hash(value, 7)), 10000) + pmod(abs(hash(value, 13)), 100) / 100.0 AS amount",
         "CAST(unix_timestamp(timestamp) AS INT) AS timestamp")
       .select(col("userId").as("key"),
         Transaction.toJsonCol(col("userId"), col("amount"), col("timestamp")).as("value"))

@@ -42,6 +42,22 @@ class FraudPipelineSpec extends SparkSpec {
     assert(json.contains(""""timestamp":0"""))
   }
 
+  test("incomplete records keep POJO defaults; throwing records drop — Jackson's exact split") {
+    val parsed = FraudPipeline.parse(Seq(
+      """{"userId":"u1","timestamp":1737028300}""",     // no amount → kept, 0.0
+      """{"userId":"u2","amount":"oops"}""",            // type mismatch → Jackson throws → drop
+      """{"amount":10500.0,"timestamp":1737028300}"""   // no userId → kept, null key
+    ).toDF("value"))
+    val rows = parsed.collect()
+    assert(rows.length === 2)
+    val u1 = rows.find(r => r.getString(0) == "u1").get
+    assert(u1.getDouble(1) === 0.0) // primitive-double default, non-fraud leg
+    assert(rows.exists(_.isNullAt(0))) // null userId survives (null Kafka key)
+    // the amount-less record rides the non-fraud leg, not dropped
+    val (fraud, other) = FraudPipeline.branchFraud(parsed)
+    assert(fraud.count() === 1 && other.count() === 1)
+  }
+
   test("serialize round-trips through parse") {
     val parsed = FraudPipeline.parse(wire.toDF("value"))
     val roundTrip = FraudPipeline.parse(FraudPipeline.serialize(parsed))
