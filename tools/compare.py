@@ -1,15 +1,22 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: compare.py <sfDir> <verifyOutDir>
+Usage: compare.py <sfDir> <verifyOutDir> [--strict]
 
 Registers each testdata parquet as a DuckDB view, runs every oracle SQL from
 oracle_sql.json, loads the Spark result parquet, sorts columns by name,
 and compares row-by-row (exact for ints/strings, tight tolerance for floats,
 microsecond-equality for timestamps).
+
+--strict compares floats BIT-EXACTLY (doubleToRawBits equality, the
+driver's hash-compare standard) instead of with the 1e-9 tolerance — run
+it before every round hand-off: a tolerance-passing, hash-failing float
+is exactly the regression the default mode can mask.
 """
-import sys, json, math, glob
+import sys, json, math, glob, struct
 import duckdb
+
+STRICT = "--strict" in sys.argv
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -31,6 +38,8 @@ def eq(a, b):
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if STRICT:  # the driver's standard: identical bits or bust
+            return struct.pack("<d", fa) == struct.pack("<d", fb)
         return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
 
