@@ -1,0 +1,93 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Guards the Bench stdout contract the driver depends on (the same class of
+  * guard PlanShapeSpec gives plans): the driver captures a BOUNDED stdout
+  * tail, so the FINAL line must be a compact, self-contained JSON object with
+  * `metric=total` — if the last line ever grows past the tail window or stops
+  * parsing, the fleet's only machine-readable perf signal goes dark.
+  * Jackson (Spark's own JSON library) plays the strict parser.
+  */
+class BenchOutputSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def parseObj(line: String): JsonNode = {
+    val node = mapper.readTree(line) // throws JsonProcessingException on bad JSON
+    assert(node.isObject, s"line is not a JSON object: $line")
+    node
+  }
+
+  private def keys(n: JsonNode): Set[String] = n.fieldNames().asScala.toSet
+
+  test("renderLines: last line is compact total-only JSON with metric=total") {
+    val results = Seq(
+      Bench.QueryResult("q01_a", Right(0.1234567), Right(0.2)),
+      Bench.QueryResult("q02_b", Right(1.5), Right(0.75)),
+    )
+    val lines = Bench.renderLines(results, Bench.Probes(0.1, 0.2, 0.2, 0.1), "/sf")
+    assert(lines.size == 3)
+
+    val last = parseObj(lines.last)
+    assert(last.get("metric").asText == "total")
+    assert(last.get("unit").asText == "sec")
+    // sum of per-query minimums: min(0.123,0.2) + min(1.5,0.75) = 0.873
+    assert(last.get("value").asDouble == 0.873)
+    assert(last.get("nqueries").asInt == 2 && last.get("nerrors").asInt == 0)
+    assert(last.get("pass_totals").get(0).asDouble == 1.623)
+    assert(last.get("pass_totals").get(1).asDouble == 0.95)
+    assert(last.get("probe").size == 4)
+    // must fit any plausible stdout-tail window with room to spare
+    assert(lines.last.length < 300, s"compact line too long: ${lines.last.length}B")
+
+    // the detailed line (line 2) carries per-query minimums at 3 decimals
+    val detail = parseObj(lines(1))
+    assert(detail.get("metric").asText == "total")
+    assert(keys(detail.get("queries")) == Set("q01_a", "q02_b"))
+    assert(detail.get("queries").get("q01_a").asDouble == 0.123)
+    assert(detail.get("queries").get("q02_b").asDouble == 0.75)
+    // per-pass record (line 1) keeps both passes for interference forensics
+    val passes = parseObj(lines.head)
+    assert(passes.get("metric").asText == "bench_detail")
+    assert(passes.get("pass1").get("q02_b").asDouble == 1.5)
+    assert(passes.get("pass2").get("q02_b").asDouble == 0.75)
+    assert(passes.get("probe").get("pass1").size == 2)
+  }
+
+  test("renderLines: failures land in errors, flaky queries keep surviving timing") {
+    val results = Seq(
+      Bench.QueryResult("q_dead", Left("Boom: x"), Left("Boom: x")),
+      Bench.QueryResult("q_flaky", Left("Boom: y"), Right(0.5)),
+    )
+    val lines = Bench.renderLines(results, Bench.Probes(0, 0, 0, 0), "/sf")
+    val detail = parseObj(lines(1))
+    assert(keys(detail.get("queries")) == Set("q_flaky")) // dead query NOT scored as ~0s
+    assert(detail.get("queries").get("q_flaky").asDouble == 0.5)
+    assert(keys(detail.get("errors")) == Set("q_dead", "q_flaky"))
+    assert(detail.get("errors").get("q_flaky").asText.startsWith("flaky (pass 1):"))
+    val last = parseObj(lines.last)
+    assert(last.get("nerrors").asInt == 2 && last.get("nqueries").asInt == 1)
+  }
+
+  test("fmt is locale-independent 3-decimal") {
+    assert(Bench.fmt(0.1234567) == "0.123")
+    assert(Bench.fmt(79.7815) == "79.782")
+    assert(Bench.fmt(12.0) == "12.000")
+  }
+
+  test("end-to-end: run() on a 2-query prefix produces the full contract") {
+    val result = Bench.run(spark, "/root/testdata/sf0.001",
+      Seq("q01", "q02"), probeRows = 100000L)
+    assert(result.failed.isEmpty, s"bench queries failed: ${result.failed}")
+    val last = parseObj(result.lines.last)
+    assert(last.get("metric").asText == "total")
+    assert(last.get("nqueries").asInt == 2)
+    assert(last.get("value").asDouble > 0.0)
+    assert(result.lines.last.length < 300)
+    val detail = parseObj(result.lines(1))
+    assert(keys(detail.get("queries")) == Set("q01_fraud_filter", "q02_top10_by_user"))
+  }
+}
