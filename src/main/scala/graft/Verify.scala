@@ -21,7 +21,10 @@ object Verify {
     // that fires before the write executes must leave NO output behind,
     // or a reused outDir would let the compare pass on stale results.
     def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      // listFiles() returns null on I/O error — guard, or one bad dir NPEs
+      // the whole verify run
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
       f.delete()
     }
     SparkEntry.queries

@@ -90,4 +90,10 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # strip flags before reading positionals: `compare.py --strict <sf> <out>`
+    # must not treat the flag as the sf dir
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(pos) != 2:
+        print(__doc__)
+        sys.exit(2)
+    sys.exit(main(pos[0], pos[1]))
