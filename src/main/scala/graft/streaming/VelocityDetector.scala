@@ -130,11 +130,13 @@ object VelocityDetector {
             Iterator.empty
           } else {
             state.update(EvState(pending, core1, lastSeen))
-            // wake when the earliest pending event can be sealed; with an
-            // empty buffer, expire TTL after the newest event ever seen
+            // wake when the earliest pending event can be sealed — the event
+            // at ts is sealable once the watermark REACHES ts (the watermark
+            // already embeds the delay; adding it again would fire every
+            // no-further-traffic alert one full delay late). With an empty
+            // buffer, expire TTL after the newest event ever seen.
             val next =
-              if (pending.nonEmpty)
-                pending.map(_.timestamp).min * 1000L + watermarkDelaySec * 1000L + 1
+              if (pending.nonEmpty) pending.map(_.timestamp).min * 1000L + 1
               else (lastSeen + stateTtlSec) * 1000L
             state.setTimeoutTimestamp(math.max(next, wmMs + 1))
             alerts.iterator

@@ -84,6 +84,33 @@ class VelocityDetectorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time alert for a key with NO further traffic fires at watermark-reach") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Txn]
+    val alerts = VelocityDetector.detectEventTime(mem.toDS(), watermarkDelaySec = 60)
+    val q = alerts.writeStream.format("memory").queryName("ev_wakeup")
+      .outputMode("append").start()
+    try {
+      // u1 trips the velocity rule (4 txns in 60s) and then goes silent
+      mem.addData(Txn("u1", 10, 100), Txn("u1", 11, 110),
+        Txn("u1", 12, 120), Txn("u1", 13, 130))
+      q.processAllAvailable()
+      // another key pushes the watermark to 195 - 60 = 135 — JUST past u1's
+      // last event (130). u1's buffered prefix is now sealable.
+      mem.addData(Txn("u2", 1, 195))
+      q.processAllAvailable()
+      // one more batch lets u1's wake-up timeout fire against wm = 135 s.
+      // The regression this guards: a wake-up of pending.min + delay
+      // (160 s here) would NOT have fired — the alert would wait a further
+      // full watermark delay for a key that never sends traffic again.
+      mem.addData(Txn("u2", 1, 196))
+      q.processAllAvailable()
+      val got = spark.table("ev_wakeup").as[Alert].collect()
+      assert(got.exists(a => a.userId == "u1" && a.kind == "velocity"),
+        s"alert must fire once the watermark reaches the event, got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("deviation alert fires on 3x the running mean after warm-up") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Txn]
