@@ -18,9 +18,14 @@ import org.apache.spark.sql.SparkSession
   *    neighbor CPU steal (observed 3 s → 19 s on an identical warm plan),
   *    and min-of-2 is the standard estimator for "the plan's cost" under
   *    external interference;
-  *  - a fixed-cost CPU probe runs before and after each measured pass. Its
-  *    plan never changes, so probe variance IS host interference — a reader
-  *    can tell "noisy host" from "slow plan" without a re-run.
+  *  - a fixed-cost CPU probe runs before and after each measured pass AND
+  *    every [[ProbeEvery]] queries inside it. Its plan never changes, so
+  *    probe variance IS host interference — a reader can attribute an
+  *    interference burst to a ~20-query span without a re-run;
+  *  - `main` also APPENDS the full `bench_detail` line to
+  *    `BENCH_detail_local.json` (override: SPARK_GRAFT_DETAIL_OUT), so
+  *    pass-level anomalies stay attributable from the repo even when only
+  *    the stdout tail is captured.
   */
 object Bench {
   /** Per-query outcome of the two measured passes. */
@@ -28,21 +33,31 @@ object Bench {
                                p1: Either[String, Double],
                                p2: Either[String, Double])
 
-  /** Probe seconds: (before pass 1, after pass 1, before pass 2, after pass 2). */
-  final case class Probes(p1Before: Double, p1After: Double, p2Before: Double, p2After: Double) {
-    def all: Seq[Double] = Seq(p1Before, p1After, p2Before, p2After)
+  /** Probe seconds per measured pass, in order: before the pass, one every
+    * [[ProbeEvery]] queries, after the pass. `pass2.head` is the shared
+    * boundary probe (`pass1.last`): pass 2 starts where pass 1 ended. */
+  final case class Probes(pass1: Seq[Double], pass2: Seq[Double]) {
+    /** All distinct probes in run order (the boundary probe once). */
+    def all: Seq[Double] = pass1 ++ pass2.drop(1)
   }
+
+  /** Queries between two mid-pass probes. */
+  val ProbeEvery = 20
 
   /** 3-decimal rendering, locale-independent (f"" uses the default locale). */
   def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
 
-  /** One-line JSON-safe error rendering: strip backslash, quote, and ALL
+  /** One-line JSON-safe string content: strip backslash, quote, and ALL
     * control chars (same rule as Verify's escaper — any raw control byte
-    * would make a line-oriented json.loads fail).
+    * would make a line-oriented json.loads fail). Applied to EVERYTHING
+    * interpolated into a JSON string literal, error messages and the sf
+    * dir alike — a quote in SPARK_GRAFT_SF_DIR must not corrupt the line.
     */
+  def jsonSafe(s: String): String =
+    String.valueOf(s).map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+
   def errMsg(e: Throwable): String =
-    (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-      .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c).take(200)
+    jsonSafe(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(200)
 
   /** Fixed-cost CPU probe: a pure-compute range aggregation with no IO and a
     * constant plan. Quiet-host cost is a small constant; anything above it is
@@ -60,13 +75,18 @@ object Bench {
   /** Render the stdout contract. Returns the lines IN PRINT ORDER:
     *
     *  1. `{"metric":"bench_detail",...}` — per-pass per-query seconds plus the
-    *     four probe timings; the full interference record. Printed first so a
-    *     bounded stdout-tail capture sheds it before the lines below.
-    *  2. `{"metric":"total","value":T,"unit":"sec","queries":{...},...}` — the
-    *     per-query detail line (min of the two passes, 3 decimals).
-    *  3. `{"metric":"total","value":T,"unit":"sec",...}` — a compact total-only
-    *     line, ALWAYS LAST and well under 300 bytes, so any tail window that
-    *     sees the end of stdout sees one complete parseable JSON line.
+    *     probe timings bracketing each ~20-query span; the full interference
+    *     record. Printed first so a bounded stdout-tail capture sheds it
+    *     before the lines below.
+    *  2. `{"metric":"total_detail","value":T,"unit":"sec","queries":{...}}` —
+    *     the per-query detail line (min of the two passes, 3 decimals). Its
+    *     metric name is DISTINCT from the compact line's so a tail-scanning
+    *     consumer grepping `metric":"total"` can never grab this (possibly
+    *     truncated) line by mistake.
+    *  3. `{"metric":"total","value":T,"unit":"sec",...}` — the compact
+    *     total-only line, ALWAYS LAST and well under 300 bytes, so any tail
+    *     window that sees the end of stdout sees one complete parseable JSON
+    *     line — and it is the ONLY line carrying `metric=total`.
     *
     * A failing query is recorded under `errors`, never as a timing — a
     * regression must be visible in the bench JSON, not scored as ~0 s. A
@@ -85,28 +105,28 @@ object Bench {
     def secObj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val sf = jsonSafe(sfDir)
 
     val total = ok.map(_._2).sum
     val passTotal1 = results.collect { case QueryResult(_, Right(a), _) => a }.sum
     val passTotal2 = results.collect { case QueryResult(_, _, Right(b)) => b }.sum
     val passTotals = s"[${fmt(passTotal1)},${fmt(passTotal2)}]"
-    val probeArr = probes.all.map(fmt).mkString("[", ",", "]")
+    def probeArr(ps: Seq[Double]): String = ps.map(fmt).mkString("[", ",", "]")
 
     val detail = {
       val p1 = results.collect { case QueryResult(k, Right(v), _) => k -> v }
       val p2 = results.collect { case QueryResult(k, _, Right(v)) => k -> v }
       s"""{"metric":"bench_detail","pass1":${secObj(p1)},"pass2":${secObj(p2)},""" +
-        s""""probe":{"pass1":[${fmt(probes.p1Before)},${fmt(probes.p1After)}],""" +
-        s""""pass2":[${fmt(probes.p2Before)},${fmt(probes.p2After)}]},""" +
-        s""""errors":$errJson,"sf":"$sfDir"}"""
+        s""""probe":{"pass1":${probeArr(probes.pass1)},"pass2":${probeArr(probes.pass2)}},""" +
+        s""""probe_every":$ProbeEvery,"errors":$errJson,"sf":"$sf"}"""
     }
     val perQuery =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${secObj(ok)},""" +
-        s""""errors":$errJson,"pass_totals":$passTotals,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":${secObj(ok)},""" +
+        s""""errors":$errJson,"pass_totals":$passTotals,"sf":"$sf"}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},""" +
         s""""nqueries":${ok.size},"nerrors":${errors.size},""" +
-        s""""pass_totals":$passTotals,"probe":$probeArr,"sf":"$sfDir"}"""
+        s""""pass_totals":$passTotals,"probe":${probeArr(probes.all)},"sf":"$sf"}"""
     Seq(detail, perQuery, compact)
   }
 
@@ -127,21 +147,27 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try runOne(fn) catch { case _: Throwable => () }
     }
-    def measuredPass(): Seq[(String, Either[String, Double])] = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { runOne(fn); name -> Right((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable => name -> Left(errMsg(e)) }
+    // one measured pass, with a probe between every ProbeEvery-query span
+    def measuredPass(): (Seq[(String, Either[String, Double])], Seq[Double]) = {
+      val mids = Seq.newBuilder[Double]
+      val timings = queries.zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % ProbeEvery == 0) mids += probeOnce(spark, probeRows)
+        val t0 = System.nanoTime()
+        try { runOne(fn); name -> Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => name -> Left(errMsg(e)) }
+      }
+      (timings, mids.result())
     }
     probeOnce(spark, probeRows) // probe warmup (JIT for the probe plan itself)
     val p1b = probeOnce(spark, probeRows)
-    val pass1 = measuredPass()
-    val p1a = probeOnce(spark, probeRows)
-    val p2b = p1a // pass 2 starts where pass 1 ended; one probe serves both
-    val pass2 = measuredPass()
+    val (pass1, mids1) = measuredPass()
+    val p1a = probeOnce(spark, probeRows) // boundary probe: ends pass 1, starts pass 2
+    val (pass2, mids2) = measuredPass()
     val p2a = probeOnce(spark, probeRows)
+    val probes = Probes((p1b +: mids1) :+ p1a, (p1a +: mids2) :+ p2a)
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) => QueryResult(name, a, b) }
     val failed = results.collect { case QueryResult(name, p1r, p2r) if p1r.isLeft || p2r.isLeft => name }
-    RunResult(renderLines(results, Probes(p1b, p1a, p2b, p2a), sfDir), failed)
+    RunResult(renderLines(results, probes, sfDir), failed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -160,6 +186,17 @@ object Bench {
     val prefixes = if (args.nonEmpty) args(0).split(",").toSeq else Seq("")
     val result = run(spark, sfDir, prefixes)
     result.lines.foreach(println)
+    // persist the forensic record: stdout-tail capture sheds the detail line,
+    // so append it to a committed JSONL artifact (best-effort — the bench
+    // contract is stdout; a read-only cwd must not fail the run)
+    val detailOut = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_detail_local.json")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detailOut),
+        result.lines.head + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not append detail to $detailOut: ${e.getMessage}")
+    }
     if (result.failed.nonEmpty)
       System.err.println(s"BENCH FAILURES: ${result.failed.mkString(", ")}")
     spark.stop()

@@ -23,12 +23,14 @@ class BenchOutputSpec extends SparkSpec {
 
   private def keys(n: JsonNode): Set[String] = n.fieldNames().asScala.toSet
 
+  private val probes = Bench.Probes(Seq(0.1, 0.2), Seq(0.2, 0.1))
+
   test("renderLines: last line is compact total-only JSON with metric=total") {
     val results = Seq(
       Bench.QueryResult("q01_a", Right(0.1234567), Right(0.2)),
       Bench.QueryResult("q02_b", Right(1.5), Right(0.75)),
     )
-    val lines = Bench.renderLines(results, Bench.Probes(0.1, 0.2, 0.2, 0.1), "/sf")
+    val lines = Bench.renderLines(results, probes, "/sf")
     assert(lines.size == 3)
 
     val last = parseObj(lines.last)
@@ -39,13 +41,14 @@ class BenchOutputSpec extends SparkSpec {
     assert(last.get("nqueries").asInt == 2 && last.get("nerrors").asInt == 0)
     assert(last.get("pass_totals").get(0).asDouble == 1.623)
     assert(last.get("pass_totals").get(1).asDouble == 0.95)
-    assert(last.get("probe").size == 4)
+    // distinct probes: pass1 fully, pass2 minus the shared boundary probe
+    assert(last.get("probe").size == 3)
     // must fit any plausible stdout-tail window with room to spare
     assert(lines.last.length < 300, s"compact line too long: ${lines.last.length}B")
 
     // the detailed line (line 2) carries per-query minimums at 3 decimals
     val detail = parseObj(lines(1))
-    assert(detail.get("metric").asText == "total")
+    assert(detail.get("metric").asText == "total_detail")
     assert(keys(detail.get("queries")) == Set("q01_a", "q02_b"))
     assert(detail.get("queries").get("q01_a").asDouble == 0.123)
     assert(detail.get("queries").get("q02_b").asDouble == 0.75)
@@ -55,6 +58,27 @@ class BenchOutputSpec extends SparkSpec {
     assert(passes.get("pass1").get("q02_b").asDouble == 1.5)
     assert(passes.get("pass2").get("q02_b").asDouble == 0.75)
     assert(passes.get("probe").get("pass1").size == 2)
+    assert(passes.get("probe_every").asInt == Bench.ProbeEvery)
+  }
+
+  test("renderLines: metric=total appears ONLY on the final compact line") {
+    val results = Seq(Bench.QueryResult("q01_a", Right(0.1), Right(0.1)))
+    val lines = Bench.renderLines(results, probes, "/sf")
+    val metrics = lines.map(l => parseObj(l).get("metric").asText)
+    assert(metrics == Seq("bench_detail", "total_detail", "total"))
+    assert(metrics.distinct.size == metrics.size,
+      s"a tail-scanning consumer grepping one metric must match one line: $metrics")
+  }
+
+  test("renderLines: quote/backslash/control chars in sfDir stay parseable") {
+    val results = Seq(Bench.QueryResult("q01_a", Right(0.1), Right(0.1)))
+    val evil = "/tmp/\"quoted\\path\n/sf0.1"
+    val lines = Bench.renderLines(results, probes, evil)
+    lines.foreach { l =>
+      val node = parseObj(l) // would throw if the interpolation corrupted JSON
+      val sf = node.get("sf").asText
+      assert(!sf.contains('"') && !sf.contains('\\') && !sf.contains('\n'))
+    }
   }
 
   test("renderLines: failures land in errors, flaky queries keep surviving timing") {
@@ -62,7 +86,7 @@ class BenchOutputSpec extends SparkSpec {
       Bench.QueryResult("q_dead", Left("Boom: x"), Left("Boom: x")),
       Bench.QueryResult("q_flaky", Left("Boom: y"), Right(0.5)),
     )
-    val lines = Bench.renderLines(results, Bench.Probes(0, 0, 0, 0), "/sf")
+    val lines = Bench.renderLines(results, Bench.Probes(Seq(0, 0), Seq(0, 0)), "/sf")
     val detail = parseObj(lines(1))
     assert(keys(detail.get("queries")) == Set("q_flaky")) // dead query NOT scored as ~0s
     assert(detail.get("queries").get("q_flaky").asDouble == 0.5)
@@ -88,6 +112,7 @@ class BenchOutputSpec extends SparkSpec {
     assert(last.get("value").asDouble > 0.0)
     assert(result.lines.last.length < 300)
     val detail = parseObj(result.lines(1))
+    assert(detail.get("metric").asText == "total_detail")
     assert(keys(detail.get("queries")) == Set("q01_fraud_filter", "q02_top10_by_user"))
   }
 }
