@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, regexp_replace}
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Source/sink surface beyond the reference's Kafka-only I/O
   * (`TransactionProcessor.java:27`): columnar + text formats, partitioned
@@ -32,16 +33,35 @@ object SourceSinks {
     * string column's "" survives as "", null survives as null). */
   private val CsvNull = "\\N"
 
+  /** The sentinel must not collide with DATA: a genuine string `\N` would
+    * round-trip to null. So the whole `\…\N` family is shifted one
+    * backslash on write (`\N` → `\\N`, `\\N` → `\\\N`, …) and shifted back
+    * on read — the bare on-disk token `\N` then UNIQUELY means null, and
+    * every string value (including literal `\N`) round-trips losslessly.
+    * Both rewrites are anchored single-pass regexes over string columns
+    * only — codegen'd, row-local, no measurable cost next to CSV parsing. */
+  private def mapStringCols(df: DataFrame, f: Column => Column): DataFrame =
+    df.schema.fields.filter(_.dataType == StringType).foldLeft(df) {
+      (d, fld) => d.withColumn(fld.name, f(col(fld.name)))
+    }
+
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true")
+    mapStringCols(df, c => regexp_replace(c, "^(\\\\+N)$", "\\\\$1"))
+      .write.mode("overwrite").option("header", "true")
       .option("nullValue", CsvNull).option("emptyValue", "\"\"")
+      // the WRITER trims whitespace by default — silently lossy for padded
+      // strings (" \N" would even collapse onto the null sentinel)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
   /** Explicit schema — no inference pass. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema)
-      .option("nullValue", CsvNull).option("emptyValue", "")
-      .csv(path)
+    mapStringCols(
+      spark.read.option("header", "true").schema(schema)
+        .option("nullValue", CsvNull).option("emptyValue", "")
+        .csv(path),
+      c => regexp_replace(c, "^\\\\(\\\\+N)$", "$1"))
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

@@ -53,6 +53,25 @@ class SourceSinksSpec extends SparkSpec {
     assert(back(2).isNullAt(1))           // null survives as null
   }
 
+  test("csv round-trip is lossless for the null-sentinel family of strings") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    // the regression this guards: a genuine "\N" string used to round-trip
+    // to null (the on-disk token collided with the nullValue sentinel)
+    val tricky: Seq[(Long, String)] = Seq(
+      1L -> "\\N", 2L -> "\\\\N", 3L -> "\\\\\\N", // \N, \\N, \\\N
+      4L -> "N", 5L -> "\\", 6L -> "\\N ", 7L -> " \\N", 8L -> "x\\Ny",
+      9L -> "", 10L -> null, 11L -> "plain", 12L -> "\\M", 13L -> "a,b")
+    val df = tricky.toDF("id", "s")
+    val dir = Files.createTempDirectory("graft_csv_sentinel").toString
+    SourceSinks.writeCsv(df, dir)
+    val back = SourceSinks.readCsv(spark, dir, schema).orderBy("id").collect()
+    tricky.sortBy(_._1).zip(back).foreach { case ((id, want), row) =>
+      if (want == null) assert(row.isNullAt(1), s"id=$id: expected null")
+      else assert(row.getString(1) === want, s"id=$id: ${row.getString(1)} != $want")
+    }
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     SourceSinks.writeBucketed(events.select("event_id", "user_id", "value"),
       "ev_bucketed", "user_id")
