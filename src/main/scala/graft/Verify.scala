@@ -21,11 +21,17 @@ object Verify {
     // that fires before the write executes must leave NO output behind,
     // or a reused outDir would let the compare pass on stale results.
     def deleteRecursively(f: java.io.File): Unit = {
-      // listFiles() returns null on I/O error — guard, or one bad dir NPEs
-      // the whole verify run
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
-      f.delete()
+      // listFiles() returns null on I/O error — warn, or one bad dir NPEs
+      // the whole verify run; a SILENT skip would leave stale output behind,
+      // which is exactly the stale-results-pass-compare hazard above
+      if (f.isDirectory) {
+        val children = f.listFiles()
+        if (children == null)
+          System.err.println(s"[verify] WARNING: cannot list $f — stale children may survive")
+        Option(children).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
+      }
+      if (!f.delete() && f.exists())
+        System.err.println(s"[verify] WARNING: could not delete stale $f")
     }
     SparkEntry.queries
       .filter { case (name, _) => prefixes.exists(name.startsWith) }

@@ -91,7 +91,14 @@ def main(sf_dir, out_dir):
 
 if __name__ == "__main__":
     # strip flags before reading positionals: `compare.py --strict <sf> <out>`
-    # must not treat the flag as the sf dir
+    # must not treat the flag as the sf dir. UNKNOWN flags are an error, not
+    # a silent fall-through: a typo like --sttrict would otherwise run in
+    # tolerance mode and defeat the strict hand-off check.
+    unknown = [a for a in sys.argv[1:] if a.startswith("--") and a != "--strict"]
+    if unknown:
+        print(f"unknown flag(s): {unknown}")
+        print(__doc__)
+        sys.exit(2)
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     if len(pos) != 2:
         print(__doc__)
