@@ -101,7 +101,8 @@ object SparkEntry {
     "q59_crossmodal_dups"  -> ((s, d) => SimilarityOps
       .pairCosine(DedupOps.lshPairs(Tables.documents(s, d)), Tables.embeddings(s, d))
       .select("a_id", "b_id", "jac", "cos").orderBy("a_id", "b_id")),
-    // §7.1 graft.ext — multimodal plumbing (decode stubbed; rows-only check)
+    // §7.1 graft.ext — multimodal plumbing (image decode REAL + oracle-
+    // checked against a decoder-free raster recomputation; audio/video stub)
     "q50_media_features"   -> ((s, d) =>
       graft.multimodal.MediaOps.mediaFeatureStats(s, Tables.documents(s, d))),
   )
@@ -344,5 +345,6 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS n
          FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token""",
-  ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++ PipelineOps.oracles
+  ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
+    PipelineOps.oracles ++ graft.multimodal.MediaOps.oracles
 }

@@ -240,11 +240,15 @@ object MediaOps {
     }
   }
 
-  /** q50 (rows-only check) — media pipeline end-to-end: corpus → ONE decode
-    * pass → per-kind stats. The image row carries REAL decoded facts
-    * (summed dimensions + an order-independent XOR of pixel checksums —
-    * bit_xor so combine order and overflow cannot perturb it); audio/video
-    * rows have null decode facts (their decode is the declared stub). */
+  /** q50 — media pipeline end-to-end: corpus → ONE decode pass → per-kind
+    * stats. The image row carries REAL decoded facts (summed dimensions +
+    * an order-independent XOR of pixel checksums — bit_xor so combine order
+    * and overflow cannot perturb it); audio/video rows have null decode
+    * facts (their decode is the declared stub). Fully oracle-checked: the
+    * raster is a pure integer function of (doc_id, x, y), so the oracle
+    * recomputes width/height/checksum WITHOUT a PNG decoder ([[oracles]]) —
+    * a hash match proves the encode → ImageIO decode → checksum path is the
+    * identity on that function (PNG losslessness included). */
   def mediaFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     decodeAll(fromDocuments(docs))
@@ -255,5 +259,48 @@ object MediaOps {
         sum(col("height").cast("long")).as("sum_height"),
         expr("bit_xor(checksum)").as("pixel_checksum_xor"))
       .orderBy("kind")
+  }
+
+  /** DuckDB oracle for [[mediaFeatureStats]] — computed, not literal.
+    *
+    * [[pngBytes]] fills pixel (x, y) with
+    * `rgb = ((seed*6364136223846793005 + (x*31 + y*131 + 17)*2654435761) >>> 16) & 0xFFFFFF`
+    * in wrapping Java long arithmetic, and [[pixelChecksum]] folds
+    * `h = 31*h + rgb` row-major from 1125899906842597. Both are emulated in
+    * exact HUGEINT arithmetic mod 2^64 (`>>> 16` = unsigned div by 65536,
+    * `& 0xFFFFFF` = mod 16777216; the signed long is recovered by
+    * subtracting 2^64 above 2^63), with the row-major pixel fold as a
+    * list_reduce over range(0, w*h) where x = i % w, y = i // w.
+    * The Spark side never sees these formulas — it decodes the actual PNG
+    * bytes with ImageIO — so a hash match independently verifies the whole
+    * encode/decode/checksum/aggregate path. */
+  def oracles: Map[String, String] = {
+    val U = "18446744073709551616" // 2^64
+    val px = s"((((doc_id::HUGEINT * 6364136223846793005 + " +
+      s"((i % w) * 31 + (i // w) * 131 + 17) * 2654435761) % $U + $U) % $U // 65536) % 16777216)"
+    Map("q50_media_features" ->
+      s"""WITH m AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(n_chars AS INTEGER) % 16 + 4 AS w,
+                   CAST(n_chars AS INTEGER) % 12 + 3 AS h
+            FROM documents),
+          chk AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - $U
+                             ELSE hu END AS BIGINT) AS cks
+            FROM (SELECT doc_id,
+                         list_reduce(
+                           list_prepend(1125899906842597::HUGEINT,
+                             list_transform(range(0, w*h), i -> $px)),
+                           (acc, p) -> (acc * 31 + p) % $U) AS hu
+                  FROM m WHERE kind = 'image'))
+          SELECT m.kind AS kind, COUNT(*) AS n_media,
+                 CAST(SUM(CASE WHEN m.kind = 'image' THEN m.w END) AS BIGINT) AS sum_width,
+                 CAST(SUM(CASE WHEN m.kind = 'image' THEN m.h END) AS BIGINT) AS sum_height,
+                 bit_xor(chk.cks) AS pixel_checksum_xor
+          FROM m LEFT JOIN chk ON m.doc_id = chk.doc_id
+          GROUP BY m.kind ORDER BY m.kind""")
   }
 }
