@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, RelationalOps}
+import graft.ops.{DedupOps, RelationalOps, SimilarityOps}
 
 /** Regression guards for the plan shapes the scale design depends on —
   * a refactor that silently reintroduces a join-then-aggregate or a global
@@ -36,6 +36,22 @@ class PlanShapeSpec extends SparkSpec {
     val distinctOnShingles = "keys=\\[doc_id#\\d+L?, shingle".r
     assert(distinctOnShingles.findFirstIn(plan).isEmpty,
       s"unexpected global distinct on shingle rows:\n${plan.take(1200)}")
+  }
+
+  test("q43/q55 ANN plans broadcast the bounded side; no nested-loop joins") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for ((name, df) <- Seq("q43" -> SimilarityOps.annLsh(emb),
+                           "q55" -> SimilarityOps.ivfAnn(emb))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // the query/probe/centroid side is bounded → must be a broadcast hash
+      // join, and NOTHING may degrade to a nested loop (the all-pairs shape
+      // the banding/probing exists to avoid — q42's bounded brute-force
+      // baseline is the only op allowed one)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: expected broadcast joins on the bounded side:\n${plan.take(1200)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name: nested-loop/cartesian join leaked into an ANN plan:\n${plan.take(1200)}")
+    }
   }
 
   test("q54 sessionization reuses ONE user_id exchange for both windows") {
