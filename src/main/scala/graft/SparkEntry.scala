@@ -16,18 +16,28 @@ object SparkEntry {
   private type Q = (SparkSession, String) => DataFrame
 
   /** q59's factored input: the q37 pair table, computed ONCE per (session,
-    * corpus) and persisted. This is the pipeline shape a real corpus build
-    * has — the dedup stage MATERIALIZES its pair table and every downstream
-    * consumer (cross-modal enrichment here) reads it, rather than re-running
-    * the whole LSH pipeline per consumer. The cached table is tiny (only
-    * pairs that survived the Jaccard verify), and the cache key includes the
-    * session so tests with short-lived sessions cannot collide. */
+    * corpus) and MATERIALIZED to a parquet snapshot. This is the pipeline
+    * shape a real corpus build has — the dedup stage writes its pair table
+    * to storage and every downstream consumer (cross-modal enrichment here)
+    * reads it, rather than re-running the whole LSH pipeline per consumer.
+    * A parquet snapshot, not `.persist()`, deliberately: Spark's cache
+    * manager substitutes a persisted plan into ANY query with the same
+    * canonical subtree, which would silently turn q37 itself into a cache
+    * read and leave the LSH pipeline cost measured nowhere. (long, long,
+    * double) columns round-trip parquet bit-exactly, so q59's hash is
+    * unchanged. The snapshot is tiny — only pairs that survived the
+    * Jaccard verify. */
   private val sharedLshPairs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def lshPairsShared(s: SparkSession, d: String): DataFrame =
-    sharedLshPairs.computeIfAbsent((s, d), k =>
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def lshPairsShared(s: SparkSession, d: String): DataFrame = {
+    val path = sharedLshPairs.computeIfAbsent((s, d), k => {
+      val out = java.nio.file.Files.createTempDirectory("graft_pairs_").toString
       DedupOps.lshPairs(Tables.documents(k._1, k._2))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
