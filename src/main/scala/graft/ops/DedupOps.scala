@@ -195,18 +195,21 @@ object DedupOps {
     val sh = simhash(docs)
     val keys = (0 until bands).map(b =>
       s"(${b.toLong << bits}L + (shiftright(simhash, ${b * bits}) & ${mask}L))")
-    val bandRows = sh.selectExpr("doc_id",
+    // the simhash rides along in the band rows (8 bytes next to the band
+    // key) so the hamming verify happens INSIDE the band join — no gather
+    // joins back to the signature table, and the dedup of pairs colliding
+    // in several bands shuffles only verified survivors. This is the
+    // payload-in-shuffle exception: for a fixed 8-byte payload the ride-
+    // along beats a re-gather; the vector ops ([[SimilarityOps]]) keep
+    // their 512-byte payloads OUT of the candidate shuffle instead.
+    val bandRows = sh.selectExpr("doc_id", "simhash",
       s"explode(array(${keys.mkString(", ")})) AS band")
-    val cand = bandRows.as("x").join(bandRows.as("y"),
+    bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    cand
-      .join(sh.selectExpr("doc_id AS a_id", "simhash AS sa"), "a_id")
-      .join(sh.selectExpr("doc_id AS b_id", "simhash AS sb"), "b_id")
-      .selectExpr("a_id", "b_id",
-        "CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming")
+      .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id",
+        "CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming")
       .filter(col("hamming") <= threshold)
+      .distinct() // multi-band collisions carry identical hamming
       .orderBy("a_id", "b_id")
   }
 
