@@ -188,11 +188,14 @@ object SimilarityOps {
         / (max("n") * max("n")).cast("double")).as("dist"))
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("dist"), col("cell"))
-    val assigned = dist.withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cell"))
-    val probes = dist.filter(col("vec_id") < NumQueries)
-      .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") <= nprobe)
+    // ONE ranking feeds both consumers: ranking is per-vec_id, so filtering
+    // the query ids after the window is identical to filtering before — and
+    // sharing the window input lets ReuseExchange materialize the expensive
+    // dist subtree (explode + broadcast join + agg) once instead of twice
+    val ranked = dist.withColumn("rn", row_number().over(byDist))
+    val assigned = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val probes = ranked
+      .filter(col("vec_id") < NumQueries && col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cell"))
     val all = vecs(emb)
     val cand = broadcast(probes).join(assigned, "cell")
