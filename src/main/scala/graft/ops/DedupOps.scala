@@ -50,20 +50,17 @@ object DedupOps {
     docs.selectExpr("doc_id", ShingleGen)
   }
 
-  /** Shingle rows WITHOUT the distinct shuffle — enough for MIN aggregates
-    * (idempotent over duplicates); Jaccard counting needs [[shingleRows]]. */
-  private def rawShingleRows(docs: DataFrame): DataFrame = {
-    graft.expressions.GraftFunctions.register(docs.sparkSession)
-    docs.selectExpr("doc_id",
-      "explode(graft_shingles(split(text, ' '), 3)) AS shingle")
-  }
-
   /** q36 — MinHash signature: per-doc min of k salted md5s over the shingle
     * rows — one hash-agg with k parallel MIN aggregates, partial map-side
-    * combine included. `numHashes` is a runtime dial: more hashes tighten
-    * the Jaccard estimate (σ ≈ 1/√k) at linear aggregate cost. */
+    * combine included. Consumes the per-doc-DISTINCT shingle rows: the
+    * dedup is row-local (`array_distinct`, no shuffle) and MIN is
+    * idempotent, so results are identical while every repeated shingle
+    * saves k md5 evaluations — on natural text the shingle dup rate makes
+    * the hash work, not the agg, the dominant cost. `numHashes` is a
+    * runtime dial: more hashes tighten the Jaccard estimate (σ ≈ 1/√k) at
+    * linear aggregate cost. */
   def minhashSignature(docs: DataFrame, numHashes: Int = NumHashes): DataFrame =
-    rawShingleRows(docs)
+    shingleRows(docs)
       .groupBy("doc_id")
       .agg(
         min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
