@@ -131,6 +131,67 @@ case class ShingleArray(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** SimHash over a token array: per token, the 60-bit hash is the first 15
+  * hex chars of md5 (= the top 60 bits of the digest, identical to
+  * `conv(substring(md5(t),1,15),16,10)`); each bit votes +1/-1 and the
+  * majority sets the output bit.
+  *
+  * Why a custom expression: the composed form explodes every token to a
+  * row and runs a `bits`-wide SUM aggregate — the votes cross a shuffle as
+  * 8·bits bytes of partials per document, and the exploded token rows (the
+  * corpus itself) must materialize. Per document the simhash is a pure
+  * row-local fold, so this expression removes the explode AND the shuffle
+  * entirely: one md5 per distinct token, one vote array on the stack.
+  * Matches the aggregate form bit-for-bit (same hash slice, same strict
+  * `> 0` majority, ties → 0; a null TOKEN votes -1 on every bit, exactly
+  * like the aggregate's `WHEN null THEN ... OTHERWISE -1` branch).
+  * `CodegenFallback`: md5 dominates, a generated loop adds nothing.
+  */
+case class SimHash64(child: Expression, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(bits >= 1 && bits <= 60, "simhash bits must be in [1, 60] (15 md5 hex chars)")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) {
+        var j = 0
+        while (j < bits) { votes(j) -= 1; j += 1 } // null hash: every bit-test fails
+      } else {
+        val d = org.apache.commons.codec.digest.DigestUtils.md5(
+          arr.getUTF8String(i).getBytes)
+        // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+        h = (h << 4) | ((d(7) >> 4) & 0xFL)
+        var j = 0
+        while (j < bits) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Function registration, both as a `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)`) and as an idempotent imperative
   * call for sessions the library does not construct. */
@@ -150,15 +211,25 @@ object GraftFunctions {
     ShingleArray(children.head, children(1).eval().asInstanceOf[Number].intValue())
   }
 
+  private val simhashIdent = FunctionIdentifier("graft_simhash")
+  private val simhashInfo = new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash")
+  private val simhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2 && children(1).foldable,
+      "graft_simhash(tokens, bits) takes an array and a literal bit width")
+    SimHash64(children.head, children(1).eval().asInstanceOf[Number].intValue())
+  }
+
   def registerAll(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((dotIdent, dotInfo, dotBuilder))
     ext.injectFunction((shinglesIdent, shinglesInfo, shinglesBuilder))
+    ext.injectFunction((simhashIdent, simhashInfo, simhashBuilder))
   }
 
   /** Idempotent: safe to call from every query builder. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(dotIdent, dotInfo, dotBuilder)
     spark.sessionState.functionRegistry.registerFunction(shinglesIdent, shinglesInfo, shinglesBuilder)
+    spark.sessionState.functionRegistry.registerFunction(simhashIdent, simhashInfo, simhashBuilder)
   }
 }
 

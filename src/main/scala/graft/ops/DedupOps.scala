@@ -151,24 +151,18 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** Per-token 60-bit hash: first 15 hex chars of md5, as a positive long. */
-  private val tokenHash =
-    "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
-
-  /** q39 — SimHash: explode distinct tokens, vote per bit (+1/-1 by the
-    * token-hash bit), majority → bit set. One shuffle by doc_id. */
+  /** q39 — SimHash: per distinct token a 60-bit md5 slice votes +1/-1 per
+    * bit, majority → bit set — computed ROW-LOCALLY by the native
+    * [[graft.expressions.SimHash64]] expression (one md5 per distinct
+    * token, no explode, NO SHUFFLE: the signature never leaves its scan
+    * partition, where the aggregate form shuffled 8·bits bytes of vote
+    * partials per document). The oracle keeps the explode+SUM formulation,
+    * so the expression's bit math is cross-checked hash-exactly. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS t")
-      .selectExpr("doc_id", s"$tokenHash AS h")
-    val votes = tok.groupBy("doc_id").agg(
-      sum(when(expr("shiftright(h, 0) & 1") === 1, 1).otherwise(-1)).as("v0"),
-      (1 until SimhashBits).map(j =>
-        sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j")): _*)
-    val sh = (0 until SimhashBits)
-      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    votes.select(col("doc_id"), sh.as("simhash")).orderBy("doc_id")
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id",
+      s"graft_simhash(array_distinct(split(text, ' ')), $SimhashBits) AS simhash")
+      .orderBy("doc_id")
   }
 
   /** q62 — SimHash-LSH pairs, the GLOBAL scale path: slice the 60-bit
