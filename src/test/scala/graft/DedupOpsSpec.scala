@@ -59,6 +59,39 @@ class DedupOpsSpec extends SparkSpec {
     assert(sh(1L) === sh(2L))
   }
 
+  test("simhash expression matches the explode + per-bit-vote aggregate form") {
+    // the native graft_simhash must be bit-identical to the formulation it
+    // replaced (which the DuckDB oracle still uses): explode distinct
+    // tokens, 60 conditional SUM votes over the md5-slice hash, majority
+    val d = docs
+    val viaExpr = DedupOps.simhash(d).as[(Long, Long)].collect().toMap
+    val tok = d.selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS t")
+      .selectExpr("doc_id", "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS h")
+    val votes = tok.groupBy("doc_id").agg(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.expr("shiftright(h, 0) & 1") === 1, 1).otherwise(-1)).as("v0"),
+      (1 until DedupOps.SimhashBits).map(j =>
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j")): _*)
+    val viaAgg = votes.collect().map { r =>
+      val doc = r.getLong(0)
+      val sh = (0 until DedupOps.SimhashBits).map { j =>
+        if (r.getLong(j + 1) > 0) 1L << j else 0L
+      }.sum
+      doc -> sh
+    }.toMap
+    assert(viaExpr === viaAgg)
+    // edge cases the corpus cannot hit: empty token array → 0 (no votes);
+    // a null token votes -1 everywhere (the aggregate's OTHERWISE branch)
+    graft.expressions.GraftFunctions.register(spark)
+    val edge = spark.sql(
+      """SELECT graft_simhash(array(), 60) AS e,
+                graft_simhash(array(CAST(NULL AS STRING)), 60) AS n""").collect()(0)
+    assert(edge.getLong(0) === 0L && edge.getLong(1) === 0L)
+  }
+
   test("simhash pairs: near-dups within hamming threshold, bucketed") {
     val pairs = DedupOps.simhashPairs(docs)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
