@@ -192,6 +192,75 @@ case class SimHash64(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature over a (distinct) shingle array: element k of the
+  * result is `min over shingles of md5Hex("k:" + shingle)` — byte-wise min
+  * over lowercase hex strings, identical to the SQL `min(md5(concat()))`
+  * aggregate and to the DuckDB `list_min(list_transform(...))` oracle form.
+  *
+  * Why a custom expression: the aggregate form explodes every shingle to a
+  * row and runs a k-wide MIN hash-aggregate — the exploded shingle rows
+  * (≈ the corpus) materialize and the per-doc partials cross a shuffle.
+  * The signature is a pure row-local fold, so this computes it in one pass
+  * per document with zero shuffle; the md5 work (k per distinct shingle)
+  * is identical in both forms. Empty input → null (callers filter, which
+  * matches the aggregate form silently dropping shingle-less docs).
+  * `CodegenFallback`: md5 dominates. */
+case class MinHashSignature(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1, "minhash family size must be >= 1")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = true // empty shingle set → null
+  override def prettyName: String = "graft_minhash"
+
+  // per-salt prefix bytes, computed once per expression instance
+  @transient private lazy val salts: Array[Array[Byte]] =
+    Array.tabulate(k)(i => (i.toString + ":").getBytes("UTF-8"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // track raw 16-byte digests: unsigned byte order == lowercase-hex
+    // string order, so only the k winners pay the hex conversion
+    val mins = new Array[Array[Byte]](k)
+    var i = 0
+    while (i < n) {
+      // null shingles cannot occur from the shingle generator; md5(null)
+      // is null in SQL and MIN skips nulls — so skipping matches exactly
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).getBytes
+        var kk = 0
+        while (kk < k) {
+          md.reset()
+          md.update(salts(kk))
+          md.update(s)
+          val d = md.digest()
+          val cur = mins(kk)
+          if (cur == null || java.util.Arrays.compareUnsigned(d, cur) < 0) mins(kk) = d
+          kk += 1
+        }
+      }
+      i += 1
+    }
+    if (mins(0) == null) return null // all-null shingle array: MIN over nulls
+    val out = new Array[Any](k)
+    var kk = 0
+    while (kk < k) {
+      out(kk) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        org.apache.commons.codec.binary.Hex.encodeHexString(mins(kk)))
+      kk += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Function registration, both as a `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)`) and as an idempotent imperative
   * call for sessions the library does not construct. */
@@ -211,6 +280,14 @@ object GraftFunctions {
     ShingleArray(children.head, children(1).eval().asInstanceOf[Number].intValue())
   }
 
+  private val minhashIdent = FunctionIdentifier("graft_minhash")
+  private val minhashInfo = new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash")
+  private val minhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2 && children(1).foldable,
+      "graft_minhash(shingles, k) takes an array and a literal family size")
+    MinHashSignature(children.head, children(1).eval().asInstanceOf[Number].intValue())
+  }
+
   private val simhashIdent = FunctionIdentifier("graft_simhash")
   private val simhashInfo = new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash")
   private val simhashBuilder: Seq[Expression] => Expression = { children =>
@@ -223,6 +300,7 @@ object GraftFunctions {
     ext.injectFunction((dotIdent, dotInfo, dotBuilder))
     ext.injectFunction((shinglesIdent, shinglesInfo, shinglesBuilder))
     ext.injectFunction((simhashIdent, simhashInfo, simhashBuilder))
+    ext.injectFunction((minhashIdent, minhashInfo, minhashBuilder))
   }
 
   /** Idempotent: safe to call from every query builder. */
@@ -230,6 +308,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(dotIdent, dotInfo, dotBuilder)
     spark.sessionState.functionRegistry.registerFunction(shinglesIdent, shinglesInfo, shinglesBuilder)
     spark.sessionState.functionRegistry.registerFunction(simhashIdent, simhashInfo, simhashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(minhashIdent, minhashInfo, minhashBuilder)
   }
 }
 

@@ -42,31 +42,37 @@ object DedupOps {
   /** The distinct-shingle generator — ONE definition of the tokenization +
     * shingle recipe, consumed by q36–q38 (a drift here would silently make
     * the dedup family disagree with itself). */
-  private val ShingleGen =
-    "explode(array_distinct(graft_shingles(split(text, ' '), 3))) AS shingle"
+  private val ShingleArrayGen = "array_distinct(graft_shingles(split(text, ' '), 3))"
+  private val ShingleGen = s"explode($ShingleArrayGen) AS shingle"
 
   def shingleRows(docs: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     docs.selectExpr("doc_id", ShingleGen)
   }
 
-  /** q36 — MinHash signature: per-doc min of k salted md5s over the shingle
-    * rows — one hash-agg with k parallel MIN aggregates, partial map-side
-    * combine included. Consumes the per-doc-DISTINCT shingle rows: the
-    * dedup is row-local (`array_distinct`, no shuffle) and MIN is
-    * idempotent, so results are identical while every repeated shingle
-    * saves k md5 evaluations — on natural text the shingle dup rate makes
-    * the hash work, not the agg, the dominant cost. `numHashes` is a
-    * runtime dial: more hashes tighten the Jaccard estimate (σ ≈ 1/√k) at
-    * linear aggregate cost. */
-  def minhashSignature(docs: DataFrame, numHashes: Int = NumHashes): DataFrame =
-    shingleRows(docs)
-      .groupBy("doc_id")
-      .agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
-        (1 until numHashes).map(k =>
-          min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"mh$k")): _*)
+  /** q36 — MinHash signature: element k is the min over distinct shingles
+    * of the salted md5 hex `md5("k:" + shingle)` — computed ROW-LOCALLY by
+    * the native [[graft.expressions.MinHashSignature]] expression (one
+    * fold per document: no shingle explode, NO SHUFFLE; the aggregate form
+    * materialized the corpus as shingle rows and shuffled k-wide MIN
+    * partials per doc). The md5 count is identical; the oracle keeps the
+    * list_min formulation, cross-checking the fold hash-exactly.
+    *
+    * Shape guards: the token-count filter sits BELOW the projection (it is
+    * cheap and equals the oracle's `len >= 3` — predicate pushdown must
+    * never be able to inline the expensive signature into a filter), and
+    * the sig[i] column split stays a SEPARATE projection (CollapseProject
+    * does not duplicate non-cheap expressions; `PlanShapeSpec` asserts one
+    * evaluation). `numHashes` is a runtime dial: more hashes tighten the
+    * Jaccard estimate (σ ≈ 1/√k) at linear per-row cost. */
+  def minhashSignature(docs: DataFrame, numHashes: Int = NumHashes): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .filter(expr("size(split(text, ' ')) >= 3")) // shingles exist ⇔ ≥ 3 tokens
+      .selectExpr("doc_id", s"graft_minhash($ShingleArrayGen, $numHashes) AS sig")
+      .selectExpr(("doc_id" +: (0 until numHashes).map(i => s"sig[$i] AS mh$i")): _*)
       .orderBy("doc_id")
+  }
 
   /** Exact Jaccard over candidate pairs, computed relationally: shared
     * shingles via an equi-join on the shingle string (shuffle on shingle),

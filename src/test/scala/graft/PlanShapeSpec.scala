@@ -54,6 +54,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q36 signature expression is evaluated once, with no shuffle") {
+    val plan = DedupOps.minhashSignature(docs).queryExecution.optimizedPlan.toString
+    // the sig[i] column split must NOT collapse the expensive expression
+    // into 8 copies, and no filter may inline it either (pushdown trap)
+    val evals = "graft_minhash".r.findAllIn(plan).length
+    assert(evals == 1, s"graft_minhash evaluated $evals times:\n${plan.take(1200)}")
+    val exec = DedupOps.minhashSignature(docs).queryExecution.executedPlan.toString
+    assert(!exec.contains("Exchange hashpartitioning"),
+      s"row-local signature must not shuffle:\n${exec.take(1200)}")
+  }
+
   test("q54 sessionization reuses ONE user_id exchange for both windows") {
     val plan = RelationalOps.sessionize(events).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
