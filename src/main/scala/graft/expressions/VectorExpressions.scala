@@ -131,6 +131,60 @@ case class ShingleArray(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Integer twin of [[DotProduct]]: dot product over two ARRAY<BIGINT>
+  * columns in exact int64 arithmetic (the hyperplane-LSH band keys dot
+  * 1e-6-quantized vectors against integer planes — associative, so unlike
+  * the double version no fold-order caveat applies; overflow wraps like
+  * the `aggregate(zip_with(...))` HOF form it replaces, unreachable at the
+  * quantizations used). Same null/ragged contract as the double version. */
+case class DotProductLong(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(org.apache.spark.sql.types.LongType),
+    ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true // ragged input → null
+  override def prettyName: String = "graft_dotl"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotlN")
+      val acc = ctx.freshName("dotlAcc")
+      val i = ctx.freshName("dotlI")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $acc += $a.getLong($i) * $b.getLong($i);
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SimHash over a token array: per token, the 60-bit hash is the first 15
   * hex chars of md5 (= the top 60 bits of the digest, identical to
   * `conv(substring(md5(t),1,15),16,10)`); each bit votes +1/-1 and the
@@ -280,6 +334,13 @@ object GraftFunctions {
     ShingleArray(children.head, children(1).eval().asInstanceOf[Number].intValue())
   }
 
+  private val dotlIdent = FunctionIdentifier("graft_dotl")
+  private val dotlInfo = new ExpressionInfo(classOf[DotProductLong].getName, "graft_dotl")
+  private val dotlBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "graft_dotl takes exactly 2 arguments")
+    DotProductLong(children.head, children(1))
+  }
+
   private val minhashIdent = FunctionIdentifier("graft_minhash")
   private val minhashInfo = new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash")
   private val minhashBuilder: Seq[Expression] => Expression = { children =>
@@ -301,6 +362,7 @@ object GraftFunctions {
     ext.injectFunction((shinglesIdent, shinglesInfo, shinglesBuilder))
     ext.injectFunction((simhashIdent, simhashInfo, simhashBuilder))
     ext.injectFunction((minhashIdent, minhashInfo, minhashBuilder))
+    ext.injectFunction((dotlIdent, dotlInfo, dotlBuilder))
   }
 
   /** Idempotent: safe to call from every query builder. */
@@ -309,6 +371,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(shinglesIdent, shinglesInfo, shinglesBuilder)
     spark.sessionState.functionRegistry.registerFunction(simhashIdent, simhashInfo, simhashBuilder)
     spark.sessionState.functionRegistry.registerFunction(minhashIdent, minhashInfo, minhashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(dotlIdent, dotlInfo, dotlBuilder)
   }
 }
 

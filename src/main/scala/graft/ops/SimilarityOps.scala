@@ -61,7 +61,9 @@ object SimilarityOps {
     val bits = (0 until planesPerBand).map { p =>
       val g = band * planesPerBand + p
       val wq = (0 until Dim).map(d => s"${plane(g, d)}L").mkString("array(", ", ", ")")
-      s"(CASE WHEN aggregate(zip_with($vq, $wq, (x, y) -> x * y), 0L, (acc, x) -> acc + x) > 0L THEN ${1L << p}L ELSE 0L END)"
+      // graft_dotl: the codegen'd integer twin of graft_dot — the HOF fold
+      // interprets a lambda per element, 32 of these per vector add up
+      s"(CASE WHEN graft_dotl($vq, $wq) > 0L THEN ${1L << p}L ELSE 0L END)"
     }
     bits.mkString(s"(${band.toLong << planesPerBand}L + ", " + ", ")")
   }

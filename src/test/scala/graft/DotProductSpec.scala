@@ -81,6 +81,26 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("graft_dotl equals the integer HOF fold; null/ragged contract matches") {
+    withFn {
+      val df = Seq((Seq(3L, -7L, 11L), Seq(2L, 5L, -4L)))
+        .toDF("a", "b")
+        .selectExpr(
+          "graft_dotl(a, b) AS native",
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS hof")
+      val r = df.collect().head
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(0) === 3L * 2 + -7L * 5 + 11L * -4)
+      val ragged = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .selectExpr("graft_dotl(a, b) AS d").collect().head
+      assert(ragged.isNullAt(0))
+      // int columns implicit-cast to ARRAY<BIGINT> like the double twin
+      val cast = Seq((Seq(2, 3), Seq(4, 5))).toDF("a", "b")
+        .selectExpr("graft_dotl(a, b) AS d").collect().head
+      assert(cast.getLong(0) === 23L)
+    }
+  }
+
   test("expression survives both codegen and interpreted paths") {
     withFn {
       val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
