@@ -212,14 +212,16 @@ case class SimHash64(child: Expression, bits: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](bits)
+    val md = java.security.MessageDigest.getInstance("MD5") // reused per row
     var i = 0
     while (i < arr.numElements()) {
       if (arr.isNullAt(i)) {
         var j = 0
         while (j < bits) { votes(j) -= 1; j += 1 } // null hash: every bit-test fails
       } else {
-        val d = org.apache.commons.codec.digest.DigestUtils.md5(
-          arr.getUTF8String(i).getBytes)
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
         // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
         var h = 0L
         var b = 0

@@ -42,7 +42,8 @@ object DedupOps {
   /** The distinct-shingle generator — ONE definition of the tokenization +
     * shingle recipe, consumed by q36–q38 (a drift here would silently make
     * the dedup family disagree with itself). */
-  private val ShingleArrayGen = "array_distinct(graft_shingles(split(text, ' '), 3))"
+  private val ShingleN = 3    // n-gram width — single source for gen + filters
+  private val ShingleArrayGen = s"array_distinct(graft_shingles(split(text, ' '), $ShingleN))"
   private val ShingleGen = s"explode($ShingleArrayGen) AS shingle"
 
   def shingleRows(docs: DataFrame): DataFrame = {
@@ -68,7 +69,7 @@ object DedupOps {
   def minhashSignature(docs: DataFrame, numHashes: Int = NumHashes): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     docs
-      .filter(expr("size(split(text, ' ')) >= 3")) // shingles exist ⇔ ≥ 3 tokens
+      .filter(expr(s"size(split(text, ' ')) >= $ShingleN")) // shingles exist ⇔ ≥ n tokens
       .selectExpr("doc_id", s"graft_minhash($ShingleArrayGen, $numHashes) AS sig")
       .selectExpr(("doc_id" +: (0 until numHashes).map(i => s"sig[$i] AS mh$i")): _*)
       .orderBy("doc_id")
@@ -166,8 +167,13 @@ object DedupOps {
     * so the expression's bit math is cross-checked hash-exactly. */
   def simhash(docs: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
-    docs.selectExpr("doc_id",
-      s"graft_simhash(array_distinct(split(text, ' ')), $SimhashBits) AS simhash")
+    docs
+      // the explode+aggregate form (and the oracle) DROP a null-text doc
+      // (zero token rows); null-propagation through the expression would
+      // instead emit a (doc_id, NULL) row — filter to match exactly
+      .filter(expr("text IS NOT NULL"))
+      .selectExpr("doc_id",
+        s"graft_simhash(array_distinct(split(text, ' ')), $SimhashBits) AS simhash")
       .orderBy("doc_id")
   }
 

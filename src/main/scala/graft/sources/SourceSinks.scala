@@ -42,7 +42,9 @@ object SourceSinks {
     * only — codegen'd, row-local, no measurable cost next to CSV parsing. */
   private def mapStringCols(df: DataFrame, f: Column => Column): DataFrame =
     df.schema.fields.filter(_.dataType == StringType).foldLeft(df) {
-      (d, fld) => d.withColumn(fld.name, f(col(fld.name)))
+      // backtick-quote: a dotted column name must reference the column
+      // literally, not parse as a struct-field path
+      (d, fld) => d.withColumn(fld.name, f(col(s"`${fld.name}`")))
     }
 
   def writeCsv(df: DataFrame, path: String): Unit =

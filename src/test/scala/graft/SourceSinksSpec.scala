@@ -53,6 +53,16 @@ class SourceSinksSpec extends SparkSpec {
     assert(back(2).isNullAt(1))           // null survives as null
   }
 
+  test("csv escape handles dotted column names (literal reference, not a path)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s.dotted", StringType)))
+    val df = Seq((1L, "\\N"), (2L, "x")).toDF("id", "s.dotted")
+    val dir = Files.createTempDirectory("graft_csv_dotted").toString
+    SourceSinks.writeCsv(df, dir)
+    val back = SourceSinks.readCsv(spark, dir, schema).orderBy("id").collect()
+    assert(back(0).getString(1) === "\\N" && back(1).getString(1) === "x")
+  }
+
   test("csv round-trip is lossless for the null-sentinel family of strings") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))

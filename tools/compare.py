@@ -8,12 +8,18 @@ oracle_sql.json, loads the Spark result parquet, sorts columns by name,
 and compares row-by-row (exact for ints/strings, tight tolerance for floats,
 microsecond-equality for timestamps).
 
+Values are fetched natively (fetchall), NOT via pandas: a nullable BIGINT
+column becomes float64 in a DataFrame, which silently rounds 64-bit values
+(e.g. pixel checksums) to 53-bit doubles — low-bit regressions would pass
+locally and fail the driver's exact hash compare.
+
 --strict compares floats BIT-EXACTLY (doubleToRawBits equality, the
 driver's hash-compare standard) instead of with the 1e-9 tolerance — run
 it before every round hand-off: a tolerance-passing, hash-failing float
 is exactly the regression the default mode can mask.
 """
 import sys, json, math, glob, struct
+import datetime
 import duckdb
 
 STRICT = "--strict" in sys.argv
@@ -22,13 +28,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        return v
+    # DATE vs TIMESTAMP-at-midnight are hash-equal on the driver (pandas
+    # upcasts both to datetime64); mirror that here
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return datetime.datetime.combine(v, datetime.time())
     return v
 
 def eq(a, b):
+    a, b = norm(a), norm(b)
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
@@ -43,6 +50,14 @@ def eq(a, b):
         return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
 
+def fetch(con, sql):
+    """(sorted column names, rows with cells in sorted-column order)."""
+    rel = con.sql(sql)
+    cols = [d[0] for d in rel.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [[r[i] for i in order] for r in rel.fetchall()]
+    return [cols[i] for i in order], rows
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -51,7 +66,7 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.sql(sql).df()
+            ecols, exp = fetch(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -61,11 +76,9 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
-        exp = exp.reindex(sorted(exp.columns), axis=1)
-        got = got.reindex(sorted(got.columns), axis=1)
-        if list(exp.columns) != list(got.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(exp.columns)}")
+        gcols, got = fetch(con, f"SELECT * FROM read_parquet({files!r})")
+        if ecols != gcols:
+            print(f"FAIL {name}: columns {gcols} vs oracle {ecols}")
             n_fail += 1
             continue
         if len(exp) != len(got):
@@ -74,9 +87,9 @@ def main(sf_dir, out_dir):
             continue
         bad = None
         for i in range(len(exp)):
-            for c in exp.columns:
-                if not eq(norm(got[c].iloc[i]), norm(exp[c].iloc[i])):
-                    bad = (i, c, got[c].iloc[i], exp[c].iloc[i])
+            for j, c in enumerate(ecols):
+                if not eq(got[i][j], exp[i][j]):
+                    bad = (i, c, got[i][j], exp[i][j])
                     break
             if bad:
                 break
