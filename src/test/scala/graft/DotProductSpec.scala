@@ -101,6 +101,33 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects every native function via the standard hook") {
+    // the spark.sql.extensions / withExtensions path a user configures —
+    // getOrCreate only applies extensions when building a NEW session, so
+    // clear the defaults and build one over the existing SparkContext
+    val S = org.apache.spark.sql.SparkSession
+    S.clearActiveSession()
+    S.clearDefaultSession()
+    try {
+      val s2 = S.builder().master("local[2]")
+        .withExtensions(new graft.expressions.GraftExtensions).getOrCreate()
+      val r = s2.sql(
+        """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                  graft_dotl(array(2L, 3L), array(4L, 5L)) AS l,
+                  graft_shingles(array('a', 'b', 'c'), 2) AS g,
+                  graft_simhash(array('tok'), 60) AS s,
+                  graft_minhash(array('a b c'), 2) AS m""").collect()(0)
+      assert(r.getDouble(0) === 11.0)
+      assert(r.getLong(1) === 23L)
+      assert(r.getSeq[String](2) === Seq("a b", "b c"))
+      assert(r.getLong(3) !== 0L)
+      assert(r.getSeq[String](4).length === 2)
+    } finally {
+      S.setDefaultSession(spark)
+      S.setActiveSession(spark)
+    }
+  }
+
   test("expression survives both codegen and interpreted paths") {
     withFn {
       val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
