@@ -83,7 +83,7 @@ object SparkEntry {
     "q20_distinct_users_per_type" -> ((s, d) =>
       RelationalOps.distinctUsersPerType(Tables.events(s, d))),
     "q21_approx_distinct"  -> ((s, d) =>
-      RelationalOps.approxDistinctUsers(Tables.events(s, d))),
+      RelationalOps.approxDistinctChecked(Tables.events(s, d))),
     "q22_revenue_by_brand" -> ((s, d) =>
       RelationalOps.revenueByBrand(Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d))),
     "q23_running_spend"    -> ((s, d) => RelationalOps.runningSpend(Tables.orders(s, d))),
@@ -92,7 +92,8 @@ object SparkEntry {
     "q26_string_funcs"     -> ((s, d) => RelationalOps.customerNameFeatures(Tables.customer(s, d))),
     "q27_value_histogram"  -> ((s, d) => RelationalOps.valueHistogram(Tables.events(s, d))),
     "q28_percentiles"      -> ((s, d) => RelationalOps.valuePercentiles(Tables.events(s, d))),
-    "q53_approx_percentiles" -> ((s, d) => RelationalOps.approxPercentiles(Tables.events(s, d))),
+    "q53_approx_percentiles" -> ((s, d) =>
+      RelationalOps.approxPercentilesChecked(Tables.events(s, d))),
     "q54_sessionize"       -> ((s, d) => RelationalOps.sessionize(Tables.events(s, d))),
     "q29_order_sequence"   -> ((s, d) => RelationalOps.orderSequence(Tables.orders(s, d))),
     "q46_users_in_either"  -> ((s, d) => RelationalOps.usersInEither(Tables.events(s, d))),
@@ -245,7 +246,12 @@ object SparkEntry {
     "q20_distinct_users_per_type" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
-    // q21_approx_distinct: HLL++ sketch — not DuckDB-comparable, rows-only check.
+    // q21: the HLL++ estimate is not DuckDB-reproducible; the query emits the
+    // exact count plus a sketch-within-tolerance boolean instead (the q50
+    // computed-vs-oracle pattern), so a degraded sketch fails the hash.
+    "q21_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, TRUE AS hll_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q22_revenue_by_brand" ->
       """SELECT p_brand,
                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
@@ -310,8 +316,15 @@ object SparkEntry {
                 (cl_p95 + ((nn - 1) * CAST(0.95 AS DOUBLE) - FLOOR((nn - 1) * CAST(0.95 AS DOUBLE)))
                    * (ch_p95 - cl_p95)) / 100.0 AS p95
          FROM a ORDER BY event_type""",
-    // q53_approx_percentiles: t-digest sketch — not DuckDB-comparable, rows-only
-    // check; accuracy vs q28's exact values asserted in RelationalOpsSpec.
+    // q53: the percentile sketch values are not DuckDB-reproducible; the
+    // query emits the non-null count plus one rank-containment boolean per
+    // percentile (q50 pattern) — a drifting sketch flips a boolean and
+    // fails the hash. Exact-value accuracy additionally asserted vs q28 in
+    // RelationalOpsSpec.
+    "q53_approx_percentiles" ->
+      """SELECT event_type, COUNT(value) AS n_values,
+                TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q54_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
          f AS (SELECT user_id, event_id, us,

@@ -129,14 +129,36 @@ object RelationalOps {
 
   /** Approximate distinct (HLL++) — the sketch path for cardinalities at
     * 100 TB where exact distinct would shuffle every key. Deterministic for
-    * a fixed input but NOT DuckDB-comparable → no oracle entry (SURVEY
-    * §7.4). Accuracy bound: default relative standard deviation 0.05;
-    * `RelationalOpsSpec` asserts every estimate lands within 3×rsd of
-    * [[distinctUsersPerType]]'s exact count on the testdata. */
+    * a fixed input but NOT DuckDB-comparable; q21 grades the sketch through
+    * [[approxDistinctChecked]] instead. Accuracy bound: default relative
+    * standard deviation 0.05; `RelationalOpsSpec` asserts every estimate
+    * lands within 3×rsd of [[distinctUsersPerType]]'s exact count. */
   def approxDistinctUsers(events: DataFrame): DataFrame =
     events
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .orderBy("event_type")
+
+  /** q21 — [[approxDistinctUsers]] in ORACLE-GRADABLE form (the q50
+    * computed-vs-oracle pattern). The HLL++ estimate itself is not
+    * DuckDB-reproducible, so the query emits what DuckDB CAN recompute —
+    * the exact distinct count — plus `hll_ok`, asserting the sketch landed
+    * within `relTol` of it. A degraded sketch flips the boolean and fails
+    * the hash compare, so the oracle genuinely gates the approximate path.
+    * `relTol` defaults to 3×rsd (rsd = 0.05), the same deterministic bound
+    * `RelationalOpsSpec` asserts.
+    * Scale: both aggregates are map-side-combinable partials over one scan
+    * of the same shuffle — no extra pass vs the unchecked form (the exact
+    * distinct is the grading harness; at 100 TB you run the sketch alone). */
+  def approxDistinctChecked(events: DataFrame, relTol: Double = 0.15): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("est"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("est") - col("n_users")).cast("double")
+          <= lit(relTol) * col("n_users").cast("double")).as("hll_ok"))
       .orderBy("event_type")
 
   /** Multi-way broadcast join: lineitem ⋈ part ⋈ supplier, revenue per brand.
@@ -228,9 +250,10 @@ object RelationalOps {
     agg.select(outCols: _*).orderBy("event_type")
   }
 
-  /** q53 — approximate percentiles (t-digest style sketch): the single-pass,
+  /** Approximate percentiles (GK/KLL-style sketch): the single-pass,
     * no-global-sort path for 100 TB quantiles. Deterministic for a fixed
-    * input but not DuckDB-expressible → rows-only check; accuracy is
+    * input but not DuckDB-expressible; q53 grades the sketch through
+    * [[approxPercentilesChecked]] instead. Exact-value accuracy is
     * asserted against [[valuePercentiles]] in `RelationalOpsSpec`
     * (approx_percentile with accuracy 10000 is exact-rank within 1/10000
     * of the input size). */
@@ -242,6 +265,50 @@ object RelationalOps {
         expr("approx_percentile(value, 0.95, 10000)").as("p95_approx"),
         expr("approx_percentile(value, 0.99, 10000)").as("p99_approx"))
       .orderBy("event_type")
+
+  /** q53 — [[approxPercentiles]] in ORACLE-GRADABLE form (the q50
+    * computed-vs-oracle pattern). The sketch values are not
+    * DuckDB-reproducible, so the query emits the non-null count — which
+    * DuckDB CAN recompute — plus one rank-containment boolean per
+    * percentile (see [[percentileRankCheck]]). A sketch that drifts outside
+    * its rank guarantee flips a boolean and fails the hash compare.
+    * Scale: the sketch agg is one map-side-combinable pass; the check is a
+    * second scan with the 5-row estimate table broadcast — the same
+    * validate-on-sample shape a 100 TB pipeline would run (and would run on
+    * a sampled slice, not the full corpus). */
+  def approxPercentilesChecked(events: DataFrame, eps: Double = 0.01): DataFrame =
+    percentileRankCheck(events,
+      events.groupBy("event_type").agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("a_p50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("a_p95"),
+        expr("approx_percentile(value, 0.99, 10000)").as("a_p99")),
+      eps)
+
+  /** Rank containment: estimate x for quantile p is accepted iff
+    * |{v < x}| ≤ (p+eps)·n and |{v ≤ x}| ≥ (p−eps)·n — the defining
+    * property of an eps-approximate quantile. Robust to ties (duplicated
+    * values move both counts past the target together) and to value gaps
+    * (any value inside the valid quantile band is accepted — which is the
+    * honest semantics of an approximate answer). `estimates` must carry
+    * one row per `event_type` with `a_p50`/`a_p95`/`a_p99`; injectable so
+    * the spec can prove a wrong estimate flips the boolean. */
+  private[graft] def percentileRankCheck(events: DataFrame, estimates: DataFrame,
+      eps: Double): DataFrame = {
+    val ps = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
+    val joined = events.join(broadcast(estimates), Seq("event_type"))
+    val aggs = ps.flatMap { case (name, _) => Seq(
+      count(when(col("value") < col(s"a_$name"), 1)).as(s"lt_$name"),
+      count(when(col("value") <= col(s"a_$name"), 1)).as(s"le_$name")) }
+    val counted = joined.groupBy("event_type")
+      .agg(count(col("value")).as("n_values"), aggs: _*)
+    val okCols = ps.map { case (name, p) =>
+      ((col(s"lt_$name").cast("double")
+          <= (lit(p) + lit(eps)) * col("n_values").cast("double")) &&
+       (col(s"le_$name").cast("double")
+          >= (lit(p) - lit(eps)) * col("n_values").cast("double"))).as(s"ok_$name") }
+    counted.select(col("event_type") +: col("n_values") +: okCols: _*)
+      .orderBy("event_type")
+  }
 
   /** Analytic functions beyond frames: lag/lead/first/last over a
     * deterministic per-customer order sequence. */

@@ -108,5 +108,49 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("q21 checked form: hll_ok true on real data, false when the bound is unmeetable") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val events = Tables.events(spark, s"/root/testdata/$sf")
+      val ok = RelationalOps.approxDistinctChecked(events)
+        .select("hll_ok").as[Boolean].collect()
+      assert(ok.nonEmpty && ok.forall(identity), s"$sf: sketch outside 3×rsd")
+    }
+    // the boolean is computed, not a literal: a negative tolerance can
+    // never be met, so every row must flip to false
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val flipped = RelationalOps.approxDistinctChecked(events, relTol = -1.0)
+      .select("hll_ok").as[Boolean].collect()
+    assert(flipped.forall(!_))
+  }
+
+  test("q53 checked form: rank containment holds on real data") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val events = Tables.events(spark, s"/root/testdata/$sf")
+      val rows = RelationalOps.approxPercentilesChecked(events)
+        .select("ok_p50", "ok_p95", "ok_p99")
+        .as[(Boolean, Boolean, Boolean)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (a, b, c) => assert(a && b && c, s"$sf: sketch outside eps") }
+    }
+  }
+
+  test("q53 rank check rejects an estimate outside the quantile band") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    // feed the p50 slot an estimate near the maximum: |{v < max}|/n >> 0.51,
+    // so ok_p50 must be false while the honest p95/p99 slots stay green
+    val wrong = events.groupBy("event_type").agg(
+      org.apache.spark.sql.functions.expr("max(value) - 0.001").as("a_p50"),
+      org.apache.spark.sql.functions.expr("approx_percentile(value, 0.95, 10000)").as("a_p95"),
+      org.apache.spark.sql.functions.expr("approx_percentile(value, 0.99, 10000)").as("a_p99"))
+    val rows = RelationalOps.percentileRankCheck(events, wrong, eps = 0.01)
+      .select("ok_p50", "ok_p95", "ok_p99")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p50Ok, p95Ok, p99Ok) =>
+      assert(!p50Ok, "max-valued estimate must fail the p50 containment")
+      assert(p95Ok && p99Ok)
+    }
+  }
+
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 }
