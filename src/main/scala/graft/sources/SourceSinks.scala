@@ -65,6 +65,17 @@ object SourceSinks {
         .csv(path),
       c => regexp_replace(c, "^\\\\(\\\\+N)$", "$1"))
 
+  /** ORC: the other columnar format large estates standardize on. Same
+    * pruning/pushdown properties as parquet (stripe-level statistics,
+    * predicate pushdown, column projection — asserted in
+    * `SourceSinksSpec`), so data living in ORC needs no parquet rewrite
+    * before this engine can query it efficiently. */
+  def writeOrcPartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 

@@ -65,6 +65,18 @@ class PlanShapeSpec extends SparkSpec {
       s"row-local signature must not shuffle:\n${exec.take(1200)}")
   }
 
+  test("q53 rank check broadcasts the 5-row estimate table") {
+    val plan = RelationalOps.approxPercentilesChecked(events)
+      .queryExecution.executedPlan.toString
+    // the per-type sketch estimates join back to the full scan — that side
+    // is bounded by the number of event types and must never shuffle the
+    // fact scan for the join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"estimate side must broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"rank-check join degraded to a fact-side shuffle:\n${plan.take(1200)}")
+  }
+
   test("q54 sessionization reuses ONE user_id exchange for both windows") {
     val plan = RelationalOps.sessionize(events).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length

@@ -27,6 +27,22 @@ class SourceSinksSpec extends SparkSpec {
     assert(scanDesc.contains("PartitionFilters"), scanDesc.take(400))
   }
 
+  test("orc round-trips, prunes partitions, and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    SourceSinks.writeOrcPartitioned(events, dir, "day")
+    val back = SourceSinks.readOrc(spark, dir)
+    assert(back.orderBy("event_id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    val pruned = back.filter(col("day") === "2024-01-01" && col("value") > 100.0)
+      .select("event_id", "value")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PartitionFilters"), scanDesc.take(400))
+    // the value predicate must reach the ORC reader, not evaluate post-scan
+    assert(scanDesc.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)")
+      || scanDesc.contains("GreaterThan(value,100.0)"), scanDesc.take(800))
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("csv and json round-trip with explicit schemas (no inference pass)") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("day", StringType),
