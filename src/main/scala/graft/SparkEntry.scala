@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{DedupOps, EventOps, PipelineOps, RelationalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, EventOps, PipelineOps, RelationalOps, SimilarityOps, SketchOps, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (parity surface) and §7.3-7.4 (breadth + extended surface),
@@ -104,6 +104,9 @@ object SparkEntry {
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q51_cohort_pivot"     -> ((s, d) => RelationalOps.cohortTypePivot(Tables.events(s, d))),
     "q52_token_frequencies" -> ((s, d) => RelationalOps.tokenFrequencies(Tables.documents(s, d))),
+    // heavy hitters: mergeable Misra-Gries candidates (no token shuffle) +
+    // exact re-count — output is exact, so the oracle is a plain HAVING
+    "q64_heavy_hitters"    -> ((s, d) => SketchOps.heavyHitters(Tables.documents(s, d))),
     // §7.1 graft.ext — text analysis over `documents`
     "q30_token_stats"      -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q31_quality_score"    -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -395,5 +398,5 @@ object SparkEntry {
          FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token""",
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-    PipelineOps.oracles ++ graft.multimodal.MediaOps.oracles
+    PipelineOps.oracles ++ SketchOps.oracles ++ graft.multimodal.MediaOps.oracles
 }
