@@ -40,5 +40,7 @@ object Catalog {
     ops.SimilarityOps.annLsh(emb).createOrReplaceTempView("embedding_ann")
     ops.RelationalOps.sessionize(spark.table("events"))
       .createOrReplaceTempView("user_sessions")
+    ops.SketchOps.heavyHitters(docs)
+      .createOrReplaceTempView("token_heavy_hitters")
   }
 }

@@ -37,5 +37,6 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM doc_neardup_pairs WHERE jac >= 0.5").count() > 0)
     assert(spark.sql(
       "SELECT q_id, COUNT(*) AS k FROM embedding_ann GROUP BY q_id").count() > 0)
+    assert(spark.sql("SELECT * FROM token_heavy_hitters").count() > 0)
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, RelationalOps, SimilarityOps}
+import graft.ops.{DedupOps, RelationalOps, SimilarityOps, SketchOps}
 
 /** Regression guards for the plan shapes the scale design depends on —
   * a refactor that silently reintroduces a join-then-aggregate or a global
@@ -75,6 +75,20 @@ class PlanShapeSpec extends SparkSpec {
       s"estimate side must broadcast:\n${plan.take(1200)}")
     assert(!plan.contains("SortMergeJoin"),
       s"rank-check join degraded to a fact-side shuffle:\n${plan.take(1200)}")
+  }
+
+  test("q64 shuffles tokens once at most (re-count only); aux sides broadcast") {
+    val plan = SketchOps.heavyHitters(docs).queryExecution.executedPlan.toString
+    // the MG candidate pass reduces partitions to k-entry summaries — the
+    // ONLY token-keyed exchange allowed is pass 2's <= k-key re-count
+    val tokenShuffles = "hashpartitioning\\(token".r.findAllIn(plan).length
+    assert(tokenShuffles <= 1,
+      s"candidate pass leaked a token shuffle ($tokenShuffles):\n${plan.take(1200)}")
+    // candidates and the 1-row total must both broadcast into the re-count
+    val bcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(bcasts >= 2, s"expected broadcast aux sides:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"re-count degraded to a fact-side shuffle join:\n${plan.take(1200)}")
   }
 
   test("q54 sessionization reuses ONE user_id exchange for both windows") {
