@@ -135,7 +135,15 @@ object DedupOps {
     * construction. The df filter is one map-side-combined count plus an
     * ANTI-join against the hot set — at most |shingle rows| / dfCap
     * entries, in practice a tiny boilerplate vocabulary that AQE
-    * broadcasts, so the majority side is filtered in place. */
+    * broadcasts, so the majority side is filtered in place.
+    *
+    * Formulation note: the group-by-shingle alternative (collect each
+    * kept shingle's ≤ dfCap doc list once, emit pairs row-locally from
+    * the sorted list) was measured 17% SLOWER at sf0.1/local[32]
+    * (1.47 s vs 1.26 s min-of-3) — list materialization plus the HOF
+    * pair explode costs more than the second sort-merge probe side here;
+    * both formulations share the same bounded pair space, so the
+    * self-join stands on measurement, not assumption. */
   def jaccardPairs(docs: DataFrame, dfCap: Int = DfCap): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     // bucket columns ride along through the explode — no join back to docs
