@@ -70,4 +70,45 @@ class PropertySpec extends SparkSpec {
         === java.lang.Double.doubleToRawLongBits(local(id)), s"local $id")
     }
   }
+
+  test("Misra-Gries bounds hold on 200 random streams, sequential AND merged") {
+    // the invariants q64 and StreamHeavyHitters rest on: capacity never
+    // exceeded, counts are undercounts by at most n/(k+1), and every item
+    // above that bound survives — for the sequential fold and for any
+    // segmentation folded separately then merged (the partial-agg path)
+    val mgRnd = new scala.util.Random(7)
+    (1 to 200).foreach { i =>
+      val k = 2 + mgRnd.nextInt(12)
+      val universe = 1 + mgRnd.nextInt(40)
+      val n = 20 + mgRnd.nextInt(300)
+      // power-skewed draw so some items are genuinely heavy
+      val stream = Vector.fill(n)(
+        s"x${(math.pow(mgRnd.nextDouble(), 2.5) * universe).toInt}")
+      val mg = new graft.ops.SketchOps.MisraGries(k)
+      val sequential = stream.foldLeft(Map.empty[String, Long])(mg.reduce)
+      val segments = {
+        val cuts = Vector.fill(1 + mgRnd.nextInt(4))(mgRnd.nextInt(n + 1)).sorted
+        (0L +: cuts.map(_.toLong) :+ n.toLong).distinct.sliding(2).map {
+          case Seq(a, b) => stream.slice(a.toInt, b.toInt)
+        }.toVector
+      }
+      val merged = segments
+        .map(_.foldLeft(Map.empty[String, Long])(mg.reduce))
+        .reduce(mg.merge)
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = n.toDouble / (k + 1)
+      for ((label, summary) <- Seq("sequential" -> sequential, "merged" -> merged)) {
+        assert(summary.size <= k, s"case $i $label: size ${summary.size} > $k")
+        exact.foreach { case (t, c) =>
+          if (c > bound)
+            assert(summary.contains(t), s"case $i $label: lost heavy $t ($c > $bound)")
+        }
+        summary.foreach { case (t, c) =>
+          assert(c > 0L && c <= exact(t), s"case $i $label: count $c vs exact ${exact(t)}")
+          assert(exact(t) - c <= bound,
+            s"case $i $label: undercount ${exact(t) - c} > $bound for $t")
+        }
+      }
+    }
+  }
 }
