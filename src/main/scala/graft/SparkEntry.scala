@@ -107,6 +107,10 @@ object SparkEntry {
     // heavy hitters: mergeable Misra-Gries candidates (no token shuffle) +
     // exact re-count — output is exact, so the oracle is a plain HAVING
     "q64_heavy_hitters"    -> ((s, d) => SketchOps.heavyHitters(Tables.documents(s, d))),
+    // contamination: exact fingerprint overlap between the q57 corpus
+    // splits (the eval-leak check), KMV set-intersection sketch gated by
+    // a tolerance boolean (the 100 TB path — HLL cannot intersect)
+    "q65_contamination"    -> ((s, d) => SketchOps.contamination(Tables.documents(s, d))),
     // §7.1 graft.ext — text analysis over `documents`
     "q30_token_stats"      -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q31_quality_score"    -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),

@@ -43,12 +43,16 @@ object PipelineOps {
     * partitionings, and independent of row order (the property `rand()`
     * based splits lack: under speculative re-execution they re-deal the
     * corpus). Row-local; no shuffle at all. */
+  /** The bucket → split-name rule, shared by [[splitAssign]] and the
+    * contamination check (`SketchOps.contamination`) — one definition. */
+  def splitOf(bucket: String): String =
+    s"""CASE WHEN $bucket < $TrainCut THEN 'train'
+             WHEN $bucket < $ValCut THEN 'val'
+             ELSE 'test' END"""
+
   def splitAssign(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"))
-      .selectExpr("doc_id", "bucket",
-        s"""CASE WHEN bucket < $TrainCut THEN 'train'
-                 WHEN bucket < $ValCut THEN 'val'
-                 ELSE 'test' END AS split""")
+      .selectExpr("doc_id", "bucket", s"${splitOf("bucket")} AS split")
       .orderBy("doc_id")
 
   /** q58 — stratified sample: the same `frac` of every language stratum,

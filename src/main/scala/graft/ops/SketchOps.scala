@@ -102,9 +102,133 @@ object SketchOps {
       .orderBy(desc("cnt"), col("token"))
   }
 
-  /** Exact oracle — legitimate because the two-pass output is exact; the
-    * sketch only proposes candidates and its recall guarantee is what the
-    * hash match proves. */
+  /** K-minimum-values (KMV / bottom-k) distinct-set sketch over 60-bit
+    * hashes: keep the k smallest hash values of a set. Unlike HLL, two KMV
+    * sketches support SET ALGEBRA — union (merge + trim) and intersection
+    * (common values among the union's bottom-k) — which is what a
+    * train/test contamination estimate needs. Unsaturated (< k values)
+    * the sketch IS the exact distinct set of hashes.
+    *
+    * Buffer is a sorted distinct Vector; insertion is O(k) (immutable
+    * copy). At 100 TB scale the same algorithm rides a mutable bounded
+    * heap inside a `TypedImperativeAggregate`; the k-mins semantics and
+    * estimator are unchanged — k is the accuracy dial (σ/|est| ≈ 1/√k). */
+  final class KmvSketch(k: Int)
+      extends Aggregator[Long, Vector[Long], Array[Long]] {
+    require(k > 0, "k must be positive")
+
+    override def zero: Vector[Long] = Vector.empty
+
+    override def reduce(b: Vector[Long], h: Long): Vector[Long] =
+      if (b.length >= k && h >= b.last) b
+      else {
+        val i = searchInsert(b, h)
+        if (i < b.length && b(i) == h) b // already present
+        else (b.take(i) :+ h) ++ b.drop(i) match {
+          case grown if grown.length > k => grown.take(k)
+          case grown => grown
+        }
+      }
+
+    override def merge(a: Vector[Long], b: Vector[Long]): Vector[Long] =
+      (a ++ b).distinct.sorted.take(k)
+
+    override def finish(b: Vector[Long]): Array[Long] = b.toArray
+
+    private def searchInsert(v: Vector[Long], h: Long): Int = {
+      var lo = 0
+      var hi = v.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (v(mid) < h) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    override def bufferEncoder: Encoder[Vector[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** 60-bit hash (15 md5 hex chars) of a string column — positive in a
+    * signed long, so ascending sort = ascending hash fraction of 2^60. */
+  private def hash60(c: String): String =
+    s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
+
+  /** q65 — train/test CONTAMINATION: documents whose canonical fingerprint
+    * ([[TextOps.BowFpExpr]] — exact-dup identity, q34) appears in TWO
+    * different corpus splits ([[PipelineOps.splitAssign]]'s md5 buckets).
+    * A near-dup of a test document inside the training split is the
+    * classic eval-leak; this measures the exact-dup layer of it.
+    *
+    * Output per split pair: exact distinct-fingerprint counts and exact
+    * overlap (both DuckDB-recomputable, hash-graded) plus `kmv_ok` — the
+    * KMV intersection estimate lands within `sigmas` standard deviations
+    * of the exact value (σ ≈ √(inter·union/k), the bottom-k intersection
+    * estimator's sampling error: ~k·J of the union's bottom-k hashes are
+    * common, a binomial whose √ propagates through the J×union product;
+    * floor of ±2 absolute for near-zero overlaps). The sketch path is the
+    * 100 TB story: per-split k-long sketches merge in one pass; the exact
+    * overlap join is the grading harness, exactly as in q21/q53.
+    *
+    * Estimator (standard bottom-k): Uk = bottom-k of the union of both
+    * sketches; |A∪B| est = (k-1)/θ with θ = max(Uk)/2^60 when saturated
+    * (else exact |Uk|); Jaccard est = |Uk ∩ A ∩ B| / |Uk|; intersection
+    * est = Jaccard × union — all computed with builtin array functions
+    * (codegen'd, no UDF) on the tiny per-pair rows. */
+  def contamination(docs: DataFrame, k: Int = 1024,
+      sigmas: Double = 3.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val u = docs
+      .select(expr(graft.ops.TextOps.BowFpExpr).as("fp"),
+        PipelineOps.md5Bucket(col("doc_id")).as("bucket"))
+      .selectExpr("fp", s"${PipelineOps.splitOf("bucket")} AS split")
+      .distinct()
+    val hashed = u.selectExpr("split", s"${hash60("fp")} AS h")
+    val sketches = hashed.as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new KmvSketch(k).toColumn.name("ks"))
+      .toDF("split", "ks")
+    val counts = u.groupBy("split").agg(count(lit(1)).as("n"))
+    val overlap = u.as("x").join(u.as("y"),
+        col("x.fp") === col("y.fp") && col("x.split") < col("y.split"))
+      .groupBy(col("x.split").as("split_a"), col("y.split").as("split_b"))
+      .agg(count(lit(1)).as("overlap"))
+    val pairs = Seq(("test", "train"), ("test", "val"), ("train", "val"))
+      .toDF("split_a", "split_b")
+    pairs
+      .join(broadcast(counts.withColumnRenamed("split", "split_a")
+        .withColumnRenamed("n", "n_a")), Seq("split_a"))
+      .join(broadcast(counts.withColumnRenamed("split", "split_b")
+        .withColumnRenamed("n", "n_b")), Seq("split_b"))
+      .join(broadcast(overlap), Seq("split_a", "split_b"), "left")
+      .withColumn("exact_overlap", coalesce(col("overlap"), lit(0L)))
+      .join(broadcast(sketches.withColumnRenamed("split", "split_a")
+        .withColumnRenamed("ks", "ks_a")), Seq("split_a"))
+      .join(broadcast(sketches.withColumnRenamed("split", "split_b")
+        .withColumnRenamed("ks", "ks_b")), Seq("split_b"))
+      .withColumn("uk", expr(s"slice(array_sort(array_union(ks_a, ks_b)), 1, $k)"))
+      .withColumn("union_est", expr(
+        s"""CASE WHEN size(uk) < $k THEN CAST(size(uk) AS DOUBLE)
+                 ELSE ($k - 1) / (CAST(element_at(uk, $k) AS DOUBLE) / CAST(${1L << 60}d AS DOUBLE))
+            END"""))
+      .withColumn("inter_est", expr(
+        "CASE WHEN size(uk) = 0 THEN 0.0 ELSE " +
+          "size(array_intersect(array_intersect(uk, ks_a), ks_b)) " +
+          "/ CAST(size(uk) AS DOUBLE) * union_est END"))
+      .withColumn("kmv_ok", expr(
+        s"""abs(inter_est - exact_overlap) <= greatest(2.0,
+            $sigmas * sqrt(greatest(inter_est, CAST(exact_overlap AS DOUBLE), 1.0)
+                           * union_est / $k))"""))
+      .select("split_a", "split_b", "n_a", "n_b", "exact_overlap", "kmv_ok")
+      .orderBy("split_a", "split_b")
+  }
+
+  /** q64's oracle is exact (the two-pass output is exact; the sketch only
+    * proposes candidates, and its recall guarantee is what the hash match
+    * proves). q65's exact columns are recomputed by DuckDB from the same
+    * md5 fingerprint + bucket recipes as q34/q57; `kmv_ok` is the q21/q53
+    * computed-vs-oracle boolean. */
   def oracles: Map[String, String] = Map(
     "q64_heavy_hitters" ->
       """WITH t AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
@@ -113,5 +237,24 @@ object SketchOps {
          FROM t, n
          GROUP BY token, n.n_total
          HAVING CAST(COUNT(*) AS DOUBLE) > n_total / 50.0
-         ORDER BY cnt DESC, token""")
+         ORDER BY cnt DESC, token""",
+    "q65_contamination" -> {
+      val fp = graft.ops.TextOps.BowFpSql
+      s"""WITH d AS (SELECT $fp AS fp,
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
+                     FROM documents),
+              u AS (SELECT DISTINCT fp,
+                           CASE WHEN bucket < ${PipelineOps.TrainCut} THEN 'train'
+                                WHEN bucket < ${PipelineOps.ValCut} THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM d),
+              p(split_a, split_b) AS (VALUES ('test', 'train'), ('test', 'val'), ('train', 'val'))
+         SELECT split_a, split_b,
+                (SELECT COUNT(*) FROM u WHERE split = split_a) AS n_a,
+                (SELECT COUNT(*) FROM u WHERE split = split_b) AS n_b,
+                (SELECT COUNT(*) FROM u x JOIN u y ON x.fp = y.fp
+                 WHERE x.split = split_a AND y.split = split_b) AS exact_overlap,
+                TRUE AS kmv_ok
+         FROM p ORDER BY split_a, split_b"""
+    })
 }

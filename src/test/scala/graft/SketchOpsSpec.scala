@@ -50,6 +50,48 @@ class SketchOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus should surface at least one heavy token")
   }
 
+  test("KMV sketch is the exact hash set when unsaturated; bounded when not") {
+    val rnd = new scala.util.Random(11)
+    val mg = new graft.ops.SketchOps.KmvSketch(8)
+    val values = Vector.fill(50)(rnd.nextLong(1L << 60))
+    val seq = values.foldLeft(Vector.empty[Long])(mg.reduce)
+    assert(seq === values.distinct.sorted.take(8), "bottom-k of the stream")
+    // arbitrary segmentation + merge reaches the same bottom-k
+    val merged = values.grouped(13)
+      .map(_.foldLeft(Vector.empty[Long])(mg.reduce))
+      .reduce(mg.merge)
+    assert(merged === seq)
+    val small = new graft.ops.SketchOps.KmvSketch(64)
+    val all = values.foldLeft(Vector.empty[Long])(small.reduce)
+    assert(all === values.distinct.sorted, "unsaturated sketch is exact")
+  }
+
+  test("q65 contamination: overlaps exact, sketch within tolerance, all pairs present") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = SketchOps.contamination(docs)
+      .as[(String, String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ===
+      Seq(("test", "train"), ("test", "val"), ("train", "val")))
+    // exact overlaps recomputed independently via a plain join
+    val u = docs.selectExpr(
+        s"${graft.ops.TextOps.BowFpExpr} AS fp", "doc_id")
+    val sp = graft.ops.PipelineOps.splitAssign(docs).select("doc_id", "split")
+    val us = u.join(sp, "doc_id").select("fp", "split").distinct()
+    val expect = us.as("x").join(us.as("y"),
+        $"x.fp" === $"y.fp" && $"x.split" < $"y.split")
+      .groupBy($"x.split", $"y.split").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (a, b, nA, nB, overlap, ok) =>
+      assert(overlap === expect.getOrElse((a, b), 0L), s"($a,$b)")
+      assert(nA > 0 && nB > 0)
+      assert(ok, s"($a,$b): KMV estimate outside tolerance")
+    }
+    // the corpus actually contains cross-split duplicate fingerprints —
+    // the scenario the query exists to catch
+    assert(got.map(_._5).sum > 0, "expected real contamination in testdata")
+  }
+
   test("heavyHitters rejects a capacity below the recall requirement") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     intercept[IllegalArgumentException] {
