@@ -42,5 +42,7 @@ object Catalog {
       .createOrReplaceTempView("user_sessions")
     ops.SketchOps.heavyHitters(docs)
       .createOrReplaceTempView("token_heavy_hitters")
+    ops.SketchOps.contamination(docs)
+      .createOrReplaceTempView("corpus_contamination")
   }
 }

@@ -38,5 +38,6 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT q_id, COUNT(*) AS k FROM embedding_ann GROUP BY q_id").count() > 0)
     assert(spark.sql("SELECT * FROM token_heavy_hitters").count() > 0)
+    assert(spark.sql("SELECT * FROM corpus_contamination WHERE kmv_ok").count() === 3)
   }
 }
