@@ -31,6 +31,17 @@ import graft.ops.SketchOps.MisraGries
   * the threshold). Every true heavy hitter is emitted (the MG recall
   * guarantee needs `capacity + 1 > thresholdInv` — enforced); a row with
   * `certain = false` is a candidate whose true count may fall either side.
+  *
+  * Throughput ceiling, stated honestly: the group key is the window, so
+  * one window's traffic folds through one task — state is O(capacity)
+  * but CPU is single-core per open window. For streams beyond a few
+  * M events/s the MG kernel's MERGEABILITY (property-proven for
+  * arbitrary segmentations in `PropertySpec`) is the scale-out: key
+  * stage 1 by (window, hash(key) % shards) — each key's counts stay
+  * complete within its one shard, so per-shard summaries lose no
+  * heavy hitter — and merge the ≤ shards summaries per window with
+  * `MisraGries.merge` in a tiny downstream stage. Same kernel, same
+  * bounds; this operator is that composition at shards = 1.
   */
 object StreamHeavyHitters {
   case class Ev(key: String, timestamp: Long)
