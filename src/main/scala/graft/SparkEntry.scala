@@ -122,6 +122,17 @@ object SparkEntry {
     "q60_repetition"       -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d))),
     "q61_training_filter"  -> ((s, d) => TextOps.trainingFilter(Tables.documents(s, d))),
     "q63_term_index"       -> ((s, d) => TextOps.termIndex(Tables.documents(s, d))),
+    // BM25 retrieval scoring with a cross-engine-exact micro-unit sum (the
+    // transcendental-score gap q63 documents, closed)
+    "q67_bm25"             -> ((s, d) => TextOps.bm25(Tables.documents(s, d))),
+    // tokenizer-vocabulary truncation: top-K vocab broadcast to a row-local
+    // OOV rewrite
+    "q68_vocab_mask"       -> ((s, d) => TextOps.vocabMask(Tables.documents(s, d))),
+    // near-dup clustering: the q37 pair table (same persisted snapshot q59
+    // reads) contracted to components via large-star/small-star — pairwise
+    // dedup verdicts become per-doc KEEP/DROP decisions
+    "q66_dedup_clusters"   -> ((s, d) =>
+      graft.ops.GraphOps.dedupClusters(Tables.documents(s, d), lshPairsShared(s, d))),
     // §7.1 graft.ext — corpus-build pipeline stages over `documents`
     "q56_normalize"        -> ((s, d) => PipelineOps.normalizeDocs(Tables.documents(s, d))),
     "q57_split"            -> ((s, d) => PipelineOps.splitAssign(Tables.documents(s, d))),
@@ -402,5 +413,6 @@ object SparkEntry {
          FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token""",
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-    PipelineOps.oracles ++ SketchOps.oracles ++ graft.multimodal.MediaOps.oracles
+    PipelineOps.oracles ++ SketchOps.oracles ++ graft.ops.GraphOps.oracles ++
+    graft.multimodal.MediaOps.oracles
 }

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over the near-dup pair graph — the stage that turns
+  * pairwise dedup verdicts (q37/q38/q40/q45/q62) into per-document KEEP/DROP
+  * decisions: group transitively-linked near-dups into clusters and keep one
+  * canonical survivor per cluster. A pair list alone over-deletes (A~B, B~C
+  * kills both B and C only if clustering is transitive) — every production
+  * corpus dedup ends with this step.
+  *
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+  * Beyond", SoCC 2014). Each round is two aggregate+join passes over the
+  * edge set expressed entirely in DataFrame ops (per-node min — map-side
+  * combined — joined back to edges), and the edge set converges to a forest
+  * of stars rooted at each component's minimum node in O(log²) rounds —
+  * at near-dup cluster diameters, 2-4 rounds in practice.
+  *
+  * 100 TB notes:
+  *  - no `collect_list` neighborhoods: hub nodes (a boilerplate doc near-dup
+  *    to millions) would blow a grouped-list formulation; the per-node MIN
+  *    aggregate is O(1) state per key and immune to that skew.
+  *  - each round's result is materialized via `localCheckpoint` — the
+  *    iteration references its input twice, so an unmaterialized loop
+  *    doubles the plan per round (exponential analysis cost). On a real
+  *    cluster swap in `spark.sparkContext.setCheckpointDir` + `.checkpoint()`
+  *    for a lineage cut that survives executor loss.
+  *  - convergence is an exact fixed-point check (count + anti) on the
+  *    canonical edge set, one cheap job per round on a set that SHRINKS
+  *    toward one edge per non-root node.
+  *
+  * Reference scope note: the reference has no graph or dedup surface at all
+  * (SURVEY.md §2.D); this is §7.1 `graft.ext`, the scale path the LSH pair
+  * ops feed.
+  */
+object GraphOps {
+
+  /** Components of the undirected graph given by `pairs` (cols `a_id`,
+    * `b_id`) → one row per non-isolated node: (node, cluster_id) where
+    * cluster_id is the component's minimum node id. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 32): DataFrame = {
+    var edges = pairs
+      .selectExpr("least(a_id, b_id) AS a", "greatest(a_id, b_id) AS b")
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both sides are distinct canonical sets: equal counts + empty
+      // one-sided difference ⇒ set equality (two jobs, not three)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      it += 1
+    }
+    require(converged, s"connectedComponents: no fixed point in $maxIter rounds")
+    // the fixed point is a union of stars (root, leaf) with root = component
+    // minimum; roots label themselves
+    edges.select(col("b").as("node"), col("a").as("cluster_id"))
+      .union(edges.select(col("a").as("node"), col("a").as("cluster_id")))
+      .distinct()
+  }
+
+  /** Large-star: every node connects its STRICTLY LARGER neighbors to the
+    * minimum of its closed neighborhood. Emitted edges (m, v) satisfy
+    * m ≤ u < v, so they are already canonical. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = symmetric(edges)
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .selectExpr("u", "least(mn, u) AS m")
+    sym.filter(col("v") > col("u")).join(mins, "u")
+      .select(col("m").as("a"), col("v").as("b"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its strictly smaller neighbors (and
+    * itself) to the minimum among them. All emitted edges again have a < b. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val sym = symmetric(edges)
+    val small = sym.filter(col("v") < col("u"))
+    val mins = small.groupBy("u").agg(min("v").as("m"))
+    val leafEdges = small.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("m").as("a"), col("v").as("b")) // m = min(Ns) < v
+    val selfEdges = mins.select(col("m").as("a"), col("u").as("b")) // m < u
+    leafEdges.union(selfEdges).distinct()
+  }
+
+  private def symmetric(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+
+  /** q66 — dedup clustering: LSH-verified near-dup pairs → transitive
+    * clusters → per-doc decision. Every document appears exactly once;
+    * singletons (no near-dup) are their own cluster; `keep` marks the
+    * cluster's minimum doc_id, the canonical survivor. The component table
+    * is |near-dup docs| rows — a small fraction of the corpus — so the
+    * enrichment join back to `documents` is cheap next to the pair stage. */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.select("doc_id")
+      .join(connectedComponents(pairs).withColumnRenamed("node", "doc_id"),
+        Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "COALESCE(cluster_id, doc_id) AS cluster_id")
+      .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS keep")
+      .orderBy("doc_id")
+
+  /** q66's oracle composes the verified q37 pair oracle verbatim (the edges
+    * cannot drift from the individually-hash-checked query) with a
+    * recursive-CTE min-label reachability — DuckDB's walk accumulates every
+    * label reachable from each node; MIN per node is the component minimum,
+    * independently of the star-contraction algorithm under test. */
+  def oracles: Map[String, String] = Map(
+    "q66_dedup_clusters" -> {
+      val pairsSql = DedupOps.oracles("q37_lsh_pairs")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                    UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+          walk(node, label) AS (
+            SELECT u AS node, u AS label FROM edges
+            UNION
+            SELECT e.v AS node, w.label AS label
+            FROM walk w JOIN edges e ON e.u = w.node),
+          cc AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node)
+          SELECT d.doc_id AS doc_id,
+                 COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+                 d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS keep
+          FROM documents d LEFT OUTER JOIN cc ON d.doc_id = cc.node
+          ORDER BY doc_id"""
+    })
+}

@@ -180,6 +180,86 @@ object TextOps {
       .orderBy("doc_id", "token")
   }
 
+  /** q67's fixed query: one mid-frequency term, one common term, and the
+    * corpus's one rare token (high idf) so scores actually spread. */
+  val Bm25Terms: Seq[String] = Seq("spark", "query", "dup")
+
+  /** The per-(doc, term) BM25 contribution (k1 = 1.2, b = 0.75; the
+    * constants are pre-folded: k1+1 = 2.2, 1-b = 0.25) — ONE formula string
+    * evaluated by both engines over identically-named exact-integer columns
+    * (n docs, df, tf, dl, total tokens), so the IEEE operation sequence is
+    * identical on both sides. Every literal uses exponent form (`1.2e0`):
+    * both SQL dialects parse bare decimals as DECIMAL, and a decimal
+    * intermediate would silently change the arithmetic. */
+  val Bm25ContribExpr: String =
+    "ln((CAST(n - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0) + 1e0)" +
+      " * (CAST(tf AS DOUBLE) * 2.2e0)" +
+      " / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0" +
+      " * (CAST(dl AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))))"
+
+  /** q67 — BM25 ranking over the q63 term structure: the retrieval scorer a
+    * training-data curriculum or search layer runs at corpus scale. The
+    * interesting part is making a TRANSCENDENTAL score hash-comparable
+    * across engines (the gap q63's scaladoc leaves open): libm `ln` differs
+    * from DuckDB's in the last ulp on ~0.1 % of idf arguments, and float
+    * addition is not associative, so a naive SUM(double) is neither
+    * bit-portable nor partition-order-stable. Resolution: each per-term
+    * contribution is rounded to integer MICRO-UNITS (×1e6) and the sum runs
+    * in exact BIGINT arithmetic — associative, so shuffle order cannot
+    * change the hash. A runtime guard `raise_error`s if any contribution
+    * sits within 1e-6 of a rounding boundary (a 1-ulp engine divergence at
+    * micro scale is ~1e-9, so a value clearing the guard rounds identically
+    * in both engines — the boundary flip is structurally excluded, not
+    * improbable).
+    *
+    * Scale shape: tf is filtered to the query terms BEFORE its aggregate
+    * (the shuffle carries only matching tokens), df (|terms| rows) and the
+    * global stats row are broadcast, and the final top-N is a
+    * TakeOrderedAndProject, never a full sort. */
+  def bm25(docs: DataFrame, terms: Seq[String] = Bm25Terms, topN: Int = 20): DataFrame = {
+    val t = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val len = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = len.agg(count(lit(1)).as("n"), sum("dl").as("total"))
+    val tf = t.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val raw = s"($Bm25ContribExpr) * 1e6"
+    tf.join(broadcast(df), "token")
+      .join(len, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
+                 THEN CAST(raise_error('q67 BM25: contribution at a rounding boundary') AS BIGINT)
+                 ELSE CAST(round($raw) AS BIGINT) END AS micro""")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("micro").as("score_micro"))
+      .selectExpr("doc_id", "n_hits", "score_micro", "score_micro / 1e6 AS score")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** q68 — vocabulary pruning / OOV masking: rewrite every token outside the
+    * top-K corpus vocabulary to `<unk>` — the tokenizer-vocab truncation
+    * step of a training-data pipeline. The vocabulary is an aggregate the
+    * size of K, broadcast to a row-local rewrite (one array-membership
+    * `transform` per document — no explode/regroup round trip, which would
+    * shuffle the whole corpus just to put token order back together). */
+  def vocabMask(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val vocab = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+      .agg(collect_list("token").as("vocab")) // membership set; order unused
+    docs.crossJoin(broadcast(vocab))
+      .selectExpr(
+        "doc_id",
+        """concat_ws(' ', transform(split(text, ' '),
+             t -> CASE WHEN array_contains(vocab, t) THEN t ELSE '<unk>' END)) AS masked""",
+        """CAST(size(filter(split(text, ' '),
+             t -> NOT array_contains(vocab, t))) AS BIGINT) AS n_masked""")
+      .orderBy("doc_id")
+  }
+
   /** DuckDB equivalents, kept adjacent so Spark and oracle can't drift. */
   def oracles: Map[String, String] = {
     val langs = langSets.map(_._1)
@@ -249,6 +329,36 @@ object TextOps {
                          CASE $caseSql ELSE '${langs.last}' END AS pred_lang
                   FROM (SELECT doc_id, lang, $hitSql FROM documents))
             ORDER BY doc_id""",
+      // q67: same contribution formula string as the Spark side (identical
+      // IEEE sequence), integer micro-unit sum; no guard here — the oracle
+      // just rounds, the Spark side proves the margin
+      "q67_bm25" ->
+        s"""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+            l AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS total FROM l),
+            f AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+                  WHERE token IN (${inList(Bm25Terms)}) GROUP BY 1, 2),
+            d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM f GROUP BY token),
+            c AS (SELECT f.doc_id AS doc_id,
+                         CAST(round(($Bm25ContribExpr) * 1e6) AS BIGINT) AS micro
+                  FROM f JOIN d ON f.token = d.token
+                         JOIN l ON f.doc_id = l.doc_id, s)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                   CAST(SUM(micro) AS BIGINT) AS score_micro,
+                   CAST(SUM(micro) AS BIGINT) / 1e6 AS score
+            FROM c GROUP BY doc_id
+            ORDER BY score_micro DESC, doc_id LIMIT 20""",
+      "q68_vocab_mask" ->
+        """WITH v AS (SELECT token
+                      FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+                      GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 20),
+            va AS (SELECT list(token) AS vocab FROM v)
+           SELECT doc_id,
+                  array_to_string(list_transform(str_split(text, ' '),
+                    t -> CASE WHEN list_contains(vocab, t) THEN t ELSE '<unk>' END), ' ') AS masked,
+                  len(list_filter(str_split(text, ' '),
+                    t -> NOT list_contains(vocab, t))) AS n_masked
+           FROM documents, va ORDER BY doc_id""",
     )
     // q61 composes the three component oracles verbatim, so the filter's
     // inputs cannot drift from the individually-verified queries

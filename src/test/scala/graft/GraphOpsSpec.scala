@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.GraphOps
+import org.scalatest.prop.TableDrivenPropertyChecks
+import scala.util.Random
+
+/** Connected components checked against a reference union-find: the
+  * star-contraction algorithm must agree with naive transitive closure on
+  * every topology (chains stress round count, cliques stress edge volume,
+  * random graphs stress everything else). */
+class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private def pairsDf(es: Seq[(Long, Long)]) =
+    es.toDF("a_id", "b_id")
+
+  /** Reference: union-find with path compression. */
+  private def unionFind(nodes: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = component MIN, independent of union order
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }
+  }
+
+  private def ccMap(es: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(pairsDf(es)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("components match union-find on random graphs") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val nodes = (0L until n.toLong).toSeq
+      val es = Seq.fill(n) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong; (a, b)
+      }.filter { case (a, b) => a != b }
+      val expected = unionFind(nodes, es)
+      val got = ccMap(es)
+      // the algorithm only labels non-isolated nodes; restrict to those
+      val linked = es.flatMap { case (a, b) => Seq(a, b) }.toSet
+      assert(got === expected.filter { case (k, _) => linked(k) },
+        s"trial $trial mismatch")
+    }
+  }
+
+  test("a 64-node chain contracts to one min-rooted star within the round cap") {
+    val es = (0L until 63L).map(i => (i, i + 1))
+    val got = ccMap(es)
+    assert(got.size === 64 && got.values.forall(_ == 0L))
+  }
+
+  test("a clique, a chain, and a singleton pair stay separate components") {
+    val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = (10L until 14L).map(i => (i, i + 1))
+    val pair = Seq((20L, 21L))
+    val got = ccMap(clique ++ chain ++ pair)
+    assert((0L to 4L).forall(got(_) == 0L))
+    assert((10L to 14L).forall(got(_) == 10L))
+    assert(got(20L) === 20L && got(21L) === 20L)
+  }
+
+  test("dedupClusters covers every doc once; keep marks exactly the cluster minima") {
+    val docs = (0L until 10L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    val pairs = pairsDf(Seq((1L, 3L), (3L, 5L), (7L, 8L))) // {1,3,5}, {7,8}
+    val rows = GraphOps.dedupClusters(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSeq === (0L until 10L).toSeq) // total, ordered
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    assert(cluster(3L) === 1L && cluster(5L) === 1L && cluster(8L) === 7L)
+    assert(cluster(0L) === 0L && cluster(9L) === 9L) // singletons self-labeled
+    val kept = rows.filter(_._3).map(_._1).toSet
+    assert(kept === Set(0L, 1L, 2L, 4L, 6L, 7L, 9L)) // drop 3,5 (→1) and 8 (→7)
+  }
+
+  test("an empty pair table makes every doc its own kept singleton") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val empty = pairsDf(Seq.empty)
+    val rows = GraphOps.dedupClusters(docs, empty).collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1) && r.getBoolean(2)))
+  }
+}

@@ -67,4 +67,53 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("bm25 micro scores match an independent Scala computation") {
+    val d = docs(
+      doc(1, "spark spark query a b"), // tf(spark)=2, tf(query)=1, dl=5
+      doc(2, "spark c d e"),           // tf(spark)=1, dl=4
+      doc(3, "x y z"),                 // no query terms, dl=3
+      doc(4, "dup dup dup dup"))       // tf(dup)=4, dl=4
+    val (n, total) = (4L, 16L)
+    val avg = total.toDouble / n.toDouble
+    def micro(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      val c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avg)))
+      math.round(c * 1e6)
+    }
+    val expected = Map(
+      1L -> (2L, micro(2, 2, 5) + micro(1, 1, 5)), // spark df=2, query df=1
+      2L -> (1L, micro(1, 2, 4)),
+      4L -> (1L, micro(4, 1, 4)))                  // dup df=1
+    val rows = TextOps.bm25(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows === expected) // doc 3 unscored; micros exact
+  }
+
+  test("bm25 ranks by descending micro score with doc_id tie-break and honors topN") {
+    val d = docs(doc(1, "dup a"), doc(2, "dup a"), doc(3, "spark a"), doc(4, "b c"))
+    // spark (df=1) out-scores dup (df=2); docs 1,2 tie exactly → doc_id order
+    val ids = TextOps.bm25(d, topN = 3).collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(3L, 1L, 2L))
+    assert(TextOps.bm25(d, topN = 2).collect().map(_.getLong(0)).toSeq === Seq(3L, 1L))
+  }
+
+  test("vocab mask rewrites exactly the out-of-vocabulary tokens, in place") {
+    val d = docs(
+      doc(1, "a a a b c"),  // a:4 b:3 c:2 overall with doc 2
+      doc(2, "a b b c z"))
+    val rows = TextOps.vocabMask(d, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    // top-2 vocab = {a, b}; c and z mask; token order and count preserved
+    assert(rows === List(
+      (1L, "a a a b <unk>", 1L),
+      (2L, "a b b <unk> <unk>", 2L)))
+  }
+
+  test("vocab mask breaks count ties at the K boundary by token order") {
+    val d = docs(doc(1, "b a"), doc(2, "b a"))  // a and b both count 2
+    val rows = TextOps.vocabMask(d, topK = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "<unk> a") // 'a' < 'b' wins the single slot
+  }
 }
