@@ -44,5 +44,13 @@ object Catalog {
       .createOrReplaceTempView("token_heavy_hitters")
     ops.SketchOps.contamination(docs)
       .createOrReplaceTempView("corpus_contamination")
+    // NOT lazy like the rest: the star-contraction loop inside
+    // dedupClusters runs its convergence actions HERE, at registration —
+    // an iterative algorithm has no single-plan lazy form. The view then
+    // reads the final (checkpointed) result.
+    ops.GraphOps.dedupClusters(docs, ops.DedupOps.lshPairs(docs))
+      .createOrReplaceTempView("doc_dedup_clusters")
+    ops.TextOps.bm25(docs).createOrReplaceTempView("doc_bm25")
+    ops.TextOps.vocabMask(docs).createOrReplaceTempView("doc_vocab_masked")
   }
 }

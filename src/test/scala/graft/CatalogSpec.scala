@@ -39,5 +39,14 @@ class CatalogSpec extends SparkSpec {
       "SELECT q_id, COUNT(*) AS k FROM embedding_ann GROUP BY q_id").count() > 0)
     assert(spark.sql("SELECT * FROM token_heavy_hitters").count() > 0)
     assert(spark.sql("SELECT * FROM corpus_contamination WHERE kmv_ok").count() === 3)
+    // dedup clusters: total cover of documents, and the view composes —
+    // "how many docs would near-dup clustering drop?"
+    val drop = spark.sql(
+      """SELECT COUNT(*) AS total, COUNT(CASE WHEN NOT keep THEN 1 END) AS dropped
+        |FROM doc_dedup_clusters""".stripMargin).collect().head
+    assert(drop.getLong(0) === 500L && drop.getLong(1) >= 0L)
+    assert(spark.sql("SELECT * FROM doc_bm25 WHERE n_hits > 0").count() > 0)
+    assert(spark.sql(
+      "SELECT * FROM doc_vocab_masked WHERE masked LIKE '%<unk>%'").count() > 0)
   }
 }

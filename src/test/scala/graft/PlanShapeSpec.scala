@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, RelationalOps, SimilarityOps, SketchOps}
+import graft.ops.{DedupOps, RelationalOps, SimilarityOps, SketchOps, TextOps}
 
 /** Regression guards for the plan shapes the scale design depends on —
   * a refactor that silently reintroduces a join-then-aggregate or a global
@@ -96,5 +96,26 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 2, // one for the windows, one for the final agg at most
       s"expected <= 2 hash exchanges, got $exchanges:\n${plan.take(1200)}")
+  }
+
+  test("q67 BM25 takes top-N without a global sort; df and stats broadcast") {
+    val plan = TextOps.bm25(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N degraded to a full sort:\n${plan.take(1200)}")
+    assert(!plan.contains("Sort ") || !plan.contains("Exchange rangepartitioning"),
+      s"unexpected global sort:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"df/stats sides must broadcast:\n${plan.take(1200)}")
+  }
+
+  test("q68 vocab mask rewrites row-locally: only the vocab side explodes") {
+    val plan = TextOps.vocabMask(docs).queryExecution.executedPlan.toString
+    // the corpus-side rewrite is a transform() projection; a second
+    // Generate would mean the mask exploded the corpus and regrouped it
+    val generates = "Generate explode".r.findAllIn(plan).length
+    assert(generates == 1,
+      s"expected exactly the vocab-side explode, got $generates:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"single-row vocab must broadcast:\n${plan.take(1200)}")
   }
 }
