@@ -52,5 +52,9 @@ object Catalog {
       .createOrReplaceTempView("doc_dedup_clusters")
     ops.TextOps.bm25(docs).createOrReplaceTempView("doc_bm25")
     ops.TextOps.vocabMask(docs).createOrReplaceTempView("doc_vocab_masked")
+    ops.DedupOps.incrementalLshPairs(
+      docs.filter(s"source <> '${ops.DedupOps.IncrementSource}'"),
+      docs.filter(s"source = '${ops.DedupOps.IncrementSource}'"))
+      .createOrReplaceTempView("doc_increment_pairs")
   }
 }

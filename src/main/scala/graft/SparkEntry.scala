@@ -144,6 +144,15 @@ object SparkEntry {
     "q39_simhash"          -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "q40_simhash_pairs"    -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
     "q62_simhash_lsh"      -> ((s, d) => DedupOps.simhashLshPairs(Tables.documents(s, d))),
+    // incremental ingest dedup: the arriving batch (one source partition)
+    // vs the standing corpus — broadcast increment bands, corpus probed
+    // in place
+    "q69_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.incrementalLshPairs(
+        docs.filter(s"source <> '${DedupOps.IncrementSource}'"),
+        docs.filter(s"source = '${DedupOps.IncrementSource}'"))
+    }),
     // §7.1 graft.ext — similarity search over `embeddings`
     "q42_knn_brute"        -> ((s, d) => SimilarityOps.knnBruteForce(Tables.embeddings(s, d))),
     "q43_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(Tables.embeddings(s, d))),

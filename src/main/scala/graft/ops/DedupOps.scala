@@ -106,20 +106,54 @@ object DedupOps {
     * [[SimilarityOps]]. */
   def lshPairs(docs: DataFrame, bands: Int = Bands,
                numHashes: Int = NumHashes): DataFrame = {
-    require(numHashes % bands == 0, "bands must evenly divide numHashes")
-    val rows = numHashes / bands
-    val sh = shingleRows(docs)
-    val sig = minhashSignature(docs, numHashes)
-    val bandExprs = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
-      s"md5(concat($cols))"
-    }
-    val bands0 = sig.selectExpr("doc_id", s"explode(array(${bandExprs.mkString(", ")})) AS band")
+    val bands0 = bandKeyRows(docs, bands, numHashes)
     val cand = bands0.as("x").join(bands0.as("y"), col("x.band") === col("y.band")
         && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, sh)
+    verifyJaccard(cand, shingleRows(docs))
+  }
+
+  /** LSH band keys as rows (doc_id, band): md5 over each band's
+    * concatenated minhash hex — ONE construction shared by the self-join
+    * (q37) and incremental (q69) variants so they can never disagree on
+    * what a band is. */
+  private def bandKeyRows(docs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must evenly divide numHashes")
+    val rows = numHashes / bands
+    val bandExprs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
+      s"md5(concat($cols))"
+    }
+    minhashSignature(docs, numHashes)
+      .selectExpr("doc_id", s"explode(array(${bandExprs.mkString(", ")})) AS band")
+  }
+
+  /** The source partition q69 treats as the arriving batch (a runtime
+    * choice in library use; fixed here so the graded query is stable). */
+  val IncrementSource = "src5"
+
+  /** q69 — INCREMENTAL near-dup detection: dedup an arriving batch against
+    * the existing corpus — the production shape of corpus maintenance,
+    * where recomputing the corpus-wide pair table per ingest (q37 daily at
+    * 100 TB) would dwarf the ingest itself.
+    *
+    * Plan shape at scale: the increment's band keys are BOUNDED (a daily
+    * batch) and explicitly broadcast, so the corpus side — whose band keys
+    * are a row-local projection of its (in production, persisted)
+    * signatures — is probed IN PLACE, never shuffled. The Jaccard verify
+    * then touches shingles only for candidate docs (the candidate table is
+    * increment-bounded, so its doc_id joins broadcast too). Caller
+    * guarantees the two doc_id sets are disjoint (a shared id would
+    * self-pair); output pairs are (a_id corpus doc, b_id new doc). */
+  def incrementalLshPairs(corpus: DataFrame, increment: DataFrame,
+                          bands: Int = Bands, numHashes: Int = NumHashes): DataFrame = {
+    val cand = bandKeyRows(corpus, bands, numHashes).as("x")
+      .join(broadcast(bandKeyRows(increment, bands, numHashes)).as("y"),
+        col("x.band") === col("y.band"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, shingleRows(corpus.unionByName(increment)))
   }
 
   /** q38 — exact n-gram Jaccard over DISCRIMINATIVE shingles: shingles with
@@ -285,6 +319,25 @@ object DedupOps {
             cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
                      FROM bands x JOIN bands y
                      ON x.band = y.band AND x.doc_id < y.doc_id)
+            SELECT a_id, b_id, $jacSql AS jac
+            FROM cand JOIN base sa ON sa.doc_id = a_id
+                      JOIN base sb ON sb.doc_id = b_id
+            WHERE $jacSql >= $JaccardThreshold
+            ORDER BY a_id, b_id""",
+      // q69: same signature/band/Jaccard machinery as q37, asymmetric cut —
+      // the increment side's bands join the corpus side's
+      "q69_incremental_dedup" ->
+        s"""WITH $baseCte,
+            sig AS (SELECT doc_id, shs, $mhSql FROM base),
+            bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sig),
+            bc AS (SELECT b.doc_id, b.band FROM bands b
+                   JOIN documents d ON b.doc_id = d.doc_id
+                   WHERE d.source <> '$IncrementSource'),
+            bi AS (SELECT b.doc_id, b.band FROM bands b
+                   JOIN documents d ON b.doc_id = d.doc_id
+                   WHERE d.source = '$IncrementSource'),
+            cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                     FROM bc x JOIN bi y ON x.band = y.band)
             SELECT a_id, b_id, $jacSql AS jac
             FROM cand JOIN base sa ON sa.doc_id = a_id
                       JOIN base sb ON sb.doc_id = b_id

@@ -46,6 +46,8 @@ class CatalogSpec extends SparkSpec {
         |FROM doc_dedup_clusters""".stripMargin).collect().head
     assert(drop.getLong(0) === 500L && drop.getLong(1) >= 0L)
     assert(spark.sql("SELECT * FROM doc_bm25 WHERE n_hits > 0").count() > 0)
+    assert(spark.sql("SELECT * FROM doc_increment_pairs").count() >= 0) // executes
+
     assert(spark.sql(
       "SELECT * FROM doc_vocab_masked WHERE masked LIKE '%<unk>%'").count() > 0)
   }

@@ -124,4 +124,26 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(kept === Map(5L -> 2L, 9L -> 1L))
   }
+
+  test("incremental dedup equals the cross-cut of the full-corpus pair table") {
+    // increment: docs 10,11 (10 near-dups corpus doc 1; 11 unrelated)
+    val corpus = docs
+    val inc = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight", "en", "s2", 0L),
+      (11L, "nothing like anything else in this corpus at all whatsoever truly", "en", "s2", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.incrementalLshPairs(corpus, inc)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // reference: run the symmetric pair table over the union, keep pairs
+    // with exactly one endpoint in the increment, orient as (corpus, new)
+    val incIds = Set(10L, 11L)
+    val full = DedupOps.lshPairs(corpus.unionByName(inc))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = full.collect {
+      case (a, b) if incIds(b) && !incIds(a) => (a, b)
+      case (a, b) if incIds(a) && !incIds(b) => (b, a)
+    }
+    assert(got === expected)
+    assert(got.nonEmpty && got.forall { case (a, b) => !incIds(a) && incIds(b) })
+  }
 }

@@ -98,6 +98,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected <= 2 hash exchanges, got $exchanges:\n${plan.take(1200)}")
   }
 
+  test("q69 incremental dedup broadcasts the increment bands; corpus never nested-loops") {
+    val plan = DedupOps.incrementalLshPairs(
+      docs.filter(s"source <> '${DedupOps.IncrementSource}'"),
+      docs.filter(s"source = '${DedupOps.IncrementSource}'"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"increment band side must broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop/cartesian leaked into the incremental plan:\n${plan.take(1200)}")
+  }
+
   test("q67 BM25 takes top-N without a global sort; df and stats broadcast") {
     val plan = TextOps.bm25(docs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
