@@ -70,7 +70,7 @@ object DedupOps {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     docs
       .filter(expr(s"size(split(text, ' ')) >= $ShingleN")) // shingles exist ⇔ ≥ n tokens
-      .selectExpr("doc_id", s"graft_minhash($ShingleArrayGen, $numHashes) AS sig")
+      .selectExpr("doc_id", s"${signatureExpr(numHashes)} AS sig")
       .selectExpr(("doc_id" +: (0 until numHashes).map(i => s"sig[$i] AS mh$i")): _*)
       .orderBy("doc_id")
   }
@@ -114,19 +114,32 @@ object DedupOps {
     verifyJaccard(cand, shingleRows(docs))
   }
 
-  /** LSH band keys as rows (doc_id, band): md5 over each band's
-    * concatenated minhash hex — ONE construction shared by the self-join
-    * (q37) and incremental (q69) variants so they can never disagree on
-    * what a band is. */
-  private def bandKeyRows(docs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+  /** The row-local signature expression (used by [[minhashSignature]] and
+    * the streaming ingest guard — same text, same hashes). */
+  private[graft] def signatureExpr(numHashes: Int = NumHashes): String =
+    s"graft_minhash($ShingleArrayGen, $numHashes)"
+
+  /** Per-band key expressions over a signature ARRAY column: md5 of the
+    * band's concatenated minhash hex — ONE construction shared by the
+    * self-join (q37), incremental (q69), and streaming-guard variants so
+    * they can never disagree on what a band is. */
+  private[graft] def bandKeyExprs(sigCol: String, bands: Int, numHashes: Int): Seq[String] = {
     require(numHashes % bands == 0, "bands must evenly divide numHashes")
     val rows = numHashes / bands
-    val bandExprs = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
+    (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"$sigCol[${b * rows + r}]").mkString(", ")
       s"md5(concat($cols))"
     }
-    minhashSignature(docs, numHashes)
-      .selectExpr("doc_id", s"explode(array(${bandExprs.mkString(", ")})) AS band")
+  }
+
+  /** LSH band keys as rows (doc_id, band). */
+  private def bandKeyRows(docs: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .filter(expr(s"size(split(text, ' ')) >= $ShingleN"))
+      .selectExpr("doc_id", s"${signatureExpr(numHashes)} AS sig")
+      .selectExpr("doc_id",
+        s"explode(array(${bandKeyExprs("sig", bands, numHashes).mkString(", ")})) AS band")
   }
 
   /** The source partition q69 treats as the arriving batch (a runtime
