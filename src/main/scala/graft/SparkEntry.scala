@@ -137,6 +137,10 @@ object SparkEntry {
     "q56_normalize"        -> ((s, d) => PipelineOps.normalizeDocs(Tables.documents(s, d))),
     "q57_split"            -> ((s, d) => PipelineOps.splitAssign(Tables.documents(s, d))),
     "q58_stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(Tables.documents(s, d))),
+    // GPT-3-style n-gram eval decontamination over the q57 split: broadcast
+    // test-split grams, row-local train-side shingles
+    "q70_ngram_contamination" -> ((s, d) =>
+      PipelineOps.ngramContamination(Tables.documents(s, d))),
     // §7.1 graft.ext — near-dup detection over `documents`
     "q36_minhash_signature" -> ((s, d) => DedupOps.minhashSignature(Tables.documents(s, d))),
     "q37_lsh_pairs"        -> ((s, d) => DedupOps.lshPairs(Tables.documents(s, d))),

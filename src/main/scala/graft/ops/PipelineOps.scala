@@ -75,6 +75,38 @@ object PipelineOps {
   /** DuckDB equivalents — same md5 constructions, same regexes (RE2 and
     * Java agree on these character-class patterns), 'g' flag because
     * DuckDB's regexp_replace is first-match by default. */
+  /** q70 — n-gram eval DECONTAMINATION: flag every train-split document
+    * sharing ANY n-gram with the test split — the GPT-3-style 13-gram
+    * check (n = 5 here, scaled to the test corpus's short docs), at n-gram
+    * granularity where q65's doc-level fingerprint overlap cannot see a
+    * partial copy. Output covers every train doc: (doc_id, n_shared
+    * distinct grams, contaminated).
+    *
+    * Scale shape: the eval side is the SMALL side by construction (test
+    * split ≈ 10 %, and eval sets in practice are tiny) — its distinct
+    * grams broadcast; the train side is a row-local shingle explode
+    * (native `graft_shingles`) feeding a broadcast join + one doc_id
+    * aggregate. The corpus-wide gram table is never shuffled. */
+  def ngramContamination(docs: DataFrame, n: Int = 5): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"), col("text"))
+      .selectExpr("doc_id", s"${splitOf("bucket")} AS split", "text")
+      .filter(expr(s"size(split(text, ' ')) >= $n"))
+      .selectExpr("doc_id", "split",
+        s"explode(array_distinct(graft_shingles(split(text, ' '), $n))) AS gram")
+    val evalGrams = grams.filter(col("split") === "test").select("gram").distinct()
+    val hits = grams.filter(col("split") === "train")
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    splitAssign(docs).filter(col("split") === "train").select("doc_id")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id",
+        "CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared",
+        "COALESCE(n_shared, 0) > 0 AS contaminated")
+      .orderBy("doc_id")
+  }
+
   def oracles: Map[String, String] = Map(
     "q56_normalize" ->
       """SELECT doc_id,
@@ -101,5 +133,33 @@ object PipelineOps {
          FROM r JOIN n ON r.lang = n.lang
          WHERE r.r <= CEIL(CAST(n.n AS DOUBLE) * 0.2)
          ORDER BY r.lang, r.r""",
+    "q70_ngram_contamination" -> {
+      val n = 5
+      // i..i+(n-1) token concat, same 5-gram recipe as graft_shingles(.., 5)
+      val gram = (0 until n).map(j => s"str_split(text, ' ')[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH sp AS (SELECT doc_id, text,
+                 CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT)
+                        < $TrainCut THEN 'train'
+                      WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT)
+                        < $ValCut THEN 'val'
+                      ELSE 'test' END AS split
+               FROM documents),
+          g AS (SELECT doc_id, split,
+                       unnest(list_distinct(list_transform(
+                         range(1, len(str_split(text, ' ')) - ${n - 2}),
+                         i -> $gram))) AS gram
+                FROM sp WHERE len(str_split(text, ' ')) >= $n),
+          ev AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+          h AS (SELECT g.doc_id, COUNT(*) AS n_shared
+                FROM g JOIN ev ON g.gram = ev.gram
+                WHERE g.split = 'train' GROUP BY g.doc_id)
+         SELECT sp.doc_id AS doc_id,
+                CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+                COALESCE(h.n_shared, 0) > 0 AS contaminated
+         FROM sp LEFT OUTER JOIN h ON sp.doc_id = h.doc_id
+         WHERE sp.split = 'train'
+         ORDER BY doc_id"""
+    },
   )
 }

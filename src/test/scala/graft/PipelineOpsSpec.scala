@@ -36,4 +36,29 @@ class PipelineOpsSpec extends SparkSpec {
       assert(k === math.ceil(n(lang) * 0.2).toLong, s"stratum $lang")
     }
   }
+
+  test("ngram contamination flags exactly the train docs sharing a gram with test") {
+    // split membership is md5(doc_id) — discover one train and one test id,
+    // then plant a shared 5-gram between them
+    val ids = (0L until 50L).map(i => (i, "x", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val split = PipelineOps.splitAssign(ids).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val trainIds = split.collect { case (id, "train") => id }.toSeq.sorted
+    val testId = split.collect { case (id, "test") => id }.head
+    val (dirty, clean) = (trainIds.head, trainIds(1))
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (dirty, s"prefix words then $shared and a tail", "en", "s", 0L),
+      (clean, "totally unrelated train content with many words here", "en", "s", 0L),
+      (testId, s"eval question containing $shared verbatim", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = PipelineOps.ngramContamination(docs)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // output covers exactly the train docs, ordered
+    assert(got.map(_._1) === Seq(dirty, clean).sorted)
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(dirty)._1 === 1L && byId(dirty)._2 === true) // one shared 5-gram
+    assert(byId(clean) === ((0L, false)))
+  }
 }
