@@ -133,6 +133,23 @@ object SparkEntry {
     // dedup verdicts become per-doc KEEP/DROP decisions
     "q66_dedup_clusters"   -> ((s, d) =>
       graft.ops.GraphOps.dedupClusters(Tables.documents(s, d), lshPairsShared(s, d))),
+    // the capstone corpus-build verdict: a train-split doc enters the
+    // training corpus iff it passes quality (q61), survives near-dup
+    // clustering (q66), and shares no 5-gram with the eval split (q70) —
+    // each input individually hash-verified, the conjunction composed here
+    "q71_corpus_decision"  -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      import org.apache.spark.sql.functions.col
+      val quality = TextOps.trainingFilter(docs)
+        .select(col("doc_id"), col("keep").as("quality_ok"))
+      val dedup = graft.ops.GraphOps.dedupClusters(docs, lshPairsShared(s, d))
+        .select(col("doc_id"), col("keep").as("dedup_keep"))
+      PipelineOps.ngramContamination(docs).select("doc_id", "contaminated")
+        .join(quality, "doc_id").join(dedup, "doc_id")
+        .selectExpr("doc_id", "quality_ok", "dedup_keep", "contaminated",
+          "quality_ok AND dedup_keep AND NOT contaminated AS keep")
+        .orderBy("doc_id")
+    }),
     // §7.1 graft.ext — corpus-build pipeline stages over `documents`
     "q56_normalize"        -> ((s, d) => PipelineOps.normalizeDocs(Tables.documents(s, d))),
     "q57_split"            -> ((s, d) => PipelineOps.splitAssign(Tables.documents(s, d))),
@@ -427,5 +444,18 @@ object SparkEntry {
          GROUP BY token ORDER BY n DESC, token""",
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
     PipelineOps.oracles ++ SketchOps.oracles ++ graft.ops.GraphOps.oracles ++
-    graft.multimodal.MediaOps.oracles
+    graft.multimodal.MediaOps.oracles +
+    // q71 composes the three component oracles verbatim (q61 quality, q66
+    // dedup survivorship, q70 decontamination) — the verdict's inputs
+    // cannot drift from the individually-hash-verified queries
+    ("q71_corpus_decision" ->
+      s"""WITH t AS (${TextOps.oracles("q61_training_filter")}),
+          d AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
+          n AS (${PipelineOps.oracles("q70_ngram_contamination")})
+          SELECT n.doc_id AS doc_id, t.keep AS quality_ok,
+                 d.keep AS dedup_keep, n.contaminated AS contaminated,
+                 (t.keep AND d.keep AND NOT n.contaminated) AS keep
+          FROM n JOIN t ON n.doc_id = t.doc_id
+                 JOIN d ON n.doc_id = d.doc_id
+          ORDER BY doc_id""")
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.PipelineOps
+import org.apache.spark.sql.functions.col
 
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -60,5 +61,18 @@ class PipelineOpsSpec extends SparkSpec {
     val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
     assert(byId(dirty)._1 === 1L && byId(dirty)._2 === true) // one shared 5-gram
     assert(byId(clean) === ((0L, false)))
+  }
+
+  test("corpus decision covers exactly the train split; keep is the conjunction") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val trainIds = PipelineOps.splitAssign(docs)
+      .filter(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    val rows = SparkEntry.queries("q71_corpus_decision")(spark, dir)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(rows.map(_._1).toSet === trainIds)
+    rows.foreach { case (id, q, d, c, keep) =>
+      assert(keep === (q && d && !c), s"doc $id")
+    }
   }
 }
