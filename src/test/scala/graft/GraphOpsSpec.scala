@@ -60,6 +60,26 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got.size === 64 && got.values.forall(_ == 0L))
   }
 
+  test("a 256-node chain (worst-case diameter) still converges under the cap") {
+    // a path graph is the adversarial topology for label propagation
+    // (diameter = n); star contraction must close it in O(log^2 n) rounds
+    val es = (0L until 255L).map(i => (i, i + 1))
+    val got = ccMap(es)
+    assert(got.size === 256 && got.values.forall(_ == 0L))
+  }
+
+  test("a dense 300-node random graph matches union-find") {
+    val rnd = new Random(42)
+    val n = 300
+    val nodes = (0L until n.toLong).toSeq
+    val es = Seq.fill(4 * n) {
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.filter { case (a, b) => a != b }
+    val expected = unionFind(nodes, es)
+    val linked = es.flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert(ccMap(es) === expected.filter { case (k, _) => linked(k) })
+  }
+
   test("a clique, a chain, and a singleton pair stay separate components") {
     val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val chain = (10L until 14L).map(i => (i, i + 1))
