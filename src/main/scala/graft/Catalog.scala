@@ -56,5 +56,17 @@ object Catalog {
       docs.filter(s"source <> '${ops.DedupOps.IncrementSource}'"),
       docs.filter(s"source = '${ops.DedupOps.IncrementSource}'"))
       .createOrReplaceTempView("doc_increment_pairs")
+    ops.PipelineOps.ngramContamination(docs)
+      .createOrReplaceTempView("doc_ngram_contamination")
+    // the corpus-build verdict, composed LAZILY over the registered views
+    // (the eager cluster table above is reused, not recomputed)
+    spark.table("doc_ngram_contamination").select("doc_id", "contaminated")
+      .join(ops.TextOps.trainingFilter(docs)
+        .selectExpr("doc_id", "keep AS quality_ok"), "doc_id")
+      .join(spark.table("doc_dedup_clusters")
+        .selectExpr("doc_id", "keep AS dedup_keep"), "doc_id")
+      .selectExpr("doc_id", "quality_ok", "dedup_keep", "contaminated",
+        "quality_ok AND dedup_keep AND NOT contaminated AS keep")
+      .createOrReplaceTempView("doc_corpus_decision")
   }
 }

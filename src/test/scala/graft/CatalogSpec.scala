@@ -50,5 +50,11 @@ class CatalogSpec extends SparkSpec {
 
     assert(spark.sql(
       "SELECT * FROM doc_vocab_masked WHERE masked LIKE '%<unk>%'").count() > 0)
+    // the verdict view composes: keep is the conjunction, queryable in SQL
+    val bad = spark.sql(
+      """SELECT COUNT(*) FROM doc_corpus_decision
+        |WHERE keep <> (quality_ok AND dedup_keep AND NOT contaminated)""".stripMargin)
+    assert(bad.collect().head.getLong(0) === 0L)
+    assert(spark.sql("SELECT * FROM doc_ngram_contamination").count() > 0)
   }
 }

@@ -109,6 +109,24 @@ class PlanShapeSpec extends SparkSpec {
       s"nested-loop/cartesian leaked into the incremental plan:\n${plan.take(1200)}")
   }
 
+  test("q70 decontamination broadcasts the eval grams; train grams never shuffle") {
+    val plan = graft.ops.PipelineOps.ngramContamination(docs)
+      .queryExecution.executedPlan.toString
+    // the GRAM join is the scale-critical one (train side = the whole
+    // corpus's shingles): it must be a broadcast of the eval side, never a
+    // gram-keyed shuffle of the train side. (The outer doc_id join to the
+    // candidate-bounded hits table stays size-adaptive — with this
+    // session's auto-broadcast disabled it plans as SMJ, which AQE
+    // upgrades at runtime.)
+    assert("BroadcastHashJoin \\[gram".r.findFirstIn(plan).isDefined,
+      s"eval-gram side must broadcast:\n${plan.take(1200)}")
+    val gramShuffles = "hashpartitioning\\(gram".r.findAllIn(plan).length
+    assert(gramShuffles <= 1, // the eval side's own distinct, nothing else
+      s"train grams leaked into a shuffle ($gramShuffles):\n${plan.take(1200)}")
+    assert("SortMergeJoin \\[gram".r.findFirstIn(plan).isEmpty,
+      s"gram join degraded to a corpus-side shuffle:\n${plan.take(1200)}")
+  }
+
   test("q67 BM25 takes top-N without a global sort; df and stats broadcast") {
     val plan = TextOps.bm25(docs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
