@@ -55,9 +55,13 @@ object SparkEntry {
     * consumers (q66, q71) read this snapshot — the iterative cost is paid
     * once, like any materialized pipeline stage. (long, long, boolean)
     * round-trips parquet bit-exactly. */
-  private def clustersShared(s: SparkSession, d: String): DataFrame =
+  private def clustersShared(s: SparkSession, d: String): DataFrame = {
+    // resolve the pairs snapshot BEFORE entering the clusters build thunk:
+    // a nested computeIfAbsent on the same map throws "Recursive update"
+    val pairs = lshPairsShared(s, d)
     materialized(s, d, "clusters")(
-      graft.ops.GraphOps.dedupClusters(Tables.documents(s, d), lshPairsShared(s, d)))
+      graft.ops.GraphOps.dedupClusters(Tables.documents(s, d), pairs))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -171,6 +175,10 @@ object SparkEntry {
     // test-split grams, row-local train-side shingles
     "q70_ngram_contamination" -> ((s, d) =>
       PipelineOps.ngramContamination(Tables.documents(s, d))),
+    // temperature (α=0.5) mixture reweighting per corpus stratum — sqrt is
+    // IEEE-correctly-rounded, so the weight is bit-exact cross-engine
+    "q72_mixture_weights"  -> ((s, d) =>
+      PipelineOps.mixtureWeights(Tables.documents(s, d))),
     // §7.1 graft.ext — near-dup detection over `documents`
     "q36_minhash_signature" -> ((s, d) => DedupOps.minhashSignature(Tables.documents(s, d))),
     "q37_lsh_pairs"        -> ((s, d) => DedupOps.lshPairs(Tables.documents(s, d))),

@@ -107,6 +107,25 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** q72 — temperature-based MIXTURE WEIGHTS (α = 0.5): per-(lang, source)
+    * sampling probabilities ∝ n^α — the standard reweighting that keeps
+    * low-resource strata represented when sampling a multilingual/
+    * multi-source training mix. α = 0.5 is deliberately sqrt: IEEE 754
+    * requires sqrt correctly rounded, so BOTH engines produce identical
+    * bits (a general pow(n, α) routes through exp/ln, which is not
+    * bit-portable — the q67 lesson); the weight then lives in integer
+    * micro-units and the normalizer is an exact integer sum, so p is one
+    * identical IEEE division on both sides. The stratum table is bounded
+    * (|lang| × |source|), so the normalizing window over it is trivially
+    * single-partition at any corpus size. */
+  def mixtureWeights(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .selectExpr("lang", "source", "n",
+        "CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro")
+      .selectExpr("lang", "source", "n", "w_micro",
+        "w_micro / CAST(SUM(w_micro) OVER () AS DOUBLE) AS p")
+      .orderBy("lang", "source")
+
   def oracles: Map[String, String] = Map(
     "q56_normalize" ->
       """SELECT doc_id,
@@ -133,6 +152,15 @@ object PipelineOps {
          FROM r JOIN n ON r.lang = n.lang
          WHERE r.r <= CEIL(CAST(n.n AS DOUBLE) * 0.2)
          ORDER BY r.lang, r.r""",
+    "q72_mixture_weights" ->
+      """WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM documents GROUP BY lang, source),
+          w AS (SELECT lang, source, n,
+                       CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+                FROM g)
+         SELECT lang, source, n, w_micro,
+                w_micro / CAST(SUM(w_micro) OVER () AS DOUBLE) AS p
+         FROM w ORDER BY lang, source""",
     "q70_ngram_contamination" -> {
       val n = 5
       // i..i+(n-1) token concat, same 5-gram recipe as graft_shingles(.., 5)

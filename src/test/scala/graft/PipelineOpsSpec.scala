@@ -63,6 +63,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byId(clean) === ((0L, false)))
   }
 
+  test("mixture weights: p sums to 1 and follows sqrt(n) ratios") {
+    val docs = (
+      (1 to 9).map(i => (i.toLong, "t", "en", "s1", 0L)) ++   // n=9 → w=3e6
+      (10 to 13).map(i => (i.toLong, "t", "en", "s2", 0L)) ++ // n=4 → w=2e6
+      Seq((14L, "t", "de", "s1", 0L))                         // n=1 → w=1e6
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = PipelineOps.mixtureWeights(docs)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSeq === Seq(
+      ("de", "s1", 1L, 1000000L),
+      ("en", "s1", 9L, 3000000L),
+      ("en", "s2", 4L, 2000000L)))
+    assert(rows.map(_._5).sum === 1.0)
+    val p = rows.map(r => (r._1, r._2) -> r._5).toMap
+    assert(p(("en", "s1")) === 0.5) // 3e6 / 6e6 exactly
+  }
+
   test("corpus decision covers exactly the train split; keep is the conjunction") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
