@@ -179,6 +179,10 @@ object SparkEntry {
     // IEEE-correctly-rounded, so the weight is bit-exact cross-engine
     "q72_mixture_weights"  -> ((s, d) =>
       PipelineOps.mixtureWeights(Tables.documents(s, d))),
+    // concat-and-chunk packing bookkeeping: per-doc offset + chunk span
+    // from one window cumsum
+    "q73_sequence_packing" -> ((s, d) =>
+      PipelineOps.sequencePacking(Tables.documents(s, d))),
     // §7.1 graft.ext — near-dup detection over `documents`
     "q36_minhash_signature" -> ((s, d) => DedupOps.minhashSignature(Tables.documents(s, d))),
     "q37_lsh_pairs"        -> ((s, d) => DedupOps.lshPairs(Tables.documents(s, d))),

@@ -126,6 +126,30 @@ object PipelineOps {
         "w_micro / CAST(SUM(w_micro) OVER () AS DOUBLE) AS p")
       .orderBy("lang", "source")
 
+  /** q73 — SEQUENCE PACKING (concat-and-chunk bookkeeping): concatenate
+    * the corpus in stable doc_id order and chop it into fixed-token-budget
+    * training chunks — the standard LLM-pretraining packing — reporting,
+    * per document, its token offset and the first/last chunk it lands in
+    * (`chunk_first != chunk_last` ⇔ the doc straddles a boundary, the
+    * fraction a packer monitors as its truncation/waste rate). One window
+    * cumsum; every chunk index is pure integer arithmetic off it.
+    *
+    * Scale note: the window is UNPARTITIONED by semantic necessity (a
+    * global running offset). At 100 TB, range-partition by doc_id, cumsum
+    * per partition, then broadcast the per-partition totals as offsets —
+    * the standard two-pass distributed prefix sum; the single window here
+    * is the semantic spec of that. */
+  def sequencePacking(docs: DataFrame, budget: Long = 1024): DataFrame =
+    docs.selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .selectExpr("doc_id", "n_tokens",
+        """SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens""")
+      .selectExpr("doc_id", "n_tokens",
+        "cum_tokens - n_tokens AS start_offset",
+        s"CAST(FLOOR((cum_tokens - n_tokens) / $budget) AS BIGINT) AS chunk_first",
+        s"CAST(FLOOR((cum_tokens - 1) / $budget) AS BIGINT) AS chunk_last")
+      .orderBy("doc_id")
+
   def oracles: Map[String, String] = Map(
     "q56_normalize" ->
       """SELECT doc_id,
@@ -152,6 +176,18 @@ object PipelineOps {
          FROM r JOIN n ON r.lang = n.lang
          WHERE r.r <= CEIL(CAST(n.n AS DOUBLE) * 0.2)
          ORDER BY r.lang, r.r""",
+    "q73_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                FROM t)
+         SELECT doc_id, n_tokens,
+                CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+                CAST(FLOOR((cum_tokens - n_tokens) / 1024) AS BIGINT) AS chunk_first,
+                CAST(FLOOR((cum_tokens - 1) / 1024) AS BIGINT) AS chunk_last
+         FROM c ORDER BY doc_id""",
     "q72_mixture_weights" ->
       """WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
                     FROM documents GROUP BY lang, source),

@@ -80,6 +80,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p(("en", "s1")) === 0.5) // 3e6 / 6e6 exactly
   }
 
+  test("sequence packing: offsets are the exact prefix sum; straddlers are visible") {
+    // budget 10: doc1 (6 tok) fills [0,6); doc2 (6 tok) straddles the
+    // 10-boundary [6,12); doc3 (4 tok) sits inside chunk 1 [12,16)
+    val d = Seq(
+      (1L, "a b c d e f", "en", "s", 0L),
+      (2L, "g h i j k l", "en", "s", 0L),
+      (3L, "m n o p", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = PipelineOps.sequencePacking(d, budget = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (1L, 6L, 0L, 0L, 0L),
+      (2L, 6L, 6L, 0L, 1L),  // straddles chunks 0 and 1
+      (3L, 4L, 12L, 1L, 1L)))
+  }
+
   test("corpus decision covers exactly the train split; keep is the conjunction") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
