@@ -154,4 +154,102 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bm25 matches a Scala model on 50 random corpora (micro-exact)") {
+    val words = Vector("spark", "query", "dup", "a", "b", "c", "d")
+    for (trial <- 1 to 50) {
+      val nDocs = 2 + rnd.nextInt(8)
+      val corpus = (1 to nDocs).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" "),
+          "en", "s", 0L)
+      }
+      val d = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+      // Scala model: same formula, same op order, Math.log for ln
+      val toks = corpus.map { case (id, t, _, _, _) => id -> t.split(" ", -1).toSeq }.toMap
+      val n = nDocs.toLong
+      val total = toks.values.map(_.size.toLong).sum
+      val terms = graft.ops.TextOps.Bm25Terms
+      val df = terms.map(t => t -> toks.count(_._2.contains(t)).toLong)
+        .filter(_._2 > 0).toMap
+      val expected = toks.toSeq.flatMap { case (id, tk) =>
+        val micros = terms.flatMap { t =>
+          val tf = tk.count(_ == t).toLong
+          if (tf == 0 || !df.contains(t)) None
+          else {
+            val dl = tk.size.toLong
+            val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            val c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (total.toDouble / n))))
+            Some(math.round(c * 1e6))
+          }
+        }
+        if (micros.isEmpty) None else Some(id -> ((micros.size.toLong, micros.sum)))
+      }.toMap
+      val got = graft.ops.TextOps.bm25(d, topN = nDocs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("vocab mask invariants on 50 random corpora") {
+    val words = Vector("w1", "w2", "w3", "w4", "w5", "w6")
+    for (trial <- 1 to 50) {
+      val corpus = (1 to 2 + rnd.nextInt(6)).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(10))(words(rnd.nextInt(words.size))).mkString(" "),
+          "en", "s", 0L)
+      }
+      val d = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val k = 1 + rnd.nextInt(4)
+      val rows = graft.ops.TextOps.vocabMask(d, topK = k).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val texts = corpus.map(c => c._1 -> c._2).toMap
+      rows.foreach { case (id, masked, nMasked) =>
+        val orig = texts(id).split(" ", -1)
+        val out = masked.split(" ", -1)
+        assert(out.length === orig.length, s"trial $trial doc $id: token count")
+        // every token is either preserved in place or exactly '<unk>'
+        orig.zip(out).foreach { case (o, m) =>
+          assert(m == o || m == "<unk>", s"trial $trial doc $id")
+        }
+        assert(nMasked === out.count(_ == "<unk>"), s"trial $trial doc $id: n_masked")
+        // masking is consistent: a token form is either always kept or always masked
+        val verdicts = orig.zip(out).groupBy(_._1).view
+          .mapValues(_.map(p => p._2 == "<unk>").toSet)
+        verdicts.foreach { case (tok, vs) =>
+          assert(vs.size === 1, s"trial $trial doc $id: '$tok' masked inconsistently")
+        }
+      }
+    }
+  }
+
+  test("ingest-guard agreement equals the batch signature overlap (30 random pairs)") {
+    graft.expressions.GraftFunctions.register(spark)
+    val words = Vector("p", "q", "r", "s", "t", "u", "v", "w")
+    val pairs = (1 to 30).map { i =>
+      val base = Seq.fill(5 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+      // mutate a few tokens to vary similarity
+      val mut = base.map(t => if (rnd.nextInt(4) == 0) words(rnd.nextInt(words.size)) else t)
+      (i.toLong, base.mkString(" "), mut.mkString(" "))
+    }
+    // batch signatures via minhashSignature (mh columns)
+    def sigs(col2: Int) = {
+      val df = pairs.map(p => (p._1, if (col2 == 1) p._2 else p._3, "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      graft.ops.DedupOps.minhashSignature(df).collect()
+        .map(r => r.getLong(0) -> (1 to 8).map(r.getString).toSeq).toMap
+    }
+    val (sa, sb) = (sigs(1), sigs(2))
+    // the guard's estimator over the same signature arrays, computed in SQL
+    val est = pairs.filter(p => sa.contains(p._1) && sb.contains(p._1)).map { p =>
+      val agree = sa(p._1).zip(sb(p._1)).count { case (x, y) => x == y } / 8.0
+      p._1 -> agree
+    }.toMap
+    val sqlAgree = pairs.map(p => (p._1, sa.get(p._1).orNull, sb.get(p._1).orNull))
+      .filter(p => p._2 != null && p._3 != null)
+      .toDF("id", "sig", "corpus_sig")
+      .selectExpr("id",
+        "size(filter(zip_with(sig, corpus_sig, (a, b) -> a = b), x -> x)) / CAST(8 AS DOUBLE) AS agree")
+      .as[(Long, Double)].collect().toMap
+    assert(sqlAgree === est)
+  }
 }
