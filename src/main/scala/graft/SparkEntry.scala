@@ -205,6 +205,9 @@ object SparkEntry {
     "q44_label_centroids"  -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
     "q45_embedding_dups"   -> ((s, d) => SimilarityOps.embeddingDups(Tables.embeddings(s, d))),
     "q55_ivf_ann"          -> ((s, d) => SimilarityOps.ivfAnn(Tables.embeddings(s, d))),
+    // int8 symmetric storage quantization with per-vector error reporting
+    "q74_embedding_quantize" -> ((s, d) =>
+      SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),
     // cross-modal: text near-dup pairs (LSH) enriched with embedding cosine.
     // Reads the persisted q37 pair table (lshPairsShared) — measured cost is
     // the two co-keyed vector gathers, not a second LSH run.

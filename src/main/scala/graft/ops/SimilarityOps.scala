@@ -264,7 +264,46 @@ object SimilarityOps {
   private def duckBandList(v: String): String =
     (0 until VBands).map(b => duckBandKey(v, b, PlanesPerBand)).mkString("[", ", ", "]")
 
+  /** q74 — int8 STORAGE QUANTIZATION: per-vector symmetric scale quantize
+    * (scale = max|v| / 127, q_i = round(v_i / scale) ∈ [-127, 127]) — the
+    * standard 4× embedding compression for serving/storage, with per-vector
+    * reconstruction error reported. Entirely row-local (fused into the
+    * scan at any scale). All outputs are either exact integers or doubles
+    * produced by the identical IEEE op sequence in both engines (float →
+    * double cast, one division, round — both engines round half away from
+    * zero — multiply, subtract, abs, max), so the oracle hash-compares the
+    * raw doubles with no rounding machinery. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS arr")
+      .selectExpr("vec_id", "arr",
+        "array_max(transform(arr, x -> abs(x))) / 127e0 AS scale")
+      .selectExpr("vec_id", "arr", "scale",
+        """transform(arr, x -> CASE WHEN scale = 0e0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(round(x / scale) AS BIGINT) END) AS q""")
+      .selectExpr("vec_id", "scale",
+        "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x) AS sum_q",
+        "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS sum_q2",
+        "array_max(zip_with(arr, q, (x, qi) -> abs(x - CAST(qi AS DOUBLE) * scale))) AS max_err")
+      .orderBy("vec_id")
+
   def oracles: Map[String, String] = Map(
+    "q74_embedding_quantize" ->
+      """WITH a AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS arr
+                    FROM embeddings),
+          s AS (SELECT vec_id, arr,
+                       list_max(list_transform(arr, x -> abs(x))) / 127e0 AS scale
+                FROM a),
+          z AS (SELECT vec_id, arr, scale,
+                       list_transform(arr, x -> CASE WHEN scale = 0e0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(round(x / scale) AS BIGINT) END) AS q
+                FROM s)
+         SELECT vec_id, scale,
+                CAST(list_sum(q) AS BIGINT) AS sum_q,
+                CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sum_q2,
+                list_max(list_transform(range(1, len(arr) + 1),
+                  i -> abs(arr[i] - CAST(q[i] AS DOUBLE) * scale))) AS max_err
+         FROM z ORDER BY vec_id""",
     "q42_knn_brute" ->
       s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),

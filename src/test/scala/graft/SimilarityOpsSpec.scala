@@ -68,4 +68,24 @@ class SimilarityOpsSpec extends SparkSpec {
     val n = c.filter("label = 1").select("n").distinct().as[Long].collect()
     assert(n.toSeq === Seq(2L))
   }
+
+  test("int8 quantization: codes bounded, error within half a step, exact on multiples") {
+    // binary-exact multiples of 2^-7 with max|v| = 127 * 2^-7 → scale is
+    // exactly 2^-7 and every code reconstructs perfectly (0.01-style
+    // decimal steps would NOT — they aren't float-representable)
+    val step = math.pow(2, -7).toFloat
+    val exact = Seq((100L,
+      ((1 to 63).map(i => (i - 32) * step) :+ 127 * step).toArray, 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.quantizeInt8(exact).collect().head
+    assert(r.getDouble(4) === 0.0) // max_err: exact reconstruction
+    // random vectors: every |q_i| <= 127 is implied by sum_q2 <= 64*127^2;
+    // max_err <= scale/2 + float-cast slack
+    val rows = SimilarityOps.quantizeInt8(emb).collect()
+    rows.foreach { row =>
+      val (scale, sumQ2, maxErr) = (row.getDouble(1), row.getLong(3), row.getDouble(4))
+      assert(sumQ2 <= 64L * 127 * 127)
+      assert(maxErr <= scale / 2 + 1e-12, s"vec ${row.getLong(0)}")
+    }
+  }
 }
