@@ -208,6 +208,9 @@ object SparkEntry {
     // int8 symmetric storage quantization with per-vector error reporting
     "q74_embedding_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),
+    // search over the compressed corpus: full-precision query vs int8 codes
+    "q75_adc_ann"          -> ((s, d) =>
+      SimilarityOps.adcAnn(Tables.embeddings(s, d))),
     // cross-modal: text near-dup pairs (LSH) enriched with embedding cosine.
     // Reads the persisted q37 pair table (lshPairsShared) — measured cost is
     // the two co-keyed vector gathers, not a second LSH run.

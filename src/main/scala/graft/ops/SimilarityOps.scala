@@ -273,18 +273,46 @@ object SimilarityOps {
     * double cast, one division, round — both engines round half away from
     * zero — multiply, subtract, abs, max), so the oracle hash-compares the
     * raw doubles with no rounding machinery. */
-  def quantizeInt8(emb: DataFrame): DataFrame =
+  /** The (vec_id, arr, scale, q) code stage shared by q74 and q75. */
+  private def int8Codes(emb: DataFrame): DataFrame =
     emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS arr")
       .selectExpr("vec_id", "arr",
         "array_max(transform(arr, x -> abs(x))) / 127e0 AS scale")
       .selectExpr("vec_id", "arr", "scale",
         """transform(arr, x -> CASE WHEN scale = 0e0 THEN CAST(0 AS BIGINT)
              ELSE CAST(round(x / scale) AS BIGINT) END) AS q""")
+
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    int8Codes(emb)
       .selectExpr("vec_id", "scale",
         "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x) AS sum_q",
         "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS sum_q2",
         "array_max(zip_with(arr, q, (x, qi) -> abs(x - CAST(qi AS DOUBLE) * scale))) AS max_err")
       .orderBy("vec_id")
+
+  /** q75 — ADC (asymmetric distance computation) search over the int8
+    * codes: the full-precision query scores against each vector's CODES
+    * (score = scale · Σ qv_i·code_i), i.e. search runs on the compressed
+    * corpus — the serving pattern the quantization exists for. Ranking is
+    * deterministic cross-engine because the dot is the same left-assoc
+    * chain as q42's and the code values are exact integers; at scale the
+    * plan is q42's (broadcast bounded query side, corpus never shuffled),
+    * with the corpus side 4× smaller on disk. Accuracy vs the exact-cosine
+    * ranking is asserted in `SimilarityOpsSpec`. */
+  def adcAnn(emb: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    val codes = int8Codes(emb)
+      .selectExpr("vec_id AS n_id", "scale", "CAST(q AS ARRAY<DOUBLE>) AS qd")
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    broadcast(queries).join(codes, col("q_id") =!= col("n_id"))
+      .selectExpr("q_id", "n_id", s"scale * ${sparkDot("qv", "qd")} AS adc")
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("adc"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
 
   def oracles: Map[String, String] = Map(
     "q74_embedding_quantize" ->
@@ -304,6 +332,27 @@ object SimilarityOps {
                 list_max(list_transform(range(1, len(arr) + 1),
                   i -> abs(arr[i] - CAST(q[i] AS DOUBLE) * scale))) AS max_err
          FROM z ORDER BY vec_id""",
+    "q75_adc_ann" -> {
+      val adcDot = dotChain((1 to Dim).map(d => s"q.qv[$d] * CAST(c.q[$d] AS DOUBLE)"))
+      s"""WITH a AS (SELECT vec_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS arr
+                     FROM embeddings),
+          s AS (SELECT vec_id, arr,
+                       list_max(list_transform(arr, x -> abs(x))) / 127e0 AS scale
+                FROM a),
+          z AS (SELECT vec_id, scale,
+                       list_transform(arr, x -> CASE WHEN scale = 0e0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(round(x / scale) AS BIGINT) END) AS q
+                FROM s),
+          qs AS (SELECT vec_id AS q_id, arr AS qv FROM a WHERE vec_id < $NumQueries),
+          pairs AS (SELECT q.q_id, c.vec_id AS n_id, c.scale * $adcDot AS adc
+                    FROM qs q JOIN z c ON q.q_id != c.vec_id)
+          SELECT q_id, n_id, adc, rank FROM (
+            SELECT q_id, n_id, adc,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank
+            FROM pairs)
+          WHERE rank <= $TopK ORDER BY q_id, rank"""
+    },
     "q42_knn_brute" ->
       s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),

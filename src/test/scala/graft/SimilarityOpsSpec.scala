@@ -88,4 +88,20 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(maxErr <= scale / 2 + 1e-12, s"vec ${row.getLong(0)}")
     }
   }
+
+  test("ADC search over int8 codes reproduces the exact-dot ranking") {
+    // exact-dot reference computed in Scala over the fixture vectors
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+    val expected = (0L until 5L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-dot(vecs(q), vecs(n)), n)).take(3)
+    }.toMap
+    val got = SimilarityOps.adcAnn(emb).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+    // int8 error on these well-separated vectors cannot flip the order
+    assert(got === expected)
+  }
 }
