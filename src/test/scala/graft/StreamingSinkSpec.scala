@@ -39,4 +39,32 @@ class StreamingSinkSpec extends SparkSpec {
       assert(reparsed.count() === 2)
     } finally query.stop()
   }
+
+  test("restart from checkpoint resumes exactly-once: no loss, no duplicates") {
+    val inDir = Files.createTempDirectory("graft_in2").toString
+    val sinkDir = Files.createTempDirectory("graft_sink2").toString + "/fraud"
+    val ckpt = Files.createTempDirectory("graft_ckpt2").toString
+    import spark.implicits._
+
+    def run(): Unit = {
+      val raw = spark.readStream.format("text").load(inDir)
+      val q = FraudPipeline.startAlertSink(FraudPipeline.fraudAlerts(raw), sinkDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"),
+      """{"userId":"user_010","amount":20000.0,"timestamp":1737028300}
+        |""".stripMargin)
+    run() // first incarnation processes batch 1, then STOPS
+
+    Files.writeString(java.nio.file.Path.of(inDir, "b2.json"),
+      """{"userId":"user_011","amount":30000.0,"timestamp":1737028400}
+        |""".stripMargin)
+    run() // second incarnation restarts from the SAME checkpoint
+
+    // each alert landed exactly once: the checkpoint prevents both
+    // reprocessing of b1 (duplicates) and skipping of b2 (loss)
+    val keys = spark.read.parquet(sinkDir).select("key").as[String].collect().sorted
+    assert(keys.toSeq === Seq("user_010", "user_011"))
+  }
 }
