@@ -50,10 +50,12 @@ object GraphOps {
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // both sides are distinct canonical sets: equal counts + empty
-      // one-sided difference ⇒ set equality (two jobs, not three)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // set equality of two distinct canonical sets = empty symmetric
+      // difference — ONE job per round (both excepts evaluate inside the
+      // union's isEmpty), on checkpointed inputs
+      converged = next.exceptAll(edges)
+        .union(edges.exceptAll(next))
+        .isEmpty
       edges = next
       it += 1
     }
