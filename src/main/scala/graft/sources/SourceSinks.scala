@@ -76,11 +76,28 @@ object SourceSinks {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
-  def writeJsonLines(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+  /** JSONL writer; `codec` = "gzip"/"zstd"/… for the compressed form web
+    * corpora ship in ("none" = plain). NOTE gzip is not splittable — one
+    * file becomes one task regardless of size, so compressed corpora must
+    * arrive as MANY files (they do: shard-per-file is the convention) or
+    * be re-sharded at ingest. */
+  def writeJsonLines(df: DataFrame, path: String, codec: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", codec).json(path)
 
+  /** Explicit schema: no inference pass over the (possibly compressed)
+    * corpus, and malformed lines land as nulls (PERMISSIVE) instead of
+    * failing the read — the same drop-on-parse-failure stance as the
+    * streaming layer. Spark decompresses by extension transparently. */
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Schema-evolution read: union the schemas of every parquet file under
+    * `path` (older files yield nulls for later-added columns). Footer
+    * reads of ALL files at planning time — fine for a partitioned corpus
+    * drop, wrong as a default at 100 TB; prefer an explicit schema once
+    * the layout is known. */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Bucketed + sorted managed table: one shuffle at write time, zero at
     * every subsequent join/agg on `bucketCol`. */

@@ -57,6 +57,33 @@ class SourceSinksSpec extends SparkSpec {
     assert(jback.count() === 4)
   }
 
+  test("gzip JSONL round-trips: compressed files on disk, same rows back") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("day", StringType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val dir = Files.createTempDirectory("graft_jsongz").toString
+    SourceSinks.writeJsonLines(events, dir, codec = "gzip")
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    val back = SourceSinks.readJsonLines(spark, dir, schema).orderBy("event_id")
+    assert(back.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("mergeSchema read unions evolving parquet schemas; old files yield nulls") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // day-1 drop: two columns; day-2 drop adds a quality score
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/part=1")
+    Seq((2L, "b", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/part=2")
+    val merged = SourceSinks.readParquetMerged(spark, dir).orderBy("doc_id")
+    assert(merged.columns.toSet === Set("doc_id", "text", "quality", "part"))
+    val rows = merged.collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("quality"))) // pre-evolution file
+    assert(rows(1).getDouble(rows(1).fieldIndex("quality")) === 0.9)
+  }
+
   test("csv round-trip preserves the null vs empty-string distinction") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
