@@ -222,6 +222,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup equals the symmetric cross-cut on 10 random corpora") {
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 10) {
+      def randDoc(id: Long) =
+        (id, Seq.fill(4 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "),
+          "en", "s", 0L)
+      val corpus = (1L to 8L).map(randDoc)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val incIds = Set(20L, 21L, 22L)
+      val inc = incIds.toSeq.sorted.map(randDoc)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = graft.ops.DedupOps.incrementalLshPairs(corpus, inc)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val full = graft.ops.DedupOps.lshPairs(corpus.unionByName(inc))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val expected = full.collect {
+        case (a, b) if incIds(b) && !incIds(a) => (a, b)
+        case (a, b) if incIds(a) && !incIds(b) => (b, a)
+      }
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("sequence packing matches a Scala prefix-sum model on 20 random corpora") {
+    for (trial <- 1 to 20) {
+      val budget = 5 + rnd.nextInt(20)
+      val corpus = (1L to (3 + rnd.nextInt(10)).toLong).map { id =>
+        (id, Seq.fill(1 + rnd.nextInt(12))("w").mkString(" "), "en", "s", 0L)
+      }
+      val d = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+      var cum = 0L
+      val expected = corpus.map { case (id, text, _, _, _) =>
+        val n = text.split(" ", -1).length.toLong
+        val start = cum; cum += n
+        (id, n, start, start / budget, (cum - 1) / budget)
+      }
+      val got = graft.ops.PipelineOps.sequencePacking(d, budget)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got === expected, s"trial $trial budget $budget")
+    }
+  }
+
+  test("mixture weights match a Scala model on 20 random strata") {
+    for (trial <- 1 to 20) {
+      val corpus = (1L to (5 + rnd.nextInt(30)).toLong).map { id =>
+        (id, "t", s"l${rnd.nextInt(3)}", s"s${rnd.nextInt(3)}", 0L)
+      }
+      val d = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val counts = corpus.groupBy(c => (c._3, c._4)).view.mapValues(_.size.toLong).toMap
+      val micros = counts.view.mapValues(n => math.round(math.sqrt(n.toDouble) * 1e6)).toMap
+      val total = micros.values.sum
+      val got = graft.ops.PipelineOps.mixtureWeights(d)
+        .as[(String, String, Long, Long, Double)].collect()
+      got.foreach { case (l, s, n, w, p) =>
+        assert(n === counts((l, s)), s"trial $trial n")
+        assert(w === micros((l, s)), s"trial $trial w")
+        assert(p === w / total.toDouble, s"trial $trial p")
+      }
+      assert(got.length === counts.size)
+    }
+  }
+
   test("ingest-guard agreement equals the batch signature overlap (30 random pairs)") {
     graft.expressions.GraftFunctions.register(spark)
     val words = Vector("p", "q", "r", "s", "t", "u", "v", "w")
