@@ -183,6 +183,10 @@ object SparkEntry {
     // from one window cumsum
     "q73_sequence_packing" -> ((s, d) =>
       PipelineOps.sequencePacking(Tables.documents(s, d))),
+    // apply the q72 mixture: per-stratum md5-rank downsample toward the
+    // temperature-weighted target corpus
+    "q76_mixture_sample"   -> ((s, d) =>
+      PipelineOps.mixtureSample(Tables.documents(s, d))),
     // §7.1 graft.ext — near-dup detection over `documents`
     "q36_minhash_signature" -> ((s, d) => DedupOps.minhashSignature(Tables.documents(s, d))),
     "q37_lsh_pairs"        -> ((s, d) => DedupOps.lshPairs(Tables.documents(s, d))),

@@ -126,6 +126,30 @@ object PipelineOps {
         "w_micro / CAST(SUM(w_micro) OVER () AS DOUBLE) AS p")
       .orderBy("lang", "source")
 
+  /** q76 — APPLY the q72 mixture: downsample each (lang, source) stratum
+    * by md5 rank so the kept corpus approximates the temperature mixture
+    * at ~`target` docs — the step that turns sampling weights into an
+    * actual training corpus. Stratum s keeps ceil(min(1, p_s·target/n_s)
+    * · n_s) docs; the md5 rank makes the choice a pure function of
+    * doc_id (replay/engine-independent, like q57/q58). One shuffle on the
+    * stratum key; the per-stratum weight table is a broadcast dim. Note
+    * `keep_n` never exceeds n_s (rate capped at 1): an under-represented
+    * stratum cannot be upsampled here — the cap is reported so a caller
+    * can route those strata to a repetition pass instead. */
+  def mixtureSample(docs: DataFrame, target: Long = 200): DataFrame = {
+    val w = mixtureWeights(docs).selectExpr("lang", "source", "n", "p")
+      .selectExpr("lang", "source", "n",
+        s"CAST(CEIL(least(1e0, p * CAST($target AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)) AS BIGINT) AS keep_n")
+    val ranked = docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("lang", "source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+    ranked.join(broadcast(w), Seq("lang", "source"))
+      .filter(col("r") <= col("keep_n"))
+      .select("lang", "source", "doc_id", "r", "keep_n")
+      .orderBy("lang", "source", "r")
+  }
+
   /** q73 — SEQUENCE PACKING (concat-and-chunk bookkeeping): concatenate
     * the corpus in stable doc_id order and chop it into fixed-token-budget
     * training chunks — the standard LLM-pretraining packing — reporting,
@@ -149,6 +173,18 @@ object PipelineOps {
         s"CAST(FLOOR((cum_tokens - n_tokens) / $budget) AS BIGINT) AS chunk_first",
         s"CAST(FLOOR((cum_tokens - 1) / $budget) AS BIGINT) AS chunk_last")
       .orderBy("doc_id")
+
+  /** The q72 SQL, a val so q76 can compose it verbatim (the sample's
+    * weight inputs cannot drift from the individually-verified query). */
+  private val MixtureWeightsSql =
+    """WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents GROUP BY lang, source),
+        w AS (SELECT lang, source, n,
+                     CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+              FROM g)
+       SELECT lang, source, n, w_micro,
+              w_micro / CAST(SUM(w_micro) OVER () AS DOUBLE) AS p
+       FROM w ORDER BY lang, source"""
 
   def oracles: Map[String, String] = Map(
     "q56_normalize" ->
@@ -176,6 +212,23 @@ object PipelineOps {
          FROM r JOIN n ON r.lang = n.lang
          WHERE r.r <= CEIL(CAST(n.n AS DOUBLE) * 0.2)
          ORDER BY r.lang, r.r""",
+    // q76 composes the q72 oracle verbatim for its weight inputs
+    "q76_mixture_sample" -> {
+      val target = 200
+      s"""WITH mw AS ($MixtureWeightsSql),
+          w AS (SELECT lang, source, n,
+                       CAST(CEIL(least(1e0, p * CAST($target AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)) AS BIGINT) AS keep_n
+                FROM mw),
+          r AS (SELECT lang, source, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY lang, source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+                FROM documents)
+         SELECT r.lang AS lang, r.source AS source, r.doc_id AS doc_id,
+                CAST(r.r AS BIGINT) AS r, w.keep_n AS keep_n
+         FROM r JOIN w ON r.lang = w.lang AND r.source = w.source
+         WHERE r.r <= w.keep_n
+         ORDER BY lang, source, r"""
+    },
     "q73_sequence_packing" ->
       """WITH t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
                     FROM documents),
@@ -188,15 +241,7 @@ object PipelineOps {
                 CAST(FLOOR((cum_tokens - n_tokens) / 1024) AS BIGINT) AS chunk_first,
                 CAST(FLOOR((cum_tokens - 1) / 1024) AS BIGINT) AS chunk_last
          FROM c ORDER BY doc_id""",
-    "q72_mixture_weights" ->
-      """WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
-                    FROM documents GROUP BY lang, source),
-          w AS (SELECT lang, source, n,
-                       CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
-                FROM g)
-         SELECT lang, source, n, w_micro,
-                w_micro / CAST(SUM(w_micro) OVER () AS DOUBLE) AS p
-         FROM w ORDER BY lang, source""",
+    "q72_mixture_weights" -> MixtureWeightsSql,
     "q70_ngram_contamination" -> {
       val n = 5
       // i..i+(n-1) token concat, same 5-gram recipe as graft_shingles(.., 5)

@@ -96,6 +96,29 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, 4L, 12L, 1L, 1L)))
   }
 
+  test("mixture sample flattens a skewed corpus toward the temperature target") {
+    // 90/10 skew: sqrt weights give the small stratum a boosted share
+    val corpus = (1L to 90L).map(i => (i, "t", "en", "big", 0L)) ++
+      (91L to 100L).map(i => (i, "t", "en", "small", 0L))
+    val d = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = PipelineOps.mixtureSample(d, target = 40)
+      .as[(String, String, Long, Long, Long)].collect()
+    val kept = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // expected: w = sqrt(90), sqrt(10); p = w/Σw; keep = ceil(min(1, p*40/n)*n)
+    val (wb, ws) = (math.sqrt(90.0) * 1e6, math.sqrt(10.0) * 1e6)
+    val (mb, ms) = (math.round(wb), math.round(ws))
+    val tot = (mb + ms).toDouble
+    def keepN(m: Long, n: Long) =
+      math.ceil(math.min(1.0, (m / tot) * 40 / n) * n).toLong
+    assert(kept === Map("big" -> keepN(mb, 90), "small" -> keepN(ms, 10)))
+    // the big stratum was cut much harder than the small one
+    assert(kept("big").toDouble / 90 < kept("small").toDouble / 10)
+    // per-stratum selection is the md5 rank prefix — deterministic
+    val again = PipelineOps.mixtureSample(d, target = 40)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("corpus decision covers exactly the train split; keep is the conjunction") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
