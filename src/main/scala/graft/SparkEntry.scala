@@ -48,14 +48,18 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
-  private def lshPairsShared(s: SparkSession, d: String): DataFrame =
+  /** private[graft]: [[Catalog.registerOpViews]] roots its pair/cluster
+    * views on these parquet snapshots too — registration stays cheap on
+    * re-register, and the views' lineage survives executor loss (a
+    * localCheckpoint-rooted view would not: non-reliable storage). */
+  private[graft] def lshPairsShared(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "pairs")(DedupOps.lshPairs(Tables.documents(s, d)))
   /** The q66 cluster table, materialized once per (session, corpus): the
     * contraction loop is EAGER (convergence actions), so both its
     * consumers (q66, q71) read this snapshot — the iterative cost is paid
     * once, like any materialized pipeline stage. (long, long, boolean)
     * round-trips parquet bit-exactly. */
-  private def clustersShared(s: SparkSession, d: String): DataFrame = {
+  private[graft] def clustersShared(s: SparkSession, d: String): DataFrame = {
     // resolve the pairs snapshot BEFORE entering the clusters build thunk:
     // a nested computeIfAbsent on the same map throws "Recursive update"
     val pairs = lshPairsShared(s, d)
@@ -180,11 +184,11 @@ object SparkEntry {
     "q72_mixture_weights"  -> ((s, d) =>
       PipelineOps.mixtureWeights(Tables.documents(s, d))),
     // concat-and-chunk packing bookkeeping: per-doc offset + chunk span
-    // from one window cumsum
+    // from a two-pass distributed prefix sum (no global window)
     "q73_sequence_packing" -> ((s, d) =>
       PipelineOps.sequencePacking(Tables.documents(s, d))),
-    // apply the q72 mixture: per-stratum md5-rank downsample toward the
-    // temperature-weighted target corpus
+    // apply the q72 mixture: row-local hash-threshold downsample toward the
+    // temperature-weighted target corpus (skew-proof; no per-stratum sort)
     "q76_mixture_sample"   -> ((s, d) =>
       PipelineOps.mixtureSample(Tables.documents(s, d))),
     // §7.1 graft.ext — near-dup detection over `documents`

@@ -42,7 +42,8 @@ object DedupOps {
   /** The distinct-shingle generator — ONE definition of the tokenization +
     * shingle recipe, consumed by q36–q38 (a drift here would silently make
     * the dedup family disagree with itself). */
-  private val ShingleN = 3    // n-gram width — single source for gen + filters
+  private[graft] val ShingleN = 3 // n-gram width — single source for gen + filters
+                                  // (streaming IngestGuard reuses it too)
   private val ShingleArrayGen = s"array_distinct(graft_shingles(split(text, ' '), $ShingleN))"
   private val ShingleGen = s"explode($ShingleArrayGen) AS shingle"
 
@@ -157,8 +158,11 @@ object DedupOps {
     * signatures — is probed IN PLACE, never shuffled. The Jaccard verify
     * then touches shingles only for candidate docs (the candidate table is
     * increment-bounded, so its doc_id joins broadcast too). Caller
-    * guarantees the two doc_id sets are disjoint (a shared id would
-    * self-pair); output pairs are (a_id corpus doc, b_id new doc). */
+    * guarantees the two doc_id sets are disjoint; the guard below makes a
+    * violation fail LOUDLY — a shared id would not just self-pair, it
+    * doubles that doc's shingle rows in the unioned verify input,
+    * silently corrupting the Jaccard of every candidate pair touching it.
+    * Output pairs are (a_id corpus doc, b_id new doc). */
   def incrementalLshPairs(corpus: DataFrame, increment: DataFrame,
                           bands: Int = Bands, numHashes: Int = NumHashes): DataFrame = {
     val cand = bandKeyRows(corpus, bands, numHashes).as("x")
@@ -166,7 +170,19 @@ object DedupOps {
         col("x.band") === col("y.band"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+    // disjointness guard: one broadcast semi-join over corpus ids (the
+    // increment side is batch-bounded — row-local probe, no corpus
+    // shuffle), unioned into the output plan so a violated precondition
+    // fails THE JOB with a named doc_id instead of returning wrong jac
+    val clash = corpus.select("doc_id")
+      .join(broadcast(increment.select("doc_id")), Seq("doc_id"), "left_semi")
+      .selectExpr(
+        """CAST(raise_error(concat('incrementalLshPairs: doc_id ',
+           CAST(doc_id AS STRING), ' present in both corpus and increment')) AS BIGINT) AS a_id""",
+        "CAST(NULL AS BIGINT) AS b_id", "CAST(NULL AS DOUBLE) AS jac")
     verifyJaccard(cand, shingleRows(corpus.unionByName(increment)))
+      .unionByName(clash)
+      .orderBy("a_id", "b_id")
   }
 
   /** q38 — exact n-gram Jaccard over DISCRIMINATIVE shingles: shingles with
@@ -242,8 +258,9 @@ object DedupOps {
     * pair MUST collide — recall is exactly 1 while the candidate space is
     * bounded by per-band collisions (each band key is 15 bits → 32k
     * buckets, and band count/width are runtime dials). This is the
-    * classic web-dedup formulation; q40's bucket-bounded variant stays as
-    * the oracle for looser thresholds that banding cannot guarantee. */
+    * classic web-dedup formulation for tight thresholds; [[simhashPairs]]
+    * covers the loose-threshold regime with radius-probed multi-index
+    * hashing, where untouched-band banding cannot guarantee recall. */
   def simhashLshPairs(docs: DataFrame, threshold: Int = 3, bands: Int = 4): DataFrame = {
     require(threshold < bands,
       "pigeonhole guarantee needs threshold < bands (else recall < 1)")
@@ -271,17 +288,57 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Multi-index-hashing band count for [[simhashPairs]] (Norouzi/Punjani/
+    * Fleet, "Fast Search in Hamming Space with Multi-Index Hashing", CVPR
+    * 2012): 6 bands of 10 bits over the 60-bit simhash, probe radius
+    * floor(threshold/bands) = 2 per band. */
+  val MihBands = 6
+
   /** q40 — SimHash near-dup pairs: hamming distance (popcount of xor) under
-    * threshold within (lang, source) buckets. */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+    * [[HammingThreshold]] within (lang, source) buckets.
+    *
+    * Candidates come from MULTI-INDEX HASHING, never an all-pairs join: the
+    * loose threshold (16 of 60 bits) defeats plain banding (pigeonhole
+    * recall 1 would need 17+ untouched bands of ≤3 bits — a 8-value
+    * keyspace, i.e. quadratic buckets), so each doc's 6 band keys are
+    * joined against the RADIUS-2 PROBE EXPANSION of the other side's keys:
+    * by the generalized pigeonhole, two codes within hamming 16 differ by
+    * ≤ floor(16/6) = 2 bits in SOME 10-bit band (all six differing by ≥3
+    * would sum to ≥18), so the smaller doc_id's probe set (band ^ mask,
+    * |mask| ≤ 2 → Σ C(10,≤2) = 56 masks × 6 bands = 336 16-byte rows per
+    * doc, generated row-locally) always hits the larger's true key —
+    * recall is exactly 1. Candidate volume is bounded by per-(band-key,
+    * lang, source) collisions — 2¹⁰ buckets per band, narrowing with
+    * corpus growth by raising bits-per-band — instead of O(bucket²) in the
+    * hottest stratum. The hamming verify runs inside the band join (the
+    * 8-byte signature rides along, same trade as [[simhashLshPairs]]);
+    * multi-band hits dedup AFTER the threshold filter, so only verified
+    * survivors shuffle. */
+  def simhashPairs(docs: DataFrame, threshold: Int = HammingThreshold,
+                   bands: Int = MihBands): DataFrame = {
+    require(SimhashBits % bands == 0, "bands must evenly divide SimhashBits")
+    val bits = SimhashBits / bands
+    val radius = threshold / bands // generalized pigeonhole probe radius
+    val masks = (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= radius)
+    val lowMask = (1L << bits) - 1
     val sh = simhash(docs)
       .join(docs.select("doc_id", "lang", "source"), "doc_id")
-    sh.as("x").join(sh.as("y"),
-        col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+    val keyExprs = (0 until bands).map(b =>
+      s"(${b.toLong << bits}L + (shiftright(simhash, ${b * bits}) & ${lowMask}L))")
+    val trueKeys = sh.selectExpr("doc_id", "simhash", "lang", "source",
+      s"explode(array(${keyExprs.mkString(", ")})) AS band")
+    // the probe side XORs each ≤radius-bit mask into the band's low bits
+    // (masks < 2^bits never touch the band-index prefix)
+    val probeKeys = trueKeys.selectExpr("doc_id", "simhash", "lang", "source",
+      s"explode(transform(array(${masks.mkString(", ")}), m -> band ^ CAST(m AS BIGINT))) AS pband")
+    probeKeys.as("x").join(trueKeys.as("y"),
+        col("x.pband") === col("y.band")
+          && col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
           && col("x.doc_id") < col("y.doc_id"))
       .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id",
         "CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming")
-      .filter(col("hamming") <= HammingThreshold)
+      .filter(col("hamming") <= threshold)
+      .distinct() // multi-band hits carry identical hamming
       .orderBy("a_id", "b_id")
   }
 

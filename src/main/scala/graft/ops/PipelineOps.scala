@@ -126,25 +126,53 @@ object PipelineOps {
         "w_micro / CAST(SUM(w_micro) OVER () AS DOUBLE) AS p")
       .orderBy("lang", "source")
 
+  /** The per-stratum keep budget shared by [[mixtureSample]] and
+    * [[mixtureSampleExact]]: stratum s keeps ceil(min(1, p_s·target/n_s)
+    * · n_s) docs. `keep_n` never exceeds n_s (rate capped at 1): an
+    * under-represented stratum cannot be upsampled here — the cap is
+    * reported so a caller can route those strata to a repetition pass. */
+  private def keepBudget(docs: DataFrame, target: Long): DataFrame =
+    mixtureWeights(docs).selectExpr("lang", "source", "n",
+      s"CAST(CEIL(least(1e0, p * CAST($target AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)) AS BIGINT) AS keep_n")
+
   /** q76 — APPLY the q72 mixture: downsample each (lang, source) stratum
-    * by md5 rank so the kept corpus approximates the temperature mixture
-    * at ~`target` docs — the step that turns sampling weights into an
-    * actual training corpus. Stratum s keeps ceil(min(1, p_s·target/n_s)
-    * · n_s) docs; the md5 rank makes the choice a pure function of
-    * doc_id (replay/engine-independent, like q57/q58). One shuffle on the
-    * stratum key; the per-stratum weight table is a broadcast dim. Note
-    * `keep_n` never exceeds n_s (rate capped at 1): an under-represented
-    * stratum cannot be upsampled here — the cap is reported so a caller
-    * can route those strata to a repetition pass instead. */
+    * toward the temperature mixture at ~`target` docs by HASH-THRESHOLD
+    * sampling: a doc is kept iff its 48-bit md5 prefix `u` falls below the
+    * stratum's cut = floor(keep_n·2⁴⁸ / n) — a ROW-LOCAL filter against a
+    * broadcast per-stratum dial. No per-stratum sort, no window, no rank:
+    * real corpora are stratum-skewed (one (en, web) stratum can be most of
+    * 100 TB), and a rank window puts each stratum on one task; the
+    * threshold form's plan is a scan + broadcast join at any skew.
+    *
+    * The cut is EXACT integer math on both engines — keep_n·2⁴⁸ computed
+    * in DECIMAL(38,0) (≤ 2¹¹¹ < 10³⁸, no overflow at any corpus size),
+    * floor-divided by n — and `u` is a pure function of doc_id, so the
+    * kept set is replay/engine-independent like q57/q58. Kept counts are
+    * binomial around keep_n (exact-count callers use
+    * [[mixtureSampleExact]], the rank twin, where strata are bounded). */
   def mixtureSample(docs: DataFrame, target: Long = 200): DataFrame = {
-    val w = mixtureWeights(docs).selectExpr("lang", "source", "n", "p")
-      .selectExpr("lang", "source", "n",
-        s"CAST(CEIL(least(1e0, p * CAST($target AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)) AS BIGINT) AS keep_n")
+    val w = keepBudget(docs, target).selectExpr("lang", "source", "keep_n",
+      "CAST(CAST(keep_n AS DECIMAL(38,0)) * 281474976710656 DIV n AS BIGINT) AS cut")
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
+      .join(broadcast(w), Seq("lang", "source"))
+      .filter(col("u") < col("cut"))
+      .select("lang", "source", "doc_id", "u", "keep_n")
+      .orderBy("lang", "source", "doc_id")
+  }
+
+  /** The exact-count rank twin of [[mixtureSample]]: per-stratum md5-rank
+    * keeps EXACTLY keep_n docs, at the cost of one sort task per stratum —
+    * correct when strata are bounded (or salted), and the cross-check
+    * `PipelineOpsSpec` uses to bound the hash-threshold form's deviation. */
+  def mixtureSampleExact(docs: DataFrame, target: Long = 200): DataFrame = {
+    val w = keepBudget(docs, target)
     val ranked = docs.select(col("doc_id"), col("lang"), col("source"))
       .withColumn("r", row_number().over(
         Window.partitionBy("lang", "source")
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
-    ranked.join(broadcast(w), Seq("lang", "source"))
+    ranked.join(broadcast(w.select("lang", "source", "keep_n")), Seq("lang", "source"))
       .filter(col("r") <= col("keep_n"))
       .select("lang", "source", "doc_id", "r", "keep_n")
       .orderBy("lang", "source", "r")
@@ -155,24 +183,52 @@ object PipelineOps {
     * training chunks — the standard LLM-pretraining packing — reporting,
     * per document, its token offset and the first/last chunk it lands in
     * (`chunk_first != chunk_last` ⇔ the doc straddles a boundary, the
-    * fraction a packer monitors as its truncation/waste rate). One window
-    * cumsum; every chunk index is pure integer arithmetic off it.
+    * fraction a packer monitors as its truncation/waste rate).
     *
-    * Scale note: the window is UNPARTITIONED by semantic necessity (a
-    * global running offset). At 100 TB, range-partition by doc_id, cumsum
-    * per partition, then broadcast the per-partition totals as offsets —
-    * the standard two-pass distributed prefix sum; the single window here
-    * is the semantic spec of that. */
-  def sequencePacking(docs: DataFrame, budget: Long = 1024): DataFrame =
-    docs.selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
-      .selectExpr("doc_id", "n_tokens",
-        """SUM(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens""")
+    * The global running offset is computed as a TWO-PASS DISTRIBUTED
+    * PREFIX SUM, never a single unpartitioned window (which would plan a
+    * global sort into ONE window task — the whole corpus's token counts
+    * funneling through a single core):
+    *   1. range-partition by doc_id, so partition i holds a contiguous
+    *      doc_id range and `spark_partition_id()` is the range index;
+    *   2. aggregate per-partition token totals — a P-row table (P =
+    *      partition count), whose exclusive cumsum is the only global
+    *      window left, over P rows instead of the corpus;
+    *   3. broadcast those offsets back and add them to the row-local
+    *      per-partition cumsum (a window PARTITIONED on the range index —
+    *      one parallel task per range).
+    * The per-partition cumsum plus its range's offset equals the global
+    * cumsum exactly (integer addition is associative), so the output is
+    * bit-identical to the semantic single-window spec the oracle keeps —
+    * and the plan stays fully parallel at any corpus size.
+    * `PlanShapeSpec` guards that no corpus-wide unpartitioned Window can
+    * sneak back in. */
+  def sequencePacking(docs: DataFrame, budget: Long = 1024): DataFrame = {
+    // both consumers below share this exact subtree, so the range exchange
+    // is planned once and reused (ReuseExchange); spark_partition_id() is
+    // stable across the two reads because range boundaries are a pure
+    // function of the (immutable) input sample
+    val toks = docs
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id().cast("long"))
+    val offsets = toks.groupBy("pid").agg(sum("n_tokens").as("ptotal"))
+      .withColumn("offset",
+        coalesce(sum("ptotal").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    toks
+      .withColumn("local_cum", sum("n_tokens").over(
+        Window.partitionBy("pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), "pid")
+      .selectExpr("doc_id", "n_tokens", "local_cum + offset AS cum_tokens")
       .selectExpr("doc_id", "n_tokens",
         "cum_tokens - n_tokens AS start_offset",
         s"CAST(FLOOR((cum_tokens - n_tokens) / $budget) AS BIGINT) AS chunk_first",
         s"CAST(FLOOR((cum_tokens - 1) / $budget) AS BIGINT) AS chunk_last")
       .orderBy("doc_id")
+  }
 
   /** The q72 SQL, a val so q76 can compose it verbatim (the sample's
     * weight inputs cannot drift from the individually-verified query). */
@@ -212,22 +268,27 @@ object PipelineOps {
          FROM r JOIN n ON r.lang = n.lang
          WHERE r.r <= CEIL(CAST(n.n AS DOUBLE) * 0.2)
          ORDER BY r.lang, r.r""",
-    // q76 composes the q72 oracle verbatim for its weight inputs
+    // q76 composes the q72 oracle verbatim for its weight inputs; the cut
+    // is the same exact-integer floor(keep_n·2^48 / n) (HUGEINT there,
+    // DECIMAL(38,0) here) and u the same 48-bit md5 prefix — both sides of
+    // the row-local keep rule are bit-identical by construction
     "q76_mixture_sample" -> {
       val target = 200
       s"""WITH mw AS ($MixtureWeightsSql),
           w AS (SELECT lang, source, n,
                        CAST(CEIL(least(1e0, p * CAST($target AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)) AS BIGINT) AS keep_n
                 FROM mw),
-          r AS (SELECT lang, source, doc_id,
-                       ROW_NUMBER() OVER (PARTITION BY lang, source
-                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+          c AS (SELECT lang, source, keep_n,
+                       CAST((CAST(keep_n AS HUGEINT) * 281474976710656) // n AS BIGINT) AS cut
+                FROM w),
+          u AS (SELECT doc_id, lang, source,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u
                 FROM documents)
-         SELECT r.lang AS lang, r.source AS source, r.doc_id AS doc_id,
-                CAST(r.r AS BIGINT) AS r, w.keep_n AS keep_n
-         FROM r JOIN w ON r.lang = w.lang AND r.source = w.source
-         WHERE r.r <= w.keep_n
-         ORDER BY lang, source, r"""
+         SELECT u.lang AS lang, u.source AS source, u.doc_id AS doc_id,
+                u.u AS u, c.keep_n AS keep_n
+         FROM u JOIN c ON u.lang = c.lang AND u.source = c.source
+         WHERE u.u < c.cut
+         ORDER BY lang, source, doc_id"""
     },
     "q73_sequence_packing" ->
       """WITH t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens

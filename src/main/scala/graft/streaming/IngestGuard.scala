@@ -28,6 +28,7 @@ object IngestGuard {
     val evalFps = evalDocs.selectExpr(s"${TextOps.BowFpExpr} AS fp").distinct()
     docs.withColumn("fp", expr(TextOps.BowFpExpr))
       .join(broadcast(evalFps), Seq("fp"), "left_semi")
+      .drop("fp") // internal join key — alert consumers see the doc columns only
   }
 
   /** Near-dup-at-ingest: the arriving doc's MinHash band keys (same
@@ -50,7 +51,7 @@ object IngestGuard {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     val sigExpr = DedupOps.signatureExpr(numHashes)
     def withBands(df: DataFrame, sigName: String): DataFrame =
-      df.filter(expr("size(split(text, ' ')) >= 3"))
+      df.filter(expr(s"size(split(text, ' ')) >= ${DedupOps.ShingleN}"))
         .withColumn(sigName, expr(sigExpr))
         .selectExpr(df.columns :+ sigName :+
           s"explode(array(${DedupOps.bandKeyExprs(sigName, bands, numHashes).mkString(", ")})) AS band": _*)

@@ -146,4 +146,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty && got.forall { case (a, b) => !incIds(a) && incIds(b) })
   }
+
+  test("incremental dedup fails LOUDLY when corpus and increment share a doc_id") {
+    // a shared id would double that doc's shingle rows in the unioned
+    // verify input and silently corrupt every Jaccard it touches — the
+    // guard must name the id and fail the job instead
+    val inc = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight", "en", "s2", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[Exception] {
+      DedupOps.incrementalLshPairs(docs, inc).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("both corpus and increment") && m.contains("1")),
+      s"expected the disjointness guard to fire, got: $e")
+  }
 }

@@ -101,22 +101,33 @@ class PipelineOpsSpec extends SparkSpec {
     val corpus = (1L to 90L).map(i => (i, "t", "en", "big", 0L)) ++
       (91L to 100L).map(i => (i, "t", "en", "small", 0L))
     val d = corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
-    val rows = PipelineOps.mixtureSample(d, target = 40)
-      .as[(String, String, Long, Long, Long)].collect()
-    val kept = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-    // expected: w = sqrt(90), sqrt(10); p = w/Σw; keep = ceil(min(1, p*40/n)*n)
-    val (wb, ws) = (math.sqrt(90.0) * 1e6, math.sqrt(10.0) * 1e6)
-    val (mb, ms) = (math.round(wb), math.round(ws))
+    // expected budget: w = sqrt(90), sqrt(10); p = w/Σw; keep = ceil(min(1, p*40/n)*n)
+    val (mb, ms) = (math.round(math.sqrt(90.0) * 1e6), math.round(math.sqrt(10.0) * 1e6))
     val tot = (mb + ms).toDouble
     def keepN(m: Long, n: Long) =
       math.ceil(math.min(1.0, (m / tot) * 40 / n) * n).toLong
-    assert(kept === Map("big" -> keepN(mb, 90), "small" -> keepN(ms, 10)))
+    assert((keepN(mb, 90), keepN(ms, 10)) === ((30L, 10L)))
+    // hash-threshold form: keep_n carried exactly; kept counts binomial
+    // around keep_n — for THIS fixed corpus the md5 draw keeps 28 of the
+    // big stratum's 30 budget; a capped stratum (keep_n = n) keeps ALL
+    // docs exactly (cut = 2^48 admits every 48-bit prefix)
+    val rows = PipelineOps.mixtureSample(d, target = 40)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.map(_._5).distinct.sorted === Seq(10L, 30L))
+    val kept = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(kept === Map("big" -> 28L, "small" -> 10L))
     // the big stratum was cut much harder than the small one
     assert(kept("big").toDouble / 90 < kept("small").toDouble / 10)
-    // per-stratum selection is the md5 rank prefix — deterministic
+    // row-local selection is a pure function of doc_id — deterministic
     val again = PipelineOps.mixtureSample(d, target = 40)
       .as[(String, String, Long, Long, Long)].collect()
     assert(again.toSeq === rows.toSeq)
+    // the exact-rank twin hits every keep_n on the nose — the cross-check
+    // bounding the threshold form's deviation (|28-30| ≤ 3σ ≈ 13)
+    val exact = PipelineOps.mixtureSampleExact(d, target = 40)
+      .as[(String, String, Long, Long, Long)].collect()
+    val keptExact = exact.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(keptExact === Map("big" -> 30L, "small" -> 10L))
   }
 
   test("corpus decision covers exactly the train split; keep is the conjunction") {

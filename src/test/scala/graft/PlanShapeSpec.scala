@@ -127,6 +127,48 @@ class PlanShapeSpec extends SparkSpec {
       s"gram join degraded to a corpus-side shuffle:\n${plan.take(1200)}")
   }
 
+  test("q73 packing: no corpus-wide unpartitioned window (two-pass prefix sum)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = graft.ops.PipelineOps.sequencePacking(docs).queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the per-range cumsum window")
+    // a global (unpartitioned) window funnels its whole input through ONE
+    // task — allowed only over an aggregate output (the P-row per-partition
+    // totals), never over corpus rows
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"global window over non-aggregated (corpus-sized) input:\n${w.treeString.take(800)}")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "per-range-partition cumsum window missing — packing regressed to a global sort")
+  }
+
+  test("q76 mixture sample: no per-stratum rank sort; row-local threshold + broadcast dial") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val q = graft.ops.PipelineOps.mixtureSample(docs)
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    // the only window allowed is the q72 normalizer over the BOUNDED
+    // stratum aggregate; a window over raw documents is the skew-prone
+    // rank form this test exists to keep out
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window over non-aggregated (stratum-skewed) input:\n${w.treeString.take(800)}")
+    }
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"per-stratum cut dial must broadcast:\n${exec.take(1200)}")
+  }
+
+  test("q40 simhash pairs: candidates via MIH band probes, never an all-pairs stratum join") {
+    val plan = DedupOps.simhashPairs(docs).queryExecution.executedPlan.toString
+    // the candidate join must be keyed on the probe band (pband = band),
+    // not only on (lang, source) — the O(bucket²) shape q62/MIH replace
+    assert("Join \\[pband".r.findFirstIn(plan).isDefined,
+      s"candidate join not keyed on the probe band:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into q40:\n${plan.take(1200)}")
+  }
+
   test("q67 BM25 takes top-N without a global sort; df and stats broadcast") {
     val plan = TextOps.bm25(docs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
