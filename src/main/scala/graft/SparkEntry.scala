@@ -146,6 +146,10 @@ object SparkEntry {
     // tokenizer-vocabulary truncation: top-K vocab broadcast to a row-local
     // OOV rewrite
     "q68_vocab_mask"       -> ((s, d) => TextOps.vocabMask(Tables.documents(s, d))),
+    // BPE vocabulary construction: iterated most-frequent-pair merges over
+    // the bounded (word, freq) table — pair-count aggregate, one-row argmax
+    // to the driver, row-local re-tokenize per round
+    "q77_bpe_vocab"        -> ((s, d) => graft.ops.BpeOps.bpeMerges(Tables.documents(s, d))),
     // near-dup clustering: the q37 pair table (same persisted snapshot q59
     // reads) contracted to components via large-star/small-star — pairwise
     // dedup verdicts become per-doc KEEP/DROP decisions
@@ -483,7 +487,7 @@ object SparkEntry {
          GROUP BY token ORDER BY n DESC, token""",
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
     PipelineOps.oracles ++ SketchOps.oracles ++ graft.ops.GraphOps.oracles ++
-    graft.multimodal.MediaOps.oracles +
+    graft.ops.BpeOps.oracles ++ graft.multimodal.MediaOps.oracles +
     // q71 composes the three component oracles verbatim (q61 quality, q66
     // dedup survivorship, q70 decontamination) — the verdict's inputs
     // cannot drift from the individually-hash-verified queries

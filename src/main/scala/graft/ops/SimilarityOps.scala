@@ -31,6 +31,16 @@ object SimilarityOps {
   val VBands = 4          // independent ORed bands
   val NProbe = 2          // IVF cells probed per query
 
+  /** Graded quality floors for the [[withRecallAudit]] tripwire: the ANN
+    * top-1 cosine must reach this fraction of the exact top-1. Set below
+    * the minimum measured across sf0.001/0.01/0.1 on the test corpus
+    * (q43 ≥ 0.33, q55 ≥ 0.76 — the corpus is near-isotropic, max pairwise
+    * cos ≈ 0.37, so EXACT top-k recall is the wrong bar: no sublinear
+    * method can hit it without structure, while a broken banding/probe
+    * geometry still craters this ratio and fails the hash). */
+  val LshQualityFloor = 0.25
+  val IvfQualityFloor = 0.5
+
   /** Deterministic integer hyperplanes: w(p)(d) in [-9, 9]. */
   def plane(p: Int, d: Int): Int = ((1009 * p + 31 * d + 7) % 19) - 9
 
@@ -85,6 +95,62 @@ object SimilarityOps {
       .selectExpr("vec_id", "v", s"${sparkDot("v", "v")} AS n2")
   }
 
+  /** GRADED recall/quality audit rider for the ANN queries (the q21/q53
+    * computed-vs-oracle pattern): appends to each ranked row
+    *  - `recall_at_k` — |ann top-k ∩ exact top-k| / k, computed by BOTH
+    *    engines (the hash verifies the measurement itself), and
+    *  - `quality_ok` — ann top-1 cosine ≥ `qualityFloor` × exact top-1,
+    *    Spark-computed against an oracle-literal TRUE, so a geometry
+    *    retune that craters result quality fails CORRECTNESS, not just a
+    *    local spec.
+    * Cost shape: the exact side is [[knnBruteForce]]'s bounded audit —
+    * the query set broadcasts, the corpus is scanned, never shuffled; its
+    * two projections broadcast (k·|queries| and |queries| rows) into one
+    * window pass over the ranked rows. At production scale the audit runs
+    * on a sampled query set; here the graded query set IS 5 queries. */
+  private def withRecallAudit(ranked: DataFrame, emb: DataFrame,
+                              qualityFloor: Double): DataFrame = {
+    val exact = knnBruteForce(emb)
+    val exactIds = exact.select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    val exactBest = exact.filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("best_exact"))
+    val perQ = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    ranked
+      .join(broadcast(exactIds), Seq("q_id", "n_id"), "left_outer")
+      .join(broadcast(exactBest), "q_id")
+      .withColumn("recall_at_k",
+        sum(coalesce(col("hit"), lit(0))).over(perQ).cast("double") / TopK)
+      .withColumn("quality_ok",
+        max(when(col("rank") === 1, col("cos"))).over(perQ)
+          >= col("best_exact") * qualityFloor)
+      .drop("hit", "best_exact")
+      .orderBy("q_id", "rank")
+  }
+
+  /** The recall/quality oracle twin of [[withRecallAudit]], appended to an
+    * ANN oracle whose ranked rows live in CTE `annres` and whose vec/norm
+    * table is `n`: recomputes exact top-k in DuckDB (same brute ranking as
+    * q42) and the same hit-count window; quality_ok is the LITERAL
+    * contract. */
+  private def duckRecallAudit(prefix: String): String =
+    s"""$prefix,
+        exact AS (SELECT q_id, n_id FROM (
+                    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                             ORDER BY ${duckDot("q.v", "c.v")} / (sqrt(q.n2) * sqrt(c.n2)) DESC,
+                                      c.vec_id) AS rank
+                    FROM n q JOIN n c
+                    ON q.vec_id < $NumQueries AND q.vec_id != c.vec_id)
+                  WHERE rank <= $TopK)
+        SELECT q_id, n_id, cos, rank,
+               CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY q_id) AS DOUBLE) / $TopK AS recall_at_k,
+               TRUE AS quality_ok
+        FROM (SELECT a.q_id, a.n_id, a.cos, a.rank, e.n_id IS NOT NULL AS hit
+              FROM annres a LEFT JOIN exact e
+              ON a.q_id = e.q_id AND a.n_id = e.n_id)
+        ORDER BY q_id, rank"""
+
   /** q42 — brute-force cosine top-k: broadcast the query set against the
     * full corpus (the fact side is never shuffled), rank per query. */
   def knnBruteForce(emb: DataFrame): DataFrame = {
@@ -117,7 +183,7 @@ object SimilarityOps {
       .select("q_id", "vec_id").distinct()
     val qVecs = all.filter(col("vec_id") < NumQueries)
       .selectExpr("vec_id AS q_id", "v AS qv", "n2 AS qn2")
-    cand.join(broadcast(qVecs), "q_id")
+    val ranked = cand.join(broadcast(qVecs), "q_id")
       .join(all, "vec_id")
       .selectExpr("q_id", "vec_id AS n_id",
         s"${sparkDot("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos")
@@ -125,7 +191,7 @@ object SimilarityOps {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("q_id").orderBy(desc("cos"), col("n_id"))).cast("long"))
       .filter(col("rank") <= TopK)
-      .orderBy("q_id", "rank")
+    withRecallAudit(ranked, emb, LshQualityFloor)
   }
 
   /** q45 — embedding-cosine near-duplicate pairs: candidate pairs from the
@@ -205,7 +271,7 @@ object SimilarityOps {
       .select("q_id", "vec_id").distinct()
     val qVecs = all.filter(col("vec_id") < NumQueries)
       .selectExpr("vec_id AS q_id", "v AS qv", "n2 AS qn2")
-    cand.join(broadcast(qVecs), "q_id")
+    val topk = cand.join(broadcast(qVecs), "q_id")
       .join(all, "vec_id")
       .selectExpr("q_id", "vec_id AS n_id",
         s"${sparkDot("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos")
@@ -213,7 +279,7 @@ object SimilarityOps {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("q_id").orderBy(desc("cos"), col("n_id"))).cast("long"))
       .filter(col("rank") <= TopK)
-      .orderBy("q_id", "rank")
+    withRecallAudit(topk, emb, IvfQualityFloor)
   }
 
   /** Attach the exact embedding cosine to an (a_id, b_id) pair table — the
@@ -364,7 +430,7 @@ object SimilarityOps {
                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
             FROM pairs)
           WHERE rank <= $TopK ORDER BY q_id, rank""",
-    "q43_ann_lsh" ->
+    "q43_ann_lsh" -> duckRecallAudit(
       s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),
           b AS (SELECT vec_id, unnest(${duckBandList("v")}) AS band FROM vecs),
@@ -375,12 +441,12 @@ object SimilarityOps {
           pairs AS (SELECT q_id, n_id,
                            ${duckDot("q.v", "c.v")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
                     FROM cand JOIN n q ON q_id = q.vec_id
-                              JOIN n c ON n_id = c.vec_id)
-          SELECT q_id, n_id, cos, rank FROM (
-            SELECT q_id, n_id, cos,
-                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-            FROM pairs)
-          WHERE rank <= $TopK ORDER BY q_id, rank""",
+                              JOIN n c ON n_id = c.vec_id),
+          annres AS (SELECT q_id, n_id, cos, rank FROM (
+                       SELECT q_id, n_id, cos,
+                              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+                       FROM pairs)
+                     WHERE rank <= $TopK)"""),
     "q45_embedding_dups" ->
       s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),
@@ -403,7 +469,7 @@ object SimilarityOps {
           FROM t JOIN n x ON t.a_id = x.vec_id
                  JOIN n y ON t.b_id = y.vec_id
           ORDER BY a_id, b_id""",
-    "q55_ivf_ann" ->
+    "q55_ivf_ann" -> duckRecallAudit(
       s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,
                              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3,
                              CAST(label AS BIGINT) AS label
@@ -429,12 +495,12 @@ object SimilarityOps {
           pairs AS (SELECT q_id, n_id,
                            ${duckDot("q.v", "c.v")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
                     FROM cand JOIN n q ON q_id = q.vec_id
-                              JOIN n c ON n_id = c.vec_id)
-          SELECT q_id, n_id, cos, rank FROM (
-            SELECT q_id, n_id, cos,
-                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-            FROM pairs)
-          WHERE rank <= $TopK ORDER BY q_id, rank""",
+                              JOIN n c ON n_id = c.vec_id),
+          annres AS (SELECT q_id, n_id, cos, rank FROM (
+                       SELECT q_id, n_id, cos,
+                              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+                       FROM pairs)
+                     WHERE rank <= $TopK)"""),
     "q44_label_centroids" ->
       s"""SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
                 SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))

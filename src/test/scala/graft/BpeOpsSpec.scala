@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.BpeOps
+
+class BpeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference BPE (imperative, list-of-symbols — no shared
+    * code with the op): get_stats + greedy left-to-right merge_vocab,
+    * exactly Sennrich et al. 2016's algorithm with (count desc, pair asc)
+    * tie-break. */
+  private def referenceBpe(words: Map[String, Long],
+                           merges: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => (w.map(_.toString).toVector :+ BpeOps.EndMark) -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to merges) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        stats((syms(i), syms(i + 1))) = stats.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (stats.nonEmpty) {
+        val ((l, r), cnt) = stats.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((l, r, cnt))
+        vocab = vocab.map { case (syms, f) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) { // greedy left-to-right, non-overlapping
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              merged += l + r; i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.toVector -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE merges match the reference algorithm on the classic toy corpus") {
+    // Sennrich's example: low*5 lower*2 newest*6 widest*3 — the es/est/
+    // est</w> family must win the first merges
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val docs = words.toSeq.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, Seq.fill(f.toInt)(w).mkString(" "), "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = BpeOps.bpeMerges(docs, numMerges = 8)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val expected = referenceBpe(words, 8).zipWithIndex.map {
+      case ((l, r, c), i) => (i + 1L, l, r, l + r, c)
+    }
+    assert(got === expected)
+    assert(got.take(3).map(_._4) === Seq("es", "est", s"est${BpeOps.EndMark}"))
+  }
+
+  test("BPE merges are deterministic and weighted by word frequency") {
+    // 'aa' appears 3x in one doc (2 adjacent pairs per 'aaa'... 'aaa' has
+    // 2 (a,a) pairs counted, merged greedily to (aa)(a)); 'bb' once — the
+    // (a,a) merge must win round 1 on count, ties never reached
+    val docs = Seq(
+      (1L, "aaa aaa bb", "en", "s", 0L),
+      (2L, "aaa", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = BpeOps.bpeMerges(docs, numMerges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // word freqs: aaa->3, bb->1; round 1 pairs: (a,a)->6, (a,</w>)->3,
+    // (b,b)->1, (b,</w>)->1  ⇒ merge (a,a) cnt 6
+    assert(got.head === ((1L, "a", "a", "aa", 6L)))
+    val again = BpeOps.bpeMerges(docs, numMerges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(again === got)
+  }
+}

@@ -62,6 +62,30 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(top.head === 4L)
   }
 
+  test("graded recall audit: recall_at_k is the exact top-k intersection; quality holds") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = SimilarityOps.knnBruteForce(embT)
+      .select("q_id", "n_id", "cos", "rank").collect()
+    val exactIds = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bestExact = exact.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for ((name, df, floor) <- Seq(
+        ("q43", SimilarityOps.annLsh(embT), SimilarityOps.LshQualityFloor),
+        ("q55", SimilarityOps.ivfAnn(embT), SimilarityOps.IvfQualityFloor))) {
+      val rows = df.collect()
+      val byQ = rows.groupBy(_.getLong(0))
+      byQ.foreach { case (q, rs) =>
+        val recall = rs.count(r => exactIds((q, r.getLong(1)))).toDouble / SimilarityOps.TopK
+        assert(rs.forall(_.getDouble(4) === recall), s"$name q$q recall_at_k")
+        val best = rs.filter(_.getLong(3) == 1L).head.getDouble(2)
+        assert(rs.forall(_.getBoolean(5) === (best >= bestExact(q) * floor)),
+          s"$name q$q quality_ok")
+        // the graded contract itself: this geometry clears its floor
+        assert(rs.head.getBoolean(5), s"$name q$q below quality floor")
+      }
+    }
+  }
+
   test("label centroids: one row per (label, dim), mean of quantized values") {
     val c = SimilarityOps.labelCentroids(emb)
     assert(c.count() === 3 * 64)
