@@ -191,6 +191,10 @@ object SparkEntry {
     // from a two-pass distributed prefix sum (no global window)
     "q73_sequence_packing" -> ((s, d) =>
       PipelineOps.sequencePacking(Tables.documents(s, d))),
+    // the packer's waste dashboard: chunk fill rate + doc straddle rate,
+    // one global aggregate over the verified q73 rows
+    "q78_packing_stats"    -> ((s, d) =>
+      PipelineOps.packingStats(Tables.documents(s, d))),
     // apply the q72 mixture: row-local hash-threshold downsample toward the
     // temperature-weighted target corpus (skew-proof; no per-stratum sort)
     "q76_mixture_sample"   -> ((s, d) =>

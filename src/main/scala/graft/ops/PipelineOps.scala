@@ -230,6 +230,39 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** q78 — PACKING EFFICIENCY: the one-row summary a packer monitors,
+    * computed over [[sequencePacking]]'s verified output — how many
+    * fixed-budget chunks the corpus fills, what fraction of the last-chunk-
+    * padded capacity is real tokens (`fill_rate`, the padding-waste
+    * complement), and what fraction of documents straddle a chunk boundary
+    * (`straddle_rate`, the truncation/fragmentation exposure). One global
+    * aggregate over per-doc rows; all inputs exact integers, the two rates
+    * are single IEEE divisions — hash-exact cross-engine. */
+  def packingStats(docs: DataFrame, budget: Long = 1024): DataFrame =
+    sequencePacking(docs, budget).selectExpr(
+        "n_tokens", "chunk_last", "CAST(chunk_first != chunk_last AS INT) AS straddles")
+      .selectExpr(
+        "COUNT(*) AS n_docs",
+        "SUM(n_tokens) AS n_tokens",
+        "MAX(chunk_last) + 1 AS n_chunks",
+        "CAST(SUM(straddles) AS BIGINT) AS n_straddlers",
+        s"SUM(n_tokens) / CAST((MAX(chunk_last) + 1) * $budget AS DOUBLE) AS fill_rate",
+        "CAST(SUM(straddles) AS DOUBLE) / COUNT(*) AS straddle_rate")
+
+  /** The q73 SQL, a val so q78 can compose it verbatim. */
+  private val SequencePackingSql =
+    """WITH t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              FROM t)
+       SELECT doc_id, n_tokens,
+              CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+              CAST(FLOOR((cum_tokens - n_tokens) / 1024) AS BIGINT) AS chunk_first,
+              CAST(FLOOR((cum_tokens - 1) / 1024) AS BIGINT) AS chunk_last
+       FROM c ORDER BY doc_id"""
+
   /** The q72 SQL, a val so q76 can compose it verbatim (the sample's
     * weight inputs cannot drift from the individually-verified query). */
   private val MixtureWeightsSql =
@@ -290,18 +323,20 @@ object PipelineOps {
          WHERE u.u < c.cut
          ORDER BY lang, source, doc_id"""
     },
-    "q73_sequence_packing" ->
-      """WITH t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
-                    FROM documents),
-          c AS (SELECT doc_id, n_tokens,
-                       SUM(n_tokens) OVER (ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-                FROM t)
-         SELECT doc_id, n_tokens,
-                CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
-                CAST(FLOOR((cum_tokens - n_tokens) / 1024) AS BIGINT) AS chunk_first,
-                CAST(FLOOR((cum_tokens - 1) / 1024) AS BIGINT) AS chunk_last
-         FROM c ORDER BY doc_id""",
+    "q73_sequence_packing" -> SequencePackingSql,
+    // q78 composes the q73 oracle verbatim — the stats' per-doc inputs
+    // cannot drift from the individually-verified packing query
+    "q78_packing_stats" ->
+      s"""WITH packed AS ($SequencePackingSql)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(MAX(chunk_last) + 1 AS BIGINT) AS n_chunks,
+                 CAST(SUM(CASE WHEN chunk_first != chunk_last THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+                 CAST(SUM(n_tokens) AS BIGINT)
+                   / CAST((MAX(chunk_last) + 1) * 1024 AS DOUBLE) AS fill_rate,
+                 CAST(SUM(CASE WHEN chunk_first != chunk_last THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS straddle_rate
+          FROM packed""",
     "q72_mixture_weights" -> MixtureWeightsSql,
     "q70_ngram_contamination" -> {
       val n = 5

@@ -98,6 +98,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("MIH pigeonhole: q40 equals the all-pairs within-stratum ground truth") {
+    // radius floor(16/6)=2 probes guarantee recall 1 (six bands all
+    // differing by >=3 would sum to >=18 > 16), and the hamming verify
+    // keeps precision 1 — so on the 500-doc corpus the probe-join result
+    // must EQUAL brute force, not just contain the planted pair
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = DedupOps.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strata = corpus.select("doc_id", "lang", "source")
+      .as[(Long, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val ids = sh.keys.toSeq.sorted
+    val truth = (for {
+      a <- ids; b <- ids
+      if a < b && strata(a) == strata(b)
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= DedupOps.HammingThreshold
+    } yield (a, b)).toSet
+    val got = DedupOps.simhashPairs(corpus)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === truth)
+    assert(truth.nonEmpty)
+  }
+
   test("simhash-LSH pigeonhole: exactly the brute-force hamming<=3 pairs") {
     // threshold 3 < 4 bands → a qualifying pair always shares a band
     // (recall 1), and the verify step keeps precision 1 — so the banded

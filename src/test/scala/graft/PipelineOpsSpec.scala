@@ -130,6 +130,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keptExact === Map("big" -> 30L, "small" -> 10L))
   }
 
+  test("packing stats: fill and straddle rates match the hand-packed corpus") {
+    // same corpus as the packing test: 16 tokens, budget 10 → 2 chunks,
+    // doc2 straddles the 10-boundary; fill = 16/20, straddle = 1/3
+    val d = Seq(
+      (1L, "a b c d e f", "en", "s", 0L),
+      (2L, "g h i j k l", "en", "s", 0L),
+      (3L, "m n o p", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = PipelineOps.packingStats(d, budget = 10).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 16L, 2L, 1L)))
+    assert(r.getDouble(4) === 16.0 / 20.0)
+    assert(r.getDouble(5) === 1.0 / 3.0)
+  }
+
+  test("mixture sample is monotone in target: raising the budget only adds docs") {
+    // keep_n = ceil(min(1, p·target/n)·n) is monotone in target, so the
+    // per-stratum cut is monotone, so the kept set can only GROW — the
+    // property that makes the hash-threshold form an anytime dial (a
+    // budget bump never churns previously-kept docs, unlike re-ranking)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val keptAt = Seq(50L, 150L, 400L).map { t =>
+      PipelineOps.mixtureSample(docs, target = t)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(keptAt(0).subsetOf(keptAt(1)) && keptAt(1).subsetOf(keptAt(2)))
+    assert(keptAt(0).nonEmpty && keptAt(2).size > keptAt(0).size)
+  }
+
   test("corpus decision covers exactly the train split; keep is the conjunction") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
