@@ -331,7 +331,11 @@ object DedupOps {
     // (masks < 2^bits never touch the band-index prefix)
     val probeKeys = trueKeys.selectExpr("doc_id", "simhash", "lang", "source",
       s"explode(transform(array(${masks.mkString(", ")}), m -> band ^ CAST(m AS BIGINT))) AS pband")
-    probeKeys.as("x").join(trueKeys.as("y"),
+    // shuffled-hash, building on the true-key side: it is 56× smaller than
+    // the probe expansion (6 vs 336 rows/doc) at ANY corpus size, and SHJ
+    // skips sorting the big probe side entirely (SMJ's dominant cost here);
+    // when the true-key side fits, AQE still upgrades to broadcast
+    probeKeys.as("x").join(trueKeys.hint("shuffle_hash").as("y"),
         col("x.pband") === col("y.band")
           && col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
           && col("x.doc_id") < col("y.doc_id"))
