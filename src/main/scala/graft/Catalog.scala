@@ -76,6 +76,12 @@ object Catalog {
       .createOrReplaceTempView("doc_increment_pairs")
     ops.PipelineOps.ngramContamination(docs)
       .createOrReplaceTempView("doc_ngram_contamination")
+    ops.PipelineOps.sequencePacking(docs).createOrReplaceTempView("doc_packing")
+    ops.PipelineOps.packingStats(docs).createOrReplaceTempView("packing_stats")
+    ops.PipelineOps.mixtureSample(docs).createOrReplaceTempView("doc_mixture_sample")
+    // eager like the cluster view: BPE merge learning is iterative (one
+    // bounded argmax job per round); the view reads the learned merge table
+    ops.BpeOps.bpeMerges(docs).createOrReplaceTempView("bpe_merges")
     // the corpus-build verdict, composed LAZILY over the registered views
     // (the eager cluster table above is reused, not recomputed)
     spark.table("doc_ngram_contamination").select("doc_id", "contaminated")

@@ -56,5 +56,15 @@ class CatalogSpec extends SparkSpec {
         |WHERE keep <> (quality_ok AND dedup_keep AND NOT contaminated)""".stripMargin)
     assert(bad.collect().head.getLong(0) === 0L)
     assert(spark.sql("SELECT * FROM doc_ngram_contamination").count() > 0)
+    // round-8 surface: packing, mixture sampling, BPE — composable in SQL
+    val waste = spark.sql(
+      """SELECT s.n_chunks, COUNT(*) AS straddlers
+        |FROM doc_packing p CROSS JOIN packing_stats s
+        |WHERE p.chunk_first != p.chunk_last GROUP BY s.n_chunks""".stripMargin)
+    assert(waste.count() === 1)
+    assert(spark.sql("SELECT * FROM doc_mixture_sample WHERE u >= 0").count() > 0)
+    val merges = spark.sql(
+      "SELECT merge_rank, merged FROM bpe_merges ORDER BY merge_rank")
+    assert(merges.count() === graft.ops.BpeOps.NumMerges)
   }
 }
