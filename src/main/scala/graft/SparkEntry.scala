@@ -150,6 +150,10 @@ object SparkEntry {
     // the bounded (word, freq) table — pair-count aggregate, one-row argmax
     // to the driver, row-local re-tokenize per round
     "q77_bpe_vocab"        -> ((s, d) => graft.ops.BpeOps.bpeMerges(Tables.documents(s, d))),
+    // apply the learned merges: per-doc BPE token counts — the token
+    // counting a packing budget actually needs; one row-local projection
+    "q79_bpe_token_counts" -> ((s, d) =>
+      graft.ops.BpeOps.bpeTokenCounts(Tables.documents(s, d))),
     // near-dup clustering: the q37 pair table (same persisted snapshot q59
     // reads) contracted to components via large-star/small-star — pairwise
     // dedup verdicts become per-doc KEEP/DROP decisions

@@ -66,11 +66,11 @@ object BpeOps {
       .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
       .agg(sum("freq").as("cnt"))
 
-  /** The learned merge table: (merge_rank, left_sym, right_sym, merged,
-    * cnt), one row per round in learning order. */
-  def bpeMerges(docs: DataFrame, numMerges: Int = NumMerges): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The learning loop: (rank, left, right, cnt) per round, on the driver
+    * (bounded: `numMerges` rows). The broadcast-best-merge step IS this
+    * list — q79 inlines it into a row-local tokenizer expression. */
+  private def learnMerges(docs: DataFrame,
+                          numMerges: Int): Seq[(Long, String, String, Long)] = {
     // bounded by the distinct vocabulary — cut lineage once so round r's
     // jobs never re-scan the corpus (the GraphOps loop's localCheckpoint)
     var words = wordTable(docs).localCheckpoint(true)
@@ -87,24 +87,62 @@ object BpeOps {
         words = words.selectExpr(s"replace(w, '($l)($r)', '($l$r)') AS w", "freq")
       }
     }
-    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "cnt")
+    merges.toSeq
+  }
+
+  /** The learned merge table: (merge_rank, left_sym, right_sym, merged,
+    * cnt), one row per round in learning order. */
+  def bpeMerges(docs: DataFrame, numMerges: Int = NumMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMerges(docs, numMerges).toDF("merge_rank", "left_sym", "right_sym", "cnt")
       .selectExpr("merge_rank", "left_sym", "right_sym",
         "concat(left_sym, right_sym) AS merged", "cnt")
       .orderBy("merge_rank")
   }
 
-  /** DuckDB oracle: the identical algorithm unrolled — round r's CTEs are
+  /** q79 — APPLY the learned merges: tokenize every document with the q77
+    * vocabulary and report per-doc BPE token counts — the token counting a
+    * packing budget (q73) actually needs (whitespace counts overestimate
+    * subword corpora; a real pipeline packs by tokenizer tokens).
+    *
+    * Shape: learning runs once (bounded, q77's loop); application is ONE
+    * row-local projection — each word is wrapped, the `numMerges` learned
+    * replaces fold over it IN RANK ORDER inside a `transform` lambda
+    * (never across word boundaries — a cross-word "(a)(b)" join of two
+    * adjacent words must not merge), and the token count is the '('
+    * count of the result. No shuffle, no UDF: nested codegen'd string
+    * primitives, fused into the scan at any corpus size. */
+  def bpeTokenCounts(docs: DataFrame, numMerges: Int = NumMerges): DataFrame = {
+    val merges = learnMerges(docs, numMerges)
+    val wrapWord = s"concat(regexp_replace(w, '(.)', '($$1)'), '($EndMark)')"
+    val applied = merges.foldLeft(wrapWord) {
+      case (e, (_, l, r, _)) => s"replace($e, '($l)($r)', '($l$r)')"
+    }
+    docs.selectExpr("doc_id", s"filter(split($NormExpr, ' '), w -> w != '') AS words")
+      .selectExpr("doc_id",
+        "CAST(size(words) AS BIGINT) AS n_words",
+        s"""aggregate(transform(words, w -> $applied), CAST(0 AS BIGINT),
+             (acc, x) -> acc + CAST(length(x) - length(replace(x, '(', '')) AS BIGINT)) AS n_bpe_tokens""")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracles: the identical algorithm unrolled — round r's CTEs are
     * pair counts over w{r-1}, the (cnt DESC, l, r) argmax, and the literal
     * replace — generated from the same constants so the sides cannot
-    * drift. */
-  def oracles: Map[String, String] = {
-    val norm =
-      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    * drift. q79 reuses the same learning CTEs and applies the b1..bR
+    * merges (cross-joined 1-row tables) in rank order inside a
+    * list_transform lambda, exactly mirroring the Spark fold. */
+  private val DuckNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** The w0 + R learning-round CTEs (shared by q77 and q79). */
+  private def duckLearningCtes: String = {
     val base =
       s"""w0 AS (SELECT concat(regexp_replace(word, '(.)', '(\\1)', 'g'), '($EndMark)') AS w,
                         freq
                  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-                       FROM (SELECT unnest(str_split($norm, ' ')) AS word FROM documents)
+                       FROM (SELECT unnest(str_split($DuckNorm, ' ')) AS word FROM documents)
                        WHERE len(word) > 0 GROUP BY word))"""
     val rounds = (1 to NumMerges).map { k =>
       s"""p$k AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -119,13 +157,35 @@ object BpeOps {
                                  '(' || b.l || b.r || ')') AS w, t.freq
                   FROM w${k - 1} t CROSS JOIN b$k b)"""
     }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
+  def oracles: Map[String, String] = {
     val union = (1 to NumMerges).map { k =>
       s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt FROM b$k"
     }.mkString(" UNION ALL ")
-    Map("q77_bpe_vocab" ->
-      s"""WITH $base,
-          $rounds
-          SELECT merge_rank, left_sym, right_sym, merged, cnt
-          FROM ($union) ORDER BY merge_rank""")
+    val applied = (1 to NumMerges).foldLeft(
+      s"concat(regexp_replace(w, '(.)', '(\\1)', 'g'), '($EndMark)')") {
+      case (e, k) =>
+        s"replace($e, '(' || m$k.l || ')(' || m$k.r || ')', '(' || m$k.l || m$k.r || ')')"
+    }
+    val crossMerges = (1 to NumMerges).map(k => s"b$k AS m$k").mkString(" CROSS JOIN ")
+    Map(
+      "q77_bpe_vocab" ->
+        s"""WITH ${duckLearningCtes}
+            SELECT merge_rank, left_sym, right_sym, merged, cnt
+            FROM ($union) ORDER BY merge_rank""",
+      "q79_bpe_token_counts" ->
+        s"""WITH ${duckLearningCtes},
+            dw AS (SELECT doc_id,
+                          list_filter(str_split($DuckNorm, ' '), w -> w != '') AS words
+                   FROM documents)
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(COALESCE(list_sum(list_transform(words,
+                          w -> len($applied) - len(replace($applied, '(', '')))), 0) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM dw CROSS JOIN $crossMerges
+            ORDER BY doc_id""")
   }
 }

@@ -52,6 +52,40 @@ class BpeOpsSpec extends SparkSpec {
     assert(got.take(3).map(_._4) === Seq("es", "est", s"est${BpeOps.EndMark}"))
   }
 
+  test("BPE token counts equal the reference tokenizer's, per doc") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val docsSeq = words.toSeq.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, Seq.fill(f.toInt)(w).mkString(" "))
+    }
+    val docs = docsSeq.map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // reference: learn merges, then tokenize each word greedily in rank order
+    val merges = referenceBpe(words, 8)
+    def tokenize(w: String): Int = {
+      var syms = w.map(_.toString).toVector :+ BpeOps.EndMark
+      for ((l, r, _) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    val expected = docsSeq.map { case (id, t) =>
+      val ws = t.split(" ")
+      (id, ws.length.toLong, ws.map(tokenize).map(_.toLong).sum)
+    }
+    val got = BpeOps.bpeTokenCounts(docs, numMerges = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // merges genuinely compress: fewer BPE tokens than characters
+    assert(got.map(_._3).sum < docsSeq.map(_._2.replace(" ", "").length + 1).sum)
+  }
+
   test("BPE merges are deterministic and weighted by word frequency") {
     // 'aa' appears 3x in one doc (2 adjacent pairs per 'aaa'... 'aaa' has
     // 2 (a,a) pairs counted, merged greedily to (aa)(a)); 'bb' once — the
