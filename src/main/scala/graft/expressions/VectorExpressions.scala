@@ -317,6 +317,92 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** All hyperplane-LSH band keys of a 1e-6-quantized vector in ONE pass:
+  * element b of the result is the band-b key — `(b << planesPerBand)` plus
+  * a sign bit per plane, where plane g = b·planesPerBand + p has integer
+  * weights `((1009·g + 31·d + 7) % 19) − 9` (the [[graft.ops.SimilarityOps]]
+  * formula, identical to the SQL arithmetic the DuckDB oracle runs).
+  *
+  * Why a custom expression: the composed form is bands × planes CASE'd
+  * `graft_dotl` calls, each against a dim-length LITERAL array — at the
+  * default 4×8 geometry that is 32 dot expressions × 64 literal nodes per
+  * projection, paid in analysis/codegen time AND as 32 separate array
+  * walks per row. This computes all keys in one dims×planes loop with the
+  * plane weight generated arithmetically — no literals, one array walk per
+  * plane, codegen'd. Exactness is unchanged: the dot is associative int64
+  * arithmetic, bit-identical to the dotl form (cross-checked in
+  * `DotProductSpec`). Null vector → null; null ELEMENTS contribute 0
+  * (exactly the dotl null-skip). */
+case class HyperplaneBands(child: Expression, bands: Int, planesPerBand: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 62,
+    "graft_bands needs bands >= 1 and 1 <= planesPerBand <= 62")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_bands"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = v.numElements()
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var key = b.toLong << planesPerBand
+      var p = 0
+      while (p < planesPerBand) {
+        val g = b * planesPerBand + p
+        var dot = 0L
+        var d = 0
+        while (d < dims) {
+          if (!v.isNullAt(d))
+            dot += v.getLong(d) * (((1009L * g + 31L * d + 7L) % 19L) - 9L)
+          d += 1
+        }
+        if (dot > 0L) key += (1L << p)
+        p += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val dims = ctx.freshName("hbDims")
+      val keys = ctx.freshName("hbKeys")
+      val b = ctx.freshName("hbB")
+      val p = ctx.freshName("hbP")
+      val g = ctx.freshName("hbG")
+      val dot = ctx.freshName("hbDot")
+      val d = ctx.freshName("hbD")
+      val key = ctx.freshName("hbKey")
+      s"""
+         |int $dims = $v.numElements();
+         |long[] $keys = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $key = ((long) $b) << $planesPerBand;
+         |  for (int $p = 0; $p < $planesPerBand; $p++) {
+         |    int $g = $b * $planesPerBand + $p;
+         |    long $dot = 0L;
+         |    for (int $d = 0; $d < $dims; $d++) {
+         |      if (!$v.isNullAt($d)) {
+         |        $dot += $v.getLong($d) * (((1009L * $g + 31L * $d + 7L) % 19L) - 9L);
+         |      }
+         |    }
+         |    if ($dot > 0L) $key += (1L << $p);
+         |  }
+         |  $keys[$b] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Function registration, both as a `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)`) and as an idempotent imperative
   * call for sessions the library does not construct. */
@@ -351,6 +437,16 @@ object GraftFunctions {
     MinHashSignature(children.head, children(1).eval().asInstanceOf[Number].intValue())
   }
 
+  private val bandsIdent = FunctionIdentifier("graft_bands")
+  private val bandsInfo = new ExpressionInfo(classOf[HyperplaneBands].getName, "graft_bands")
+  private val bandsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 3 && children(1).foldable && children(2).foldable,
+      "graft_bands(vq, bands, planesPerBand) takes an array and two literal ints")
+    HyperplaneBands(children.head,
+      children(1).eval().asInstanceOf[Number].intValue(),
+      children(2).eval().asInstanceOf[Number].intValue())
+  }
+
   private val simhashIdent = FunctionIdentifier("graft_simhash")
   private val simhashInfo = new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash")
   private val simhashBuilder: Seq[Expression] => Expression = { children =>
@@ -365,6 +461,7 @@ object GraftFunctions {
     ext.injectFunction((simhashIdent, simhashInfo, simhashBuilder))
     ext.injectFunction((minhashIdent, minhashInfo, minhashBuilder))
     ext.injectFunction((dotlIdent, dotlInfo, dotlBuilder))
+    ext.injectFunction((bandsIdent, bandsInfo, bandsBuilder))
   }
 
   /** Idempotent: safe to call from every query builder. */
@@ -374,6 +471,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(simhashIdent, simhashInfo, simhashBuilder)
     spark.sessionState.functionRegistry.registerFunction(minhashIdent, minhashInfo, minhashBuilder)
     spark.sessionState.functionRegistry.registerFunction(dotlIdent, dotlInfo, dotlBuilder)
+    spark.sessionState.functionRegistry.registerFunction(bandsIdent, bandsInfo, bandsBuilder)
   }
 }
 

@@ -66,8 +66,14 @@ object SimilarityOps {
     * centroids use) and the hyperplanes are integers, so the dot is exact
     * int64 arithmetic — associative, order-independent, bit-identical in
     * any engine. A float dot's sign could flip near zero under reordering;
-    * an integer dot's cannot. */
-  private def sparkBandKey(vq: String, band: Int, planesPerBand: Int): String = {
+    * an integer dot's cannot.
+    *
+    * This composed form is the SEMANTIC SPEC (and `DotProductSpec`'s
+    * cross-check twin) of the native [[graft.expressions.HyperplaneBands]]
+    * expression [[bandRows]] actually runs — 32 CASE'd dots against
+    * dim-length literal arrays cost real analysis/codegen time per query
+    * and one array walk per plane per row. */
+  private[graft] def sparkBandKey(vq: String, band: Int, planesPerBand: Int): String = {
     val bits = (0 until planesPerBand).map { p =>
       val g = band * planesPerBand + p
       val wq = (0 until Dim).map(d => s"${plane(g, d)}L").mkString("array(", ", ", ")")
@@ -78,14 +84,18 @@ object SimilarityOps {
     bits.mkString(s"(${band.toLong << planesPerBand}L + ", " + ", ")")
   }
 
+  /** The 1e-6 quantization shared by [[bandRows]] and its spec twin. */
+  private[graft] val QuantizeExpr = "transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT))"
+
   /** (vec_id, band) rows — one narrow row per vector per band, the only
-    * thing the candidate join shuffles. */
-  private def bandRows(emb: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
-    val keys = (0 until bands).map(b => sparkBandKey("vq", b, planesPerBand))
+    * thing the candidate join shuffles. All keys come from ONE native
+    * [[graft.expressions.HyperplaneBands]] pass (hash-cross-checked
+    * against the composed [[sparkBandKey]] form and the SQL-arithmetic
+    * oracle). */
+  private def bandRows(emb: DataFrame, bands: Int, planesPerBand: Int): DataFrame =
     vecs(emb)
-      .selectExpr("vec_id", s"transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS vq")
-      .selectExpr("vec_id", s"explode(array(${keys.mkString(", ")})) AS band")
-  }
+      .selectExpr("vec_id", s"$QuantizeExpr AS vq")
+      .selectExpr("vec_id", s"explode(graft_bands(vq, $bands, $planesPerBand)) AS band")
 
   /** vec_id, v (double array), n2 (squared norm) — shared prep. Registers
     * the native function idempotently so the ops work on any session. */

@@ -101,6 +101,30 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("graft_bands equals the composed CASE/dotl band keys on real vectors") {
+    withFn {
+      import graft.ops.SimilarityOps
+      val (bands, planes) = (SimilarityOps.VBands, SimilarityOps.PlanesPerBand)
+      val composed = (0 until bands)
+        .map(b => SimilarityOps.sparkBandKey("vq", b, planes)).mkString(", ")
+      val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+        .selectExpr("vec_id", s"${SimilarityOps.QuantizeExpr} AS vq")
+        .selectExpr("vec_id",
+          s"graft_bands(vq, $bands, $planes) AS native",
+          s"array($composed) AS spec")
+      assert(df.count() > 0)
+      assert(df.filter("native <> spec").count() === 0)
+      // and a second geometry, so the band-index offset logic is exercised
+      val df2 = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS v")
+        .selectExpr(s"${SimilarityOps.QuantizeExpr} AS vq")
+        .selectExpr("graft_bands(vq, 2, 3) AS native",
+          s"array(${(0 until 2).map(b => SimilarityOps.sparkBandKey("vq", b, 3)).mkString(", ")}) AS spec")
+      assert(df2.filter("native <> spec").count() === 0)
+    }
+  }
+
   test("GraftExtensions injects every native function via the standard hook") {
     // the spark.sql.extensions / withExtensions path a user configures —
     // getOrCreate only applies extensions when building a NEW session, so
