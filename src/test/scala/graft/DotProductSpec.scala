@@ -140,12 +140,14 @@ class DotProductSpec extends SparkSpec {
                   graft_dotl(array(2L, 3L), array(4L, 5L)) AS l,
                   graft_shingles(array('a', 'b', 'c'), 2) AS g,
                   graft_simhash(array('tok'), 60) AS s,
-                  graft_minhash(array('a b c'), 2) AS m""").collect()(0)
+                  graft_minhash(array('a b c'), 2) AS m,
+                  graft_bands(array(1000000L, -2000000L), 2, 3) AS b""").collect()(0)
       assert(r.getDouble(0) === 11.0)
       assert(r.getLong(1) === 23L)
       assert(r.getSeq[String](2) === Seq("a b", "b c"))
       assert(r.getLong(3) !== 0L)
       assert(r.getSeq[String](4).length === 2)
+      assert(r.getSeq[Long](5).length === 2)
     } finally {
       S.setDefaultSession(spark)
       S.setActiveSession(spark)
