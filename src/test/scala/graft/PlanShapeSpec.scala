@@ -175,6 +175,17 @@ class PlanShapeSpec extends SparkSpec {
       s"all-pairs join leaked into q40:\n${plan.take(1200)}")
   }
 
+  test("q79 BPE tokenization applies merges row-locally: no shuffle beyond the output sort") {
+    // learning runs as its own bounded jobs; the APPLICATION the query
+    // plans must be a pure projection over the scan — a hash exchange here
+    // would mean the tokenizer exploded/regrouped the corpus
+    val plan = graft.ops.BpeOps.bpeTokenCounts(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"row-local tokenize leaked a shuffle:\n${plan.take(1200)}")
+    assert(!plan.contains("Generate "),
+      s"tokenize exploded the corpus:\n${plan.take(1200)}")
+  }
+
   test("q67 BM25 takes top-N without a global sort; df and stats broadcast") {
     val plan = TextOps.bm25(docs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
