@@ -68,9 +68,12 @@ object BpeOps {
 
   /** The learning loop: (rank, left, right, cnt) per round, on the driver
     * (bounded: `numMerges` rows). The broadcast-best-merge step IS this
-    * list — q79 inlines it into a row-local tokenizer expression. */
-  private def learnMerges(docs: DataFrame,
-                          numMerges: Int): Seq[(Long, String, String, Long)] = {
+    * list — q79 inlines it into a row-local tokenizer expression.
+    * private[graft]: `SparkEntry` memoizes it per (session, corpus) so the
+    * application query reads the learned artifact instead of re-learning
+    * (the q37-measures/q59-reads division of labor). */
+  private[graft] def learnMerges(docs: DataFrame,
+                                 numMerges: Int): Seq[(Long, String, String, Long)] = {
     // bounded by the distinct vocabulary — cut lineage once so round r's
     // jobs never re-scan the corpus (the GraphOps loop's localCheckpoint)
     var words = wordTable(docs).localCheckpoint(true)
@@ -113,8 +116,13 @@ object BpeOps {
     * adjacent words must not merge), and the token count is the '('
     * count of the result. No shuffle, no UDF: nested codegen'd string
     * primitives, fused into the scan at any corpus size. */
-  def bpeTokenCounts(docs: DataFrame, numMerges: Int = NumMerges): DataFrame = {
-    val merges = learnMerges(docs, numMerges)
+  def bpeTokenCounts(docs: DataFrame, numMerges: Int = NumMerges): DataFrame =
+    applyMerges(docs, learnMerges(docs, numMerges))
+
+  /** The application half, against an already-learned merge list (the
+    * pipeline artifact a corpus build persists next to the vocab). */
+  def applyMerges(docs: DataFrame,
+                  merges: Seq[(Long, String, String, Long)]): DataFrame = {
     val wrapWord = s"concat(regexp_replace(w, '(.)', '($$1)'), '($EndMark)')"
     val applied = merges.foldLeft(wrapWord) {
       case (e, (_, l, r, _)) => s"replace($e, '($l)($r)', '($l$r)')"
