@@ -300,26 +300,33 @@ object DedupOps {
     * Candidates come from MULTI-INDEX HASHING, never an all-pairs join: the
     * loose threshold (16 of 60 bits) defeats plain banding (pigeonhole
     * recall 1 would need 17+ untouched bands of ≤3 bits — a 8-value
-    * keyspace, i.e. quadratic buckets), so each doc's 6 band keys are
-    * joined against the RADIUS-2 PROBE EXPANSION of the other side's keys:
-    * by the generalized pigeonhole, two codes within hamming 16 differ by
-    * ≤ floor(16/6) = 2 bits in SOME 10-bit band (all six differing by ≥3
-    * would sum to ≥18), so the smaller doc_id's probe set (band ^ mask,
-    * |mask| ≤ 2 → Σ C(10,≤2) = 56 masks × 6 bands = 336 16-byte rows per
-    * doc, generated row-locally) always hits the larger's true key —
-    * recall is exactly 1. Candidate volume is bounded by per-(band-key,
-    * lang, source) collisions — 2¹⁰ buckets per band, narrowing with
+    * keyspace, i.e. quadratic buckets). By the generalized pigeonhole, two
+    * codes within hamming 16 differ by ≤ floor(16/6) = 2 bits in SOME
+    * 10-bit band (all six differing by ≥3 would sum to ≥18). The per-band
+    * probe radius 2 is SPLIT SYMMETRICALLY across the self-join's two
+    * sides: each side expands its band keys by all masks of ≤1 bit
+    * (Σ C(10,≤1) = 11 masks × 6 bands = 66 rows/doc), and any band
+    * difference d ≤ 2 factors as d = |ma| + |mb| with |ma|,|mb| ≤ 1
+    * (d=0: both identity; d=1: the bit on either side; d=2: one differing
+    * bit per side), so a.band^ma = b.band^mb collides — recall is exactly
+    * 1, identical to the one-sided radius-2 expansion but with 132 rows/doc
+    * of total join input instead of 336+6 (the one-sided probe also wasted
+    * ~half its volume discovering each pair from both endpoints only to
+    * drop one by a_id < b_id). Candidate volume is bounded by per-(band-
+    * key, lang, source) collisions — 2¹⁰ buckets per band, narrowing with
     * corpus growth by raising bits-per-band — instead of O(bucket²) in the
     * hottest stratum. The hamming verify runs inside the band join (the
     * 8-byte signature rides along, same trade as [[simhashLshPairs]]);
-    * multi-band hits dedup AFTER the threshold filter, so only verified
-    * survivors shuffle. */
+    * multi-band/multi-mask hits dedup AFTER the threshold filter, so only
+    * verified survivors shuffle. */
   def simhashPairs(docs: DataFrame, threshold: Int = HammingThreshold,
                    bands: Int = MihBands): DataFrame = {
     require(SimhashBits % bands == 0, "bands must evenly divide SimhashBits")
     val bits = SimhashBits / bands
     val radius = threshold / bands // generalized pigeonhole probe radius
-    val masks = (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= radius)
+    // symmetric split: ⌈radius/2⌉ per side covers band-distance ≤ radius
+    val sideRadius = (radius + 1) / 2
+    val masks = (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= sideRadius)
     val lowMask = (1L << bits) - 1
     val sh = simhash(docs)
       .join(docs.select("doc_id", "lang", "source"), "doc_id")
@@ -327,18 +334,27 @@ object DedupOps {
       s"(${b.toLong << bits}L + (shiftright(simhash, ${b * bits}) & ${lowMask}L))")
     val trueKeys = sh.selectExpr("doc_id", "simhash", "lang", "source",
       s"explode(array(${keyExprs.mkString(", ")})) AS band")
-    // the probe side XORs each ≤radius-bit mask into the band's low bits
-    // (masks < 2^bits never touch the band-index prefix)
+    // each side XORs its ≤sideRadius-bit masks into the band's low bits
+    // (masks < 2^bits never touch the band-index prefix); the mask rides
+    // along so the join can canonicalize the split
     val probeKeys = trueKeys.selectExpr("doc_id", "simhash", "lang", "source",
-      s"explode(transform(array(${masks.mkString(", ")}), m -> band ^ CAST(m AS BIGINT))) AS pband")
-    // shuffled-hash, building on the true-key side: it is 56× smaller than
-    // the probe expansion (6 vs 336 rows/doc) at ANY corpus size, and SHJ
-    // skips sorting the big probe side entirely (SMJ's dominant cost here);
-    // when the true-key side fits, AQE still upgrades to broadcast
-    probeKeys.as("x").join(trueKeys.hint("shuffle_hash").as("y"),
-        col("x.pband") === col("y.band")
+      s"""explode(transform(array(${masks.mkString(", ")}),
+            m -> struct(band ^ CAST(m AS BIGINT) AS pband, CAST(m AS BIGINT) AS m))) AS pk""")
+      .selectExpr("doc_id", "simhash", "lang", "source", "pk.pband AS pband", "pk.m AS m")
+    // canonical mask split — keep exactly ONE (ma, mb) factorization per
+    // qualifying (pair, band): band-diff 0 factors only as (0,0), diff {i}
+    // as (0,{i}), diff {i,j} as ({min},{max}). Without it a d=0 band
+    // collides once per mask (11×) and d=1/d=2 twice — pure duplicate
+    // join output the downstream distinct would pay to re-shuffle
+    val canonicalSplit = (col("x.m") < col("y.m")) ||
+      (col("x.m") === 0 && col("y.m") === 0)
+    // shuffled-hash: the two sides are the same size by construction, so
+    // SHJ just skips SMJ's sort of both; when a side fits, AQE still
+    // upgrades to broadcast
+    probeKeys.as("x").join(probeKeys.hint("shuffle_hash").as("y"),
+        col("x.pband") === col("y.pband")
           && col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
-          && col("x.doc_id") < col("y.doc_id"))
+          && col("x.doc_id") < col("y.doc_id") && canonicalSplit)
       .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id",
         "CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming")
       .filter(col("hamming") <= threshold)
