@@ -362,6 +362,58 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** k-gram width for [[duplicateSpans]] — long enough that a shared gram
+    * means copied text, short enough that real near-dup spans aren't
+    * missed (Lee et al. use 50 BPE tokens at web scale; the test corpus's
+    * docs are ~100 words). A runtime dial like the LSH band constants. */
+  val SpanGramN = 8
+
+  /** q80 — EXACT SUBSTRING-SPAN dedup (Lee/Ippolito et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): flag the
+    * maximal token spans of each document that also occur verbatim in some
+    * OTHER document. Doc-level passes (q34 fingerprints, q37 MinHash, q40
+    * SimHash) cannot express this — two long documents sharing one copied
+    * paragraph have low global similarity, yet a trainer wants exactly
+    * that paragraph flagged/cut.
+    *
+    * Fingerprint formulation of the suffix-array pass: any repeated span
+    * of ≥ k tokens contains a repeated k-gram, so (1) every k-gram
+    * position becomes a row with an md5 fingerprint (row-local
+    * `graft_shingles` + posexplode — positions ARE the shingle indexes);
+    * (2) a fingerprint is cross-doc duplicated iff min(doc_id) ≠
+    * max(doc_id) (one map-side-combinable aggregate — no count-distinct
+    * state, no pair join ANYWHERE: the corpus never meets itself, pair
+    * space does not exist); (3) each doc's duplicated gram positions merge
+    * into maximal spans [pos, pos+k-1] via the q54 gap-merge (windows
+    * PARTITIONED by doc_id — per-doc bounded, skew-free). Two gram-keyed
+    * shuffles of the corpus total; everything else is row-local or
+    * doc-local. */
+  def duplicateSpans(docs: DataFrame, k: Int = SpanGramN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .filter(expr(s"size(split(text, ' ')) >= $k"))
+      .selectExpr("doc_id",
+        s"posexplode(transform(graft_shingles(split(text, ' '), $k), g -> md5(g))) AS (pos, fp)")
+    val dupFps = grams.groupBy("fp")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx")).select("fp")
+    val dupPos = grams.join(dupFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("new_s",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("span_idx", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_idx")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k.toLong - 1)).as("span_end"))
+      .selectExpr("doc_id", "span_idx", "span_start", "span_end",
+        "span_end - span_start + 1 AS span_tokens")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** DuckDB equivalents. Same md5-salting construction, generated from the
     * same constants so the two sides cannot drift. */
   def oracles: Map[String, String] = {
@@ -472,6 +524,29 @@ object DedupOps {
             WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
             ORDER BY a_id, b_id"""
       },
+      // q80: identical k-gram fingerprinting + gap-merge, spelled
+      // relationally (1-based list slices → the same 0-based positions)
+      "q80_dup_spans" ->
+        s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                         md5(array_to_string(ts[i:i+$SpanGramN-1], ' ')) AS fp
+                  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - $SpanGramN + 2)) AS i
+                        FROM toks WHERE len(ts) >= $SpanGramN)),
+            d AS (SELECT fp FROM (SELECT fp, MIN(doc_id) mn, MAX(doc_id) mx
+                                  FROM g GROUP BY fp) WHERE mn <> mx),
+            p AS (SELECT g.doc_id, g.pos FROM g JOIN d ON g.fp = d.fp),
+            s AS (SELECT doc_id, pos,
+                         CASE WHEN lag(pos) OVER w IS NULL
+                                OR pos - lag(pos) OVER w > $SpanGramN THEN 1 ELSE 0 END AS new_s
+                  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            c AS (SELECT doc_id, pos,
+                         CAST(SUM(new_s) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_idx
+                  FROM s)
+            SELECT doc_id, span_idx, MIN(pos) AS span_start,
+                   MAX(pos) + $SpanGramN - 1 AS span_end,
+                   MAX(pos) + $SpanGramN - 1 - MIN(pos) + 1 AS span_tokens
+            FROM c GROUP BY doc_id, span_idx ORDER BY doc_id, span_start""",
       "q40_simhash_pairs" ->
         s"""WITH $simhashCte,
             m AS (SELECT s.doc_id, simhash, lang, source

@@ -186,4 +186,40 @@ class DedupOpsSpec extends SparkSpec {
       m.contains("both corpus and increment") && m.contains("1")),
       s"expected the disjointness guard to fire, got: $e")
   }
+
+  test("duplicate spans flag maximal cross-doc repeated runs, not within-doc repeats") {
+    // doc 1 and doc 2 share the 9-token run "a b c d e f g h i" (two
+    // overlapping 8-grams each → one merged span per doc); doc 3 shares
+    // nothing; doc 4 repeats an 8-gram only WITHIN itself (min doc =
+    // max doc → not duplicated)
+    val spanDocs = Seq(
+      (1L, "a b c d e f g h i j k l", "en", "s1", 0L),
+      (2L, "x1 x2 x3 a b c d e f g h i y1 y2", "en", "s1", 0L),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9", "en", "s1", 0L),
+      (4L, "m n o q r s t u m n o q r s t u", "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.duplicateSpans(spanDocs, k = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 0L, 8L, 9L),   // tokens a..i at positions 0..8
+      (2L, 1L, 3L, 11L, 9L))) // the same run at positions 3..11
+  }
+
+  test("duplicate spans split runs separated by more than the gram width") {
+    // docs 1/2 share two DISTANT 8-gram runs; the 16-token gap (> k) must
+    // yield two spans, not one merged over unshared middle text
+    val mid1 = (1 to 16).map(i => s"m$i").mkString(" ")
+    val mid2 = (1 to 16).map(i => s"w$i").mkString(" ")
+    val run1 = "a b c d e f g h"
+    val run2 = "r s t u v x y z"
+    val spanDocs = Seq(
+      (1L, s"$run1 $mid1 $run2", "en", "s1", 0L),
+      (2L, s"$run1 $mid2 $run2", "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.duplicateSpans(spanDocs, k = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 0L, 7L, 8L), (1L, 2L, 24L, 31L, 8L),
+      (2L, 1L, 0L, 7L, 8L), (2L, 2L, 24L, 31L, 8L)))
+  }
 }

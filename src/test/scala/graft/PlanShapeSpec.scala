@@ -175,6 +175,20 @@ class PlanShapeSpec extends SparkSpec {
       s"all-pairs join leaked into q40:\n${plan.take(1200)}")
   }
 
+  test("q80 dup spans: no pair join anywhere; span merge stays per-doc partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = DedupOps.duplicateSpans(docs)
+    val exec = q.queryExecution.executedPlan.toString
+    // the whole point of the fingerprint formulation: the corpus never
+    // meets itself — no pair-producing join shape may appear
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into q80:\n${exec.take(1200)}")
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "span gap-merge must stay per-doc partitioned (a global window would " +
+        "funnel every duplicated gram position through one task)")
+  }
+
   test("q79 BPE tokenization applies merges row-locally: no shuffle beyond the output sort") {
     // learning runs as its own bounded jobs; the APPLICATION the query
     // plans must be a pure projection over the scan — a hash exchange here
