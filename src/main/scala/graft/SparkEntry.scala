@@ -232,6 +232,10 @@ object SparkEntry {
     "q39_simhash"          -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "q40_simhash_pairs"    -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
     "q62_simhash_lsh"      -> ((s, d) => DedupOps.simhashLshPairs(Tables.documents(s, d))),
+    // exact substring-span dedup: maximal cross-doc repeated token spans
+    // via k-gram fingerprints + per-doc gap-merge — the span-granular pass
+    // doc-level fingerprints and minhash/simhash cannot express
+    "q80_dup_spans"        -> ((s, d) => DedupOps.duplicateSpans(Tables.documents(s, d))),
     // incremental ingest dedup: the arriving batch (one source partition)
     // vs the standing corpus — broadcast increment bands, corpus probed
     // in place
@@ -263,6 +267,11 @@ object SparkEntry {
     // checked against a decoder-free raster recomputation; audio/video stub)
     "q50_media_features"   -> ((s, d) =>
       graft.multimodal.MediaOps.mediaFeatureStats(s, Tables.documents(s, d))),
+    // audio modality, real decode: RIFF/PCM16 payloads parsed by the JDK's
+    // WAVE reader, graded against a decoder-free computed oracle (the q50
+    // pattern) — format fields + an order-stable PCM sample checksum
+    "q81_audio_features"   -> ((s, d) =>
+      graft.multimodal.MediaOps.audioFeatureStats(s, Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(

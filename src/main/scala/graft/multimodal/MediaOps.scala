@@ -29,13 +29,20 @@ case class MediaDecoded(media_id: Long, kind: String, features: Array[Float],
 /** One sampled frame of a "video" payload. */
 case class MediaFrame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
+/** Decoded-audio facts: format fields from the real WAV header parse plus
+  * an order-stable rolling checksum over the decoded PCM samples. */
+case class AudioStats(doc_id: Long, sample_rate: Long, n_samples: Long,
+                      duration_ms: Long, sample_checksum: Long)
+
 /** Multimodal-column operators.
   *
   * IMAGE decode is REAL: payloads are genuine PNG files and the decoder is
   * JDK `javax.imageio` (no external dependency), running per-partition
-  * behind the `mapPartitions` seam. Audio/video decode remains a
-  * clearly-marked deterministic STUB (`fakeDecode`) — the JDK ships no
-  * audio/video codecs and the container has no codec libraries; a real
+  * behind the `mapPartitions` seam. AUDIO decode is REAL too: payloads are
+  * genuine RIFF/PCM16 WAV files and the decoder is JDK
+  * `javax.sound.sampled` (the built-in WAVE reader). Only VIDEO decode
+  * remains a clearly-marked deterministic STUB (`fakeDecode`) — the JDK
+  * ships no video codecs and the container has no codec libraries; a real
   * deployment swaps `fakeDecode` for a codec without touching any of the
   * dataflow around it.
   *
@@ -82,9 +89,42 @@ object MediaOps {
     h
   }
 
+  /** Sample-rate / sample-count dials for the synthesized WAV leg — pure
+    * functions of the row so the decoder-free oracle can recompute them. */
+  def wavSampleRate(nChars: Int): Int = 8000 + (nChars % 3) * 4000
+  def wavSampleCount(nChars: Int): Int = nChars % 200 + 50
+
+  /** Deterministic 16-bit PCM mono WAV: sample i is a pure function of
+    * (seed, i) in wrapping Java long arithmetic, wrapped in a canonical
+    * 44-byte RIFF header — decode via `javax.sound.sampled` recovers the
+    * exact sample sequence on any JVM. The audio analog of [[pngBytes]]. */
+  def wavBytes(seed: Long, sampleRate: Int, n: Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = seed * 6364136223846793005L + (i + 1) * 2654435761L
+      val u = ((v >>> 16) & 0xFFFF).toInt // unsigned 16-bit PCM LE
+      data(2 * i) = (u & 0xFF).toByte
+      data(2 * i + 1) = ((u >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(x: Int): Unit = { bos.write(x & 0xFF); bos.write((x >> 8) & 0xFF)
+      bos.write((x >> 16) & 0xFF); bos.write((x >> 24) & 0xFF) }
+    def le16(x: Int): Unit = { bos.write(x & 0xFF); bos.write((x >> 8) & 0xFF) }
+    ascii("RIFF"); le32(36 + data.length); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1) /* PCM */ ; le16(1) /* mono */
+    le32(sampleRate); le32(sampleRate * 2) /* byte rate */
+    le16(2) /* block align */ ; le16(16) /* bits */
+    ascii("data"); le32(data.length); bos.write(data)
+    bos.toByteArray
+  }
+
   /** Deterministic fake media corpus derived from `documents`: doc_id % 3
-    * picks the kind; IMAGE payloads are real PNGs ([[pngBytes]]), audio and
-    * video payloads are opaque text bytes (their decode is stubbed). */
+    * picks the kind; IMAGE payloads are real PNGs ([[pngBytes]]), AUDIO
+    * payloads are real WAVs ([[wavBytes]]), video payloads are opaque text
+    * bytes (their decode is stubbed). */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -97,8 +137,10 @@ object MediaOps {
             val h = n % 12 + 3
             MediaRecord(id, "image", pngBytes(id, w, h), MediaMeta("image/png", w, h, 0L))
           case 1 =>
-            MediaRecord(id, "audio", text.getBytes("UTF-8"),
-              MediaMeta("audio/wav", n % 640 + 1, n % 480 + 1, n.toLong * 10))
+            val rate = wavSampleRate(n)
+            val samples = wavSampleCount(n)
+            MediaRecord(id, "audio", wavBytes(id, rate, samples),
+              MediaMeta("audio/wav", 0, 0, samples.toLong * 1000L / rate))
           case _ =>
             MediaRecord(id, "video", text.getBytes("UTF-8"),
               MediaMeta("video/mp4", n % 640 + 1, n % 480 + 1, n.toLong * 10))
@@ -194,6 +236,47 @@ object MediaOps {
     }
   }
 
+  /** Decoded-audio facts via the REAL decoder: `javax.sound.sampled` (the
+    * JDK's built-in WAVE reader) parses the RIFF header into an
+    * `AudioFormat` and streams the PCM frames; the checksum folds the
+    * decoded unsigned 16-bit samples in order (h = 31·h + u16, wrapping).
+    * Runs in `mapPartitions` like the image decoder; an undecodable
+    * payload is dropped instead of killing the job (the tolerant-parse
+    * contract of the streaming leg). */
+  def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new ByteArrayInputStream(m.bytes))
+          val fmt = in.getFormat
+          val pcm = in.readAllBytes()
+          val n = pcm.length / 2
+          var h = 1125899906842597L
+          var i = 0
+          while (i < n) {
+            val u = (pcm(2 * i) & 0xFF) | ((pcm(2 * i + 1) & 0xFF) << 8)
+            h = 31 * h + u
+            i += 1
+          }
+          val rate = fmt.getSampleRate.toLong
+          Some(AudioStats(m.media_id, rate, n.toLong, n.toLong * 1000L / rate, h))
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** q81 — audio pipeline end-to-end: corpus → real WAV decode → per-doc
+    * format facts + PCM checksum. The q50 pattern for the audio modality:
+    * the Spark side decodes actual RIFF bytes with the JDK's WAVE reader,
+    * while the oracle recomputes every column WITHOUT a decoder from the
+    * (doc_id, n_chars)-pure sample function — a hash match proves the
+    * encode → header parse → PCM decode → checksum path is the identity. */
+  def audioFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    audioStats(fromDocuments(docs)).toDF().orderBy("doc_id")
+
   /** Frame sampling: split each "video" payload into fixed-size frame
     * chunks (stub for keyframe extraction) — 1→N flatMap, no shuffle. */
   def frameSample(media: Dataset[MediaRecord], frameBytes: Int = 64): Dataset[MediaFrame] = {
@@ -278,7 +361,38 @@ object MediaOps {
     val U = "18446744073709551616" // 2^64
     val px = s"((((doc_id::HUGEINT * 6364136223846793005 + " +
       s"((i % w) * 31 + (i // w) * 131 + 17) * 2654435761) % $U + $U) % $U // 65536) % 16777216)"
-    Map("q50_media_features" ->
+    // q81: [[wavBytes]] stores sample i as the unsigned 16-bit
+    // `((doc_id*6364136223846793005 + (i+1)*2654435761) >>> 16) & 0xFFFF`,
+    // and [[audioStats]] folds h = 31·h + u16 over the DECODED samples.
+    // The oracle recomputes both from the formula in HUGEINT mod-2^64
+    // arithmetic — no WAV parser anywhere on the DuckDB side.
+    val u16 = s"((((doc_id::HUGEINT * 6364136223846793005 + " +
+      s"(i + 1) * 2654435761) % $U + $U) % $U // 65536) % 65536)"
+    Map(
+      "q81_audio_features" ->
+        s"""WITH a AS (
+              SELECT doc_id,
+                     8000 + (CAST(n_chars AS INTEGER) % 3) * 4000 AS rate,
+                     CAST(n_chars AS INTEGER) % 200 + 50 AS n
+              FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 1),
+            chk AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - $U
+                               ELSE hu END AS BIGINT) AS cks
+              FROM (SELECT doc_id,
+                           list_reduce(
+                             list_prepend(1125899906842597::HUGEINT,
+                               list_transform(range(0, n), i -> $u16)),
+                             (acc, p) -> (acc * 31 + p) % $U) AS hu
+                    FROM a))
+            SELECT a.doc_id AS doc_id,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(n AS BIGINT) * 1000 // rate AS duration_ms,
+                   chk.cks AS sample_checksum
+            FROM a JOIN chk ON a.doc_id = chk.doc_id
+            ORDER BY doc_id""",
+      "q50_media_features" ->
       s"""WITH m AS (
             SELECT doc_id,
                    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'

@@ -16,8 +16,41 @@ class MediaOpsSpec extends SparkSpec {
     assert(media.map(_.kind).toSeq === Seq("image", "audio", "video"))
     // the image payload is a REAL PNG file (magic bytes), not text
     assert(media(0).bytes.take(4) sameElements Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
-    assert(media(1).bytes sameElements "audio payload somewhat longer text content".getBytes("UTF-8"))
+    // the audio payload is a REAL RIFF/WAVE file (magic bytes), not text
+    assert(media(1).bytes.take(4) sameElements "RIFF".getBytes("US-ASCII"))
+    assert(media(1).bytes.slice(8, 12) sameElements "WAVE".getBytes("US-ASCII"))
     assert(media(2).meta.mime === "video/mp4")
+  }
+
+  test("audioStats decodes real WAVs: header format facts + stable PCM checksum") {
+    // doc 1: n_chars=42 → rate 8000 + (42%3)*4000 = 8000, 42%200+50 = 92
+    // samples by construction
+    val stats = MediaOps.audioStats(MediaOps.fromDocuments(docs)).collect()
+    assert(stats.length === 1)
+    val s = stats.head
+    assert(s.doc_id === 1L)
+    assert(s.sample_rate === 8000L)
+    assert(s.n_samples === 92L)
+    assert(s.duration_ms === 92L * 1000L / 8000L)
+    // the decoded checksum must equal the direct fold of the generator
+    // formula — proving decode recovers the exact sample sequence
+    var h = 1125899906842597L
+    (0 until 92).foreach { i =>
+      val v = 1L * 6364136223846793005L + (i + 1) * 2654435761L
+      h = 31 * h + ((v >>> 16) & 0xFFFF).toInt
+    }
+    assert(s.sample_checksum === h)
+  }
+
+  test("audioStats drops undecodable payloads instead of failing the job") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(
+      MediaRecord(1L, "audio", MediaOps.wavBytes(1L, 8000, 10), MediaMeta("audio/wav", 0, 0, 1L)),
+      MediaRecord(4L, "audio", "not a wav at all".getBytes("UTF-8"), MediaMeta("audio/wav", 0, 0, 1L))
+    ).toDS()
+    val stats = MediaOps.audioStats(media).collect()
+    assert(stats.map(_.doc_id).toSeq === Seq(1L))
   }
 
   test("imageStats decodes real PNGs: exact dimensions + stable pixel checksum") {
