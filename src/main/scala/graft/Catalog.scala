@@ -81,6 +81,9 @@ object Catalog {
       .createOrReplaceTempView("doc_ngram_contamination")
     ops.PipelineOps.sequencePacking(docs).createOrReplaceTempView("doc_packing")
     ops.PipelineOps.packingStats(docs).createOrReplaceTempView("packing_stats")
+    ops.PipelineOps.chunkComposition(docs).createOrReplaceTempView("chunk_composition")
+    ops.DedupOps.duplicateSpans(docs).createOrReplaceTempView("doc_dup_spans")
+    ops.PipelineOps.urlDedup(docs).createOrReplaceTempView("doc_url_dedup")
     ops.PipelineOps.mixtureSample(docs).createOrReplaceTempView("doc_mixture_sample")
     // eager like the cluster view: BPE merge learning is iterative (one
     // bounded argmax job per round); the view reads the learned merge table

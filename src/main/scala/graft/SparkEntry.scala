@@ -221,6 +221,14 @@ object SparkEntry {
     // one global aggregate over the verified q73 rows
     "q78_packing_stats"    -> ((s, d) =>
       PipelineOps.packingStats(Tables.documents(s, d))),
+    // the packer's inverse map: chunk_id → ordered doc spans (the manifest
+    // a trainer loads chunks by) — q73 rows + one row-local explode
+    "q82_chunk_composition" -> ((s, d) =>
+      PipelineOps.chunkComposition(Tables.documents(s, d))),
+    // C4-style URL/domain dedup: row-local host extraction, canonical-per-
+    // URL min agg, per-domain quality priors joined back broadcast
+    "q83_url_dedup"        -> ((s, d) =>
+      PipelineOps.urlDedup(Tables.documents(s, d))),
     // apply the q72 mixture: row-local hash-threshold downsample toward the
     // temperature-weighted target corpus (skew-proof; no per-stratum sort)
     "q76_mixture_sample"   -> ((s, d) =>

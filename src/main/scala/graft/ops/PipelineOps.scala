@@ -249,6 +249,61 @@ object PipelineOps {
         s"SUM(n_tokens) / CAST((MAX(chunk_last) + 1) * $budget AS DOUBLE) AS fill_rate",
         "CAST(SUM(straddles) AS DOUBLE) / COUNT(*) AS straddle_rate")
 
+  /** q82 — CHUNK COMPOSITION: the packer's INVERSE map. q73 answers "where
+    * did my document go?"; the trainer loading chunk c needs the converse —
+    * "which doc spans, in order, make up chunk c?" (the manifest a packed
+    * dataset ships so any chunk can be traced back to its sources). One
+    * row per (chunk, doc) intersection: the doc's position inside the
+    * chunk, the span's offset inside the doc, and its length.
+    *
+    * Shape: the verified q73 rows (two-pass prefix sum, no global window)
+    * plus ONE row-local explode of `sequence(chunk_first, chunk_last)` —
+    * a doc emits straddle+1 rows, so output is |docs| + |straddles|. All
+    * arithmetic is exact integers (greatest/least over offsets) —
+    * hash-exact cross-engine by construction. */
+  def chunkComposition(docs: DataFrame, budget: Long = 1024): DataFrame =
+    sequencePacking(docs, budget)
+      .selectExpr("doc_id", "n_tokens", "start_offset",
+        "explode(sequence(chunk_first, chunk_last)) AS chunk_id")
+      .selectExpr("chunk_id", "doc_id",
+        s"greatest(start_offset, chunk_id * $budget) - chunk_id * $budget AS chunk_from",
+        s"greatest(start_offset, chunk_id * $budget) - start_offset AS doc_from",
+        s"least(start_offset + n_tokens - 1, (chunk_id + 1) * $budget - 1)" +
+          s" - greatest(start_offset, chunk_id * $budget) + 1 AS span_tokens")
+      .orderBy("chunk_id", "chunk_from")
+
+  /** q83 — URL/DOMAIN-LEVEL dedup + per-domain aggregates: a C4-style web
+    * corpus dedups by URL BEFORE any content pass (refetches and mirror
+    * crawls are exact dups content hashing would pay a full text scan to
+    * find), and carries per-domain statistics as quality priors. The
+    * corpus has no URL column, so one is DERIVED deterministically (an
+    * md5-bucketed page path — collisions exist by construction, the same
+    * synthesize-the-modality trick as the media corpus); a real crawl
+    * replaces the derivation with its url column and nothing else moves.
+    *
+    * Shape: host extraction is row-local (`parse_url`, codegen'd);
+    * canonical-per-URL is ONE map-side-combinable min aggregate + an
+    * equi-join back on the url key (AQE broadcasts it when the URL table
+    * is bounded, as here; at crawl scale it is the standard keyed join);
+    * the per-HOST dim is bounded by the domain count, so its aggregate
+    * joins back broadcast — the corpus itself shuffles for nothing but
+    * the url agg. */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    val u = docs.selectExpr("doc_id", "n_chars",
+      "concat('https://', source, '.example.com/', lang, '/p', " +
+        "substring(md5(CAST(doc_id AS STRING)), 1, 1)) AS url")
+      .selectExpr("doc_id", "n_chars", "url", "parse_url(url, 'HOST') AS host")
+    val canon = u.groupBy("url").agg(min("doc_id").as("first_doc"))
+    val hostAgg = u.groupBy("host").agg(
+      count(lit(1)).as("n_host_docs"),
+      (sum("n_chars").cast("double") / count(lit(1))).as("host_mean_chars"))
+    u.join(canon, "url")
+      .join(broadcast(hostAgg), "host")
+      .selectExpr("doc_id", "url", "host", "doc_id = first_doc AS is_canonical",
+        "n_host_docs", "host_mean_chars")
+      .orderBy("doc_id")
+  }
+
   /** The q73 SQL, a val so q78 can compose it verbatim. */
   private val SequencePackingSql =
     """WITH t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -324,6 +379,37 @@ object PipelineOps {
          ORDER BY lang, source, doc_id"""
     },
     "q73_sequence_packing" -> SequencePackingSql,
+    // q83: the same URL derivation + regex host extraction (DuckDB has no
+    // parse_url; the regex is the HOST part of the same grammar)
+    "q83_url_dedup" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+                           'https://' || source || '.example.com/' || lang || '/p'
+                             || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS url
+                    FROM documents),
+          h AS (SELECT doc_id, n_chars, url,
+                       regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM u),
+          c AS (SELECT url, MIN(doc_id) AS first_doc FROM h GROUP BY url),
+          d AS (SELECT host, COUNT(*) AS n_host_docs,
+                       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS host_mean_chars
+                FROM h GROUP BY host)
+          SELECT h.doc_id AS doc_id, h.url AS url, h.host AS host,
+                 h.doc_id = c.first_doc AS is_canonical,
+                 d.n_host_docs AS n_host_docs, d.host_mean_chars AS host_mean_chars
+          FROM h JOIN c ON h.url = c.url JOIN d ON h.host = d.host
+          ORDER BY doc_id""",
+    // q82 composes the q73 oracle verbatim, like q78 — the inverse map's
+    // per-doc inputs cannot drift from the verified packing query
+    "q82_chunk_composition" ->
+      s"""WITH packed AS ($SequencePackingSql),
+          e AS (SELECT doc_id, n_tokens, start_offset,
+                       unnest(range(chunk_first, chunk_last + 1)) AS chunk_id
+                FROM packed)
+          SELECT chunk_id, doc_id,
+                 greatest(start_offset, chunk_id * 1024) - chunk_id * 1024 AS chunk_from,
+                 greatest(start_offset, chunk_id * 1024) - start_offset AS doc_from,
+                 least(start_offset + n_tokens - 1, (chunk_id + 1) * 1024 - 1)
+                   - greatest(start_offset, chunk_id * 1024) + 1 AS span_tokens
+          FROM e ORDER BY chunk_id, chunk_from""",
     // q78 composes the q73 oracle verbatim — the stats' per-doc inputs
     // cannot drift from the individually-verified packing query
     "q78_packing_stats" ->

@@ -145,6 +145,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getDouble(5) === 1.0 / 3.0)
   }
 
+  test("chunk composition is the exact inverse of packing: spans tile each chunk") {
+    // same corpus as the packing test: 16 tokens, budget 10 → chunk 0 =
+    // doc1[0..5] + doc2[0..3], chunk 1 = doc2[4..5] + doc3[0..3]
+    val d = Seq(
+      (1L, "a b c d e f", "en", "s", 0L),
+      (2L, "g h i j k l", "en", "s", 0L),
+      (3L, "m n o p", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = PipelineOps.chunkComposition(d, budget = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (0L, 1L, 0L, 0L, 6L), (0L, 2L, 6L, 0L, 4L),
+      (1L, 2L, 0L, 4L, 2L), (1L, 3L, 2L, 0L, 4L)))
+    // invariants that must hold on ANY corpus: spans tile every chunk
+    // contiguously from 0, and each doc's spans reassemble the whole doc
+    val real = PipelineOps.chunkComposition(
+      Tables.documents(spark, "/root/testdata/sf0.001"), budget = 1024)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    real.groupBy(_._1).foreach { case (_, spans) =>
+      val s = spans.sortBy(_._3)
+      assert(s.head._3 === 0L)
+      s.sliding(2).foreach {
+        case Seq((_, _, from1, _, n1), (_, _, from2, _, _)) =>
+          assert(from2 === from1 + n1, "chunk spans must be contiguous")
+        case _ =>
+      }
+    }
+    val packed = PipelineOps.sequencePacking(
+      Tables.documents(spark, "/root/testdata/sf0.001"), budget = 1024)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    real.groupBy(_._2).foreach { case (docId, spans) =>
+      val s = spans.sortBy(_._4)
+      assert(s.head._4 === 0L)
+      assert(s.map(_._5).sum === packed(docId), "doc spans must reassemble the doc")
+    }
+  }
+
+  test("url dedup: one canonical doc per URL; host stats are exact") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = PipelineOps.urlDedup(d)
+      .as[(Long, String, String, Boolean, Long, Double)].collect().toSeq
+    assert(rows.length === d.count())
+    // exactly one canonical doc per distinct URL, and it is the min doc_id
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val canon = docs.filter(_._4)
+      assert(canon.length === 1)
+      assert(canon.head._1 === docs.map(_._1).min)
+    }
+    // host is the URL's authority; n_host_docs counts exactly its docs
+    rows.groupBy(_._3).foreach { case (host, docs) =>
+      assert(docs.forall(_._2.startsWith(s"https://$host/")))
+      assert(docs.forall(_._5 === docs.length.toLong))
+    }
+    // the derived URL space genuinely collides (dedup is non-trivial)
+    assert(rows.count(!_._4) > 0)
+  }
+
   test("mixture sample is monotone in target: raising the budget only adds docs") {
     // keep_n = ceil(min(1, p·target/n)·n) is monotone in target, so the
     // per-stratum cut is monotone, so the kept set can only GROW — the
