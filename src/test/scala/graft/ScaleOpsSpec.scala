@@ -39,4 +39,21 @@ class ScaleOpsSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(saltCount > 8, s"hot key only hit $saltCount salts")
   }
+
+  test("salting measurably rebalances task-level row counts, not just salt values") {
+    // the 100× skew story, MEASURED from actual post-exchange partition
+    // ids rather than asserted: the unsalted shuffle funnels user 7's 400
+    // rows through ONE task, the salted shuffle must cut the largest
+    // task's load by at least 4× on the same data
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("pid")).count()
+        .agg(max("count")).as[Long].head()
+    val unsalted = maxPartitionRows(skewed.repartition(32, col("user_id")))
+    val salted = maxPartitionRows(
+      skewed.withColumn("__salt", pmod(hash(col("event_id")), lit(16)))
+        .repartition(32, col("user_id"), col("__salt")))
+    assert(unsalted >= 400L, s"fixture lost its skew (max task rows = $unsalted)")
+    assert(salted <= unsalted / 4,
+      s"salting did not rebalance: max task rows $unsalted -> $salted")
+  }
 }
