@@ -58,6 +58,7 @@ object Catalog {
     pairs.createOrReplaceTempView("doc_neardup_pairs")
     ops.PipelineOps.splitAssign(docs).createOrReplaceTempView("doc_splits")
     ops.SimilarityOps.annLsh(emb).createOrReplaceTempView("embedding_ann")
+    ops.SimilarityOps.semanticDedup(emb).createOrReplaceTempView("embedding_semantic_dedup")
     ops.RelationalOps.sessionize(spark.table("events"))
       .createOrReplaceTempView("user_sessions")
     ops.SketchOps.heavyHitters(docs)
@@ -83,6 +84,7 @@ object Catalog {
     ops.PipelineOps.packingStats(docs).createOrReplaceTempView("packing_stats")
     ops.PipelineOps.chunkComposition(docs).createOrReplaceTempView("chunk_composition")
     ops.DedupOps.duplicateSpans(docs).createOrReplaceTempView("doc_dup_spans")
+    ops.DedupOps.spanScrub(docs).createOrReplaceTempView("doc_span_scrub")
     ops.PipelineOps.urlDedup(docs).createOrReplaceTempView("doc_url_dedup")
     ops.PipelineOps.mixtureSample(docs).createOrReplaceTempView("doc_mixture_sample")
     // eager like the cluster view: BPE merge learning is iterative (one

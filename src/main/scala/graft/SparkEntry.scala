@@ -244,6 +244,9 @@ object SparkEntry {
     // via k-gram fingerprints + per-doc gap-merge — the span-granular pass
     // doc-level fingerprints and minhash/simhash cannot express
     "q80_dup_spans"        -> ((s, d) => DedupOps.duplicateSpans(Tables.documents(s, d))),
+    // the transformation half of q80: cut every duplicated span occurrence
+    // except the globally first, emit the cleaned corpus (fingerprinted)
+    "q84_span_scrub"       -> ((s, d) => DedupOps.spanScrub(Tables.documents(s, d))),
     // incremental ingest dedup: the arriving batch (one source partition)
     // vs the standing corpus — broadcast increment bands, corpus probed
     // in place
@@ -259,6 +262,9 @@ object SparkEntry {
     "q44_label_centroids"  -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
     "q45_embedding_dups"   -> ((s, d) => SimilarityOps.embeddingDups(Tables.embeddings(s, d))),
     "q55_ivf_ann"          -> ((s, d) => SimilarityOps.ivfAnn(Tables.embeddings(s, d))),
+    // SemDeDup: paraphrase-level dedup in embedding space — cluster-bucketed
+    // cosine, keep the lowest-id representative per duplicate set
+    "q85_semantic_dedup"   -> ((s, d) => SimilarityOps.semanticDedup(Tables.embeddings(s, d))),
     // int8 symmetric storage quantization with per-vector error reporting
     "q74_embedding_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),

@@ -443,6 +443,59 @@ object DedupOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Keeper-encoding base for [[spanScrub]]: (doc_id, pos) packs into one
+    * BIGINT so the per-fingerprint "first occurrence" is a plain MIN — a
+    * map-side-combinable aggregate instead of an engine-specific
+    * struct-min. Positions are shingle indexes, bounded by document token
+    * count; 2^20 tokens/doc leaves 43 bits of doc_id space. */
+  val PosEnc = 1L << 20
+
+  /** q84 — SPAN SCRUB: the transformation half of [[duplicateSpans]] (Lee/
+    * Ippolito et al. 2022 §4 "ExactSubstr"): REMOVE every duplicated k-gram
+    * span occurrence except the globally first one, and emit the cleaned
+    * corpus. q80 tells a trainer where the copied spans are; this produces
+    * the training text with them cut, which is the artifact the pipeline
+    * actually feeds downstream.
+    *
+    * Keep-first policy, made exact: a gram occurrence is REMOVABLE iff its
+    * fingerprint occurs more than once in the corpus (within-doc repeats
+    * count, unlike q80's cross-doc flagging — the suffix-array pass dedups
+    * self-repeats too) and the occurrence is not the fingerprint's keeper
+    * (minimal (doc_id, pos), encoded via [[PosEnc]]). A token is cut iff
+    * some removable gram covers it. The keeper doc keeps its (first) copy;
+    * every other copy loses exactly the duplicated run, not the whole doc.
+    *
+    * Scale shape, same as q80: gram rows shuffle twice on the fingerprint
+    * key (keeper aggregate, then the removable semi-lookup); coverage
+    * collapses to ONE bounded array per doc (≤ tokens/doc positions); the
+    * token cut is a row-local higher-order filter over (token, index)
+    * against that array. No pair join, no window, no corpus self-join —
+    * pair space never exists. */
+  def spanScrub(docs: DataFrame, k: Int = SpanGramN): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .filter(expr(s"size(split(text, ' ')) >= $k"))
+      .selectExpr("doc_id",
+        s"posexplode(transform(graft_shingles(split(text, ' '), $k), g -> md5(g))) AS (pos, fp)")
+      .selectExpr("doc_id", "CAST(pos AS BIGINT) AS pos", "fp")
+    val keepers = grams.groupBy("fp")
+      .agg(count(lit(1)).as("n"), min(expr(s"doc_id * ${PosEnc}L + pos")).as("keeper"))
+      .filter(col("n") > 1).select("fp", "keeper")
+    val removable = grams.join(keepers, "fp")
+      .filter(expr(s"doc_id * ${PosEnc}L + pos") =!= col("keeper"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("rs"))
+    docs.join(removable, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "split(text, ' ') AS toks",
+        "coalesce(rs, CAST(array() AS ARRAY<BIGINT>)) AS rs")
+      .selectExpr("doc_id", "toks",
+        s"filter(toks, (t, i) -> NOT exists(rs, q -> q <= i AND i <= q + ${k - 1})) AS kept")
+      .selectExpr("doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(toks) - size(kept) AS BIGINT) AS n_removed",
+        "md5(array_join(kept, ' ')) AS clean_fp")
+      .orderBy("doc_id")
+  }
+
   /** DuckDB equivalents. Same md5-salting construction, generated from the
     * same constants so the two sides cannot drift. */
   def oracles: Map[String, String] = {
@@ -576,6 +629,30 @@ object DedupOps {
                    MAX(pos) + $SpanGramN - 1 AS span_end,
                    MAX(pos) + $SpanGramN - 1 - MIN(pos) + 1 AS span_tokens
             FROM c GROUP BY doc_id, span_idx ORDER BY doc_id, span_start""",
+      "q84_span_scrub" ->
+        s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                         md5(array_to_string(ts[i:i+$SpanGramN-1], ' ')) AS fp
+                  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - $SpanGramN + 2)) AS i
+                        FROM toks WHERE len(ts) >= $SpanGramN)),
+            d AS (SELECT fp, MIN(doc_id * $PosEnc + pos) AS keeper
+                  FROM g GROUP BY fp HAVING COUNT(*) > 1),
+            r AS (SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS rs
+                  FROM g JOIN d ON g.fp = d.fp
+                  WHERE g.doc_id * $PosEnc + g.pos <> d.keeper
+                  GROUP BY g.doc_id),
+            p AS (SELECT doc_id, i, ts[i] AS tok,
+                         len(list_filter(rs, q -> q <= i - 1
+                                                  AND i - 1 <= q + ${SpanGramN - 1})) > 0 AS cov
+                  FROM (SELECT t.doc_id, t.ts, COALESCE(r.rs, []) AS rs,
+                               unnest(range(1, len(t.ts) + 1)) AS i
+                        FROM toks t LEFT JOIN r ON t.doc_id = r.doc_id))
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) FILTER (cov) AS BIGINT) AS n_removed,
+                   md5(COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (NOT cov), ''))
+                     AS clean_fp
+            FROM p GROUP BY doc_id ORDER BY doc_id""",
       "q40_simhash_pairs" ->
         s"""WITH $simhashCte,
             m AS (SELECT s.doc_id, simhash, lang, source

@@ -249,7 +249,13 @@ object SimilarityOps {
     * probing is a broadcast of the query cells; the gather is the same
     * co-keyed join as [[annLsh]]. At 10⁹ vectors, raise K so N/K fits a
     * probe budget — the plan is unchanged. */
-  def ivfAnn(emb: DataFrame, nprobe: Int = NProbe): DataFrame = {
+  /** (vec_id, cell, dist): exact-integer distance of every vector to every
+    * per-label centroid cell — the shared assignment subtree of [[ivfAnn]]
+    * and [[semanticDedup]]. v is quantized to 1e-3 ints and the centroid
+    * kept as its exact (sum, n) pair, so dist = Σ(q·n − sq)²/n² is
+    * integer arithmetic until one final division: associative,
+    * order-independent, bit-identical in any engine. */
+  private def cellDist(emb: DataFrame): DataFrame = {
     val q3 = emb.select(
         col("vec_id").cast("long").as("vec_id"),
         col("label").cast("long").as("label"),
@@ -258,12 +264,16 @@ object SimilarityOps {
         expr("CAST(ROUND(CAST(col AS DOUBLE) * 1000) AS BIGINT)").as("q3"))
     val cells = q3.groupBy(col("label").as("cell"), col("d"))
       .agg(sum("q3").as("sq"), count(lit(1)).as("n"))
-    val dist = q3.select("vec_id", "d", "q3")
+    q3.select("vec_id", "d", "q3")
       .join(broadcast(cells), "d")
       .groupBy("vec_id", "cell")
       .agg((sum((col("q3") * col("n") - col("sq"))
           * (col("q3") * col("n") - col("sq"))).cast("double")
         / (max("n") * max("n")).cast("double")).as("dist"))
+  }
+
+  def ivfAnn(emb: DataFrame, nprobe: Int = NProbe): DataFrame = {
+    val dist = cellDist(emb)
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     // ONE ranking feeds both consumers: ranking is per-vec_id, so filtering
@@ -290,6 +300,58 @@ object SimilarityOps {
           .partitionBy("q_id").orderBy(desc("cos"), col("n_id"))).cast("long"))
       .filter(col("rank") <= TopK)
     withRecallAudit(topk, emb, IvfQualityFloor)
+  }
+
+  /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
+    * intra-cell cosine distribution (p97 ≈ 0.24, max 0.47) so both verdicts
+    * are exercised; a runtime dial like the LSH band constants (the paper
+    * uses ~0.95+ on real embedding spaces). */
+  val SemDedupMinCos = 0.25
+
+  /** q85 — SEMANTIC DEDUP (Abbas/Tirumala et al., "SemDeDup: Data-Efficient
+    * Learning at Web-Scale through Semantic Deduplication", 2023): cluster
+    * the embedding space, call two documents semantic duplicates when their
+    * cosine inside a shared cluster exceeds a threshold, and keep one
+    * representative per duplicate set. This is the dedup layer ABOVE
+    * q37/q40/q84: paraphrases and re-renderings share no tokens, so no
+    * lexical pass can see them — only the embedding geometry can.
+    *
+    * Verdict per vector: DROP iff some LOWER-id member of its cell is
+    * ≥ `minCos` similar (the paper keeps a per-group representative chosen
+    * by a tie-broken rule; lowest-id is the deterministic choice), i.e.
+    * keep = no qualifying lower neighbor. `n_dups` counts those neighbors.
+    *
+    * Scale shape, exactly the paper's trade: candidate pairs exist ONLY
+    * within a cell (the cluster count grows with the corpus, bounding
+    * E[cell²]; the all-pairs-within-cluster cost is the algorithm, not an
+    * accident). Assignment reuses [[cellDist]]'s exact-integer argmin —
+    * deterministic in any engine. The candidate self-join carries only
+    * (vec_id, cell); vectors are gathered co-keyed AFTERWARDS, keeping the
+    * 512-byte payloads out of the candidate shuffle ([[embeddingDups]]'s
+    * idiom). The final verdict is one left anti-ish aggregate join back to
+    * the assignment table. */
+  def semanticDedup(emb: DataFrame, minCos: Double = SemDedupMinCos): DataFrame = {
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    val assigned = cellDist(emb)
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1).select("vec_id", "cell")
+    val cand = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .selectExpr("x.vec_id AS a_id", "y.vec_id AS b_id")
+    val all = vecs(emb)
+    val dropped = cand
+      .join(all.selectExpr("vec_id AS a_id", "v AS va", "n2 AS na"), "a_id")
+      .join(all.selectExpr("vec_id AS b_id", "v AS vb", "n2 AS nb"), "b_id")
+      .selectExpr("a_id", "b_id",
+        s"${sparkDot("va", "vb")} / (sqrt(na) * sqrt(nb)) AS cos")
+      .filter(col("cos") >= minCos)
+      .groupBy(col("b_id").as("vec_id")).agg(count(lit(1)).as("n_dups"))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cell",
+        "CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups",
+        "n_dups IS NULL AS keep")
+      .orderBy("vec_id")
   }
 
   /** Attach the exact embedding cosine to an (a_id, b_id) pair table — the
@@ -511,6 +573,36 @@ object SimilarityOps {
                               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
                        FROM pairs)
                      WHERE rank <= $TopK)"""),
+    "q85_semantic_dedup" ->
+      s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,
+                             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3,
+                             CAST(label AS BIGINT) AS label
+                      FROM embeddings, range(1, ${Dim + 1}) t(i)),
+          cells AS (SELECT label AS cell, d, SUM(q3) AS sq, COUNT(*) AS n
+                    FROM q3 GROUP BY 1, 2),
+          dist AS (SELECT q3.vec_id, cells.cell,
+                          CAST(SUM((q3.q3 * cells.n - cells.sq) * (q3.q3 * cells.n - cells.sq)) AS DOUBLE)
+                            / CAST(MAX(cells.n) * MAX(cells.n) AS DOUBLE) AS dist
+                   FROM q3 JOIN cells ON q3.d = cells.d GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell FROM (
+                         SELECT vec_id, cell,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                         FROM dist) WHERE rn = 1),
+          vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),
+          cand AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
+                   FROM assigned x JOIN assigned y
+                   ON x.cell = y.cell AND x.vec_id < y.vec_id),
+          dp AS (SELECT b_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+                 FROM (SELECT a_id, b_id,
+                              ${duckDot("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+                       FROM cand JOIN n a ON a_id = a.vec_id
+                                 JOIN n b ON b_id = b.vec_id)
+                 WHERE cos >= $SemDedupMinCos GROUP BY b_id)
+          SELECT a.vec_id, a.cell, COALESCE(dp.n_dups, 0) AS n_dups,
+                 dp.vec_id IS NULL AS keep
+          FROM assigned a LEFT JOIN dp ON a.vec_id = dp.vec_id
+          ORDER BY a.vec_id""",
     "q44_label_centroids" ->
       s"""SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
                 SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))

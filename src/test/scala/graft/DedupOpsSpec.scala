@@ -222,4 +222,31 @@ class DedupOpsSpec extends SparkSpec {
       (1L, 1L, 0L, 7L, 8L), (1L, 2L, 24L, 31L, 8L),
       (2L, 1L, 0L, 7L, 8L), (2L, 2L, 24L, 31L, 8L)))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("span scrub keeps the first occurrence and cuts every other copy") {
+    val docs = Seq(
+      // keeper of the shared a..h/a..i grams: loses nothing
+      (1L, "a b c d e f g h i j k l", "en", "s1", 0L),
+      // same 9-token run embedded at positions 3..11: exactly it is cut
+      (2L, "x1 x2 x3 a b c d e f g h i y1 y2", "en", "s1", 0L),
+      // no duplicated grams anywhere: untouched
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9", "en", "s1", 0L),
+      // WITHIN-doc repeat (q80's cross-doc rule misses it): second half cut
+      (4L, "m n o q r s t u m n o q r s t u", "en", "s1", 0L),
+      // entirely a copy of doc 1's first gram: scrubbed to empty
+      (5L, "a b c d e f g h", "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.spanScrub(docs, k = 8)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 12L, 0L, md5hex("a b c d e f g h i j k l")),
+      (2L, 14L, 9L, md5hex("x1 x2 x3 y1 y2")),
+      (3L, 9L, 0L, md5hex("p1 p2 p3 p4 p5 p6 p7 p8 p9")),
+      (4L, 16L, 8L, md5hex("m n o q r s t u")),
+      (5L, 8L, 8L, md5hex(""))))
+  }
 }

@@ -189,6 +189,29 @@ class PlanShapeSpec extends SparkSpec {
         "funnel every duplicated gram position through one task)")
   }
 
+  test("q84 span scrub: no pair join, no window; the token cut is row-local") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = DedupOps.spanScrub(docs)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into q84:\n${exec.take(1200)}")
+    // coverage collapses to one bounded array per doc and the cut is a
+    // higher-order filter — a window here would mean positions are being
+    // sequenced through per-doc sorted state instead
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q84 must not window: the cut is a row-local filter against the rs array")
+  }
+
+  test("q85 semantic dedup: candidates only within a cell; vector payloads gathered after") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = SimilarityOps.semanticDedup(emb)
+      .queryExecution.executedPlan.toString
+    assert("Join \\[cell".r.findFirstIn(plan).isDefined,
+      s"candidate join not keyed on the cluster cell:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into q85:\n${plan.take(1200)}")
+  }
+
   test("q79 BPE tokenization applies merges row-locally: no shuffle beyond the output sort") {
     // learning runs as its own bounded jobs; the APPLICATION the query
     // plans must be a pure projection over the scan — a hash exchange here

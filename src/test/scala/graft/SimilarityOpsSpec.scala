@@ -128,4 +128,31 @@ class SimilarityOpsSpec extends SparkSpec {
     // int8 error on these well-separated vectors cannot flip the order
     assert(got === expected)
   }
+
+  test("semantic dedup drops the higher-id member of a similar cluster pair") {
+    // 2 and 4 share direction (cos = 1) and label → same cell: 4 dropped,
+    // 2 kept. 0/1 nearly parallel in cell 1 → 1 dropped. 3 (= -base,
+    // cos -1 to everything in its cell of one) survives alone.
+    val got = SimilarityOps.semanticDedup(emb, minCos = 0.9)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (0L, 1L, 0L, true),
+      (1L, 1L, 1L, false),
+      (2L, 2L, 0L, true),
+      (3L, 3L, 0L, true),
+      (4L, 2L, 1L, false)))
+  }
+
+  test("semantic dedup keeps exactly one representative per duplicate set") {
+    // three copies of one direction in one cell: lowest id is the single
+    // keeper; each later copy counts EVERY earlier one in n_dups
+    val tri = Seq(
+      (10L, Array.tabulate(64)(i => math.sin(i + 1).toFloat).toSeq, 7),
+      (11L, Array.tabulate(64)(i => (math.sin(i + 1) * 2).toFloat).toSeq, 7),
+      (12L, Array.tabulate(64)(i => (math.sin(i + 1) * 3).toFloat).toSeq, 7))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.semanticDedup(tri, minCos = 0.9)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((10L, 7L, 0L, true), (11L, 7L, 1L, false), (12L, 7L, 2L, false)))
+  }
 }
