@@ -247,6 +247,9 @@ object SparkEntry {
     // the transformation half of q80: cut every duplicated span occurrence
     // except the globally first, emit the cleaned corpus (fingerprinted)
     "q84_span_scrub"       -> ((s, d) => DedupOps.spanScrub(Tables.documents(s, d))),
+    // PII redaction over computed dirty text (q50/q81 pattern): counts AND
+    // the scrubbed-text fingerprint are oracle-graded
+    "q86_pii_scrub"        -> ((s, d) => TextOps.piiScrub(Tables.documents(s, d))),
     // incremental ingest dedup: the arriving batch (one source partition)
     // vs the standing corpus — broadcast increment bands, corpus probed
     // in place

@@ -261,6 +261,52 @@ object TextOps {
   }
 
   /** DuckDB equivalents, kept adjacent so Spark and oracle can't drift. */
+  /** PII patterns for [[piiScrub]] — deliberately backslash-free (explicit
+    * classes, `[.]` instead of `\.`, no `\b`) so one literal is valid and
+    * identical in Java regex (Spark) and RE2 (DuckDB), with no escaping
+    * layer to desync the engines. */
+  val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+  val PiiPhoneRe = "555-[0-9]{4}"
+  val PiiIpRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** q86 — PII REDACTION: count and mask emails / phone numbers / IPv4
+    * addresses, emitting the scrubbed corpus fingerprint — the compliance
+    * pass every web-corpus build runs before training (C4 and Dolma both
+    * ship exactly this regex family). Row-local: three codegen'd
+    * regexp_replace passes fused into the scan, no shuffle at any corpus
+    * size beyond the output sort.
+    *
+    * The synthetic corpus contains no PII, so the pass is graded with the
+    * q50/q81 computed-payload pattern: PII snippets are INJECTED as a pure
+    * function of doc_id (both engines synthesize the identical dirty
+    * text), then the generic patterns above scrub them — counts AND the
+    * scrubbed-text md5 are hash-compared, so a pattern that under- or
+    * over-matches fails CORRECTNESS, not just a local spec. Replacement
+    * order (email → ip → phone) is part of the contract: earlier
+    * placeholders contain no digits, so later patterns cannot match inside
+    * them. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      s"""concat(text,
+           CASE WHEN doc_id % 3 = 0
+                THEN concat(' contact_', CAST(doc_id AS STRING), '@example.com')
+                ELSE '' END,
+           CASE WHEN doc_id % 4 = 0
+                THEN concat(' 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+                ELSE '' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN concat(' 10.', CAST(doc_id % 256 AS STRING), '.',
+                            CAST((doc_id DIV 7) % 256 AS STRING), '.1')
+                ELSE '' END) AS dirty""")
+      .selectExpr("doc_id",
+        s"CAST(size(regexp_extract_all(dirty, '$PiiEmailRe', 0)) AS BIGINT) AS n_emails",
+        s"CAST(size(regexp_extract_all(dirty, '$PiiPhoneRe', 0)) AS BIGINT) AS n_phones",
+        s"CAST(size(regexp_extract_all(dirty, '$PiiIpRe', 0)) AS BIGINT) AS n_ips",
+        s"""md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+              '$PiiEmailRe', '<EMAIL>'), '$PiiIpRe', '<IP>'), '$PiiPhoneRe', '<PHONE>'))
+            AS clean_fp""")
+      .orderBy("doc_id")
+
   def oracles: Map[String, String] = {
     val langs = langSets.map(_._1)
     val hitSql = langSets.map { case (l, ws) =>
@@ -271,6 +317,28 @@ object TextOps {
       s"WHEN $rest THEN '$l'"
     }.mkString(" ")
     val base = Map(
+      "q86_pii_scrub" ->
+        s"""WITH dirty AS (SELECT doc_id,
+                 text ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ' contact_' || CAST(doc_id AS VARCHAR) || '@example.com'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 4 = 0
+                      THEN ' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0
+                      THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                           || CAST((doc_id // 7) % 256 AS VARCHAR) || '.1'
+                      ELSE '' END AS dirty
+               FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(dirty, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(dirty, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(dirty, '$PiiIpRe')) AS BIGINT) AS n_ips,
+                   md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+                         '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiIpRe', '<IP>', 'g'),
+                         '$PiiPhoneRe', '<PHONE>', 'g')) AS clean_fp
+            FROM dirty ORDER BY doc_id""",
       "q63_term_index" ->
         """WITH tf AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
             t AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),

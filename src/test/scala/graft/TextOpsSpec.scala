@@ -116,4 +116,25 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows(1L) === "<unk> a") // 'a' < 'b' wins the single slot
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("PII scrub counts and masks exactly the injected email/phone/ip snippets") {
+    val d = docs(
+      doc(1, "w1 w2"),   // 1: no injection — text passes through untouched
+      doc(3, "w1 w2"),   // %3: email
+      doc(4, "w1 w2"),   // %4: phone
+      doc(5, "w1 w2"),   // %5: ip (5 DIV 7 = 0)
+      doc(60, "w1 w2"))  // %3+%4+%5: all three (60 DIV 7 = 8)
+    val got = TextOps.piiScrub(d)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 0L, md5hex("w1 w2")),
+      (3L, 1L, 0L, 0L, md5hex("w1 w2 <EMAIL>")),
+      (4L, 0L, 1L, 0L, md5hex("w1 w2 <PHONE>")),
+      (5L, 0L, 0L, 1L, md5hex("w1 w2 <IP>")),
+      (60L, 1L, 1L, 1L, md5hex("w1 w2 <EMAIL> <PHONE> <IP>"))))
+  }
 }
