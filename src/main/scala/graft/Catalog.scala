@@ -59,6 +59,7 @@ object Catalog {
     ops.PipelineOps.splitAssign(docs).createOrReplaceTempView("doc_splits")
     ops.SimilarityOps.annLsh(emb).createOrReplaceTempView("embedding_ann")
     ops.SimilarityOps.semanticDedup(emb).createOrReplaceTempView("embedding_semantic_dedup")
+    ops.SimilarityOps.kmeans(emb).createOrReplaceTempView("embedding_kmeans")
     ops.RelationalOps.sessionize(spark.table("events"))
       .createOrReplaceTempView("user_sessions")
     ops.SketchOps.heavyHitters(docs)

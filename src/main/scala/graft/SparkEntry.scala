@@ -268,6 +268,9 @@ object SparkEntry {
     // SemDeDup: paraphrase-level dedup in embedding space — cluster-bucketed
     // cosine, keep the lowest-id representative per duplicate set
     "q85_semantic_dedup"   -> ((s, d) => SimilarityOps.semanticDedup(Tables.embeddings(s, d))),
+    // distributed Lloyd k-means: the centroid-training half the IVF /
+    // SemDeDup cell consumers assume; broadcast centroids, row-local argmin
+    "q87_kmeans"           -> ((s, d) => SimilarityOps.kmeans(Tables.embeddings(s, d))),
     // int8 symmetric storage quantization with per-vector error reporting
     "q74_embedding_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),

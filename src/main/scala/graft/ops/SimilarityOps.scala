@@ -302,6 +302,69 @@ object SimilarityOps {
     withRecallAudit(topk, emb, IvfQualityFloor)
   }
 
+  /** [[kmeans]] dials: k seeds, fixed Lloyd rounds (a runtime dial; real
+    * pipelines run to a movement epsilon, which is just a dynamic round
+    * count). */
+  val KmeansK = 8
+  val KmeansRounds = 3
+
+  /** q87 — DISTRIBUTED K-MEANS (Lloyd): learn `k` centroids over the
+    * embedding corpus and emit the final assignment with its squared
+    * distance. This is the training half the cell-based ops consume:
+    * [[ivfAnn]]/[[semanticDedup]] take cells as given (per-label), a real
+    * pipeline LEARNS them from the data.
+    *
+    * Scale shape per round — the MLlib shape, not the naive one:
+    *  - centroids live as ONE broadcast row (k × D sums + counts: a
+    *    bounded artifact, like the BPE merge list);
+    *  - assignment is a ROW-LOCAL fold over the broadcast centroid array
+    *    (nested higher-order functions, codegen'd) — the N×k distance
+    *    table never materializes and never shuffles, where an
+    *    explode-join-window argmin would shuffle N×k rows per round;
+    *  - the update aggregates (cell, dim) partial sums map-side, so each
+    *    round's shuffle is k × D × partitions partial rows, independent
+    *    of corpus size.
+    *
+    * Determinism: vectors quantize to 1e-3 ints; a centroid is its exact
+    * integer (sum, n) pair; the per-dim fold (q·n − s)² accumulates in
+    * int64 in FIXED array order, so the only floating step is one final
+    * division — bit-identical in any engine (the [[cellDist]] argument).
+    * Ties break to the lowest cell id on both sides. Seeds are the k
+    * lowest vec_ids (deterministic; k-means++ would seed better but is
+    * inherently sequential-per-seed — the standard distributed trade). A
+    * cell that loses all members drops out of later rounds on both
+    * engines. Int64 headroom: |q·n − s| ≤ 2·10³·n, so the 64-dim fold
+    * stays exact past n = 10⁸ members/cell; beyond that the update
+    * aggregate would move to DECIMAL sums — same plan shape. */
+  def kmeans(emb: DataFrame, k: Int = KmeansK, rounds: Int = KmeansRounds): DataFrame = {
+    val vq = emb.select(col("vec_id").cast("long").as("vec_id"),
+      expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(ROUND(x * 1000) AS BIGINT))")
+        .as("qv"))
+    val seed = vq.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("vec_id").as("cell"), col("qv"))
+    // (cell, n, sv): exact integer centroid state, collapsed to one row
+    def cents(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell"), posexplode(col("qv")))
+      .select(col("cell"), col("pos").cast("long").as("d"), col("col").as("q"))
+      .groupBy("cell", "d").agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .groupBy("cell").agg(max("n").as("n"),
+        expr("transform(array_sort(collect_list(struct(d, sq))), x -> x.sq)").as("sv"))
+      .agg(expr("array_sort(collect_list(struct(cell, n, sv)))").as("cents"))
+    val distExpr =
+      """CAST(aggregate(zip_with(qv, c.sv, (q, s) -> (q * c.n - s) * (q * c.n - s)),
+           CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / CAST(c.n * c.n AS DOUBLE)"""
+    def assign(cs: DataFrame): DataFrame = vq.crossJoin(broadcast(cs))
+      .selectExpr("vec_id", "qv",
+        s"""aggregate(cents,
+              named_struct('cell', CAST(-1 AS BIGINT), 'dist', CAST('Infinity' AS DOUBLE)),
+              (acc, c) -> CASE WHEN $distExpr < acc.dist
+                               THEN named_struct('cell', c.cell, 'dist', $distExpr)
+                               ELSE acc END) AS best""")
+      .selectExpr("vec_id", "qv", "best.cell AS cell", "best.dist AS dist")
+    val fin = (1 to rounds).foldLeft(seed) { (a, _) => assign(cents(a)) }
+    fin.select(col("vec_id"), col("cell"), col("dist")).orderBy("vec_id")
+  }
+
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
     * intra-cell cosine distribution (p97 ≈ 0.24, max 0.47) so both verdicts
     * are exercised; a runtime dial like the LSH band constants (the paper
@@ -573,6 +636,29 @@ object SimilarityOps {
                               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
                        FROM pairs)
                      WHERE rank <= $TopK)"""),
+    "q87_kmeans" -> {
+      // round CTEs generated from the same (K, Rounds) constants as the
+      // Spark loop — the sides cannot drift on round count or seeding
+      val roundCtes = (1 to KmeansRounds).map { r =>
+        s"""cells$r AS (SELECT cell, d, SUM(q3) AS sq, COUNT(*) AS n
+                        FROM a${r - 1} JOIN q3 USING (vec_id) GROUP BY 1, 2),
+            dist$r AS (SELECT q3.vec_id, c.cell,
+                              CAST(SUM((q3.q3 * c.n - c.sq) * (q3.q3 * c.n - c.sq)) AS DOUBLE)
+                                / CAST(MAX(c.n) * MAX(c.n) AS DOUBLE) AS dist
+                       FROM q3 JOIN cells$r c ON q3.d = c.d GROUP BY 1, 2),
+            a$r AS (SELECT vec_id, cell, dist FROM (
+                      SELECT vec_id, cell, dist,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                      FROM dist$r) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,
+                             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3
+                      FROM embeddings, range(1, ${Dim + 1}) t(i)),
+          a0 AS (SELECT vec_id, CAST(vec_id AS BIGINT) AS cell FROM embeddings
+                 WHERE vec_id < $KmeansK),
+          $roundCtes
+          SELECT vec_id, cell, dist FROM a$KmeansRounds ORDER BY vec_id"""
+    },
     "q85_semantic_dedup" ->
       s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,
                              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3,

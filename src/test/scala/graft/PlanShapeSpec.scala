@@ -212,6 +212,21 @@ class PlanShapeSpec extends SparkSpec {
       s"all-pairs join leaked into q85:\n${plan.take(1200)}")
   }
 
+  test("q87 kmeans: centroids broadcast, argmin row-local — no N×k window or cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = SimilarityOps.kmeans(emb)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"cartesian leaked into q87:\n${exec.take(1200)}")
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      "centroid state must reach vectors as a broadcast one-row table")
+    // assignment must be the codegen'd fold over the broadcast array — a
+    // Window here would mean the N×k distance table materialized
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q87 argmin must not window over an N×k distance table")
+  }
+
   test("q79 BPE tokenization applies merges row-locally: no shuffle beyond the output sort") {
     // learning runs as its own bounded jobs; the APPLICATION the query
     // plans must be a pure projection over the scan — a hash exchange here

@@ -155,4 +155,33 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(got === Seq((10L, 7L, 0L, true), (11L, 7L, 1L, false), (12L, 7L, 2L, false)))
   }
+
+  test("kmeans separates two tight groups, regardless of seed identity") {
+    // group A around sin(i+1), group B around cos(3i+2) (orthogonal-ish);
+    // seeds are vec 0 (A) and vec 1 (B) — members must follow proximity
+    def a(eps: Float) = Array.tabulate(64)(i => (math.sin(i + 1) + eps).toFloat).toSeq
+    def b(eps: Float) = Array.tabulate(64)(i => (math.cos(3 * i + 2) + eps).toFloat).toSeq
+    val pts = Seq(
+      (0L, a(0f), 0), (1L, b(0f), 0),
+      (2L, a(0.02f), 0), (3L, a(-0.02f), 0),
+      (4L, b(0.02f), 0), (5L, b(-0.02f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.kmeans(pts, k = 2, rounds = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val cells = got.map(r => r._1 -> r._2).toMap
+    assert(Set(cells(0L), cells(2L), cells(3L)).size === 1, s"group A split: $got")
+    assert(Set(cells(1L), cells(4L), cells(5L)).size === 1, s"group B split: $got")
+    assert(cells(0L) !== cells(1L), s"groups merged: $got")
+    // every member sits near its own centroid: squared dist in the
+    // quantized 1e-3 integer space stays far below the A/B separation
+    assert(got.forall(_._3 < 1e6), s"member far from centroid: $got")
+  }
+
+  test("kmeans is deterministic run-to-run (exact integer centroid state)") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r1 = SimilarityOps.kmeans(embT).collect().map(_.toSeq).toSeq
+    val r2 = SimilarityOps.kmeans(embT).collect().map(_.toSeq).toSeq
+    assert(r1 === r2)
+    assert(r1.nonEmpty)
+  }
 }
