@@ -250,6 +250,9 @@ object SparkEntry {
     // PII redaction over computed dirty text (q50/q81 pattern): counts AND
     // the scrubbed-text fingerprint are oracle-graded
     "q86_pii_scrub"        -> ((s, d) => TextOps.piiScrub(Tables.documents(s, d))),
+    // Gopher repetition family: top-2-gram share + positional coverage of
+    // within-doc duplicated 5-grams
+    "q88_gopher_repetition" -> ((s, d) => TextOps.gopherRepetition(Tables.documents(s, d))),
     // incremental ingest dedup: the arriving batch (one source partition)
     // vs the standing corpus — broadcast increment bands, corpus probed
     // in place

@@ -141,6 +141,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q88 — GOPHER REPETITION METRICS (Rae et al. 2021, "Scaling Language
+    * Models: Gopher", table A1; the same family Dolma ships): the two
+    * repetition signals q60's single max-3-gram ratio doesn't cover —
+    *  - `top2_frac`: the share of tokens covered by the single most
+    *    frequent 2-gram (count desc, gram asc tie-break) — catches
+    *    template stamping with a short period;
+    *  - `dup5_frac`: the fraction of token POSITIONS covered by some
+    *    5-gram that occurs ≥2× within the SAME document — catches long
+    *    internal copy-paste that any single-top-gram statistic dilutes
+    *    away. Coverage is positional (the q84 machinery), not an
+    *    occurrence-count product, so overlapping repeats are not double
+    *    counted.
+    *
+    * Shape: one (doc_id, gram)-keyed shuffle per gram width with map-side
+    * combine (per-doc bounded, skew-free — q60's shape); the top-gram
+    * argmax is an exact `min(struct(-c, g))` (no window); dup-gram
+    * coverage collapses to one bounded start-position array per doc and
+    * counts row-locally. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "toks", "CAST(size(toks) AS BIGINT) AS n_tokens")
+    val top2 = base
+      .selectExpr("doc_id", "explode(graft_shingles(toks, 2)) AS g")
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("c")).as("nc"), col("g"))).as("top"))
+      .selectExpr("doc_id", "-top.nc AS top2_cnt")
+    val dup5 = base
+      .selectExpr("doc_id",
+        "posexplode(graft_shingles(toks, 5)) AS (pos, g)")
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"), collect_list(col("pos").cast("long")).as("ps"))
+      .filter(col("c") > 1)
+      .select(col("doc_id"), explode(col("ps")).as("pos"))
+      .groupBy("doc_id").agg(sort_array(collect_set("pos")).as("rs"))
+    base.join(top2, Seq("doc_id"), "left").join(dup5, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(coalesce(top2_cnt, 0) AS BIGINT) AS top2_cnt",
+        "coalesce(rs, CAST(array() AS ARRAY<BIGINT>)) AS rs")
+      .selectExpr("doc_id", "n_tokens", "top2_cnt",
+        "CAST(top2_cnt * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top2_frac",
+        """CAST(size(filter(sequence(0L, n_tokens - 1),
+             i -> exists(rs, q -> q <= i AND i <= q + 4))) AS BIGINT) AS dup5_tokens""")
+      .selectExpr("doc_id", "n_tokens", "top2_cnt", "top2_frac", "dup5_tokens",
+        "CAST(dup5_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup5_frac")
+      .orderBy("doc_id")
+  }
+
   /** q61 — the composite training-data filter: the corpus-build decision
     * that ties the quality surface together. A document is kept for
     * training iff it is long enough, its language ID agrees with its
@@ -339,6 +388,39 @@ object TextOps {
                          '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiIpRe', '<IP>', 'g'),
                          '$PiiPhoneRe', '<PHONE>', 'g')) AS clean_fp
             FROM dirty ORDER BY doc_id""",
+      "q88_gopher_repetition" ->
+        """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+            g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+                   FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+            t2 AS (SELECT doc_id, c AS top2_cnt FROM (
+                     SELECT doc_id, g, c,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+                     FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2))
+                   WHERE rn = 1),
+            g5 AS (SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+4], ' ') AS g
+                   FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
+                         FROM toks WHERE len(ts) >= 5)),
+            d5 AS (SELECT doc_id, g
+                   FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2)
+                   WHERE c > 1),
+            r5 AS (SELECT g5.doc_id, list_sort(list(DISTINCT g5.pos)) AS rs
+                   FROM g5 JOIN d5 ON g5.doc_id = d5.doc_id AND g5.g = d5.g
+                   GROUP BY 1),
+            p AS (SELECT doc_id, top2_cnt, i,
+                         len(list_filter(rs, q -> q <= i AND i <= q + 4)) > 0 AS cov
+                  FROM (SELECT t.doc_id,
+                               COALESCE(t2.top2_cnt, 0) AS top2_cnt,
+                               COALESCE(r5.rs, []) AS rs,
+                               unnest(range(0, len(t.ts))) AS i
+                        FROM toks t LEFT JOIN t2 ON t.doc_id = t2.doc_id
+                                    LEFT JOIN r5 ON t.doc_id = r5.doc_id))
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(MAX(top2_cnt) AS BIGINT) AS top2_cnt,
+                   CAST(MAX(top2_cnt) * 2 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS top2_frac,
+                   CAST(COUNT(*) FILTER (cov) AS BIGINT) AS dup5_tokens,
+                   CAST(COUNT(*) FILTER (cov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup5_frac
+            FROM p GROUP BY doc_id ORDER BY doc_id""",
       "q63_term_index" ->
         """WITH tf AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
             t AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),

@@ -121,6 +121,27 @@ class TextOpsSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("gopher repetition: top-2-gram share and positional dup-5-gram coverage") {
+    val d = docs(
+      // "a b" stamped 4x: top 2-gram ("a b" or "b a") count 4; the whole
+      // doc is covered by a duplicated 5-gram run
+      doc(1, "a b a b a b a b"),
+      // all-distinct tokens: no repeated 2-gram beyond count 1, no dup 5-gram
+      doc(2, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      // one 5-gram repeated with distinct filler between: coverage counts
+      // POSITIONS (10 tokens in the two runs), not occurrence products
+      doc(3, "p q r s t f1 f2 f3 p q r s t"),
+      // too short for any 5-gram; single 2-gram
+      doc(4, "x y"))
+    val got = TextOps.gopherRepetition(d)
+      .as[(Long, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 8L, 4L, 1.0, 8L, 1.0),          // "a b" x4; dup 5-grams cover all 8
+      (2L, 8L, 1L, 0.25, 0L, 0.0),         // every 2-gram unique
+      (3L, 13L, 2L, 4.0 / 13, 10L, 10.0 / 13), // "p q" x2; runs cover 10 of 13
+      (4L, 2L, 1L, 1.0, 0L, 0.0)))         // one 2-gram, no 5-gram possible
+  }
+
   test("PII scrub counts and masks exactly the injected email/phone/ip snippets") {
     val d = docs(
       doc(1, "w1 w2"),   // 1: no injection — text passes through untouched
