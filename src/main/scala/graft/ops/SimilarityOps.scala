@@ -336,33 +336,61 @@ object SimilarityOps {
     * engines. Int64 headroom: |q·n − s| ≤ 2·10³·n, so the 64-dim fold
     * stays exact past n = 10⁸ members/cell; beyond that the update
     * aggregate would move to DECIMAL sums — same plan shape. */
-  def kmeans(emb: DataFrame, k: Int = KmeansK, rounds: Int = KmeansRounds): DataFrame = {
-    val vq = emb.select(col("vec_id").cast("long").as("vec_id"),
-      expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(ROUND(x * 1000) AS BIGINT))")
-        .as("qv"))
-    val seed = vq.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("vec_id").as("cell"), col("qv"))
-    // (cell, n, sv): exact integer centroid state, collapsed to one row
-    def cents(assigned: DataFrame): DataFrame = assigned
-      .select(col("cell"), posexplode(col("qv")))
-      .select(col("cell"), col("pos").cast("long").as("d"), col("col").as("q"))
-      .groupBy("cell", "d").agg(sum("q").as("sq"), count(lit(1)).as("n"))
-      .groupBy("cell").agg(max("n").as("n"),
-        expr("transform(array_sort(collect_list(struct(d, sq))), x -> x.sq)").as("sv"))
-      .agg(expr("array_sort(collect_list(struct(cell, n, sv)))").as("cents"))
+  /** The 1e-3 integer quantization every centroid consumer shares. */
+  private[graft] val KmeansQuantize =
+    "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(ROUND(x * 1000) AS BIGINT))"
+
+  private def kmVq(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+      expr(KmeansQuantize).as("qv"))
+
+  /** (cell, n, sv) exact integer centroid state, collapsed to one row. */
+  private def kmCents(assigned: DataFrame): DataFrame = assigned
+    .select(col("cell"), posexplode(col("qv")))
+    .select(col("cell"), col("pos").cast("long").as("d"), col("col").as("q"))
+    .groupBy("cell", "d").agg(sum("q").as("sq"), count(lit(1)).as("n"))
+    .groupBy("cell").agg(max("n").as("n"),
+      expr("transform(array_sort(collect_list(struct(d, sq))), x -> x.sq)").as("sv"))
+    .agg(expr("array_sort(collect_list(struct(cell, n, sv)))").as("cents"))
+
+  /** The row-local argmin fold over the broadcast centroid array — shared
+    * by the batch rounds and the streaming ingest assigner, so the two
+    * paths cannot drift. Input needs (qv, cents) columns; emits
+    * (best.cell, best.dist). */
+  private[graft] val KmeansBestExpr: String = {
     val distExpr =
       """CAST(aggregate(zip_with(qv, c.sv, (q, s) -> (q * c.n - s) * (q * c.n - s)),
            CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / CAST(c.n * c.n AS DOUBLE)"""
-    def assign(cs: DataFrame): DataFrame = vq.crossJoin(broadcast(cs))
-      .selectExpr("vec_id", "qv",
-        s"""aggregate(cents,
-              named_struct('cell', CAST(-1 AS BIGINT), 'dist', CAST('Infinity' AS DOUBLE)),
-              (acc, c) -> CASE WHEN $distExpr < acc.dist
-                               THEN named_struct('cell', c.cell, 'dist', $distExpr)
-                               ELSE acc END) AS best""")
+    s"""aggregate(cents,
+          named_struct('cell', CAST(-1 AS BIGINT), 'dist', CAST('Infinity' AS DOUBLE)),
+          (acc, c) -> CASE WHEN $distExpr < acc.dist
+                           THEN named_struct('cell', c.cell, 'dist', $distExpr)
+                           ELSE acc END) AS best"""
+  }
+
+  private def kmAssign(vq: DataFrame, cs: DataFrame): DataFrame =
+    vq.crossJoin(broadcast(cs))
+      .selectExpr("vec_id", "qv", KmeansBestExpr)
       .selectExpr("vec_id", "qv", "best.cell AS cell", "best.dist AS dist")
-    val fin = (1 to rounds).foldLeft(seed) { (a, _) => assign(cents(a)) }
+
+  private def kmSeed(vq: DataFrame, k: Int): DataFrame =
+    vq.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("vec_id").as("cell"), col("qv"))
+
+  def kmeans(emb: DataFrame, k: Int = KmeansK, rounds: Int = KmeansRounds): DataFrame = {
+    val vq = kmVq(emb)
+    val fin = (1 to rounds).foldLeft(kmSeed(vq, k)) { (a, _) => kmAssign(vq, kmCents(a)) }
     fin.select(col("vec_id"), col("cell"), col("dist")).orderBy("vec_id")
+  }
+
+  /** The centroid state the FINAL [[kmeans]] assignment used — the bounded
+    * artifact (k × D integer sums + counts, one row) a batch job persists
+    * so ingest-time consumers ([[graft.streaming.StreamCentroidAssign]])
+    * can route arriving vectors without touching the corpus. */
+  def kmeansCentroids(emb: DataFrame, k: Int = KmeansK,
+                      rounds: Int = KmeansRounds): DataFrame = {
+    val vq = kmVq(emb)
+    kmCents((1 until rounds).foldLeft(kmSeed(vq, k)) { (a, _) => kmAssign(vq, kmCents(a)) })
   }
 
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
