@@ -103,5 +103,12 @@ object Catalog {
       .selectExpr("doc_id", "quality_ok", "dedup_keep", "contaminated",
         "quality_ok AND dedup_keep AND NOT contaminated AS keep")
       .createOrReplaceTempView("doc_corpus_decision")
+    // the render view: the TEXT the decision keeps — dirty stand-in →
+    // span scrub → PII redact, verdict attached (q89's shape)
+    docs.selectExpr("doc_id", s"${ops.TextOps.DirtyExpr} AS text")
+      .transform(ops.DedupOps.spanScrubText(_))
+      .selectExpr("doc_id", s"${ops.TextOps.piiRedact("clean_text")} AS final_text")
+      .join(spark.table("doc_corpus_decision").select("doc_id", "keep"), "doc_id")
+      .createOrReplaceTempView("doc_corpus_render")
   }
 }

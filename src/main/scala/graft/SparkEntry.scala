@@ -253,6 +253,30 @@ object SparkEntry {
     // Gopher repetition family: top-2-gram share + positional coverage of
     // within-doc duplicated 5-grams
     "q88_gopher_repetition" -> ((s, d) => TextOps.gopherRepetition(Tables.documents(s, d))),
+    // the capstone RENDER: what q71 decides, this emits — the computed
+    // dirty text (raw-web stand-in) span-scrubbed (q84), PII-redacted
+    // (q86), fingerprinted, with the q71 keep verdict attached. The
+    // artifact a training run actually reads.
+    "q89_corpus_render"    -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      import org.apache.spark.sql.functions.col
+      val dirty = docs.selectExpr("doc_id", s"${TextOps.DirtyExpr} AS text")
+      val rendered = DedupOps.spanScrubText(dirty)
+        .selectExpr("doc_id", s"${TextOps.piiRedact("clean_text")} AS final_text")
+        .selectExpr("doc_id",
+          "CAST(size(split(final_text, ' ')) AS BIGINT) AS final_tokens",
+          "md5(final_text) AS final_fp")
+      val quality = TextOps.trainingFilter(docs)
+        .select(col("doc_id"), col("keep").as("quality_ok"))
+      val dedup = clustersShared(s, d)
+        .select(col("doc_id"), col("keep").as("dedup_keep"))
+      val verdict = PipelineOps.ngramContamination(docs).select("doc_id", "contaminated")
+        .join(quality, "doc_id").join(dedup, "doc_id")
+        .selectExpr("doc_id", "quality_ok AND dedup_keep AND NOT contaminated AS keep")
+      rendered.join(verdict, "doc_id")
+        .select("doc_id", "keep", "final_tokens", "final_fp")
+        .orderBy("doc_id")
+    }),
     // incremental ingest dedup: the arriving batch (one source partition)
     // vs the standing corpus — broadcast increment bands, corpus probed
     // in place
@@ -553,14 +577,33 @@ object SparkEntry {
     // q71 composes the three component oracles verbatim (q61 quality, q66
     // dedup survivorship, q70 decontamination) — the verdict's inputs
     // cannot drift from the individually-hash-verified queries
-    ("q71_corpus_decision" ->
-      s"""WITH t AS (${TextOps.oracles("q61_training_filter")}),
-          d AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
-          n AS (${PipelineOps.oracles("q70_ngram_contamination")})
-          SELECT n.doc_id AS doc_id, t.keep AS quality_ok,
-                 d.keep AS dedup_keep, n.contaminated AS contaminated,
-                 (t.keep AND d.keep AND NOT n.contaminated) AS keep
-          FROM n JOIN t ON n.doc_id = t.doc_id
-                 JOIN d ON n.doc_id = d.doc_id
+    ("q71_corpus_decision" -> q71OracleSql) +
+    // q89 composes the q84 scrub chain (over the shared dirty-text
+    // expression) + the q86 redact chain + the q71 verdict, all from the
+    // same generated fragments the component oracles use
+    ("q89_corpus_render" ->
+      s"""WITH dd AS (SELECT doc_id, ${TextOps.DuckDirtyExpr} AS text FROM documents),
+          ${DedupOps.duckSpanScrubCtes("dd")},
+          f AS (SELECT doc_id,
+                       COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (NOT cov), '')
+                         AS clean
+                FROM p GROUP BY doc_id),
+          v AS ($q71OracleSql)
+          SELECT f.doc_id AS doc_id, v.keep AS keep,
+                 CAST(len(str_split(${TextOps.duckPiiRedact("clean")}, ' ')) AS BIGINT)
+                   AS final_tokens,
+                 md5(${TextOps.duckPiiRedact("clean")}) AS final_fp
+          FROM f JOIN v ON f.doc_id = v.doc_id
           ORDER BY doc_id""")
+
+  private lazy val q71OracleSql =
+    s"""WITH t AS (${TextOps.oracles("q61_training_filter")}),
+        d AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
+        n AS (${PipelineOps.oracles("q70_ngram_contamination")})
+        SELECT n.doc_id AS doc_id, t.keep AS quality_ok,
+               d.keep AS dedup_keep, n.contaminated AS contaminated,
+               (t.keep AND d.keep AND NOT n.contaminated) AS keep
+        FROM n JOIN t ON n.doc_id = t.doc_id
+               JOIN d ON n.doc_id = d.doc_id
+        ORDER BY doc_id"""
 }

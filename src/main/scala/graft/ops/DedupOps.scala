@@ -471,7 +471,8 @@ object DedupOps {
     * token cut is a row-local higher-order filter over (token, index)
     * against that array. No pair join, no window, no corpus self-join —
     * pair space never exists. */
-  def spanScrub(docs: DataFrame, k: Int = SpanGramN): DataFrame = {
+  /** The shared scrub core: (doc_id, toks, kept). */
+  private def scrubbed(docs: DataFrame, k: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     val grams = docs
       .filter(expr(s"size(split(text, ' ')) >= $k"))
@@ -489,12 +490,44 @@ object DedupOps {
         "coalesce(rs, CAST(array() AS ARRAY<BIGINT>)) AS rs")
       .selectExpr("doc_id", "toks",
         s"filter(toks, (t, i) -> NOT exists(rs, q -> q <= i AND i <= q + ${k - 1})) AS kept")
+  }
+
+  def spanScrub(docs: DataFrame, k: Int = SpanGramN): DataFrame =
+    scrubbed(docs, k)
       .selectExpr("doc_id",
         "CAST(size(toks) AS BIGINT) AS n_tokens",
         "CAST(size(toks) - size(kept) AS BIGINT) AS n_removed",
         "md5(array_join(kept, ' ')) AS clean_fp")
       .orderBy("doc_id")
-  }
+
+  /** The scrubbed TEXT itself — for pipeline stages that keep transforming
+    * ([[graft.ops]] q89 renders PII redaction over it). Unordered: a
+    * composition input, not a graded output. */
+  def spanScrubText(docs: DataFrame, k: Int = SpanGramN): DataFrame =
+    scrubbed(docs, k).selectExpr("doc_id", "array_join(kept, ' ') AS clean_text")
+
+  /** The q84 scrub-chain CTEs over an arbitrary (doc_id, text) relation —
+    * shared with the q89 composition oracle so the two cannot drift. Ends
+    * with CTE `p`: one row per (doc, token position) with its `cov`
+    * (covered-by-removable-span) flag. */
+  private[graft] def duckSpanScrubCtes(src: String): String =
+    s"""toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM $src),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(ts[i:i+$SpanGramN-1], ' ')) AS fp
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - $SpanGramN + 2)) AS i
+                    FROM toks WHERE len(ts) >= $SpanGramN)),
+        d AS (SELECT fp, MIN(doc_id * $PosEnc + pos) AS keeper
+              FROM g GROUP BY fp HAVING COUNT(*) > 1),
+        r AS (SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS rs
+              FROM g JOIN d ON g.fp = d.fp
+              WHERE g.doc_id * $PosEnc + g.pos <> d.keeper
+              GROUP BY g.doc_id),
+        p AS (SELECT doc_id, i, ts[i] AS tok,
+                     len(list_filter(rs, q -> q <= i - 1
+                                              AND i - 1 <= q + ${SpanGramN - 1})) > 0 AS cov
+              FROM (SELECT t.doc_id, t.ts, COALESCE(r.rs, []) AS rs,
+                           unnest(range(1, len(t.ts) + 1)) AS i
+                    FROM toks t LEFT JOIN r ON t.doc_id = r.doc_id))"""
 
   /** DuckDB equivalents. Same md5-salting construction, generated from the
     * same constants so the two sides cannot drift. */
@@ -630,23 +663,7 @@ object DedupOps {
                    MAX(pos) + $SpanGramN - 1 - MIN(pos) + 1 AS span_tokens
             FROM c GROUP BY doc_id, span_idx ORDER BY doc_id, span_start""",
       "q84_span_scrub" ->
-        s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
-            g AS (SELECT doc_id, i - 1 AS pos,
-                         md5(array_to_string(ts[i:i+$SpanGramN-1], ' ')) AS fp
-                  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - $SpanGramN + 2)) AS i
-                        FROM toks WHERE len(ts) >= $SpanGramN)),
-            d AS (SELECT fp, MIN(doc_id * $PosEnc + pos) AS keeper
-                  FROM g GROUP BY fp HAVING COUNT(*) > 1),
-            r AS (SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS rs
-                  FROM g JOIN d ON g.fp = d.fp
-                  WHERE g.doc_id * $PosEnc + g.pos <> d.keeper
-                  GROUP BY g.doc_id),
-            p AS (SELECT doc_id, i, ts[i] AS tok,
-                         len(list_filter(rs, q -> q <= i - 1
-                                                  AND i - 1 <= q + ${SpanGramN - 1})) > 0 AS cov
-                  FROM (SELECT t.doc_id, t.ts, COALESCE(r.rs, []) AS rs,
-                               unnest(range(1, len(t.ts) + 1)) AS i
-                        FROM toks t LEFT JOIN r ON t.doc_id = r.doc_id))
+        s"""WITH ${duckSpanScrubCtes("documents")}
             SELECT doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_tokens,
                    CAST(COUNT(*) FILTER (cov) AS BIGINT) AS n_removed,

@@ -334,26 +334,56 @@ object TextOps {
     * order (email → ip → phone) is part of the contract: earlier
     * placeholders contain no digits, so later patterns cannot match inside
     * them. */
+  /** The computed dirty text (Spark form) — the q86/q89 stand-in for raw
+    * web text, a pure function of (text, doc_id). ONE definition shared by
+    * both queries and mirrored by [[DuckDirtyExpr]]. */
+  private[graft] val DirtyExpr =
+    """concat(text,
+         CASE WHEN doc_id % 3 = 0
+              THEN concat(' contact_', CAST(doc_id AS STRING), '@example.com')
+              ELSE '' END,
+         CASE WHEN doc_id % 4 = 0
+              THEN concat(' 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+              ELSE '' END,
+         CASE WHEN doc_id % 5 = 0
+              THEN concat(' 10.', CAST(doc_id % 256 AS STRING), '.',
+                          CAST((doc_id DIV 7) % 256 AS STRING), '.1')
+              ELSE '' END)"""
+
+  /** [[DirtyExpr]]'s DuckDB twin. */
+  private[graft] val DuckDirtyExpr =
+    """text ||
+       CASE WHEN doc_id % 3 = 0
+            THEN ' contact_' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END ||
+       CASE WHEN doc_id % 4 = 0
+            THEN ' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0
+            THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST((doc_id // 7) % 256 AS VARCHAR) || '.1'
+            ELSE '' END"""
+
+  /** The email → ip → phone replace chain over an arbitrary expression
+    * (order is part of the contract: earlier placeholders contain no
+    * digits, so later patterns cannot match inside them). */
+  private[graft] def piiRedact(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($e,
+          '$PiiEmailRe', '<EMAIL>'), '$PiiIpRe', '<IP>'), '$PiiPhoneRe', '<PHONE>')"""
+
+  /** [[piiRedact]]'s DuckDB twin (needs explicit 'g' flags). */
+  private[graft] def duckPiiRedact(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($e,
+          '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiIpRe', '<IP>', 'g'),
+          '$PiiPhoneRe', '<PHONE>', 'g')"""
+
   def piiScrub(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id",
-      s"""concat(text,
-           CASE WHEN doc_id % 3 = 0
-                THEN concat(' contact_', CAST(doc_id AS STRING), '@example.com')
-                ELSE '' END,
-           CASE WHEN doc_id % 4 = 0
-                THEN concat(' 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
-                ELSE '' END,
-           CASE WHEN doc_id % 5 = 0
-                THEN concat(' 10.', CAST(doc_id % 256 AS STRING), '.',
-                            CAST((doc_id DIV 7) % 256 AS STRING), '.1')
-                ELSE '' END) AS dirty""")
+    docs.selectExpr("doc_id", s"$DirtyExpr AS dirty")
       .selectExpr("doc_id",
         s"CAST(size(regexp_extract_all(dirty, '$PiiEmailRe', 0)) AS BIGINT) AS n_emails",
         s"CAST(size(regexp_extract_all(dirty, '$PiiPhoneRe', 0)) AS BIGINT) AS n_phones",
         s"CAST(size(regexp_extract_all(dirty, '$PiiIpRe', 0)) AS BIGINT) AS n_ips",
-        s"""md5(regexp_replace(regexp_replace(regexp_replace(dirty,
-              '$PiiEmailRe', '<EMAIL>'), '$PiiIpRe', '<IP>'), '$PiiPhoneRe', '<PHONE>'))
-            AS clean_fp""")
+        s"md5(${piiRedact("dirty")}) AS clean_fp")
       .orderBy("doc_id")
 
   def oracles: Map[String, String] = {
@@ -367,26 +397,12 @@ object TextOps {
     }.mkString(" ")
     val base = Map(
       "q86_pii_scrub" ->
-        s"""WITH dirty AS (SELECT doc_id,
-                 text ||
-                 CASE WHEN doc_id % 3 = 0
-                      THEN ' contact_' || CAST(doc_id AS VARCHAR) || '@example.com'
-                      ELSE '' END ||
-                 CASE WHEN doc_id % 4 = 0
-                      THEN ' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                      ELSE '' END ||
-                 CASE WHEN doc_id % 5 = 0
-                      THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
-                           || CAST((doc_id // 7) % 256 AS VARCHAR) || '.1'
-                      ELSE '' END AS dirty
-               FROM documents)
+        s"""WITH dirty AS (SELECT doc_id, $DuckDirtyExpr AS dirty FROM documents)
             SELECT doc_id,
                    CAST(len(regexp_extract_all(dirty, '$PiiEmailRe')) AS BIGINT) AS n_emails,
                    CAST(len(regexp_extract_all(dirty, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
                    CAST(len(regexp_extract_all(dirty, '$PiiIpRe')) AS BIGINT) AS n_ips,
-                   md5(regexp_replace(regexp_replace(regexp_replace(dirty,
-                         '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiIpRe', '<IP>', 'g'),
-                         '$PiiPhoneRe', '<PHONE>', 'g')) AS clean_fp
+                   md5(${duckPiiRedact("dirty")}) AS clean_fp
             FROM dirty ORDER BY doc_id""",
       "q88_gopher_repetition" ->
         """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),

@@ -248,5 +248,10 @@ class DedupOpsSpec extends SparkSpec {
       (3L, 9L, 0L, md5hex("p1 p2 p3 p4 p5 p6 p7 p8 p9")),
       (4L, 16L, 8L, md5hex("m n o q r s t u")),
       (5L, 8L, 8L, md5hex(""))))
+    // the text-emitting twin renders the same cut, as composable text
+    val texts = DedupOps.spanScrubText(docs, k = 8)
+      .as[(Long, String)].collect().toMap
+    assert(texts(2L) === "x1 x2 x3 y1 y2")
+    assert(texts(5L) === "")
   }
 }
