@@ -253,6 +253,9 @@ object SparkEntry {
     // Gopher repetition family: top-2-gram share + positional coverage of
     // within-doc duplicated 5-grams
     "q88_gopher_repetition" -> ((s, d) => TextOps.gopherRepetition(Tables.documents(s, d))),
+    // per-(lang, source) quality rollup: doc counts, q61 keep rate, exact
+    // corpus-level stop ratio — the dashboard a collapsing source trips
+    "q90_source_quality"   -> ((s, d) => TextOps.sourceQuality(Tables.documents(s, d))),
     // the capstone RENDER: what q71 decides, this emits — the computed
     // dirty text (raw-web stand-in) span-scrubbed (q84), PII-redacted
     // (q86), fingerprinted, with the q71 keep verdict attached. The

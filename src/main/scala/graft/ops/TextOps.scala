@@ -386,6 +386,30 @@ object TextOps {
         s"md5(${piiRedact("dirty")}) AS clean_fp")
       .orderBy("doc_id")
 
+  /** q90 — PER-SOURCE QUALITY DASHBOARD: the rollup a corpus team actually
+    * watches — per (lang, source): doc count, q61 keep count/rate, and the
+    * corpus-level stop-word ratio. A collapsing source (crawler broke, spam
+    * flood) shows up here before any per-doc signal is read.
+    *
+    * Determinism: counts and token/stopword sums are exact integers; the
+    * two ratios are single final divisions. Composes the verified q31/q61
+    * per-doc signals, then ONE bounded (lang, source) aggregate —
+    * map-side combinable, output cardinality = |strata|. */
+  def sourceQuality(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "lang", "source")
+      .join(qualityScore(docs).select("doc_id", "n_tokens", "n_stop"), "doc_id")
+      .join(trainingFilter(docs).select(col("doc_id"), col("keep")), "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_stop").as("total_stop"))
+      .selectExpr("lang", "source", "n_docs", "n_kept",
+        "CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS kept_frac",
+        "total_tokens",
+        "CAST(total_stop AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS stop_ratio")
+      .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
+
   def oracles: Map[String, String] = {
     val langs = langSets.map(_._1)
     val hitSql = langSets.map { case (l, ws) =>
@@ -528,7 +552,7 @@ object TextOps {
     )
     // q61 composes the three component oracles verbatim, so the filter's
     // inputs cannot drift from the individually-verified queries
-    base + ("q61_training_filter" ->
+    val q61 =
       s"""WITH q AS (${base("q31_quality_score")}),
           l AS (${base("q35_lang_id")}),
           r AS (${base("q60_repetition")})
@@ -540,6 +564,23 @@ object TextOps {
                   AND (r.rep_ratio IS NOT NULL AND r.rep_ratio <= 0.1)) AS keep
           FROM q JOIN l ON q.doc_id = l.doc_id
                  LEFT OUTER JOIN r ON q.doc_id = r.doc_id
-          ORDER BY doc_id""")
+          ORDER BY doc_id"""
+    base + ("q61_training_filter" -> q61) +
+      // q90 composes the verified q31 (token/stopword counts) and q61
+      // (keep verdict) oracles verbatim, then one (lang, source) rollup
+      ("q90_source_quality" ->
+        s"""WITH qq AS (${base("q31_quality_score")}),
+            t AS ($q61)
+            SELECT d.lang, d.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN t.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN t.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS kept_frac,
+                   CAST(SUM(qq.n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(qq.n_stop) AS DOUBLE)
+                     / CAST(SUM(qq.n_tokens) AS DOUBLE) AS stop_ratio
+            FROM documents d JOIN qq ON d.doc_id = qq.doc_id
+                             JOIN t ON d.doc_id = t.doc_id
+            GROUP BY 1, 2 ORDER BY lang NULLS LAST, source NULLS LAST""")
   }
 }

@@ -142,6 +142,19 @@ class TextOpsSpec extends SparkSpec {
       (4L, 2L, 1L, 1.0, 0L, 0.0)))         // one 2-gram, no 5-gram possible
   }
 
+  test("source quality rolls up exactly the per-doc q61 verdicts") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextOps.sourceQuality(d).collect()
+    assert(got.map(_.getLong(2)).sum === d.count())            // n_docs partitions the corpus
+    assert(got.map(_.getLong(3)).sum ===
+      TextOps.trainingFilter(d).filter("keep").count())        // n_kept sums to the q61 keeps
+    got.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)   // kept_frac a proper rate
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)   // stop_ratio a proper rate
+    }
+    assert(got.length === d.select("lang", "source").distinct().count())
+  }
+
   test("PII scrub counts and masks exactly the injected email/phone/ip snippets") {
     val d = docs(
       doc(1, "w1 w2"),   // 1: no injection — text passes through untouched
