@@ -227,6 +227,17 @@ class PlanShapeSpec extends SparkSpec {
       "q87 argmin must not window over an N×k distance table")
   }
 
+  test("q89 corpus render: no cartesian, every window partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = SparkEntry.queries("q89_corpus_render")(spark, "/root/testdata/sf0.001")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"cartesian leaked into q89:\n${exec.take(1200)}")
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "q89 must not funnel the corpus through an unpartitioned window")
+  }
+
   test("q79 BPE tokenization applies merges row-locally: no shuffle beyond the output sort") {
     // learning runs as its own bounded jobs; the APPLICATION the query
     // plans must be a pure projection over the scan — a hash exchange here
