@@ -89,6 +89,7 @@ object Catalog {
     ops.TextOps.piiScrub(docs).createOrReplaceTempView("doc_pii_scrub")
     ops.TextOps.gopherRepetition(docs).createOrReplaceTempView("doc_gopher_repetition")
     ops.TextOps.sourceQuality(docs).createOrReplaceTempView("source_quality")
+    ops.DedupOps.dedupAudit(docs).createOrReplaceTempView("dedup_audit")
     ops.PipelineOps.urlDedup(docs).createOrReplaceTempView("doc_url_dedup")
     ops.PipelineOps.mixtureSample(docs).createOrReplaceTempView("doc_mixture_sample")
     // eager like the cluster view: BPE merge learning is iterative (one

@@ -256,6 +256,9 @@ object SparkEntry {
     // per-(lang, source) quality rollup: doc counts, q61 keep rate, exact
     // corpus-level stop ratio — the dashboard a collapsing source trips
     "q90_source_quality"   -> ((s, d) => TextOps.sourceQuality(Tables.documents(s, d))),
+    // cross-audit: LSH dedup recall vs the df-capped exact pass — a band
+    // retune that craters candidate recall fails CORRECTNESS here
+    "q91_dedup_audit"      -> ((s, d) => DedupOps.dedupAudit(Tables.documents(s, d))),
     // the capstone RENDER: what q71 decides, this emits — the computed
     // dirty text (raw-web stand-in) span-scrubbed (q84), PII-redacted
     // (q86), fingerprinted, with the q71 keep verdict attached. The

@@ -506,6 +506,27 @@ object DedupOps {
   def spanScrubText(docs: DataFrame, k: Int = SpanGramN): DataFrame =
     scrubbed(docs, k).selectExpr("doc_id", "array_join(kept, ' ') AS clean_text")
 
+  /** q91 — DEDUP CROSS-AUDIT: candidate recall of the production LSH pass
+    * (q37) against the df-capped exact pass (q38) on the same corpus — the
+    * consistency gate a real corpus build runs between its approximate and
+    * exact dedup pipelines. One row: pair counts from each pass, their
+    * intersection, and recall = |common| / |exact|. Both inputs are
+    * individually hash-verified; a bands/hashes retune that craters LSH
+    * candidate recall flips this row and fails CORRECTNESS — the q43/q55
+    * recall_at_k tripwire pattern applied to dedup. The 1-row aggregates
+    * combine via broadcast-one-row cross joins (the stats-table idiom). */
+  def dedupAudit(docs: DataFrame): DataFrame = {
+    val exact = jaccardPairs(docs).select("a_id", "b_id")
+    val lsh = lshPairs(docs).select("a_id", "b_id")
+    val common = exact.join(lsh, Seq("a_id", "b_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .selectExpr("n_exact", "n_lsh", "n_common",
+        """CASE WHEN n_exact = 0 THEN 1.0
+                ELSE CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall""")
+  }
+
   /** The q84 scrub-chain CTEs over an arbitrary (doc_id, text) relation —
     * shared with the q89 composition oracle so the two cannot drift. Ends
     * with CTE `p`: one row per (doc, token position) with its `cov`
@@ -565,7 +586,7 @@ object DedupOps {
           h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
           v AS (SELECT doc_id, $voteSql FROM h GROUP BY doc_id),
           sh AS (SELECT doc_id, $shBits AS simhash FROM v)"""
-    Map(
+    val m = Map(
       "q36_minhash_signature" ->
         s"""WITH $baseCte
             SELECT doc_id, $mhSql FROM base ORDER BY doc_id""",
@@ -681,5 +702,19 @@ object DedupOps {
             WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingThreshold
             ORDER BY a_id, b_id""",
     )
+    // q91 composes the verified q37/q38 oracles verbatim — the audit's
+    // inputs cannot drift from the individually-hash-verified queries
+    m + ("q91_dedup_audit" ->
+      s"""WITH e AS (SELECT a_id, b_id FROM (${m("q38_jaccard_pairs")})),
+          l AS (SELECT a_id, b_id FROM (${m("q37_lsh_pairs")})),
+          c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+                FROM e JOIN l USING (a_id, b_id))
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_exact,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM l) AS n_lsh,
+                 c.n_common AS n_common,
+                 CASE WHEN (SELECT COUNT(*) FROM e) = 0 THEN 1.0
+                      ELSE CAST(c.n_common AS DOUBLE)
+                           / CAST((SELECT COUNT(*) FROM e) AS DOUBLE) END AS recall
+          FROM c""")
   }
 }

@@ -254,4 +254,16 @@ class DedupOpsSpec extends SparkSpec {
     assert(texts(2L) === "x1 x2 x3 y1 y2")
     assert(texts(5L) === "")
   }
+
+  test("dedup audit: LSH catches every exact pair on an identical-doc corpus") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en", "s1", 0L),
+      (2L, "a b c d e f g h i j", "en", "s1", 0L), // identical: jac 1 in BOTH passes
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = DedupOps.dedupAudit(docs).collect()(0)
+    assert(row.getLong(0) === 1L, "exact pass must find the identical pair")
+    assert(row.getLong(2) === 1L, "LSH must catch it (all bands collide)")
+    assert(row.getDouble(3) === 1.0)
+  }
 }
