@@ -90,6 +90,7 @@ object Catalog {
     ops.TextOps.gopherRepetition(docs).createOrReplaceTempView("doc_gopher_repetition")
     ops.TextOps.sourceQuality(docs).createOrReplaceTempView("source_quality")
     ops.DedupOps.dedupAudit(docs).createOrReplaceTempView("dedup_audit")
+    ops.TextOps.bigramSurprisal(docs).createOrReplaceTempView("doc_bigram_surprisal")
     ops.PipelineOps.urlDedup(docs).createOrReplaceTempView("doc_url_dedup")
     ops.PipelineOps.mixtureSample(docs).createOrReplaceTempView("doc_mixture_sample")
     // eager like the cluster view: BPE merge learning is iterative (one

@@ -259,6 +259,9 @@ object SparkEntry {
     // cross-audit: LSH dedup recall vs the df-capped exact pass — a band
     // retune that craters candidate recall fails CORRECTNESS here
     "q91_dedup_audit"      -> ((s, d) => DedupOps.dedupAudit(Tables.documents(s, d))),
+    // CCNet-style perplexity filter: per-doc avg bigram surprisal under a
+    // corpus-trained add-one LM, exact micro-unit sums (q67's recipe)
+    "q92_bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(Tables.documents(s, d))),
     // the capstone RENDER: what q71 decides, this emits — the computed
     // dirty text (raw-web stand-in) span-scrubbed (q84), PII-redacted
     // (q86), fingerprinted, with the q71 keep verdict attached. The

@@ -386,6 +386,48 @@ object TextOps {
         s"md5(${piiRedact("dirty")}) AS clean_fp")
       .orderBy("doc_id")
 
+  /** q92 — BIGRAM SURPRISAL (CCNet-style perplexity filtering, Wenzek et
+    * al. 2020): score every document by its average negative log
+    * probability under an add-one-smoothed bigram LM trained on the corpus
+    * itself — THE standard statistical quality filter (outlier docs score
+    * high: wrong language, garbled decode, boilerplate scores low).
+    * Reported as avg_nll (log-perplexity); exp() is left to the consumer.
+    *
+    * Determinism is the q67 BM25 recipe: each bigram's surprisal
+    * -ln p = ln(c1 + V) - ln(c2 + 1) takes ln of INTEGERS, is scaled to
+    * 1e-6 micro-units and rounded with a boundary guard (an engine pair
+    * disagreeing by ulps sits ~1e-10 from the boundary — a value within
+    * 1e-6 raises instead of silently diverging), then summed EXACTLY as
+    * integers; the one final division is IEEE-identical.
+    *
+    * Scale shape: the bigram/unigram count tables are map-side-combined
+    * aggregates (bounded by distinct n-grams, ≪ corpus); each doc's
+    * bigram rows gather their counts via two key joins (the q63 term-
+    * index shape) — no window, no collect, vocabulary count broadcast as
+    * one row. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val bg = docs.selectExpr("doc_id", "explode(graft_shingles(split(text, ' '), 2)) AS bg")
+    val uniCounts = docs.selectExpr("explode(split(text, ' ')) AS w")
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val raw = "(ln(c1 + v) - ln(c2 + 1)) * 1e6"
+    bg.join(bgCounts, "bg")
+      .selectExpr("doc_id", "split(bg, ' ')[0] AS w1", "c2")
+      .join(uniCounts.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .selectExpr("doc_id",
+        s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
+                 THEN CAST(raise_error('q92: surprisal at a rounding boundary') AS BIGINT)
+                 ELSE CAST(round($raw) AS BIGINT) END AS micro""")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("micro").as("nll_micro"))
+      .selectExpr("doc_id", "n_bigrams", "nll_micro",
+        "CAST(nll_micro AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6) AS avg_nll")
+      .orderBy("doc_id")
+  }
+
   /** q90 — PER-SOURCE QUALITY DASHBOARD: the rollup a corpus team actually
     * watches — per (lang, source): doc count, q61 keep count/rate, and the
     * corpus-level stop-word ratio. A collapsing source (crawler broke, spam
@@ -461,6 +503,24 @@ object TextOps {
                    CAST(COUNT(*) FILTER (cov) AS BIGINT) AS dup5_tokens,
                    CAST(COUNT(*) FILTER (cov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup5_frac
             FROM p GROUP BY doc_id ORDER BY doc_id""",
+      "q92_bigram_surprisal" ->
+        """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+            bg AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS bg
+                   FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+            uni AS (SELECT w, COUNT(*) AS c1
+                    FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+                    GROUP BY w),
+            v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+            bc AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+            m AS (SELECT b.doc_id,
+                         CAST(round((ln(u.c1 + v.v) - ln(bc.c2 + 1)) * 1e6) AS BIGINT)
+                           AS micro
+                  FROM bg b JOIN bc USING (bg) JOIN uni u ON b.w1 = u.w CROSS JOIN v)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(micro) AS BIGINT) AS nll_micro,
+                   CAST(SUM(micro) AS BIGINT) / (COUNT(*) * 1e6) AS avg_nll
+            FROM m GROUP BY doc_id ORDER BY doc_id""",
       "q63_term_index" ->
         """WITH tf AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
             t AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),

@@ -142,6 +142,22 @@ class TextOpsSpec extends SparkSpec {
       (4L, 2L, 1L, 1.0, 0L, 0.0)))         // one 2-gram, no 5-gram possible
   }
 
+  test("bigram surprisal matches an independent micro-unit computation") {
+    // corpus: a:3 b:3 c:1 x:1 (V=4); bigrams: "a b":3, "b a":1, "b c":1
+    val d = docs(doc(1, "a b a b"), doc(2, "a b c"), doc(3, "x"))
+    def micro(c1: Long, c2: Long): Long =
+      math.round((math.log(c1 + 4.0) - math.log(c2 + 1.0)) * 1e6)
+    val mAb = micro(3, 3); val mBa = micro(3, 1); val mBc = micro(3, 1)
+    val got = TextOps.bigramSurprisal(d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 2 * mAb + mBa, (2 * mAb + mBa).toDouble / (3 * 1e6)),
+      (2L, 2L, mAb + mBc, (mAb + mBc).toDouble / (2 * 1e6))))
+    // doc 3 has no bigram — correctly absent; the stamped doc 1 is more
+    // predictable (lower avg) than the one-off continuation in doc 2
+    assert(got(0)._4 < got(1)._4)
+  }
+
   test("source quality rolls up exactly the per-doc q61 verdicts") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = TextOps.sourceQuality(d).collect()
