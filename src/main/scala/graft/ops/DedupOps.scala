@@ -478,7 +478,16 @@ object DedupOps {
       .filter(expr(s"size(split(text, ' ')) >= $k"))
       .selectExpr("doc_id",
         s"posexplode(transform(graft_shingles(split(text, ' '), $k), g -> md5(g))) AS (pos, fp)")
-      .selectExpr("doc_id", "CAST(pos AS BIGINT) AS pos", "fp")
+      // a doc past the PosEnc position budget would silently overflow into
+      // the doc_id bits and mis-pick keepers — fail LOUDLY instead (the
+      // q67/q69 in-plan guard idiom); raise the budget if it ever fires
+      .selectExpr("doc_id",
+        s"""CASE WHEN pos >= ${PosEnc}L
+                 THEN CAST(raise_error(concat('q84: doc ', CAST(doc_id AS STRING),
+                        ' exceeds the ', CAST(${PosEnc}L AS STRING),
+                        '-token keeper-encoding budget')) AS BIGINT)
+                 ELSE CAST(pos AS BIGINT) END AS pos""",
+        "fp")
     val keepers = grams.groupBy("fp")
       .agg(count(lit(1)).as("n"), min(expr(s"doc_id * ${PosEnc}L + pos")).as("keeper"))
       .filter(col("n") > 1).select("fp", "keeper")
