@@ -307,6 +307,11 @@ object SparkEntry {
     // distributed Lloyd k-means: the centroid-training half the IVF /
     // SemDeDup cell consumers assume; broadcast centroids, row-local argmin
     "q87_kmeans"           -> ((s, d) => SimilarityOps.kmeans(Tables.embeddings(s, d))),
+    // k-means convergence trace: per-round member count + exact micro-unit
+    // inertia (Lloyd ⇒ non-increasing total) — the monitoring rows a real
+    // clustering job watches to pick its round budget
+    "q94_kmeans_inertia"   -> ((s, d) =>
+      SimilarityOps.kmeansInertia(Tables.embeddings(s, d))),
     // int8 symmetric storage quantization with per-vector error reporting
     "q74_embedding_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),

@@ -368,29 +368,91 @@ object SimilarityOps {
                            ELSE acc END) AS best"""
   }
 
+  /** Fail-loudly gate on the shared argmin fold: `best.cell = -1` means the
+    * fold saw an EMPTY centroid array (no seeds — empty corpus, or a stale/
+    * truncated centroid artifact handed to the streaming assigner). Silently
+    * emitting cell=-1 / dist=Infinity poisons every downstream consumer;
+    * both the batch rounds and [[graft.streaming.StreamCentroidAssign]]
+    * raise in-plan instead (the q84 `raise_error` idiom). */
+  private[graft] val KmeansCellGuard: String =
+    """CASE WHEN best.cell < 0
+            THEN CAST(raise_error('kmeans: empty centroid state — no seeds (empty corpus or empty centroid artifact?)') AS BIGINT)
+            ELSE best.cell END AS cell"""
+
   private def kmAssign(vq: DataFrame, cs: DataFrame): DataFrame =
     vq.crossJoin(broadcast(cs))
       .selectExpr("vec_id", "qv", KmeansBestExpr)
-      .selectExpr("vec_id", "qv", "best.cell AS cell", "best.dist AS dist")
+      .selectExpr("vec_id", "qv", KmeansCellGuard, "best.dist AS dist")
 
+  /** Seeds = the k LOWEST OBSERVED vec_ids (top-k take, not a `< k` range
+    * filter: ids need not start at 0 — filtered shards, sampled corpora).
+    * Deterministic; k-means++ would seed better but is inherently
+    * sequential-per-seed — the standard distributed trade. */
   private def kmSeed(vq: DataFrame, k: Int): DataFrame =
-    vq.filter(col("vec_id") < k)
+    vq.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("vec_id").as("cell"), col("qv"))
 
-  def kmeans(emb: DataFrame, k: Int = KmeansK, rounds: Int = KmeansRounds): DataFrame = {
-    val vq = kmVq(emb)
-    val fin = (1 to rounds).foldLeft(kmSeed(vq, k)) { (a, _) => kmAssign(vq, kmCents(a)) }
-    fin.select(col("vec_id"), col("cell"), col("dist")).orderBy("vec_id")
+  /** The Lloyd iteration, checkpoint-per-round: each completed round's
+    * assignment is `localCheckpoint()`ed (the
+    * [[graft.ops.GraphOps.connectedComponents]] idiom) so round r's plan
+    * reads round r−1's MATERIALIZED rows instead of lazily re-deriving
+    * rounds 1..r−1 — O(R) corpus passes and round-invariant plan depth,
+    * where the un-checkpointed fold was O(R²) scans with a plan that grew
+    * per round. The FINAL round stays lazy: callers get a plan whose
+    * shape (broadcast centroid row → row-local fold) is inspectable and
+    * composes with their own transforms. */
+  private def kmRounds(vq: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var a = kmSeed(vq, k)
+    var r = 1
+    while (r < rounds) { a = kmAssign(vq, kmCents(a)).localCheckpoint(); r += 1 }
+    if (rounds < 1) a else kmAssign(vq, kmCents(a))
   }
+
+  def kmeans(emb: DataFrame, k: Int = KmeansK, rounds: Int = KmeansRounds): DataFrame =
+    kmRounds(kmVq(emb), k, rounds)
+      .select(col("vec_id"), col("cell"), col("dist")).orderBy("vec_id")
 
   /** The centroid state the FINAL [[kmeans]] assignment used — the bounded
     * artifact (k × D integer sums + counts, one row) a batch job persists
     * so ingest-time consumers ([[graft.streaming.StreamCentroidAssign]])
     * can route arriving vectors without touching the corpus. */
   def kmeansCentroids(emb: DataFrame, k: Int = KmeansK,
-                      rounds: Int = KmeansRounds): DataFrame = {
+                      rounds: Int = KmeansRounds): DataFrame =
+    kmCents(kmRounds(kmVq(emb), k, rounds - 1))
+
+  /** q94 — the per-round convergence trace a real k-means job watches:
+    * round number, member count, and total/mean within-cell squared
+    * distance. Lloyd guarantees the total is non-increasing round-over-
+    * round; a flat tail says "stop paying for rounds", an INCREASE says
+    * the implementation is broken — this is the monitoring row that
+    * catches it. Costs nothing extra: each round's assignment is already
+    * materialized by the checkpoint; the trace is one bounded aggregate
+    * per round over those checkpointed rows.
+    *
+    * Determinism: `dist` is an exact integer quotient (see [[kmeans]]);
+    * it is scaled to 1e-6 micro-units with the q92 rounding-boundary
+    * guard and summed EXACTLY as int64, so the trace is bit-identical in
+    * any engine — the one final division for `mean_dist` is IEEE-exact
+    * on integer inputs. */
+  def kmeansInertia(emb: DataFrame, k: Int = KmeansK,
+                    rounds: Int = KmeansRounds): DataFrame = {
+    val raw = "dist * 1e6"
+    val micro =
+      s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
+               THEN CAST(raise_error('q94: inertia at a rounding boundary') AS BIGINT)
+               ELSE CAST(round($raw) AS BIGINT) END AS micro"""
     val vq = kmVq(emb)
-    kmCents((1 until rounds).foldLeft(kmSeed(vq, k)) { (a, _) => kmAssign(vq, kmCents(a)) })
+    var a = kmSeed(vq, k)
+    val perRound = (1 to rounds).map { r =>
+      a = kmAssign(vq, kmCents(a)).localCheckpoint()
+      a.selectExpr(s"CAST($r AS BIGINT) AS round_no", micro)
+    }
+    perRound.reduce(_ union _)
+      .groupBy("round_no")
+      .agg(count(lit(1)).as("n_vectors"), sum("micro").as("inertia_micro"))
+      .selectExpr("round_no", "n_vectors", "inertia_micro",
+        "CAST(inertia_micro AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1e6) AS mean_dist")
+      .orderBy("round_no")
   }
 
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
@@ -398,6 +460,16 @@ object SimilarityOps {
     * are exercised; a runtime dial like the LSH band constants (the paper
     * uses ~0.95+ on real embedding spaces). */
   val SemDedupMinCos = 0.25
+
+  /** [[semanticDedup]]'s within-cell pair budget: the in-plan guard
+    * `raise_error`s when any cell exceeds this many members, because the
+    * within-cell self-join is O(cell²) BY DESIGN — the paper's cost model
+    * holds only while the cluster count grows with the corpus (~√n cells
+    * keeps E[cell] ≈ √n). A cell past the budget means the corpus outgrew
+    * the clustering; the fix is more cells ([[semanticDedupAuto]] or a
+    * re-learned k), never a silent quadratic. 10⁴ members ≈ 5·10⁷ pairs
+    * per cell — the most a single reducer should ever be handed. */
+  val SemDedupMaxCell = 10000L
 
   /** q85 — SEMANTIC DEDUP (Abbas/Tirumala et al., "SemDeDup: Data-Efficient
     * Learning at Web-Scale through Semantic Deduplication", 2023): cluster
@@ -413,20 +485,63 @@ object SimilarityOps {
     * keep = no qualifying lower neighbor. `n_dups` counts those neighbors.
     *
     * Scale shape, exactly the paper's trade: candidate pairs exist ONLY
-    * within a cell (the cluster count grows with the corpus, bounding
+    * within a cell (the cluster count must grow with the corpus, bounding
     * E[cell²]; the all-pairs-within-cluster cost is the algorithm, not an
-    * accident). Assignment reuses [[cellDist]]'s exact-integer argmin —
-    * deterministic in any engine. The candidate self-join carries only
-    * (vec_id, cell); vectors are gathered co-keyed AFTERWARDS, keeping the
-    * 512-byte payloads out of the candidate shuffle ([[embeddingDups]]'s
-    * idiom). The final verdict is one left anti-ish aggregate join back to
-    * the assignment table. */
-  def semanticDedup(emb: DataFrame, minCos: Double = SemDedupMinCos): DataFrame = {
+    * accident — and the `maxCell` guard fails loudly the moment a cell
+    * outgrows that contract instead of silently going quadratic).
+    * The candidate self-join carries only (vec_id, cell); vectors are
+    * gathered co-keyed AFTERWARDS, keeping the 512-byte payloads out of
+    * the candidate shuffle ([[embeddingDups]]'s idiom). The final verdict
+    * is one left anti-ish aggregate join back to the assignment table.
+    *
+    * Cells: the graded default assigns to the per-label centroids via
+    * [[cellDist]]'s exact-integer argmin (deterministic in any engine);
+    * [[semanticDedupAuto]] is the scale path that LEARNS ~√n cells with
+    * [[kmeans]] so the cell count is a corpus-size function, not a fixed
+    * label cardinality. */
+  def semanticDedup(emb: DataFrame, minCos: Double = SemDedupMinCos,
+                    maxCell: Long = SemDedupMaxCell): DataFrame = {
     val byDist = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     val assigned = cellDist(emb)
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") === 1).select("vec_id", "cell")
+    semanticDedupOn(emb, assigned, minCos, maxCell)
+  }
+
+  /** The scale variant: cells are LEARNED — k = ⌈√n⌉ [[kmeans]] centroids
+    * (the paper's dial: cluster count grows with the corpus, keeping the
+    * expected within-cell pair space linear-ish), so no fixed label/cell
+    * cardinality caps the clustering as the corpus grows. The one `count()`
+    * action prices the corpus before sizing k — the same bounded driver
+    * action as the kmeans round checkpoints it precedes. Not oracle-graded
+    * (the graded q85 keeps the label-cell default); spec-verified. */
+  def semanticDedupAuto(emb: DataFrame, minCos: Double = SemDedupMinCos,
+                        rounds: Int = KmeansRounds,
+                        maxCell: Long = SemDedupMaxCell): DataFrame = {
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt max 1
+    val assigned = kmeans(emb, k, rounds).select("vec_id", "cell")
+    semanticDedupOn(emb, assigned, minCos, maxCell)
+  }
+
+  /** Shared within-cell dedup pass over an (vec_id, cell) assignment.
+    * The cell-size guard rides IN-PLAN on the assignment subtree (the q84
+    * `raise_error` idiom): a CELL-partitioned window count — the same
+    * hash partitioning the candidate self-join shuffles to anyway, so the
+    * guard adds no extra exchange and fires before any oversized
+    * self-join can run. */
+  private def semanticDedupOn(emb: DataFrame, rawAssigned: DataFrame,
+                              minCos: Double, maxCell: Long): DataFrame = {
+    val byCell = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    val assigned = rawAssigned
+      .withColumn("csz", count(lit(1)).over(byCell))
+      .selectExpr("vec_id",
+        s"""CASE WHEN csz > ${maxCell}L
+                 THEN CAST(raise_error(concat('q85: cell ', CAST(cell AS STRING),
+                        ' has ', CAST(csz AS STRING), ' members — past the ',
+                        CAST(${maxCell}L AS STRING), '-member within-cell pair budget; ',
+                        'the cell count must grow with the corpus (use more cells)')) AS BIGINT)
+                 ELSE cell END AS cell""")
     val cand = assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .selectExpr("x.vec_id AS a_id", "y.vec_id AS b_id")
@@ -474,6 +589,32 @@ object SimilarityOps {
   // ---- DuckDB oracles (1-based array indexing) ----
   private def duckDot(a: String, b: String): String =
     dotChain((1 to Dim).map(d => s"$a[$d] * $b[$d]"))
+
+  /** Shared CTE prelude of the k-means oracles (q87/q94): quantization,
+    * the a0 seed — the k LOWEST vec_ids, matching [[kmSeed]]'s top-k take
+    * — and one (cells, dist, a) CTE triple per round, generated from the
+    * same (K, rounds) constants as the Spark loop so the sides cannot
+    * drift on round count or seeding. */
+  private def kmOracleCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""cells$r AS (SELECT cell, d, SUM(q3) AS sq, COUNT(*) AS n
+                      FROM a${r - 1} JOIN q3 USING (vec_id) GROUP BY 1, 2),
+          dist$r AS (SELECT q3.vec_id, c.cell,
+                            CAST(SUM((q3.q3 * c.n - c.sq) * (q3.q3 * c.n - c.sq)) AS DOUBLE)
+                              / CAST(MAX(c.n) * MAX(c.n) AS DOUBLE) AS dist
+                     FROM q3 JOIN cells$r c ON q3.d = c.d GROUP BY 1, 2),
+          a$r AS (SELECT vec_id, cell, dist FROM (
+                    SELECT vec_id, cell, dist,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                    FROM dist$r) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""q3 AS (SELECT vec_id, i - 1 AS d,
+                      CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3
+               FROM embeddings, range(1, ${Dim + 1}) t(i)),
+        a0 AS (SELECT vec_id, CAST(vec_id AS BIGINT) AS cell FROM embeddings
+               ORDER BY vec_id LIMIT $KmeansK),
+        $roundCtes"""
+  }
 
   /** Same banded key as [[sparkBandKey]]: exact integer plane dots over the
     * 1e-6-quantized vector; the plane weight is the same integer formula
@@ -665,27 +806,24 @@ object SimilarityOps {
                        FROM pairs)
                      WHERE rank <= $TopK)"""),
     "q87_kmeans" -> {
-      // round CTEs generated from the same (K, Rounds) constants as the
-      // Spark loop — the sides cannot drift on round count or seeding
-      val roundCtes = (1 to KmeansRounds).map { r =>
-        s"""cells$r AS (SELECT cell, d, SUM(q3) AS sq, COUNT(*) AS n
-                        FROM a${r - 1} JOIN q3 USING (vec_id) GROUP BY 1, 2),
-            dist$r AS (SELECT q3.vec_id, c.cell,
-                              CAST(SUM((q3.q3 * c.n - c.sq) * (q3.q3 * c.n - c.sq)) AS DOUBLE)
-                                / CAST(MAX(c.n) * MAX(c.n) AS DOUBLE) AS dist
-                       FROM q3 JOIN cells$r c ON q3.d = c.d GROUP BY 1, 2),
-            a$r AS (SELECT vec_id, cell, dist FROM (
-                      SELECT vec_id, cell, dist,
-                             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-                      FROM dist$r) WHERE rn = 1)"""
-      }.mkString(",\n")
-      s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,
-                             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3
-                      FROM embeddings, range(1, ${Dim + 1}) t(i)),
-          a0 AS (SELECT vec_id, CAST(vec_id AS BIGINT) AS cell FROM embeddings
-                 WHERE vec_id < $KmeansK),
-          $roundCtes
+      s"""WITH ${kmOracleCtes(KmeansRounds)}
           SELECT vec_id, cell, dist FROM a$KmeansRounds ORDER BY vec_id"""
+    },
+    "q94_kmeans_inertia" -> {
+      val per = (1 to KmeansRounds)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round_no, dist FROM a$r")
+        .mkString("\n                 UNION ALL ")
+      // no boundary CASE here: the Spark side raise_errors within 1e-6 of
+      // a rounding boundary, so any row that reaches the compare rounds
+      // identically in both engines (the q67/q92 division of labor)
+      s"""WITH ${kmOracleCtes(KmeansRounds)},
+          per AS ($per),
+          mi AS (SELECT round_no,
+                        CAST(round(dist * 1e6) AS BIGINT) AS micro FROM per)
+          SELECT round_no, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                 CAST(SUM(micro) AS BIGINT) AS inertia_micro,
+                 CAST(SUM(micro) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mean_dist
+          FROM mi GROUP BY round_no ORDER BY round_no"""
     },
     "q85_semantic_dedup" ->
       s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,

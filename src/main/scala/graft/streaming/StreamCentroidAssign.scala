@@ -26,12 +26,22 @@ object StreamCentroidAssign {
     * table. Emits (vec_id, cell, dist) plus any extra columns the stream
     * carries (ts, source, ...) so downstream routing keeps its context. */
   def assign(stream: DataFrame, centroids: DataFrame): DataFrame = {
+    require(stream.columns.contains("embedding"),
+      s"StreamCentroidAssign: stream must carry an 'embedding' column; " +
+        s"got [${stream.columns.mkString(", ")}]")
+    val clash = Seq("qv", "best", "cell", "dist").filter(stream.columns.contains)
+    require(clash.isEmpty,
+      s"StreamCentroidAssign: stream carries reserved output column(s) " +
+        s"[${clash.mkString(", ")}] — rename them before assign()")
     val carried = stream.columns.filterNot(c => c == "embedding").toSeq
     stream
       .withColumn("qv", expr(SimilarityOps.KmeansQuantize))
       .crossJoin(broadcast(centroids))
       .selectExpr(carried ++ Seq("qv", SimilarityOps.KmeansBestExpr): _*)
-      .selectExpr(carried ++ Seq("best.cell AS cell", "best.dist AS dist"): _*)
+      // KmeansCellGuard raise_errors on cell = -1: an EMPTY broadcast
+      // centroid artifact (stale/truncated batch output) must fail the
+      // batch, not silently route every vector to cell -1
+      .selectExpr(carried ++ Seq(SimilarityOps.KmeansCellGuard, "best.dist AS dist"): _*)
   }
 
   /** Route-and-flag variant: adds `in_distribution` = (dist ≤ maxDist),

@@ -227,6 +227,18 @@ class PlanShapeSpec extends SparkSpec {
       "q87 argmin must not window over an N×k distance table")
   }
 
+  test("q87 kmeans: plan depth is round-invariant (checkpointed rounds)") {
+    // the un-checkpointed fold nested every prior round inside round r's
+    // plan — O(R²) corpus scans; with localCheckpoint per round, the final
+    // plan reads the materialized round R−1 rows and its node count does
+    // not grow with the round budget
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def nodes(rounds: Int): Int = SimilarityOps.kmeans(emb, rounds = rounds)
+      .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nodes(2) === nodes(4),
+      "round budget leaked into the final plan: rounds are not checkpointed")
+  }
+
   test("q89 corpus render: no cartesian, every window partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = SparkEntry.queries("q89_corpus_render")(spark, "/root/testdata/sf0.001")

@@ -156,6 +156,35 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got === Seq((10L, 7L, 0L, true), (11L, 7L, 1L, false), (12L, 7L, 2L, false)))
   }
 
+  test("semantic dedup cell-size guard fires on an under-clustered corpus") {
+    // 5 vectors, all one label → one 5-member cell; a 2-member budget must
+    // raise in-plan instead of silently running the quadratic self-join
+    val one = emb.withColumn("label", org.apache.spark.sql.functions.lit(1))
+    val e = intercept[Exception] {
+      SimilarityOps.semanticDedup(one, minCos = 0.9, maxCell = 2L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("within-cell pair budget")), s"wrong failure: $e")
+  }
+
+  test("semantic dedup auto: learned ~sqrt(n) cells still catch scaled-copy duplicates") {
+    // same tri fixture, but cells come from kmeans (k = ceil(sqrt(3)) = 2,
+    // seeds 10/11): 11 and 12 share a learned cell (L2-nearest), so the
+    // scaled copies still collapse to one representative; 10 sits alone in
+    // its own cell and keeps. Cell IDs are seed vec_ids, so assert on
+    // (vec_id, n_dups, keep) — the verdict, not the label-cell identity.
+    val tri = Seq(
+      (10L, Array.tabulate(64)(i => math.sin(i + 1).toFloat).toSeq, 7),
+      (11L, Array.tabulate(64)(i => (math.sin(i + 1) * 2).toFloat).toSeq, 7),
+      (12L, Array.tabulate(64)(i => (math.sin(i + 1) * 3).toFloat).toSeq, 7))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.semanticDedupAuto(tri, minCos = 0.9)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+      .map(r => (r._1, r._3, r._4))
+    assert(got === Seq((10L, 0L, true), (11L, 0L, true), (12L, 1L, false)), s"got $got")
+  }
+
   test("kmeans separates two tight groups, regardless of seed identity") {
     // group A around sin(i+1), group B around cos(3i+2) (orthogonal-ish);
     // seeds are vec 0 (A) and vec 1 (B) — members must follow proximity
@@ -183,5 +212,37 @@ class SimilarityOpsSpec extends SparkSpec {
     val r2 = SimilarityOps.kmeans(embT).collect().map(_.toSeq).toSeq
     assert(r1 === r2)
     assert(r1.nonEmpty)
+  }
+
+  test("kmeans seeds from the k lowest OBSERVED vec_ids, not ids < k") {
+    // ids start at 100 — a filtered/sharded table; a `vec_id < k` seed
+    // filter would find ZERO seeds and assign every vector cell = -1
+    def a(eps: Float) = Array.tabulate(64)(i => (math.sin(i + 1) + eps).toFloat).toSeq
+    def b(eps: Float) = Array.tabulate(64)(i => (math.cos(3 * i + 2) + eps).toFloat).toSeq
+    val pts = Seq(
+      (100L, a(0f), 0), (101L, b(0f), 0),
+      (102L, a(0.02f), 0), (103L, b(0.02f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cells = SimilarityOps.kmeans(pts, k = 2, rounds = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(cells.values.toSet === Set(100L, 101L), s"seeds not the 2 lowest ids: $cells")
+    assert(cells(100L) === cells(102L) && cells(101L) === cells(103L),
+      s"members did not follow proximity: $cells")
+  }
+
+  test("kmeans on an empty corpus is empty-in-empty-out, never cell = -1 rows") {
+    val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(SimilarityOps.kmeans(empty).collect().isEmpty)
+  }
+
+  test("kmeans inertia trace is non-increasing round over round (Lloyd)") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trace = SimilarityOps.kmeansInertia(embT, rounds = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(trace.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(trace.forall(_._2 === trace.head._2), s"member count drifted: $trace")
+    val inertias = trace.map(_._3)
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => b <= a },
+      s"inertia increased across rounds: $inertias")
   }
 }

@@ -54,4 +54,34 @@ class StreamCentroidAssignSpec extends SparkSpec {
       assert(!got(101L), "far vector not flagged")
     } finally q.stop()
   }
+
+  test("assign rejects a stream without an embedding column, or with reserved names") {
+    val cents = SimilarityOps.kmeansCentroids(corpus)
+    val noEmb = Seq((1L, "x")).toDF("vec_id", "payload")
+    val e1 = intercept[IllegalArgumentException] {
+      StreamCentroidAssign.assign(noEmb, cents)
+    }
+    assert(e1.getMessage.contains("embedding"))
+    val clash = Seq((1L, Seq(0.1f), 9L)).toDF("vec_id", "embedding", "cell")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamCentroidAssign.assign(clash, cents)
+    }
+    assert(e2.getMessage.contains("cell"))
+  }
+
+  test("assign fails loudly on an EMPTY centroid artifact instead of routing to cell -1") {
+    // the stale/truncated-batch-artifact failure: centroids exist as a
+    // one-row table whose cents array is empty (kmeansCentroids of an
+    // empty corpus) — every vector would silently land in cell -1
+    val emptyCorpus = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val emptyCents = SimilarityOps.kmeansCentroids(emptyCorpus)
+    val batch = corpus.limit(3).select("vec_id", "embedding")
+    val e = intercept[Exception] {
+      StreamCentroidAssign.assign(batch, emptyCents).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("empty centroid state")), s"wrong failure: $e")
+  }
 }
