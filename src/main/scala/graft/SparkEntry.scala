@@ -60,6 +60,12 @@ object SparkEntry {
     * localCheckpoint-rooted view would not: non-reliable storage). */
   private[graft] def lshPairsShared(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "pairs")(DedupOps.lshPairs(Tables.documents(s, d)))
+  /** The q38 exact pair table, materialized once per (session, corpus) —
+    * q91's audit reads this snapshot and the q37 one instead of re-running
+    * both dedup passes from raw text ((long, long, double) round-trips
+    * parquet bit-exactly, like the q37 snapshot). */
+  private[graft] def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "jacpairs")(DedupOps.jaccardPairs(Tables.documents(s, d)))
   /** The q66 cluster table, materialized once per (session, corpus): the
     * contraction loop is EAGER (convergence actions), so both its
     * consumers (q66, q71) read this snapshot — the iterative cost is paid
@@ -257,8 +263,13 @@ object SparkEntry {
     // corpus-level stop ratio — the dashboard a collapsing source trips
     "q90_source_quality"   -> ((s, d) => TextOps.sourceQuality(Tables.documents(s, d))),
     // cross-audit: LSH dedup recall vs the df-capped exact pass — a band
-    // retune that craters candidate recall fails CORRECTNESS here
-    "q91_dedup_audit"      -> ((s, d) => DedupOps.dedupAudit(Tables.documents(s, d))),
+    // retune that craters candidate recall fails CORRECTNESS here. Reads
+    // the MATERIALIZED q37/q38 pair snapshots (the q59 pattern): the
+    // audit is a pipeline stage over persisted dedup outputs, so its
+    // measured cost is three pair-table aggregates, not two re-derived
+    // dedup passes over raw text
+    "q91_dedup_audit"      -> ((s, d) =>
+      DedupOps.dedupAudit(jaccardPairsShared(s, d), lshPairsShared(s, d))),
     // CCNet-style perplexity filter: per-doc avg bigram surprisal under a
     // corpus-trained add-one LM, exact micro-unit sums (q67's recipe)
     "q92_bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(Tables.documents(s, d))),

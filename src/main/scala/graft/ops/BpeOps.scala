@@ -37,6 +37,22 @@ object BpeOps {
   val NumMerges = 10
   val EndMark = "</w>"
 
+  /** Frequency floor on the (word, freq) table BEFORE the driver collect
+    * — mirrored in the oracle's w0 CTE from this same constant. The
+    * default 1 keeps every word (hash-identical to the unfloored form);
+    * raw-web corpora set it higher: distinct "words" there run 10⁸⁺
+    * (typos, URLs, unicode junk), and a word below the floor can never
+    * win a merge against the head anyway once the floor sits under the
+    * last merge's count. */
+  val VocabFreqFloor = 1L
+
+  /** Hard cap on rows the vocabulary collect may bring to the driver —
+    * the q84 fail-loudly idiom: past this, [[learnMerges]] throws a
+    * descriptive error instead of silently OOMing the driver. 4M rows ×
+    * ~100 bytes ≈ 400 MB, the most a learning step should ever hold;
+    * the fix is a higher [[VocabFreqFloor]], not a bigger driver. */
+  val VocabMaxDriverRows = 4000000L
+
   /** The q56 normalization, collapsed to words — ONE definition with the
     * oracle (generated below from the same strings). */
   private val NormExpr =
@@ -49,11 +65,15 @@ object BpeOps {
   /** Symbol list of a wrapped word: strip the outer parens, split on ")(". */
   private val SymsExpr = """split(substring(w, 2, length(w) - 2), '\\)\\(')"""
 
-  /** (w = wrapped word, freq) — the bounded iteration table. */
-  private def wordTable(docs: DataFrame): DataFrame =
+  /** (w = wrapped word, freq) — the bounded iteration table, floored at
+    * `freqFloor` occurrences (the oracle's w0 CTE applies the same floor
+    * from the same constant). */
+  private def wordTable(docs: DataFrame,
+                        freqFloor: Long = VocabFreqFloor): DataFrame =
     docs.selectExpr(s"explode(split($NormExpr, ' ')) AS word")
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= freqFloor)
       .selectExpr(s"$WrapExpr AS w", "freq")
 
   /** The learning loop: (rank, left, right, cnt), bounded by `numMerges`.
@@ -76,13 +96,30 @@ object BpeOps {
     * pair-explode crashed on them under ANSI: sequence(0, size-2) with
     * size = 1 is the descending [0,-1]).
     *
+    * The collect is DOUBLY bounded: `freqFloor` trims the tail that can
+    * never win a merge (raw-web corpora: distinct words run 10⁸⁺ and are
+    * overwhelmingly hapax junk), and `maxDriverRows` fails loudly — a
+    * `limit(cap + 1)` fetch, so even the failing path moves only cap+1
+    * rows — instead of letting an unfloored vocabulary OOM the driver.
+    *
     * private[graft]: `SparkEntry` memoizes it per (session, corpus) so the
     * application query reads the learned artifact instead of re-learning
     * (the q37-measures/q59-reads division of labor). */
   private[graft] def learnMerges(docs: DataFrame,
-                                 numMerges: Int): Seq[(Long, String, String, Long)] = {
-    val table = wordTable(docs).selectExpr(s"$SymsExpr AS syms", "freq").collect()
+                                 numMerges: Int,
+                                 freqFloor: Long = VocabFreqFloor,
+                                 maxDriverRows: Long = VocabMaxDriverRows)
+      : Seq[(Long, String, String, Long)] = {
+    val table = wordTable(docs, freqFloor)
+      .selectExpr(s"$SymsExpr AS syms", "freq")
+      .limit(maxDriverRows.toInt + 1).collect()
       .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+    if (table.length > maxDriverRows)
+      throw new IllegalStateException(
+        s"q77: distinct vocabulary exceeds $maxDriverRows rows at freq floor " +
+          s"$freqFloor — raise the floor (raw-web corpora put distinct words at " +
+          "1e8+; sub-floor words cannot win a merge once the floor sits under " +
+          "the last merge's count)")
     learnMergesLocal(table, numMerges)
   }
 
@@ -213,7 +250,8 @@ object BpeOps {
                         freq
                  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
                        FROM (SELECT unnest(str_split($DuckNorm, ' ')) AS word FROM documents)
-                       WHERE len(word) > 0 GROUP BY word))"""
+                       WHERE len(word) > 0 GROUP BY word
+                       HAVING COUNT(*) >= $VocabFreqFloor))"""
     val rounds = (1 to NumMerges).map { k =>
       s"""p$k AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
                   FROM (SELECT unnest(syms[:len(syms) - 1]) AS l,

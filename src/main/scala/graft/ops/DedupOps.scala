@@ -524,9 +524,17 @@ object DedupOps {
     * candidate recall flips this row and fails CORRECTNESS — the q43/q55
     * recall_at_k tripwire pattern applied to dedup. The 1-row aggregates
     * combine via broadcast-one-row cross joins (the stats-table idiom). */
-  def dedupAudit(docs: DataFrame): DataFrame = {
-    val exact = jaccardPairs(docs).select("a_id", "b_id")
-    val lsh = lshPairs(docs).select("a_id", "b_id")
+  /** Audit over the corpus directly — derives both pair tables inline.
+    * Query-path callers should use the two-table overload against
+    * MATERIALIZED pair snapshots instead: the audit is a pipeline STAGE
+    * (it consumes the dedup passes' persisted outputs, the q59 pattern),
+    * not a reason to re-run LSH and the exact pass from raw text. */
+  def dedupAudit(docs: DataFrame): DataFrame =
+    dedupAudit(jaccardPairs(docs), lshPairs(docs))
+
+  def dedupAudit(exactPairs: DataFrame, lshPairTable: DataFrame): DataFrame = {
+    val exact = exactPairs.select("a_id", "b_id")
+    val lsh = lshPairTable.select("a_id", "b_id")
     val common = exact.join(lsh, Seq("a_id", "b_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))

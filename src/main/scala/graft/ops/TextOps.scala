@@ -402,9 +402,25 @@ object TextOps {
     *
     * Scale shape: the bigram/unigram count tables are map-side-combined
     * aggregates (bounded by distinct n-grams, ≪ corpus); each doc's
-    * bigram rows gather their counts via two key joins (the q63 term-
-    * index shape) — no window, no collect, vocabulary count broadcast as
-    * one row. */
+    * bigram rows gather their counts via two SKEW-PROOF two-tier joins
+    * ([[gatherTwoTier]] — hot stop-word keys broadcast, tail shuffled) —
+    * no window, no collect, vocabulary count broadcast as one row. */
+  /** Skew-proof count gather for [[bigramSurprisal]]: a plain hash join
+    * on the n-gram key funnels EVERY occurrence of a stop-word head
+    * ("of the", "the") to one reducer at crawl scale. Two tiers instead:
+    * the top-`headK` keys' stats — a BOUNDED table — broadcast, so the
+    * hot rows join map-side with no shuffle at all; only the long flat
+    * tail shuffle-joins. Every row matches exactly one tier (left_anti
+    * carves the tail), so the union is the same multiset as the single
+    * join — hash-identical output, no hot partition. */
+  private def gatherTwoTier(rows: DataFrame, stats: DataFrame, key: String,
+                            headK: Int = 1024): DataFrame = {
+    val cnt = stats.columns.filter(_ != key).head
+    val head = stats.orderBy(desc(cnt), col(key)).limit(headK)
+    val tail = stats.join(broadcast(head.select(key)), Seq(key), "left_anti")
+    rows.join(broadcast(head), key).unionByName(rows.join(tail, key))
+  }
+
   def bigramSurprisal(docs: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     val bg = docs.selectExpr("doc_id", "explode(graft_shingles(split(text, ' '), 2)) AS bg")
@@ -413,9 +429,10 @@ object TextOps {
     val vocab = uniCounts.agg(count(lit(1)).as("v"))
     val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
     val raw = "(ln(c1 + v) - ln(c2 + 1)) * 1e6"
-    bg.join(bgCounts, "bg")
-      .selectExpr("doc_id", "split(bg, ' ')[0] AS w1", "c2")
-      .join(uniCounts.withColumnRenamed("w", "w1"), "w1")
+    gatherTwoTier(
+      gatherTwoTier(bg, bgCounts, "bg")
+        .selectExpr("doc_id", "split(bg, ' ')[0] AS w1", "c2"),
+      uniCounts.withColumnRenamed("w", "w1"), "w1")
       .crossJoin(broadcast(vocab))
       .selectExpr("doc_id",
         s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6

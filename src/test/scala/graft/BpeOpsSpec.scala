@@ -148,4 +148,31 @@ class BpeOpsSpec extends SparkSpec {
       .as[(Long, String, String, String, Long)].collect().toSeq
     assert(again === got)
   }
+
+  test("vocabulary freq floor drops sub-floor words before the driver collect") {
+    // words: aa×3, bb×2, zz×1 — floor 2 keeps {aa, bb}; the learned list
+    // must equal the reference learner run on exactly that floored table
+    val docs = Seq(
+      (1L, "aa bb aa", "en", "s", 0L),
+      (2L, "aa bb zz", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = BpeOps.learnMerges(docs, numMerges = 3, freqFloor = 2L)
+    val ref = BpeOps.learnMergesLocal(Array(
+      (Array("a", "a", BpeOps.EndMark), 3L),
+      (Array("b", "b", BpeOps.EndMark), 2L)), numMerges = 3)
+    assert(got === ref)
+    // floor 1 sees zz too — the lists diverge once (z,z) pairs exist, and
+    // the floored list must NOT count zz occurrences anywhere
+    assert(got.forall { case (_, l, r, _) => !l.contains("z") && !r.contains("z") })
+  }
+
+  test("vocabulary collect cap fails loudly instead of OOMing the driver") {
+    val docs = Seq(
+      (1L, "aa bb cc dd", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalStateException] {
+      BpeOps.learnMerges(docs, numMerges = 1, freqFloor = 1L, maxDriverRows = 2L)
+    }
+    assert(e.getMessage.contains("raise the floor"), e.getMessage)
+  }
 }

@@ -261,6 +261,17 @@ class PlanShapeSpec extends SparkSpec {
       s"tokenize exploded the corpus:\n${plan.take(1200)}")
   }
 
+  test("q92 surprisal gathers hot n-gram heads via broadcast; only the tail shuffles") {
+    // a single hash join on the bigram/unigram key would funnel every
+    // "of the" occurrence to one reducer — the two-tier gather must show
+    // broadcast head joins feeding a union with the shuffled tail
+    val q = TextOps.bigramSurprisal(docs)
+    val plan = q.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 2, s"expected broadcast head tiers for both gathers:\n${plan.take(1500)}")
+    assert(plan.contains("Union"), s"two-tier union missing:\n${plan.take(1500)}")
+  }
+
   test("q67 BM25 takes top-N without a global sort; df and stats broadcast") {
     val plan = TextOps.bm25(docs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
