@@ -344,6 +344,11 @@ object SparkEntry {
     // pattern) — format fields + an order-stable PCM sample checksum
     "q81_audio_features"   -> ((s, d) =>
       graft.multimodal.MediaOps.audioFeatureStats(s, Tables.documents(s, d))),
+    // video modality, real decode: motion-PNG containers parsed and every
+    // frame rasterized by ImageIO, graded against a decoder-free computed
+    // oracle (the q50/q81 pattern) — frame count, dims, ordered checksum
+    "q93_video_features"   -> ((s, d) =>
+      graft.multimodal.MediaOps.videoFeatureStats(s, Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -26,8 +26,14 @@ case class ImageStats(media_id: Long, width: Int, height: Int, pixel_checksum: L
 case class MediaDecoded(media_id: Long, kind: String, features: Array[Float],
                         width: Option[Int], height: Option[Int], checksum: Option[Long])
 
-/** One sampled frame of a "video" payload. */
+/** One sampled frame of a "video" payload: real PNG bytes of that frame. */
 case class MediaFrame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+
+/** Decoded-video facts: frame count + dimensions from the real per-frame
+  * decode, and an ORDER-SENSITIVE fold of the per-frame pixel checksums
+  * (frame order is the video). */
+case class VideoStats(doc_id: Long, n_frames: Long, width: Long, height: Long,
+                      frames_checksum: Long)
 
 /** Decoded-audio facts: format fields from the real WAV header parse plus
   * an order-stable rolling checksum over the decoded PCM samples. */
@@ -36,19 +42,24 @@ case class AudioStats(doc_id: Long, sample_rate: Long, n_samples: Long,
 
 /** Multimodal-column operators.
   *
-  * IMAGE decode is REAL: payloads are genuine PNG files and the decoder is
-  * JDK `javax.imageio` (no external dependency), running per-partition
-  * behind the `mapPartitions` seam. AUDIO decode is REAL too: payloads are
-  * genuine RIFF/PCM16 WAV files and the decoder is JDK
-  * `javax.sound.sampled` (the built-in WAVE reader). Only VIDEO decode
-  * remains a clearly-marked deterministic STUB (`fakeDecode`) — the JDK
-  * ships no video codecs and the container has no codec libraries; a real
-  * deployment swaps `fakeDecode` for a codec without touching any of the
-  * dataflow around it.
+  * ALL THREE decodes are REAL, pure-JDK:
+  *  - IMAGE: genuine PNG files decoded by `javax.imageio`;
+  *  - AUDIO: genuine RIFF/PCM16 WAV files decoded by `javax.sound.sampled`
+  *    (the built-in WAVE reader);
+  *  - VIDEO: a motion-PNG frame sequence — MJPEG's container shape
+  *    (length-prefixed independently-coded frames) with a LOSSLESS
+  *    intra-frame codec, each frame a genuine PNG decoded by
+  *    `javax.imageio`. Lossless is what makes the modality GRADABLE: a
+  *    JPEG DCT round-trip is decoder-implementation-defined, so no
+  *    decoder-free oracle could recompute its pixels; PNG round-trips
+  *    exactly, so the q93 oracle recomputes every decoded raster from the
+  *    (doc_id, frame, x, y) generator formula without any codec. A real
+  *    deployment swaps the frame codec inside [[decodeVideo]] without
+  *    touching the dataflow around it.
   *
   * Scale notes: decode runs per-partition with no shuffle; feature
   * extraction is embarrassingly parallel; `frameSample` is a flatMap (1→N)
-  * that never materializes a whole video in memory beyond one record.
+  * that never materializes more than one record's frames in memory.
   */
 object MediaOps {
 
@@ -121,16 +132,77 @@ object MediaOps {
     bos.toByteArray
   }
 
+  /** Frame-count / frame-dimension dials for the synthesized video leg —
+    * pure functions of the row so the decoder-free oracle can recompute
+    * them ([[wavSampleRate]]'s pattern). */
+  def vidFrameCount(nChars: Int): Int = nChars % 6 + 2
+  def vidWidth(nChars: Int): Int = nChars % 10 + 4
+  def vidHeight(nChars: Int): Int = nChars % 8 + 3
+  /** Per-frame raster seed: frame f of video `id` is [[pngBytes]]'
+    * (seed, x, y) function at this seed — wrapping Java long arithmetic,
+    * mirrored mod-2^64 by the oracle. */
+  def vidFrameSeed(id: Long, f: Int): Long = id * 1000003L + f
+  /** Frame period: the container stamps a fixed 25 fps. */
+  val VidFrameMs = 40L
+
+  /** Deterministic motion-PNG "video": a 4-byte frame count, then each
+    * frame as [4-byte length][PNG bytes] — real, independently decodable
+    * PNG files ([[pngBytes]] at [[vidFrameSeed]]), so decode recovers the
+    * exact rasters on any JVM. The video analog of [[pngBytes]]. */
+  def videoBytes(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val png = pngBytes(vidFrameSeed(id, f), w, h)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** The REAL video decode: parse the container, ImageIO-decode every
+    * frame. None on a malformed container or any undecodable frame (the
+    * tolerant-parse contract — a corrupt record must not kill a 100 TB
+    * job). */
+  private[multimodal] def decodeVideo(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+    try {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+      val nf = in.readInt()
+      if (nf < 0 || nf > 1000000) None
+      else {
+        val frames = (0 until nf).map { _ =>
+          val len = in.readInt()
+          if (len < 0 || len > bytes.length) throw new java.io.IOException("bad frame length")
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          javax.imageio.ImageIO.read(new ByteArrayInputStream(buf))
+        }
+        if (frames.contains(null)) None else Some(frames)
+      }
+    } catch { case _: Exception => None }
+
+  /** Order-sensitive fold of per-frame pixel checksums — frame order IS
+    * the video, so this is `h = 31·h + pixelChecksum(frame)` in frame
+    * order (wrapping), not an XOR. */
+  private[multimodal] def framesChecksum(frames: Seq[BufferedImage]): Long = {
+    var h = 1125899906842597L
+    frames.foreach(fr => h = 31 * h + pixelChecksum(fr))
+    h
+  }
+
   /** Deterministic fake media corpus derived from `documents`: doc_id % 3
     * picks the kind; IMAGE payloads are real PNGs ([[pngBytes]]), AUDIO
-    * payloads are real WAVs ([[wavBytes]]), video payloads are opaque text
-    * bytes (their decode is stubbed). */
+    * payloads are real WAVs ([[wavBytes]]), VIDEO payloads are real
+    * motion-PNG frame sequences ([[videoBytes]]). */
   def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.selectExpr("doc_id", "text", "CAST(n_chars AS INT) AS n")
       .as[(Long, String, Int)]
-      .map { case (id, text, n) =>
+      .map { case (id, _, n) =>
         (id % 3) match {
           case 0 =>
             val w = n % 16 + 4
@@ -142,38 +214,63 @@ object MediaOps {
             MediaRecord(id, "audio", wavBytes(id, rate, samples),
               MediaMeta("audio/wav", 0, 0, samples.toLong * 1000L / rate))
           case _ =>
-            MediaRecord(id, "video", text.getBytes("UTF-8"),
-              MediaMeta("video/mp4", n % 640 + 1, n % 480 + 1, n.toLong * 10))
+            val (w, h, nf) = (vidWidth(n), vidHeight(n), vidFrameCount(n))
+            MediaRecord(id, "video", videoBytes(id, w, h, nf),
+              MediaMeta("video/x-motion-png", w, h, nf * VidFrameMs))
         }
       }
   }
 
-  /** STUB decode for audio/video: derives `dim` floats from a rolling hash
-    * of the bytes so the downstream dataflow (batching, schema,
-    * partitioning) is fully exercised and reproducible. */
-  private[multimodal] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L // rolling polynomial hash, deterministic
-    var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    var d = 0
-    while (d < dim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(d) = ((h >>> 16).toInt % 1000) / 1000.0f
-      d += 1
-    }
-    out
-  }
-
   /** REAL image features: decode the PNG with ImageIO, bucket the raster
     * into `dim` cells row-major, mean luminance per cell in [0, 1].
-    * Payloads ImageIO cannot decode fall back to the stub (the corpus
-    * contract is "image payloads are decodable"; the fallback keeps a
-    * corrupt record from killing a 100 TB job, mirroring the tolerant
-    * JSON parse of the streaming leg). */
+    * Payloads ImageIO cannot decode yield the zero vector (the corpus
+    * contract is "image payloads are decodable"; the null-feature
+    * fallback keeps a corrupt record from killing a 100 TB job,
+    * mirroring the tolerant JSON parse of the streaming leg). */
   private[multimodal] def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-    if (img == null) fakeDecode(bytes, dim) else featuresOf(img, dim)
+    if (img == null) new Array[Float](dim) else featuresOf(img, dim)
+  }
+
+  /** REAL audio features: decode the PCM via the JDK WAVE reader, bucket
+    * the unsigned 16-bit samples into `dim` cells by sample index, mean
+    * amplitude per cell in [0, 1]. Zero vector if undecodable. */
+  private[multimodal] def audioFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      val sums = new Array[Long](dim)
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < n) {
+        val u = (pcm(2 * i) & 0xFF) | ((pcm(2 * i + 1) & 0xFF) << 8)
+        sums(i % dim) += u
+        counts(i % dim) += 1
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        out(d) = if (counts(d) == 0) 0f else sums(d).toFloat / (counts(d) * 65535f)
+        d += 1
+      }
+      out
+    } catch { case _: Exception => new Array[Float](dim) }
+
+  /** REAL video features: mean of the per-frame [[featuresOf]] vectors
+    * over the decoded frames. Zero vector if undecodable. */
+  private[multimodal] def videoFeaturesOf(frames: Seq[BufferedImage], dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    frames.foreach { fr =>
+      val f = featuresOf(fr, dim)
+      var d = 0
+      while (d < dim) { acc(d) += f(d); d += 1 }
+    }
+    var d = 0
+    while (d < dim) { acc(d) /= frames.length.max(1); d += 1 }
+    acc
   }
 
   /** Feature extraction over an ALREADY-decoded raster — shared by the
@@ -208,15 +305,20 @@ object MediaOps {
   /** Feature extraction: per-partition batch over the payload column.
     * `mapPartitions` (not per-row UDF) so decoder/model init amortizes once
     * per partition — the Spark idiom for expensive per-record libraries.
-    * Images decode for real; audio/video go through the stub. */
+    * All three kinds decode for real (pure JDK codecs). */
   def decodeFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // (real impl: init audio/video codecs once here; ImageIO is static)
+      // (real impl: init heavier codecs once here; the JDK ones are static)
       it.map { m =>
-        val f = if (m.kind == "image") imageFeatures(m.bytes, dim)
-                else fakeDecode(m.bytes, dim)
+        val f = m.kind match {
+          case "image" => imageFeatures(m.bytes, dim)
+          case "audio" => audioFeatures(m.bytes, dim)
+          case "video" => decodeVideo(m.bytes)
+            .map(videoFeaturesOf(_, dim)).getOrElse(new Array[Float](dim))
+          case _ => new Array[Float](dim)
+        }
         MediaFeatures(m.media_id, m.kind, dim, f)
       }
     }
@@ -277,15 +379,25 @@ object MediaOps {
   def audioFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame =
     audioStats(fromDocuments(docs)).toDF().orderBy("doc_id")
 
-  /** Frame sampling: split each "video" payload into fixed-size frame
-    * chunks (stub for keyframe extraction) — 1→N flatMap, no shuffle. */
-  def frameSample(media: Dataset[MediaRecord], frameBytes: Int = 64): Dataset[MediaFrame] = {
+  /** Frame sampling: split each "video" payload on its REAL frame
+    * boundaries and emit every `stride`-th frame's PNG bytes — 1→N
+    * flatMap, no shuffle, no decode (the container's length prefixes
+    * locate frames without rasterizing them — keyframe extraction's
+    * cheap path). Malformed containers yield no frames. */
+  def frameSample(media: Dataset[MediaRecord], stride: Int = 1): Dataset[MediaFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      m.bytes.grouped(frameBytes).zipWithIndex.map {
-        case (chunk, i) => MediaFrame(m.media_id, i, chunk)
-      }
+      try {
+        val in = new java.io.DataInputStream(new ByteArrayInputStream(m.bytes))
+        val nf = in.readInt()
+        (0 until nf).flatMap { f =>
+          val len = in.readInt()
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          if (f % stride == 0) Some(MediaFrame(m.media_id, f, buf)) else None
+        }
+      } catch { case _: Exception => Seq.empty }
     }
   }
 
@@ -303,25 +415,69 @@ object MediaOps {
   }
 
   /** Single-decode combined pass: every payload is decoded ONCE per record
-    * (feature extraction and image facts share the raster) — at corpus
+    * (feature extraction and raster facts share the decode) — at corpus
     * scale the decode dominates, so a second decode pass would double the
-    * dominant cost. Undecodable image payloads fall back to the stub with
-    * null decode facts (a corrupt record must not kill the job). */
+    * dominant cost. Image AND video rows carry real raster facts (video:
+    * first-frame dimensions + the ordered [[framesChecksum]]); audio has
+    * no raster. Undecodable payloads yield zero features with null facts
+    * (a corrupt record must not kill the job). */
   def decodeAll(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaDecoded] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val img = if (m.kind == "image")
-          javax.imageio.ImageIO.read(new ByteArrayInputStream(m.bytes)) else null
-        if (img == null)
-          MediaDecoded(m.media_id, m.kind, fakeDecode(m.bytes, dim), None, None, None)
-        else
-          MediaDecoded(m.media_id, m.kind, featuresOf(img, dim),
-            Some(img.getWidth), Some(img.getHeight), Some(pixelChecksum(img)))
+        m.kind match {
+          case "image" =>
+            val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(m.bytes))
+            if (img == null)
+              MediaDecoded(m.media_id, m.kind, new Array[Float](dim), None, None, None)
+            else
+              MediaDecoded(m.media_id, m.kind, featuresOf(img, dim),
+                Some(img.getWidth), Some(img.getHeight), Some(pixelChecksum(img)))
+          case "audio" =>
+            MediaDecoded(m.media_id, m.kind, audioFeatures(m.bytes, dim),
+              None, None, None)
+          case "video" =>
+            decodeVideo(m.bytes) match {
+              case Some(frames) if frames.nonEmpty =>
+                MediaDecoded(m.media_id, m.kind, videoFeaturesOf(frames, dim),
+                  Some(frames.head.getWidth), Some(frames.head.getHeight),
+                  Some(framesChecksum(frames)))
+              case _ =>
+                MediaDecoded(m.media_id, m.kind, new Array[Float](dim), None, None, None)
+            }
+          case _ =>
+            MediaDecoded(m.media_id, m.kind, new Array[Float](dim), None, None, None)
+        }
       }
     }
   }
+
+  /** q93 — video pipeline end-to-end: corpus → real per-frame PNG decode →
+    * per-video frame count, dimensions, and the ordered frame-checksum
+    * fold. The q50/q81 pattern for the video modality: the Spark side
+    * parses the actual container and rasterizes every frame with ImageIO,
+    * while the oracle recomputes every column WITHOUT a codec from the
+    * (doc_id, frame)-pure raster function — a hash match proves the
+    * encode → container parse → per-frame decode → checksum path is the
+    * identity (PNG losslessness included). */
+  def videoStats(media: Dataset[MediaRecord]): Dataset[VideoStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        decodeVideo(m.bytes).collect {
+          case frames if frames.nonEmpty =>
+            VideoStats(m.media_id, frames.length.toLong,
+              frames.head.getWidth.toLong, frames.head.getHeight.toLong,
+              framesChecksum(frames))
+        }
+      }
+    }
+  }
+
+  def videoFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    videoStats(fromDocuments(docs)).toDF().orderBy("doc_id")
 
   /** q50 — media pipeline end-to-end: corpus → ONE decode pass → per-kind
     * stats. The image row carries REAL decoded facts (summed dimensions +
@@ -361,6 +517,22 @@ object MediaOps {
     val U = "18446744073709551616" // 2^64
     val px = s"((((doc_id::HUGEINT * 6364136223846793005 + " +
       s"((i % w) * 31 + (i // w) * 131 + 17) * 2654435761) % $U + $U) % $U // 65536) % 16777216)"
+    // video pixel: the SAME raster formula at the per-frame seed
+    // doc_id*1000003 + f ([[vidFrameSeed]]), frame dims vw×vh; the
+    // per-video checksum is the ordered outer fold over the per-frame
+    // folds ([[framesChecksum]]) — nested list_reduce, all mod 2^64
+    def vFold(wCol: String, hCol: String, nfCol: String) =
+      s"""list_reduce(
+            list_prepend(1125899906842597::HUGEINT,
+              list_transform(range(0, $nfCol), f ->
+                list_reduce(
+                  list_prepend(1125899906842597::HUGEINT,
+                    list_transform(range(0, $wCol * $hCol), i ->
+                      ((((doc_id::HUGEINT * 1000003 + f) * 6364136223846793005 +
+                         ((i % $wCol) * 31 + (i // $wCol) * 131 + 17) * 2654435761)
+                        % $U + $U) % $U // 65536) % 16777216)),
+                  (acc, p) -> (acc * 31 + p) % $U))),
+            (acc, p) -> (acc * 31 + p) % $U)"""
     // q81: [[wavBytes]] stores sample i as the unsigned 16-bit
     // `((doc_id*6364136223846793005 + (i+1)*2654435761) >>> 16) & 0xFFFF`,
     // and [[audioStats]] folds h = 31·h + u16 over the DECODED samples.
@@ -398,7 +570,10 @@ object MediaOps {
                    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(n_chars AS INTEGER) % 16 + 4 AS w,
-                   CAST(n_chars AS INTEGER) % 12 + 3 AS h
+                   CAST(n_chars AS INTEGER) % 12 + 3 AS h,
+                   CAST(n_chars AS INTEGER) % 10 + 4 AS vw,
+                   CAST(n_chars AS INTEGER) % 8 + 3 AS vh,
+                   CAST(n_chars AS INTEGER) % 6 + 2 AS nf
             FROM documents),
           chk AS (
             SELECT doc_id,
@@ -409,12 +584,40 @@ object MediaOps {
                            list_prepend(1125899906842597::HUGEINT,
                              list_transform(range(0, w*h), i -> $px)),
                            (acc, p) -> (acc * 31 + p) % $U) AS hu
-                  FROM m WHERE kind = 'image'))
+                  FROM m WHERE kind = 'image')),
+          vchk AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - $U
+                             ELSE hu END AS BIGINT) AS cks
+            FROM (SELECT doc_id, ${vFold("vw", "vh", "nf")} AS hu
+                  FROM m WHERE kind = 'video'))
           SELECT m.kind AS kind, COUNT(*) AS n_media,
-                 CAST(SUM(CASE WHEN m.kind = 'image' THEN m.w END) AS BIGINT) AS sum_width,
-                 CAST(SUM(CASE WHEN m.kind = 'image' THEN m.h END) AS BIGINT) AS sum_height,
-                 bit_xor(chk.cks) AS pixel_checksum_xor
+                 CAST(SUM(CASE WHEN m.kind = 'image' THEN m.w
+                               WHEN m.kind = 'video' THEN m.vw END) AS BIGINT) AS sum_width,
+                 CAST(SUM(CASE WHEN m.kind = 'image' THEN m.h
+                               WHEN m.kind = 'video' THEN m.vh END) AS BIGINT) AS sum_height,
+                 bit_xor(COALESCE(chk.cks, vchk.cks)) AS pixel_checksum_xor
           FROM m LEFT JOIN chk ON m.doc_id = chk.doc_id
-          GROUP BY m.kind ORDER BY m.kind""")
+               LEFT JOIN vchk ON m.doc_id = vchk.doc_id
+          GROUP BY m.kind ORDER BY m.kind""",
+      "q93_video_features" ->
+        s"""WITH v AS (
+              SELECT doc_id,
+                     CAST(n_chars AS INTEGER) % 10 + 4 AS vw,
+                     CAST(n_chars AS INTEGER) % 8 + 3 AS vh,
+                     CAST(n_chars AS INTEGER) % 6 + 2 AS nf
+              FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+            chk AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - $U
+                               ELSE hu END AS BIGINT) AS cks
+              FROM (SELECT doc_id, ${vFold("vw", "vh", "nf")} AS hu FROM v))
+            SELECT v.doc_id AS doc_id,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(vw AS BIGINT) AS width,
+                   CAST(vh AS BIGINT) AS height,
+                   chk.cks AS frames_checksum
+            FROM v JOIN chk ON v.doc_id = chk.doc_id
+            ORDER BY doc_id""")
   }
 }

@@ -19,7 +19,12 @@ class MediaOpsSpec extends SparkSpec {
     // the audio payload is a REAL RIFF/WAVE file (magic bytes), not text
     assert(media(1).bytes.take(4) sameElements "RIFF".getBytes("US-ASCII"))
     assert(media(1).bytes.slice(8, 12) sameElements "WAVE".getBytes("US-ASCII"))
-    assert(media(2).meta.mime === "video/mp4")
+    // the video payload is a REAL motion-PNG container: big-endian frame
+    // count (n=194 → 194%6+2 = 4 frames), then length-prefixed PNG frames
+    assert(media(2).meta.mime === "video/x-motion-png")
+    assert(media(2).bytes.take(4) sameElements Array[Byte](0, 0, 0, 4))
+    assert(media(2).bytes.slice(8, 12) sameElements
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
   }
 
   test("audioStats decodes real WAVs: header format facts + stable PCM checksum") {
@@ -75,13 +80,58 @@ class MediaOpsSpec extends SparkSpec {
     assert(f1.zip(f2).forall { case (a, b) => a.features sameElements b.features })
   }
 
-  test("frameSample splits only videos into fixed-size frames") {
+  test("frameSample splits only videos, on REAL frame boundaries") {
+    // doc 2: n=194 → 4 frames of 8×5; every sampled frame is a standalone
+    // decodable PNG of the frame dims, and stride 2 keeps frames 0 and 2
     val media = MediaOps.fromDocuments(docs)
-    val frames = MediaOps.frameSample(media, frameBytes = 64).collect()
-    val videoLen = media.collect().find(_.kind == "video").get.bytes.length
+    val frames = MediaOps.frameSample(media).collect().sortBy(_.frame_no)
     assert(frames.forall(_.media_id === 2L))
-    assert(frames.length === (videoLen + 63) / 64)
-    assert(frames.map(_.frame_bytes.length).sum === videoLen)
+    assert(frames.map(_.frame_no).toSeq === Seq(0, 1, 2, 3))
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img != null, s"frame ${f.frame_no} is not a decodable PNG")
+      assert((img.getWidth, img.getHeight) === ((194 % 10 + 4, 194 % 8 + 3)))
+    }
+    val strided = MediaOps.frameSample(media, stride = 2).collect()
+    assert(strided.map(_.frame_no).toSeq.sorted === Seq(0, 2))
+  }
+
+  test("videoStats decodes real motion-PNG: frame count, dims, ordered checksum") {
+    // doc 2: n=194 → 4 frames of 8×5; the decoded checksum must equal the
+    // direct nested fold of the raster generator formula — proving the
+    // container parse + per-frame PNG decode recover the exact rasters
+    val stats = MediaOps.videoStats(MediaOps.fromDocuments(docs)).collect()
+    assert(stats.length === 1)
+    val s = stats.head
+    assert(s.doc_id === 2L)
+    assert(s.n_frames === 4L)
+    assert((s.width, s.height) === ((8L, 5L)))
+    val (w, h) = (8, 5)
+    var outer = 1125899906842597L
+    (0 until 4).foreach { f =>
+      val seed = 2L * 1000003L + f
+      var inner = 1125899906842597L
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val v = seed * 6364136223846793005L + (x * 31L + y * 131L + 17L) * 2654435761L
+          inner = 31 * inner + ((v >>> 16) & 0xFFFFFF)
+        }
+      }
+      outer = 31 * outer + inner
+    }
+    assert(s.frames_checksum === outer)
+  }
+
+  test("videoStats drops malformed containers instead of failing the job") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(
+      MediaRecord(2L, "video", MediaOps.videoBytes(2L, 4, 3, 2),
+        MediaMeta("video/x-motion-png", 4, 3, 80L)),
+      MediaRecord(5L, "video", "definitely not frames".getBytes("UTF-8"),
+        MediaMeta("video/x-motion-png", 4, 3, 80L))
+    ).toDS()
+    assert(MediaOps.videoStats(media).collect().map(_.doc_id).toSeq === Seq(2L))
   }
 
   test("resize caps image dimensions and leaves other kinds alone") {
