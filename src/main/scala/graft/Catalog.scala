@@ -45,6 +45,18 @@ object Catalog {
     * cross-query parquet snapshots). */
   def registerOpViews(spark: SparkSession): Unit = {
     val sfDirOpt = Option(registeredDirs.get(spark))
+    if (sfDirOpt.isEmpty)
+      // the fallback is a real semantics downgrade, not just a slow path:
+      // no parquet snapshots (no executor-loss durability, no cross-query
+      // reuse) and the EAGER dedupClusters contraction re-runs in full on
+      // every registerOpViews call — say so instead of degrading silently
+      System.err.println(
+        "[graft.Catalog] WARNING: registerOpViews without registerTables — " +
+          "pair/cluster views build from the session's own `documents` view " +
+          "with NO parquet snapshots: lineage will not survive executor " +
+          "loss, and the eager dedup-cluster contraction re-runs in full on " +
+          "every registerOpViews call. Call Catalog.registerTables(spark, " +
+          "sfDir) first for the snapshot-backed views.")
     val docs = spark.table("documents")
     val emb = spark.table("embeddings")
     ops.TextOps.exactDedup(docs).createOrReplaceTempView("doc_exact_dedup")

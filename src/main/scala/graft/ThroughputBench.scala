@@ -10,12 +10,20 @@ import org.apache.spark.sql.SparkSession
   * batch transform throughput ≈ streaming steady-state throughput at
   * saturated batches.
   *
+  * A second mode measures the documented INGEST chain
+  * ([[streaming.IngestPipeline]]: PII scrub → contamination flag →
+  * centroid route) over synthetic documents with embeddings — the same
+  * per-micro-batch plan a streaming deployment executes, all reference
+  * artifacts broadcast.
+  *
   * Not part of the driver contract; run manually:
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ThroughputBench 10000000"
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ThroughputBench 10000000 ingest"
   */
 object ThroughputBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val mode = args.drop(1).headOption.getOrElse("fraud")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,16 +42,42 @@ object ThroughputBench {
                           '.5,"timestamp":', CAST(1700000000 + id % 100000 AS STRING), '}')
          END AS value""")
 
+    // ingest mode: synthetic (doc_id, text, embedding) arrivals — ~1/10
+    // carry a PII pattern so the redact chain does real work; embeddings
+    // are a codegen'd pure function of the row (no driver loop)
+    val ingestWire = spark.range(n).selectExpr(
+      "id AS doc_id",
+      """concat('ingest doc ', CAST(id AS STRING),
+                CASE WHEN id % 10 = 0 THEN ' mail u@ex.org now' ELSE ' clean body text' END) AS text""",
+      "transform(sequence(0, 63), j -> CAST(sin(CAST(id % 97 AS DOUBLE) + j) AS FLOAT)) AS embedding")
+    lazy val ingestRefs = {
+      // the bounded reference artifacts a batch job refreshes: centroids
+      // learned over a small sample of the same generator, a 100-doc eval set
+      val sample = spark.range(256).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), j -> CAST(sin(CAST(id % 97 AS DOUBLE) + j) AS FLOAT)) AS embedding",
+        "CAST(id % 8 AS INT) AS label")
+      val evalDocs = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('eval item ', CAST(id AS STRING)) AS text")
+      (evalDocs, ops.SimilarityOps.kmeansCentroids(sample))
+    }
+
     def once(): Double = {
       val t0 = System.nanoTime()
-      streaming.FraudPipeline.fraudAlerts(wire)
-        .write.format("noop").mode("overwrite").save()
+      val out = mode match {
+        case "ingest" =>
+          val (evalDocs, cents) = ingestRefs
+          streaming.IngestPipeline.ingest(ingestWire, evalDocs, cents)
+        case _ => streaming.FraudPipeline.fraudAlerts(wire)
+      }
+      out.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     once() // warmup (JIT + codegen)
     val sec = math.min(once(), once())
     val rps = n / sec
-    println(f"""{"metric":"pipeline_rows_per_sec","value":$rps%.0f,"rows":$n,"sec":$sec%.3f,"cpus":$cpus}""")
+    val metric = if (mode == "ingest") "ingest_rows_per_sec" else "pipeline_rows_per_sec"
+    println(f"""{"metric":"$metric%s","value":$rps%.0f,"rows":$n,"sec":$sec%.3f,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -31,6 +31,22 @@ object IngestGuard {
       .drop("fp") // internal join key — alert consumers see the doc columns only
   }
 
+  /** Annotating variant of [[contaminationGuard]] for pipeline composition
+    * ([[IngestPipeline]]): EVERY arriving doc passes through, carrying a
+    * `contaminated` flag, instead of the alert-stream semi-join — the
+    * chain form quarantines downstream rather than dropping here, so later
+    * stages (routing, landing) see the full stream. Same fingerprint
+    * recipe, same broadcast eval table, stream-static left join
+    * (stateless). */
+  def contaminationFlag(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalFps = evalDocs.selectExpr(s"${TextOps.BowFpExpr} AS fp").distinct()
+      .withColumn("contaminated", lit(true))
+    docs.withColumn("fp", expr(TextOps.BowFpExpr))
+      .join(broadcast(evalFps), Seq("fp"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .drop("fp")
+  }
+
   /** Near-dup-at-ingest: the arriving doc's MinHash band keys (same
     * signature + band recipe as q37/q69, via [[DedupOps.bandKeyExprs]])
     * probe the standing corpus's band table; candidate pairs are scored by

@@ -96,6 +96,24 @@ class BenchOutputSpec extends SparkSpec {
     assert(last.get("nerrors").asInt == 2 && last.get("nqueries").asInt == 1)
   }
 
+  test("noise gate: bursty steal flags, quiet and uniformly-slower hosts don't") {
+    assert(!Bench.noiseBound(Seq(0.13, 0.14, 0.15)), "quiet run flagged")
+    // uniformly slower host: the run's own best probe lifts the bar
+    assert(!Bench.noiseBound(Seq(0.30, 0.31, 0.32)), "uniform host flagged")
+    // r9-official-like burst: median probe ≫ quiet baseline
+    assert(Bench.noiseBound(Seq(0.119, 0.2, 0.3, 0.4, 0.535)), "burst not flagged")
+    assert(!Bench.noiseBound(Seq.empty), "empty probes must not flag")
+  }
+
+  test("renderLines: compact line carries the noise_bound verdict") {
+    val results = Seq(Bench.QueryResult("q01_a", Right(0.1), Right(0.1)))
+    val quiet = parseObj(Bench.renderLines(results, probes, "/sf").last)
+    assert(!quiet.get("noise_bound").asBoolean)
+    val noisy = parseObj(Bench.renderLines(results,
+      Bench.Probes(Seq(0.13, 0.5), Seq(0.5, 0.6)), "/sf").last)
+    assert(noisy.get("noise_bound").asBoolean)
+  }
+
   test("fmt is locale-independent 3-decimal") {
     assert(Bench.fmt(0.1234567) == "0.123")
     assert(Bench.fmt(79.7815) == "79.782")
