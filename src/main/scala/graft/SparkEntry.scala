@@ -66,6 +66,12 @@ object SparkEntry {
     * parquet bit-exactly, like the q37 snapshot). */
   private[graft] def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "jacpairs")(DedupOps.jaccardPairs(Tables.documents(s, d)))
+  /** The q73 packed-row table, materialized once per (session, corpus) —
+    * q78/q82 aggregate over this snapshot; q73 itself stays the live
+    * two-pass plan so the prefix-sum cost is measured exactly once.
+    * All-BIGINT columns round-trip parquet bit-exactly. */
+  private[graft] def packingShared(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "packing")(PipelineOps.sequencePacking(Tables.documents(s, d)))
   /** The q66 cluster table, materialized once per (session, corpus): the
     * contraction loop is EAGER (convergence actions), so both its
     * consumers (q66, q71) read this snapshot — the iterative cost is paid
@@ -224,13 +230,15 @@ object SparkEntry {
     "q73_sequence_packing" -> ((s, d) =>
       PipelineOps.sequencePacking(Tables.documents(s, d))),
     // the packer's waste dashboard: chunk fill rate + doc straddle rate,
-    // one global aggregate over the verified q73 rows
+    // one global aggregate over the MATERIALIZED q73 snapshot (the
+    // q59/q91 measures-vs-reads division — q73 itself stays the live
+    // two-pass plan, so the prefix-sum cost is measured exactly once)
     "q78_packing_stats"    -> ((s, d) =>
-      PipelineOps.packingStats(Tables.documents(s, d))),
+      PipelineOps.packingStatsOf(packingShared(s, d))),
     // the packer's inverse map: chunk_id → ordered doc spans (the manifest
-    // a trainer loads chunks by) — q73 rows + one row-local explode
+    // a trainer loads chunks by) — the q73 snapshot + one row-local explode
     "q82_chunk_composition" -> ((s, d) =>
-      PipelineOps.chunkComposition(Tables.documents(s, d))),
+      PipelineOps.chunkCompositionOf(packingShared(s, d))),
     // C4-style URL/domain dedup: row-local host extraction, canonical-per-
     // URL min agg, per-domain quality priors joined back broadcast
     "q83_url_dedup"        -> ((s, d) =>

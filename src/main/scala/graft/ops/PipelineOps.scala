@@ -239,7 +239,13 @@ object PipelineOps {
     * aggregate over per-doc rows; all inputs exact integers, the two rates
     * are single IEEE divisions — hash-exact cross-engine. */
   def packingStats(docs: DataFrame, budget: Long = 1024): DataFrame =
-    sequencePacking(docs, budget).selectExpr(
+    packingStatsOf(sequencePacking(docs, budget), budget)
+
+  /** [[packingStats]] over an ALREADY-packed row table — the query path
+    * reads the materialized q73 snapshot (the q59/q91 measures-vs-reads
+    * division) instead of re-deriving the two-pass prefix sum. */
+  def packingStatsOf(packed: DataFrame, budget: Long = 1024): DataFrame =
+    packed.selectExpr(
         "n_tokens", "chunk_last", "CAST(chunk_first != chunk_last AS INT) AS straddles")
       .selectExpr(
         "COUNT(*) AS n_docs",
@@ -262,7 +268,12 @@ object PipelineOps {
     * arithmetic is exact integers (greatest/least over offsets) —
     * hash-exact cross-engine by construction. */
   def chunkComposition(docs: DataFrame, budget: Long = 1024): DataFrame =
-    sequencePacking(docs, budget)
+    chunkCompositionOf(sequencePacking(docs, budget), budget)
+
+  /** [[chunkComposition]] over an already-packed row table (see
+    * [[packingStatsOf]]). */
+  def chunkCompositionOf(packed: DataFrame, budget: Long = 1024): DataFrame =
+    packed
       .selectExpr("doc_id", "n_tokens", "start_offset",
         "explode(sequence(chunk_first, chunk_last)) AS chunk_id")
       .selectExpr("chunk_id", "doc_id",
