@@ -5,13 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver's read-only parquet testdata (TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's parquet
-  * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it with
-  * `spark.sql.legacy.parquet.nanosAsLong` and convert once at the ingest
-  * boundary with integer division (`DIV 1000`, never `/1000`: epoch-nanos
-  * ~1.7e18 exceeds a double's 53-bit mantissa, so float division would
-  * corrupt microseconds). Floor division matches DuckDB's own ns→us
-  * truncation, keeping the oracle comparison exact.
+  * `events.ts` has been written two ways across driver generations, and the
+  * loader adapts by SCHEMA, not by round: (a) parquet TIMESTAMP(NANOS),
+  * which Spark's parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]) —
+  * read with `spark.sql.legacy.parquet.nanosAsLong` and converted once at
+  * the ingest boundary with integer division (`DIV 1000`, never `/1000`:
+  * epoch-nanos ~1.7e18 exceeds a double's 53-bit mantissa, so float
+  * division would corrupt microseconds; floor division matches DuckDB's own
+  * ns→us truncation); (b) parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+  * which Spark reads natively as TIMESTAMP_NTZ — cast to the session
+  * TimestampType every downstream consumer expects (the session zone is
+  * UTC in every entrypoint, so the cast is value-preserving and the DuckDB
+  * oracle, which reads the same file as naive micros, stays exact).
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -27,7 +32,13 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 
