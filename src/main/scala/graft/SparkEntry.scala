@@ -281,6 +281,18 @@ object SparkEntry {
     // CCNet-style perplexity filter: per-doc avg bigram surprisal under a
     // corpus-trained add-one LM, exact micro-unit sums (q67's recipe)
     "q92_bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(Tables.documents(s, d))),
+    // DSIR importance weights: per-train-doc log-likelihood ratio between
+    // bigram models fit on the q57 test split (target) and train split
+    // (raw) — the data-SELECTION counterpart to q92's outlier filter
+    "q95_dsir_weights"     -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
+    // soft dedup: every doc kept, downweighted by near-dup cluster
+    // multiplicity — reads the MATERIALIZED q66 cluster table (q59 pattern)
+    "q97_softdedup_weights" -> ((s, d) =>
+      graft.ops.GraphOps.softDedupWeights(clustersShared(s, d))),
+    // per-language tokenizer fertility/compression over the persisted q77
+    // merge artifact — tokenization fused into one scan, no join back
+    "q96_tokenizer_fertility" -> ((s, d) =>
+      graft.ops.BpeOps.tokenizerFertility(Tables.documents(s, d), bpeMergesShared(s, d))),
     // the capstone RENDER: what q71 decides, this emits — the computed
     // dirty text (raw-web stand-in) span-scrubbed (q84), PII-redacted
     // (q86), fingerprinted, with the q71 keep verdict attached. The

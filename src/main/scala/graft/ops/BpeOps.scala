@@ -219,20 +219,50 @@ object BpeOps {
     applyMerges(docs, learnMerges(docs, numMerges))
 
   /** The application half, against an already-learned merge list (the
-    * pipeline artifact a corpus build persists next to the vocab). */
+    * pipeline artifact a corpus build persists next to the vocab).
+    * `extra` names document columns carried through unchanged (q96's
+    * per-language rollup reads lang/n_chars in the SAME scan instead of
+    * joining `documents` back on doc_id — one pass, no join). */
   def applyMerges(docs: DataFrame,
-                  merges: Seq[(Long, String, String, Long)]): DataFrame = {
+                  merges: Seq[(Long, String, String, Long)],
+                  extra: Seq[String] = Nil): DataFrame = {
     val wrapWord = s"concat(regexp_replace(w, '(.)', '($$1)'), '($EndMark)')"
     val applied = merges.foldLeft(wrapWord) {
       case (e, (_, l, r, _)) => s"replace($e, '($l)($r)', '($l$r)')"
     }
-    docs.selectExpr("doc_id", s"filter(split($NormExpr, ' '), w -> w != '') AS words")
-      .selectExpr("doc_id",
+    docs.selectExpr(Seq("doc_id") ++ extra ++
+        Seq(s"filter(split($NormExpr, ' '), w -> w != '') AS words"): _*)
+      .selectExpr(Seq("doc_id") ++ extra ++ Seq(
         "CAST(size(words) AS BIGINT) AS n_words",
         s"""aggregate(transform(words, w -> $applied), CAST(0 AS BIGINT),
-             (acc, x) -> acc + CAST(length(x) - length(replace(x, '(', '')) AS BIGINT)) AS n_bpe_tokens""")
+             (acc, x) -> acc + CAST(length(x) - length(replace(x, '(', '')) AS BIGINT)) AS n_bpe_tokens"""): _*)
       .orderBy("doc_id")
   }
+
+  /** q96 — TOKENIZER FERTILITY per language: the dashboard a multilingual
+    * tokenizer owner watches — per lang: BPE tokens per word (fertility)
+    * and bytes-per-token compression (chars here; the corpus is ASCII). A
+    * vocabulary trained lopsidedly over-fragments the minority languages,
+    * and this is the table where that shows up (fertility climbing toward
+    * characters-per-word). Composes the persisted q77 merge artifact
+    * ([[applyMerges]]) — learning is NOT re-run here.
+    *
+    * Scale shape: tokenization is the q79 row-local fold fused into ONE
+    * scan (lang/n_chars carried through, no join back to `documents`),
+    * then a single map-combinable aggregate with |langs| output rows; the
+    * two ratios are single IEEE divisions of exact integer sums. */
+  def tokenizerFertility(docs: DataFrame,
+                         merges: Seq[(Long, String, String, Long)]): DataFrame =
+    applyMerges(docs, merges, Seq("lang", "n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum("n_bpe_tokens").as("total_bpe_tokens"),
+        sum("n_chars").as("total_chars"))
+      .selectExpr("lang", "n_docs", "total_words", "total_bpe_tokens", "total_chars",
+        "CAST(total_bpe_tokens AS DOUBLE) / CAST(total_words AS DOUBLE) AS fertility",
+        "CAST(total_chars AS DOUBLE) / CAST(total_bpe_tokens AS DOUBLE) AS chars_per_token")
+      .orderBy("lang")
 
   /** DuckDB oracles: the identical algorithm unrolled — round r's CTEs are
     * pair counts over w{r-1}, the (cnt DESC, l, r) argmax, and the literal
@@ -282,22 +312,39 @@ object BpeOps {
         s"replace($e, COALESCE('(' || m$k.l || ')(' || m$k.r || ')', '(~)'), COALESCE('(' || m$k.l || m$k.r || ')', ''))"
     }
     val crossMerges = (1 to NumMerges).map(k => s"LEFT JOIN b$k m$k ON TRUE").mkString(" ")
+    val q79Sql =
+      s"""WITH ${duckLearningCtes},
+          dw AS (SELECT doc_id,
+                        list_filter(str_split($DuckNorm, ' '), w -> w != '') AS words
+                 FROM documents)
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 CAST(COALESCE(list_sum(list_transform(words,
+                        w -> len($applied) - len(replace($applied, '(', '')))), 0) AS BIGINT)
+                   AS n_bpe_tokens
+          FROM dw $crossMerges
+          ORDER BY doc_id"""
     Map(
       "q77_bpe_vocab" ->
         s"""WITH ${duckLearningCtes}
             SELECT merge_rank, left_sym, right_sym, merged, cnt
             FROM ($union) ORDER BY merge_rank""",
-      "q79_bpe_token_counts" ->
-        s"""WITH ${duckLearningCtes},
-            dw AS (SELECT doc_id,
-                          list_filter(str_split($DuckNorm, ' '), w -> w != '') AS words
-                   FROM documents)
-            SELECT doc_id,
-                   CAST(len(words) AS BIGINT) AS n_words,
-                   CAST(COALESCE(list_sum(list_transform(words,
-                          w -> len($applied) - len(replace($applied, '(', '')))), 0) AS BIGINT)
-                     AS n_bpe_tokens
-            FROM dw $crossMerges
-            ORDER BY doc_id""")
+      "q79_bpe_token_counts" -> q79Sql,
+      // q96 composes the q79 oracle verbatim (the q78/q82 pattern): the
+      // rollup's per-doc token inputs cannot drift from the verified
+      // tokenization query
+      "q96_tokenizer_fertility" ->
+        s"""WITH tok AS ($q79Sql)
+            SELECT d.lang AS lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tok.n_words) AS BIGINT) AS total_words,
+                   CAST(SUM(tok.n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+                   CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+                   CAST(CAST(SUM(tok.n_bpe_tokens) AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(SUM(tok.n_words) AS BIGINT) AS DOUBLE) AS fertility,
+                   CAST(CAST(SUM(d.n_chars) AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(SUM(tok.n_bpe_tokens) AS BIGINT) AS DOUBLE) AS chars_per_token
+            FROM tok JOIN documents d ON tok.doc_id = d.doc_id
+            GROUP BY d.lang ORDER BY lang""")
   }
 }

@@ -110,13 +110,51 @@ object GraphOps {
       .selectExpr("doc_id", "cluster_id", "doc_id = cluster_id AS keep")
       .orderBy("doc_id")
 
+  /** q97 — SOFT-DEDUP WEIGHTS (the SlimPajama / "soft dedup" alternative to
+    * hard dropping): instead of deleting near-dup cluster members, keep
+    * every document and downweight it by its cluster's multiplicity —
+    * weight = 1/|cluster| — so each distinct content unit contributes one
+    * unit of sampling mass to the training mix. Consumes the MATERIALIZED
+    * q66 cluster table (a pipeline stage over persisted dedup output, the
+    * q59/q91 pattern). Σ weight within a cluster is exactly 1 by
+    * construction; Σ over the corpus = the effective deduplicated size.
+    *
+    * Scale shape: one map-combinable count per cluster_id, joined back on
+    * the same cluster_id partitioning (no second exchange of the big side
+    * beyond the groupBy's own); the weight is a single IEEE division of
+    * exact integers, bit-identical cross-engine. A crawl-scale mega-cluster
+    * hot key is bounded by the same AQE skew handling the groupBy needs
+    * anyway — no all-pairs structure exists here. */
+  def softDedupWeights(clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.select("doc_id", "cluster_id")
+      .join(sizes, "cluster_id")
+      .selectExpr("doc_id", "cluster_id", "cluster_size",
+        "CAST(1.0 AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS weight")
+      .orderBy("doc_id")
+  }
+
   /** q66's oracle composes the verified q37 pair oracle verbatim (the edges
     * cannot drift from the individually-hash-checked query) with a
     * recursive-CTE min-label reachability — DuckDB's walk accumulates every
     * label reachable from each node; MIN per node is the component minimum,
-    * independently of the star-contraction algorithm under test. */
+    * independently of the star-contraction algorithm under test.
+    * q97 composes the q66 oracle verbatim (the q71 pattern), so the weight
+    * table's cluster inputs cannot drift from the verified clustering. */
   def oracles: Map[String, String] = Map(
-    "q66_dedup_clusters" -> {
+    "q97_softdedup_weights" ->
+      s"""WITH c AS (${q66Sql}),
+          z AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM c GROUP BY cluster_id)
+          SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
+                 z.cluster_size AS cluster_size,
+                 CAST(1.0 AS DOUBLE) / CAST(z.cluster_size AS DOUBLE) AS weight
+          FROM c JOIN z ON c.cluster_id = z.cluster_id
+          ORDER BY doc_id""",
+    "q66_dedup_clusters" -> q66Sql)
+
+  private lazy val q66Sql: String = {
       val pairsSql = DedupOps.oracles("q37_lsh_pairs")
       s"""WITH RECURSIVE pairs AS ($pairsSql),
           edges AS (SELECT a_id AS u, b_id AS v FROM pairs
@@ -132,5 +170,5 @@ object GraphOps {
                  d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS keep
           FROM documents d LEFT OUTER JOIN cc ON d.doc_id = cc.node
           ORDER BY doc_id"""
-    })
+    }
 }

@@ -445,6 +445,64 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q95 — DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw (train-
+    * split) document by the log-likelihood ratio of its bigram bag under
+    * two add-one-smoothed n-gram models — one fit on the TARGET corpus
+    * (here the held-out q57 test split, standing in for the small
+    * high-quality corpus DSIR targets), one on the RAW corpus (the train
+    * split). Selecting/resampling by logw concentrates the training mix on
+    * target-like text; the val split touches neither model. Smoothing uses
+    * the joint bigram vocabulary V (distinct bigrams across both fitted
+    * splits), so a bigram unseen in the target still has finite mass.
+    *
+    * Determinism is the q92/q67 recipe: per-occurrence
+    * logw = ln(tc+1) − ln(Tt+V) − ln(rc+1) + ln(Tr+V) takes ln of
+    * INTEGERS, is scaled to micro-units with a rounding-boundary guard
+    * (logw is signed — away-from-zero half-rounding agrees across engines
+    * everywhere except the guarded boundary), summed exactly as integers;
+    * the final division is one IEEE op.
+    *
+    * Scale shape: the (bigram → target count, raw count) table is ONE
+    * map-side-combined aggregate bounded by distinct bigrams ≪ corpus;
+    * the split is the stateless md5-bucket rule ([[PipelineOps.splitOf]] —
+    * row-local, no shuffle); per-doc gathers ride the skew-proof
+    * [[gatherTwoTier]] (head ordered by RAW count — the probe side's hot
+    * keys); the 3 totals broadcast as one row. No window, no collect. */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val split = docs
+      .select(col("doc_id"), PipelineOps.md5Bucket(col("doc_id")).as("bucket"), col("text"))
+      .selectExpr("doc_id", s"${PipelineOps.splitOf("bucket")} AS split", "text")
+      .filter(col("split") =!= "val")
+    val bg = split.selectExpr("doc_id", "split",
+      "explode(graft_shingles(split(text, ' '), 2)) AS bg")
+    // columns ordered (bg, rc, tc): gatherTwoTier's head ranks by the
+    // first count column, and the probe side below is the RAW split
+    val counts = bg.groupBy("bg").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("rc"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("tc"))
+    val totals = counts.agg(
+      sum("tc").as("tt"), sum("rc").as("tr"), count(lit(1)).as("v"))
+    val raw = "(ln(tc + 1) - ln(tt + v) - ln(rc + 1) + ln(tr + v)) * 1e6"
+    val scored = gatherTwoTier(
+      bg.filter(col("split") === "train").select("doc_id", "bg"), counts, "bg")
+      .crossJoin(broadcast(totals))
+      .selectExpr("doc_id",
+        s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
+                 THEN CAST(raise_error('q95: log-ratio at a rounding boundary') AS BIGINT)
+                 ELSE CAST(round($raw) AS BIGINT) END AS micro""")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"), sum("micro").as("lm"))
+    split.filter(col("split") === "train").select("doc_id")
+      .join(scored, Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id",
+        "CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams",
+        "CAST(COALESCE(lm, 0) AS BIGINT) AS logw_micro",
+        "CAST(COALESCE(lm, 0) AS DOUBLE) / 1e6 AS logw")
+      .orderBy("doc_id")
+  }
+
   /** q90 — PER-SOURCE QUALITY DASHBOARD: the rollup a corpus team actually
     * watches — per (lang, source): doc count, q61 keep count/rate, and the
     * corpus-level stop-word ratio. A collapsing source (crawler broke, spam
@@ -538,6 +596,41 @@ object TextOps {
                    CAST(SUM(micro) AS BIGINT) AS nll_micro,
                    CAST(SUM(micro) AS BIGINT) / (COUNT(*) * 1e6) AS avg_nll
             FROM m GROUP BY doc_id ORDER BY doc_id""",
+      // q95: same split rule as the q57 oracle, same 4-ln micro-unit
+      // construction as the Spark side (the boundary guard lives there)
+      "q95_dsir_weights" ->
+        s"""WITH s AS (SELECT doc_id, text,
+                              CASE WHEN bucket < ${PipelineOps.TrainCut} THEN 'train'
+                                   WHEN bucket < ${PipelineOps.ValCut} THEN 'val'
+                                   ELSE 'test' END AS split
+                       FROM (SELECT doc_id, text,
+                                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
+                             FROM documents)),
+            bg AS (SELECT doc_id, split, ts[i] || ' ' || ts[i+1] AS bg
+                   FROM (SELECT doc_id, split, ts, unnest(range(1, len(ts))) AS i
+                         FROM (SELECT doc_id, split, str_split(text, ' ') AS ts
+                               FROM s WHERE split <> 'val'))),
+            c AS (SELECT bg,
+                         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS rc,
+                         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+                  FROM bg GROUP BY bg),
+            t AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS tr,
+                         CAST(COUNT(*) AS BIGINT) AS v FROM c),
+            m AS (SELECT b.doc_id,
+                         CAST(round((ln(c.tc + 1) - ln(t.tt + t.v)
+                                     - ln(c.rc + 1) + ln(t.tr + t.v)) * 1e6) AS BIGINT) AS micro
+                  FROM bg b JOIN c USING (bg) CROSS JOIN t
+                  WHERE b.split = 'train'),
+            g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+                         CAST(SUM(micro) AS BIGINT) AS lm
+                  FROM m GROUP BY doc_id)
+            SELECT s.doc_id AS doc_id,
+                   CAST(COALESCE(g.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(g.lm, 0) AS BIGINT) AS logw_micro,
+                   CAST(COALESCE(g.lm, 0) AS DOUBLE) / 1e6 AS logw
+            FROM s LEFT JOIN g ON s.doc_id = g.doc_id
+            WHERE s.split = 'train'
+            ORDER BY doc_id""",
       "q63_term_index" ->
         """WITH tf AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
             t AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),

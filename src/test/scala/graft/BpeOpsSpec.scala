@@ -166,6 +166,27 @@ class BpeOpsSpec extends SparkSpec {
     assert(got.forall { case (_, l, r, _) => !l.contains("z") && !r.contains("z") })
   }
 
+  test("tokenizer fertility rolls up exactly the per-doc q79 counts by lang") {
+    val docs = Seq(
+      (1L, "low low low newest", "en", "s", 18L),
+      (2L, "newest newest", "en", "s", 13L),
+      (3L, "widest wider", "de", "s", 12L),
+      (4L, "low", "de", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merges = BpeOps.learnMerges(docs, numMerges = 5)
+    val perDoc = BpeOps.applyMerges(docs, merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val got = BpeOps.tokenizerFertility(docs, merges)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    def exp(lang: String, ids: Seq[Long], chars: Long) = {
+      val w = ids.map(perDoc(_)._2).sum; val t = ids.map(perDoc(_)._3).sum
+      (lang, ids.size.toLong, w, t, chars, t.toDouble / w, chars.toDouble / t)
+    }
+    assert(got === Seq(exp("de", Seq(3L, 4L), 15L), exp("en", Seq(1L, 2L), 31L)))
+    // fertility is at least 1: a word is never fewer than one token
+    got.foreach(r => assert(r._6 >= 1.0))
+  }
+
   test("vocabulary collect cap fails loudly instead of OOMing the driver") {
     val docs = Seq(
       (1L, "aa bb cc dd", "en", "s", 0L)

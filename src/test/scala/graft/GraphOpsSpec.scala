@@ -110,4 +110,19 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     val rows = GraphOps.dedupClusters(docs, empty).collect()
     assert(rows.forall(r => r.getLong(0) == r.getLong(1) && r.getBoolean(2)))
   }
+
+  test("soft-dedup weights: each member carries exactly 1/|cluster|") {
+    // clusters {1,2,3}→1, {4}→4, {5,6}→5 (the q66 output shape)
+    val clusters = Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false))
+      .toDF("doc_id", "cluster_id", "keep")
+    val got = GraphOps.softDedupWeights(clusters)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 3L, 1.0 / 3), (2L, 1L, 3L, 1.0 / 3), (3L, 1L, 3L, 1.0 / 3),
+      (4L, 4L, 1L, 1.0), (5L, 5L, 2L, 0.5), (6L, 5L, 2L, 0.5)))
+    // corpus sampling mass = one unit per distinct content cluster
+    assert(math.abs(got.map(_._4).sum - 3.0) < 1e-12)
+  }
 }

@@ -171,6 +171,40 @@ class TextOpsSpec extends SparkSpec {
     assert(got.length === d.select("lang", "source").distinct().count())
   }
 
+  test("DSIR weights match an independent log-ratio computation; val excluded") {
+    // pick real ids landing in each split (first md5 byte of the id string)
+    def bucket(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d(0) & 0xff
+    }
+    val ids = 1L to 500L
+    val trainIds = ids.filter(bucket(_) < 204)
+    val testId = ids.find(bucket(_) >= 230).get
+    val valId = ids.find(b => bucket(b) >= 204 && bucket(b) < 230).get
+    val d = docs(
+      doc(testId, "a b a b"),        // target model: ab:2, ba:1  (tt=3)
+      doc(trainIds(0), "a b c"),     // raw model: ab:1, bc:1
+      doc(trainIds(1), "z z"),       // raw model: zz:1          (tr=3)
+      doc(trainIds(2), "solo"),      // no bigram → zero weight row
+      doc(valId, "a b a b a b"))     // val: must touch NEITHER model
+    // joint vocab {ab, ba, bc, zz} → v=4; smoothing denom = 7 both sides
+    def micro(tc: Long, rc: Long): Long =
+      math.round((math.log(tc + 1.0) - math.log(7.0)
+                  - math.log(rc + 1.0) + math.log(7.0)) * 1e6)
+    val got = TextOps.dsirWeights(d)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val exp = Seq(
+      (trainIds(0), 2L, micro(2, 1) + micro(0, 1)),  // ab + bc (bc negative)
+      (trainIds(1), 1L, micro(0, 1)),                // zz
+      (trainIds(2), 0L, 0L)).sortBy(_._1)
+      .map { case (i, n, m) => (i, n, m, m.toDouble / 1e6) }
+    assert(got === exp)
+    // target-like text outweighs raw-only text
+    assert(got.find(_._1 == trainIds(0)).get._4 >
+           got.find(_._1 == trainIds(1)).get._4)
+  }
+
   test("PII scrub counts and masks exactly the injected email/phone/ip snippets") {
     val d = docs(
       doc(1, "w1 w2"),   // 1: no injection — text passes through untouched
