@@ -272,6 +272,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Union"), s"two-tier union missing:\n${plan.take(1500)}")
   }
 
+  test("q95 DSIR gathers ride broadcast head tiers; no global window") {
+    // same contract as q92: the bigram-count gather must be the two-tier
+    // form (hot heads broadcast + shuffled tail union), the 3 totals a
+    // one-row broadcast, and nothing may fall back to an unpartitioned
+    // window over the corpus
+    val plan = TextOps.dsirWeights(docs).queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 1,
+      s"broadcast head tier missing:\n${plan.take(1500)}")
+    assert(plan.contains("Union"), s"two-tier union missing:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"unexpected window:\n${plan.take(1500)}")
+  }
+
+  test("q97 soft-dedup weights reuse the cluster-key exchange; no window") {
+    val clusters = Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true))
+      .toDF("doc_id", "cluster_id", "keep")
+    val plan = graft.ops.GraphOps.softDedupWeights(clusters)
+      .queryExecution.executedPlan.toString
+    // the size table joins back on the SAME cluster_id partitioning the
+    // groupBy created — a second corpus-wide exchange key would double the
+    // data movement; a window would single-partition at scale
+    assert(!plan.contains("Window"), s"unexpected window:\n${plan.take(1200)}")
+    val exchanges = "Exchange hashpartitioning\\(cluster_id".r.findAllIn(plan).length
+    assert(exchanges <= 2, // probe side + build side of the same key
+      s"extra cluster_id exchanges:\n${plan.take(1200)}")
+  }
+
   test("q67 BM25 takes top-N without a global sort; df and stats broadcast") {
     val plan = TextOps.bm25(docs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
