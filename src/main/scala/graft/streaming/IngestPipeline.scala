@@ -30,7 +30,10 @@ import org.apache.spark.sql.DataFrame
   * ([[IngestGuard.nearDupGuard]]) stays a SIDE output by design — it is
   * the one stage with streaming state (watermarked pair dedup), so fusing
   * it into the landing path would couple the corpus write to state-store
-  * health; a real deployment tees it off the scrubbed stream.
+  * health; a real deployment tees it off the scrubbed stream. The quality
+  * gate ([[StreamQualityGate]] — q61's stateless row-local twin) composes
+  * the same way for streams that carry a `lang` column: insert it after
+  * scrub, so the verdict scores the canonical text that lands.
   *
   * Batch parity: each stage shares its expressions with its batch twin
   * (q86's redact chain, q65's fingerprint recipe, q87's argmin fold), so
