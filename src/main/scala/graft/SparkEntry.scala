@@ -85,6 +85,14 @@ object SparkEntry {
       graft.ops.GraphOps.dedupClusters(Tables.documents(s, d), pairs))
   }
 
+  /** The q87 per-round assignment trace, materialized once per (session,
+    * corpus) — q94's convergence monitor aggregates this snapshot (the
+    * q73/q78 measures-vs-reads division: q87 stays the live measured Lloyd
+    * plan). (long, long, long, double) round-trips parquet bit-exactly. */
+  private[graft] def kmeansRoundsShared(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "kmrounds")(
+      SimilarityOps.kmeansRounds(Tables.embeddings(s, d)))
+
   /** The q77 merge list, learned once per (session, corpus) — q79 applies
     * it; q77 itself re-learns so the iterative cost stays measured there
     * (a bounded Seq on the driver: the artifact a real pipeline persists
@@ -317,6 +325,42 @@ object SparkEntry {
         .select("doc_id", "keep", "final_tokens", "final_fp")
         .orderBy("doc_id")
     }),
+    // the corpus CARD: the one-row datasheet a corpus release publishes —
+    // size, language/source spread, near-dup rate (from the MATERIALIZED
+    // q66 snapshot), q61 quality keep rate, q70 eval-contamination rate,
+    // PII volume. Everything is an exact integer aggregate composed from
+    // individually hash-verified components; the three rates are single
+    // IEEE divisions. All five inputs reduce to one-row aggregates
+    // broadcast into a single output row — at 100 TB this costs the
+    // component scans, never a wide join.
+    "q98_corpus_card"      -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      import org.apache.spark.sql.functions._
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      val clusters = clustersShared(s, d).agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_clusters"))
+      val quality = TextOps.trainingFilter(docs).agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"))
+      val contam = PipelineOps.ngramContamination(docs).agg(
+        count(lit(1)).as("n_train_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+      val pii = TextOps.piiScrub(docs).agg(
+        sum(expr("n_emails + n_phones + n_ips")).as("n_pii"))
+      base.crossJoin(broadcast(clusters)).crossJoin(broadcast(quality))
+        .crossJoin(broadcast(contam)).crossJoin(broadcast(pii))
+        .selectExpr("n_docs", "total_tokens", "n_langs", "n_sources",
+          "n_clusters",
+          "CAST(n_docs - n_clusters AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate",
+          "n_quality_keep",
+          "CAST(n_quality_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS quality_keep_rate",
+          "n_train_docs", "n_contaminated",
+          "CAST(n_contaminated AS DOUBLE) / CAST(n_train_docs AS DOUBLE) AS contamination_rate",
+          "n_pii")
+    }),
     // incremental ingest dedup: the arriving batch (one source partition)
     // vs the standing corpus — broadcast increment bands, corpus probed
     // in place
@@ -340,9 +384,11 @@ object SparkEntry {
     "q87_kmeans"           -> ((s, d) => SimilarityOps.kmeans(Tables.embeddings(s, d))),
     // k-means convergence trace: per-round member count + exact micro-unit
     // inertia (Lloyd ⇒ non-increasing total) — the monitoring rows a real
-    // clustering job watches to pick its round budget
+    // clustering job watches to pick its round budget. Aggregates the
+    // MATERIALIZED per-round trace (q59/q91 pattern) instead of re-running
+    // Lloyd; q87 stays the live measured plan
     "q94_kmeans_inertia"   -> ((s, d) =>
-      SimilarityOps.kmeansInertia(Tables.embeddings(s, d))),
+      SimilarityOps.kmeansInertiaOf(kmeansRoundsShared(s, d))),
     // int8 symmetric storage quantization with per-vector error reporting
     "q74_embedding_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),
@@ -644,7 +690,38 @@ object SparkEntry {
                    AS final_tokens,
                  md5(${TextOps.duckPiiRedact("clean")}) AS final_fp
           FROM f JOIN v ON f.doc_id = v.doc_id
-          ORDER BY doc_id""")
+          ORDER BY doc_id""") +
+    // q98 composes the q61/q66/q70/q86 oracles verbatim (the q71/q89
+    // pattern) — every card figure's inputs are the individually
+    // hash-verified component queries
+    ("q98_corpus_card" ->
+      s"""WITH t AS (${TextOps.oracles("q61_training_filter")}),
+          d66 AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
+          n AS (${PipelineOps.oracles("q70_ngram_contamination")}),
+          p AS (${TextOps.oracles("q86_pii_scrub")}),
+          b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+                       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+                FROM documents),
+          c AS (SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_clusters FROM d66),
+          qq AS (SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_quality_keep FROM t),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+                        CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_contaminated FROM n),
+          pp AS (SELECT CAST(SUM(n_emails + n_phones + n_ips) AS BIGINT) AS n_pii FROM p)
+          SELECT b.n_docs AS n_docs, b.total_tokens AS total_tokens,
+                 b.n_langs AS n_langs, b.n_sources AS n_sources,
+                 c.n_clusters AS n_clusters,
+                 CAST(b.n_docs - c.n_clusters AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS dup_rate,
+                 qq.n_quality_keep AS n_quality_keep,
+                 CAST(qq.n_quality_keep AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS quality_keep_rate,
+                 nn.n_train_docs AS n_train_docs, nn.n_contaminated AS n_contaminated,
+                 CAST(nn.n_contaminated AS DOUBLE) / CAST(nn.n_train_docs AS DOUBLE) AS contamination_rate,
+                 pp.n_pii AS n_pii
+          FROM b, c, qq, nn, pp""")
 
   private lazy val q71OracleSql =
     s"""WITH t AS (${TextOps.oracles("q61_training_filter")}),

@@ -435,19 +435,31 @@ object SimilarityOps {
     * any engine — the one final division for `mean_dist` is IEEE-exact
     * on integer inputs. */
   def kmeansInertia(emb: DataFrame, k: Int = KmeansK,
-                    rounds: Int = KmeansRounds): DataFrame = {
+                    rounds: Int = KmeansRounds): DataFrame =
+    kmeansInertiaOf(kmeansRounds(emb, k, rounds))
+
+  /** The per-round assignment trace (round_no, vec_id, cell, dist) — the
+    * artifact a clustering job PERSISTS so its monitors ([[kmeansInertiaOf]])
+    * aggregate stored rows instead of re-running Lloyd. All-numeric columns
+    * (long, long, long, double) round-trip parquet bit-exactly. */
+  def kmeansRounds(emb: DataFrame, k: Int = KmeansK,
+                   rounds: Int = KmeansRounds): DataFrame = {
+    val vq = kmVq(emb)
+    var a = kmSeed(vq, k)
+    (1 to rounds).map { r =>
+      a = kmAssign(vq, kmCents(a)).localCheckpoint()
+      a.selectExpr(s"CAST($r AS BIGINT) AS round_no", "vec_id", "cell", "dist")
+    }.reduce(_ unionByName _)
+  }
+
+  /** The trace aggregate over [[kmeansRounds]] rows (live or snapshot). */
+  def kmeansInertiaOf(roundRows: DataFrame): DataFrame = {
     val raw = "dist * 1e6"
     val micro =
       s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
                THEN CAST(raise_error('q94: inertia at a rounding boundary') AS BIGINT)
                ELSE CAST(round($raw) AS BIGINT) END AS micro"""
-    val vq = kmVq(emb)
-    var a = kmSeed(vq, k)
-    val perRound = (1 to rounds).map { r =>
-      a = kmAssign(vq, kmCents(a)).localCheckpoint()
-      a.selectExpr(s"CAST($r AS BIGINT) AS round_no", micro)
-    }
-    perRound.reduce(_ union _)
+    roundRows.selectExpr("round_no", micro)
       .groupBy("round_no")
       .agg(count(lit(1)).as("n_vectors"), sum("micro").as("inertia_micro"))
       .selectExpr("round_no", "n_vectors", "inertia_micro",
