@@ -82,9 +82,13 @@ object Catalog {
     // dedupClusters runs its convergence actions at FIRST materialization —
     // an iterative algorithm has no single-plan lazy form. The view reads
     // the shared parquet snapshot of the final result.
-    sfDirOpt.map(SparkEntry.clustersShared(spark, _))
+    val clusters = sfDirOpt.map(SparkEntry.clustersShared(spark, _))
       .getOrElse(ops.GraphOps.dedupClusters(docs, pairs))
-      .createOrReplaceTempView("doc_dedup_clusters")
+    clusters.createOrReplaceTempView("doc_dedup_clusters")
+    // round-10 surface: selection weights, soft dedup, tokenizer dashboard
+    ops.TextOps.dsirWeights(docs).createOrReplaceTempView("doc_dsir_weights")
+    ops.GraphOps.softDedupWeights(clusters)
+      .createOrReplaceTempView("doc_softdedup_weights")
     ops.TextOps.bm25(docs).createOrReplaceTempView("doc_bm25")
     ops.TextOps.vocabMask(docs).createOrReplaceTempView("doc_vocab_masked")
     ops.DedupOps.incrementalLshPairs(
@@ -107,7 +111,13 @@ object Catalog {
     ops.PipelineOps.mixtureSample(docs).createOrReplaceTempView("doc_mixture_sample")
     // eager like the cluster view: BPE merge learning is iterative (one
     // bounded argmax job per round); the view reads the learned merge table
-    ops.BpeOps.bpeMerges(docs).createOrReplaceTempView("bpe_merges")
+    // (via SparkEntry's per-(session, corpus) cache when tables are
+    // registered, so the learning cost is shared with q79/q96)
+    val merges = sfDirOpt.map(SparkEntry.bpeMergesShared(spark, _))
+      .getOrElse(ops.BpeOps.learnMerges(docs, ops.BpeOps.NumMerges))
+    ops.BpeOps.bpeMergesOf(spark, merges).createOrReplaceTempView("bpe_merges")
+    ops.BpeOps.tokenizerFertility(docs, merges)
+      .createOrReplaceTempView("tokenizer_fertility")
     // the corpus-build verdict, composed LAZILY over the registered views
     // (the eager cluster table above is reused, not recomputed)
     spark.table("doc_ngram_contamination").select("doc_id", "contaminated")

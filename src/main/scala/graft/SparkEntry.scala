@@ -100,7 +100,7 @@ object SparkEntry {
   private val bpeMergesCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, Long)]]]())
-  private def bpeMergesShared(s: SparkSession, d: String): Seq[(Long, String, String, Long)] =
+  private[graft] def bpeMergesShared(s: SparkSession, d: String): Seq[(Long, String, String, Long)] =
     bpeMergesCache.computeIfAbsent(s,
         _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, Long)]]())
       .computeIfAbsent(d,

@@ -194,10 +194,16 @@ object BpeOps {
 
   /** The learned merge table: (merge_rank, left_sym, right_sym, merged,
     * cnt), one row per round in learning order. */
-  def bpeMerges(docs: DataFrame, numMerges: Int = NumMerges): DataFrame = {
-    val spark = docs.sparkSession
+  def bpeMerges(docs: DataFrame, numMerges: Int = NumMerges): DataFrame =
+    bpeMergesOf(docs.sparkSession, learnMerges(docs, numMerges))
+
+  /** The same table from an already-learned merge list (the persisted
+    * artifact) — shared by [[bpeMerges]] and the Catalog view so the
+    * DataFrame shape has exactly one definition. */
+  def bpeMergesOf(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[(Long, String, String, Long)]): DataFrame = {
     import spark.implicits._
-    learnMerges(docs, numMerges).toDF("merge_rank", "left_sym", "right_sym", "cnt")
+    merges.toDF("merge_rank", "left_sym", "right_sym", "cnt")
       .selectExpr("merge_rank", "left_sym", "right_sym",
         "concat(left_sym, right_sym) AS merged", "cnt")
       .orderBy("merge_rank")

@@ -66,5 +66,14 @@ class CatalogSpec extends SparkSpec {
     val merges = spark.sql(
       "SELECT merge_rank, merged FROM bpe_merges ORDER BY merge_rank")
     assert(merges.count() === graft.ops.BpeOps.NumMerges)
+    // round-10 surface: selection weights, soft dedup, tokenizer dashboard
+    assert(spark.sql("SELECT * FROM doc_dsir_weights WHERE n_bigrams > 0").count() > 0)
+    val mass = spark.sql(
+      """SELECT cluster_id FROM doc_softdedup_weights
+        |GROUP BY cluster_id HAVING abs(SUM(weight) - 1.0) > 1e-9""".stripMargin)
+    assert(mass.count() === 0L) // each cluster carries exactly one unit
+    val fert = spark.sql(
+      "SELECT lang FROM tokenizer_fertility WHERE fertility < 1.0")
+    assert(fert.count() === 0L) // a word is never fewer than one token
   }
 }
