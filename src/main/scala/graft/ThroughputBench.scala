@@ -62,12 +62,24 @@ object ThroughputBench {
       (evalDocs, ops.SimilarityOps.kmeansCentroids(sample))
     }
 
+    // quality mode: synthetic (doc_id, text, lang) arrivals with enough
+    // token variety to exercise every gate signal (length, stopwords,
+    // repetition run-fold, lang vote) — all codegen'd, no driver loop
+    val qualityWire = spark.range(n).selectExpr(
+      "id AS doc_id",
+      """concat('the quick item ', CAST(id AS STRING),
+                ' is a fine record of the corpus and ',
+                repeat(concat('tok', CAST(id % 7 AS STRING), ' '), CAST(id % 40 AS INT)),
+                'tail words here') AS text""",
+      "'en' AS lang")
+
     def once(): Double = {
       val t0 = System.nanoTime()
       val out = mode match {
         case "ingest" =>
           val (evalDocs, cents) = ingestRefs
           streaming.IngestPipeline.ingest(ingestWire, evalDocs, cents)
+        case "quality" => streaming.StreamQualityGate.flag(qualityWire)
         case _ => streaming.FraudPipeline.fraudAlerts(wire)
       }
       out.write.format("noop").mode("overwrite").save()
@@ -76,7 +88,11 @@ object ThroughputBench {
     once() // warmup (JIT + codegen)
     val sec = math.min(once(), once())
     val rps = n / sec
-    val metric = if (mode == "ingest") "ingest_rows_per_sec" else "pipeline_rows_per_sec"
+    val metric = mode match {
+      case "ingest" => "ingest_rows_per_sec"
+      case "quality" => "quality_gate_rows_per_sec"
+      case _ => "pipeline_rows_per_sec"
+    }
     println(f"""{"metric":"$metric%s","value":$rps%.0f,"rows":$n,"sec":$sec%.3f,"cpus":$cpus}""")
     spark.stop()
   }
