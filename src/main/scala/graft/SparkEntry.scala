@@ -401,6 +401,10 @@ object SparkEntry {
     "q59_crossmodal_dups"  -> ((s, d) => SimilarityOps
       .pairCosine(lshPairsShared(s, d), Tables.embeddings(s, d))
       .select("a_id", "b_id", "jac", "cos").orderBy("a_id", "b_id")),
+    // the SemDeDup-threshold calibration curve over the same enriched
+    // pair table: cosine-bin histogram vs text-dup agreement
+    "q99_cosine_calibration" -> ((s, d) => SimilarityOps.cosineCalibration(
+      SimilarityOps.pairCosine(lshPairsShared(s, d), Tables.embeddings(s, d)))),
     // §7.1 graft.ext — multimodal plumbing (image decode REAL + oracle-
     // checked against a decoder-free raster recomputation; audio/video stub)
     "q50_media_features"   -> ((s, d) =>

@@ -577,6 +577,31 @@ object SimilarityOps {
     * LSH, simhash, metadata) gathered against the vector table on the
     * shared id. Two co-keyed joins; the pair table is the small side at
     * candidate scale. Used by q59 (text near-dups × embedding similarity). */
+  /** q99 — COSINE THRESHOLD CALIBRATION: the curve an operator reads to
+    * set SemDeDup's cosine cutoff ([[SemDedupMinCos]]) — LSH near-dup
+    * pairs bucketed by embedding cosine (0.05-wide bins), with the
+    * fraction of each bin the TEXT pass already calls a duplicate
+    * (jac ≥ 0.5). Where textdup_frac collapses toward 0 while pairs
+    * remain is exactly the paraphrase band semantic dedup exists for.
+    *
+    * Consumes the materialized q37 pair table enriched by [[pairCosine]]
+    * (the q59 shape, so the inputs are hash-verified); one bounded
+    * aggregate (≤ 40 bins). Determinism: cos is bit-identical
+    * cross-engine (q59 grades it), floor is exact on identical doubles —
+    * no rounding path, so no boundary guard is needed; counts are exact
+    * integers and the two ratios single IEEE divisions. */
+  def cosineCalibration(pairCos: DataFrame): DataFrame =
+    pairCos.selectExpr(
+        "CAST(floor(cos * 20) AS BIGINT) AS bin",
+        "CASE WHEN jac >= 0.5 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS td")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"), sum("td").as("n_textdup"))
+      .selectExpr("bin",
+        "CAST(bin AS DOUBLE) / 20 AS cos_lo",
+        "n_pairs", "n_textdup",
+        "CAST(n_textdup AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS textdup_frac")
+      .orderBy("bin")
+
   def pairCosine(pairs: DataFrame, emb: DataFrame): DataFrame = {
     val all = vecs(emb)
     pairs
@@ -696,6 +721,16 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  private lazy val q59Sql: String =
+    s"""WITH t AS (${graft.ops.DedupOps.oracles("q37_lsh_pairs")}),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs)
+        SELECT t.a_id AS a_id, t.b_id AS b_id, t.jac AS jac,
+               ${duckDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+        FROM t JOIN n x ON t.a_id = x.vec_id
+               JOIN n y ON t.b_id = y.vec_id
+        ORDER BY a_id, b_id"""
+
   def oracles: Map[String, String] = Map(
     "q74_embedding_quantize" ->
       """WITH a AS (SELECT vec_id,
@@ -776,15 +811,21 @@ object SimilarityOps {
                       JOIN n y ON b_id = y.vec_id)
           WHERE cos >= 0.4
           ORDER BY a_id, b_id""",
-    "q59_crossmodal_dups" ->
-      s"""WITH t AS (${graft.ops.DedupOps.oracles("q37_lsh_pairs")}),
-          vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs)
-          SELECT t.a_id AS a_id, t.b_id AS b_id, t.jac AS jac,
-                 ${duckDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
-          FROM t JOIN n x ON t.a_id = x.vec_id
-                 JOIN n y ON t.b_id = y.vec_id
-          ORDER BY a_id, b_id""",
+    "q59_crossmodal_dups" -> q59Sql,
+    // q99 composes the q59 oracle verbatim: the calibration curve's
+    // (jac, cos) inputs cannot drift from the hash-verified pair table
+    "q99_cosine_calibration" ->
+      s"""WITH pc AS ($q59Sql),
+          b AS (SELECT CAST(floor(cos * 20) AS BIGINT) AS bin,
+                       CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END AS td
+                FROM pc)
+          SELECT bin,
+                 CAST(bin AS DOUBLE) / 20 AS cos_lo,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(td) AS BIGINT) AS n_textdup,
+                 CAST(CAST(SUM(td) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS textdup_frac
+          FROM b GROUP BY bin ORDER BY bin""",
     "q55_ivf_ann" -> duckRecallAudit(
       s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,
                              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3,
