@@ -314,4 +314,43 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(sqlAgree === est)
   }
+
+  test("DSIR weights match a Scala bigram model on 15 random corpora (micro-exact)") {
+    val words = Vector("a", "b", "c", "d", "e")
+    def bucket(id: Long): Int = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))(0) & 0xff
+    for (c <- 1 to 15) {
+      val docs = (1 to 40).map { i =>
+        val id = c * 1000L + i
+        val toks = Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+        (id, toks.mkString(" "), "en", "s", 0L)
+      }
+      val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      // Scala model: identical formula, identical rounding
+      def split(id: Long) =
+        if (bucket(id) < 204) "train" else if (bucket(id) < 230) "val" else "test"
+      def bigrams(t: String) = {
+        val ts = t.split(" ", -1).toSeq
+        if (ts.length < 2) Seq.empty else ts.sliding(2).map(_.mkString(" ")).toSeq
+      }
+      val bySplit = docs.map(d => (d._1, split(d._1), bigrams(d._2)))
+        .filter(_._2 != "val")
+      val tc = bySplit.filter(_._2 == "test").flatMap(_._3)
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val rc = bySplit.filter(_._2 == "train").flatMap(_._3)
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val v = (tc.keySet ++ rc.keySet).size.toLong
+      val (tt, tr) = (tc.values.sum, rc.values.sum)
+      def micro(bg: String): Long = math.round(
+        (math.log(tc.getOrElse(bg, 0L) + 1.0) - math.log(tt + v.toDouble)
+          - math.log(rc.getOrElse(bg, 0L) + 1.0) + math.log(tr + v.toDouble)) * 1e6)
+      val exp = bySplit.filter(_._2 == "train").map { case (id, _, bgs) =>
+        id -> (bgs.size.toLong, bgs.map(micro).sum)
+      }.toMap
+      val got = graft.ops.TextOps.dsirWeights(df)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === exp, s"corpus $c drifted")
+    }
+  }
 }
