@@ -223,6 +223,9 @@ object SparkEntry {
     }),
     // §7.1 graft.ext — corpus-build pipeline stages over `documents`
     "q56_normalize"        -> ((s, d) => PipelineOps.normalizeDocs(Tables.documents(s, d))),
+    // the release-publishing manifest: md5-bucket shard assignment +
+    // per-shard volume/range bookkeeping (one bounded aggregate)
+    "q100_shard_manifest"  -> ((s, d) => PipelineOps.shardManifest(Tables.documents(s, d))),
     "q57_split"            -> ((s, d) => PipelineOps.splitAssign(Tables.documents(s, d))),
     "q58_stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(Tables.documents(s, d))),
     // GPT-3-style n-gram eval decontamination over the q57 split: broadcast

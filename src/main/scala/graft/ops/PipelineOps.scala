@@ -55,6 +55,30 @@ object PipelineOps {
       .selectExpr("doc_id", "bucket", s"${splitOf("bucket")} AS split")
       .orderBy("doc_id")
 
+  /** q100 — SHARD MANIFEST: the release-publishing half of the corpus
+    * build — every doc assigned to one of `nShards` output shards by the
+    * stateless md5-bucket rule (same primitive as q57's split, so a doc's
+    * shard is stable across runs, engines, and partitionings), plus the
+    * per-shard manifest row a release ships next to its files: doc count,
+    * token/char volume, and the doc_id range. Balanced by construction
+    * (md5 is uniform); a skewed shard here means the bucket rule broke.
+    *
+    * Scale shape: shard assignment is row-local; the manifest is ONE
+    * map-combinable aggregate with `nShards` output rows. The actual
+    * write is `SourceSinks`' partitioned writer keyed on this column —
+    * this query is its bookkeeping twin. */
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+        (md5Bucket(col("doc_id")) % nShards).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("shard")
+
   /** q58 — stratified sample: the same `frac` of every language stratum,
     * chosen by md5 rank (deterministic, engine-independent). One shuffle
     * on the stratum key; the per-stratum counts are a broadcast dim. At
@@ -357,6 +381,16 @@ object PipelineOps {
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
                FROM documents)
          ORDER BY doc_id""",
+    "q100_shard_manifest" ->
+      """SELECT bucket % 16 AS shard,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+         FROM (SELECT doc_id, text, n_chars,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
+               FROM documents)
+         GROUP BY 1 ORDER BY shard""",
     "q58_stratified_sample" ->
       """WITH r AS (SELECT lang, doc_id,
                            ROW_NUMBER() OVER (PARTITION BY lang

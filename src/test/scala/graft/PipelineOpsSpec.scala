@@ -229,4 +229,19 @@ class PipelineOpsSpec extends SparkSpec {
       assert(keep === (q && d && !c), s"doc $id")
     }
   }
+
+  test("shard manifest partitions the corpus; volumes sum to corpus totals") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = PipelineOps.shardManifest(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) === rows.map(_._1).sorted)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 16))
+    assert(rows.map(_._2).sum === docs.count())          // every doc in exactly one shard
+    assert(rows.map(_._4).sum ===
+      docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+        .collect().head.getLong(0))                      // char volume conserved
+    // md5 buckets are uniform: no shard more than 3x the mean on 500 docs
+    val mean = rows.map(_._2).sum.toDouble / rows.size
+    assert(rows.forall(_._2 <= mean * 3), s"skewed shard: $rows")
+  }
 }
