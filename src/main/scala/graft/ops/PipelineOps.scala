@@ -79,12 +79,40 @@ object PipelineOps {
         max("doc_id").as("max_doc_id"))
       .orderBy("shard")
 
-  /** q58 — stratified sample: the same `frac` of every language stratum,
-    * chosen by md5 rank (deterministic, engine-independent). One shuffle
-    * on the stratum key; the per-stratum counts are a broadcast dim. At
-    * 100 TB prefer [[splitAssign]]-style stateless bucketing when strata
-    * are huge — the rank window is for exact-fraction guarantees. */
+  /** q58 — stratified sample: ~the same `frac` of every language stratum,
+    * by HASH-THRESHOLD selection (the q76 [[mixtureSample]] rule): a doc
+    * is kept iff its 48-bit md5 prefix `u` falls below the stratum's cut
+    * = floor(keep_n·2⁴⁸ / n), keep_n = ceil(frac·n) — a ROW-LOCAL filter
+    * against a broadcast per-stratum dial. No per-stratum sort, no
+    * window, no rank: real corpora are stratum-skewed (one (en) stratum
+    * can be most of 100 TB) and a rank window puts each stratum through
+    * ONE sort task; the threshold plan is a scan + broadcast join at any
+    * skew (`PlanShapeSpec` guards it). The cut is EXACT integer math on
+    * both engines (DECIMAL(38,0) / HUGEINT — no overflow at any corpus
+    * size) and `u` is a pure function of doc_id, so the kept set is
+    * replay/engine-independent. Kept counts are binomial around keep_n;
+    * exact-count callers use [[stratifiedSampleExact]], the rank twin
+    * (`PipelineOpsSpec` bounds the deviation between the two). */
   def stratifiedSample(docs: DataFrame, frac: Double = 0.2): DataFrame = {
+    val dial = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("keep_n", ceil(col("n").cast("double") * lit(frac)).cast("long"))
+      .selectExpr("lang", "keep_n",
+        "CAST(CAST(keep_n AS DECIMAL(38,0)) * 281474976710656 DIV n AS BIGINT) AS cut")
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
+      .join(broadcast(dial), "lang")
+      .filter(col("u") < col("cut"))
+      .select("lang", "doc_id", "u", "keep_n")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** The exact-count rank twin of [[stratifiedSample]] (the
+    * [[mixtureSampleExact]] precedent): per-stratum md5-rank keeps
+    * EXACTLY ceil(frac·n) docs, at the cost of one sort task per stratum
+    * — correct when strata are bounded, and the cross-check
+    * `PipelineOpsSpec` uses to bound the threshold form's deviation. */
+  def stratifiedSampleExact(docs: DataFrame, frac: Double = 0.2): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -391,16 +419,26 @@ object PipelineOps {
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
                FROM documents)
          GROUP BY 1 ORDER BY shard""",
+    // q58: the same exact-integer threshold rule as q76 — keep_n =
+    // ceil(0.2·n) via the identical double multiply + CEIL on both
+    // engines, cut = floor(keep_n·2^48 / n) (HUGEINT there, DECIMAL(38,0)
+    // here), u the same 48-bit md5 prefix
     "q58_stratified_sample" ->
-      """WITH r AS (SELECT lang, doc_id,
-                           ROW_NUMBER() OVER (PARTITION BY lang
-                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
-                    FROM documents),
-          n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
-         SELECT r.lang AS lang, r.doc_id AS doc_id, r.r AS r
-         FROM r JOIN n ON r.lang = n.lang
-         WHERE r.r <= CEIL(CAST(n.n AS DOUBLE) * 0.2)
-         ORDER BY r.lang, r.r""",
+      """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM documents GROUP BY lang),
+          w AS (SELECT lang, n,
+                       CAST(CEIL(CAST(n AS DOUBLE) * 0.2) AS BIGINT) AS keep_n
+                FROM n),
+          c AS (SELECT lang, keep_n,
+                       CAST((CAST(keep_n AS HUGEINT) * 281474976710656) // n AS BIGINT) AS cut
+                FROM w),
+          u AS (SELECT doc_id, lang,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u
+                FROM documents)
+         SELECT u.lang AS lang, u.doc_id AS doc_id, u.u AS u, c.keep_n AS keep_n
+         FROM u JOIN c ON u.lang = c.lang
+         WHERE u.u < c.cut
+         ORDER BY lang, doc_id""",
     // q76 composes the q72 oracle verbatim for its weight inputs; the cut
     // is the same exact-integer floor(keep_n·2^48 / n) (HUGEINT there,
     // DECIMAL(38,0) here) and u the same 48-bit md5 prefix — both sides of

@@ -27,15 +27,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frac("val") > 0.03 && frac("test") > 0.03)
   }
 
-  test("stratified sample keeps exactly ceil(frac * n) docs per stratum") {
+  test("stratified sample: threshold form tracks the exact-rank twin per stratum") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // the exact-rank twin hits ceil(frac·n) on the nose
+    val exact = PipelineOps.stratifiedSampleExact(docs, frac = 0.2)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(exact.keySet === n.keySet)
+    exact.foreach { case (lang, k) =>
+      assert(k === math.ceil(n(lang) * 0.2).toLong, s"stratum $lang")
+    }
+    // the threshold form's kept counts are binomial around keep_n: bound
+    // the deviation at 4σ (σ² = n·p·(1-p), p = keep_n/n) — the cross-check
+    // that keeps the skew-proof form honest against the exact twin
     val kept = PipelineOps.stratifiedSample(docs, frac = 0.2)
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(kept.keySet === n.keySet)
     kept.foreach { case (lang, k) =>
-      assert(k === math.ceil(n(lang) * 0.2).toLong, s"stratum $lang")
+      val keepN = math.ceil(n(lang) * 0.2).toLong
+      val p = keepN.toDouble / n(lang)
+      val sigma = math.sqrt(n(lang) * p * (1 - p))
+      assert(math.abs(k - keepN) <= math.max(4 * sigma, 1.0),
+        s"stratum $lang kept $k vs budget $keepN (4σ = ${4 * sigma})")
     }
+    // row-local selection is a pure function of doc_id — deterministic
+    val a = PipelineOps.stratifiedSample(docs, frac = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val b = PipelineOps.stratifiedSample(docs, frac = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // frac = 1.0 caps every stratum: cut = 2^48 admits every 48-bit prefix
+    assert(PipelineOps.stratifiedSample(docs, frac = 1.0).count() === docs.count())
+    // monotone in frac: a bigger sample only ADDS docs (anytime dial)
+    val half = PipelineOps.stratifiedSample(docs, frac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(half))
   }
 
   test("ngram contamination flags exactly the train docs sharing a gram with test") {

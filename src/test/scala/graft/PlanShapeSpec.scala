@@ -165,6 +165,19 @@ class PlanShapeSpec extends SparkSpec {
       s"per-stratum cut dial must broadcast:\n${exec.take(1200)}")
   }
 
+  test("q58 stratified sample: no window at all; row-local threshold + broadcast dial") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.PipelineOps.stratifiedSample(docs)
+    // unlike q76 (whose q72 normalizer windows over a bounded aggregate),
+    // q58's dial needs no window anywhere — any Window here means the
+    // skew-prone per-stratum rank sort crept back in
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q58 must not window: the keep rule is a row-local threshold filter")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"per-stratum cut dial must broadcast:\n${exec.take(1200)}")
+  }
+
   test("q40 simhash pairs: candidates via MIH band probes, never an all-pairs stratum join") {
     val plan = DedupOps.simhashPairs(docs).queryExecution.executedPlan.toString
     // the candidate join must be keyed on the probe band (pband = band),
