@@ -93,6 +93,18 @@ object SparkEntry {
     materialized(s, d, "kmrounds")(
       SimilarityOps.kmeansRounds(Tables.embeddings(s, d)))
 
+  /** The synthesized media corpus (real PNG/WAV/motion-PNG payloads),
+    * materialized once per (session, corpus) — q50/q81/q93 read this
+    * snapshot and pay only their DECODE (the graded operator); payload
+    * synthesis is fixture generation, priced once like the q37 pair
+    * derivation. A real media lake starts exactly here: a parquet table
+    * of opaque `binary` payloads + typed metadata, with modality filters
+    * pushed to the scan. Binary/struct columns round-trip parquet
+    * bit-exactly, so all three hashes are unchanged. */
+  private[graft] def mediaShared(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "media")(
+      graft.multimodal.MediaOps.fromDocuments(Tables.documents(s, d)).toDF())
+
   /** The q77 merge list, learned once per (session, corpus) — q79 applies
     * it; q77 itself re-learns so the iterative cost stays measured there
     * (a bounded Seq on the driver: the artifact a real pipeline persists
@@ -408,20 +420,22 @@ object SparkEntry {
     // pair table: cosine-bin histogram vs text-dup agreement
     "q99_cosine_calibration" -> ((s, d) => SimilarityOps.cosineCalibration(
       SimilarityOps.pairCosine(lshPairsShared(s, d), Tables.embeddings(s, d)))),
-    // §7.1 graft.ext — multimodal plumbing (image decode REAL + oracle-
-    // checked against a decoder-free raster recomputation; audio/video stub)
+    // §7.1 graft.ext — multimodal plumbing, all three decodes REAL and
+    // graded against decoder-free computed oracles. Each reads the
+    // MATERIALIZED media corpus snapshot (the q37/q73 reads-vs-measures
+    // division): synthesis is fixture generation priced once; the decode
+    // is the measured operator.
     "q50_media_features"   -> ((s, d) =>
-      graft.multimodal.MediaOps.mediaFeatureStats(s, Tables.documents(s, d))),
-    // audio modality, real decode: RIFF/PCM16 payloads parsed by the JDK's
-    // WAVE reader, graded against a decoder-free computed oracle (the q50
-    // pattern) — format fields + an order-stable PCM sample checksum
+      graft.multimodal.MediaOps.mediaFeatureStatsOf(mediaShared(s, d))),
+    // audio modality: RIFF/PCM16 payloads parsed by the JDK's WAVE reader
+    // — format fields + an order-stable PCM sample checksum; the kind
+    // predicate is pushed to the snapshot's parquet scan
     "q81_audio_features"   -> ((s, d) =>
-      graft.multimodal.MediaOps.audioFeatureStats(s, Tables.documents(s, d))),
-    // video modality, real decode: motion-PNG containers parsed and every
-    // frame rasterized by ImageIO, graded against a decoder-free computed
-    // oracle (the q50/q81 pattern) — frame count, dims, ordered checksum
+      graft.multimodal.MediaOps.audioFeatureStatsOf(mediaShared(s, d))),
+    // video modality: motion-PNG containers parsed and every frame
+    // rasterized by ImageIO — frame count, dims, ordered checksum
     "q93_video_features"   -> ((s, d) =>
-      graft.multimodal.MediaOps.videoFeatureStats(s, Tables.documents(s, d))),
+      graft.multimodal.MediaOps.videoFeatureStatsOf(mediaShared(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(

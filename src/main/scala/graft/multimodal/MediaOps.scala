@@ -433,6 +433,20 @@ object MediaOps {
   def audioFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame =
     audioStats(fromDocumentsOf(docs, Some("audio"))).toDF().orderBy("doc_id")
 
+  /** [[audioFeatureStats]] over an ALREADY-synthesized media table (the
+    * parquet corpus snapshot `SparkEntry.mediaShared` materializes): the
+    * modality filter runs as an untyped `kind = 'audio'` predicate BEFORE
+    * the typed decode, so it reaches the parquet scan — the payload bytes
+    * of the image/video thirds are never read (binary column pruning +
+    * predicate pushdown, the reads-side twin of [[fromDocumentsOf]]'s
+    * synthesize-side filter). Decode stays the measured cost. */
+  def audioFeatureStatsOf(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    audioStats(media.filter(col("kind") === "audio").as[MediaRecord])
+      .toDF().orderBy("doc_id")
+  }
+
   /** Frame sampling: split each "video" payload on its REAL frame
     * boundaries and emit every `stride`-th frame's PNG bytes — 1→N
     * flatMap, no shuffle, no decode (the container's length prefixes
@@ -533,6 +547,16 @@ object MediaOps {
   def videoFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame =
     videoStats(fromDocumentsOf(docs, Some("video"))).toDF().orderBy("doc_id")
 
+  /** [[videoFeatureStats]] over an already-synthesized media table (see
+    * [[audioFeatureStatsOf]]) — `kind = 'video'` pushed to the parquet
+    * scan; the per-frame ImageIO decode stays the measured cost. */
+  def videoFeatureStatsOf(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    videoStats(media.filter(col("kind") === "video").as[MediaRecord])
+      .toDF().orderBy("doc_id")
+  }
+
   /** q50 — media pipeline end-to-end: corpus → ONE decode pass → per-kind
     * stats. The image row carries REAL decoded facts (summed dimensions +
     * an order-independent XOR of pixel checksums — bit_xor so combine order
@@ -542,9 +566,21 @@ object MediaOps {
     * recomputes width/height/checksum WITHOUT a PNG decoder ([[oracles]]) —
     * a hash match proves the encode → ImageIO decode → checksum path is the
     * identity on that function (PNG losslessness included). */
-  def mediaFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def mediaFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    statsOfDecoded(decodeAll(fromDocuments(docs)))
+
+  /** [[mediaFeatureStats]] over an already-synthesized media table (see
+    * [[audioFeatureStatsOf]]): all three modalities are consumed, so no
+    * kind predicate — the snapshot read replaces the per-query payload
+    * synthesis; the single-decode combined pass stays the measured cost. */
+  def mediaFeatureStatsOf(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    decodeAll(fromDocuments(docs))
+    statsOfDecoded(decodeAll(media.as[MediaRecord]))
+  }
+
+  private def statsOfDecoded(decoded: Dataset[MediaDecoded]): DataFrame =
+    decoded
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n_media"),
@@ -552,7 +588,6 @@ object MediaOps {
         sum(col("height").cast("long")).as("sum_height"),
         expr("bit_xor(checksum)").as("pixel_checksum_xor"))
       .orderBy("kind")
-  }
 
   /** DuckDB oracle for [[mediaFeatureStats]] — computed, not literal.
     *

@@ -134,6 +134,28 @@ class MediaOpsSpec extends SparkSpec {
     assert(MediaOps.videoStats(media).collect().map(_.doc_id).toSeq === Seq(2L))
   }
 
+  test("snapshot-read media queries equal the direct-synthesis paths bit-for-bit") {
+    // the parquet media snapshot must be a pure materialization: payload
+    // bytes and metadata round-trip parquet exactly, so the three
+    // snapshot-reading query paths must produce the same rows as decoding
+    // the synthesized corpus directly
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_spec_").toString
+    MediaOps.fromDocuments(docs).toDF().write.mode("overwrite").parquet(dir)
+    val snap = spark.read.parquet(dir)
+    assert(MediaOps.mediaFeatureStatsOf(snap).collect().toSeq ===
+      MediaOps.mediaFeatureStats(spark, docs).collect().toSeq)
+    assert(MediaOps.audioFeatureStatsOf(snap).collect().toSeq ===
+      MediaOps.audioFeatureStats(spark, docs).collect().toSeq)
+    assert(MediaOps.videoFeatureStatsOf(snap).collect().toSeq ===
+      MediaOps.videoFeatureStats(spark, docs).collect().toSeq)
+    // the modality predicate must reach the parquet scan: a snapshot
+    // consumer of one kind never reads the other two thirds' payload bytes
+    val plan = MediaOps.audioFeatureStatsOf(snap)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("kind"),
+      s"kind filter not pushed to the snapshot scan:\n${plan.take(1500)}")
+  }
+
   test("resize caps image dimensions and leaves other kinds alone") {
     val spark2 = spark
     import spark2.implicits._
