@@ -235,6 +235,43 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(SimilarityOps.kmeans(empty).collect().isEmpty)
   }
 
+  test("kmeansConverged stops early on a separable fixture, matching the fixed-round form") {
+    // two tight orthogonal-ish groups with the true seeds: round 1 already
+    // assigns by proximity, so round 2 cannot improve — the inertia delta
+    // hits 0 and the run stops at 2 of the 10 allowed rounds
+    def a(eps: Float) = Array.tabulate(64)(i => (math.sin(i + 1) + eps).toFloat).toSeq
+    def b(eps: Float) = Array.tabulate(64)(i => (math.cos(3 * i + 2) + eps).toFloat).toSeq
+    val pts = Seq(
+      (0L, a(0f), 0), (1L, b(0f), 0),
+      (2L, a(0.02f), 0), (3L, a(-0.02f), 0),
+      (4L, b(0.02f), 0), (5L, b(-0.02f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val run = SimilarityOps.kmeansConverged(pts, k = 2, maxRounds = 10)
+    assert(run.rounds === 2, s"expected early stop at round 2: ${run.inertiaTrace}")
+    assert(run.inertiaTrace.length === run.rounds)
+    // Lloyd under exact rational centroids: deltas are never negative
+    assert(run.inertiaTrace.zip(run.inertiaTrace.tail).forall { case (p, c) => c <= p },
+      s"inertia increased: ${run.inertiaTrace}")
+    // the converged assignment equals the fixed-budget form at that round
+    assert(run.assign.as[(Long, Long, Double)].collect().toSeq ===
+      SimilarityOps.kmeans(pts, k = 2, rounds = run.rounds)
+        .as[(Long, Long, Double)].collect().toSeq)
+  }
+
+  test("kmeansConverged honors the round cap when the threshold is never met") {
+    // epsMicro = -1 can never be satisfied (Lloyd deltas are >= 0), so the
+    // run must stop exactly at the cap — the production bound on a
+    // non-converging (or slowly-converging) corpus
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val run = SimilarityOps.kmeansConverged(embT, maxRounds = 3, epsMicro = -1L)
+    assert(run.rounds === 3)
+    assert(run.inertiaTrace.length === 3)
+    // the trace consumed as the stop signal IS q94's trace for those rounds
+    val q94 = SimilarityOps.kmeansInertia(embT, rounds = 3)
+      .select("inertia_micro").as[Long].collect().toSeq
+    assert(run.inertiaTrace === q94)
+  }
+
   test("kmeans inertia trace is non-increasing round over round (Lloyd)") {
     val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val trace = SimilarityOps.kmeansInertia(embT, rounds = 4)
