@@ -87,6 +87,9 @@ object Catalog {
     clusters.createOrReplaceTempView("doc_dedup_clusters")
     // round-10 surface: selection weights, soft dedup, tokenizer dashboard
     ops.TextOps.dsirWeights(docs).createOrReplaceTempView("doc_dsir_weights")
+    // round-11: model-based quality scores (NB log-odds over hashed feats)
+    ops.QualityModelOps.qualityClassifier(docs)
+      .createOrReplaceTempView("doc_quality_scores")
     ops.GraphOps.softDedupWeights(clusters)
       .createOrReplaceTempView("doc_softdedup_weights")
     ops.TextOps.bm25(docs).createOrReplaceTempView("doc_bm25")

@@ -308,6 +308,12 @@ object SparkEntry {
     // bigram models fit on the q57 test split (target) and train split
     // (raw) — the data-SELECTION counterpart to q92's outlier filter
     "q95_dsir_weights"     -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
+    // model-based quality filtering (CCNet setup): NB log-odds linear
+    // classifier over hashed token buckets, weak-supervised by the q61
+    // heuristic on the q57 train split, scored corpus-wide — closed-form
+    // integer-count weights so the score is hash-exact cross-engine
+    "q101_quality_classifier" -> ((s, d) =>
+      graft.ops.QualityModelOps.qualityClassifier(Tables.documents(s, d))),
     // soft dedup: every doc kept, downweighted by near-dup cluster
     // multiplicity — reads the MATERIALIZED q66 cluster table (q59 pattern)
     "q97_softdedup_weights" -> ((s, d) =>
@@ -690,7 +696,8 @@ object SparkEntry {
          GROUP BY token ORDER BY n DESC, token""",
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
     PipelineOps.oracles ++ SketchOps.oracles ++ graft.ops.GraphOps.oracles ++
-    graft.ops.BpeOps.oracles ++ graft.multimodal.MediaOps.oracles +
+    graft.ops.BpeOps.oracles ++ graft.multimodal.MediaOps.oracles ++
+    graft.ops.QualityModelOps.oracles +
     // q71 composes the three component oracles verbatim (q61 quality, q66
     // dedup survivorship, q70 decontamination) — the verdict's inputs
     // cannot drift from the individually-hash-verified queries

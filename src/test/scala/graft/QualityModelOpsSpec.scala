@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.{PipelineOps, QualityModelOps, TextOps}
+import org.apache.spark.sql.functions.col
+
+class QualityModelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("quality classifier generalizes: held-out AUC beats chance") {
+    // weak labels come from the q61 heuristic; training sees only the q57
+    // TRAIN split, so the val/test splits are genuinely held out. AUC is
+    // the Mann-Whitney statistic over (score, label) — ties counted half.
+    val scores = QualityModelOps.qualityClassifier(docs)
+      .select("doc_id", "score_micro")
+      .join(TextOps.trainingFilter(docs).select("doc_id", "keep"), "doc_id")
+      .join(PipelineOps.splitAssign(docs).select("doc_id", "split"), "doc_id")
+      .filter(col("split") =!= "train")
+      .select("score_micro", "keep").as[(Long, Boolean)].collect()
+    val pos = scores.filter(_._2).map(_._1)
+    val neg = scores.filterNot(_._2).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, s"degenerate held-out labels: ${scores.length} rows")
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val auc = wins / (pos.length.toDouble * neg.length)
+    assert(auc > 0.8, s"held-out AUC $auc not better than chance " +
+      s"(${pos.length} pos / ${neg.length} neg)")
+  }
+
+  test("quality classifier is deterministic and total over the corpus") {
+    val a = QualityModelOps.qualityClassifier(docs).collect().map(_.toSeq).toSeq
+    val b = QualityModelOps.qualityClassifier(docs).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.length === docs.count())
+  }
+
+  test("quality classifier plan: bounded weight table broadcast, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = QualityModelOps.qualityClassifier(docs)
+    // the hashed feature space is bounded (<= 256 buckets), so the weight
+    // gather must be a broadcast join — an unbounded-vocab shuffle join
+    // here would be the q92 hot-key shape the hashing trick exists to avoid
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"bucket weight gather must broadcast:\n${exec.take(1500)}")
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q101 must not window")
+  }
+}
