@@ -36,8 +36,22 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         case _: org.apache.spark.sql.types.TimestampNTZType =>
+          // the cast is value-preserving ONLY under a UTC session zone —
+          // enforce it instead of assuming (a non-UTC entrypoint would
+          // silently shift every timestamp and break the oracle compare
+          // far downstream)
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"Tables: events.ts is TIMESTAMP_NTZ; the cast to TimestampType " +
+              s"is value-preserving only with spark.sql.session.timeZone=UTC, got '$tz'")
           df.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => df
+        case _: org.apache.spark.sql.types.TimestampType => df
+        case other =>
+          // a FOURTH testdata generation: fail loudly at the ingest
+          // boundary instead of letting an unconverted ts drift through
+          throw new IllegalStateException(
+            s"Tables: unrecognized events.ts type $other — extend the " +
+              "schema dispatch (see the loader scaladoc for the known forms)")
       }
     else df
   }

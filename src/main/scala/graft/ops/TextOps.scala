@@ -190,6 +190,16 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The q61 quality-threshold dials, ONE definition shared by
+    * [[trainingFilter]] and its streaming twin
+    * [[graft.streaming.StreamQualityGate]] — retuning the batch defaults
+    * retunes the gate with it (they drifted silently as duplicated
+    * literals before). */
+  val QualityMinTokens = 20L
+  val QualityMinStop = 0.02
+  val QualityMaxStop = 0.8
+  val QualityMaxRep = 0.1
+
   /** q61 — the composite training-data filter: the corpus-build decision
     * that ties the quality surface together. A document is kept for
     * training iff it is long enough, its language ID agrees with its
@@ -200,8 +210,10 @@ object TextOps {
     * [[qualityScore]]/[[langId]]/[[repetitionScore]], so the boolean is
     * oracle-exact too. Docs too short to shingle have null rep_ratio and
     * are dropped. */
-  def trainingFilter(docs: DataFrame, minTokens: Long = 20, minStop: Double = 0.02,
-                     maxStop: Double = 0.8, maxRep: Double = 0.1): DataFrame =
+  def trainingFilter(docs: DataFrame, minTokens: Long = QualityMinTokens,
+                     minStop: Double = QualityMinStop,
+                     maxStop: Double = QualityMaxStop,
+                     maxRep: Double = QualityMaxRep): DataFrame =
     qualityScore(docs).select("doc_id", "n_tokens", "stop_ratio")
       .join(langId(docs).select("doc_id", "agrees"), "doc_id")
       .join(repetitionScore(docs).select("doc_id", "rep_ratio"), Seq("doc_id"), "left_outer")
@@ -414,15 +426,29 @@ object TextOps {
     * carves the tail), so the union is the same multiset as the single
     * join — hash-identical output, no hot partition. */
   private def gatherTwoTier(rows: DataFrame, stats: DataFrame, key: String,
-                            headK: Int = 1024): DataFrame = {
-    val cnt = stats.columns.filter(_ != key).head
-    val head = stats.orderBy(desc(cnt), col(key)).limit(headK)
-    val tail = stats.join(broadcast(head.select(key)), Seq(key), "left_anti")
-    rows.join(broadcast(head), key).unionByName(rows.join(tail, key))
-  }
+                            engage: Boolean, headK: Int = 1024): DataFrame =
+    if (!engage) rows.join(stats, key)
+    else {
+      val cnt = stats.columns.filter(_ != key).head
+      val head = stats.orderBy(desc(cnt), col(key)).limit(headK)
+      val tail = stats.join(broadcast(head.select(key)), Seq(key), "left_anti")
+      rows.join(broadcast(head), key).unionByName(rows.join(tail, key))
+    }
 
-  def bigramSurprisal(docs: DataFrame): DataFrame = {
+  /** Engage [[gatherTwoTier]]'s head/tail split only past this corpus row
+    * count: below it every stats table is bounded enough that AQE
+    * broadcasts the single join outright, and the split's extra plan
+    * (anti-join + two joins + union) is pure overhead (~0.5 s at sf0.1);
+    * above it the hot stop-word keys are exactly the skew the split
+    * exists to break. The dial reads ONE metadata-cheap `count()` on the
+    * parquet scan (row-group counts, no data read); both paths produce
+    * the same multiset, so the output hash cannot depend on the gate. */
+  private[graft] val TwoTierMinRows = 100000L
+
+  def bigramSurprisal(docs: DataFrame,
+                      twoTier: Option[Boolean] = None): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val engage = twoTier.getOrElse(docs.count() >= TwoTierMinRows)
     val bg = docs.selectExpr("doc_id", "explode(graft_shingles(split(text, ' '), 2)) AS bg")
     val uniCounts = docs.selectExpr("explode(split(text, ' ')) AS w")
       .groupBy("w").agg(count(lit(1)).as("c1"))
@@ -430,9 +456,9 @@ object TextOps {
     val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
     val raw = "(ln(c1 + v) - ln(c2 + 1)) * 1e6"
     gatherTwoTier(
-      gatherTwoTier(bg, bgCounts, "bg")
+      gatherTwoTier(bg, bgCounts, "bg", engage)
         .selectExpr("doc_id", "split(bg, ' ')[0] AS w1", "c2"),
-      uniCounts.withColumnRenamed("w", "w1"), "w1")
+      uniCounts.withColumnRenamed("w", "w1"), "w1", engage)
       .crossJoin(broadcast(vocab))
       .selectExpr("doc_id",
         s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
@@ -469,8 +495,10 @@ object TextOps {
     * row-local, no shuffle); per-doc gathers ride the skew-proof
     * [[gatherTwoTier]] (head ordered by RAW count — the probe side's hot
     * keys); the 3 totals broadcast as one row. No window, no collect. */
-  def dsirWeights(docs: DataFrame): DataFrame = {
+  def dsirWeights(docs: DataFrame,
+                  twoTier: Option[Boolean] = None): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val engage = twoTier.getOrElse(docs.count() >= TwoTierMinRows)
     val split = docs
       .select(col("doc_id"), PipelineOps.md5Bucket(col("doc_id")).as("bucket"), col("text"))
       .selectExpr("doc_id", s"${PipelineOps.splitOf("bucket")} AS split", "text")
@@ -486,7 +514,7 @@ object TextOps {
       sum("tc").as("tt"), sum("rc").as("tr"), count(lit(1)).as("v"))
     val raw = "(ln(tc + 1) - ln(tt + v) - ln(rc + 1) + ln(tr + v)) * 1e6"
     val scored = gatherTwoTier(
-      bg.filter(col("split") === "train").select("doc_id", "bg"), counts, "bg")
+      bg.filter(col("split") === "train").select("doc_id", "bg"), counts, "bg", engage)
       .crossJoin(broadcast(totals))
       .selectExpr("doc_id",
         s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6

@@ -24,10 +24,13 @@ import graft.ops.TextOps
   * batch. */
 object StreamQualityGate {
 
-  /** Longest-equal-run count over the sorted 3-gram array — the row-local
-    * equivalent of q60's per-(doc, shingle) max count. */
-  private def maxRepExpr(toks: String): String =
-    s"""aggregate(array_sort(graft_shingles($toks, 3)),
+  /** Longest-equal-run count over an ALREADY-materialized sorted 3-gram
+    * column — the row-local equivalent of q60's per-(doc, shingle) max
+    * count. Takes the shingle column name, not the expression: ShingleArray
+    * is CodegenFallback, so every inline occurrence re-materializes the
+    * full array — the caller computes it once into a temp column. */
+  private def maxRepExpr(sh3: String): String =
+    s"""aggregate(array_sort($sh3),
           named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
           (acc, x) -> named_struct(
             'prev', x,
@@ -38,16 +41,20 @@ object StreamQualityGate {
   /** Flag each arriving row with the q61 quality verdict. Emits every
     * input column plus `n_tokens`, `stop_ratio`, `rep_ratio`, `agrees`,
     * `quality_ok`. The stream must carry `textCol` and a `lang` column
-    * (the claimed language the ID vote is checked against). */
+    * (the claimed language the ID vote is checked against). Threshold
+    * defaults are [[TextOps]]'s shared dials — the batch filter and this
+    * gate cannot drift. */
   def flag(stream: DataFrame, textCol: String = "text",
-           minTokens: Long = 20, minStop: Double = 0.02,
-           maxStop: Double = 0.8, maxRep: Double = 0.1): DataFrame = {
+           minTokens: Long = TextOps.QualityMinTokens,
+           minStop: Double = TextOps.QualityMinStop,
+           maxStop: Double = TextOps.QualityMaxStop,
+           maxRep: Double = TextOps.QualityMaxRep): DataFrame = {
     graft.expressions.GraftFunctions.register(stream.sparkSession)
     require(stream.columns.contains(textCol) && stream.columns.contains("lang"),
       s"StreamQualityGate: stream must carry '$textCol' and 'lang'; " +
         s"got [${stream.columns.mkString(", ")}]")
-    val clash = Seq("n_tokens", "stop_ratio", "rep_ratio", "agrees", "quality_ok", "toks")
-      .filter(stream.columns.contains)
+    val clash = Seq("n_tokens", "stop_ratio", "rep_ratio", "agrees", "quality_ok",
+      "toks", "sh3").filter(stream.columns.contains)
     require(clash.isEmpty,
       s"StreamQualityGate: stream carries reserved output column(s) " +
         s"[${clash.mkString(", ")}] — rename them before flag()")
@@ -65,12 +72,16 @@ object StreamQualityGate {
     }.mkString(" ")
     stream
       .withColumn("toks", expr(s"split($textCol, ' ')"))
+      // computed ONCE: the size guard, run fold, and denominator all read
+      // this column — inline graft_shingles calls would each rebuild the
+      // array (CodegenFallback), tripling per-row cost in the hot path
+      .withColumn("sh3", expr("graft_shingles(toks, 3)"))
       .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
       .withColumn("stop_ratio", expr(
         s"CAST(size(filter(toks, t -> t IN ($inStop))) AS BIGINT) / CAST(n_tokens AS DOUBLE)"))
       .withColumn("rep_ratio", expr(
-        s"""IF(size(graft_shingles(toks, 3)) = 0, CAST(NULL AS DOUBLE),
-               ${maxRepExpr("toks")} / CAST(size(graft_shingles(toks, 3)) AS DOUBLE))"""))
+        s"""IF(size(sh3) = 0, CAST(NULL AS DOUBLE),
+               ${maxRepExpr("sh3")} / CAST(size(sh3) AS DOUBLE))"""))
       .withColumn("agrees", expr(s"(CASE $cases ELSE '${langs.last}' END) = lang"))
       .withColumn("quality_ok", expr(
         s"""n_tokens >= $minTokens AND agrees

@@ -276,25 +276,36 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q92 surprisal gathers hot n-gram heads via broadcast; only the tail shuffles") {
     // a single hash join on the bigram/unigram key would funnel every
-    // "of the" occurrence to one reducer — the two-tier gather must show
-    // broadcast head joins feeding a union with the shuffled tail
-    val q = TextOps.bigramSurprisal(docs)
+    // "of the" occurrence to one reducer — the ENGAGED two-tier gather
+    // must show broadcast head joins feeding a union with the shuffled
+    // tail (the size gate picks this path at crawl scale)
+    val q = TextOps.bigramSurprisal(docs, twoTier = Some(true))
     val plan = q.queryExecution.executedPlan.toString
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(bhj >= 2, s"expected broadcast head tiers for both gathers:\n${plan.take(1500)}")
     assert(plan.contains("Union"), s"two-tier union missing:\n${plan.take(1500)}")
+    // below the TwoTierMinRows gate the split is pure overhead: the auto
+    // path on this small corpus must be the PLAIN single-join plan
+    val small = TextOps.bigramSurprisal(docs).queryExecution.executedPlan.toString
+    assert(!small.contains("Union"),
+      s"two-tier split engaged below the size gate:\n${small.take(1500)}")
   }
 
   test("q95 DSIR gathers ride broadcast head tiers; no global window") {
     // same contract as q92: the bigram-count gather must be the two-tier
-    // form (hot heads broadcast + shuffled tail union), the 3 totals a
-    // one-row broadcast, and nothing may fall back to an unpartitioned
-    // window over the corpus
-    val plan = TextOps.dsirWeights(docs).queryExecution.executedPlan.toString
+    // form when ENGAGED (hot heads broadcast + shuffled tail union), the
+    // 3 totals a one-row broadcast, and nothing may fall back to an
+    // unpartitioned window over the corpus on either path
+    val plan = TextOps.dsirWeights(docs, twoTier = Some(true))
+      .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 1,
       s"broadcast head tier missing:\n${plan.take(1500)}")
     assert(plan.contains("Union"), s"two-tier union missing:\n${plan.take(1500)}")
     assert(!plan.contains("Window"), s"unexpected window:\n${plan.take(1500)}")
+    val small = TextOps.dsirWeights(docs).queryExecution.executedPlan.toString
+    assert(!small.contains("Union"),
+      s"two-tier split engaged below the size gate:\n${small.take(1500)}")
+    assert(!small.contains("Window"), s"unexpected window:\n${small.take(1500)}")
   }
 
   test("q97 soft-dedup weights reuse the cluster-key exchange; no window") {
