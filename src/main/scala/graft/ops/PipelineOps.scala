@@ -67,10 +67,18 @@ object PipelineOps {
     * map-combinable aggregate with `nShards` output rows. The actual
     * write is `SourceSinks`' partitioned writer keyed on this column —
     * this query is its bookkeeping twin. */
-  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
+  /** The per-doc shard assignment BOTH consumers key on — the
+    * [[shardManifest]] aggregate and `SourceSinks`' partitioned writer
+    * (one rule, so the files on disk and the manifest rows cannot
+    * disagree; `SourceSinksSpec` round-trips the written shards against
+    * the manifest file-by-file). */
+  def shardAssign(docs: DataFrame, nShards: Int = 16): DataFrame =
     docs.select(col("doc_id"), col("n_chars"),
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
-        (md5Bucket(col("doc_id")) % nShards).as("shard"))
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+      (md5Bucket(col("doc_id")) % nShards).as("shard"))
+
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
+    shardAssign(docs, nShards)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),

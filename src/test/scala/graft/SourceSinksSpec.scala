@@ -43,6 +43,33 @@ class SourceSinksSpec extends SparkSpec {
     assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("shard write round-trip: files on disk match the q100 manifest shard-by-shard") {
+    // release integrity: q100's manifest is the bookkeeping twin of the
+    // partitioned shard write — publish both, then verify each shard
+    // DIRECTORY's actual rows against its manifest row (doc count, token
+    // and char volume, id range), and that no unmanifested shard exists
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft_shards").toString
+    SourceSinks.writeParquetPartitioned(
+      graft.ops.PipelineOps.shardAssign(docs), dir, "shard")
+    val manifest = graft.ops.PipelineOps.shardManifest(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(manifest.nonEmpty)
+    manifest.foreach { case (shard, nDocs, totTok, totChars, minId, maxId) =>
+      val part = spark.read.parquet(s"$dir/shard=$shard")
+      val (n, tok, chars, lo, hi) = part
+        .agg(count(lit(1)), sum("n_tokens"), sum("n_chars"),
+          min("doc_id"), max("doc_id"))
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert((n, tok, chars, lo, hi) === ((nDocs, totTok, totChars, minId, maxId)),
+        s"shard $shard files disagree with the manifest")
+    }
+    // the directory listing carries exactly the manifested shards
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(onDisk === manifest.map(m => s"shard=${m._1}").toSet)
+  }
+
   test("csv and json round-trip with explicit schemas (no inference pass)") {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("day", StringType),
