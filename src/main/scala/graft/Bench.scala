@@ -17,7 +17,10 @@ import org.apache.spark.sql.SparkSession
   *  - TWO measured passes, per-query MIN reported: the host shows noisy-
   *    neighbor CPU steal (observed 3 s → 19 s on an identical warm plan),
   *    and min-of-2 is the standard estimator for "the plan's cost" under
-  *    external interference;
+  *    external interference; when the probes flag the two-pass run as
+  *    noise-bound, a THIRD pass runs and the minima are min-of-3 (the
+  *    noise flag is then recomputed over all probes — a run still noisy
+  *    after three passes stays flagged rather than laundered);
   *  - a fixed-cost CPU probe runs before and after each measured pass AND
   *    every [[ProbeEvery]] queries inside it. Its plan never changes, so
   *    probe variance IS host interference — a reader can attribute an
@@ -28,17 +31,31 @@ import org.apache.spark.sql.SparkSession
   *    the stdout tail is captured.
   */
 object Bench {
-  /** Per-query outcome of the two measured passes. */
-  final case class QueryResult(name: String,
-                               p1: Either[String, Double],
-                               p2: Either[String, Double])
+  /** Per-query outcome of the measured passes (normally two; a third is
+    * appended when the first two are noise-bound — see [[run]]). */
+  final case class QueryResult(name: String, passes: Seq[Either[String, Double]])
+  object QueryResult {
+    /** Two-pass convenience constructor (the common shape). */
+    def apply(name: String, p1: Either[String, Double],
+              p2: Either[String, Double]): QueryResult =
+      QueryResult(name, Seq(p1, p2))
+  }
 
   /** Probe seconds per measured pass, in order: before the pass, one every
-    * [[ProbeEvery]] queries, after the pass. `pass2.head` is the shared
-    * boundary probe (`pass1.last`): pass 2 starts where pass 1 ended. */
-  final case class Probes(pass1: Seq[Double], pass2: Seq[Double]) {
-    /** All distinct probes in run order (the boundary probe once). */
-    def all: Seq[Double] = pass1 ++ pass2.drop(1)
+    * [[ProbeEvery]] queries, after the pass. Each pass's head is the
+    * previous pass's last (shared boundary probe): pass n+1 starts where
+    * pass n ended. */
+  final case class Probes(passes: Seq[Seq[Double]]) {
+    /** All distinct probes in run order (each boundary probe once). */
+    def all: Seq[Double] = passes match {
+      case Seq() => Seq.empty
+      case head +: tail => head ++ tail.flatMap(_.drop(1))
+    }
+  }
+  object Probes {
+    /** Two-pass convenience constructor (the common shape). */
+    def apply(pass1: Seq[Double], pass2: Seq[Double]): Probes =
+      Probes(Seq(pass1, pass2))
   }
 
   /** Queries between two mid-pass probes. */
@@ -113,11 +130,16 @@ object Bench {
     * flaky, never silently scored as healthy.
     */
   def renderLines(results: Seq[QueryResult], probes: Probes, sfDir: String): Seq[String] = {
-    val merged = results.map {
-      case QueryResult(name, Right(a), Right(b)) => (name, Some(math.min(a, b)), None)
-      case QueryResult(name, Right(a), Left(e))  => (name, Some(a), Some(s"flaky (pass 2): $e"))
-      case QueryResult(name, Left(e), Right(b))  => (name, Some(b), Some(s"flaky (pass 1): $e"))
-      case QueryResult(name, Left(e), Left(_))   => (name, None, Some(e))
+    val merged = results.map { case QueryResult(name, ps) =>
+      val oks = ps.collect { case Right(v) => v }
+      val firstErr = ps.zipWithIndex.collectFirst { case (Left(e), i) => (e, i + 1) }
+      (oks, firstErr) match {
+        case (vs, None) if vs.nonEmpty      => (name, Some(vs.min), None)
+        case (vs, Some((e, i))) if vs.nonEmpty =>
+          (name, Some(vs.min), Some(s"flaky (pass $i): $e"))
+        case (_, Some((e, _)))              => (name, None, Some(e))
+        case _                              => (name, None, Some("no passes"))
+      }
     }
     val ok = merged.collect { case (k, Some(v), _) => k -> v }
     val errors = merged.collect { case (k, _, Some(e)) => k -> e }
@@ -127,16 +149,24 @@ object Bench {
     val sf = jsonSafe(sfDir)
 
     val total = ok.map(_._2).sum
-    val passTotal1 = results.collect { case QueryResult(_, Right(a), _) => a }.sum
-    val passTotal2 = results.collect { case QueryResult(_, _, Right(b)) => b }.sum
-    val passTotals = s"[${fmt(passTotal1)},${fmt(passTotal2)}]"
+    val nPasses = results.map(_.passes.size).maxOption.getOrElse(0)
+    val passTotals = (0 until nPasses).map { i =>
+      fmt(results.flatMap(_.passes.lift(i)).collect { case Right(v) => v }.sum)
+    }.mkString("[", ",", "]")
     def probeArr(ps: Seq[Double]): String = ps.map(fmt).mkString("[", ",", "]")
 
     val detail = {
-      val p1 = results.collect { case QueryResult(k, Right(v), _) => k -> v }
-      val p2 = results.collect { case QueryResult(k, _, Right(v)) => k -> v }
-      s"""{"metric":"bench_detail","pass1":${secObj(p1)},"pass2":${secObj(p2)},""" +
-        s""""probe":{"pass1":${probeArr(probes.pass1)},"pass2":${probeArr(probes.pass2)}},""" +
+      val passObjs = (0 until nPasses).map { i =>
+        val kv = results.collect {
+          case QueryResult(k, ps) if ps.lift(i).exists(_.isRight) =>
+            k -> ps(i).toOption.get
+        }
+        s""""pass${i + 1}":${secObj(kv)}"""
+      }.mkString(",")
+      val probeObjs = probes.passes.zipWithIndex
+        .map { case (ps, i) => s""""pass${i + 1}":${probeArr(ps)}""" }.mkString(",")
+      s"""{"metric":"bench_detail",$passObjs,""" +
+        s""""probe":{$probeObjs},""" +
         s""""probe_every":$ProbeEvery,"errors":$errJson,"sf":"$sf"}"""
     }
     val perQuery =
@@ -184,9 +214,26 @@ object Bench {
     val p1a = probeOnce(spark, probeRows) // boundary probe: ends pass 1, starts pass 2
     val (pass2, mids2) = measuredPass()
     val p2a = probeOnce(spark, probeRows)
-    val probes = Probes((p1b +: mids1) :+ p1a, (p1a +: mids2) :+ p2a)
-    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) => QueryResult(name, a, b) }
-    val failed = results.collect { case QueryResult(name, p1r, p2r) if p1r.isLeft || p2r.isLeft => name }
+    var probes = Probes(Seq((p1b +: mids1) :+ p1a, (p1a +: mids2) :+ p2a))
+    var passes = Seq(pass1, pass2)
+    // NOISE REMEDIATION: when the two-pass run is noise-bound (the probes
+    // saw external CPU steal), pay ONE more pass and report min-of-3 —
+    // bounded cost, since per-query minima are already the metric, and the
+    // extra pass usually lands the minimum in a quieter window. The flag
+    // is then recomputed over ALL probes: a run still noisy after three
+    // passes stays flagged rather than laundered.
+    if (noiseBound(probes.all)) {
+      val (pass3, mids3) = measuredPass()
+      val p3a = probeOnce(spark, probeRows)
+      probes = Probes(probes.passes :+ ((p2a +: mids3) :+ p3a))
+      passes = passes :+ pass3
+    }
+    val results = passes.head.indices.map { i =>
+      QueryResult(passes.head(i)._1, passes.map(_(i)._2))
+    }
+    val failed = results.collect {
+      case QueryResult(name, ps) if ps.exists(_.isLeft) => name
+    }
     RunResult(renderLines(results, probes, sfDir), failed)
   }
 

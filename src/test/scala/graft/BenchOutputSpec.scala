@@ -114,6 +114,25 @@ class BenchOutputSpec extends SparkSpec {
     assert(noisy.get("noise_bound").asBoolean)
   }
 
+  test("renderLines: a third (noise-remediation) pass renders min-of-3 and 3 pass totals") {
+    val results = Seq(
+      Bench.QueryResult("q01_a", Seq(Right(0.5), Right(0.4), Right(0.2))),
+      Bench.QueryResult("q02_b", Seq(Right(1.0), Left("Boom: z"), Right(0.8))))
+    val p3 = Bench.Probes(Seq(Seq(0.1, 0.5), Seq(0.5, 0.6), Seq(0.6, 0.12)))
+    val lines = Bench.renderLines(results, p3, "/sf")
+    val detail = parseObj(lines.head)
+    assert(keys(detail.get("pass3")) == Set("q01_a", "q02_b"))
+    assert(detail.get("probe").get("pass3") != null
+      && detail.get("probe").get("pass3").isArray, "probe pass3 missing")
+    val perQuery = parseObj(lines(1))
+    assert(perQuery.get("queries").get("q01_a").asDouble == 0.2) // min of 3
+    assert(perQuery.get("queries").get("q02_b").asDouble == 0.8)
+    assert(perQuery.get("errors").get("q02_b").asText.startsWith("flaky (pass 2)"))
+    assert(perQuery.get("pass_totals").size() == 3)
+    val compact = parseObj(lines.last)
+    assert(compact.get("pass_totals").size() == 3)
+  }
+
   test("fmt is locale-independent 3-decimal") {
     assert(Bench.fmt(0.1234567) == "0.123")
     assert(Bench.fmt(79.7815) == "79.782")
