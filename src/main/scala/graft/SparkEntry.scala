@@ -105,6 +105,15 @@ object SparkEntry {
     materialized(s, d, "media")(
       graft.multimodal.MediaOps.fromDocuments(Tables.documents(s, d)).toDF())
 
+  /** The q61 verdict table, materialized once per (session, corpus) —
+    * q101 trains on the STORED weak labels (the q59/q91 reads-vs-measures
+    * division: q61 stays the live measured plan, and a real pipeline's
+    * classifier reads the heuristic stage's persisted output). (long,
+    * boolean) round-trips parquet bit-exactly. */
+  private[graft] def qualityLabelsShared(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "qlabels")(
+      TextOps.trainingFilter(Tables.documents(s, d)).selectExpr("doc_id", "keep"))
+
   /** The q77 merge list, learned once per (session, corpus) — q79 applies
     * it; q77 itself re-learns so the iterative cost stays measured there
     * (a bounded Seq on the driver: the artifact a real pipeline persists
@@ -313,7 +322,8 @@ object SparkEntry {
     // heuristic on the q57 train split, scored corpus-wide — closed-form
     // integer-count weights so the score is hash-exact cross-engine
     "q101_quality_classifier" -> ((s, d) =>
-      graft.ops.QualityModelOps.qualityClassifier(Tables.documents(s, d))),
+      graft.ops.QualityModelOps.qualityClassifier(Tables.documents(s, d),
+        Some(qualityLabelsShared(s, d)))),
     // soft dedup: every doc kept, downweighted by near-dup cluster
     // multiplicity — reads the MATERIALIZED q66 cluster table (q59 pattern)
     "q97_softdedup_weights" -> ((s, d) =>

@@ -59,8 +59,14 @@ object QualityModelOps {
     * Training docs are the q57 TRAIN split only; the q61 heuristic
     * supplies the weak labels; every doc (all splits) is scored — the
     * held-out splits are what the AUC spec grades generalization on. */
-  def qualityClassifier(docs: DataFrame): DataFrame = {
-    val labels = TextOps.trainingFilter(docs).select(col("doc_id"), col("keep"))
+  /** `weakLabels`: an already-materialized (doc_id, keep) table (the
+    * `SparkEntry` q61 snapshot — the q59/q91 reads-vs-measures division:
+    * q61 stays the live measured plan, q101 trains on its STORED verdict
+    * like a real pipeline stage). Defaults to deriving the labels live. */
+  def qualityClassifier(docs: DataFrame,
+                        weakLabels: Option[DataFrame] = None): DataFrame = {
+    val labels = weakLabels.getOrElse(
+      TextOps.trainingFilter(docs).select(col("doc_id"), col("keep")))
     val trainIds = docs
       .select(col("doc_id"), PipelineOps.md5Bucket(col("doc_id")).as("bucket"))
       .selectExpr("doc_id", s"${PipelineOps.splitOf("bucket")} AS split")
