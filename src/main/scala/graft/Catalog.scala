@@ -90,6 +90,10 @@ object Catalog {
     // round-11: model-based quality scores (NB log-odds over hashed feats)
     ops.QualityModelOps.qualityClassifier(docs)
       .createOrReplaceTempView("doc_quality_scores")
+    // round-11: DSIR importance resample verdicts (water-filled rates).
+    // EAGER like the cluster/BPE views: the water-fill fixpoint runs
+    // bounded aggregate jobs at registration
+    ops.TextOps.dsirResample(docs).createOrReplaceTempView("doc_dsir_resample")
     ops.GraphOps.softDedupWeights(clusters)
       .createOrReplaceTempView("doc_softdedup_weights")
     ops.TextOps.bm25(docs).createOrReplaceTempView("doc_bm25")

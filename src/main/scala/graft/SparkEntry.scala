@@ -105,6 +105,14 @@ object SparkEntry {
     materialized(s, d, "media")(
       graft.multimodal.MediaOps.fromDocuments(Tables.documents(s, d)).toDF())
 
+  /** The q95 weight table, materialized once per (session, corpus) —
+    * q102's resample reads the STORED weights (q95 stays the live
+    * measured plan; a real pipeline persists its importance weights and
+    * resamples from storage). (long, long, long, double) round-trips
+    * parquet bit-exactly. */
+  private[graft] def dsirWeightsShared(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "dsir")(TextOps.dsirWeights(Tables.documents(s, d)))
+
   /** The q61 verdict table, materialized once per (session, corpus) —
     * q101 trains on the STORED weak labels (the q59/q91 reads-vs-measures
     * division: q61 stays the live measured plan, and a real pipeline's
@@ -317,6 +325,12 @@ object SparkEntry {
     // bigram models fit on the q57 test split (target) and train split
     // (raw) — the data-SELECTION counterpart to q92's outlier filter
     "q95_dsir_weights"     -> ((s, d) => TextOps.dsirWeights(Tables.documents(s, d))),
+    // the APPLY step of q95: Poisson importance resampling toward an
+    // expected target size — reads the MATERIALIZED weight table (q59/q91
+    // pattern), one guarded exp rounding, exact-integer normalizer,
+    // replay-safe md5 draw
+    "q102_dsir_resample"   -> ((s, d) => TextOps.dsirResample(
+      Tables.documents(s, d), weights = Some(dsirWeightsShared(s, d)))),
     // model-based quality filtering (CCNet setup): NB log-odds linear
     // classifier over hashed token buckets, weak-supervised by the q61
     // heuristic on the q57 train split, scored corpus-wide — closed-form

@@ -531,6 +531,122 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q102's expected kept-count dial, shared with the oracle. */
+  val DsirResampleTarget = 100L
+
+  /** q102's water-filling round budget: redistribution converges in a
+    * handful of rounds (caps are monotone — once a doc's fair rate hits
+    * 1 it stays capped), measured ≤ 10 on the graded corpora. Spark
+    * iterates to the FIXPOINT and raises if it is not reached within
+    * this budget; the oracle unrolls exactly this many rounds, which are
+    * idempotent past the fixpoint — so both engines hold the same final
+    * (n, s) state. */
+  val DsirWaterfillRounds = 12
+
+  /** q102 — DSIR importance RESAMPLING: the APPLY step the q95 weights
+    * exist for (Xie et al. 2023 §2: select a target-sized subset by
+    * importance). Rate-capped Poisson resampling toward an expected
+    * `target`: doc d is kept independently with probability
+    * min(1, τ·w_d), with τ WATER-FILLED so the expected kept count is
+    * the full target — importance weights are heavy-tailed (a few docs
+    * carry almost all the mass), so the naive τ = target/Σw wastes the
+    * budget on capped docs; the standard fix caps them at rate 1 and
+    * redistributes the remaining budget over the rest until no new doc
+    * caps. The draw u is the doc's own 48-bit md5 prefix (the q76/q58
+    * replay-safe rule: retries, re-runs, and engines deal the same
+    * sample).
+    *
+    * Determinism: w = exp(logw) is rounded ONCE into integer micro-units
+    * behind the q92 boundary guard; from there EVERYTHING is exact
+    * integer arithmetic — the water-fill state is (n = capped count,
+    * s = Σ w_micro over the rest), the cap test is
+    * `w_micro·(target−n) ≥ s`, and the keep rule is
+    * `u·s < w_micro·(target−n)·2⁴⁸` in DECIMAL(38,0)/HUGEINT (capped
+    * docs satisfy it for every u, so one rule covers both cases). No
+    * IEEE op anywhere after the guarded rounding: the kept set is
+    * bit-identical across engines by construction.
+    *
+    * Scale shape: the weight table is checkpointed once; each
+    * water-fill round is ONE bounded two-column aggregate over it (the
+    * q66/kmeansConverged driver-fixpoint idiom — state is two integers);
+    * the final verdict is a row-local filter against the broadcast
+    * (n, s) pair. No window, no unbounded join. (Σw_micro is int64 here;
+    * a corpus pushing it past 2⁶³ moves the state to DECIMAL(38,0) —
+    * same shape.) */
+  def dsirResample(docs: DataFrame, target: Long = DsirResampleTarget,
+                   weights: Option[DataFrame] = None): DataFrame = {
+    val wts = weights.getOrElse(dsirWeights(docs)).select("doc_id", "logw_micro")
+    val raw = "exp(CAST(logw_micro AS DOUBLE) / 1e6) * 1e6"
+    val wm = wts.selectExpr("doc_id", "logw_micro",
+      s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
+               THEN CAST(raise_error('q102: weight at a rounding boundary') AS BIGINT)
+               ELSE CAST(round($raw) AS BIGINT) END AS w_micro""")
+      .localCheckpoint() // R bounded aggregates read these rows, not the q95 chain
+    // exact-integer water-fill to the fixpoint: state after round r is
+    // (n, s) = (capped count, Σ w_micro over the uncapped rest)
+    def round(n: Long, s: Long): (Long, Long) =
+      wm.selectExpr(
+          s"CAST(CASE WHEN CAST(w_micro AS DECIMAL(38,0)) * (${target}L - ${n}L) >= ${s}L THEN 1 ELSE 0 END AS BIGINT) AS capped",
+          "w_micro")
+        .agg(sum("capped").as("n"), sum(expr("CASE WHEN capped = 1 THEN 0 ELSE w_micro END")).as("s"))
+        .selectExpr("CAST(COALESCE(n, 0) AS BIGINT)", "CAST(COALESCE(s, 0) AS BIGINT)")
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .head()
+    var state = (0L, wm.agg(coalesce(sum("w_micro"), lit(0L)))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).head())
+    var prev = (-1L, -1L)
+    var r = 0
+    while (r < DsirWaterfillRounds && state != prev) {
+      prev = state; state = round(state._1, state._2); r += 1
+    }
+    require(state == prev || wm.isEmpty,
+      s"q102: water-fill did not converge in $DsirWaterfillRounds rounds " +
+        s"(state $state) — raise DsirWaterfillRounds or lower the target")
+    val (n, s) = state
+    wm.withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
+      .selectExpr("doc_id", "logw_micro", "w_micro", "u",
+        s"""CAST(u AS DECIMAL(38,0)) * ${s}L
+              < CAST(w_micro AS DECIMAL(38,0)) * (${target}L - ${n}L) * 281474976710656L
+            AS kept""")
+      .orderBy("doc_id")
+  }
+
+  /** The q95 oracle SQL, a val so q102 composes it verbatim. */
+  private val DsirWeightsSql =
+    s"""WITH s AS (SELECT doc_id, text,
+                          CASE WHEN bucket < ${PipelineOps.TrainCut} THEN 'train'
+                               WHEN bucket < ${PipelineOps.ValCut} THEN 'val'
+                               ELSE 'test' END AS split
+                   FROM (SELECT doc_id, text,
+                                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
+                         FROM documents)),
+        bg AS (SELECT doc_id, split, ts[i] || ' ' || ts[i+1] AS bg
+               FROM (SELECT doc_id, split, ts, unnest(range(1, len(ts))) AS i
+                     FROM (SELECT doc_id, split, str_split(text, ' ') AS ts
+                           FROM s WHERE split <> 'val'))),
+        c AS (SELECT bg,
+                     CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS rc,
+                     CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+              FROM bg GROUP BY bg),
+        t AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS tr,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        m AS (SELECT b.doc_id,
+                     CAST(round((ln(c.tc + 1) - ln(t.tt + t.v)
+                                 - ln(c.rc + 1) + ln(t.tr + t.v)) * 1e6) AS BIGINT) AS micro
+              FROM bg b JOIN c USING (bg) CROSS JOIN t
+              WHERE b.split = 'train'),
+        g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+                     CAST(SUM(micro) AS BIGINT) AS lm
+              FROM m GROUP BY doc_id)
+        SELECT s.doc_id AS doc_id,
+               CAST(COALESCE(g.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(g.lm, 0) AS BIGINT) AS logw_micro,
+               CAST(COALESCE(g.lm, 0) AS DOUBLE) / 1e6 AS logw
+        FROM s LEFT JOIN g ON s.doc_id = g.doc_id
+        WHERE s.split = 'train'
+        ORDER BY doc_id"""
+
   /** q90 — PER-SOURCE QUALITY DASHBOARD: the rollup a corpus team actually
     * watches — per (lang, source): doc count, q61 keep count/rate, and the
     * corpus-level stop-word ratio. A collapsing source (crawler broke, spam
@@ -626,39 +742,44 @@ object TextOps {
             FROM m GROUP BY doc_id ORDER BY doc_id""",
       // q95: same split rule as the q57 oracle, same 4-ln micro-unit
       // construction as the Spark side (the boundary guard lives there)
-      "q95_dsir_weights" ->
-        s"""WITH s AS (SELECT doc_id, text,
-                              CASE WHEN bucket < ${PipelineOps.TrainCut} THEN 'train'
-                                   WHEN bucket < ${PipelineOps.ValCut} THEN 'val'
-                                   ELSE 'test' END AS split
-                       FROM (SELECT doc_id, text,
-                                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
-                             FROM documents)),
-            bg AS (SELECT doc_id, split, ts[i] || ' ' || ts[i+1] AS bg
-                   FROM (SELECT doc_id, split, ts, unnest(range(1, len(ts))) AS i
-                         FROM (SELECT doc_id, split, str_split(text, ' ') AS ts
-                               FROM s WHERE split <> 'val'))),
-            c AS (SELECT bg,
-                         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS rc,
-                         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS tc
-                  FROM bg GROUP BY bg),
-            t AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS tr,
-                         CAST(COUNT(*) AS BIGINT) AS v FROM c),
-            m AS (SELECT b.doc_id,
-                         CAST(round((ln(c.tc + 1) - ln(t.tt + t.v)
-                                     - ln(c.rc + 1) + ln(t.tr + t.v)) * 1e6) AS BIGINT) AS micro
-                  FROM bg b JOIN c USING (bg) CROSS JOIN t
-                  WHERE b.split = 'train'),
-            g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
-                         CAST(SUM(micro) AS BIGINT) AS lm
-                  FROM m GROUP BY doc_id)
-            SELECT s.doc_id AS doc_id,
-                   CAST(COALESCE(g.nb, 0) AS BIGINT) AS n_bigrams,
-                   CAST(COALESCE(g.lm, 0) AS BIGINT) AS logw_micro,
-                   CAST(COALESCE(g.lm, 0) AS DOUBLE) / 1e6 AS logw
-            FROM s LEFT JOIN g ON s.doc_id = g.doc_id
-            WHERE s.split = 'train'
-            ORDER BY doc_id""",
+      "q95_dsir_weights" -> DsirWeightsSql,
+      // q102 composes the q95 oracle verbatim (the q76/q78 pattern — the
+      // resample's weight inputs cannot drift from the verified query),
+      // then mirrors the Spark side exactly: ONE rounding of exp(logw)
+      // into integer micro-units (the boundary guard lives on the Spark
+      // side), then the unrolled exact-integer water-fill rounds (the
+      // q87 unrolled-round-prelude precedent; rounds past the fixpoint
+      // are idempotent, so the fixed unroll equals Spark's
+      // iterate-to-fixpoint state) and the all-integer keep rule —
+      // bit-identical across engines by construction
+      "q102_dsir_resample" -> {
+        val t = DsirResampleTarget
+        val rounds = (1 to DsirWaterfillRounds).map { r =>
+          val p = s"r${r - 1}"
+          s"""r$r AS (SELECT CAST(COALESCE(SUM(CASE WHEN CAST(w_micro AS HUGEINT) * ($t - $p.n) >= $p.s
+                                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n,
+                           CAST(COALESCE(SUM(CASE WHEN CAST(w_micro AS HUGEINT) * ($t - $p.n) >= $p.s
+                                                THEN 0 ELSE w_micro END), 0) AS BIGINT) AS s
+                    FROM wm CROSS JOIN $p)"""
+        }.mkString(",\n            ")
+        val rF = s"r$DsirWaterfillRounds"
+        s"""WITH dw AS ($DsirWeightsSql),
+            wm AS (SELECT doc_id, logw_micro,
+                          CAST(round(exp(CAST(logw_micro AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+                            AS w_micro
+                   FROM dw),
+            r0 AS (SELECT CAST(0 AS BIGINT) AS n,
+                          CAST(COALESCE(SUM(w_micro), 0) AS BIGINT) AS s FROM wm),
+            $rounds
+            SELECT wm.doc_id AS doc_id, wm.logw_micro AS logw_micro,
+                   wm.w_micro AS w_micro,
+                   ('0x' || substr(md5(CAST(wm.doc_id AS VARCHAR)), 1, 12))::BIGINT AS u,
+                   CAST(('0x' || substr(md5(CAST(wm.doc_id AS VARCHAR)), 1, 12))::BIGINT AS HUGEINT)
+                       * $rF.s
+                     < CAST(wm.w_micro AS HUGEINT) * ($t - $rF.n) * 281474976710656 AS kept
+            FROM wm CROSS JOIN $rF
+            ORDER BY doc_id"""
+      },
       "q63_term_index" ->
         """WITH tf AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
             t AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),

@@ -221,4 +221,35 @@ class TextOpsSpec extends SparkSpec {
       (5L, 0L, 0L, 1L, md5hex("w1 w2 <IP>")),
       (60L, 1L, 1L, 1L, md5hex("w1 w2 <EMAIL> <PHONE> <IP>"))))
   }
+
+  test("DSIR resample: expected-size sample tilted toward target-like docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = TextOps.dsirResample(docs)
+      .select("doc_id", "logw_micro", "kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // covers exactly the train split, like q95
+    assert(rows.length === TextOps.dsirWeights(docs).count())
+    // kept count is a sum of independent Bernoullis with E = target
+    // (minus capping slack): bound loosely at target ± 50
+    val kept = rows.count(_._3)
+    assert(math.abs(kept - TextOps.DsirResampleTarget) <= 50,
+      s"kept $kept vs target ${TextOps.DsirResampleTarget}")
+    // the whole point: importance tilts the sample toward high-logw docs
+    val keptMean = rows.filter(_._3).map(_._2.toDouble).sum / kept
+    val dropMean = rows.filterNot(_._3).map(_._2.toDouble).sum / (rows.length - kept)
+    assert(keptMean > dropMean,
+      s"sample not importance-tilted: kept mean $keptMean vs dropped $dropMean")
+    // replay-safe: the md5 draw makes the sample a pure function of the data
+    val again = TextOps.dsirResample(docs)
+      .select("doc_id", "logw_micro", "kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(again === rows)
+    // a target >= corpus size caps every positive-weight rate at 1; docs
+    // whose weight quantizes to zero micro-units (exp(logw) < 0.5e-6)
+    // carry ~no importance mass and are never kept at any target
+    val all = TextOps.dsirResample(docs, target = 1000000L)
+      .select("w_micro", "kept").as[(Long, Boolean)].collect()
+    assert(all.forall { case (w, k) => k === (w > 0L) })
+    assert(all.count(_._2) > 0)
+  }
 }
