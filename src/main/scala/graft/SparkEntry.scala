@@ -122,6 +122,15 @@ object SparkEntry {
     materialized(s, d, "qlabels")(
       TextOps.trainingFilter(Tables.documents(s, d)).selectExpr("doc_id", "keep"))
 
+  /** The q101 score table, materialized once per (session, corpus) —
+    * q103's calibration curve aggregates the STORED scores (q101 stays
+    * the live measured plan). (long, long, long, double, boolean)
+    * round-trips parquet bit-exactly. */
+  private[graft] def qualityScoresShared(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "qscores")(
+      graft.ops.QualityModelOps.qualityClassifier(Tables.documents(s, d),
+        Some(qualityLabelsShared(s, d))))
+
   /** The q77 merge list, learned once per (session, corpus) — q79 applies
     * it; q77 itself re-learns so the iterative cost stays measured there
     * (a bounded Seq on the driver: the artifact a real pipeline persists
@@ -338,6 +347,12 @@ object SparkEntry {
     "q101_quality_classifier" -> ((s, d) =>
       graft.ops.QualityModelOps.qualityClassifier(Tables.documents(s, d),
         Some(qualityLabelsShared(s, d)))),
+    // the classifier's reliability curve vs the heuristic that supervised
+    // it (the q99 calibration pattern) — reads the MATERIALIZED q101
+    // score and q61 label snapshots; one bounded aggregate
+    "q103_score_calibration" -> ((s, d) =>
+      graft.ops.QualityModelOps.scoreCalibration(
+        qualityScoresShared(s, d), qualityLabelsShared(s, d))),
     // soft dedup: every doc kept, downweighted by near-dup cluster
     // multiplicity — reads the MATERIALIZED q66 cluster table (q59 pattern)
     "q97_softdedup_weights" -> ((s, d) =>

@@ -130,13 +130,69 @@ object QualityModelOps {
              THEN CAST(raise_error('$what: micro value at a rounding boundary') AS BIGINT)
              ELSE CAST(round($raw) AS BIGINT) END"""
 
+  /** q103's score-bin width in micro-units (2.0 log-odds per bin) — an
+    * exact integer constant shared with the oracle, so the bin edge is
+    * the same floor division on both engines. */
+  val CalibrationBinMicro = 2000000L
+
+  /** q103 — MODEL-vs-HEURISTIC CALIBRATION (the q99 pattern applied to
+    * the classifier): bin every doc by its q101 score and report each
+    * bin's q61 heuristic agreement — the reliability curve a curation
+    * team reads before trusting a learned filter to replace (or
+    * threshold differently from) the heuristic that supervised it. A
+    * well-calibrated classifier shows keep-rate rising monotonically
+    * with the score bin; a flat curve means the score carries no signal
+    * at that operating range.
+    *
+    * Determinism: the bin is floor(score_micro / binMicro) — both
+    * engines evaluate the identical double division and floor over the
+    * same integer (exact at every representable quotient); counts are
+    * exact integers, the rate one final IEEE division. Scale shape: two
+    * row-local snapshot reads joined on doc_id, ONE bounded aggregate —
+    * |bins| is bounded by the score range (∝ max doc length × max
+    * |weight|, ~2 × 10² on the test corpora), never by corpus size. */
+  def scoreCalibration(scores: DataFrame, labels: DataFrame,
+                       binMicro: Long = CalibrationBinMicro): DataFrame =
+    scores.select(col("doc_id"), col("score_micro"))
+      .join(labels.select(col("doc_id"), col("keep")), "doc_id")
+      .selectExpr(
+        s"CAST(FLOOR(CAST(score_micro AS DOUBLE) / ${binMicro}e0) AS BIGINT) AS bin",
+        "keep")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .selectExpr("bin",
+        s"CAST(bin AS DOUBLE) * ${binMicro}e0 / 1e6 AS bin_lo",
+        "n_docs", "n_keep",
+        "CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate")
+      .orderBy("bin")
+
   /** DuckDB oracle: composes the q61 oracle verbatim for the weak labels
     * (the q71/q89/q98 pattern — the classifier's supervision cannot drift
     * from the individually-hash-verified heuristic), the q57 split rule,
     * and the same md5-byte feature hash + 4-ln micro construction (the
     * boundary guard lives on the Spark side). */
   def oracles: Map[String, String] = Map(
-    "q101_quality_classifier" ->
+    "q101_quality_classifier" -> QualityClassifierSql,
+    // q103 composes the q101 and q61 oracles verbatim (the q99 pattern):
+    // identical floor-division binning, exact counts, one IEEE rate
+    "q103_score_calibration" ->
+      s"""WITH q AS ($QualityClassifierSql),
+          l AS (${TextOps.oracles("q61_training_filter")}),
+          j AS (SELECT CAST(FLOOR(CAST(q.score_micro AS DOUBLE) / ${CalibrationBinMicro}e0)
+                            AS BIGINT) AS bin,
+                       l.keep AS keep
+                FROM q JOIN l ON q.doc_id = l.doc_id)
+          SELECT bin,
+                 CAST(bin AS DOUBLE) * ${CalibrationBinMicro}e0 / 1e6 AS bin_lo,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+          FROM j GROUP BY bin ORDER BY bin""")
+
+  /** The q101 oracle SQL, a val so q103 composes it verbatim. */
+  private val QualityClassifierSql =
       s"""WITH lab AS (${TextOps.oracles("q61_training_filter")}),
           tr AS (SELECT doc_id FROM documents
                  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
@@ -192,5 +248,5 @@ object QualityModelOps {
                  CAST(COALESCE(g.fm, 0) + b.bias_micro AS DOUBLE) / 1e6 AS score,
                  COALESCE(g.fm, 0) + b.bias_micro > 0 AS pred
           FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id CROSS JOIN b
-          ORDER BY doc_id""")
+          ORDER BY doc_id"""
 }

@@ -35,6 +35,26 @@ class QualityModelOpsSpec extends SparkSpec {
     assert(a.length === docs.count())
   }
 
+  test("score calibration: bins partition the corpus and the curve slopes upward") {
+    val scores = QualityModelOps.qualityClassifier(docs)
+    val labels = TextOps.trainingFilter(docs).select("doc_id", "keep")
+    val bins = QualityModelOps.scoreCalibration(scores, labels)
+      .select("bin", "n_docs", "n_keep")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // every doc lands in exactly one bin
+    assert(bins.map(_._2).sum === docs.count())
+    assert(bins.forall { case (_, n, k) => k >= 0 && k <= n })
+    // the reliability property the query exists to show: docs above the
+    // median bin keep at a (much) higher rate than docs below it
+    val mid = bins(bins.length / 2)._1
+    def rate(sel: ((Long, Long, Long)) => Boolean) = {
+      val s = bins.filter(sel)
+      s.map(_._3).sum.toDouble / s.map(_._2).sum
+    }
+    assert(rate(_._1 >= mid) > rate(_._1 < mid) + 0.2,
+      s"calibration curve flat: ${bins.toSeq}")
+  }
+
   test("quality classifier plan: bounded weight table broadcast, no window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = QualityModelOps.qualityClassifier(docs)
