@@ -432,6 +432,10 @@ object SparkEntry {
     }),
     // §7.1 graft.ext — similarity search over `embeddings`
     "q42_knn_brute"        -> ((s, d) => SimilarityOps.knnBruteForce(Tables.embeddings(s, d))),
+    // contrastive-training mining: per anchor, the top-k closest vectors
+    // with a DIFFERENT label (the closest impostors) — q42's broadcast
+    // scan shape with label disagreement in the join condition
+    "q104_hard_negatives"  -> ((s, d) => SimilarityOps.hardNegatives(Tables.embeddings(s, d))),
     "q43_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(Tables.embeddings(s, d))),
     "q44_label_centroids"  -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
     "q45_embedding_dups"   -> ((s, d) => SimilarityOps.embeddingDups(Tables.embeddings(s, d))),

@@ -177,6 +177,33 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** q104 — HARD-NEGATIVE MINING: for each anchor (the graded query set),
+    * the top-k highest-cosine vectors carrying a DIFFERENT label — the
+    * closest impostors. This is the mining step a contrastive/embedding
+    * training pipeline runs over its corpus: in-batch random negatives are
+    * too easy, and training on the nearest other-label neighbors is what
+    * sharpens the margin (the standard recipe behind dense-retriever and
+    * sentence-embedding training). Same plan shape as [[knnBruteForce]]
+    * (query set broadcast, corpus scanned never shuffled, per-anchor
+    * top-k) with the label disagreement pushed into the join condition —
+    * at production scale the anchor set is a sample, exactly like the
+    * q42/q43 audit set. */
+  def hardNegatives(emb: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    val all = emb.selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("vec_id", "label", "v", s"${sparkDot("v", "v")} AS n2")
+    val q = all.filter(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS q_id", "label AS q_label", "v AS qv", "n2 AS qn2")
+    broadcast(q).join(all, col("label") =!= col("q_label"))
+      .selectExpr("q_id", "vec_id AS n_id", "CAST(label AS BIGINT) AS n_label",
+        s"${sparkDot("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos")
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("cos"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
   /** q43 — banded-LSH ANN: candidates are vectors sharing ANY of the
     * query's band keys (distinct on the narrow (q_id, vec_id) pair), then a
     * vector gather + exact cosine ranking on candidates only. At scale:
@@ -820,6 +847,21 @@ object SimilarityOps {
             FROM pairs)
           WHERE rank <= $TopK ORDER BY q_id, rank"""
     },
+    // q104: the q42 brute ranking with the label-disagreement predicate —
+    // the same cos expression q42 hash-verifies, anchors' labels joined in
+    "q104_hard_negatives" ->
+      s"""WITH vecs AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                               embedding::DOUBLE[] AS v FROM embeddings),
+          n AS (SELECT vec_id, label, v, ${duckDot("v", "v")} AS n2 FROM vecs),
+          pairs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+                           ${duckDot("q.v", "c.v")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+                    FROM n q JOIN n c
+                    ON q.vec_id < $NumQueries AND q.label != c.label)
+          SELECT q_id, n_id, n_label, cos, rank FROM (
+            SELECT q_id, n_id, n_label, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+            FROM pairs)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
     "q42_knn_brute" ->
       s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),

@@ -235,6 +235,25 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(SimilarityOps.kmeans(empty).collect().isEmpty)
   }
 
+  test("hard negatives: per-anchor top-k closest impostors, never the anchor's label") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val anchors = embT.selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+      .as[(Long, Long)].collect().toMap
+    val rows = SimilarityOps.hardNegatives(embT)
+      .select("q_id", "n_id", "n_label", "cos", "rank")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    // full top-k ladder per anchor
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._5).sorted === (1L to rs.length.toLong), s"anchor $q ranks")
+      // ranked by descending cosine
+      assert(rs.sortBy(_._5).map(_._4).zip(rs.sortBy(_._5).map(_._4).tail)
+        .forall { case (a, b) => a >= b }, s"anchor $q not cos-ordered")
+      // every negative carries a different label than its anchor
+      rs.foreach { r => assert(r._3 !== anchors(q), s"anchor $q mined own label") }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("kmeansConverged stops early on a separable fixture, matching the fixed-round form") {
     // two tight orthogonal-ish groups with the true seeds: round 1 already
     // assigns by proximity, so round 2 cannot improve — the inertia delta
