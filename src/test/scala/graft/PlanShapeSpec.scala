@@ -308,6 +308,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!small.contains("Window"), s"unexpected window:\n${small.take(1500)}")
   }
 
+  test("q102 resample verdict is row-local after the fixpoint: no window, no join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    // the water-fill state collapses to two integer LITERALS in the final
+    // plan (the driver-fixpoint idiom) — the keep verdict must be a pure
+    // row-local filter over the checkpointed weight rows: any join or
+    // window here means per-row state lookup crept back in
+    val q = TextOps.dsirResample(docs)
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collect { case w: LWindow => w }.isEmpty, "q102 must not window")
+    assert(opt.collect { case j: Join => j }.isEmpty,
+      "q102's verdict must not join: the (n, s) state is a literal pair")
+  }
+
+  test("q104 hard negatives: anchors broadcast into the corpus scan, no cartesian") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = SimilarityOps.hardNegatives(emb)
+    val exec = q.queryExecution.executedPlan.toString
+    // label-disagreement is a non-equi condition: the correct shape is the
+    // bounded anchor set broadcast into a nested-loop probe of the corpus
+    // (the q87 centroid idiom), never an un-broadcast cartesian
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"anchor set must broadcast:\n${exec.take(1200)}")
+    assert(!exec.contains("CartesianProduct"),
+      s"cartesian leaked into q104:\n${exec.take(1200)}")
+    // the only window is the per-anchor top-k rank — always partitioned
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "q104's rank window must stay per-anchor partitioned")
+  }
+
   test("q97 soft-dedup weights reuse the cluster-key exchange; no window") {
     val clusters = Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true))
       .toDF("doc_id", "cluster_id", "keep")
