@@ -162,7 +162,12 @@ object SimilarityOps {
         ORDER BY q_id, rank"""
 
   /** q42 — brute-force cosine top-k: broadcast the query set against the
-    * full corpus (the fact side is never shuffled), rank per query. */
+    * full corpus (the fact side is never shuffled), rank per query. The
+    * `row_number ≤ k` filter is planned as a map-side Partial
+    * `WindowGroupLimit` (Spark's InferWindowGroupLimit): every task keeps
+    * only its local top-k per query BEFORE the exchange, so a per-query
+    * partition is ~k·tasks rows at the final sort, never corpus-sized —
+    * plan-guarded in `PlanShapeSpec` (q104's test, same shape). */
   def knnBruteForce(emb: DataFrame): DataFrame = {
     val all = vecs(emb)
     val q = all.filter(col("vec_id") < NumQueries)
@@ -185,8 +190,9 @@ object SimilarityOps {
     * sharpens the margin (the standard recipe behind dense-retriever and
     * sentence-embedding training). Same plan shape as [[knnBruteForce]]
     * (query set broadcast, corpus scanned never shuffled, per-anchor
-    * top-k) with the label disagreement pushed into the join condition —
-    * at production scale the anchor set is a sample, exactly like the
+    * top-k through the map-side Partial WindowGroupLimit — plan-guarded)
+    * with the label disagreement pushed into the join condition; at
+    * production scale the anchor set is a sample, exactly like the
     * q42/q43 audit set. */
   def hardNegatives(emb: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(emb.sparkSession)

@@ -337,6 +337,13 @@ class PlanShapeSpec extends SparkSpec {
     val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
       "q104's rank window must stay per-anchor partitioned")
+    // the rank<=k filter must be pushed into a map-side (Partial)
+    // WindowGroupLimit: only ~k rows per anchor per task reach the
+    // exchange, so a corpus-sized anchor partition never funnels through
+    // one sort task — the property that makes the brute top-k family
+    // (q42/q43/q104) scale past the sampled-anchor-set framing
+    assert(exec.contains("WindowGroupLimit") && exec.contains("Partial"),
+      s"rank filter not pushed to a map-side group limit:\n${exec.take(1500)}")
   }
 
   test("q97 soft-dedup weights reuse the cluster-key exchange; no window") {
