@@ -274,6 +274,11 @@ object SparkEntry {
     // IEEE-correctly-rounded, so the weight is bit-exact cross-engine
     "q72_mixture_weights"  -> ((s, d) =>
       PipelineOps.mixtureWeights(Tables.documents(s, d))),
+    // the upsampling ledger q76's rate cap points at: per stratum, exact
+    // demanded count decomposed into full epochs + a replay-safe partial
+    // pass, with the over-repetition flag — all exact integer quotients
+    "q105_mixture_epoch_plan" -> ((s, d) =>
+      PipelineOps.mixtureEpochPlan(Tables.documents(s, d))),
     // concat-and-chunk packing bookkeeping: per-doc offset + chunk span
     // from a two-pass distributed prefix sum (no global window)
     "q73_sequence_packing" -> ((s, d) =>

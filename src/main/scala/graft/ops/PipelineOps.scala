@@ -238,6 +238,42 @@ object PipelineOps {
       .orderBy("lang", "source", "r")
   }
 
+  /** q105's total-token budget dial (in documents), shared with the
+    * oracle. Larger than the corpus so upsampling strata exist. */
+  val EpochPlanTarget = 2000L
+
+  /** q105 — MIXTURE EPOCH PLAN: the upsampling ledger [[mixtureWeights]]
+    * leaves open. q76 downsamples toward the temperature mixture but CAPS
+    * each stratum at rate 1 — an under-represented stratum "cannot be
+    * upsampled here; the cap is reported so a caller can route those
+    * strata to a repetition pass" ([[keepBudget]]). This is that pass's
+    * plan: per (lang, source), the exact demanded doc count
+    * `needed = floor(w·target/Σw)`, decomposed into `epochs = needed DIV n`
+    * full repetitions plus a `rem = needed MOD n`-doc partial epoch, with
+    * the partial epoch's hash-threshold cut (the q76 rule) so the
+    * partial-pass sample is replay-safe too. `epochs ≥ 4` flags the
+    * over-repetition a mixture designer watches (the "repeat data past ~4
+    * epochs stops helping" rule of thumb from scaling studies).
+    *
+    * Everything is EXACT integer math over the bounded stratum table —
+    * needed is a DECIMAL(38,0)/HUGEINT floor quotient of exact integers,
+    * epochs/rem integer div/mod, the cut the q76 2⁴⁸ construction — so
+    * the plan is hash-identical cross-engine. Scale: one bounded
+    * aggregate (|lang|×|source| rows); no corpus-sized anything. */
+  def mixtureEpochPlan(docs: DataFrame, target: Long = EpochPlanTarget): DataFrame =
+    mixtureWeights(docs)
+      .selectExpr("lang", "source", "n", "w_micro",
+        s"CAST(SUM(CAST(w_micro AS DECIMAL(38,0))) OVER () AS DECIMAL(38,0)) AS tw")
+      .selectExpr("lang", "source", "n",
+        s"CAST(CAST(w_micro AS DECIMAL(38,0)) * $target DIV tw AS BIGINT) AS needed_n")
+      .selectExpr("lang", "source", "n", "needed_n",
+        "needed_n DIV n AS epochs",
+        "needed_n % n AS rem",
+        // the partial epoch's replay-safe cut: keep iff u48 < rem·2^48/n
+        "CAST(CAST(needed_n % n AS DECIMAL(38,0)) * 281474976710656 DIV n AS BIGINT) AS rem_cut",
+        "needed_n DIV n >= 4 AS over_repeated")
+      .orderBy("lang", "source")
+
   /** q73 — SEQUENCE PACKING (concat-and-chunk bookkeeping): concatenate
     * the corpus in stable doc_id order and chop it into fixed-token-budget
     * training chunks — the standard LLM-pretraining packing — reporting,
@@ -470,6 +506,22 @@ object PipelineOps {
          ORDER BY lang, source, doc_id"""
     },
     "q73_sequence_packing" -> SequencePackingSql,
+    // q105 composes the q72 oracle verbatim; needed/epochs/rem/cut are
+    // all exact integer quotients (HUGEINT there, DECIMAL(38,0) here)
+    "q105_mixture_epoch_plan" ->
+      s"""WITH mw AS ($MixtureWeightsSql),
+          t AS (SELECT CAST(SUM(w_micro) AS HUGEINT) AS tw FROM mw),
+          d AS (SELECT mw.lang AS lang, mw.source AS source, mw.n AS n,
+                       CAST((CAST(mw.w_micro AS HUGEINT) * $EpochPlanTarget) // t.tw
+                            AS BIGINT) AS needed_n
+                FROM mw CROSS JOIN t)
+          SELECT lang, source, n, needed_n,
+                 needed_n // n AS epochs,
+                 needed_n % n AS rem,
+                 CAST((CAST(needed_n % n AS HUGEINT) * 281474976710656) // n AS BIGINT)
+                   AS rem_cut,
+                 needed_n // n >= 4 AS over_repeated
+          FROM d ORDER BY lang, source""",
     // q83: the same URL derivation + regex host extraction (DuckDB has no
     // parse_url; the regex is the HOST part of the same grammar)
     "q83_url_dedup" ->

@@ -243,6 +243,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keptAt(0).nonEmpty && keptAt(2).size > keptAt(0).size)
   }
 
+  test("mixture epoch plan: demand decomposes exactly; upsampled strata flagged") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = PipelineOps.mixtureEpochPlan(docs)
+      .select("n", "needed_n", "epochs", "rem", "rem_cut", "over_repeated")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // the decomposition is exact per stratum: epochs*n + rem = needed
+    rows.foreach { case (n, need, ep, rem, cut, over) =>
+      assert(ep * n + rem === need)
+      assert(rem >= 0 && rem < n)
+      assert(cut >= 0 && cut <= 281474976710656L)
+      assert(over === (ep >= 4))
+    }
+    // total demand hits the target up to per-stratum floor slack
+    val total = rows.map(_._2).sum
+    assert(total <= PipelineOps.EpochPlanTarget
+      && total > PipelineOps.EpochPlanTarget - rows.length,
+      s"total demand $total vs target ${PipelineOps.EpochPlanTarget}")
+    // the target exceeds the corpus, so genuinely upsampled strata exist
+    assert(rows.exists(_._3 >= 1))
+  }
+
   test("corpus decision covers exactly the train split; keep is the conjunction") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
