@@ -65,54 +65,24 @@ object QualityModelOps {
     * like a real pipeline stage). Defaults to deriving the labels live. */
   def qualityClassifier(docs: DataFrame,
                         weakLabels: Option[DataFrame] = None): DataFrame = {
-    val labels = weakLabels.getOrElse(
-      TextOps.trainingFilter(docs).select(col("doc_id"), col("keep")))
-    val trainIds = docs
-      .select(col("doc_id"), PipelineOps.md5Bucket(col("doc_id")).as("bucket"))
-      .selectExpr("doc_id", s"${PipelineOps.splitOf("bucket")} AS split")
-      .filter(col("split") === "train").select("doc_id")
-    val base = docs.selectExpr("doc_id", "lang", "split(text, ' ') AS ts")
-    val uni = base.selectExpr("doc_id", "explode(ts) AS f")
-    val li = base.selectExpr("doc_id",
-      "explode(transform(ts, t -> concat(lang, '|', t))) AS f")
-    val strct = base
-      .selectExpr("doc_id", "CAST(size(ts) AS BIGINT) AS n",
-        "CAST(size(array_distinct(ts)) AS BIGINT) AS nd")
-      .selectExpr("doc_id",
-        """array(
-             concat('__len', CAST(CASE WHEN n < 20 THEN 0 WHEN n < 40 THEN 1
-                                       WHEN n < 60 THEN 2 WHEN n < 80 THEN 3
-                                       ELSE 4 END AS STRING)),
-             concat('__dr', CAST(least(nd * 16 DIV n, 15) AS STRING))) AS fs""")
-      .selectExpr("doc_id", "explode(fs) AS f")
-    val toks = uni.unionByName(li).unionByName(strct)
-      .select(col("doc_id"), PipelineOps.md5Bucket(col("f")).as("fb"))
     // ONE bounded aggregate = the whole training pass: per-bucket
     // positive/negative occurrence counts over weak-labeled train docs
-    val counts = toks.join(trainIds, "doc_id").join(labels, "doc_id")
-      .groupBy("fb").agg(
-        sum(when(col("keep"), 1L).otherwise(0L)).as("cpos"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("cneg"))
-    val totals = counts.agg(sum("cpos").as("tpos"), sum("cneg").as("tneg"))
-    // class-prior bias from train DOC counts, micro-rounded once (guarded)
-    val bias = trainIds.join(labels, "doc_id").agg(
-        sum(when(col("keep"), 1L).otherwise(0L)).as("npos"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("nneg"))
-      .selectExpr(s"${microGuard("(ln(npos + 1) - ln(nneg + 1)) * 1e6", "q101 bias")} AS bias_micro")
+    val m = modelTables(docs, weakLabels)
+    val toks = featureRows(docs)
     // scoring: every token occurrence gathers its bucket's weight via a
     // BROADCAST join (the weight table is ≤ NumBuckets rows); buckets the
     // train split never produced fall back to zero counts (left_outer)
     val w = s"(ln(COALESCE(cpos, 0) + 1) - ln(tpos + $NumBuckets)" +
       s" - ln(COALESCE(cneg, 0) + 1) + ln(tneg + $NumBuckets)) * 1e6"
     val scored = toks
-      .join(broadcast(counts), Seq("fb"), "left_outer")
-      .crossJoin(broadcast(totals))
+      .join(broadcast(m.counts), Seq("fb"), "left_outer")
+      .crossJoin(broadcast(m.totals))
       .selectExpr("doc_id", s"${microGuard(w, "q101 weight")} AS micro")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("micro").as("fm"))
     docs.select("doc_id")
       .join(scored, Seq("doc_id"), "left_outer")
-      .crossJoin(broadcast(bias))
+      .crossJoin(broadcast(m.bias))
       .selectExpr("doc_id",
         "CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats",
         "COALESCE(fm, 0) + bias_micro AS score_micro",
@@ -120,6 +90,83 @@ object QualityModelOps {
         "COALESCE(fm, 0) + bias_micro > 0 AS pred")
       .orderBy("doc_id")
   }
+
+  /** The trained model as a BOUNDED ARTIFACT: the full 0..255 bucket →
+    * guarded micro-unit weight array plus the bias — what a real pipeline
+    * persists next to its corpus so ingest-time consumers
+    * ([[graft.streaming.StreamQualityScore]]) can score arriving docs
+    * without touching the corpus (the k-means-centroids / BPE-merges
+    * pattern). The per-bucket weight is evaluated by the SAME guarded
+    * expression [[qualityClassifier]] applies per occurrence — a pure
+    * function of the bucket's counts, so pre-tabulating it is exactly
+    * the per-occurrence rounding (parity spec-proven bit-equal). The
+    * collect is ≤ [[NumBuckets]]+1 rows by construction. */
+  def bucketWeightsMicro(docs: DataFrame,
+                         weakLabels: Option[DataFrame] = None): (Array[Long], Long) = {
+    val spark = docs.sparkSession
+    val m = modelTables(docs, weakLabels)
+    val wExpr = s"(ln(COALESCE(cpos, 0) + 1) - ln(tpos + $NumBuckets)" +
+      s" - ln(COALESCE(cneg, 0) + 1) + ln(tneg + $NumBuckets)) * 1e6"
+    val w = spark.range(NumBuckets).toDF("fb")
+      .join(m.counts, Seq("fb"), "left_outer")
+      .crossJoin(broadcast(m.totals))
+      .selectExpr("fb", s"${microGuard(wExpr, "q101 weight")} AS micro")
+      .orderBy("fb")
+      .collect().map(_.getLong(1))
+    val bias = m.bias.collect().head.getLong(0)
+    (w, bias)
+  }
+
+  /** The three bounded model tables (per-bucket counts, totals, bias),
+    * shared by [[qualityClassifier]] and [[bucketWeightsMicro]] so the
+    * corpus path and the persisted artifact cannot drift. */
+  private final case class ModelTables(counts: DataFrame, totals: DataFrame,
+                                       bias: DataFrame)
+  private def modelTables(docs: DataFrame,
+                          weakLabels: Option[DataFrame]): ModelTables = {
+    val labels = weakLabels.getOrElse(
+      TextOps.trainingFilter(docs).select(col("doc_id"), col("keep")))
+    val trainIds = docs
+      .select(col("doc_id"), PipelineOps.md5Bucket(col("doc_id")).as("bucket"))
+      .selectExpr("doc_id", s"${PipelineOps.splitOf("bucket")} AS split")
+      .filter(col("split") === "train").select("doc_id")
+    val counts = featureRows(docs).join(trainIds, "doc_id").join(labels, "doc_id")
+      .groupBy("fb").agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("cneg"))
+    val totals = counts.agg(sum("cpos").as("tpos"), sum("cneg").as("tneg"))
+    val bias = trainIds.join(labels, "doc_id").agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("npos"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("nneg"))
+      .selectExpr(s"${microGuard("(ln(npos + 1) - ln(nneg + 1)) * 1e6", "q101 bias")} AS bias_micro")
+    ModelTables(counts, totals, bias)
+  }
+
+  /** The hashed feature rows (doc_id, fb) — the three families via the
+    * union of explodes (one simple codegen'd Generate per family; the
+    * fused concat-array form measured slower). */
+  private def featureRows(docs: DataFrame): DataFrame = {
+    val base = docs.selectExpr("doc_id", "lang", "split(text, ' ') AS ts")
+    val uni = base.selectExpr("doc_id", "explode(ts) AS f")
+    val li = base.selectExpr("doc_id",
+      "explode(transform(ts, t -> concat(lang, '|', t))) AS f")
+    val strct = base
+      .selectExpr("doc_id", "CAST(size(ts) AS BIGINT) AS n",
+        "CAST(size(array_distinct(ts)) AS BIGINT) AS nd")
+      .selectExpr("doc_id", s"$StructFeatureArray AS fs")
+      .selectExpr("doc_id", "explode(fs) AS f")
+    uni.unionByName(li).unionByName(strct)
+      .select(col("doc_id"), PipelineOps.md5Bucket(col("f")).as("fb"))
+  }
+
+  /** The two structural feature strings over columns (n, nd) — shared by
+    * the batch feature explode and the streaming row-local scorer. */
+  private[graft] val StructFeatureArray: String =
+    """array(
+         concat('__len', CAST(CASE WHEN n < 20 THEN 0 WHEN n < 40 THEN 1
+                                   WHEN n < 60 THEN 2 WHEN n < 80 THEN 3
+                                   ELSE 4 END AS STRING)),
+         concat('__dr', CAST(least(nd * 16 DIV n, 15) AS STRING)))"""
 
   /** The q67/q92/q95 rounding-boundary guard: micro values within 1e-6 of
     * a half boundary raise instead of risking a cross-engine rounding
