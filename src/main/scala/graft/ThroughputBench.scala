@@ -73,6 +73,12 @@ object ThroughputBench {
                 'tail words here') AS text""",
       "'en' AS lang")
 
+    // modelscore mode: the learned q101 filter applied in-flight — the
+    // bounded artifact is trained once on the real sf0.001 corpus (the
+    // batch-refreshes-artifact contract), scoring is pure row-local plan
+    lazy val modelWeights = ops.QualityModelOps.bucketWeightsMicro(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+
     def once(): Double = {
       val t0 = System.nanoTime()
       val out = mode match {
@@ -80,6 +86,9 @@ object ThroughputBench {
           val (evalDocs, cents) = ingestRefs
           streaming.IngestPipeline.ingest(ingestWire, evalDocs, cents)
         case "quality" => streaming.StreamQualityGate.flag(qualityWire)
+        case "modelscore" =>
+          val (w, bias) = modelWeights
+          streaming.StreamQualityScore.score(qualityWire, w.toSeq, bias)
         case _ => streaming.FraudPipeline.fraudAlerts(wire)
       }
       out.write.format("noop").mode("overwrite").save()
@@ -91,6 +100,7 @@ object ThroughputBench {
     val metric = mode match {
       case "ingest" => "ingest_rows_per_sec"
       case "quality" => "quality_gate_rows_per_sec"
+      case "modelscore" => "model_score_rows_per_sec"
       case _ => "pipeline_rows_per_sec"
     }
     println(f"""{"metric":"$metric%s","value":$rps%.0f,"rows":$n,"sec":$sec%.3f,"cpus":$cpus}""")
