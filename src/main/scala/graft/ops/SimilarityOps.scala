@@ -507,7 +507,10 @@ object SimilarityOps {
   private def inertiaMicro(assigned: DataFrame): Long =
     kmeansInertiaOf(assigned
         .selectExpr("CAST(1 AS BIGINT) AS round_no", "vec_id", "cell", "dist"))
-      .select("inertia_micro").head().getLong(0)
+      .select("inertia_micro").collect()
+      // an empty corpus has no per-round group: inertia 0, so the run
+      // converges immediately (empty-in-empty-out, like [[kmeans]])
+      .headOption.map(_.getLong(0)).getOrElse(0L)
 
   /** A convergence-terminated [[kmeansConverged]] run: the final assignment
     * (same (vec_id, cell, dist) surface as [[kmeans]]), the number of Lloyd

@@ -233,6 +233,10 @@ class SimilarityOpsSpec extends SparkSpec {
   test("kmeans on an empty corpus is empty-in-empty-out, never cell = -1 rows") {
     val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
     assert(SimilarityOps.kmeans(empty).collect().isEmpty)
+    // the convergence-terminated form shares the contract: zero inertia
+    // converges at the first check instead of crashing on a missing group
+    val run = SimilarityOps.kmeansConverged(empty, maxRounds = 5)
+    assert(run.assign.collect().isEmpty && run.rounds <= 2)
   }
 
   test("hard negatives: per-anchor top-k closest impostors, never the anchor's label") {
