@@ -134,10 +134,14 @@ object QualityModelOps {
       .groupBy("fb").agg(
         sum(when(col("keep"), 1L).otherwise(0L)).as("cpos"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("cneg"))
-    val totals = counts.agg(sum("cpos").as("tpos"), sum("cneg").as("tneg"))
+    // coalesce(0): sums over an EMPTY train side are null, and a null
+    // would propagate a null score instead of the prior-free zero model
+    val totals = counts.agg(
+      coalesce(sum("cpos"), lit(0L)).as("tpos"),
+      coalesce(sum("cneg"), lit(0L)).as("tneg"))
     val bias = trainIds.join(labels, "doc_id").agg(
-        sum(when(col("keep"), 1L).otherwise(0L)).as("npos"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("nneg"))
+        coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("npos"),
+        coalesce(sum(when(col("keep"), 0L).otherwise(1L)), lit(0L)).as("nneg"))
       .selectExpr(s"${microGuard("(ln(npos + 1) - ln(nneg + 1)) * 1e6", "q101 bias")} AS bias_micro")
     ModelTables(counts, totals, bias)
   }
