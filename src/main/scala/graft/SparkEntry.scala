@@ -126,10 +126,15 @@ object SparkEntry {
     * q103's calibration curve aggregates the STORED scores (q101 stays
     * the live measured plan). (long, long, long, double, boolean)
     * round-trips parquet bit-exactly. */
-  private[graft] def qualityScoresShared(s: SparkSession, d: String): DataFrame =
+  private[graft] def qualityScoresShared(s: SparkSession, d: String): DataFrame = {
+    // resolve the labels snapshot BEFORE entering the scores build thunk:
+    // a nested computeIfAbsent on the same map throws "Recursive update"
+    // (the clustersShared lesson)
+    val labels = qualityLabelsShared(s, d)
     materialized(s, d, "qscores")(
       graft.ops.QualityModelOps.qualityClassifier(Tables.documents(s, d),
-        Some(qualityLabelsShared(s, d))))
+        Some(labels)))
+  }
 
   /** The q77 merge list, learned once per (session, corpus) — q79 applies
     * it; q77 itself re-learns so the iterative cost stays measured there

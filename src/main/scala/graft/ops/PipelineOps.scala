@@ -23,6 +23,15 @@ object PipelineOps {
   def md5Bucket(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long")
 
+  /** The 48-bit md5-prefix draw `u` ∈ [0, 2⁴⁸) — THE replay-safe sampling
+    * primitive (q58/q76/q102 keep rules compare it against exact-integer
+    * cuts scaled by [[TwoPow48]]), one definition like [[md5Bucket]]. */
+  def md5Prefix48(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** 2⁴⁸ — the draw space of [[md5Prefix48]], shared by every cut. */
+  val TwoPow48 = 281474976710656L
+
   /** ~80/10/10 bucket cuts shared with the q57 oracle. */
   val TrainCut = 204
   val ValCut = 230
@@ -107,8 +116,7 @@ object PipelineOps {
       .selectExpr("lang", "keep_n",
         "CAST(CAST(keep_n AS DECIMAL(38,0)) * 281474976710656 DIV n AS BIGINT) AS cut")
     docs.select(col("doc_id"), col("lang"))
-      .withColumn("u",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
+      .withColumn("u", md5Prefix48(col("doc_id")))
       .join(broadcast(dial), "lang")
       .filter(col("u") < col("cut"))
       .select("lang", "doc_id", "u", "keep_n")
@@ -214,8 +222,7 @@ object PipelineOps {
     val w = keepBudget(docs, target).selectExpr("lang", "source", "keep_n",
       "CAST(CAST(keep_n AS DECIMAL(38,0)) * 281474976710656 DIV n AS BIGINT) AS cut")
     docs.select(col("doc_id"), col("lang"), col("source"))
-      .withColumn("u",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
+      .withColumn("u", md5Prefix48(col("doc_id")))
       .join(broadcast(w), Seq("lang", "source"))
       .filter(col("u") < col("cut"))
       .select("lang", "source", "doc_id", "u", "keep_n")

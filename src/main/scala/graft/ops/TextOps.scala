@@ -435,20 +435,28 @@ object TextOps {
       rows.join(broadcast(head), key).unionByName(rows.join(tail, key))
     }
 
-  /** Engage [[gatherTwoTier]]'s head/tail split only past this corpus row
-    * count: below it every stats table is bounded enough that AQE
+  /** Engage [[gatherTwoTier]]'s head/tail split only past this input
+    * size: below it every stats table is bounded enough that AQE
     * broadcasts the single join outright, and the split's extra plan
     * (anti-join + two joins + union) is pure overhead (~0.5 s at sf0.1);
     * above it the hot stop-word keys are exactly the skew the split
-    * exists to break. The dial reads ONE metadata-cheap `count()` on the
-    * parquet scan (row-group counts, no data read); both paths produce
-    * the same multiset, so the output hash cannot depend on the gate. */
-  private[graft] val TwoTierMinRows = 100000L
+    * exists to break. The dial reads Catalyst's `stats.sizeInBytes` for
+    * the input plan — file sizes for a parquet scan, NO job at all (an
+    * earlier `count()` form re-ran a job per call and silently computed
+    * the full lineage for non-file inputs). Both paths produce the same
+    * multiset, so the output hash cannot depend on the gate; an
+    * unknown-size lineage (huge default estimate) engages the split,
+    * which errs toward the skew-proof shape. */
+  private[graft] val TwoTierMinBytes = BigInt(256L << 20)
+
+  private def engageTwoTier(docs: DataFrame, twoTier: Option[Boolean]): Boolean =
+    twoTier.getOrElse(
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes >= TwoTierMinBytes)
 
   def bigramSurprisal(docs: DataFrame,
                       twoTier: Option[Boolean] = None): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
-    val engage = twoTier.getOrElse(docs.count() >= TwoTierMinRows)
+    val engage = engageTwoTier(docs, twoTier)
     val bg = docs.selectExpr("doc_id", "explode(graft_shingles(split(text, ' '), 2)) AS bg")
     val uniCounts = docs.selectExpr("explode(split(text, ' ')) AS w")
       .groupBy("w").agg(count(lit(1)).as("c1"))
@@ -498,7 +506,7 @@ object TextOps {
   def dsirWeights(docs: DataFrame,
                   twoTier: Option[Boolean] = None): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
-    val engage = twoTier.getOrElse(docs.count() >= TwoTierMinRows)
+    val engage = engageTwoTier(docs, twoTier)
     val split = docs
       .select(col("doc_id"), PipelineOps.md5Bucket(col("doc_id")).as("bucket"), col("text"))
       .selectExpr("doc_id", s"${PipelineOps.splitOf("bucket")} AS split", "text")
@@ -573,40 +581,70 @@ object TextOps {
     * (n, s) pair. No window, no unbounded join. (Σw_micro is int64 here;
     * a corpus pushing it past 2⁶³ moves the state to DECIMAL(38,0) —
     * same shape.) */
+  /** Per-doc micro-weight ceiling: logw_micro above this would push
+    * w_micro = exp(logw)·1e6 past int64 — Spark's non-ANSI cast would
+    * silently clamp while DuckDB errors, so the Spark side raises FIRST.
+    * e^29·1e6 ≈ 3.9e18 < 2⁶³; a corpus whose weights legitimately land
+    * here (or whose Σ overflows — the state `require` below) rescales
+    * logw or moves the state to DECIMAL(38,0) — same plan shape. */
+  val DsirMaxLogwMicro = 29000000L
+
   def dsirResample(docs: DataFrame, target: Long = DsirResampleTarget,
                    weights: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
     val wts = weights.getOrElse(dsirWeights(docs)).select("doc_id", "logw_micro")
     val raw = "exp(CAST(logw_micro AS DOUBLE) / 1e6) * 1e6"
-    val wm = wts.selectExpr("doc_id", "logw_micro",
-      s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
+    val wm = wts.selectExpr("doc_id",
+        s"""CASE WHEN logw_micro > $DsirMaxLogwMicro
+                 THEN CAST(raise_error(concat('q102: importance weight overflows ',
+                      'micro-units (logw_micro > $DsirMaxLogwMicro) — rescale logw or ',
+                      'move the water-fill state to DECIMAL(38,0)')) AS BIGINT)
+                 ELSE logw_micro END AS logw_micro""")
+      .selectExpr("doc_id", "logw_micro",
+        s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
                THEN CAST(raise_error('q102: weight at a rounding boundary') AS BIGINT)
                ELSE CAST(round($raw) AS BIGINT) END AS w_micro""")
-      .localCheckpoint() // R bounded aggregates read these rows, not the q95 chain
-    // exact-integer water-fill to the fixpoint: state after round r is
-    // (n, s) = (capped count, Σ w_micro over the uncapped rest)
-    def round(n: Long, s: Long): (Long, Long) =
-      wm.selectExpr(
-          s"CAST(CASE WHEN CAST(w_micro AS DECIMAL(38,0)) * (${target}L - ${n}L) >= ${s}L THEN 1 ELSE 0 END AS BIGINT) AS capped",
-          "w_micro")
-        .agg(sum("capped").as("n"), sum(expr("CASE WHEN capped = 1 THEN 0 ELSE w_micro END")).as("s"))
-        .selectExpr("CAST(COALESCE(n, 0) AS BIGINT)", "CAST(COALESCE(s, 0) AS BIGINT)")
-        .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
-        .head()
-    var state = (0L, wm.agg(coalesce(sum("w_micro"), lit(0L)))
-      .as[Long](org.apache.spark.sql.Encoders.scalaLong).head())
+    // exact-integer water-fill with a MONOTONE per-doc capped bit (the
+    // Lloyd-rounds idiom: each round's rows checkpointed). Stateless
+    // recomputation of the capped set from (n, s) alone can OSCILLATE —
+    // e.g. zero-weight docs flip in and out whenever s hits 0, and an
+    // over-subscribed round (n > target) un-caps everyone — so caps only
+    // ever GROW here, which makes convergence a certainty (bounded by
+    // the doc count) and the fixed oracle unroll idempotent past it.
+    var cur = wm.withColumn("capped", lit(false)).localCheckpoint()
+    def stateOf(df: DataFrame): (Long, Long) = {
+      // state sums run in DECIMAL(38,0): a wrapped int64 Σw would corrupt
+      // every later cap test silently — overflow fails loudly instead
+      val row = df.agg(
+        coalesce(sum(when(col("capped"), 1L).otherwise(0L)), lit(0L)).as("n"),
+        coalesce(sum(when(col("capped"), lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+          .otherwise(col("w_micro").cast("decimal(38,0)"))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("s")).head()
+      val s = row.getDecimal(1)
+      require(s.compareTo(new java.math.BigDecimal(Long.MaxValue)) <= 0,
+        s"q102: Σw_micro $s overflows int64 — move the water-fill state to DECIMAL(38,0)")
+      (row.getLong(0), s.longValueExact())
+    }
+    var state = stateOf(cur)
     var prev = (-1L, -1L)
     var r = 0
     while (r < DsirWaterfillRounds && state != prev) {
-      prev = state; state = round(state._1, state._2); r += 1
+      prev = state
+      val (n, s) = state
+      cur = cur.withColumn("capped", expr(
+          s"""capped OR (w_micro > 0
+                AND CAST(w_micro AS DECIMAL(38,0)) * (${target}L - ${n}L) >= ${s}L)"""))
+        .localCheckpoint()
+      state = stateOf(cur)
+      r += 1
     }
-    require(state == prev || wm.isEmpty,
+    require(state == prev,
       s"q102: water-fill did not converge in $DsirWaterfillRounds rounds " +
         s"(state $state) — raise DsirWaterfillRounds or lower the target")
     val (n, s) = state
-    wm.withColumn("u",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"))
+    cur.withColumn("u", PipelineOps.md5Prefix48(col("doc_id")))
       .selectExpr("doc_id", "logw_micro", "w_micro", "u",
-        s"""CAST(u AS DECIMAL(38,0)) * ${s}L
+        s"""capped OR CAST(u AS DECIMAL(38,0)) * ${s}L
               < CAST(w_micro AS DECIMAL(38,0)) * (${target}L - ${n}L) * 281474976710656L
             AS kept""")
       .orderBy("doc_id")
@@ -754,30 +792,41 @@ object TextOps {
       // bit-identical across engines by construction
       "q102_dsir_resample" -> {
         val t = DsirResampleTarget
+        // one (w_r, s_r) CTE pair per round: w_r carries the MONOTONE
+        // per-doc capped bit (capped OR caps-now), s_r the two-integer
+        // state — exactly the Spark iteration, unrolled. Every w_r is
+        // MATERIALIZED: each is referenced twice (by s_r and w_{r+1}),
+        // so default CTE inlining would expand the chain exponentially
+        // (2^rounds re-scans of the corpus — observed as a too-many-open-
+        // files blowup); materialization is the oracle's localCheckpoint
         val rounds = (1 to DsirWaterfillRounds).map { r =>
-          val p = s"r${r - 1}"
-          s"""r$r AS (SELECT CAST(COALESCE(SUM(CASE WHEN CAST(w_micro AS HUGEINT) * ($t - $p.n) >= $p.s
-                                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n,
-                           CAST(COALESCE(SUM(CASE WHEN CAST(w_micro AS HUGEINT) * ($t - $p.n) >= $p.s
-                                                THEN 0 ELSE w_micro END), 0) AS BIGINT) AS s
-                    FROM wm CROSS JOIN $p)"""
+          val (pw, ps) = (s"w${r - 1}", s"s${r - 1}")
+          s"""w$r AS MATERIALIZED (SELECT doc_id, logw_micro, w_micro,
+                           capped OR (w_micro > 0
+                             AND CAST(w_micro AS HUGEINT) * ($t - $ps.n) >= $ps.s) AS capped
+                    FROM $pw CROSS JOIN $ps),
+              s$r AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS BIGINT) AS n,
+                           CAST(COALESCE(SUM(CASE WHEN capped THEN 0 ELSE w_micro END), 0) AS BIGINT) AS s
+                    FROM w$r)"""
         }.mkString(",\n            ")
-        val rF = s"r$DsirWaterfillRounds"
+        val (wF, sF) = (s"w$DsirWaterfillRounds", s"s$DsirWaterfillRounds")
         s"""WITH dw AS ($DsirWeightsSql),
             wm AS (SELECT doc_id, logw_micro,
                           CAST(round(exp(CAST(logw_micro AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
                             AS w_micro
                    FROM dw),
-            r0 AS (SELECT CAST(0 AS BIGINT) AS n,
+            w0 AS MATERIALIZED (SELECT doc_id, logw_micro, w_micro, FALSE AS capped FROM wm),
+            s0 AS (SELECT CAST(0 AS BIGINT) AS n,
                           CAST(COALESCE(SUM(w_micro), 0) AS BIGINT) AS s FROM wm),
             $rounds
-            SELECT wm.doc_id AS doc_id, wm.logw_micro AS logw_micro,
-                   wm.w_micro AS w_micro,
-                   ('0x' || substr(md5(CAST(wm.doc_id AS VARCHAR)), 1, 12))::BIGINT AS u,
-                   CAST(('0x' || substr(md5(CAST(wm.doc_id AS VARCHAR)), 1, 12))::BIGINT AS HUGEINT)
-                       * $rF.s
-                     < CAST(wm.w_micro AS HUGEINT) * ($t - $rF.n) * 281474976710656 AS kept
-            FROM wm CROSS JOIN $rF
+            SELECT $wF.doc_id AS doc_id, $wF.logw_micro AS logw_micro,
+                   $wF.w_micro AS w_micro,
+                   ('0x' || substr(md5(CAST($wF.doc_id AS VARCHAR)), 1, 12))::BIGINT AS u,
+                   $wF.capped OR
+                   CAST(('0x' || substr(md5(CAST($wF.doc_id AS VARCHAR)), 1, 12))::BIGINT AS HUGEINT)
+                       * $sF.s
+                     < CAST($wF.w_micro AS HUGEINT) * ($t - $sF.n) * 281474976710656 AS kept
+            FROM $wF CROSS JOIN $sF
             ORDER BY doc_id"""
       },
       "q63_term_index" ->

@@ -252,4 +252,32 @@ class TextOpsSpec extends SparkSpec {
     assert(all.forall { case (w, k) => k === (w > 0L) })
     assert(all.count(_._2) > 0)
   }
+
+  test("DSIR resample water-fill converges when positive-weight docs < target") {
+    // the regression the monotone capped bit exists for: a stateless
+    // (n, s) recomputation cycles forever here — zero-weight docs flip in
+    // and out of the capped set whenever s hits 0 — and the convergence
+    // require used to throw. 50 equal positive docs + 60 zero-weight docs
+    // against target 100: every positive doc caps at rate 1, zero-weight
+    // docs never keep.
+    val w = (0L until 50L).map(i => (i, 0L)) ++ (100L until 160L).map(i => (i, -30000000L))
+    val wdf = w.toDF("doc_id", "logw_micro")
+    val rows = TextOps.dsirResample(wdf.select("doc_id").crossJoin(
+        Seq(("x", "en", "s", 0L)).toDF("text", "lang", "source", "n_chars")),
+        target = 100L, weights = Some(wdf))
+      .select("doc_id", "w_micro", "kept").as[(Long, Long, Boolean)].collect()
+    assert(rows.length === 110)
+    assert(rows.filter(_._1 < 50L).forall(_._3), "positive-weight docs must all keep")
+    assert(rows.filter(_._1 >= 100L).forall(!_._3), "zero-weight docs must all drop")
+  }
+
+  test("DSIR resample raises loudly on a micro-unit weight overflow") {
+    val wdf = Seq((1L, 0L), (2L, 50000000L)).toDF("doc_id", "logw_micro")
+    val docs = Seq((1L, "x", "en", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[Exception] {
+      TextOps.dsirResample(docs, target = 1L, weights = Some(wdf)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("overflows micro-units"),
+      s"wrong failure: ${e.getMessage}")
+  }
 }
