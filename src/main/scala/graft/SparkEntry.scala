@@ -367,6 +367,19 @@ object SparkEntry {
     // multiplicity — reads the MATERIALIZED q66 cluster table (q59 pattern)
     "q97_softdedup_weights" -> ((s, d) =>
       graft.ops.GraphOps.softDedupWeights(clustersShared(s, d))),
+    // quality-aware canonical selection: per near-dup cluster, keep the
+    // member the q101 model scores highest (tie-break min doc_id) — the
+    // "keep the best copy" upgrade of q66's min-id rule; reads the
+    // MATERIALIZED q66 cluster and q101 score tables
+    "q106_cluster_canon"   -> ((s, d) =>
+      graft.ops.GraphOps.clusterCanon(clustersShared(s, d),
+        qualityScoresShared(s, d))),
+    // the threshold-picking curve: per descending q101 score bin, the
+    // cumulative doc/token volume a "keep at least this bin" cut retains —
+    // reads the MATERIALIZED q101 score snapshot (q103 pattern)
+    "q108_quality_token_curve" -> ((s, d) =>
+      graft.ops.QualityModelOps.qualityTokenCurve(
+        qualityScoresShared(s, d), Tables.documents(s, d))),
     // per-language tokenizer fertility/compression over the persisted q77
     // merge artifact — tokenization fused into one scan, no join back
     "q96_tokenizer_fertility" -> ((s, d) =>
@@ -463,6 +476,16 @@ object SparkEntry {
     // Lloyd; q87 stays the live measured plan
     "q94_kmeans_inertia"   -> ((s, d) =>
       SimilarityOps.kmeansInertiaOf(kmeansRoundsShared(s, d))),
+    // cluster-balanced (topic-balancing) sample: equal per-cell allocation
+    // over the k-means cells via the q58/q76 hash-threshold keep rule —
+    // reads the MATERIALIZED q87 round trace's final assignment
+    "q107_cell_balanced_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      SimilarityOps.cellBalancedSample(
+        kmeansRoundsShared(s, d)
+          .filter(col("round_no") === SimilarityOps.KmeansRounds.toLong)
+          .select("vec_id", "cell"))
+    }),
     // int8 symmetric storage quantization with per-vector error reporting
     "q74_embedding_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),
@@ -771,6 +794,26 @@ object SparkEntry {
                    AS final_tokens,
                  md5(${TextOps.duckPiiRedact("clean")}) AS final_fp
           FROM f JOIN v ON f.doc_id = v.doc_id
+          ORDER BY doc_id""") +
+    // q106 composes the q66 and q101 oracles verbatim (the q71/q98
+    // pattern): the canon choice is MAX exact-integer score then MIN
+    // doc_id — both argmax steps are plain aggregates on both engines
+    ("q106_cluster_canon" ->
+      s"""WITH c AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
+          q AS (${graft.ops.QualityModelOps.oracles("q101_quality_classifier")}),
+          j AS (SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
+                       q.score_micro AS score_micro
+                FROM c JOIN q ON c.doc_id = q.doc_id),
+          b AS (SELECT cluster_id, MAX(score_micro) AS best_micro
+                FROM j GROUP BY cluster_id),
+          k AS (SELECT j.cluster_id, MIN(j.doc_id) AS canon_id
+                FROM j JOIN b ON j.cluster_id = b.cluster_id
+                           AND j.score_micro = b.best_micro
+                GROUP BY j.cluster_id)
+          SELECT j.doc_id AS doc_id, j.cluster_id AS cluster_id,
+                 j.score_micro AS score_micro, k.canon_id AS canon_id,
+                 j.doc_id = k.canon_id AS canon
+          FROM j JOIN k ON j.cluster_id = k.cluster_id
           ORDER BY doc_id""") +
     // q98 composes the q61/q66/q70/q86 oracles verbatim (the q71/q89
     // pattern) — every card figure's inputs are the individually

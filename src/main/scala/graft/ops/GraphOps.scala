@@ -135,6 +135,38 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** q106 — QUALITY-AWARE CANONICAL SELECTION: the "keep the BEST copy"
+    * upgrade of q66's keep-the-lowest-id rule. Near-dup clusters routinely
+    * contain one clean original and several mangled scrapes of it
+    * (truncated, boilerplate-wrapped, OCR-damaged); dropping all but the
+    * minimum doc_id keeps an arbitrary member, while production dedup
+    * (e.g. the Lee et al. 2022 dedup pipeline's survivor policy) keeps the
+    * member the quality model ranks highest. Consumes two MATERIALIZED
+    * stage outputs (the q59/q91 reads-vs-measures division): the q66
+    * cluster table and the q101 score table. Per cluster the canon is the
+    * member with the maximum `score_micro`, ties broken by minimum doc_id
+    * — both exact integers, so the choice is engine-independent.
+    *
+    * Scale shape: one corpus-sized equi-join on doc_id (both sides
+    * pre-partitioned stage outputs), then two map-combinable aggregates on
+    * cluster_id (MAX, then MIN over the best-score members) and one join
+    * back on the same cluster_id key — no window over non-aggregated
+    * input, no collect, O(1) state per key. A crawl-scale mega-cluster is
+    * a hot groupBy key handled by AQE like q97's size count — no
+    * all-pairs structure exists here. */
+  def clusterCanon(clusters: DataFrame, scores: DataFrame): DataFrame = {
+    val j = clusters.select("doc_id", "cluster_id")
+      .join(scores.select("doc_id", "score_micro"), "doc_id")
+    val best = j.groupBy("cluster_id").agg(max("score_micro").as("best_micro"))
+    val canon = j.join(best, "cluster_id")
+      .filter(col("score_micro") === col("best_micro"))
+      .groupBy("cluster_id").agg(min("doc_id").as("canon_id"))
+    j.join(canon, "cluster_id")
+      .selectExpr("doc_id", "cluster_id", "score_micro", "canon_id",
+        "doc_id = canon_id AS canon")
+      .orderBy("doc_id")
+  }
+
   /** q66's oracle composes the verified q37 pair oracle verbatim (the edges
     * cannot drift from the individually-hash-checked query) with a
     * recursive-CTE min-label reachability — DuckDB's walk accumulates every

@@ -218,6 +218,46 @@ object QualityModelOps {
         "CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate")
       .orderBy("bin")
 
+  /** q108 — the QUALITY→TOKEN-BUDGET CURVE: for each q101 score bin
+    * (descending), how many documents and tokens survive a "keep
+    * everything scoring at least this bin" threshold — the curve a
+    * curation team reads to PICK the operating threshold: given a target
+    * token budget for the training run, the highest bin whose cumulative
+    * token count covers the budget is the cut (the data-constrained
+    * scaling-law workflow). Reads the MATERIALIZED q101 score snapshot
+    * (the q103 pattern; q101 stays the live measured plan).
+    *
+    * Determinism: the bin is the q103 floor division over the exact
+    * integer score; doc/token counts are exact integer sums. The
+    * cumulative column is computed by a self-join AGGREGATE over the
+    * BOUNDED bin table (|bins| ∝ score range, never corpus size) rather
+    * than a window — the bounded O(B²) join costs nothing and keeps the
+    * no-window plan invariant checkable. Scale shape: one row-local
+    * binning pass + one map-combinable aggregate to ≤ B rows; everything
+    * after operates on the bounded bin table. */
+  def qualityTokenCurve(scores: DataFrame, docs: DataFrame,
+                        binMicro: Long = CalibrationBinMicro): DataFrame = {
+    val toks = docs.selectExpr("doc_id",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+    val bins = scores.select(col("doc_id"), col("score_micro"))
+      .join(toks, "doc_id")
+      .selectExpr(
+        s"CAST(FLOOR(CAST(score_micro AS DOUBLE) / ${binMicro}e0) AS BIGINT) AS bin",
+        "n_tok")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val cum = bins.as("x")
+      .join(bins.as("y"), col("y.bin") >= col("x.bin"))
+      .groupBy(col("x.bin").as("bin"))
+      .agg(sum(col("y.n_docs")).as("cum_docs"),
+        sum(col("y.n_tokens")).as("cum_tokens"))
+    bins.join(cum, "bin")
+      .selectExpr("bin",
+        s"CAST(bin AS DOUBLE) * ${binMicro}e0 / 1e6 AS bin_lo",
+        "n_docs", "n_tokens", "cum_docs", "cum_tokens")
+      .orderBy("bin")
+  }
+
   /** DuckDB oracle: composes the q61 oracle verbatim for the weak labels
     * (the q71/q89/q98 pattern — the classifier's supervision cannot drift
     * from the individually-hash-verified heuristic), the q57 split rule,
@@ -227,6 +267,28 @@ object QualityModelOps {
     "q101_quality_classifier" -> QualityClassifierSql,
     // q103 composes the q101 and q61 oracles verbatim (the q99 pattern):
     // identical floor-division binning, exact counts, one IEEE rate
+    // q108 composes the q101 oracle verbatim: identical binning, exact
+    // counts, and the SAME bounded self-join cumulative (no window on
+    // either engine — structurally identical arithmetic)
+    "q108_quality_token_curve" ->
+      s"""WITH q AS ($QualityClassifierSql),
+          t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents),
+          j AS (SELECT CAST(FLOOR(CAST(q.score_micro AS DOUBLE) / ${CalibrationBinMicro}e0)
+                            AS BIGINT) AS bin,
+                       t.n_tok AS n_tok
+                FROM q JOIN t ON q.doc_id = t.doc_id),
+          b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+                FROM j GROUP BY bin),
+          c AS (SELECT x.bin AS bin, CAST(SUM(y.n_docs) AS BIGINT) AS cum_docs,
+                       CAST(SUM(y.n_tokens) AS BIGINT) AS cum_tokens
+                FROM b x JOIN b y ON y.bin >= x.bin GROUP BY x.bin)
+          SELECT b.bin AS bin,
+                 CAST(b.bin AS DOUBLE) * ${CalibrationBinMicro}e0 / 1e6 AS bin_lo,
+                 b.n_docs AS n_docs, b.n_tokens AS n_tokens,
+                 c.cum_docs AS cum_docs, c.cum_tokens AS cum_tokens
+          FROM b JOIN c ON b.bin = c.bin ORDER BY bin""",
     "q103_score_calibration" ->
       s"""WITH q AS ($QualityClassifierSql),
           l AS (${TextOps.oracles("q61_training_filter")}),

@@ -553,6 +553,43 @@ object SimilarityOps {
       rounds, trace.reverse)
   }
 
+  /** q107's sampling fraction — the share of the corpus the balanced
+    * sample targets, shared with the oracle. */
+  val CellSampleFrac = 0.5
+
+  /** q107 — CLUSTER-BALANCED SAMPLING (topic balancing): an EQUAL
+    * per-cell allocation sample over the k-means cells — the
+    * DataComp/SemDeDup-style rebalance that stops one crawl-dominant
+    * topic from swamping the training mix. Per cell the target is the
+    * same t = ⌈frac·N/k⌉ (capped at the cell's own size); membership is
+    * the q58/q76 REPLAY-SAFE HASH-THRESHOLD rule — keep iff the 48-bit
+    * md5 prefix of vec_id falls under floor(keep_n·2⁴⁸/n) — a row-local
+    * filter against a broadcast k-row dial, exact integer cuts on both
+    * engines (DECIMAL(38,0) / HUGEINT). Consumes the MATERIALIZED q87
+    * round trace's final assignment (the q94 reads-vs-measures division).
+    *
+    * Scale shape: one map-combinable count per cell (k rows) + one
+    * one-row total, crossed and broadcast; the keep rule never shuffles
+    * the corpus and has no per-stratum sort — exactly the de-skewed shape
+    * q58 was rebuilt into, applied to learned strata. */
+  def cellBalancedSample(assign: DataFrame, frac: Double = CellSampleFrac,
+                         k: Int = KmeansK): DataFrame = {
+    val cells = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+    val total = cells.agg(coalesce(sum("n"), lit(0L)).as("total"))
+    val dial = cells.crossJoin(broadcast(total))
+      .withColumn("t",
+        ceil(col("total").cast("double") * lit(frac) / lit(k.toDouble)).cast("long"))
+      .withColumn("keep_n", least(col("t"), col("n")))
+      .selectExpr("cell", "n", "keep_n",
+        s"CAST(CAST(keep_n AS DECIMAL(38,0)) * ${PipelineOps.TwoPow48} DIV n AS BIGINT) AS cut")
+    assign.select(col("vec_id"), col("cell"))
+      .withColumn("u", PipelineOps.md5Prefix48(col("vec_id")))
+      .join(broadcast(dial), "cell")
+      .filter(col("u") < col("cut"))
+      .select("cell", "vec_id", "u", "n", "keep_n")
+      .orderBy("cell", "vec_id")
+  }
+
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
     * intra-cell cosine distribution (p97 ≈ 0.24, max 0.47) so both verdicts
     * are exercised; a runtime dial like the LSH band constants (the paper
@@ -978,6 +1015,32 @@ object SimilarityOps {
                  CAST(SUM(micro) AS BIGINT) AS inertia_micro,
                  CAST(SUM(micro) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mean_dist
           FROM mi GROUP BY round_no ORDER BY round_no"""
+    },
+    // q107 composes the q87 oracle's final assignment verbatim (the
+    // sample's strata cannot drift from the hash-verified clustering) and
+    // mirrors the q58/q76 exact-integer cut: HUGEINT there, DECIMAL(38,0)
+    // on the Spark side — the row-local keep rule is bit-identical
+    "q107_cell_balanced_sample" -> {
+      s"""WITH ${kmOracleCtes(KmeansRounds)},
+          asg AS (SELECT vec_id, cell FROM a$KmeansRounds),
+          nc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM asg GROUP BY cell),
+          tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total FROM nc),
+          dial AS (SELECT cell, n,
+                          LEAST(CAST(CEIL(CAST(total AS DOUBLE) * $CellSampleFrac
+                                          / CAST($KmeansK AS DOUBLE)) AS BIGINT),
+                                n) AS keep_n
+                   FROM nc CROSS JOIN tot),
+          cts AS (SELECT cell, n, keep_n,
+                         CAST((CAST(keep_n AS HUGEINT) * ${PipelineOps.TwoPow48}) // n AS BIGINT) AS cut
+                  FROM dial),
+          u AS (SELECT vec_id, cell,
+                       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS u
+                FROM asg)
+          SELECT u.cell AS cell, u.vec_id AS vec_id, u.u AS u,
+                 cts.n AS n, cts.keep_n AS keep_n
+          FROM u JOIN cts ON u.cell = cts.cell
+          WHERE u.u < cts.cut
+          ORDER BY cell, vec_id"""
     },
     "q85_semantic_dedup" ->
       s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,
