@@ -246,8 +246,11 @@ object QualityModelOps {
         "n_tok")
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    // the ≥-join is non-equi, so the BOUNDED side must broadcast
+    // explicitly (a bounded-aggregate BNLJ, the q104 anchor idiom) —
+    // without the hint Spark falls back to a cartesian at scale
     val cum = bins.as("x")
-      .join(bins.as("y"), col("y.bin") >= col("x.bin"))
+      .join(broadcast(bins.as("y")), col("y.bin") >= col("x.bin"))
       .groupBy(col("x.bin").as("bin"))
       .agg(sum(col("y.n_docs")).as("cum_docs"),
         sum(col("y.n_tokens")).as("cum_tokens"))

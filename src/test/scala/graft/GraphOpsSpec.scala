@@ -125,4 +125,43 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     // corpus sampling mass = one unit per distinct content cluster
     assert(math.abs(got.map(_._4).sum - 3.0) < 1e-12)
   }
+
+  test("cluster canon keeps the max-score member, min-id on ties") {
+    // cluster 1 = {1,2,3}: doc 2 scores highest; cluster 5 = {5,6}: tied
+    // scores, so the canon falls back to the smaller doc_id; {4} trivial
+    val clusters = Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false))
+      .toDF("doc_id", "cluster_id", "keep")
+    val scores = Seq((1L, 10L), (2L, 40L), (3L, 30L),
+      (4L, -5L), (5L, 7L), (6L, 7L)).toDF("doc_id", "score_micro")
+    val got = GraphOps.clusterCanon(clusters, scores)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 10L, 2L, false), (2L, 1L, 40L, 2L, true),
+      (3L, 1L, 30L, 2L, false), (4L, 4L, -5L, 4L, true),
+      (5L, 5L, 7L, 5L, true), (6L, 5L, 7L, 5L, false)))
+  }
+
+  test("cluster canon invariants on the real corpus: one canon per cluster, never outscored") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.ops.DedupOps.lshPairs(docs)
+    val clusters = GraphOps.dedupClusters(docs, pairs)
+    val scores = graft.ops.QualityModelOps.qualityClassifier(docs)
+      .select("doc_id", "score_micro")
+    val got = GraphOps.clusterCanon(clusters, scores)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1).distinct.length === got.length) // total, one row per doc
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      val canons = members.filter(_._5)
+      assert(canons.length === 1, s"cluster $cid has ${canons.length} canons")
+      val canon = canons.head
+      assert(canon._1 === canon._4)
+      val best = members.map(_._3).max
+      assert(canon._3 === best, s"cluster $cid canon outscored")
+      // min-id among the best-scoring members
+      assert(canon._1 === members.filter(_._3 == best).map(_._1).min)
+      assert(members.forall(_._4 == canon._1))
+    }
+  }
 }

@@ -360,6 +360,51 @@ class PlanShapeSpec extends SparkSpec {
       s"extra cluster_id exchanges:\n${plan.take(1200)}")
   }
 
+  test("q106 cluster canon: aggregates + equi-joins only — no window, no all-pairs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val clusters = Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true))
+      .toDF("doc_id", "cluster_id", "keep")
+    val scores = Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("doc_id", "score_micro")
+    val q = graft.ops.GraphOps.clusterCanon(clusters, scores)
+    // the per-cluster argmax must be MAX + MIN aggregates joined back on
+    // cluster_id — a rank window here is the q58 single-task-stratum shape
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q106 must not window: the argmax is two map-combinable aggregates")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join leaked into q106:\n${exec.take(1200)}")
+  }
+
+  test("q107 cell-balanced sample: row-local threshold, broadcast dial, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val assign = (0L until 100L).map(i => (i, i % 4)).toDF("vec_id", "cell")
+    val q = SimilarityOps.cellBalancedSample(assign)
+    // the q58 invariant applied to learned strata: any window means the
+    // per-cell rank sort crept back in
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q107 must not window: the keep rule is a row-local threshold filter")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"per-cell cut dial must broadcast:\n${exec.take(1200)}")
+  }
+
+  test("q108 quality token curve: cumulative via bounded self-join, never a global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val scores = (0L until 50L).map(i => (i, i * 1000000L)).toDF("doc_id", "score_micro")
+    val q = graft.ops.QualityModelOps.qualityTokenCurve(scores, docs)
+    // a SUM OVER (ORDER BY bin) with no partition would single-partition;
+    // the suffix sum must stay a self-join over the bounded bin aggregate
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q108 must not window: the cumulative is a bounded self-join aggregate")
+    val exec = q.queryExecution.executedPlan.toString
+    // the ≥-join must be the bounded bin table BROADCAST into a
+    // nested-loop probe (the q104 anchor idiom), never a cartesian
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"bounded bin side must broadcast:\n${exec.take(1200)}")
+    assert(!exec.contains("CartesianProduct"),
+      s"unbounded cartesian leaked into q108:\n${exec.take(1200)}")
+  }
+
   test("q67 BM25 takes top-N without a global sort; df and stats broadcast") {
     val plan = TextOps.bm25(docs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),

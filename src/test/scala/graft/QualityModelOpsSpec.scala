@@ -55,6 +55,28 @@ class QualityModelOpsSpec extends SparkSpec {
       s"calibration curve flat: ${bins.toSeq}")
   }
 
+  test("quality token curve: bins partition the corpus, cumulative is a true suffix sum") {
+    val scores = QualityModelOps.qualityClassifier(docs)
+      .select("doc_id", "score_micro")
+    val curve = QualityModelOps.qualityTokenCurve(scores, docs)
+      .select("bin", "n_docs", "n_tokens", "cum_docs", "cum_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val totalDocs = docs.count()
+    val totalToks = docs.selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    // per-bin counts partition the corpus exactly
+    assert(curve.map(_._2).sum === totalDocs)
+    assert(curve.map(_._3).sum === totalToks)
+    // cum at the LOWEST bin covers everything; cum at the top bin is itself
+    assert(curve.head._4 === totalDocs && curve.head._5 === totalToks)
+    assert(curve.last._4 === curve.last._2 && curve.last._5 === curve.last._3)
+    // suffix-sum identity bin-by-bin: cum(i) = n(i) + cum(i+1)
+    curve.zip(curve.tail).foreach { case (lo, hi) =>
+      assert(lo._4 === lo._2 + hi._4, s"cum_docs broken at bin ${lo._1}")
+      assert(lo._5 === lo._3 + hi._5, s"cum_tokens broken at bin ${lo._1}")
+    }
+  }
+
   test("quality classifier plan: bounded weight table broadcast, no window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = QualityModelOps.qualityClassifier(docs)

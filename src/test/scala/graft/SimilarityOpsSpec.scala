@@ -313,4 +313,50 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(fromSnap === trace)
   }
+
+  test("cell-balanced sample: dominant cell capped, small cells kept whole") {
+    // skewed strata: cell 0 holds 900 of 1000 vectors, cells 1..4 hold 25
+    // each — the crawl-dominant-topic shape the equal allocation rebalances
+    val assign = ((0L until 900L).map(i => (i, 0L)) ++
+      (0 until 4).flatMap(c => (0 until 25).map(i => (900L + c * 25 + i, c + 1L))))
+      .toDF("vec_id", "cell")
+    val k = 5
+    val frac = 0.25 // t = ceil(1000 * 0.25 / 5) = 50
+    val got = SimilarityOps.cellBalancedSample(assign, frac = frac, k = k)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val byCell = got.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // small cells: keep_n = n, cut = 2^48 → kept EXACTLY whole
+    (1L to 4L).foreach(c => assert(byCell(c) === 25L, s"cell $c not kept whole"))
+    // dominant cell: binomial around keep_n = 50 (p = 50/900), 4σ bound
+    val p = 50.0 / 900
+    val sigma = math.sqrt(900 * p * (1 - p))
+    assert(math.abs(byCell(0L) - 50L) <= 4 * sigma,
+      s"dominant cell kept ${byCell(0L)} vs budget 50 (4σ = ${4 * sigma})")
+    // the dial columns are exact: n and keep_n echo the allocation
+    got.foreach { case (cell, _, _, n, keepN) =>
+      if (cell == 0L) assert(n === 900L && keepN === 50L)
+      else assert(n === 25L && keepN === 25L)
+    }
+    // row-local md5 keep rule — deterministic across runs
+    val again = SimilarityOps.cellBalancedSample(assign, frac = frac, k = k)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again === got)
+  }
+
+  test("cell-balanced sample composes with the real kmeans assignment") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assign = SimilarityOps.kmeans(embT).select("vec_id", "cell")
+    val total = assign.count()
+    val got = SimilarityOps.cellBalancedSample(assign)
+    // sample ⊆ assignment, and every kept row echoes its cell's true size
+    val sizes = assign.groupBy("cell").count().as[(Long, Long)].collect().toMap
+    got.as[(Long, Long, Long, Long, Long)].collect().foreach {
+      case (cell, _, u, n, keepN) =>
+        assert(sizes(cell) === n)
+        assert(keepN <= n && u < graft.ops.PipelineOps.TwoPow48)
+    }
+    // frac = 1.0 with enough per-cell budget keeps everything
+    assert(SimilarityOps.cellBalancedSample(assign, frac = 1.0, k = 1).count()
+      === total)
+  }
 }
