@@ -88,8 +88,22 @@ object Catalog {
     // round-10 surface: selection weights, soft dedup, tokenizer dashboard
     ops.TextOps.dsirWeights(docs).createOrReplaceTempView("doc_dsir_weights")
     // round-11: model-based quality scores (NB log-odds over hashed feats)
-    ops.QualityModelOps.qualityClassifier(docs)
-      .createOrReplaceTempView("doc_quality_scores")
+    val qualityScores = ops.QualityModelOps.qualityClassifier(docs)
+    qualityScores.createOrReplaceTempView("doc_quality_scores")
+    // round-11: the threshold-vs-token-budget curve over the same scores
+    ops.QualityModelOps.qualityTokenCurve(
+      qualityScores.select("doc_id", "score_micro"), docs)
+      .createOrReplaceTempView("quality_token_curve")
+    // round-11: quality-aware canonical selection — the cluster view's
+    // members ranked by the model scores above (keep the best copy)
+    ops.GraphOps.clusterCanon(clusters,
+        qualityScores.select("doc_id", "score_micro"))
+      .createOrReplaceTempView("doc_cluster_canon")
+    // round-11: cluster-balanced (topic-balancing) sample over the
+    // kmeans view's cells via the q58 hash-threshold rule
+    ops.SimilarityOps.cellBalancedSample(
+        spark.table("embedding_kmeans").select("vec_id", "cell"))
+      .createOrReplaceTempView("embedding_cell_sample")
     // round-11: DSIR importance resample verdicts (water-filled rates).
     // EAGER like the cluster/BPE views: the water-fill fixpoint runs
     // bounded aggregate jobs at registration

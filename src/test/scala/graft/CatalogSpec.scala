@@ -75,5 +75,16 @@ class CatalogSpec extends SparkSpec {
     val fert = spark.sql(
       "SELECT lang FROM tokenizer_fertility WHERE fertility < 1.0")
     assert(fert.count() === 0L) // a word is never fewer than one token
+    // round-11 surface: canon selection, balanced sample, token curve
+    val canons = spark.sql(
+      """SELECT cluster_id FROM doc_cluster_canon
+        |GROUP BY cluster_id HAVING SUM(CASE WHEN canon THEN 1 ELSE 0 END) <> 1""".stripMargin)
+    assert(canons.count() === 0L) // exactly one canon per cluster
+    assert(spark.sql("SELECT * FROM embedding_cell_sample WHERE keep_n <= n")
+      .count() > 0)
+    val curve = spark.sql(
+      """SELECT COUNT(*) FROM quality_token_curve
+        |WHERE cum_tokens < n_tokens""".stripMargin)
+    assert(curve.collect().head.getLong(0) === 0L) // cum covers its own bin
   }
 }
