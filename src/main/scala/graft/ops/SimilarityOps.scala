@@ -573,22 +573,40 @@ object SimilarityOps {
     * the corpus and has no per-stratum sort — exactly the de-skewed shape
     * q58 was rebuilt into, applied to learned strata. */
   def cellBalancedSample(assign: DataFrame, frac: Double = CellSampleFrac,
-                         k: Int = KmeansK): DataFrame = {
+                         k: Int = KmeansK): DataFrame =
+    assign.select(col("vec_id"), col("cell"))
+      .withColumn("u", PipelineOps.md5Prefix48(col("vec_id")))
+      .join(broadcast(cellSampleDial(assign, frac, k)), "cell")
+      .filter(col("u") < col("cut"))
+      .select("cell", "vec_id", "u", "n", "keep_n")
+      .orderBy("cell", "vec_id")
+
+  /** The bounded per-cell dial (cell, n, keep_n, cut) behind
+    * [[cellBalancedSample]] — ≤ k rows by construction: the artifact a
+    * batch job persists so ingest-time consumers
+    * ([[graft.streaming.StreamCellSample]]) can apply the SAME keep rule
+    * to arriving vectors (the kmeans-centroids / BPE-merges / q101-weights
+    * pattern). Sharing this one definition is what makes the stream
+    * verdict bit-equal to the batch sample. */
+  def cellSampleDial(assign: DataFrame, frac: Double = CellSampleFrac,
+                     k: Int = KmeansK): DataFrame = {
     val cells = assign.groupBy("cell").agg(count(lit(1)).as("n"))
     val total = cells.agg(coalesce(sum("n"), lit(0L)).as("total"))
-    val dial = cells.crossJoin(broadcast(total))
+    cells.crossJoin(broadcast(total))
       .withColumn("t",
         ceil(col("total").cast("double") * lit(frac) / lit(k.toDouble)).cast("long"))
       .withColumn("keep_n", least(col("t"), col("n")))
       .selectExpr("cell", "n", "keep_n",
         s"CAST(CAST(keep_n AS DECIMAL(38,0)) * ${PipelineOps.TwoPow48} DIV n AS BIGINT) AS cut")
-    assign.select(col("vec_id"), col("cell"))
-      .withColumn("u", PipelineOps.md5Prefix48(col("vec_id")))
-      .join(broadcast(dial), "cell")
-      .filter(col("u") < col("cut"))
-      .select("cell", "vec_id", "u", "n", "keep_n")
-      .orderBy("cell", "vec_id")
   }
+
+  /** The dial collapsed to its driver-side (cell → cut) artifact — the
+    * ≤ k-entry literal the streaming sampler embeds in its plan. The
+    * collect is bounded by k (the cell id space) by construction. */
+  def cellSampleCuts(assign: DataFrame, frac: Double = CellSampleFrac,
+                     k: Int = KmeansK): Seq[(Long, Long)] =
+    cellSampleDial(assign, frac, k).select("cell", "cut")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
 
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
     * intra-cell cosine distribution (p97 ≈ 0.24, max 0.47) so both verdicts
