@@ -79,6 +79,21 @@ object ThroughputBench {
     lazy val modelWeights = ops.QualityModelOps.bucketWeightsMicro(
       Tables.documents(spark, "/root/testdata/sf0.001"))
 
+    // cellsample mode: the full topic-aware admission chain — arriving
+    // embeddings routed to their learned cell (StreamCentroidAssign) and
+    // admitted/shed against the batch q107 dial (StreamCellSample), both
+    // reference artifacts bounded and broadcast/inlined
+    lazy val cellRefs = {
+      val sample = spark.range(256).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), j -> CAST(sin(CAST(id % 97 AS DOUBLE) + j) AS FLOAT)) AS embedding",
+        "CAST(id % 8 AS INT) AS label")
+      val cents = ops.SimilarityOps.kmeansCentroids(sample)
+      val cuts = ops.SimilarityOps.cellSampleCuts(
+        ops.SimilarityOps.kmeans(sample).select("vec_id", "cell"))
+      (cents, cuts)
+    }
+
     def once(): Double = {
       val t0 = System.nanoTime()
       val out = mode match {
@@ -89,6 +104,12 @@ object ThroughputBench {
         case "modelscore" =>
           val (w, bias) = modelWeights
           streaming.StreamQualityScore.score(qualityWire, w.toSeq, bias)
+        case "cellsample" =>
+          val (cents, cuts) = cellRefs
+          streaming.StreamCellSample.flag(
+            streaming.StreamCentroidAssign.assign(
+              ingestWire.selectExpr("doc_id AS vec_id", "embedding"), cents),
+            cuts)
         case _ => streaming.FraudPipeline.fraudAlerts(wire)
       }
       out.write.format("noop").mode("overwrite").save()
@@ -101,6 +122,7 @@ object ThroughputBench {
       case "ingest" => "ingest_rows_per_sec"
       case "quality" => "quality_gate_rows_per_sec"
       case "modelscore" => "model_score_rows_per_sec"
+      case "cellsample" => "cell_sample_rows_per_sec"
       case _ => "pipeline_rows_per_sec"
     }
     println(f"""{"metric":"$metric%s","value":$rps%.0f,"rows":$n,"sec":$sec%.3f,"cpus":$cpus}""")
