@@ -460,6 +460,11 @@ object SparkEntry {
     // scan shape with label disagreement in the join condition
     "q104_hard_negatives"  -> ((s, d) => SimilarityOps.hardNegatives(Tables.embeddings(s, d))),
     "q43_ann_lsh"          -> ((s, d) => SimilarityOps.annLsh(Tables.embeddings(s, d))),
+    // semantic decontamination: per train-split vector, max cosine vs the
+    // test split (the embedding-space analog of q70's n-gram check) —
+    // eval side broadcast, corpus scanned once, struct-max argmax
+    "q109_semantic_contamination" -> ((s, d) =>
+      SimilarityOps.semanticContamination(Tables.embeddings(s, d))),
     "q44_label_centroids"  -> ((s, d) => SimilarityOps.labelCentroids(Tables.embeddings(s, d))),
     "q45_embedding_dups"   -> ((s, d) => SimilarityOps.embeddingDups(Tables.embeddings(s, d))),
     "q55_ivf_ann"          -> ((s, d) => SimilarityOps.ivfAnn(Tables.embeddings(s, d))),

@@ -210,6 +210,46 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** q109's cosine threshold — sized like [[SemDedupMinCos]] to the test
+    * corpus's cosine distribution so both verdicts are exercised; a
+    * runtime dial (real decontamination runs ~0.9+ on trained spaces). */
+  val SemContamMinCos = 0.25
+
+  /** q109 — SEMANTIC DECONTAMINATION: the embedding-space analog of q70's
+    * n-gram eval decontamination (the step modern curation runs IN
+    * ADDITION to exact-overlap checks — paraphrased or translated eval
+    * items share no 5-gram with their train-set leak, but their
+    * embeddings sit close). Every TRAIN-split vector is scored by its
+    * maximum cosine against the TEST split (the q57 md5 split rule —
+    * standing in for the bounded eval set a real run broadcasts), with
+    * the nearest eval id attached and `contaminated = max_cos ≥ τ` — the
+    * rows a release drops before training.
+    *
+    * Scale shape: the eval side broadcasts (eval sets are bounded by
+    * construction); the train corpus is scanned ONCE, never shuffled
+    * (the q42/q104 broadcast-probe shape), and the per-doc argmax is a
+    * single map-combinable MAX over a (cos, -eval_id) struct — ordered
+    * lexicographically by BOTH engines, so max cosine with min-id
+    * tie-break needs no window and no second pass. */
+  def semanticContamination(emb: DataFrame,
+                            minCos: Double = SemContamMinCos): DataFrame = {
+    val all = vecs(emb)
+      .withColumn("bucket", PipelineOps.md5Bucket(col("vec_id")))
+      .selectExpr("vec_id", "v", "n2", s"${PipelineOps.splitOf("bucket")} AS split")
+    val te = all.filter(col("split") === "test")
+      .selectExpr("vec_id AS t_id", "v AS tv", "n2 AS tn2")
+    all.filter(col("split") === "train")
+      .crossJoin(broadcast(te))
+      .selectExpr("vec_id AS doc_id",
+        s"named_struct('c', ${sparkDot("v", "tv")} / (sqrt(n2) * sqrt(tn2))," +
+          s" 'nt', -t_id) AS p")
+      .groupBy("doc_id")
+      .agg(max(col("p")).as("b"))
+      .selectExpr("doc_id", "b.c AS max_cos", "-b.nt AS nearest_eval_id",
+        s"b.c >= $minCos AS contaminated")
+      .orderBy("doc_id")
+  }
+
   /** q43 — banded-LSH ANN: candidates are vectors sharing ANY of the
     * query's band keys (distinct on the narrow (q_id, vec_id) pair), then a
     * vector gather + exact cosine ranking on candidates only. At scale:
@@ -1034,6 +1074,28 @@ object SimilarityOps {
                  CAST(SUM(micro) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mean_dist
           FROM mi GROUP BY round_no ORDER BY round_no"""
     },
+    // q109 mirrors the q42 vector CTEs with the q57 split rule; the
+    // argmax is the SAME lexicographic struct MAX on both engines (max
+    // cosine, min-eval-id ties) — no window, no second pass
+    "q109_semantic_contamination" ->
+      s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),
+          sp AS (SELECT vec_id,
+                        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
+                 FROM embeddings),
+          te AS (SELECT n.vec_id AS t_id, n.v AS tv, n.n2 AS tn2
+                 FROM n JOIN sp ON n.vec_id = sp.vec_id
+                 WHERE sp.bucket >= ${PipelineOps.ValCut}),
+          tr AS (SELECT n.vec_id, n.v, n.n2
+                 FROM n JOIN sp ON n.vec_id = sp.vec_id
+                 WHERE sp.bucket < ${PipelineOps.TrainCut}),
+          g AS (SELECT tr.vec_id AS doc_id,
+                       max({'c': ${duckDot("tr.v", "te.tv")} / (sqrt(tr.n2) * sqrt(te.tn2)),
+                            'nt': -te.t_id}) AS b
+                FROM tr CROSS JOIN te GROUP BY tr.vec_id)
+          SELECT doc_id, b.c AS max_cos, -b.nt AS nearest_eval_id,
+                 b.c >= $SemContamMinCos AS contaminated
+          FROM g ORDER BY doc_id""",
     // q107 composes the q87 oracle's final assignment verbatim (the
     // sample's strata cannot drift from the hash-verified clustering) and
     // mirrors the q58/q76 exact-integer cut: HUGEINT there, DECIMAL(38,0)

@@ -346,6 +346,22 @@ class PlanShapeSpec extends SparkSpec {
       s"rank filter not pushed to a map-side group limit:\n${exec.take(1500)}")
   }
 
+  test("q109 semantic contamination: eval side broadcast, corpus scanned once, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = SimilarityOps.semanticContamination(emb)
+    val exec = q.queryExecution.executedPlan.toString
+    // the q42/q104 shape: the bounded eval split broadcasts into a
+    // nested-loop probe of the train corpus — never an un-broadcast
+    // cartesian, and the argmax is a struct MAX aggregate, not a window
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"eval split must broadcast:\n${exec.take(1200)}")
+    assert(!exec.contains("CartesianProduct"),
+      s"cartesian leaked into q109:\n${exec.take(1200)}")
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q109 must not window: the argmax is one struct-MAX aggregate")
+  }
+
   test("q97 soft-dedup weights reuse the cluster-key exchange; no window") {
     val clusters = Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true))
       .toDF("doc_id", "cluster_id", "keep")

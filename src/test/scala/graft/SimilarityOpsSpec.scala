@@ -314,6 +314,37 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(fromSnap === trace)
   }
 
+  test("semantic contamination flags the train vector cloned from an eval vector") {
+    // split membership is md5(vec_id): discover real train/test ids first
+    val ids = graft.ops.PipelineOps.splitAssign(
+        (0L until 64L).map(i => (i, "x", "en", "s", 0L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select("doc_id", "split").as[(Long, String)].collect()
+    val trainIds = ids.filter(_._2 == "train").map(_._1)
+    val testIds = ids.filter(_._2 == "test").map(_._1).sorted
+    assert(trainIds.length >= 2 && testIds.length >= 2)
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val ortho = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    // train doc A = clone of BOTH test vectors' shared embedding (cos 1,
+    // tied → min test id wins); train doc B = orthogonal-ish
+    val emb = Seq(
+      (trainIds(0), base.toSeq, 1),
+      (trainIds(1), ortho.toSeq, 1),
+      (testIds(0), base.toSeq, 2),
+      (testIds(1), base.toSeq, 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.semanticContamination(emb)
+      .as[(Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(trainIds(0), trainIds(1))) // train rows only
+    val a = got(trainIds(0))
+    assert(math.abs(a._2 - 1.0) < 1e-12 && a._4, s"clone not flagged: $a")
+    assert(a._3 === testIds(0), s"tie must break to the min eval id: $a")
+    val b = got(trainIds(1))
+    assert(b._2 < SimilarityOps.SemContamMinCos && !b._4,
+      s"orthogonal train vector wrongly flagged: $b")
+  }
+
   test("cell-balanced sample: dominant cell capped, small cells kept whole") {
     // skewed strata: cell 0 holds 900 of 1000 vectors, cells 1..4 hold 25
     // each — the crawl-dominant-topic shape the equal allocation rebalances
