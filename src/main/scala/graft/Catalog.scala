@@ -104,6 +104,9 @@ object Catalog {
     ops.SimilarityOps.cellBalancedSample(
         spark.table("embedding_kmeans").select("vec_id", "cell"))
       .createOrReplaceTempView("embedding_cell_sample")
+    // round-11: semantic eval decontamination (train vs test split cosine)
+    ops.SimilarityOps.semanticContamination(emb)
+      .createOrReplaceTempView("embedding_contamination")
     // round-11: DSIR importance resample verdicts (water-filled rates).
     // EAGER like the cluster/BPE views: the water-fill fixpoint runs
     // bounded aggregate jobs at registration

@@ -86,5 +86,9 @@ class CatalogSpec extends SparkSpec {
       """SELECT COUNT(*) FROM quality_token_curve
         |WHERE cum_tokens < n_tokens""".stripMargin)
     assert(curve.collect().head.getLong(0) === 0L) // cum covers its own bin
+    val contam = spark.sql(
+      """SELECT COUNT(*) FROM embedding_contamination
+        |WHERE contaminated <> (max_cos >= 0.25)""".stripMargin)
+    assert(contam.collect().head.getLong(0) === 0L)
   }
 }
