@@ -340,6 +340,9 @@ object SparkEntry {
     // CCNet-style perplexity filter: per-doc avg bigram surprisal under a
     // corpus-trained add-one LM, exact micro-unit sums (q67's recipe)
     "q92_bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(Tables.documents(s, d))),
+    // vocabulary coverage curve: per frequency-threshold rung, vocab size
+    // + token volume covered — the tokenizer-vocab sizing artifact
+    "q111_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(Tables.documents(s, d))),
     // DSIR importance weights: per-train-doc log-likelihood ratio between
     // bigram models fit on the q57 test split (target) and train split
     // (raw) — the data-SELECTION counterpart to q92's outlier filter
@@ -490,6 +493,17 @@ object SparkEntry {
         kmeansRoundsShared(s, d)
           .filter(col("round_no") === SimilarityOps.KmeansRounds.toLong)
           .select("vec_id", "cell"))
+    }),
+    // cluster-quality report: per-cell cohesion / separation / simplified
+    // silhouette under the final partition's own induced centroids — reads
+    // the MATERIALIZED q87 round trace (q94/q107 pattern)
+    "q110_cluster_quality" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      SimilarityOps.clusterQuality(
+        kmeansRoundsShared(s, d)
+          .filter(col("round_no") === SimilarityOps.KmeansRounds.toLong)
+          .select("vec_id", "cell"),
+        Tables.embeddings(s, d))
     }),
     // int8 symmetric storage quantization with per-vector error reporting
     "q74_embedding_quantize" -> ((s, d) =>

@@ -648,6 +648,70 @@ object SimilarityOps {
     cellSampleDial(assign, frac, k).select("cell", "cut")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
 
+  /** q110 — CLUSTER QUALITY REPORT (simplified silhouette per cell): the
+    * post-hoc evaluation a clustering job publishes next to its centroids —
+    * per cell, cohesion (mean squared distance to the OWN centroid) vs
+    * separation (mean squared distance to the NEAREST OTHER centroid) and
+    * the simplified-silhouette score (mean_other − mean_intra) /
+    * max(mean_intra, mean_other) ∈ [−1, 1] — the number a team reads to
+    * decide whether k was right before q107's balanced sampler or q85's
+    * SemDeDup trusts the cells as topics. Evaluates the FINAL partition
+    * under the centroids that partition itself induces (the standard
+    * post-hoc convention), consuming the MATERIALIZED q87 round trace
+    * (the q94/q107 reads-vs-measures division).
+    *
+    * Scale shape: one co-keyed join of the assignment snapshot with the
+    * quantized corpus (the only corpus shuffle), one k×D map-combined
+    * centroid aggregate collapsed to a ONE-ROW broadcast artifact, then a
+    * row-local fold over the k centroids (own-cell distance + min-other
+    * distance in one pass — O(k·D) per row, [[kmeans]]'s own assign cost)
+    * and one bounded ≤ k-group aggregate. No window, no pair join.
+    *
+    * Determinism: distances are the exact-integer [[KmeansBestExpr]]
+    * quotient (one final IEEE division); both are rounded to 1e-6
+    * micro-units under the q67/q94 boundary guard and summed as int64 —
+    * associative, partition-order-free — so per-cell means and the
+    * silhouette are single IEEE ops over identical bits in both engines.
+    * Fail-loudly: a vector whose own cell is missing from the induced
+    * centroid state, or a run with fewer than two populated cells
+    * (min-other distance undefined), raises in-plan rather than emitting
+    * a poisoned report. */
+  def clusterQuality(assign: DataFrame, emb: DataFrame): DataFrame = {
+    val assigned = kmVq(emb).join(assign.select("vec_id", "cell"), "vec_id")
+    val distE =
+      """CAST(aggregate(zip_with(qv, c.sv, (q, s) -> (q * c.n - s) * (q * c.n - s)),
+           CAST(0 AS BIGINT), (acc2, x) -> acc2 + x) AS DOUBLE) / CAST(c.n * c.n AS DOUBLE)"""
+    val foldE =
+      s"""aggregate(cents,
+            named_struct('a', CAST(-1 AS DOUBLE), 'b', CAST('Infinity' AS DOUBLE)),
+            (acc, c) -> named_struct(
+              'a', CASE WHEN c.cell = cell THEN $distE ELSE acc.a END,
+              'b', CASE WHEN c.cell = cell THEN acc.b ELSE least(acc.b, $distE) END)) AS ab"""
+    def micro(src: String, guard: String, name: String): String = {
+      val raw = s"ab.$src * 1e6"
+      s"""CASE WHEN $guard
+               THEN CAST(raise_error('q110: ${name}_guard — missing own cell or <2 populated cells') AS BIGINT)
+               WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
+               THEN CAST(raise_error('q110: distance at a rounding boundary') AS BIGINT)
+               ELSE CAST(round($raw) AS BIGINT) END AS $name"""
+    }
+    assigned.crossJoin(broadcast(kmCents(assigned)))
+      .selectExpr("cell", foldE)
+      .selectExpr("cell",
+        micro("a", "ab.a < 0e0", "am"),
+        micro("b", "ab.b = CAST('Infinity' AS DOUBLE)", "bm"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("am").as("intra_micro"), sum("bm").as("other_micro"))
+      .selectExpr("cell", "n", "intra_micro", "other_micro",
+        "CAST(intra_micro AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mean_intra",
+        "CAST(other_micro AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mean_other")
+      .selectExpr("cell", "n", "intra_micro", "other_micro", "mean_intra", "mean_other",
+        """CASE WHEN greatest(mean_intra, mean_other) = 0e0 THEN 0e0
+                ELSE (mean_other - mean_intra) / greatest(mean_intra, mean_other)
+           END AS silhouette""")
+      .orderBy("cell")
+  }
+
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
     * intra-cell cosine distribution (p97 ≈ 0.24, max 0.47) so both verdicts
     * are exercised; a runtime dial like the LSH band constants (the paper
@@ -1121,6 +1185,40 @@ object SimilarityOps {
           FROM u JOIN cts ON u.cell = cts.cell
           WHERE u.u < cts.cut
           ORDER BY cell, vec_id"""
+    },
+    // q110 composes the q87 oracle's final assignment verbatim, recomputes
+    // the centroid state that partition induces, and mirrors the Spark
+    // fold: exact-integer distance quotients, q94's micro rounding (the
+    // Spark side raise_errors at boundaries — q67/q92 division of labor),
+    // exact int64 sums, then the identical single-IEEE-division chain
+    "q110_cluster_quality" -> {
+      s"""WITH ${kmOracleCtes(KmeansRounds)},
+          asg AS (SELECT vec_id, cell FROM a$KmeansRounds),
+          cf AS (SELECT cell, d, SUM(q3) AS sq, COUNT(*) AS n
+                 FROM asg JOIN q3 USING (vec_id) GROUP BY 1, 2),
+          dd AS (SELECT q3.vec_id, cf.cell,
+                        CAST(SUM((q3.q3 * cf.n - cf.sq) * (q3.q3 * cf.n - cf.sq)) AS DOUBLE)
+                          / CAST(MAX(cf.n) * MAX(cf.n) AS DOUBLE) AS dist
+                 FROM q3 JOIN cf ON q3.d = cf.d GROUP BY 1, 2),
+          ab AS (SELECT asg.vec_id, asg.cell,
+                        MAX(CASE WHEN dd.cell = asg.cell THEN dd.dist END) AS a,
+                        MIN(CASE WHEN dd.cell != asg.cell THEN dd.dist END) AS b
+                 FROM asg JOIN dd ON asg.vec_id = dd.vec_id GROUP BY 1, 2),
+          mi AS (SELECT cell, CAST(round(a * 1e6) AS BIGINT) AS am,
+                             CAST(round(b * 1e6) AS BIGINT) AS bm FROM ab),
+          g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(am) AS BIGINT) AS intra_micro,
+                       CAST(SUM(bm) AS BIGINT) AS other_micro
+                FROM mi GROUP BY cell),
+          m AS (SELECT cell, n, intra_micro, other_micro,
+                       CAST(intra_micro AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mean_intra,
+                       CAST(other_micro AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mean_other
+                FROM g)
+          SELECT cell, n, intra_micro, other_micro, mean_intra, mean_other,
+                 CASE WHEN GREATEST(mean_intra, mean_other) = 0e0 THEN 0e0
+                      ELSE (mean_other - mean_intra) / GREATEST(mean_intra, mean_other)
+                 END AS silhouette
+          FROM m ORDER BY cell"""
     },
     "q85_semantic_dedup" ->
       s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,

@@ -321,6 +321,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q111 — VOCABULARY COVERAGE CURVE: for each frequency-threshold rung
+    * f = 2^b, the vocabulary size (distinct terms with corpus frequency
+    * ≥ f) and the fraction of total token volume those terms cover — the
+    * curve a tokenizer designer reads to pick a vocab size ("the 2^12+
+    * terms cover 99.5 % of tokens") and the q68 top-K mask's sizing
+    * artifact. The rank-based form of this curve needs a global sort of
+    * the vocabulary; thresholding on frequency gives the same decision
+    * curve from a ROW-LOCAL bucket id — floor(log2(n)) computed as
+    * length(bin(n))−1, pure integer/string ops, no transcendental to
+    * drift at power-of-two boundaries.
+    *
+    * Scale shape: one map-combinable term-frequency aggregate (the only
+    * corpus shuffle, shared shape with q63), a ≤ 64-row bucket table, the
+    * q108 bounded suffix-sum self-join (broadcast BNLJ over ≤ 64×64
+    * pairs — never a window), and one one-row total broadcast. All
+    * cumulative counts are exact int64; the two coverage ratios are
+    * single IEEE divisions over identical bits (the q98 convention). */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val tf = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    // materialize the ≤ 64-row bucket table ONCE (eager, the q66/BPE
+    // idiom): both suffix-join branches and the total row read these rows
+    // — without it each branch would re-run the full corpus scan + token
+    // shuffle that produced them
+    val buckets = tf.selectExpr("CAST(length(bin(n)) - 1 AS BIGINT) AS b", "n")
+      .groupBy("b").agg(count(lit(1)).as("bucket_terms"), sum("n").as("bucket_tokens"))
+      .localCheckpoint()
+    val total = buckets.agg(sum("bucket_tokens").as("total_tokens"),
+      sum("bucket_terms").as("total_terms"))
+    // the ≥-join is non-equi, so the BOUNDED side must broadcast
+    // explicitly (the q108 suffix-sum idiom) — without the hint Spark
+    // falls back to a cartesian at scale
+    buckets.as("lo")
+      .join(broadcast(
+          buckets.selectExpr("b AS hb", "bucket_terms AS ht", "bucket_tokens AS hn")),
+        col("hb") >= col("b"))
+      .groupBy("b", "bucket_terms", "bucket_tokens")
+      .agg(sum("ht").as("vocab_size"), sum("hn").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .selectExpr(
+        "b", "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) AS min_freq",
+        "bucket_terms", "bucket_tokens", "vocab_size", "covered_tokens",
+        "CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_coverage",
+        "CAST(vocab_size AS DOUBLE) / CAST(total_terms AS DOUBLE) AS vocab_share")
+      .orderBy(col("b").desc)
+  }
+
   /** DuckDB equivalents, kept adjacent so Spark and oracle can't drift. */
   /** PII patterns for [[piiScrub]] — deliberately backslash-free (explicit
     * classes, `[.]` instead of `\.`, no `\b`) so one literal is valid and
@@ -829,6 +876,29 @@ object TextOps {
             FROM $wF CROSS JOIN $sF
             ORDER BY doc_id"""
       },
+      // q111 mirrors the row-local bucket id (length(bin(n))−1 — DuckDB's
+      // bin() is unpadded like Spark's), the bounded suffix-sum self-join,
+      // and the single-division coverage ratios
+      "q111_vocab_coverage" ->
+        """WITH tok AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+            tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+            bk AS (SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS b,
+                          CAST(COUNT(*) AS BIGINT) AS bucket_terms,
+                          CAST(SUM(n) AS BIGINT) AS bucket_tokens
+                   FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(SUM(bucket_tokens) AS BIGINT) AS total_tokens,
+                           CAST(SUM(bucket_terms) AS BIGINT) AS total_terms FROM bk),
+            cum AS (SELECT lo.b AS b, lo.bucket_terms, lo.bucket_tokens,
+                           CAST(SUM(hi.bucket_terms) AS BIGINT) AS vocab_size,
+                           CAST(SUM(hi.bucket_tokens) AS BIGINT) AS covered_tokens
+                    FROM bk lo JOIN bk hi ON hi.b >= lo.b
+                    GROUP BY 1, 2, 3)
+           SELECT b, (1::BIGINT << b) AS min_freq, bucket_terms, bucket_tokens,
+                  vocab_size, covered_tokens,
+                  CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_coverage,
+                  CAST(vocab_size AS DOUBLE) / CAST(total_terms AS DOUBLE) AS vocab_share
+           FROM cum CROSS JOIN tot
+           ORDER BY b DESC""",
       "q63_term_index" ->
         """WITH tf AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
             t AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),

@@ -421,6 +421,39 @@ class PlanShapeSpec extends SparkSpec {
       s"unbounded cartesian leaked into q108:\n${exec.take(1200)}")
   }
 
+  test("q110 cluster quality: centroid state broadcast, fold row-local, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assign = SimilarityOps.kmeans(emb).select("vec_id", "cell")
+    val q = SimilarityOps.clusterQuality(assign, emb)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"cartesian leaked into q110:\n${exec.take(1200)}")
+    // the induced centroid state is a ONE-ROW artifact — it must reach the
+    // corpus as a broadcast, and both distances must come from the
+    // row-local fold (a Window would mean the N×k distance table
+    // materialized, q87's exact invariant)
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      "induced centroid state must reach vectors as a broadcast one-row table")
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q110 distances must not window over an N×k distance table")
+  }
+
+  test("q111 vocab coverage: bucket id row-local, suffix sum via bounded self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = TextOps.vocabCoverage(docs)
+    // the rank-based curve would need a global vocabulary sort (or a SUM
+    // OVER (ORDER BY freq) — one task); the threshold curve must stay a
+    // row-local bucket id + the q108 bounded self-join
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q111 must not window: the cumulative is a bounded self-join aggregate")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"bounded bucket side must broadcast:\n${exec.take(1200)}")
+    assert(!exec.contains("CartesianProduct"),
+      s"unbounded cartesian leaked into q111:\n${exec.take(1200)}")
+  }
+
   test("q67 BM25 takes top-N without a global sort; df and stats broadcast") {
     val plan = TextOps.bm25(docs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),

@@ -206,6 +206,39 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.forall(_._3 < 1e6), s"member far from centroid: $got")
   }
 
+  test("q110 cluster quality: separated blobs score silhouette near 1") {
+    def a(eps: Float) = Array.tabulate(64)(i => (math.sin(i + 1) + eps).toFloat).toSeq
+    def b(eps: Float) = Array.tabulate(64)(i => (math.cos(3 * i + 2) + eps).toFloat).toSeq
+    val pts = Seq(
+      (0L, a(0f), 0), (1L, b(0f), 0),
+      (2L, a(0.02f), 0), (3L, a(-0.02f), 0),
+      (4L, b(0.02f), 0), (5L, b(-0.02f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val assign = SimilarityOps.kmeans(pts, k = 2, rounds = 3).select("vec_id", "cell")
+    val q = SimilarityOps.clusterQuality(assign, pts)
+      .select("cell", "n", "mean_intra", "mean_other", "silhouette")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(q.map(_._1).distinct.size === 2, s"expected 2 cells: $q")
+    assert(q.map(_._2).sum === 6L, s"partition must account for every vector: $q")
+    // tight blobs, orthogonal-ish centers: cohesion ≪ separation
+    q.foreach { case (cell, _, intra, other, sil) =>
+      assert(other > intra, s"cell $cell: separation must exceed cohesion: $q")
+      assert(sil > 0.9 && sil <= 1.0, s"cell $cell: silhouette $sil not near 1: $q")
+    }
+  }
+
+  test("q110 cluster quality on the test corpus: bounded report, full partition") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assign = SimilarityOps.kmeans(embT).select("vec_id", "cell")
+    val q = SimilarityOps.clusterQuality(assign, embT)
+      .select("cell", "n", "silhouette").as[(Long, Long, Double)].collect().toSeq
+    assert(q.size <= SimilarityOps.KmeansK, s"more cells than k: $q")
+    assert(q.map(_._2).sum === embT.count(), "every vector must appear in exactly one cell")
+    q.foreach { case (cell, _, sil) =>
+      assert(sil >= -1.0 && sil <= 1.0, s"cell $cell silhouette $sil out of [-1, 1]")
+    }
+  }
+
   test("kmeans is deterministic run-to-run (exact integer centroid state)") {
     val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val r1 = SimilarityOps.kmeans(embT).collect().map(_.toSeq).toSeq

@@ -117,6 +117,32 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1L) === "<unk> a") // 'a' < 'b' wins the single slot
   }
 
+  test("q111 vocab coverage: exact rungs on a hand corpus, bottom rung covers all") {
+    val d = docs(doc(1, "a a a a b b c"))  // a:4 → bucket 2, b:2 → bucket 1, c:1 → bucket 0
+    val rows = TextOps.vocabCoverage(d)
+      .select("b", "min_freq", "vocab_size", "covered_tokens", "token_coverage")
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(rows === List(
+      (2L, 4L, 1L, 4L, 4.0 / 7.0),   // terms with freq ≥ 4: {a}
+      (1L, 2L, 2L, 6L, 6.0 / 7.0),   // freq ≥ 2: {a, b}
+      (0L, 1L, 3L, 7L, 1.0)))        // freq ≥ 1: everything
+  }
+
+  test("q111 vocab coverage: cumulative counts are monotone down the rungs") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = TextOps.vocabCoverage(d)
+      .select("b", "vocab_size", "covered_tokens", "token_coverage")
+      .as[(Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(rows.nonEmpty)
+    // descending threshold admits more terms: all three cumulatives grow
+    rows.sliding(2).foreach {
+      case List((_, v1, c1, t1), (_, v2, c2, t2)) =>
+        assert(v1 > v2 && c1 > c2 && t1 > t2, s"not monotone: $rows")
+      case _ => ()
+    }
+    assert(rows.head._4 === 1.0, "the freq ≥ 1 rung must cover every token")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
