@@ -107,6 +107,13 @@ object Catalog {
     // round-11: semantic eval decontamination (train vs test split cosine)
     ops.SimilarityOps.semanticContamination(emb)
       .createOrReplaceTempView("embedding_contamination")
+    // round-11: per-cell cohesion/separation/silhouette report over the
+    // kmeans view's final partition (was k right before trusting the cells?)
+    ops.SimilarityOps.clusterQuality(
+        spark.table("embedding_kmeans").select("vec_id", "cell"), emb)
+      .createOrReplaceTempView("embedding_cluster_quality")
+    // round-11: vocabulary coverage curve (tokenizer-vocab sizing artifact)
+    ops.TextOps.vocabCoverage(docs).createOrReplaceTempView("vocab_coverage")
     // round-11: DSIR importance resample verdicts (water-filled rates).
     // EAGER like the cluster/BPE views: the water-fill fixpoint runs
     // bounded aggregate jobs at registration

@@ -90,5 +90,18 @@ class CatalogSpec extends SparkSpec {
       """SELECT COUNT(*) FROM embedding_contamination
         |WHERE contaminated <> (max_cos >= 0.25)""".stripMargin)
     assert(contam.collect().head.getLong(0) === 0L)
+    // silhouette is bounded and every cell of the kmeans view is reported
+    val sil = spark.sql(
+      """SELECT COUNT(*) FROM embedding_cluster_quality
+        |WHERE silhouette < -1.0 OR silhouette > 1.0""".stripMargin)
+    assert(sil.collect().head.getLong(0) === 0L)
+    val cellCover = spark.sql(
+      """SELECT COUNT(*) FROM (SELECT DISTINCT cell FROM embedding_kmeans) k
+        |LEFT ANTI JOIN embedding_cluster_quality q ON k.cell = q.cell""".stripMargin)
+    assert(cellCover.collect().head.getLong(0) === 0L)
+    // the bottom populated rung admits every term → covers all tokens
+    val cover = spark.sql(
+      "SELECT token_coverage FROM vocab_coverage ORDER BY b ASC LIMIT 1")
+    assert(cover.collect().head.getDouble(0) === 1.0)
   }
 }
