@@ -269,7 +269,14 @@ object SparkEntry {
     // the release-publishing manifest: md5-bucket shard assignment +
     // per-shard volume/range bookkeeping (one bounded aggregate)
     "q100_shard_manifest"  -> ((s, d) => PipelineOps.shardManifest(Tables.documents(s, d))),
+    // reproducible per-epoch shuffle: row-local (epoch, doc_id) md5 draw,
+    // shard-partitioned rank — the order ledger a dataloader replays
+    "q112_epoch_order"     -> ((s, d) => PipelineOps.epochOrder(Tables.documents(s, d))),
     "q57_split"            -> ((s, d) => PipelineOps.splitAssign(Tables.documents(s, d))),
+    // near-dup-atomic train/val/test deal over the MATERIALIZED q66
+    // clusters — the q57 rule keyed on cluster_id, with the per-cluster
+    // leak-prevented audit flag
+    "q113_leakfree_split"  -> ((s, d) => PipelineOps.leakFreeSplit(clustersShared(s, d))),
     "q58_stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(Tables.documents(s, d))),
     // GPT-3-style n-gram eval decontamination over the q57 split: broadcast
     // test-split grams, row-local train-side shingles
@@ -833,6 +840,30 @@ object SparkEntry {
                  j.score_micro AS score_micro, k.canon_id AS canon_id,
                  j.doc_id = k.canon_id AS canon
           FROM j JOIN k ON j.cluster_id = k.cluster_id
+          ORDER BY doc_id""") +
+    // q113 composes the q66 oracle verbatim (the q106 pattern): both
+    // deals are the shared md5-bucket rule — keyed on cluster_id for the
+    // atomic split, doc_id for the naive audit column — and the flag is
+    // the same MIN<>MAX disagreement aggregate
+    ("q113_leakfree_split" ->
+      s"""WITH c AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
+          b AS (SELECT doc_id, cluster_id,
+                       CASE WHEN cb < ${PipelineOps.TrainCut} THEN 'train'
+                            WHEN cb < ${PipelineOps.ValCut} THEN 'val'
+                            ELSE 'test' END AS split,
+                       CASE WHEN nb < ${PipelineOps.TrainCut} THEN 'train'
+                            WHEN nb < ${PipelineOps.ValCut} THEN 'val'
+                            ELSE 'test' END AS naive_split
+                FROM (SELECT doc_id, cluster_id,
+                             ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2))::BIGINT AS cb,
+                             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS nb
+                      FROM c)),
+          t AS (SELECT cluster_id, MIN(naive_split) <> MAX(naive_split) AS leak_prevented
+                FROM b GROUP BY cluster_id)
+          SELECT b.doc_id AS doc_id, b.cluster_id AS cluster_id,
+                 b.split AS split, b.naive_split AS naive_split,
+                 t.leak_prevented AS leak_prevented
+          FROM b JOIN t ON b.cluster_id = t.cluster_id
           ORDER BY doc_id""") +
     // q98 composes the q61/q66/q70/q86 oracles verbatim (the q71/q89
     // pattern) — every card figure's inputs are the individually

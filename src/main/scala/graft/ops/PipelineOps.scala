@@ -96,6 +96,65 @@ object PipelineOps {
         max("doc_id").as("max_doc_id"))
       .orderBy("shard")
 
+  /** q112 — EPOCH TRAINING ORDER: the reproducible per-epoch shuffle a
+    * dataloader replays — every doc gets a deterministic pseudo-random
+    * order draw keyed on (epoch, doc_id) and a position within its q100
+    * shard; the loader reads shards in shard order, each shard in `pos`
+    * order, and the concatenation is a uniform permutation that RESHUFFLES
+    * every epoch while the shard FILES on disk stay fixed (the
+    * [[shardAssign]] rule — one shard definition, so the order ledger and
+    * `SourceSinks`' written files can never disagree). `rand()`-seeded
+    * shuffles lose exactly this replay property under speculative
+    * re-execution; the md5 draw is a pure function of (epoch, doc_id).
+    *
+    * Scale shape: the draw and shard are ROW-LOCAL; the only non-map step
+    * is the per-shard rank — a window PARTITIONED BY shard, balanced by
+    * construction (md5 is uniform, so every window task holds ~N/nShards
+    * rows and nShards scales with the corpus). The global-permutation
+    * alternative (rank over the whole draw space) would funnel 100 TB
+    * through ONE sort task; per-shard rank is the same permutation
+    * read shard-by-shard, at perfect parallelism. Ties in the 48-bit draw
+    * break on doc_id, so the order is total on both engines. */
+  def epochOrder(docs: DataFrame, epoch: Long = 1L, nShards: Int = 16): DataFrame =
+    docs.select(col("doc_id"),
+        (md5Bucket(col("doc_id")) % nShards).as("shard"),
+        md5Prefix48(concat(lit(s"$epoch:"), col("doc_id").cast("string"))).as("ord"))
+      .select(lit(epoch).as("epoch"), col("shard"), col("doc_id"), col("ord"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("ord", "doc_id")).cast("long"))
+      .orderBy("shard", "pos")
+
+  /** q113 — LEAKAGE-FREE SPLIT: the q57 train/val/test deal upgraded to
+    * be NEAR-DUP-ATOMIC — every q66 cluster lands on ONE side, keyed by
+    * the md5 bucket of its cluster_id (same [[md5Bucket]]/[[splitOf]]
+    * rule as q57, so singleton docs split exactly as q57 would). The
+    * plain per-doc deal tears near-dup clusters across the boundary and
+    * the val/test halves silently grade on paraphrases of training docs —
+    * the leak q109/q70 detect AFTER the fact, prevented at deal time.
+    * Each row also carries the naive per-doc verdict and a per-cluster
+    * `leak_prevented` flag (the naive rule disagreed within the cluster)
+    * — the audit count a release publishes for how much leakage the
+    * cluster-atomic rule removed.
+    *
+    * Scale shape: both deals are ROW-LOCAL md5 folds; the flag is one
+    * map-combinable MIN/MAX-disagreement aggregate on cluster_id joined
+    * back on the same key (co-keyed — one shuffle shape, the q97 soft-
+    * dedup pattern). Reads the MATERIALIZED q66 cluster snapshot; no
+    * window, no pair join. */
+  def leakFreeSplit(clusters: DataFrame): DataFrame = {
+    val base = clusters.select(col("doc_id"), col("cluster_id"))
+      .withColumn("nb", md5Bucket(col("doc_id")))
+      .withColumn("cb", md5Bucket(col("cluster_id")))
+      .selectExpr("doc_id", "cluster_id",
+        s"${splitOf("cb")} AS split", s"${splitOf("nb")} AS naive_split")
+    val torn = base.groupBy("cluster_id")
+      .agg((min("naive_split") =!= max("naive_split")).as("leak_prevented"))
+    base.join(torn, "cluster_id")
+      .select("doc_id", "cluster_id", "split", "naive_split", "leak_prevented")
+      .orderBy("doc_id")
+  }
+
   /** q58 — stratified sample: ~the same `frac` of every language stratum,
     * by HASH-THRESHOLD selection (the q76 [[mixtureSample]] rule): a doc
     * is kept iff its 48-bit md5 prefix `u` falls below the stratum's cut
@@ -460,6 +519,17 @@ object PipelineOps {
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
                FROM documents)
          ORDER BY doc_id""",
+    // q112 mirrors the row-local (epoch:doc_id) md5 draw, the q100 shard
+    // rule, and the per-shard rank with the identical (ord, doc_id)
+    // tie-break total order
+    "q112_epoch_order" ->
+      """WITH s AS (SELECT doc_id,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16 AS shard,
+                           ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS ord
+                    FROM documents)
+         SELECT CAST(1 AS BIGINT) AS epoch, shard, doc_id, ord,
+                CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+         FROM s ORDER BY shard, pos""",
     "q100_shard_manifest" ->
       """SELECT bucket % 16 AS shard,
                 CAST(COUNT(*) AS BIGINT) AS n_docs,

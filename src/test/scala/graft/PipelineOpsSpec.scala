@@ -291,4 +291,55 @@ class PipelineOpsSpec extends SparkSpec {
     val mean = rows.map(_._2).sum.toDouble / rows.size
     assert(rows.forall(_._2 <= mean * 3), s"skewed shard: $rows")
   }
+
+  test("epoch order: a permutation per epoch, contiguous per-shard positions, replay-stable") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val e1 = PipelineOps.epochOrder(docs, epoch = 1L)
+      .select("shard", "doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    // every doc appears exactly once — the order is a permutation
+    val ids = docs.select("doc_id").as[Long].collect().toSeq.sorted
+    assert(e1.map(_._2).sorted === ids)
+    // per shard, positions are exactly 1..n (a dataloader can seek by pos)
+    e1.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.size).toSeq, s"shard $shard")
+    }
+    // replay-stable: a second run deals identically (pure function of keys)
+    val e1b = PipelineOps.epochOrder(docs, epoch = 1L)
+      .select("shard", "doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(e1.sorted === e1b.sorted)
+    // a new epoch keeps shard membership (files on disk are fixed) but
+    // reshuffles the order within shards
+    val e2 = PipelineOps.epochOrder(docs, epoch = 2L)
+      .select("shard", "doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(e1.map(r => r._2 -> r._1).toMap === e2.map(r => r._2 -> r._1).toMap)
+    val moved = (e1.map(r => r._2 -> r._3).toSet --
+      e2.map(r => r._2 -> r._3).toSet).size
+    assert(moved > docs.count() / 2, s"epoch 2 barely reshuffled: $moved moved")
+  }
+
+  test("leak-free split: clusters are atomic, singletons match q57, flag audits the naive deal") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.ops.DedupOps.lshPairs(docs)
+    val clusters = graft.ops.GraphOps.dedupClusters(docs, pairs)
+    val split = PipelineOps.leakFreeSplit(clusters)
+      .as[(Long, Long, String, String, Boolean)].collect().toSeq
+    assert(split.size === docs.count())
+    // cluster-atomic: one split per cluster
+    split.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.size === 1, s"cluster $c torn: $rows")
+    }
+    // singleton clusters (cluster_id == doc_id) deal exactly as q57 does
+    val naive = PipelineOps.splitAssign(docs).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    split.filter(r => r._1 === r._2).foreach { case (d, _, s, ns, _) =>
+      assert(s === naive(d) && ns === naive(d), s"singleton $d diverged from q57")
+    }
+    // the flag is exactly "the naive deal disagreed within the cluster"
+    split.groupBy(_._2).foreach { case (c, rows) =>
+      val torn = rows.map(_._4).distinct.size > 1
+      assert(rows.forall(_._5 === torn), s"cluster $c flag wrong")
+    }
+    // the fixture exercises both flag values (real near-dup clusters exist)
+    assert(split.exists(_._5) && split.exists(!_._5))
+  }
 }

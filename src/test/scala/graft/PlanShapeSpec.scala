@@ -439,6 +439,33 @@ class PlanShapeSpec extends SparkSpec {
       "q110 distances must not window over an N×k distance table")
   }
 
+  test("q112 epoch order: the only window is PARTITIONED by shard — never a global rank") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.PipelineOps.epochOrder(docs)
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "q112's per-shard rank must be a window")
+    // an UNPARTITIONED rank would funnel the whole corpus through one
+    // sort task — the exact global-permutation failure the shard rank avoids
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"q112 rank lost its shard partitioning:\n$w"))
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("q113 leak-free split: row-local deals, no window, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val pairs = graft.ops.DedupOps.lshPairs(docs)
+    val clusters = graft.ops.GraphOps.dedupClusters(docs, pairs)
+    val q = graft.ops.PipelineOps.leakFreeSplit(clusters)
+    // both split deals are row-local md5 folds and the flag is a plain
+    // aggregate joined back on its own key — a window would mean a
+    // per-cluster sort snuck in
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q113 must not window: the flag is a MIN/MAX disagreement aggregate")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"cartesian leaked into q113:\n${exec.take(1200)}")
+  }
+
   test("q111 vocab coverage: bucket id row-local, suffix sum via bounded self-join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = TextOps.vocabCoverage(docs)
