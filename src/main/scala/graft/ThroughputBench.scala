@@ -94,6 +94,13 @@ object ThroughputBench {
       (cents, cuts)
     }
 
+    // semguard mode: in-flight semantic decontamination — the bounded
+    // one-row eval-vector artifact is extracted once from the real
+    // sf0.001 embeddings (the batch-refreshes-artifact contract); each
+    // arriving vector pays one graft_dot per eval entry, row-local
+    lazy val semRefs = ops.SimilarityOps.evalVectorState(
+      Tables.embeddings(spark, "/root/testdata/sf0.001")).localCheckpoint()
+
     def once(): Double = {
       val t0 = System.nanoTime()
       val out = mode match {
@@ -110,6 +117,9 @@ object ThroughputBench {
             streaming.StreamCentroidAssign.assign(
               ingestWire.selectExpr("doc_id AS vec_id", "embedding"), cents),
             cuts)
+        case "semguard" =>
+          streaming.StreamSemanticGuard.flag(
+            ingestWire.selectExpr("doc_id AS vec_id", "embedding"), semRefs)
         case _ => streaming.FraudPipeline.fraudAlerts(wire)
       }
       out.write.format("noop").mode("overwrite").save()
@@ -123,6 +133,7 @@ object ThroughputBench {
       case "quality" => "quality_gate_rows_per_sec"
       case "modelscore" => "model_score_rows_per_sec"
       case "cellsample" => "cell_sample_rows_per_sec"
+      case "semguard" => "sem_guard_rows_per_sec"
       case _ => "pipeline_rows_per_sec"
     }
     println(f"""{"metric":"$metric%s","value":$rps%.0f,"rows":$n,"sec":$sec%.3f,"cpus":$cpus}""")

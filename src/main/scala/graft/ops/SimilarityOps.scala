@@ -250,6 +250,21 @@ object SimilarityOps {
       .orderBy("doc_id")
   }
 
+  /** The BOUNDED eval-vector artifact [[semanticContamination]]'s
+    * streaming twin (`StreamSemanticGuard`) applies in-flight: the
+    * test-split vectors (q57 rule — standing in for the curated eval set
+    * a real deployment loads) collapsed into ONE ROW of (t_id, tv, tn2)
+    * structs, refreshed by a scheduled batch job like the k-means
+    * centroid state. Sorted by t_id so the artifact is deterministic;
+    * the fold's result is order-free regardless (max is associative,
+    * ties break on -t_id). */
+  def evalVectorState(emb: DataFrame): DataFrame =
+    vecs(emb)
+      .withColumn("bucket", PipelineOps.md5Bucket(col("vec_id")))
+      .filter(expr(s"${PipelineOps.splitOf("bucket")} = 'test'"))
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").as("t_id"), col("v").as("tv"), col("n2").as("tn2")))).as("evals"))
+
   /** q43 — banded-LSH ANN: candidates are vectors sharing ANY of the
     * query's band keys (distinct on the narrow (q_id, vec_id) pair), then a
     * vector gather + exact cosine ranking on candidates only. At scale:
