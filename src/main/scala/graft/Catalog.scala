@@ -114,6 +114,15 @@ object Catalog {
       .createOrReplaceTempView("embedding_cluster_quality")
     // round-11: vocabulary coverage curve (tokenizer-vocab sizing artifact)
     ops.TextOps.vocabCoverage(docs).createOrReplaceTempView("vocab_coverage")
+    // round-11: which sources copy from which — per source pair, the true
+    // near-dup clusters containing both (dedup-priority matrix)
+    ops.GraphOps.crossSourceDups(clusters, docs)
+      .createOrReplaceTempView("cross_source_dups")
+    // round-11: near-dup-atomic train/val/test deal + leak audit flag
+    ops.PipelineOps.leakFreeSplit(clusters)
+      .createOrReplaceTempView("doc_leakfree_split")
+    // round-11: the reproducible epoch-1 training order ledger
+    ops.PipelineOps.epochOrder(docs).createOrReplaceTempView("epoch_order")
     // round-11: DSIR importance resample verdicts (water-filled rates).
     // EAGER like the cluster/BPE views: the water-fill fixpoint runs
     // bounded aggregate jobs at registration

@@ -277,6 +277,11 @@ object SparkEntry {
     // clusters — the q57 rule keyed on cluster_id, with the per-cluster
     // leak-prevented audit flag
     "q113_leakfree_split"  -> ((s, d) => PipelineOps.leakFreeSplit(clustersShared(s, d))),
+    // which sources copy from which: per source pair, true near-dup
+    // clusters containing both — dedup-priority / provenance matrix over
+    // the MATERIALIZED q66 clusters
+    "q114_cross_source_dups" -> ((s, d) =>
+      graft.ops.GraphOps.crossSourceDups(clustersShared(s, d), Tables.documents(s, d))),
     "q58_stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(Tables.documents(s, d))),
     // GPT-3-style n-gram eval decontamination over the q57 split: broadcast
     // test-split grams, row-local train-side shingles
@@ -865,6 +870,20 @@ object SparkEntry {
                  t.leak_prevented AS leak_prevented
           FROM b JOIN t ON b.cluster_id = t.cluster_id
           ORDER BY doc_id""") +
+    // q114 composes the q66 oracle verbatim: the same ≥2-member filter,
+    // (cluster, source) collapse, and bounded self-join pair count
+    ("q114_cross_source_dups" ->
+      s"""WITH c AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
+          z AS (SELECT cluster_id FROM c GROUP BY cluster_id HAVING COUNT(*) >= 2),
+          cs AS (SELECT DISTINCT c.cluster_id, d.source
+                 FROM c JOIN z ON c.cluster_id = z.cluster_id
+                 JOIN documents d ON c.doc_id = d.doc_id)
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_clusters
+          FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id
+                             AND a.source <= b.source
+          GROUP BY 1, 2
+          ORDER BY source_a, source_b""") +
     // q98 composes the q61/q66/q70/q86 oracles verbatim (the q71/q89
     // pattern) — every card figure's inputs are the individually
     // hash-verified component queries

@@ -167,6 +167,39 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** q114 — CROSS-SOURCE DUPLICATION MATRIX: which sources copy from
+    * which — per unordered source pair, the number of true near-dup
+    * clusters (≥ 2 members) containing BOTH sources; the diagonal counts
+    * clusters duplicated WITHIN a source. The artifact a curation team
+    * reads to pick dedup priorities and trace provenance (a crawl source
+    * whose row overlaps a licensed source's is mirror-heavy; a hot
+    * diagonal means the source's own crawler revisits). Consumes the
+    * MATERIALIZED q66 cluster table.
+    *
+    * Scale shape: a map-combinable size filter on cluster_id, one
+    * corpus-sized equi-join to attach `source`, a distinct to collapse
+    * each cluster to its ≤ |sources| member-source rows (all co-keyed on
+    * cluster_id — one shuffle shape), then a self-join on cluster_id
+    * whose per-key fan-out is bounded by |sources|² (sources are an
+    * enumerable handful even at 100 TB), and a bounded ≤ |sources|²-row
+    * aggregate. The corpus never self-joins — only the collapsed
+    * (cluster, source) rows do. */
+  def crossSourceDups(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val dupIds = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz")).filter(col("sz") >= 2)
+      .select("cluster_id")
+    val cs = clusters.select("doc_id", "cluster_id")
+      .join(dupIds, "cluster_id")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("cluster_id", "source").distinct()
+    cs.toDF("cluster_id", "source_a")
+      .join(cs.toDF("cluster_id", "source_b"), "cluster_id")
+      .filter(col("source_a") <= col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q66's oracle composes the verified q37 pair oracle verbatim (the edges
     * cannot drift from the individually-hash-checked query) with a
     * recursive-CTE min-label reachability — DuckDB's walk accumulates every

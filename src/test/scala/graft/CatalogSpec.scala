@@ -103,5 +103,18 @@ class CatalogSpec extends SparkSpec {
     val cover = spark.sql(
       "SELECT token_coverage FROM vocab_coverage ORDER BY b ASC LIMIT 1")
     assert(cover.collect().head.getDouble(0) === 1.0)
+    // dup matrix is upper-triangular with positive counts
+    val xsrc = spark.sql(
+      "SELECT COUNT(*) FROM cross_source_dups WHERE source_a > source_b OR n_clusters <= 0")
+    assert(xsrc.collect().head.getLong(0) === 0L)
+    // the leak-free deal never tears a cluster
+    val torn = spark.sql(
+      """SELECT COUNT(*) FROM (SELECT cluster_id FROM doc_leakfree_split
+        |GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1)""".stripMargin)
+    assert(torn.collect().head.getLong(0) === 0L)
+    // the epoch order is a permutation: positions count the corpus
+    val ord = spark.sql(
+      "SELECT COUNT(*), COUNT(DISTINCT doc_id) FROM epoch_order").collect().head
+    assert(ord.getLong(0) === 500L && ord.getLong(1) === 500L)
   }
 }

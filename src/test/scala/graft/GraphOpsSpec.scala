@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.GraphOps
+import org.apache.spark.sql.functions.col
 import org.scalatest.prop.TableDrivenPropertyChecks
 import scala.util.Random
 
@@ -163,5 +164,33 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
       assert(canon._1 === members.filter(_._3 == best).map(_._1).min)
       assert(members.forall(_._4 == canon._1))
     }
+  }
+
+  test("cross-source dup matrix: hand clusters count pairs exactly, singletons excluded") {
+    // cluster 1 = {a, b}, cluster 4 = {a, a}, doc 7 = singleton (dropped)
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (7L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "a"), (5L, "a"), (7L, "c"))
+      .toDF("doc_id", "source")
+    val got = GraphOps.crossSourceDups(clusters, docs)
+      .as[(String, String, Long)].collect().toSeq
+    // cluster 1 contributes (a,a),(a,b),(b,b); cluster 4 contributes (a,a);
+    // the singleton's source c never appears
+    assert(got === Seq(("a", "a", 2L), ("a", "b", 1L), ("b", "b", 1L)))
+  }
+
+  test("cross-source dup matrix on the real corpus: symmetric-upper, bounded, consistent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.ops.DedupOps.lshPairs(docs)
+    val clusters = GraphOps.dedupClusters(docs, pairs)
+    val got = GraphOps.crossSourceDups(clusters, docs)
+      .as[(String, String, Long)].collect().toSeq
+    val nSources = docs.select("source").distinct().count()
+    assert(got.nonEmpty && got.size <= nSources * (nSources + 1) / 2)
+    assert(got.forall { case (a, b, n) => a <= b && n > 0 })
+    // every pair count is bounded by the number of true dup clusters
+    val nDup = clusters.groupBy("cluster_id").count()
+      .filter(col("count") >= 2).count()
+    assert(got.forall(_._3 <= nDup))
   }
 }

@@ -466,6 +466,18 @@ class PlanShapeSpec extends SparkSpec {
       s"cartesian leaked into q113:\n${exec.take(1200)}")
   }
 
+  test("q114 cross-source dups: no window, no cartesian — only collapsed rows self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val pairs = graft.ops.DedupOps.lshPairs(docs)
+    val clusters = graft.ops.GraphOps.dedupClusters(docs, pairs)
+    val q = graft.ops.GraphOps.crossSourceDups(clusters, docs)
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q114 must not window: pair counts are plain bounded aggregates")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"cartesian leaked into q114:\n${exec.take(1200)}")
+  }
+
   test("q111 vocab coverage: bucket id row-local, suffix sum via bounded self-join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = TextOps.vocabCoverage(docs)
