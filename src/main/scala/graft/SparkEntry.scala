@@ -871,17 +871,20 @@ object SparkEntry {
           FROM b JOIN t ON b.cluster_id = t.cluster_id
           ORDER BY doc_id""") +
     // q114 composes the q66 oracle verbatim: the same ≥2-member filter,
-    // (cluster, source) collapse, and bounded self-join pair count
+    // per-(cluster, source) member counts, and the bounded self-join —
+    // diagonal cells require ≥ 2 members of the SAME source
     ("q114_cross_source_dups" ->
       s"""WITH c AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
           z AS (SELECT cluster_id FROM c GROUP BY cluster_id HAVING COUNT(*) >= 2),
-          cs AS (SELECT DISTINCT c.cluster_id, d.source
+          cs AS (SELECT c.cluster_id, d.source, COUNT(*) AS cnt
                  FROM c JOIN z ON c.cluster_id = z.cluster_id
-                 JOIN documents d ON c.doc_id = d.doc_id)
+                 JOIN documents d ON c.doc_id = d.doc_id
+                 GROUP BY c.cluster_id, d.source)
           SELECT a.source AS source_a, b.source AS source_b,
                  CAST(COUNT(*) AS BIGINT) AS n_clusters
           FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id
-                             AND a.source <= b.source
+                             AND (a.source < b.source
+                                  OR (a.source = b.source AND a.cnt >= 2))
           GROUP BY 1, 2
           ORDER BY source_a, source_b""") +
     // q98 composes the q61/q66/q70/q86 oracles verbatim (the q71/q89

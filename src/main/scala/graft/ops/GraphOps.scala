@@ -191,10 +191,15 @@ object GraphOps {
     val cs = clusters.select("doc_id", "cluster_id")
       .join(dupIds, "cluster_id")
       .join(docs.select("doc_id", "source"), "doc_id")
-      .select("cluster_id", "source").distinct()
-    cs.toDF("cluster_id", "source_a")
-      .join(cs.toDF("cluster_id", "source_b"), "cluster_id")
-      .filter(col("source_a") <= col("source_b"))
+      .groupBy("cluster_id", "source").agg(count(lit(1)).as("cnt"))
+    // a diagonal (s, s) cell must mean the cluster holds ≥ 2 members OF
+    // s — a cluster merely touching s pairs its single row with itself
+    // in the self-join, which would read as self-duplication that never
+    // happened; off-diagonal needs only presence of both sides
+    cs.toDF("cluster_id", "source_a", "cnt_a")
+      .join(cs.toDF("cluster_id", "source_b", "cnt_b"), "cluster_id")
+      .filter(col("source_a") < col("source_b") ||
+        (col("source_a") === col("source_b") && col("cnt_a") >= 2))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("source_a", "source_b")

@@ -97,33 +97,48 @@ object PipelineOps {
       .orderBy("shard")
 
   /** q112 — EPOCH TRAINING ORDER: the reproducible per-epoch shuffle a
-    * dataloader replays — every doc gets a deterministic pseudo-random
-    * order draw keyed on (epoch, doc_id) and a position within its q100
-    * shard; the loader reads shards in shard order, each shard in `pos`
-    * order, and the concatenation is a uniform permutation that RESHUFFLES
-    * every epoch while the shard FILES on disk stay fixed (the
-    * [[shardAssign]] rule — one shard definition, so the order ledger and
-    * `SourceSinks`' written files can never disagree). `rand()`-seeded
-    * shuffles lose exactly this replay property under speculative
-    * re-execution; the md5 draw is a pure function of (epoch, doc_id).
+    * dataloader replays, as the standard TWO-LEVEL scheme distributed
+    * loaders actually run (a true global permutation can't stream from
+    * fixed files): per epoch, (1) the shard VISIT order is dealt by an
+    * md5 draw on (epoch, shard) — `shard_seq` — and (2) each doc gets a
+    * deterministic order draw keyed on (epoch, doc_id) and a `pos` within
+    * its q100 shard. The loader reads shards by shard_seq, each shard in
+    * pos order; BOTH levels reshuffle every epoch while shard MEMBERSHIP
+    * (hence the files on disk) stays fixed (the [[shardAssign]] rule —
+    * one shard definition, so the order ledger and `SourceSinks`' written
+    * files can never disagree). `rand()`-seeded shuffles lose exactly
+    * this replay property under speculative re-execution; the md5 draws
+    * are pure functions of their keys.
     *
-    * Scale shape: the draw and shard are ROW-LOCAL; the only non-map step
-    * is the per-shard rank — a window PARTITIONED BY shard, balanced by
-    * construction (md5 is uniform, so every window task holds ~N/nShards
-    * rows and nShards scales with the corpus). The global-permutation
-    * alternative (rank over the whole draw space) would funnel 100 TB
-    * through ONE sort task; per-shard rank is the same permutation
-    * read shard-by-shard, at perfect parallelism. Ties in the 48-bit draw
-    * break on doc_id, so the order is total on both engines. */
-  def epochOrder(docs: DataFrame, epoch: Long = 1L, nShards: Int = 16): DataFrame =
+    * Scale shape: the doc draw and shard are ROW-LOCAL; shard_seq is a
+    * rank over the BOUNDED nShards-row dial via the q108 bounded
+    * broadcast self-join (never a global window), joined back broadcast;
+    * the only corpus-sized non-map step is the per-shard rank — a window
+    * PARTITIONED BY shard, balanced by construction (md5 is uniform, so
+    * every window task holds ~N/nShards rows and nShards scales with the
+    * corpus). The global-permutation alternative (rank over the whole
+    * draw space) would funnel 100 TB through ONE sort task. Ties in the
+    * 48-bit draws break on shard/doc_id, so both orders are total on
+    * both engines. */
+  def epochOrder(docs: DataFrame, epoch: Long = 1L, nShards: Int = 16): DataFrame = {
+    val draws = docs.sparkSession.range(nShards).select(col("id").as("shard"),
+      md5Prefix48(concat(lit(s"$epoch:S"), col("id").cast("string"))).as("sdraw"))
+    val shardSeq = draws
+      .join(broadcast(draws.toDF("shard2", "sdraw2")),
+        col("sdraw2") < col("sdraw") ||
+          (col("sdraw2") === col("sdraw") && col("shard2") <= col("shard")))
+      .groupBy("shard").agg(count(lit(1)).as("shard_seq"))
     docs.select(col("doc_id"),
         (md5Bucket(col("doc_id")) % nShards).as("shard"),
         md5Prefix48(concat(lit(s"$epoch:"), col("doc_id").cast("string"))).as("ord"))
-      .select(lit(epoch).as("epoch"), col("shard"), col("doc_id"), col("ord"))
+      .join(broadcast(shardSeq), "shard")
+      .select(lit(epoch).as("epoch"), col("shard"), col("shard_seq"),
+        col("doc_id"), col("ord"))
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy("ord", "doc_id")).cast("long"))
-      .orderBy("shard", "pos")
+      .orderBy("shard_seq", "pos")
+  }
 
   /** q113 — LEAKAGE-FREE SPLIT: the q57 train/val/test deal upgraded to
     * be NEAR-DUP-ATOMIC — every q66 cluster lands on ONE side, keyed by
@@ -520,16 +535,25 @@ object PipelineOps {
                FROM documents)
          ORDER BY doc_id""",
     // q112 mirrors the row-local (epoch:doc_id) md5 draw, the q100 shard
-    // rule, and the per-shard rank with the identical (ord, doc_id)
-    // tie-break total order
+    // rule, the bounded (epoch:S<shard>) visit-order rank, and the
+    // per-shard rank with the identical (ord, doc_id) tie-break
     "q112_epoch_order" ->
-      """WITH s AS (SELECT doc_id,
-                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16 AS shard,
-                           ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS ord
-                    FROM documents)
-         SELECT CAST(1 AS BIGINT) AS epoch, shard, doc_id, ord,
-                CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
-         FROM s ORDER BY shard, pos""",
+      """WITH sh AS (SELECT range AS shard,
+                            ('0x' || substr(md5('1:S' || CAST(range AS VARCHAR)), 1, 12))::BIGINT AS sdraw
+                     FROM range(16)),
+          sq AS (SELECT a.shard, CAST(COUNT(*) AS BIGINT) AS shard_seq
+                 FROM sh a JOIN sh b
+                   ON b.sdraw < a.sdraw OR (b.sdraw = a.sdraw AND b.shard <= a.shard)
+                 GROUP BY a.shard),
+          s AS (SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 16 AS shard,
+                       ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS ord
+                FROM documents)
+         SELECT CAST(1 AS BIGINT) AS epoch, s.shard AS shard, sq.shard_seq AS shard_seq,
+                doc_id, ord,
+                CAST(ROW_NUMBER() OVER (PARTITION BY s.shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+         FROM s JOIN sq ON s.shard = sq.shard
+         ORDER BY shard_seq, pos""",
     "q100_shard_manifest" ->
       """SELECT bucket % 16 AS shard,
                 CAST(COUNT(*) AS BIGINT) AS n_docs,

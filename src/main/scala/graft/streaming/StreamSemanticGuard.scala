@@ -40,6 +40,15 @@ object StreamSemanticGuard {
     require(clash.isEmpty,
       s"StreamSemanticGuard: stream carries reserved column(s) " +
         s"[${clash.mkString(", ")}] — rename them before flag()")
+    // the artifact contract is ONE row holding the eval array: zero rows
+    // would make the crossJoin silently DROP every arrival (the opposite
+    // of fail-the-micro-batch), extra rows would duplicate them — check
+    // the bounded table once at wiring time, like StreamCellSample's
+    // nonEmpty require on its dial
+    val nState = evalState.count()
+    require(nState == 1,
+      s"StreamSemanticGuard: eval artifact must be exactly one row " +
+        s"(evalVectorState's shape), got $nState — refresh the batch eval state")
     val carried = stream.columns.filterNot(_ == "embedding").toSeq
     graft.expressions.GraftFunctions.register(stream.sparkSession)
     stream
@@ -48,7 +57,11 @@ object StreamSemanticGuard {
       .crossJoin(broadcast(evalState))
       .selectExpr(carried :+
         """CASE WHEN size(evals) = 0
-                THEN raise_error('StreamSemanticGuard: empty eval artifact — refresh the batch eval state')
+                THEN named_struct('c', CAST(raise_error('StreamSemanticGuard: empty eval artifact — refresh the batch eval state') AS DOUBLE),
+                                  'nt', CAST(0 AS BIGINT))
+                WHEN v IS NULL OR size(v) != size(evals[0].tv)
+                THEN named_struct('c', CAST(raise_error('StreamSemanticGuard: malformed arrival embedding (null or wrong dimension) — a null dot would silently admit the row as clean') AS DOUBLE),
+                                  'nt', CAST(0 AS BIGINT))
                 ELSE aggregate(evals,
                        named_struct('c', CAST('-Infinity' AS DOUBLE), 'nt', CAST(0 AS BIGINT)),
                        (acc, e) -> greatest(acc, named_struct(

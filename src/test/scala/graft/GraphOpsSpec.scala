@@ -167,16 +167,17 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
   }
 
   test("cross-source dup matrix: hand clusters count pairs exactly, singletons excluded") {
-    // cluster 1 = {a, b}, cluster 4 = {a, a}, doc 7 = singleton (dropped)
+    // cluster 1 = {a, b, b}, cluster 4 = {a, a}, doc 7 = singleton (dropped)
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (7L, 7L))
       .toDF("doc_id", "cluster_id")
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "a"), (5L, "a"), (7L, "c"))
       .toDF("doc_id", "source")
     val got = GraphOps.crossSourceDups(clusters, docs)
       .as[(String, String, Long)].collect().toSeq
-    // cluster 1 contributes (a,a),(a,b),(b,b); cluster 4 contributes (a,a);
-    // the singleton's source c never appears
-    assert(got === Seq(("a", "a", 2L), ("a", "b", 1L), ("b", "b", 1L)))
+    // cluster 1 holds ONE a — it must NOT read as a self-duplicating;
+    // its two b members light (b,b), and a+b present lights (a,b);
+    // cluster 4's two a members light (a,a); source c never appears
+    assert(got === Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "b", 1L)))
   }
 
   test("cross-source dup matrix on the real corpus: symmetric-upper, bounded, consistent") {

@@ -308,13 +308,24 @@ class PipelineOpsSpec extends SparkSpec {
       .select("shard", "doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
     assert(e1.sorted === e1b.sorted)
     // a new epoch keeps shard membership (files on disk are fixed) but
-    // reshuffles the order within shards
+    // reshuffles BOTH levels: the order within shards and the shard
+    // visit order itself (a fixed visit order would pin every doc to its
+    // shard's window of every epoch)
     val e2 = PipelineOps.epochOrder(docs, epoch = 2L)
       .select("shard", "doc_id", "pos").as[(Long, Long, Long)].collect().toSeq
     assert(e1.map(r => r._2 -> r._1).toMap === e2.map(r => r._2 -> r._1).toMap)
     val moved = (e1.map(r => r._2 -> r._3).toSet --
       e2.map(r => r._2 -> r._3).toSet).size
     assert(moved > docs.count() / 2, s"epoch 2 barely reshuffled: $moved moved")
+    def visit(epoch: Long) = PipelineOps.epochOrder(docs, epoch)
+      .select("shard", "shard_seq").distinct()
+      .as[(Long, Long)].collect().toMap
+    val (v1, v2) = (visit(1L), visit(2L))
+    // each epoch's visit order is a permutation of the shards...
+    assert(v1.values.toSeq.sorted === (1L to v1.size).toSeq)
+    assert(v1.keySet === v2.keySet)
+    // ...and epoch 2 visits them in a different sequence
+    assert(v1 !== v2, "epoch 2 kept epoch 1's shard visit order")
   }
 
   test("leak-free split: clusters are atomic, singletons match q57, flag audits the naive deal") {

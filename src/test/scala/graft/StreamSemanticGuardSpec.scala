@@ -66,6 +66,38 @@ class StreamSemanticGuardSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a malformed arrival (null or ragged embedding) fails loudly, never admits as clean") {
+    implicit val sc = spark.sqlContext
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val evalState = SimilarityOps.evalVectorState(embT).localCheckpoint()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = StreamSemanticGuard.flag(
+      mem.toDF().toDF("vec_id", "embedding"), evalState)
+    val q = out.writeStream.format("memory").queryName("sem_guard_ragged")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Seq.fill(7)(0.5f))) // wrong dimension
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(t =>
+        Option(t.getMessage).exists(_.contains("malformed arrival"))), ex)
+    } finally q.stop()
+  }
+
+  test("a ZERO-row eval artifact is rejected at wiring time (rows would silently vanish)") {
+    implicit val sc = spark.sqlContext
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val zeroRows = SimilarityOps.evalVectorState(embT).filter("size(evals) < 0")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val ex = intercept[IllegalArgumentException] {
+      StreamSemanticGuard.flag(mem.toDF().toDF("vec_id", "embedding"), zeroRows)
+    }
+    assert(ex.getMessage.contains("exactly one row"))
+  }
+
   test("stream shape is validated loudly") {
     implicit val sc = spark.sqlContext
     val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
