@@ -112,6 +112,10 @@ object Catalog {
     ops.SimilarityOps.clusterQuality(
         spark.table("embedding_kmeans").select("vec_id", "cell"), emb)
       .createOrReplaceTempView("embedding_cluster_quality")
+    // round-11: IVF posting-list balance report over the same partition
+    ops.SimilarityOps.ivfHealth(
+        spark.table("embedding_kmeans").select("vec_id", "cell"))
+      .createOrReplaceTempView("ivf_health")
     // round-11: vocabulary coverage curve (tokenizer-vocab sizing artifact)
     ops.TextOps.vocabCoverage(docs).createOrReplaceTempView("vocab_coverage")
     // round-11: which sources copy from which — per source pair, the true

@@ -506,6 +506,16 @@ object SparkEntry {
           .filter(col("round_no") === SimilarityOps.KmeansRounds.toLong)
           .select("vec_id", "cell"))
     }),
+    // IVF index health: per-cell posting-list size / share / balance
+    // factor over the MATERIALIZED q87 trace (the load-balance twin of
+    // q110's quality report)
+    "q115_ivf_health" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      SimilarityOps.ivfHealth(
+        kmeansRoundsShared(s, d)
+          .filter(col("round_no") === SimilarityOps.KmeansRounds.toLong)
+          .select("vec_id", "cell"))
+    }),
     // cluster-quality report: per-cell cohesion / separation / simplified
     // silhouette under the final partition's own induced centroids — reads
     // the MATERIALIZED q87 round trace (q94/q107 pattern)

@@ -727,6 +727,33 @@ object SimilarityOps {
       .orderBy("cell")
   }
 
+  /** q115 — IVF INDEX HEALTH (posting-list balance report): per cell, the
+    * posting-list size, its share of the corpus, and its balance factor
+    * n·k/N (1 = perfectly even, >1 = hot), plus the hottest list's factor
+    * on every row — the report an ANN service reads before trusting q55's
+    * probe cost model. IVF probe latency is the size of the lists a query
+    * touches: a hot cell IS the tail latency at 100 TB (every query
+    * probing it scans balance× the ideal volume), and a degenerate
+    * near-empty cell wastes a centroid. The load-balance twin of q110's
+    * geometric quality report, consuming the same MATERIALIZED q87 trace.
+    *
+    * Scale shape: ONE map-combinable ≤ k-row count aggregate, collapsed
+    * to a one-row total broadcast back over the ≤ k rows. The corpus is
+    * touched exactly once. Determinism: counts are exact int64; share and
+    * the balance factors are single IEEE divisions of exact integer
+    * products — identical bits on both engines. */
+  def ivfHealth(assign: DataFrame): DataFrame = {
+    val cells = assign.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum("n_vecs").as("n_total"),
+      count(lit(1)).as("n_cells"), max("n_vecs").as("max_vecs"))
+    cells.crossJoin(broadcast(tot))
+      .selectExpr("cell", "n_vecs", "n_total", "n_cells",
+        "CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share",
+        "CAST(n_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS balance",
+        "CAST(max_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS worst_balance")
+      .orderBy("cell")
+  }
+
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
     * intra-cell cosine distribution (p97 ≈ 0.24, max 0.47) so both verdicts
     * are exercised; a runtime dial like the LSH band constants (the paper
@@ -1179,6 +1206,22 @@ object SimilarityOps {
     // sample's strata cannot drift from the hash-verified clustering) and
     // mirrors the q58/q76 exact-integer cut: HUGEINT there, DECIMAL(38,0)
     // on the Spark side — the row-local keep rule is bit-identical
+    // q115 composes the q87 oracle's final assignment verbatim: the same
+    // bounded count aggregate, one-row totals, and single-IEEE-division
+    // balance chain
+    "q115_ivf_health" -> {
+      s"""WITH ${kmOracleCtes(KmeansRounds)},
+          asg AS (SELECT vec_id, cell FROM a$KmeansRounds),
+          nc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM asg GROUP BY cell),
+          tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+                         CAST(COUNT(*) AS BIGINT) AS n_cells,
+                         CAST(MAX(n_vecs) AS BIGINT) AS max_vecs FROM nc)
+          SELECT cell, n_vecs, n_total, n_cells,
+                 CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+                 CAST(n_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS balance,
+                 CAST(max_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS worst_balance
+          FROM nc CROSS JOIN tot ORDER BY cell"""
+    },
     "q107_cell_balanced_sample" -> {
       s"""WITH ${kmOracleCtes(KmeansRounds)},
           asg AS (SELECT vec_id, cell FROM a$KmeansRounds),

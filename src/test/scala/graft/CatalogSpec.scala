@@ -99,6 +99,12 @@ class CatalogSpec extends SparkSpec {
       """SELECT COUNT(*) FROM (SELECT DISTINCT cell FROM embedding_kmeans) k
         |LEFT ANTI JOIN embedding_cluster_quality q ON k.cell = q.cell""".stripMargin)
     assert(cellCover.collect().head.getLong(0) === 0L)
+    // posting lists cover the corpus and the balance mean is exactly 1
+    val ivf = spark.sql(
+      """SELECT SUM(n_vecs), abs(AVG(balance) - 1.0) < 1e-9
+        |FROM ivf_health""".stripMargin).collect().head
+    assert(ivf.getLong(0) === spark.table("embeddings").count())
+    assert(ivf.getBoolean(1))
     // the bottom populated rung admits every term → covers all tokens
     val cover = spark.sql(
       "SELECT token_coverage FROM vocab_coverage ORDER BY b ASC LIMIT 1")

@@ -466,6 +466,20 @@ class PlanShapeSpec extends SparkSpec {
       s"cartesian leaked into q113:\n${exec.take(1200)}")
   }
 
+  test("q115 ivf health: one bounded aggregate, totals broadcast, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assign = SimilarityOps.kmeans(emb).select("vec_id", "cell")
+    val q = SimilarityOps.ivfHealth(assign)
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q115 must not window: shares come from a one-row total broadcast")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin"),
+      s"one-row totals must broadcast:\n${exec.take(1200)}")
+    assert(!exec.contains("CartesianProduct"),
+      s"cartesian leaked into q115:\n${exec.take(1200)}")
+  }
+
   test("q114 cross-source dups: no window, no cartesian — only collapsed rows self-join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val pairs = graft.ops.DedupOps.lshPairs(docs)

@@ -239,6 +239,30 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("q115 ivf health: hand assignment yields exact shares and balance factors") {
+    val assign = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L))
+      .toDF("vec_id", "cell")
+    val got = SimilarityOps.ivfHealth(assign)
+      .select("cell", "n_vecs", "share", "balance", "worst_balance")
+      .as[(Long, Long, Double, Double, Double)].collect().toList
+    assert(got === List(
+      (0L, 3L, 0.75, 1.5, 1.5),   // the hot list: 1.5x the even load
+      (1L, 1L, 0.25, 0.5, 1.5)))  // worst_balance repeats the hottest factor
+  }
+
+  test("q115 ivf health on the real corpus: full cover, shares sum to 1, mean balance 1") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assign = SimilarityOps.kmeans(embT).select("vec_id", "cell")
+    val got = SimilarityOps.ivfHealth(assign)
+      .select("cell", "n_vecs", "share", "balance")
+      .as[(Long, Long, Double, Double)].collect().toList
+    assert(got.size <= SimilarityOps.KmeansK)
+    assert(got.map(_._2).sum === embT.count(), "posting lists must cover the corpus")
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(got.map(_._4).sum / got.size - 1.0) < 1e-9,
+      "balance factors must average exactly 1 over the cells")
+  }
+
   test("kmeans is deterministic run-to-run (exact integer centroid state)") {
     val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val r1 = SimilarityOps.kmeans(embT).collect().map(_.toSeq).toSeq
