@@ -139,6 +139,9 @@ object Catalog {
       docs.filter(s"source <> '${ops.DedupOps.IncrementSource}'"),
       docs.filter(s"source = '${ops.DedupOps.IncrementSource}'"))
       .createOrReplaceTempView("doc_increment_pairs")
+    // round-11: the per-arriving-doc admission verdict over those pairs
+    ops.DedupOps.incrementReport(docs, spark.table("doc_increment_pairs"))
+      .createOrReplaceTempView("increment_report")
     ops.PipelineOps.ngramContamination(docs)
       .createOrReplaceTempView("doc_ngram_contamination")
     ops.PipelineOps.sequencePacking(docs).createOrReplaceTempView("doc_packing")

@@ -66,6 +66,17 @@ object SparkEntry {
     * parquet bit-exactly, like the q37 snapshot). */
   private[graft] def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "jacpairs")(DedupOps.jaccardPairs(Tables.documents(s, d)))
+  /** The q69 increment pair table, materialized once per (session,
+    * corpus) — q116's admission report aggregates this snapshot (q69
+    * stays the live measured probe). (long, long, double) round-trips
+    * parquet bit-exactly. */
+  private[graft] def incrementPairsShared(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "incpairs") {
+      val docs = Tables.documents(s, d)
+      DedupOps.incrementalLshPairs(
+        docs.filter(s"source <> '${DedupOps.IncrementSource}'"),
+        docs.filter(s"source = '${DedupOps.IncrementSource}'"))
+    }
   /** The q73 packed-row table, materialized once per (session, corpus) —
     * q78/q82 aggregate over this snapshot; q73 itself stays the live
     * two-pass plan so the prefix-sum cost is measured exactly once.
@@ -468,6 +479,10 @@ object SparkEntry {
         docs.filter(s"source <> '${DedupOps.IncrementSource}'"),
         docs.filter(s"source = '${DedupOps.IncrementSource}'"))
     }),
+    // the per-arriving-doc admission verdict (dup-of/novel + best match)
+    // over the MATERIALIZED q69 pair snapshot — the ingest changelog
+    "q116_increment_report" -> ((s, d) =>
+      DedupOps.incrementReport(Tables.documents(s, d), incrementPairsShared(s, d))),
     // §7.1 graft.ext — similarity search over `embeddings`
     "q42_knn_brute"        -> ((s, d) => SimilarityOps.knnBruteForce(Tables.embeddings(s, d))),
     // contrastive-training mining: per anchor, the top-k closest vectors
@@ -897,6 +912,21 @@ object SparkEntry {
                                   OR (a.source = b.source AND a.cnt >= 2))
           GROUP BY 1, 2
           ORDER BY source_a, source_b""") +
+    // q116 composes the q69 oracle verbatim: per increment doc the best
+    // match is MAX jac then MIN corpus id (the q106 two-step argmax —
+    // the Spark side's (jac, -a_id) struct MAX picks the same row)
+    ("q116_increment_report" ->
+      s"""WITH p AS (${DedupOps.oracles("q69_incremental_dedup")}),
+          m AS (SELECT b_id, MAX(jac) AS jac FROM p GROUP BY b_id),
+          k AS (SELECT p.b_id, m.jac, MIN(p.a_id) AS dup_of
+                FROM p JOIN m ON p.b_id = m.b_id AND p.jac = m.jac
+                GROUP BY p.b_id, m.jac),
+          i AS (SELECT doc_id FROM documents
+                WHERE source = '${DedupOps.IncrementSource}')
+          SELECT i.doc_id AS doc_id, k.dup_of AS dup_of, k.jac AS jac,
+                 CASE WHEN k.dup_of IS NULL THEN 'novel' ELSE 'dup' END AS status
+          FROM i LEFT OUTER JOIN k ON i.doc_id = k.b_id
+          ORDER BY doc_id""") +
     // q98 composes the q61/q66/q70/q86 oracles verbatim (the q71/q89
     // pattern) — every card figure's inputs are the individually
     // hash-verified component queries

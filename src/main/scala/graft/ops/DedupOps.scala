@@ -185,6 +185,33 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** q116 — INCREMENT ADMISSION REPORT: the per-document verdict a corpus
+    * maintenance job publishes for an arriving batch — for every
+    * increment doc, `status` ('dup' / 'novel'), the best-matching corpus
+    * doc (`dup_of`: max Jaccard, ties to the minimum corpus id) and that
+    * `jac` — the row an ingest operator reads to decide admit-vs-drop and
+    * the changelog a release ships next to q100's manifest. Consumes the
+    * MATERIALIZED q69 pair snapshot (the q91 reads-vs-measures division:
+    * q69 stays the live measured probe).
+    *
+    * Scale shape: the pair table is increment-bounded by construction
+    * (q69's output), so the per-doc argmax is a map-combinable MAX over a
+    * (jac, -a_id) struct on a small table, and the left join back to the
+    * increment ids broadcasts the aggregated side. No corpus access at
+    * all. Determinism: the argmax struct is lexicographic on both
+    * engines; jac is the exact-integer-ratio double q38 grades. */
+  def incrementReport(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val inc = docs.filter(col("source") === lit(IncrementSource)).select("doc_id")
+    val best = pairs
+      .selectExpr("b_id", "named_struct('j', jac, 'na', -a_id) AS p")
+      .groupBy("b_id").agg(max("p").as("b"))
+      .selectExpr("b_id AS doc_id", "b.j AS jac", "-b.na AS dup_of")
+    inc.join(broadcast(best), Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "dup_of", "jac",
+        "CASE WHEN dup_of IS NULL THEN 'novel' ELSE 'dup' END AS status")
+      .orderBy("doc_id")
+  }
+
   /** q38 — exact n-gram Jaccard over DISCRIMINATIVE shingles: shingles with
     * document frequency above `dfCap` are dropped on BOTH sides of the
     * Jaccard (intersection and set sizes) before the pair join — standard

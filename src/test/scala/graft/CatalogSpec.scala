@@ -99,6 +99,11 @@ class CatalogSpec extends SparkSpec {
       """SELECT COUNT(*) FROM (SELECT DISTINCT cell FROM embedding_kmeans) k
         |LEFT ANTI JOIN embedding_cluster_quality q ON k.cell = q.cell""".stripMargin)
     assert(cellCover.collect().head.getLong(0) === 0L)
+    // admission verdicts are internally consistent
+    val adm = spark.sql(
+      """SELECT COUNT(*) FROM increment_report
+        |WHERE (status = 'dup') <> (dup_of IS NOT NULL)""".stripMargin)
+    assert(adm.collect().head.getLong(0) === 0L)
     // posting lists cover the corpus and the balance mean is exactly 1
     val ivf = spark.sql(
       """SELECT SUM(n_vecs), abs(AVG(balance) - 1.0) < 1e-9

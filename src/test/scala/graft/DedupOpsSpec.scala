@@ -187,6 +187,44 @@ class DedupOpsSpec extends SparkSpec {
       s"expected the disjointness guard to fire, got: $e")
   }
 
+  test("increment report: one verdict per arriving doc, best match by max jac then min id") {
+    // pairs: doc 10 matches corpus 1 (0.9) and corpus 2 (0.9) — tie to
+    // min id; doc 11 matches corpus 3 weakly; doc 12 matches nothing
+    val pairs = Seq((1L, 10L, 0.9), (2L, 10L, 0.9), (5L, 10L, 0.4), (3L, 11L, 0.6))
+      .toDF("a_id", "b_id", "jac")
+    val incDocs = Seq(
+      (10L, "x", "en", graft.ops.DedupOps.IncrementSource, 0L),
+      (11L, "y", "en", graft.ops.DedupOps.IncrementSource, 0L),
+      (12L, "z", "en", graft.ops.DedupOps.IncrementSource, 0L),
+      (1L, "corpus doc, not reported", "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.incrementReport(incDocs, pairs)
+      .as[(Long, Option[Long], Option[Double], String)].collect().toList
+    assert(got === List(
+      (10L, Some(1L), Some(0.9), "dup"),   // 0.9 tie → corpus 1, not 2
+      (11L, Some(3L), Some(0.6), "dup"),
+      (12L, None, None, "novel")))
+  }
+
+  test("increment report on the real corpus covers every arriving doc; both verdicts occur") {
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = all.filter(s"source <> '${graft.ops.DedupOps.IncrementSource}'")
+    val inc = all.filter(s"source = '${graft.ops.DedupOps.IncrementSource}'")
+    val pairs = DedupOps.incrementalLshPairs(corpus, inc)
+    val got = DedupOps.incrementReport(all, pairs)
+      .as[(Long, Option[Long], Option[Double], String)].collect().toList
+    assert(got.size.toLong === inc.count(), "one verdict per arriving doc")
+    assert(got.exists(_._4 == "dup") && got.exists(_._4 == "novel"))
+    // every dup verdict points at a real corpus doc with its pair's jac
+    val pairSet = pairs.select("a_id", "b_id", "jac")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._2).view.mapValues(_.map(p => (p._1, p._3)).toSet).toMap
+    got.filter(_._4 == "dup").foreach { case (d, dupOf, jac, _) =>
+      assert(pairSet(d).contains((dupOf.get, jac.get)), s"doc $d verdict not in pairs")
+      assert(jac.get === pairSet(d).map(_._2).max, s"doc $d best jac wrong")
+    }
+  }
+
   test("duplicate spans flag maximal cross-doc repeated runs, not within-doc repeats") {
     // doc 1 and doc 2 share the 9-token run "a b c d e f g h i" (two
     // overlapping 8-grams each → one merged span per doc); doc 3 shares
