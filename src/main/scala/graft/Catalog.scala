@@ -116,6 +116,9 @@ object Catalog {
     ops.SimilarityOps.ivfHealth(
         spark.table("embedding_kmeans").select("vec_id", "cell"))
       .createOrReplaceTempView("ivf_health")
+    // round-11: metadata-trust + column-integrity audits
+    ops.TextOps.langConfusion(docs).createOrReplaceTempView("lang_confusion")
+    ops.SimilarityOps.embeddingAudit(emb).createOrReplaceTempView("embedding_audit")
     // round-11: vocabulary coverage curve (tokenizer-vocab sizing artifact)
     ops.TextOps.vocabCoverage(docs).createOrReplaceTempView("vocab_coverage")
     // round-11: which sources copy from which — per source pair, the true

@@ -229,6 +229,9 @@ object SparkEntry {
     "q33_fingerprint"      -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "q34_exact_dedup"      -> ((s, d) => TextOps.exactDedup(Tables.documents(s, d))),
     "q35_lang_id"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    // declared-vs-detected language confusion matrix: the metadata-trust
+    // artifact read before keying any stage on the lang column
+    "q117_lang_confusion"  -> ((s, d) => TextOps.langConfusion(Tables.documents(s, d))),
     "q41_regex_tokens"     -> ((s, d) => TextOps.regexTokens(Tables.documents(s, d))),
     "q60_repetition"       -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d))),
     "q61_training_filter"  -> ((s, d) => TextOps.trainingFilter(Tables.documents(s, d))),
@@ -545,6 +548,10 @@ object SparkEntry {
     // int8 symmetric storage quantization with per-vector error reporting
     "q74_embedding_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),
+    // one-row embedding integrity census (null/ragged/zero-norm counts +
+    // exact quantized-norm² stats) — run before trusting the column
+    "q118_embedding_audit"  -> ((s, d) =>
+      SimilarityOps.embeddingAudit(Tables.embeddings(s, d))),
     // search over the compressed corpus: full-precision query vs int8 codes
     "q75_adc_ann"          -> ((s, d) =>
       SimilarityOps.adcAnn(Tables.embeddings(s, d))),

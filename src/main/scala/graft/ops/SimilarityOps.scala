@@ -754,6 +754,40 @@ object SimilarityOps {
       .orderBy("cell")
   }
 
+  /** q118 — EMBEDDING INTEGRITY AUDIT: the one-row data-quality report an
+    * indexing job runs BEFORE building anything on the embedding column —
+    * null vectors, wrong-dimension vectors, zero-norm vectors (cosine is
+    * undefined on them: they poison every ANN/dedup/contamination stage),
+    * and the exact quantized-norm² range/mean of the healthy rest. The
+    * ingest-side counterpart is `StreamSemanticGuard`'s malformed-arrival
+    * raise; this is the batch census a release publishes.
+    *
+    * Scale shape: ONE map-combinable row-local pass (flags + a per-row
+    * integer fold), collapsed to a single row — no shuffle beyond the
+    * final combine. Determinism: norm² is the exact int64 sum of squared
+    * 1e-3-quantized coords (the q85 `q3` recipe); min/max/sum are exact,
+    * the mean is one IEEE division. */
+  def embeddingAudit(emb: DataFrame): DataFrame =
+    emb.selectExpr(
+        "CAST(embedding IS NULL AS BIGINT) AS is_null",
+        s"CAST(embedding IS NOT NULL AND size(embedding) != $Dim AS BIGINT) AS bad_dim",
+        s"""CASE WHEN embedding IS NULL OR size(embedding) != $Dim THEN CAST(NULL AS BIGINT)
+                 ELSE aggregate(transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                      CAST(0 AS BIGINT), (a, q) -> a + q * q)
+            END AS n2q""")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum("is_null").as("n_null"),
+        sum("bad_dim").as("n_bad_dim"),
+        sum(expr("CAST(n2q = 0 AS BIGINT)")).as("n_zero_norm"),
+        min("n2q").as("min_n2q"),
+        max("n2q").as("max_n2q"),
+        sum("n2q").as("sum_n2q"))
+      .selectExpr("n_vectors", "n_null", "n_bad_dim", "n_zero_norm",
+        "min_n2q", "max_n2q", "sum_n2q",
+        "CAST(sum_n2q AS DOUBLE) / (CAST(n_vectors - n_null - n_bad_dim AS DOUBLE) * 1e6) AS mean_n2")
+
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
     * intra-cell cosine distribution (p97 ≈ 0.24, max 0.47) so both verdicts
     * are exercised; a runtime dial like the LSH band constants (the paper
@@ -1206,6 +1240,25 @@ object SimilarityOps {
     // sample's strata cannot drift from the hash-verified clustering) and
     // mirrors the q58/q76 exact-integer cut: HUGEINT there, DECIMAL(38,0)
     // on the Spark side — the row-local keep rule is bit-identical
+    // q118 mirrors the q85 q3 quantization per dimension, exact integer
+    // norm² sums, and the identical single-division mean (the test
+    // corpus is clean, so the null/dim/zero flags are exact zeros on
+    // both engines — the nonzero branches are spec-exercised)
+    "q118_embedding_audit" ->
+      s"""WITH q3 AS (SELECT vec_id,
+                             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3
+                      FROM embeddings, range(1, ${Dim + 1}) t(i)),
+          n2 AS (SELECT vec_id, CAST(SUM(q3 * q3) AS BIGINT) AS n2q
+                 FROM q3 GROUP BY vec_id)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                 CAST(0 AS BIGINT) AS n_null,
+                 CAST(0 AS BIGINT) AS n_bad_dim,
+                 CAST(SUM(CASE WHEN n2q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+                 CAST(MIN(n2q) AS BIGINT) AS min_n2q,
+                 CAST(MAX(n2q) AS BIGINT) AS max_n2q,
+                 CAST(SUM(n2q) AS BIGINT) AS sum_n2q,
+                 CAST(SUM(n2q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mean_n2
+          FROM n2""",
     // q115 composes the q87 oracle's final assignment verbatim: the same
     // bounded count aggregate, one-row totals, and single-IEEE-division
     // balance chain

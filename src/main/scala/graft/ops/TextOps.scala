@@ -91,7 +91,10 @@ object TextOps {
   /** q35 — language ID via stop-word voting (n-gram-free heuristic):
     * count hits from each language's marker set, argmax with a fixed
     * priority order for ties. Row-local, codegen'd, no shuffle. */
-  def langId(docs: DataFrame): DataFrame = {
+  /** (doc_id, lang, pred_lang) — the shared prediction core of [[langId]]
+    * and [[langConfusion]] (one vote definition, so the per-doc verdict
+    * and the matrix can't drift). */
+  private def langPred(docs: DataFrame): DataFrame = {
     val hits = langSets.map { case (l, ws) =>
       s"CAST(size(filter(split(text, ' '), t -> t IN (${inList(ws)}))) AS BIGINT) AS hits_$l"
     }
@@ -105,8 +108,30 @@ object TextOps {
         "doc_id",
         s"CASE $cases ELSE '${langs.last}' END AS pred_lang",
         "lang")
+  }
+
+  def langId(docs: DataFrame): DataFrame =
+    langPred(docs)
       .selectExpr("doc_id", "pred_lang", "pred_lang = lang AS agrees")
       .orderBy("doc_id")
+
+  /** q117 — LANGUAGE CONFUSION MATRIX: declared metadata vs the q35
+    * detector, per (lang, pred_lang) cell with the within-declared-lang
+    * rate — the metadata-trust artifact a curation team reads before
+    * keying ANY stage on the `lang` column (q58's strata, q72's mixture,
+    * q96's fertility all trust it): an off-diagonal hot cell means the
+    * upstream tagger mislabels and every lang-keyed dial inherits the
+    * error. Scale shape: one map-combinable ≤ |langs|²-cell aggregate
+    * (the only corpus shuffle) and a bounded per-lang total joined back
+    * co-keyed; the rate is a single IEEE division of exact int64. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val cells = langPred(docs)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("lang").agg(sum("n").as("lang_total"))
+    cells.join(tot, "lang")
+      .selectExpr("lang", "pred_lang", "n", "lang_total",
+        "CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE) AS rate")
+      .orderBy("lang", "pred_lang")
   }
 
   /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation —
@@ -957,6 +982,21 @@ object TextOps {
                          CASE $caseSql ELSE '${langs.last}' END AS pred_lang
                   FROM (SELECT doc_id, lang, $hitSql FROM documents))
             ORDER BY doc_id""",
+      // q117 mirrors the q35 vote verbatim, then the bounded cell
+      // aggregate + per-lang total with the identical single division
+      "q117_lang_confusion" ->
+        s"""WITH p AS (SELECT doc_id, lang,
+                              CASE $caseSql ELSE '${langs.last}' END AS pred_lang
+                       FROM (SELECT doc_id, lang, $hitSql FROM documents)),
+            g AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM p GROUP BY 1, 2),
+            t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total
+                  FROM g GROUP BY lang)
+           SELECT g.lang AS lang, g.pred_lang AS pred_lang, g.n AS n,
+                  t.lang_total AS lang_total,
+                  CAST(g.n AS DOUBLE) / CAST(t.lang_total AS DOUBLE) AS rate
+           FROM g JOIN t ON g.lang = t.lang
+           ORDER BY lang, pred_lang""",
       // q67: same contribution formula string as the Spark side (identical
       // IEEE sequence), integer micro-unit sum; no guard here — the oracle
       // just rounds, the Spark side proves the margin

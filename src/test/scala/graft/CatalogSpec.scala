@@ -99,6 +99,12 @@ class CatalogSpec extends SparkSpec {
       """SELECT COUNT(*) FROM (SELECT DISTINCT cell FROM embedding_kmeans) k
         |LEFT ANTI JOIN embedding_cluster_quality q ON k.cell = q.cell""".stripMargin)
     assert(cellCover.collect().head.getLong(0) === 0L)
+    // confusion-matrix mass equals the corpus; the audit census is clean
+    val conf = spark.sql("SELECT SUM(n) FROM lang_confusion").collect().head
+    assert(conf.getLong(0) === 500L)
+    val audit = spark.sql(
+      "SELECT n_null + n_bad_dim + n_zero_norm FROM embedding_audit").collect().head
+    assert(audit.getLong(0) === 0L)
     // admission verdicts are internally consistent
     val adm = spark.sql(
       """SELECT COUNT(*) FROM increment_report

@@ -263,6 +263,27 @@ class SimilarityOpsSpec extends SparkSpec {
       "balance factors must average exactly 1 over the cells")
   }
 
+  test("q118 embedding audit flags null, ragged, and zero-norm vectors exactly") {
+    val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
+      0L -> Some(Seq.fill(64)(0.001f)),         // healthy: each q = 1, n2q = 64
+      1L -> Some(Seq.fill(64)(0.0f)),           // zero-norm
+      2L -> Some(Seq.fill(7)(1.0f)),            // ragged
+      3L -> None)                               // null
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.embeddingAudit(emb)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(got === ((4L, 1L, 1L, 1L, 0L, 64L, 64L, 64.0 / (2.0 * 1e6))))
+  }
+
+  test("q118 embedding audit on the real corpus: clean census, positive norms") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = SimilarityOps.embeddingAudit(embT)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(got._1 === embT.count())
+    assert(got._2 === 0L && got._3 === 0L && got._4 === 0L, s"corpus not clean: $got")
+    assert(got._5 > 0L && got._6 >= got._5 && got._8 > 0.0)
+  }
+
   test("kmeans is deterministic run-to-run (exact integer centroid state)") {
     val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val r1 = SimilarityOps.kmeans(embT).collect().map(_.toSeq).toSeq

@@ -117,6 +117,20 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1L) === "<unk> a") // 'a' < 'b' wins the single slot
   }
 
+  test("q117 lang confusion: cells partition the corpus and rates sum to 1 per declared lang") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cells = TextOps.langConfusion(d)
+      .as[(String, String, Long, Long, Double)].collect().toList
+    assert(cells.map(_._3).sum === d.count(), "cells must partition the corpus")
+    cells.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum === rows.head._4, s"$lang total inconsistent")
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, s"$lang rates don't sum to 1")
+    }
+    // the matrix agrees with q35's per-doc verdict: diagonal mass = agrees
+    val agrees = TextOps.langId(d).filter("agrees").count()
+    assert(cells.filter(c => c._1 == c._2).map(_._3).sum === agrees)
+  }
+
   test("q111 vocab coverage: exact rungs on a hand corpus, bottom rung covers all") {
     val d = docs(doc(1, "a a a a b b c"))  // a:4 → bucket 2, b:2 → bucket 1, c:1 → bucket 0
     val rows = TextOps.vocabCoverage(d)
