@@ -138,10 +138,11 @@ object Catalog {
       .createOrReplaceTempView("doc_softdedup_weights")
     ops.TextOps.bm25(docs).createOrReplaceTempView("doc_bm25")
     ops.TextOps.vocabMask(docs).createOrReplaceTempView("doc_vocab_masked")
-    ops.DedupOps.incrementalLshPairs(
-      docs.filter(s"source <> '${ops.DedupOps.IncrementSource}'"),
-      docs.filter(s"source = '${ops.DedupOps.IncrementSource}'"))
-      .createOrReplaceTempView("doc_increment_pairs")
+    locally {
+      val (corpus, inc) = ops.DedupOps.incrementSplit(docs)
+      ops.DedupOps.incrementalLshPairs(corpus, inc)
+        .createOrReplaceTempView("doc_increment_pairs")
+    }
     // round-11: the per-arriving-doc admission verdict over those pairs
     ops.DedupOps.incrementReport(docs, spark.table("doc_increment_pairs"))
       .createOrReplaceTempView("increment_report")

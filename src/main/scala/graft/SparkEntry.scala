@@ -72,10 +72,8 @@ object SparkEntry {
     * parquet bit-exactly. */
   private[graft] def incrementPairsShared(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "incpairs") {
-      val docs = Tables.documents(s, d)
-      DedupOps.incrementalLshPairs(
-        docs.filter(s"source <> '${DedupOps.IncrementSource}'"),
-        docs.filter(s"source = '${DedupOps.IncrementSource}'"))
+      val (corpus, inc) = DedupOps.incrementSplit(Tables.documents(s, d))
+      DedupOps.incrementalLshPairs(corpus, inc)
     }
   /** The q73 packed-row table, materialized once per (session, corpus) —
     * q78/q82 aggregate over this snapshot; q73 itself stays the live
@@ -477,10 +475,8 @@ object SparkEntry {
     // vs the standing corpus — broadcast increment bands, corpus probed
     // in place
     "q69_incremental_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      DedupOps.incrementalLshPairs(
-        docs.filter(s"source <> '${DedupOps.IncrementSource}'"),
-        docs.filter(s"source = '${DedupOps.IncrementSource}'"))
+      val (corpus, inc) = DedupOps.incrementSplit(Tables.documents(s, d))
+      DedupOps.incrementalLshPairs(corpus, inc)
     }),
     // the per-arriving-doc admission verdict (dup-of/novel + best match)
     // over the MATERIALIZED q69 pair snapshot — the ingest changelog

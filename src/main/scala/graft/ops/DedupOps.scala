@@ -147,6 +147,13 @@ object DedupOps {
     * choice in library use; fixed here so the graded query is stable). */
   val IncrementSource = "src5"
 
+  /** The (corpus, arriving batch) split every incremental consumer keys
+    * on — ONE rule, so q69's live probe, q116's materialized snapshot,
+    * and the Catalog view can never diverge on what "the increment" is. */
+  def incrementSplit(docs: DataFrame): (DataFrame, DataFrame) =
+    (docs.filter(col("source") =!= lit(IncrementSource)),
+     docs.filter(col("source") === lit(IncrementSource)))
+
   /** q69 — INCREMENTAL near-dup detection: dedup an arriving batch against
     * the existing corpus — the production shape of corpus maintenance,
     * where recomputing the corpus-wide pair table per ingest (q37 daily at

@@ -741,16 +741,26 @@ object SimilarityOps {
     * to a one-row total broadcast back over the ≤ k rows. The corpus is
     * touched exactly once. Determinism: counts are exact int64; share and
     * the balance factors are single IEEE divisions of exact integer
-    * products — identical bits on both engines. */
-  def ivfHealth(assign: DataFrame): DataFrame = {
+    * products — identical bits on both engines.
+    *
+    * `k` is the index's TRUE centroid count, passed explicitly (the
+    * [[cellSampleCuts]] convention): deriving it from the populated-cell
+    * count would make empty posting lists invisible AND normalize every
+    * balance factor against the wrong k (4 populated cells of a k=8
+    * index would all read balance 1.0 while really carrying 2× the even
+    * load). An empty cell emits no per-cell row; `n_empty_cells` on
+    * every row is the wasted-centroid count. */
+  def ivfHealth(assign: DataFrame, k: Int = KmeansK): DataFrame = {
     val cells = assign.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
     val tot = cells.agg(sum("n_vecs").as("n_total"),
-      count(lit(1)).as("n_cells"), max("n_vecs").as("max_vecs"))
+      (lit(k.toLong) - count(lit(1))).as("n_empty_cells"),
+      max("n_vecs").as("max_vecs"))
     cells.crossJoin(broadcast(tot))
-      .selectExpr("cell", "n_vecs", "n_total", "n_cells",
+      .selectExpr("cell", "n_vecs", "n_total", s"CAST($k AS BIGINT) AS n_cells",
+        "n_empty_cells",
         "CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share",
-        "CAST(n_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS balance",
-        "CAST(max_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS worst_balance")
+        s"CAST(n_vecs * $k AS DOUBLE) / CAST(n_total AS DOUBLE) AS balance",
+        s"CAST(max_vecs * $k AS DOUBLE) / CAST(n_total AS DOUBLE) AS worst_balance")
       .orderBy("cell")
   }
 
@@ -781,12 +791,20 @@ object SimilarityOps {
         sum("is_null").as("n_null"),
         sum("bad_dim").as("n_bad_dim"),
         sum(expr("CAST(n2q = 0 AS BIGINT)")).as("n_zero_norm"),
-        min("n2q").as("min_n2q"),
-        max("n2q").as("max_n2q"),
-        sum("n2q").as("sum_n2q"))
+        // the range/mean describe the HEALTHY rest only — a zero-norm
+        // vector is flagged, not averaged in (it would drag the very
+        // norm-scale sanity number the flag exists to protect)
+        min(expr("nullif(n2q, 0)")).as("min_n2q"),
+        max(expr("nullif(n2q, 0)")).as("max_n2q"),
+        sum(expr("nullif(n2q, 0)")).as("sum_n2q"))
       .selectExpr("n_vectors", "n_null", "n_bad_dim", "n_zero_norm",
         "min_n2q", "max_n2q", "sum_n2q",
-        "CAST(sum_n2q AS DOUBLE) / (CAST(n_vectors - n_null - n_bad_dim AS DOUBLE) * 1e6) AS mean_n2")
+        // 0.0 sentinel when NO healthy vector exists (a NULL here would
+        // throw in typed readers; the zero flags tell the real story)
+        """CASE WHEN n_vectors - n_null - n_bad_dim - n_zero_norm = 0 THEN 0e0
+                ELSE CAST(sum_n2q AS DOUBLE)
+                     / (CAST(n_vectors - n_null - n_bad_dim - n_zero_norm AS DOUBLE) * 1e6)
+           END AS mean_n2""")
 
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
     * intra-cell cosine distribution (p97 ≈ 0.24, max 0.47) so both verdicts
@@ -1254,10 +1272,13 @@ object SimilarityOps {
                  CAST(0 AS BIGINT) AS n_null,
                  CAST(0 AS BIGINT) AS n_bad_dim,
                  CAST(SUM(CASE WHEN n2q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
-                 CAST(MIN(n2q) AS BIGINT) AS min_n2q,
-                 CAST(MAX(n2q) AS BIGINT) AS max_n2q,
-                 CAST(SUM(n2q) AS BIGINT) AS sum_n2q,
-                 CAST(SUM(n2q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mean_n2
+                 CAST(MIN(NULLIF(n2q, 0)) AS BIGINT) AS min_n2q,
+                 CAST(MAX(NULLIF(n2q, 0)) AS BIGINT) AS max_n2q,
+                 CAST(SUM(NULLIF(n2q, 0)) AS BIGINT) AS sum_n2q,
+                 CASE WHEN COUNT(*) - SUM(CASE WHEN n2q = 0 THEN 1 ELSE 0 END) = 0 THEN 0e0
+                      ELSE CAST(SUM(NULLIF(n2q, 0)) AS DOUBLE)
+                           / (CAST(COUNT(*) - SUM(CASE WHEN n2q = 0 THEN 1 ELSE 0 END) AS DOUBLE) * 1e6)
+                 END AS mean_n2
           FROM n2""",
     // q115 composes the q87 oracle's final assignment verbatim: the same
     // bounded count aggregate, one-row totals, and single-IEEE-division
@@ -1267,12 +1288,13 @@ object SimilarityOps {
           asg AS (SELECT vec_id, cell FROM a$KmeansRounds),
           nc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM asg GROUP BY cell),
           tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
-                         CAST(COUNT(*) AS BIGINT) AS n_cells,
+                         CAST($KmeansK - COUNT(*) AS BIGINT) AS n_empty_cells,
                          CAST(MAX(n_vecs) AS BIGINT) AS max_vecs FROM nc)
-          SELECT cell, n_vecs, n_total, n_cells,
+          SELECT cell, n_vecs, n_total, CAST($KmeansK AS BIGINT) AS n_cells,
+                 n_empty_cells,
                  CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
-                 CAST(n_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS balance,
-                 CAST(max_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS worst_balance
+                 CAST(n_vecs * $KmeansK AS DOUBLE) / CAST(n_total AS DOUBLE) AS balance,
+                 CAST(max_vecs * $KmeansK AS DOUBLE) / CAST(n_total AS DOUBLE) AS worst_balance
           FROM nc CROSS JOIN tot ORDER BY cell"""
     },
     "q107_cell_balanced_sample" -> {

@@ -88,9 +88,6 @@ object TextOps {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
-  /** q35 — language ID via stop-word voting (n-gram-free heuristic):
-    * count hits from each language's marker set, argmax with a fixed
-    * priority order for ties. Row-local, codegen'd, no shuffle. */
   /** (doc_id, lang, pred_lang) — the shared prediction core of [[langId]]
     * and [[langConfusion]] (one vote definition, so the per-doc verdict
     * and the matrix can't drift). */
@@ -110,6 +107,9 @@ object TextOps {
         "lang")
   }
 
+  /** q35 — language ID via stop-word voting (n-gram-free heuristic):
+    * count hits from each language's marker set, argmax with a fixed
+    * priority order for ties. Row-local, codegen'd, no shuffle. */
   def langId(docs: DataFrame): DataFrame =
     langPred(docs)
       .selectExpr("doc_id", "pred_lang", "pred_lang = lang AS agrees")
@@ -127,8 +127,14 @@ object TextOps {
   def langConfusion(docs: DataFrame): DataFrame = {
     val cells = langPred(docs)
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    // NULL-SAFE total join: a null declared lang is precisely the
+    // untrustworthy-metadata row this audit exists to surface — a plain
+    // equi-join would silently drop its cells (null keys never match) and
+    // the matrix would stop partitioning the corpus (q32's null-lang
+    // lesson)
     val tot = cells.groupBy("lang").agg(sum("n").as("lang_total"))
-    cells.join(tot, "lang")
+      .withColumnRenamed("lang", "lang_t")
+    cells.join(tot, col("lang") <=> col("lang_t"))
       .selectExpr("lang", "pred_lang", "n", "lang_total",
         "CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE) AS rate")
       .orderBy("lang", "pred_lang")
@@ -995,7 +1001,7 @@ object TextOps {
            SELECT g.lang AS lang, g.pred_lang AS pred_lang, g.n AS n,
                   t.lang_total AS lang_total,
                   CAST(g.n AS DOUBLE) / CAST(t.lang_total AS DOUBLE) AS rate
-           FROM g JOIN t ON g.lang = t.lang
+           FROM g JOIN t ON g.lang IS NOT DISTINCT FROM t.lang
            ORDER BY lang, pred_lang""",
       // q67: same contribution formula string as the Spark side (identical
       // IEEE sequence), integer micro-unit sum; no guard here — the oracle

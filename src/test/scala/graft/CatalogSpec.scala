@@ -110,9 +110,9 @@ class CatalogSpec extends SparkSpec {
       """SELECT COUNT(*) FROM increment_report
         |WHERE (status = 'dup') <> (dup_of IS NOT NULL)""".stripMargin)
     assert(adm.collect().head.getLong(0) === 0L)
-    // posting lists cover the corpus and the balance mean is exactly 1
+    // posting lists cover the corpus and balances sum to the true k
     val ivf = spark.sql(
-      """SELECT SUM(n_vecs), abs(AVG(balance) - 1.0) < 1e-9
+      """SELECT SUM(n_vecs), abs(SUM(balance) - MAX(n_cells)) < 1e-9
         |FROM ivf_health""".stripMargin).collect().head
     assert(ivf.getLong(0) === spark.table("embeddings").count())
     assert(ivf.getBoolean(1))

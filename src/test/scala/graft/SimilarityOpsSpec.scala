@@ -242,25 +242,39 @@ class SimilarityOpsSpec extends SparkSpec {
   test("q115 ivf health: hand assignment yields exact shares and balance factors") {
     val assign = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L))
       .toDF("vec_id", "cell")
-    val got = SimilarityOps.ivfHealth(assign)
-      .select("cell", "n_vecs", "share", "balance", "worst_balance")
-      .as[(Long, Long, Double, Double, Double)].collect().toList
+    val got = SimilarityOps.ivfHealth(assign, k = 2)
+      .select("cell", "n_vecs", "n_empty_cells", "share", "balance", "worst_balance")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toList
     assert(got === List(
-      (0L, 3L, 0.75, 1.5, 1.5),   // the hot list: 1.5x the even load
-      (1L, 1L, 0.25, 0.5, 1.5)))  // worst_balance repeats the hottest factor
+      (0L, 3L, 0L, 0.75, 1.5, 1.5),   // the hot list: 1.5x the even load
+      (1L, 1L, 0L, 0.25, 0.5, 1.5)))  // worst_balance repeats the hottest factor
   }
 
-  test("q115 ivf health on the real corpus: full cover, shares sum to 1, mean balance 1") {
+  test("q115 ivf health: empty cells surface as wasted centroids, not as 'even'") {
+    // a k=4 index where Lloyd's emptied half the cells: the 2 populated
+    // lists carry 2x the even load — deriving k from the populated count
+    // would have read balance 1.0 ('perfectly even') here
+    val assign = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L))
+      .toDF("vec_id", "cell")
+    val got = SimilarityOps.ivfHealth(assign, k = 4)
+      .select("cell", "n_empty_cells", "balance")
+      .as[(Long, Long, Double)].collect().toList
+    assert(got === List((0L, 2L, 2.0), (1L, 2L, 2.0)))
+  }
+
+  test("q115 ivf health on the real corpus: full cover, shares sum to 1, balances sum to k") {
     val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val assign = SimilarityOps.kmeans(embT).select("vec_id", "cell")
     val got = SimilarityOps.ivfHealth(assign)
-      .select("cell", "n_vecs", "share", "balance")
-      .as[(Long, Long, Double, Double)].collect().toList
-    assert(got.size <= SimilarityOps.KmeansK)
+      .select("cell", "n_vecs", "share", "balance", "n_empty_cells")
+      .as[(Long, Long, Double, Double, Long)].collect().toList
+    assert(got.size + got.head._5 === SimilarityOps.KmeansK.toLong,
+      "populated + empty must account for every centroid")
     assert(got.map(_._2).sum === embT.count(), "posting lists must cover the corpus")
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
-    assert(math.abs(got.map(_._4).sum / got.size - 1.0) < 1e-9,
-      "balance factors must average exactly 1 over the cells")
+    // Σ n·k/N over populated cells is exactly k, empties or not
+    assert(math.abs(got.map(_._4).sum - SimilarityOps.KmeansK) < 1e-9,
+      "balance factors must sum to k over the populated cells")
   }
 
   test("q118 embedding audit flags null, ragged, and zero-norm vectors exactly") {
@@ -272,7 +286,16 @@ class SimilarityOpsSpec extends SparkSpec {
     val emb = rows.toDF("vec_id", "embedding")
     val got = SimilarityOps.embeddingAudit(emb)
       .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().head
-    assert(got === ((4L, 1L, 1L, 1L, 0L, 64L, 64L, 64.0 / (2.0 * 1e6))))
+    // the range/mean describe ONLY the healthy vector (vec 0): the
+    // zero-norm row is flagged, never averaged in
+    assert(got === ((4L, 1L, 1L, 1L, 64L, 64L, 64L, 64.0 / 1e6)))
+    // with NO healthy vector the mean is the 0.0 sentinel, not NULL
+    val allBad = Seq(5L -> Option.empty[Seq[Float]],
+      6L -> Some(Seq.fill[Float](64)(0.0f))).toDF("vec_id", "embedding")
+    val bad = SimilarityOps.embeddingAudit(allBad)
+      .selectExpr("n_null", "n_zero_norm", "mean_n2")
+      .as[(Long, Long, Double)].collect().head
+    assert(bad === ((1L, 1L, 0.0)))
   }
 
   test("q118 embedding audit on the real corpus: clean census, positive norms") {

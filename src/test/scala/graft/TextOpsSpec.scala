@@ -131,6 +131,20 @@ class TextOpsSpec extends SparkSpec {
     assert(cells.filter(c => c._1 == c._2).map(_._3).sum === agrees)
   }
 
+  test("q117 lang confusion keeps NULL-declared-lang rows — the rows the audit exists for") {
+    val d = Seq(
+      (1L, "the of and in to here", Some("en"), "s1", 0L),
+      (2L, "the of and in to there", Option.empty[String], "s1", 0L),
+      (3L, "le la et les des aussi", Option.empty[String], "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cells = TextOps.langConfusion(d)
+      .as[(Option[String], String, Long, Long, Double)].collect().toList
+    // a plain equi-join would drop the null-lang group entirely
+    assert(cells.map(_._3).sum === 3L, s"null-lang cells dropped: $cells")
+    val nulls = cells.filter(_._1.isEmpty)
+    assert(nulls.map(_._3).sum === 2L && nulls.forall(_._4 === 2L))
+  }
+
   test("q111 vocab coverage: exact rungs on a hand corpus, bottom rung covers all") {
     val d = docs(doc(1, "a a a a b b c"))  // a:4 → bucket 2, b:2 → bucket 1, c:1 → bucket 0
     val rows = TextOps.vocabCoverage(d)
