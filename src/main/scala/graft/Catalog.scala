@@ -119,6 +119,7 @@ object Catalog {
     // round-11: metadata-trust + column-integrity audits
     ops.TextOps.langConfusion(docs).createOrReplaceTempView("lang_confusion")
     ops.SimilarityOps.embeddingAudit(emb).createOrReplaceTempView("embedding_audit")
+    ops.TextOps.documentAudit(docs).createOrReplaceTempView("document_audit")
     // round-11: vocabulary coverage curve (tokenizer-vocab sizing artifact)
     ops.TextOps.vocabCoverage(docs).createOrReplaceTempView("vocab_coverage")
     // round-11: which sources copy from which — per source pair, the true

@@ -230,6 +230,9 @@ object SparkEntry {
     // declared-vs-detected language confusion matrix: the metadata-trust
     // artifact read before keying any stage on the lang column
     "q117_lang_confusion"  -> ((s, d) => TextOps.langConfusion(Tables.documents(s, d))),
+    // one-row documents-table integrity census (dup ids, null/empty text,
+    // stale n_chars, null metadata) — the q118 twin for the text side
+    "q119_document_audit"  -> ((s, d) => TextOps.documentAudit(Tables.documents(s, d))),
     "q41_regex_tokens"     -> ((s, d) => TextOps.regexTokens(Tables.documents(s, d))),
     "q60_repetition"       -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d))),
     "q61_training_filter"  -> ((s, d) => TextOps.trainingFilter(Tables.documents(s, d))),

@@ -140,6 +140,43 @@ object TextOps {
       .orderBy("lang", "pred_lang")
   }
 
+  /** q119 — DOCUMENT TABLE INTEGRITY CENSUS: the one-row audit a pipeline
+    * runs before ANY stage trusts the `documents` table — duplicate
+    * doc_ids (every keyed join/dedup silently miscounts on them), null or
+    * empty text, stored `n_chars` disagreeing with the actual text length
+    * (a stale-metadata symptom), null lang/source metadata, and the exact
+    * char-volume range. The documents twin of q118's embedding census,
+    * and the batch counterpart of the stream gates' schema `require`s.
+    *
+    * Scale shape: ONE row-local pass collapsed to a single row; the only
+    * non-trivial member is the exact distinct-id count (Spark plans it as
+    * a two-stage partial distinct — no row leaves its partition twice).
+    * All counts exact int64 on both engines. */
+  def documentAudit(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+        "CAST(text IS NULL AS BIGINT) AS null_text",
+        "CAST(text IS NOT NULL AND length(text) = 0 AS BIGINT) AS empty_text",
+        "CAST(text IS NOT NULL AND n_chars != length(text) AS BIGINT) AS chars_mismatch",
+        "CAST(lang IS NULL AS BIGINT) AS null_lang",
+        "CAST(source IS NULL AS BIGINT) AS null_source",
+        "n_chars")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("doc_id").as("n_distinct_ids"),
+        sum("null_text").as("n_null_text"),
+        sum("empty_text").as("n_empty_text"),
+        sum("chars_mismatch").as("n_chars_mismatch"),
+        sum("null_lang").as("n_null_lang"),
+        sum("null_source").as("n_null_source"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("total_chars"))
+      .selectExpr("n_docs", "n_distinct_ids",
+        "n_docs - n_distinct_ids AS n_dup_ids",
+        "n_null_text", "n_empty_text", "n_chars_mismatch",
+        "n_null_lang", "n_null_source",
+        "min_chars", "max_chars", "total_chars")
+
   /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation —
     * the GPT-2-style pre-tokenization shape, simplified to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB). */
@@ -988,6 +1025,22 @@ object TextOps {
                          CASE $caseSql ELSE '${langs.last}' END AS pred_lang
                   FROM (SELECT doc_id, lang, $hitSql FROM documents))
             ORDER BY doc_id""",
+      // q119 mirrors the row-local flags and exact int64 census; the
+      // graded corpus hashes as provably clean (the corrupt branches are
+      // spec-exercised on hand fixtures, the q118 convention)
+      "q119_document_audit" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+                  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_dup_ids,
+                  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+                  CAST(SUM(CASE WHEN text IS NOT NULL AND length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+                  CAST(SUM(CASE WHEN text IS NOT NULL AND n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
+                  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+                  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_source,
+                  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           FROM documents""",
       // q117 mirrors the q35 vote verbatim, then the bounded cell
       // aggregate + per-lang total with the identical single division
       "q117_lang_confusion" ->

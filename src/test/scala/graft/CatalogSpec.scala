@@ -105,6 +105,10 @@ class CatalogSpec extends SparkSpec {
     val audit = spark.sql(
       "SELECT n_null + n_bad_dim + n_zero_norm FROM embedding_audit").collect().head
     assert(audit.getLong(0) === 0L)
+    val dAudit = spark.sql(
+      """SELECT n_dup_ids + n_null_text + n_empty_text + n_chars_mismatch
+        |FROM document_audit""".stripMargin).collect().head
+    assert(dAudit.getLong(0) === 0L)
     // admission verdicts are internally consistent
     val adm = spark.sql(
       """SELECT COUNT(*) FROM increment_report

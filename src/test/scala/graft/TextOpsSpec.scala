@@ -145,6 +145,32 @@ class TextOpsSpec extends SparkSpec {
     assert(nulls.map(_._3).sum === 2L && nulls.forall(_._4 === 2L))
   }
 
+  test("q119 document audit flags dup ids, null/empty text, stale n_chars, null metadata") {
+    val d = Seq(
+      (1L, Some("healthy doc"), Some("en"), Some("s1"), 11L),
+      (1L, Some("dup id"), Some("en"), Some("s1"), 6L),           // duplicate doc_id
+      (2L, Option.empty[String], Some("en"), Some("s1"), 0L),     // null text
+      (3L, Some(""), Some("en"), Some("s1"), 0L),                 // empty text
+      (4L, Some("four chars? no"), Some("en"), Some("s1"), 99L),  // stale n_chars
+      (5L, Some("x"), Option.empty[String], Option.empty[String], 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.documentAudit(d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got === ((6L, 5L, 1L, 1L, 1L, 1L, 1L, 1L, 0L, 99L, 117L)))
+  }
+
+  test("q119 document audit on the real corpus: a provably clean census") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextOps.documentAudit(d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got._1 === d.count() && got._2 === got._1)
+    assert(got._3 === 0L && got._4 === 0L && got._5 === 0L && got._6 === 0L)
+    assert(got._7 === 0L && got._8 === 0L)
+    assert(got._9 > 0L && got._10 >= got._9)
+  }
+
   test("q111 vocab coverage: exact rungs on a hand corpus, bottom rung covers all") {
     val d = docs(doc(1, "a a a a b b c"))  // a:4 → bucket 2, b:2 → bucket 1, c:1 → bucket 0
     val rows = TextOps.vocabCoverage(d)
