@@ -353,4 +353,48 @@ class PropertySpec extends SparkSpec {
       assert(got === exp, s"corpus $c drifted")
     }
   }
+
+  test("epoch order is a permutation with contiguous per-shard ranks on 20 random corpora") {
+    (1 to 20).foreach { c =>
+      val n = 1 + rnd.nextInt(200)
+      val epoch = 1L + rnd.nextInt(5)
+      // adversarial ids: sparse, unordered, arbitrary gaps
+      val ids = scala.util.Random.shuffle(
+        (1 to n).map(_ => rnd.nextLong() & 0xffffffffL).distinct.toList)
+      val df = ids.map(id => (id, s"doc $id", "en", "s1", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = graft.ops.PipelineOps.epochOrder(df, epoch)
+        .select("shard", "shard_seq", "doc_id", "pos")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got.map(_._3).sorted === ids.sorted, s"corpus $c: not a permutation")
+      got.groupBy(_._1).foreach { case (shard, rows) =>
+        assert(rows.map(_._4).sorted === (1L to rows.size).toSeq,
+          s"corpus $c shard $shard: ranks not contiguous")
+        assert(rows.map(_._2).distinct.size === 1,
+          s"corpus $c shard $shard: inconsistent shard_seq")
+      }
+      // shard_seq ranks each shard among ALL 16 dial shards (populated or
+      // not): distinct per shard, inside [1, 16]
+      val seqs = got.map(r => r._1 -> r._2).distinct.map(_._2)
+      assert(seqs.distinct.size === seqs.size && seqs.forall(s => s >= 1L && s <= 16L),
+        s"corpus $c: bad visit order $seqs")
+    }
+  }
+
+  test("leak-free split never tears a component on 15 random cluster tables") {
+    (1 to 15).foreach { c =>
+      val n = 2 + rnd.nextInt(100)
+      val nClusters = 1 + rnd.nextInt(n)
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(nClusters).toLong))
+      val clusters = rows.toDF("doc_id", "cluster_id")
+      val got = graft.ops.PipelineOps.leakFreeSplit(clusters)
+        .as[(Long, Long, String, String, Boolean)].collect().toSeq
+      assert(got.size === n, s"table $c: not total")
+      got.groupBy(_._2).foreach { case (cid, members) =>
+        assert(members.map(_._3).distinct.size === 1, s"table $c cluster $cid torn")
+        val torn = members.map(_._4).distinct.size > 1
+        assert(members.forall(_._5 === torn), s"table $c cluster $cid flag wrong")
+      }
+    }
+  }
 }
