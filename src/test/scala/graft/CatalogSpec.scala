@@ -109,6 +109,8 @@ class CatalogSpec extends SparkSpec {
       """SELECT n_dup_ids + n_null_text + n_empty_text + n_chars_mismatch
         |FROM document_audit""".stripMargin).collect().head
     assert(dAudit.getLong(0) === 0L)
+    assert(spark.sql("SELECT aligned FROM referential_audit")
+      .collect().head.getBoolean(0))
     // admission verdicts are internally consistent
     val adm = spark.sql(
       """SELECT COUNT(*) FROM increment_report

@@ -292,6 +292,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(_._2 <= mean * 3), s"skewed shard: $rows")
   }
 
+  test("referential audit counts both orphan directions; aligned only when both are zero") {
+    val docs = Seq((1L, "a", "en", "s1", 1L), (2L, "b", "en", "s1", 1L),
+      (3L, "c", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq((2L, Seq(1.0f)), (3L, Seq(1.0f)), (9L, Seq(1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = PipelineOps.referentialAudit(docs, emb)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(got === ((3L, 3L, 1L, 1L, false)))  // doc 1 unembedded, vec 9 orphan
+    val clean = PipelineOps.referentialAudit(docs, emb.filter("vec_id != 9")
+      .unionByName(Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")))
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(clean === ((3L, 3L, 0L, 0L, true)))
+  }
+
   test("epoch order: a permutation per epoch, contiguous per-shard positions, replay-stable") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val e1 = PipelineOps.epochOrder(docs, epoch = 1L)
