@@ -179,25 +179,29 @@ object PipelineOps {
     * ids no downstream join can resolve). `aligned` is the single bit a
     * pipeline gates on before trusting doc_id ↔ vec_id joins.
     *
-    * Scale shape: two LEFT ANTI joins over ID-ONLY projections — the
-    * shuffles carry 8-byte rows, nothing wider, and Spark plans them
-    * co-partitioned on the id key; the four counts collapse to one-row
-    * aggregates composed by broadcast (the q98 card pattern). */
-  def referentialAudit(docs: DataFrame, emb: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"))
-    val e = emb.select(col("vec_id"))
-    val nd = d.agg(count(lit(1)).as("n_docs"))
-    val ne = e.agg(count(lit(1)).as("n_embeddings"))
-    val dOnly = d.join(e, d("doc_id") === e("vec_id"), "left_anti")
-      .agg(count(lit(1)).as("n_docs_without_embedding"))
-    val eOnly = e.join(d, e("vec_id") === d("doc_id"), "left_anti")
-      .agg(count(lit(1)).as("n_orphan_embeddings"))
-    nd.crossJoin(broadcast(ne)).crossJoin(broadcast(dOnly))
-      .crossJoin(broadcast(eOnly))
+    * Scale shape: ONE pass over each table — each side pre-aggregates to
+    * (id, count) (the same shuffle an anti-join would pay, but carrying
+    * the multiplicity so duplicate ids can't inflate the other side's
+    * counts through join fan-out), ONE co-keyed full-outer join on the
+    * unique ids, and a single one-row aggregate reads all four figures
+    * from it. A NULL id never matches the other side (standard join
+    * semantics), so null-key rows surface as orphans — exactly what they
+    * are to any keyed consumer. */
+  def referentialAudit(docs: DataFrame, emb: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("id")).groupBy("id")
+      .agg(count(lit(1)).as("dc"))
+      .join(emb.select(col("vec_id").as("id")).groupBy("id")
+        .agg(count(lit(1)).as("ec")), Seq("id"), "full_outer")
+      .agg(
+        coalesce(sum("dc"), lit(0L)).as("n_docs"),
+        coalesce(sum("ec"), lit(0L)).as("n_embeddings"),
+        coalesce(sum(when(col("ec").isNull, col("dc"))), lit(0L))
+          .as("n_docs_without_embedding"),
+        coalesce(sum(when(col("dc").isNull, col("ec"))), lit(0L))
+          .as("n_orphan_embeddings"))
       .selectExpr("n_docs", "n_embeddings",
         "n_docs_without_embedding", "n_orphan_embeddings",
         "n_docs_without_embedding = 0 AND n_orphan_embeddings = 0 AS aligned")
-  }
 
   /** q58 — stratified sample: ~the same `frac` of every language stratum,
     * by HASH-THRESHOLD selection (the q76 [[mixtureSample]] rule): a doc
@@ -563,23 +567,26 @@ object PipelineOps {
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket
                FROM documents)
          ORDER BY doc_id""",
-    // q120 mirrors the two anti-join counts and the conjunction bit; the
-    // graded tables hash as provably aligned on both engines
+    // q120 mirrors the per-side (id, count) collapse, the single
+    // full-outer join, and the conjunction bit computed from the SAME
+    // aliased counts (no duplicated predicates to drift)
     "q120_referential_audit" ->
-      """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
-                (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_embeddings,
-                (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d
-                 WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
-                  AS n_docs_without_embedding,
-                (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
-                 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
-                  AS n_orphan_embeddings,
-                (SELECT COUNT(*) FROM documents d
-                 WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) = 0
-                AND
-                (SELECT COUNT(*) FROM embeddings e
-                 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) = 0
-                  AS aligned""",
+      """WITH d AS (SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS dc
+                    FROM documents GROUP BY doc_id),
+          e AS (SELECT vec_id AS id, CAST(COUNT(*) AS BIGINT) AS ec
+                FROM embeddings GROUP BY vec_id),
+          j AS (SELECT d.dc AS dc, e.ec AS ec
+                FROM d FULL OUTER JOIN e ON d.id = e.id),
+          a AS (SELECT CAST(COALESCE(SUM(dc), 0) AS BIGINT) AS n_docs,
+                       CAST(COALESCE(SUM(ec), 0) AS BIGINT) AS n_embeddings,
+                       CAST(COALESCE(SUM(CASE WHEN ec IS NULL THEN dc END), 0) AS BIGINT)
+                         AS n_docs_without_embedding,
+                       CAST(COALESCE(SUM(CASE WHEN dc IS NULL THEN ec END), 0) AS BIGINT)
+                         AS n_orphan_embeddings
+                FROM j)
+         SELECT n_docs, n_embeddings, n_docs_without_embedding, n_orphan_embeddings,
+                n_docs_without_embedding = 0 AND n_orphan_embeddings = 0 AS aligned
+         FROM a""",
     // q112 mirrors the row-local (epoch:doc_id) md5 draw, the q100 shard
     // rule, the bounded (epoch:S<shard>) visit-order rank, and the
     // per-shard rank with the identical (ord, doc_id) tie-break

@@ -156,24 +156,32 @@ object TextOps {
     docs.selectExpr("doc_id",
         "CAST(text IS NULL AS BIGINT) AS null_text",
         "CAST(text IS NOT NULL AND length(text) = 0 AS BIGINT) AS empty_text",
-        "CAST(text IS NOT NULL AND n_chars != length(text) AS BIGINT) AS chars_mismatch",
+        // NULL-robust: a NULL n_chars must surface in its OWN counter, not
+        // vanish from a three-valued-logic mismatch predicate — and a NULL
+        // doc_id is a null-key defect, not a "duplicate" (COUNT DISTINCT
+        // drops nulls, so deriving dups from it would mislabel nulls)
+        "CAST(text IS NOT NULL AND n_chars IS NOT NULL AND n_chars != length(text) AS BIGINT) AS chars_mismatch",
+        "CAST(n_chars IS NULL AS BIGINT) AS null_chars",
         "CAST(lang IS NULL AS BIGINT) AS null_lang",
         "CAST(source IS NULL AS BIGINT) AS null_source",
         "n_chars")
       .agg(
         count(lit(1)).as("n_docs"),
+        count(col("doc_id")).as("n_nonnull_ids"),
         countDistinct("doc_id").as("n_distinct_ids"),
         sum("null_text").as("n_null_text"),
         sum("empty_text").as("n_empty_text"),
         sum("chars_mismatch").as("n_chars_mismatch"),
+        sum("null_chars").as("n_null_chars"),
         sum("null_lang").as("n_null_lang"),
         sum("null_source").as("n_null_source"),
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"),
         sum("n_chars").as("total_chars"))
       .selectExpr("n_docs", "n_distinct_ids",
-        "n_docs - n_distinct_ids AS n_dup_ids",
-        "n_null_text", "n_empty_text", "n_chars_mismatch",
+        "n_nonnull_ids - n_distinct_ids AS n_dup_ids",
+        "n_docs - n_nonnull_ids AS n_null_ids",
+        "n_null_text", "n_empty_text", "n_chars_mismatch", "n_null_chars",
         "n_null_lang", "n_null_source",
         "min_chars", "max_chars", "total_chars")
 
@@ -1031,10 +1039,12 @@ object TextOps {
       "q119_document_audit" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
-                  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_dup_ids,
+                  CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_dup_ids,
+                  CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null_ids,
                   CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
                   CAST(SUM(CASE WHEN text IS NOT NULL AND length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
-                  CAST(SUM(CASE WHEN text IS NOT NULL AND n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
+                  CAST(SUM(CASE WHEN text IS NOT NULL AND n_chars IS NOT NULL AND n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
+                  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_chars,
                   CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
                   CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_source,
                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,

@@ -106,7 +106,8 @@ class CatalogSpec extends SparkSpec {
       "SELECT n_null + n_bad_dim + n_zero_norm FROM embedding_audit").collect().head
     assert(audit.getLong(0) === 0L)
     val dAudit = spark.sql(
-      """SELECT n_dup_ids + n_null_text + n_empty_text + n_chars_mismatch
+      """SELECT n_dup_ids + n_null_ids + n_null_text + n_empty_text
+        |       + n_chars_mismatch + n_null_chars
         |FROM document_audit""".stripMargin).collect().head
     assert(dAudit.getLong(0) === 0L)
     assert(spark.sql("SELECT aligned FROM referential_audit")

@@ -145,30 +145,32 @@ class TextOpsSpec extends SparkSpec {
     assert(nulls.map(_._3).sum === 2L && nulls.forall(_._4 === 2L))
   }
 
-  test("q119 document audit flags dup ids, null/empty text, stale n_chars, null metadata") {
+  test("q119 document audit flags dup/null ids, null/empty text, stale/null n_chars, null metadata") {
     val d = Seq(
-      (1L, Some("healthy doc"), Some("en"), Some("s1"), 11L),
-      (1L, Some("dup id"), Some("en"), Some("s1"), 6L),           // duplicate doc_id
-      (2L, Option.empty[String], Some("en"), Some("s1"), 0L),     // null text
-      (3L, Some(""), Some("en"), Some("s1"), 0L),                 // empty text
-      (4L, Some("four chars? no"), Some("en"), Some("s1"), 99L),  // stale n_chars
-      (5L, Some("x"), Option.empty[String], Option.empty[String], 1L)
+      (Some(1L), Some("healthy doc"), Some("en"), Some("s1"), Some(11L)),
+      (Some(1L), Some("dup id"), Some("en"), Some("s1"), Some(6L)),          // duplicate doc_id
+      (Some(2L), Option.empty[String], Some("en"), Some("s1"), Some(0L)),    // null text
+      (Some(3L), Some(""), Some("en"), Some("s1"), Some(0L)),                // empty text
+      (Some(4L), Some("four chars? no"), Some("en"), Some("s1"), Some(99L)), // stale n_chars
+      (Some(5L), Some("x"), Option.empty[String], Option.empty[String], Some(1L)),
+      (Option.empty[Long], Some("no id"), Some("en"), Some("s1"), Some(5L)), // NULL key ≠ dup
+      (Some(6L), Some("no chars"), Some("en"), Some("s1"), Option.empty[Long]) // NULL n_chars
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = TextOps.documentAudit(d)
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().head
-    assert(got === ((6L, 5L, 1L, 1L, 1L, 1L, 1L, 1L, 0L, 99L, 117L)))
+    assert(got === ((8L, 6L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 0L, 99L, 122L)))
   }
 
   test("q119 document audit on the real corpus: a provably clean census") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = TextOps.documentAudit(d)
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().head
     assert(got._1 === d.count() && got._2 === got._1)
     assert(got._3 === 0L && got._4 === 0L && got._5 === 0L && got._6 === 0L)
-    assert(got._7 === 0L && got._8 === 0L)
-    assert(got._9 > 0L && got._10 >= got._9)
+    assert(got._7 === 0L && got._8 === 0L && got._9 === 0L && got._10 === 0L)
+    assert(got._11 > 0L && got._12 >= got._11)
   }
 
   test("q111 vocab coverage: exact rungs on a hand corpus, bottom rung covers all") {
