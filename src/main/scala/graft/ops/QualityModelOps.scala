@@ -239,6 +239,11 @@ object QualityModelOps {
                         binMicro: Long = CalibrationBinMicro): DataFrame = {
     val toks = docs.selectExpr("doc_id",
       "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+    // materialize the bounded bin table ONCE (the q111 vocabCoverage
+    // idiom): it is referenced THREE times below — the probe side, the
+    // broadcast side, and the join-back — and broadcast vs shuffle
+    // exchanges can't share, so without this the corpus-scale
+    // scores⋈tokens aggregation re-executes per reference
     val bins = scores.select(col("doc_id"), col("score_micro"))
       .join(toks, "doc_id")
       .selectExpr(
@@ -246,6 +251,7 @@ object QualityModelOps {
         "n_tok")
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .localCheckpoint()
     // the ≥-join is non-equi, so the BOUNDED side must broadcast
     // explicitly (a bounded-aggregate BNLJ, the q104 anchor idiom) —
     // without the hint Spark falls back to a cartesian at scale

@@ -238,6 +238,17 @@ object SimilarityOps {
       .selectExpr("vec_id", "v", "n2", s"${PipelineOps.splitOf("bucket")} AS split")
     val te = all.filter(col("split") === "test")
       .selectExpr("vec_id AS t_id", "v AS tv", "n2 AS tn2")
+    // empty-eval guard (the q69 clash-guard / StreamSemanticGuard
+    // contract): an empty test split makes the crossJoin emit ZERO rows —
+    // a release would read "no contamination" with zero coverage. The
+    // guard relation produces a raising row iff the eval side is empty,
+    // unioned into the plan so the job fails loudly instead.
+    val guard = te.agg(count(lit(1)).as("n_eval")).filter(col("n_eval") === 0)
+      .selectExpr(
+        "CAST(raise_error('q109: empty test split — the decontamination report would silently cover nothing') AS BIGINT) AS doc_id",
+        "CAST(NULL AS DOUBLE) AS max_cos",
+        "CAST(NULL AS BIGINT) AS nearest_eval_id",
+        "CAST(NULL AS BOOLEAN) AS contaminated")
     all.filter(col("split") === "train")
       .crossJoin(broadcast(te))
       .selectExpr("vec_id AS doc_id",
@@ -247,6 +258,7 @@ object SimilarityOps {
       .agg(max(col("p")).as("b"))
       .selectExpr("doc_id", "b.c AS max_cos", "-b.nt AS nearest_eval_id",
         s"b.c >= $minCos AS contaminated")
+      .unionByName(guard)
       .orderBy("doc_id")
   }
 
@@ -757,7 +769,12 @@ object SimilarityOps {
       max("n_vecs").as("max_vecs"))
     cells.crossJoin(broadcast(tot))
       .selectExpr("cell", "n_vecs", "n_total", s"CAST($k AS BIGINT) AS n_cells",
-        "n_empty_cells",
+        // a k smaller than the populated-cell count means the caller
+        // passed the WRONG dial — every balance factor would silently
+        // understate; fail loudly (the StreamCellSample artifact contract)
+        s"""CASE WHEN n_empty_cells < 0
+                 THEN CAST(raise_error(concat('q115: assignment has more populated cells than k=$k — wrong dial (', CAST($k - n_empty_cells AS STRING), ' cells observed)')) AS BIGINT)
+                 ELSE n_empty_cells END AS n_empty_cells""",
         "CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share",
         s"CAST(n_vecs * $k AS DOUBLE) / CAST(n_total AS DOUBLE) AS balance",
         s"CAST(max_vecs * $k AS DOUBLE) / CAST(n_total AS DOUBLE) AS worst_balance")

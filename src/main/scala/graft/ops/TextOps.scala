@@ -137,7 +137,11 @@ object TextOps {
     cells.join(tot, col("lang") <=> col("lang_t"))
       .selectExpr("lang", "pred_lang", "n", "lang_total",
         "CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE) AS rate")
-      .orderBy("lang", "pred_lang")
+      // NULLS LAST pins the cross-engine row order: Spark defaults nulls
+      // FIRST ascending, DuckDB LAST — on a null-lang corpus the ordered
+      // compare would false-mismatch on exactly the rows this matrix
+      // keeps (the <=> join above)
+      .orderBy(col("lang").asc_nulls_last, col("pred_lang"))
   }
 
   /** q119 — DOCUMENT TABLE INTEGRITY CENSUS: the one-row audit a pipeline

@@ -49,7 +49,16 @@ object StreamQualityScore {
       s"CAST(conv(substring(md5($e), 1, 2), 16, 10) AS INT)"
     def wOf(e: String) = s"element_at(w_q, ${bucket(e)} + 1)"
     stream
-      .withColumn("ts_q", expr(s"split($textCol, ' ')"))
+      // malformed-arrival guard (the StreamSemanticGuard contract): a NULL
+      // text or lang would flow into concat(lang,'|',t) → NULL feature →
+      // element_at(w_q, NULL) → the WHOLE score folds to NULL — a silent
+      // verdict-less row where batch q101 still scores. Fail the
+      // micro-batch loudly instead; null metadata is q119's census to
+      // count and the scrubber's job to default, upstream of scoring.
+      .withColumn("ts_q", expr(
+        s"""CASE WHEN $textCol IS NULL OR lang IS NULL
+                 THEN CAST(raise_error('StreamQualityScore: null text/lang arrival — a null feature would silently null the score; default metadata upstream') AS ARRAY<STRING>)
+                 ELSE split($textCol, ' ') END"""))
       .withColumn("w_q", expr(wArr))
       .withColumn("n", expr("CAST(size(ts_q) AS BIGINT)"))
       .withColumn("nd", expr("CAST(size(array_distinct(ts_q)) AS BIGINT)"))

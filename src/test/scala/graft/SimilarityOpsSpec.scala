@@ -307,6 +307,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got._5 > 0L && got._6 >= got._5 && got._8 > 0.0)
   }
 
+  test("q109 raises loudly when the test split is empty — never an empty 'clean' report") {
+    import graft.ops.PipelineOps
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // keep only non-test vectors: the q57 rule leaves no eval side
+    val noTest = embT.where(
+      org.apache.spark.sql.functions.expr(
+        s"${PipelineOps.splitOf("conv(substring(md5(CAST(vec_id AS STRING)), 1, 2), 16, 10)")} <> 'test'"))
+    val ex = intercept[Exception] {
+      SimilarityOps.semanticContamination(noTest).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("empty test split")), ex)
+  }
+
+  test("q115 raises loudly when the passed k is smaller than the populated cells") {
+    val assign = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("vec_id", "cell")
+    val ex = intercept[Exception] {
+      SimilarityOps.ivfHealth(assign, k = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("wrong dial")), ex)
+  }
+
   test("kmeans is deterministic run-to-run (exact integer centroid state)") {
     val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val r1 = SimilarityOps.kmeans(embT).collect().map(_.toSeq).toSeq

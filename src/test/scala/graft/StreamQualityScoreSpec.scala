@@ -67,4 +67,24 @@ class StreamQualityScoreSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("reserved"))
   }
+
+  test("a null-lang arrival fails the micro-batch loudly, never a silent NULL score") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Option[String])]
+    val out = StreamQualityScore.score(
+      mem.toDF().toDF("doc_id", "text", "lang"),
+      Seq.fill(QualityModelOps.NumBuckets)(0L), 0L)
+    val q = out.writeStream.format("memory").queryName("quality_score_nulllang")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "some body text", None))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(t =>
+        Option(t.getMessage).exists(_.contains("null text/lang arrival"))), ex)
+    } finally q.stop()
+  }
 }
