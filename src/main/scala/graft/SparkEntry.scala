@@ -907,14 +907,18 @@ object SparkEntry {
           ORDER BY doc_id""") +
     // q114 composes the q66 oracle verbatim: the same ≥2-member filter,
     // per-(cluster, source) member counts, and the bounded self-join —
-    // diagonal cells require ≥ 2 members of the SAME source
+    // diagonal cells require ≥ 2 members of the SAME source; NULL source
+    // coalesces to the same \\u0001-sentinel as the Spark side (a null
+    // would vanish from the self-join under three-valued logic)
     ("q114_cross_source_dups" ->
       s"""WITH c AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
           z AS (SELECT cluster_id FROM c GROUP BY cluster_id HAVING COUNT(*) >= 2),
-          cs AS (SELECT c.cluster_id, d.source, COUNT(*) AS cnt
+          cs AS (SELECT c.cluster_id,
+                        COALESCE(d.source, chr(1) || 'null') AS source,
+                        COUNT(*) AS cnt
                  FROM c JOIN z ON c.cluster_id = z.cluster_id
                  JOIN documents d ON c.doc_id = d.doc_id
-                 GROUP BY c.cluster_id, d.source)
+                 GROUP BY 1, 2)
           SELECT a.source AS source_a, b.source AS source_b,
                  CAST(COUNT(*) AS BIGINT) AS n_clusters
           FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id

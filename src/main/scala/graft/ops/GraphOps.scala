@@ -184,13 +184,25 @@ object GraphOps {
     * enumerable handful even at 100 TB), and a bounded ≤ |sources|²-row
     * aggregate. The corpus never self-joins — only the collapsed
     * (cluster, source) rows do. */
+  /** The NULL-source stand-in [[crossSourceDups]] buckets unlabeled docs
+    * under: \\u0001-prefixed so it sorts before, and can never collide
+    * with, a real source name (DuckDB mirror: `chr(1) || 'null'`). */
+  val NullSourceSentinel = "\u0001null"
+
   def crossSourceDups(clusters: DataFrame, docs: DataFrame): DataFrame = {
     val dupIds = clusters.groupBy("cluster_id")
       .agg(count(lit(1)).as("sz")).filter(col("sz") >= 2)
       .select("cluster_id")
+    // NULL source coalesces to a sentinel BEFORE the self-join: under
+    // three-valued logic a null source fails both the `<` and `=`
+    // predicates below, so null-source cluster members would silently
+    // vanish from the matrix on both engines. The sentinel (a \\u0001
+    // prefix no real source name carries) keeps them visible as their
+    // own provenance bucket; the oracle applies the same COALESCE.
     val cs = clusters.select("doc_id", "cluster_id")
       .join(dupIds, "cluster_id")
-      .join(docs.select("doc_id", "source"), "doc_id")
+      .join(docs.select(col("doc_id"),
+        coalesce(col("source"), lit(NullSourceSentinel)).as("source")), "doc_id")
       .groupBy("cluster_id", "source").agg(count(lit(1)).as("cnt"))
     // a diagonal (s, s) cell must mean the cluster holds ≥ 2 members OF
     // s — a cluster merely touching s pairs its single row with itself

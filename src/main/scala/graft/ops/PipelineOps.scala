@@ -217,11 +217,15 @@ object PipelineOps {
     * replay/engine-independent. Kept counts are binomial around keep_n;
     * exact-count callers use [[stratifiedSampleExact]], the rank twin
     * (`PipelineOpsSpec` bounds the deviation between the two). */
-  def stratifiedSample(docs: DataFrame, frac: Double = 0.2): DataFrame = {
+  /** q58's graded per-stratum sampling fraction, shared with the oracle
+    * (one dial definition, the StreamQualityGate lesson). */
+  val StratifiedFrac = 0.2
+
+  def stratifiedSample(docs: DataFrame, frac: Double = StratifiedFrac): DataFrame = {
     val dial = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .withColumn("keep_n", ceil(col("n").cast("double") * lit(frac)).cast("long"))
       .selectExpr("lang", "keep_n",
-        "CAST(CAST(keep_n AS DECIMAL(38,0)) * 281474976710656 DIV n AS BIGINT) AS cut")
+        s"CAST(CAST(keep_n AS DECIMAL(38,0)) * $TwoPow48 DIV n AS BIGINT) AS cut")
     docs.select(col("doc_id"), col("lang"))
       .withColumn("u", md5Prefix48(col("doc_id")))
       .join(broadcast(dial), "lang")
@@ -235,7 +239,7 @@ object PipelineOps {
     * EXACTLY ceil(frac·n) docs, at the cost of one sort task per stratum
     * — correct when strata are bounded, and the cross-check
     * `PipelineOpsSpec` uses to bound the threshold form's deviation. */
-  def stratifiedSampleExact(docs: DataFrame, frac: Double = 0.2): DataFrame = {
+  def stratifiedSampleExact(docs: DataFrame, frac: Double = StratifiedFrac): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -325,9 +329,12 @@ object PipelineOps {
     * kept set is replay/engine-independent like q57/q58. Kept counts are
     * binomial around keep_n (exact-count callers use
     * [[mixtureSampleExact]], the rank twin, where strata are bounded). */
-  def mixtureSample(docs: DataFrame, target: Long = 200): DataFrame = {
+  /** q76's graded target corpus size (docs), shared with the oracle. */
+  val MixtureTarget = 200L
+
+  def mixtureSample(docs: DataFrame, target: Long = MixtureTarget): DataFrame = {
     val w = keepBudget(docs, target).selectExpr("lang", "source", "keep_n",
-      "CAST(CAST(keep_n AS DECIMAL(38,0)) * 281474976710656 DIV n AS BIGINT) AS cut")
+      s"CAST(CAST(keep_n AS DECIMAL(38,0)) * $TwoPow48 DIV n AS BIGINT) AS cut")
     docs.select(col("doc_id"), col("lang"), col("source"))
       .withColumn("u", md5Prefix48(col("doc_id")))
       .join(broadcast(w), Seq("lang", "source"))
@@ -340,7 +347,7 @@ object PipelineOps {
     * keeps EXACTLY keep_n docs, at the cost of one sort task per stratum —
     * correct when strata are bounded (or salted), and the cross-check
     * `PipelineOpsSpec` uses to bound the hash-threshold form's deviation. */
-  def mixtureSampleExact(docs: DataFrame, target: Long = 200): DataFrame = {
+  def mixtureSampleExact(docs: DataFrame, target: Long = MixtureTarget): DataFrame = {
     val w = keepBudget(docs, target)
     val ranked = docs.select(col("doc_id"), col("lang"), col("source"))
       .withColumn("r", row_number().over(
@@ -384,7 +391,7 @@ object PipelineOps {
         "needed_n DIV n AS epochs",
         "needed_n % n AS rem",
         // the partial epoch's replay-safe cut: keep iff u48 < rem·2^48/n
-        "CAST(CAST(needed_n % n AS DECIMAL(38,0)) * 281474976710656 DIV n AS BIGINT) AS rem_cut",
+        s"CAST(CAST(needed_n % n AS DECIMAL(38,0)) * $TwoPow48 DIV n AS BIGINT) AS rem_cut",
         "needed_n DIV n >= 4 AS over_repeated")
       .orderBy("lang", "source")
 
@@ -622,13 +629,13 @@ object PipelineOps {
     // engines, cut = floor(keep_n·2^48 / n) (HUGEINT there, DECIMAL(38,0)
     // here), u the same 48-bit md5 prefix
     "q58_stratified_sample" ->
-      """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      s"""WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
                     FROM documents GROUP BY lang),
           w AS (SELECT lang, n,
-                       CAST(CEIL(CAST(n AS DOUBLE) * 0.2) AS BIGINT) AS keep_n
+                       CAST(CEIL(CAST(n AS DOUBLE) * $StratifiedFrac) AS BIGINT) AS keep_n
                 FROM n),
           c AS (SELECT lang, keep_n,
-                       CAST((CAST(keep_n AS HUGEINT) * 281474976710656) // n AS BIGINT) AS cut
+                       CAST((CAST(keep_n AS HUGEINT) * $TwoPow48) // n AS BIGINT) AS cut
                 FROM w),
           u AS (SELECT doc_id, lang,
                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u
@@ -642,13 +649,13 @@ object PipelineOps {
     // DECIMAL(38,0) here) and u the same 48-bit md5 prefix — both sides of
     // the row-local keep rule are bit-identical by construction
     "q76_mixture_sample" -> {
-      val target = 200
+      val target = MixtureTarget
       s"""WITH mw AS ($MixtureWeightsSql),
           w AS (SELECT lang, source, n,
                        CAST(CEIL(least(1e0, p * CAST($target AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)) AS BIGINT) AS keep_n
                 FROM mw),
           c AS (SELECT lang, source, keep_n,
-                       CAST((CAST(keep_n AS HUGEINT) * 281474976710656) // n AS BIGINT) AS cut
+                       CAST((CAST(keep_n AS HUGEINT) * $TwoPow48) // n AS BIGINT) AS cut
                 FROM w),
           u AS (SELECT doc_id, lang, source,
                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u
@@ -672,7 +679,7 @@ object PipelineOps {
           SELECT lang, source, n, needed_n,
                  needed_n // n AS epochs,
                  needed_n % n AS rem,
-                 CAST((CAST(needed_n % n AS HUGEINT) * 281474976710656) // n AS BIGINT)
+                 CAST((CAST(needed_n % n AS HUGEINT) * $TwoPow48) // n AS BIGINT)
                    AS rem_cut,
                  needed_n // n >= 4 AS over_repeated
           FROM d ORDER BY lang, source""",

@@ -65,10 +65,16 @@ object QualityModelOps {
     * like a real pipeline stage). Defaults to deriving the labels live. */
   def qualityClassifier(docs: DataFrame,
                         weakLabels: Option[DataFrame] = None): DataFrame = {
+    // the feature explode (~3× token volume of narrow (doc_id, fb) rows)
+    // is consumed TWICE — the training aggregate and the scoring pass —
+    // and broadcast vs shuffle exchanges can't share a subtree, so
+    // without materialization the corpus explodes twice per query.
+    // localCheckpoint it ONCE (the q108 `bins` idiom); at cluster scale
+    // this is the standard materialize-the-feature-stage trade.
+    val toks = featureRows(docs).localCheckpoint()
     // ONE bounded aggregate = the whole training pass: per-bucket
     // positive/negative occurrence counts over weak-labeled train docs
-    val m = modelTables(docs, weakLabels)
-    val toks = featureRows(docs)
+    val m = modelTables(docs, weakLabels, toks)
     // scoring: every token occurrence gathers its bucket's weight via a
     // BROADCAST join (the weight table is ≤ NumBuckets rows); buckets the
     // train split never produced fall back to zero counts (left_outer)
@@ -104,7 +110,8 @@ object QualityModelOps {
   def bucketWeightsMicro(docs: DataFrame,
                          weakLabels: Option[DataFrame] = None): (Array[Long], Long) = {
     val spark = docs.sparkSession
-    val m = modelTables(docs, weakLabels)
+    // single consumer of the feature rows here — no checkpoint needed
+    val m = modelTables(docs, weakLabels, featureRows(docs))
     val wExpr = s"(ln(COALESCE(cpos, 0) + 1) - ln(tpos + $NumBuckets)" +
       s" - ln(COALESCE(cneg, 0) + 1) + ln(tneg + $NumBuckets)) * 1e6"
     val w = spark.range(NumBuckets).toDF("fb")
@@ -122,15 +129,15 @@ object QualityModelOps {
     * corpus path and the persisted artifact cannot drift. */
   private final case class ModelTables(counts: DataFrame, totals: DataFrame,
                                        bias: DataFrame)
-  private def modelTables(docs: DataFrame,
-                          weakLabels: Option[DataFrame]): ModelTables = {
+  private def modelTables(docs: DataFrame, weakLabels: Option[DataFrame],
+                          feats: DataFrame): ModelTables = {
     val labels = weakLabels.getOrElse(
       TextOps.trainingFilter(docs).select(col("doc_id"), col("keep")))
     val trainIds = docs
       .select(col("doc_id"), PipelineOps.md5Bucket(col("doc_id")).as("bucket"))
       .selectExpr("doc_id", s"${PipelineOps.splitOf("bucket")} AS split")
       .filter(col("split") === "train").select("doc_id")
-    val counts = featureRows(docs).join(trainIds, "doc_id").join(labels, "doc_id")
+    val counts = feats.join(trainIds, "doc_id").join(labels, "doc_id")
       .groupBy("fb").agg(
         sum(when(col("keep"), 1L).otherwise(0L)).as("cpos"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("cneg"))

@@ -233,7 +233,19 @@ object SimilarityOps {
     * tie-break needs no window and no second pass. */
   def semanticContamination(emb: DataFrame,
                             minCos: Double = SemContamMinCos): DataFrame = {
+    // fail-loudly on malformed vectors BEFORE the cosine (the
+    // StreamSemanticGuard arrival contract, mirrored batch-side): a null/
+    // ragged embedding makes the dot NULL and a zero-norm one makes it
+    // 0/0 = NaN — either way the row would flow through the struct-max
+    // as "clean"/poisoned instead of raising. Guarded on BOTH sides
+    // (train and eval inherit this projection).
     val all = vecs(emb)
+      .selectExpr("vec_id", "v",
+        s"""CASE WHEN v IS NULL OR size(v) != $Dim
+                 THEN CAST(raise_error('q109: malformed embedding (null or wrong dimension) — a null cosine would silently read as clean') AS DOUBLE)
+                 WHEN n2 = 0e0
+                 THEN CAST(raise_error('q109: zero-norm embedding — cosine is undefined (0/0) and NaN poisons the contamination argmax') AS DOUBLE)
+                 ELSE n2 END AS n2""")
       .withColumn("bucket", PipelineOps.md5Bucket(col("vec_id")))
       .selectExpr("vec_id", "v", "n2", s"${PipelineOps.splitOf("bucket")} AS split")
     val te = all.filter(col("split") === "test")
@@ -274,6 +286,15 @@ object SimilarityOps {
     vecs(emb)
       .withColumn("bucket", PipelineOps.md5Bucket(col("vec_id")))
       .filter(expr(s"${PipelineOps.splitOf("bucket")} = 'test'"))
+      // a malformed/zero-norm EVAL vector would poison EVERY arrival's
+      // max-cos (NaN compares poison the fold) — refresh must fail, not
+      // publish a poisoned artifact (the q109 guard, artifact-side)
+      .selectExpr("vec_id", "v",
+        s"""CASE WHEN v IS NULL OR size(v) != $Dim
+                 THEN CAST(raise_error('evalVectorState: malformed eval embedding (null or wrong dimension)') AS DOUBLE)
+                 WHEN n2 = 0e0
+                 THEN CAST(raise_error('evalVectorState: zero-norm eval embedding — cosine undefined, would NaN-poison every arrival') AS DOUBLE)
+                 ELSE n2 END AS n2""")
       .agg(sort_array(collect_list(struct(
         col("vec_id").as("t_id"), col("v").as("tv"), col("n2").as("tn2")))).as("evals"))
 
@@ -311,7 +332,10 @@ object SimilarityOps {
     * bounded by per-band bucket collisions, and bucket width shrinks
     * exponentially with `planesPerBand` — raise it as the corpus grows and
     * recall is held up by the ORed bands, never by widening buckets. */
-  def embeddingDups(emb: DataFrame, minCos: Double = 0.4, bands: Int = VBands,
+  /** q45's cosine near-dup threshold, shared with the oracle. */
+  val EmbDupMinCos = 0.4
+
+  def embeddingDups(emb: DataFrame, minCos: Double = EmbDupMinCos, bands: Int = VBands,
                     planesPerBand: Int = PlanesPerBand): DataFrame = {
     val all = vecs(emb)
     val b = bandRows(emb, bands, planesPerBand)
@@ -767,6 +791,18 @@ object SimilarityOps {
     val tot = cells.agg(sum("n_vecs").as("n_total"),
       (lit(k.toLong) - count(lit(1))).as("n_empty_cells"),
       max("n_vecs").as("max_vecs"))
+    // empty-assignment guard (the q109 union-a-raising-row pattern): with
+    // ZERO assignment rows the per-cell projection below never evaluates,
+    // so the wrong-dial raise can't fire and the report would be silently
+    // empty — exactly what a truncated/stale materialized q87 snapshot
+    // looks like. `tot` always has one row; n_total is NULL iff no cells.
+    val guard = tot.filter(col("n_total").isNull)
+      .selectExpr(
+        "CAST(raise_error('q115: empty assignment — stale/truncated centroid snapshot? The health report would silently cover nothing') AS BIGINT) AS cell",
+        "CAST(NULL AS BIGINT) AS n_vecs", "CAST(NULL AS BIGINT) AS n_total",
+        "CAST(NULL AS BIGINT) AS n_cells", "CAST(NULL AS BIGINT) AS n_empty_cells",
+        "CAST(NULL AS DOUBLE) AS share", "CAST(NULL AS DOUBLE) AS balance",
+        "CAST(NULL AS DOUBLE) AS worst_balance")
     cells.crossJoin(broadcast(tot))
       .selectExpr("cell", "n_vecs", "n_total", s"CAST($k AS BIGINT) AS n_cells",
         // a k smaller than the populated-cell count means the caller
@@ -778,6 +814,7 @@ object SimilarityOps {
         "CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share",
         s"CAST(n_vecs * $k AS DOUBLE) / CAST(n_total AS DOUBLE) AS balance",
         s"CAST(max_vecs * $k AS DOUBLE) / CAST(n_total AS DOUBLE) AS worst_balance")
+      .unionByName(guard)
       .orderBy("cell")
   }
 
@@ -805,9 +842,11 @@ object SimilarityOps {
             END AS n2q""")
       .agg(
         count(lit(1)).as("n_vectors"),
-        sum("is_null").as("n_null"),
-        sum("bad_dim").as("n_bad_dim"),
-        sum(expr("CAST(n2q = 0 AS BIGINT)")).as("n_zero_norm"),
+        coalesce(sum("is_null"), lit(0L)).as("n_null"),
+        coalesce(sum("bad_dim"), lit(0L)).as("n_bad_dim"),
+        // coalesce: a fixture whose rows are ALL malformed leaves n2q
+        // NULL everywhere — the zero-norm COUNT is then 0, not NULL
+        coalesce(sum(expr("CAST(n2q = 0 AS BIGINT)")), lit(0L)).as("n_zero_norm"),
         // the range/mean describe the HEALTHY rest only — a zero-norm
         // vector is flagged, not averaged in (it would drag the very
         // norm-scale sanity number the flag exists to protect)
@@ -946,10 +985,14 @@ object SimilarityOps {
     * cross-engine (q59 grades it), floor is exact on identical doubles —
     * no rounding path, so no boundary guard is needed; counts are exact
     * integers and the two ratios single IEEE divisions. */
+  /** q99's "the text pass already calls it a duplicate" Jaccard bar,
+    * shared with the oracle (one dial definition). */
+  val CalibTextDupJac = 0.5
+
   def cosineCalibration(pairCos: DataFrame): DataFrame =
     pairCos.selectExpr(
         "CAST(floor(cos * 20) AS BIGINT) AS bin",
-        "CASE WHEN jac >= 0.5 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS td")
+        s"CASE WHEN jac >= $CalibTextDupJac THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS td")
       .groupBy("bin")
       .agg(count(lit(1)).as("n_pairs"), sum("td").as("n_textdup"))
       .selectExpr("bin",
@@ -1180,7 +1223,7 @@ object SimilarityOps {
                    ${duckDot("x.v", "y.v")} / (sqrt(x.n2) * sqrt(y.n2)) AS cos
             FROM cand JOIN n x ON a_id = x.vec_id
                       JOIN n y ON b_id = y.vec_id)
-          WHERE cos >= 0.4
+          WHERE cos >= $EmbDupMinCos
           ORDER BY a_id, b_id""",
     "q59_crossmodal_dups" -> q59Sql,
     // q99 composes the q59 oracle verbatim: the calibration curve's
@@ -1188,7 +1231,7 @@ object SimilarityOps {
     "q99_cosine_calibration" ->
       s"""WITH pc AS ($q59Sql),
           b AS (SELECT CAST(floor(cos * 20) AS BIGINT) AS bin,
-                       CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END AS td
+                       CASE WHEN jac >= $CalibTextDupJac THEN 1 ELSE 0 END AS td
                 FROM pc)
           SELECT bin,
                  CAST(bin AS DOUBLE) / 20 AS cos_lo,
@@ -1275,28 +1318,39 @@ object SimilarityOps {
     // sample's strata cannot drift from the hash-verified clustering) and
     // mirrors the q58/q76 exact-integer cut: HUGEINT there, DECIMAL(38,0)
     // on the Spark side — the row-local keep rule is bit-identical
-    // q118 mirrors the q85 q3 quantization per dimension, exact integer
-    // norm² sums, and the identical single-division mean (the test
-    // corpus is clean, so the null/dim/zero flags are exact zeros on
-    // both engines — the nonzero branches are spec-exercised)
+    // q118 mirrors the Spark side ROW-LOCALLY (one flags+fold projection,
+    // one aggregate — no unnest/regroup, so duplicate vec_ids can't fan
+    // out) and is null/dim-ROBUST like the computation it grades: n_null
+    // and n_bad_dim are COUNTED, not asserted zero, and a malformed row's
+    // n2q is NULL exactly as Spark's CASE makes it — a future fixture
+    // gaining a bad row changes the census on BOTH engines identically
+    // instead of diverging at the hash.
     "q118_embedding_audit" ->
-      s"""WITH q3 AS (SELECT vec_id,
-                             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3
-                      FROM embeddings, range(1, ${Dim + 1}) t(i)),
-          n2 AS (SELECT vec_id, CAST(SUM(q3 * q3) AS BIGINT) AS n2q
-                 FROM q3 GROUP BY vec_id)
+      s"""WITH f AS (SELECT
+                       CAST(embedding IS NULL AS BIGINT) AS isn,
+                       CAST(embedding IS NOT NULL AND len(embedding) != $Dim AS BIGINT) AS bad,
+                       CASE WHEN embedding IS NULL OR len(embedding) != $Dim
+                            THEN CAST(NULL AS BIGINT)
+                            ELSE CAST(list_sum(list_transform(embedding,
+                                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                                        * CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                                 AS BIGINT)
+                       END AS n2q
+                     FROM embeddings)
           SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-                 CAST(0 AS BIGINT) AS n_null,
-                 CAST(0 AS BIGINT) AS n_bad_dim,
-                 CAST(SUM(CASE WHEN n2q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+                 CAST(COALESCE(SUM(isn), 0) AS BIGINT) AS n_null,
+                 CAST(COALESCE(SUM(bad), 0) AS BIGINT) AS n_bad_dim,
+                 CAST(COALESCE(SUM(CASE WHEN n2q = 0 THEN 1 END), 0) AS BIGINT) AS n_zero_norm,
                  CAST(MIN(NULLIF(n2q, 0)) AS BIGINT) AS min_n2q,
                  CAST(MAX(NULLIF(n2q, 0)) AS BIGINT) AS max_n2q,
                  CAST(SUM(NULLIF(n2q, 0)) AS BIGINT) AS sum_n2q,
-                 CASE WHEN COUNT(*) - SUM(CASE WHEN n2q = 0 THEN 1 ELSE 0 END) = 0 THEN 0e0
+                 CASE WHEN COUNT(*) - COALESCE(SUM(isn), 0) - COALESCE(SUM(bad), 0)
+                           - COALESCE(SUM(CASE WHEN n2q = 0 THEN 1 END), 0) = 0 THEN 0e0
                       ELSE CAST(SUM(NULLIF(n2q, 0)) AS DOUBLE)
-                           / (CAST(COUNT(*) - SUM(CASE WHEN n2q = 0 THEN 1 ELSE 0 END) AS DOUBLE) * 1e6)
+                           / (CAST(COUNT(*) - COALESCE(SUM(isn), 0) - COALESCE(SUM(bad), 0)
+                                   - COALESCE(SUM(CASE WHEN n2q = 0 THEN 1 END), 0) AS DOUBLE) * 1e6)
                  END AS mean_n2
-          FROM n2""",
+          FROM f""",
     // q115 composes the q87 oracle's final assignment verbatim: the same
     // bounded count aggregate, one-row totals, and single-IEEE-division
     // balance chain

@@ -59,8 +59,8 @@ object StreamSemanticGuard {
         """CASE WHEN size(evals) = 0
                 THEN named_struct('c', CAST(raise_error('StreamSemanticGuard: empty eval artifact — refresh the batch eval state') AS DOUBLE),
                                   'nt', CAST(0 AS BIGINT))
-                WHEN v IS NULL OR size(v) != size(evals[0].tv)
-                THEN named_struct('c', CAST(raise_error('StreamSemanticGuard: malformed arrival embedding (null or wrong dimension) — a null dot would silently admit the row as clean') AS DOUBLE),
+                WHEN v IS NULL OR size(v) != size(evals[0].tv) OR n2 = 0e0
+                THEN named_struct('c', CAST(raise_error('StreamSemanticGuard: malformed arrival embedding (null, wrong dimension, or zero-norm) — a null/NaN cosine would silently admit the row as clean') AS DOUBLE),
                                   'nt', CAST(0 AS BIGINT))
                 ELSE aggregate(evals,
                        named_struct('c', CAST('-Infinity' AS DOUBLE), 'nt', CAST(0 AS BIGINT)),

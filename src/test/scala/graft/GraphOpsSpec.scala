@@ -194,4 +194,18 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
       .filter(col("count") >= 2).count()
     assert(got.forall(_._3 <= nDup))
   }
+  test("cross-source dup matrix buckets NULL sources under the sentinel, never drops them") {
+    // cluster 1 = {null, a}, cluster 3 = {null, null}: under three-valued
+    // logic a null source fails both self-join predicates and the members
+    // would silently vanish; the sentinel keeps them visible
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, null), (2L, "a"), (3L, null), (4L, null))
+      .asInstanceOf[Seq[(Long, String)]].toDF("doc_id", "source")
+    val got = GraphOps.crossSourceDups(clusters, docs)
+      .as[(String, String, Long)].collect().toSeq
+    val s0 = GraphOps.NullSourceSentinel
+    assert(got === Seq((s0, s0, 1L), (s0, "a", 1L)))
+  }
+
 }

@@ -516,4 +516,54 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(SimilarityOps.cellBalancedSample(assign, frac = 1.0, k = 1).count()
       === total)
   }
+  test("q109 raises loudly on a zero-norm embedding — NaN would poison the argmax") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.PipelineOps
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // zero out ONE train-split vector: its cosine vs every eval vector
+    // would be 0/0 = NaN, and the struct-max would carry NaN forward
+    val trainId = embT.select(col("vec_id"))
+      .withColumn("b", PipelineOps.md5Bucket(col("vec_id")))
+      .filter(col("b") < PipelineOps.TrainCut)
+      .orderBy("vec_id").limit(1).select("vec_id").as[Long].collect().head
+    val poisoned = embT.withColumn("embedding",
+      when(col("vec_id") === trainId,
+        array_repeat(lit(0.0f), SimilarityOps.Dim)).otherwise(col("embedding")))
+    val ex = intercept[Exception] {
+      SimilarityOps.semanticContamination(poisoned).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("zero-norm")), ex)
+  }
+
+  test("evalVectorState raises on a zero-norm EVAL vector — artifact refresh must fail") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.PipelineOps
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val testId = embT.select(col("vec_id"))
+      .withColumn("b", PipelineOps.md5Bucket(col("vec_id")))
+      .filter(col("b") >= PipelineOps.ValCut)
+      .orderBy("vec_id").limit(1).select("vec_id").as[Long].collect().head
+    val poisoned = embT.withColumn("embedding",
+      when(col("vec_id") === testId,
+        array_repeat(lit(0.0f), SimilarityOps.Dim)).otherwise(col("embedding")))
+    val ex = intercept[Exception] {
+      SimilarityOps.evalVectorState(poisoned).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("zero-norm eval")), ex)
+  }
+
+  test("q115 raises loudly on an EMPTY assignment — never a silently empty report") {
+    val empty = Seq.empty[(Long, Long)].toDF("vec_id", "cell")
+    val ex = intercept[Exception] {
+      SimilarityOps.ivfHealth(empty).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("empty assignment")), ex)
+  }
+
 }

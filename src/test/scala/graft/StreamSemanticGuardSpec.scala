@@ -113,4 +113,25 @@ class StreamSemanticGuardSpec extends SparkSpec {
     }
     assert(clash.getMessage.contains("reserved"))
   }
+  test("a zero-norm arrival fails loudly — cos 0/0 = NaN must not flow to the sink") {
+    implicit val sc = spark.sqlContext
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val evalState = SimilarityOps.evalVectorState(embT).localCheckpoint()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = StreamSemanticGuard.flag(
+      mem.toDF().toDF("vec_id", "embedding"), evalState)
+    val q = out.writeStream.format("memory").queryName("sem_guard_zeronorm")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Seq.fill(64)(0.0f))) // zero-norm, right dimension
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(t =>
+        Option(t.getMessage).exists(_.contains("malformed arrival"))), ex)
+    } finally q.stop()
+  }
+
 }
