@@ -517,6 +517,12 @@ object SparkEntry {
     // Lloyd; q87 stays the live measured plan
     "q94_kmeans_inertia"   -> ((s, d) =>
       SimilarityOps.kmeansInertiaOf(kmeansRoundsShared(s, d))),
+    // convergence-terminated Lloyd: the q87 recipe run to the q94 stopping
+    // signal — per paid round the full assignment + exact inertia, with
+    // `stopped` marking an eps-rule stop (vs cap exhaustion); the oracle
+    // unrolls the shared round budget and re-derives the same stop round
+    "q121_kmeans_converged" -> ((s, d) =>
+      SimilarityOps.kmeansConvergedTrace(Tables.embeddings(s, d))),
     // cluster-balanced (topic-balancing) sample: equal per-cell allocation
     // over the k-means cells via the q58/q76 hash-threshold keep rule —
     // reads the MATERIALIZED q87 round trace's final assignment

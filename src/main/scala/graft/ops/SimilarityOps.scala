@@ -554,10 +554,10 @@ object SimilarityOps {
     * per round over those checkpointed rows.
     *
     * Determinism: `dist` is an exact integer quotient (see [[kmeans]]);
-    * it is scaled to 1e-6 micro-units with the q92 rounding-boundary
-    * guard and summed EXACTLY as int64, so the trace is bit-identical in
-    * any engine — the one final division for `mean_dist` is IEEE-exact
-    * on integer inputs. */
+    * it is scaled to 1e-6 micro-units (structurally boundary-safe — see
+    * [[kmeansInertiaOf]]) and summed EXACTLY as int64, so the trace is
+    * bit-identical in any engine — the one final division for `mean_dist`
+    * is IEEE-exact on integer inputs. */
   def kmeansInertia(emb: DataFrame, k: Int = KmeansK,
                     rounds: Int = KmeansRounds): DataFrame =
     kmeansInertiaOf(kmeansRounds(emb, k, rounds))
@@ -576,13 +576,19 @@ object SimilarityOps {
     }.reduce(_ unionByName _)
   }
 
-  /** The trace aggregate over [[kmeansRounds]] rows (live or snapshot). */
+  /** The trace aggregate over [[kmeansRounds]] rows (live or snapshot).
+    *
+    * NO rounding-boundary guard here, deliberately — unlike the q67/q92/
+    * q95/q101 micro recipes, whose ln() inputs can diverge by an ulp
+    * between engines, `dist` is an EXACT integer quotient ([[kmeans]]):
+    * both engines hold the identical double, `*1e6` is the identical IEEE
+    * product, and both round half away from zero (spec-asserted in
+    * `SimilarityOpsSpec`), so a boundary flip is structurally impossible.
+    * A probabilistic guard would also be a scale landmine: at ~2e-6
+    * fire-chance per row-round it is near-certain to kill a 100 TB trace
+    * that is in fact perfectly deterministic. */
   def kmeansInertiaOf(roundRows: DataFrame): DataFrame = {
-    val raw = "dist * 1e6"
-    val micro =
-      s"""CASE WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
-               THEN CAST(raise_error('q94: inertia at a rounding boundary') AS BIGINT)
-               ELSE CAST(round($raw) AS BIGINT) END AS micro"""
+    val micro = "CAST(round(dist * 1e6) AS BIGINT) AS micro"
     roundRows.selectExpr("round_no", micro)
       .groupBy("round_no")
       .agg(count(lit(1)).as("n_vectors"), sum("micro").as("inertia_micro"))
@@ -627,21 +633,85 @@ object SimilarityOps {
   def kmeansConverged(emb: DataFrame, k: Int = KmeansK, maxRounds: Int = 10,
                       epsMicro: Long = 0L): KmeansRun = {
     require(maxRounds >= 1, s"kmeansConverged: maxRounds must be >= 1, got $maxRounds")
-    val vq = kmVq(emb)
+    val (frames, _) = convergedRounds(kmVq(emb), k, maxRounds,
+      (prev, cur) => prev - cur <= epsMicro)
+    KmeansRun(
+      frames.last._2.select(col("vec_id"), col("cell"), col("dist")).orderBy("vec_id"),
+      frames.size, frames.map(_._3))
+  }
+
+  /** The shared convergence-terminated Lloyd loop: each element is
+    * (round_no, checkpointed assignment, exact inertia_micro); the Boolean
+    * is TRUE iff the run STOPPED on `stopRule(prev, cur)` (vs exhausting
+    * the cap). Both [[kmeansConverged]] (absolute eps) and the graded
+    * [[kmeansConvergedTrace]] (relative per-mille eps) consume this one
+    * loop, so the stopping mechanics cannot drift. */
+  private def convergedRounds(vq: DataFrame, k: Int, maxRounds: Int,
+                              stopRule: (Long, Long) => Boolean): (Seq[(Int, DataFrame, Long)], Boolean) = {
     var a = kmAssign(vq, kmCents(kmSeed(vq, k))).localCheckpoint()
-    var trace = List(inertiaMicro(a))
+    val frames = scala.collection.mutable.ArrayBuffer((1, a, inertiaMicro(a)))
     var rounds = 1
     var stop = false
     while (rounds < maxRounds && !stop) {
       a = kmAssign(vq, kmCents(a)).localCheckpoint()
       val cur = inertiaMicro(a)
-      stop = trace.head - cur <= epsMicro
-      trace = cur :: trace
+      stop = stopRule(frames.last._3, cur)
       rounds += 1
+      frames += ((rounds, a, cur))
     }
-    KmeansRun(
-      a.select(col("vec_id"), col("cell"), col("dist")).orderBy("vec_id"),
-      rounds, trace.reverse)
+    (frames.toSeq, stop)
+  }
+
+  /** q121's relative stopping tolerance, in per-mille of the previous
+    * round's inertia: stop when (prev − cur)·1000 ≤ prev·this. A RELATIVE
+    * tolerance is the production convention (an absolute eps 0 pays
+    * unbounded rounds for noise-level improvements; an absolute nonzero
+    * eps doesn't transfer across corpus scales — inertia grows with N).
+    * Integer arithmetic on exact micro inertias (BigInt here, HUGEINT in
+    * the oracle), so the stop decision is engine-exact at any magnitude. */
+  val KmeansConvEpsPerMille = 1L
+
+  /** q121's round cap — the budget the DuckDB oracle unrolls, so the two
+    * sides share one constant (the q87/q94 convention). The unrolled
+    * oracle is idempotent PAST the fixpoint (a converged round recomputes
+    * the identical assignment), which is what makes a data-dependent stop
+    * round gradable by a fixed-depth SQL expansion. */
+  val KmeansConvMaxRounds = 8
+
+  /** q121 — CONVERGENCE-TERMINATED K-MEANS, graded: the [[kmeansConverged]]
+    * run emitted as rows — every round actually PAID, each row carrying the
+    * round's exact inertia (the stopping signal q94 publishes) and
+    * `stopped` marking the final round of a run that hit the relative
+    * [[KmeansConvEpsPerMille]] tolerance (false everywhere when the cap
+    * exhausted first). Rounds after the
+    * stop are never computed, never emitted — the trace proves both the
+    * assignment fixpoint and the round budget a production job would have
+    * paid, which is precisely what a fixed-round q87 cannot show.
+    *
+    * Scale shape: identical to [[kmeans]] per round (one-row broadcast
+    * centroid state, row-local argmin fold, checkpointed rounds,
+    * round-invariant plan depth — plan-guarded) plus q94's bounded
+    * one-row inertia aggregate per round as the stop check; the union of
+    * per-round checkpointed frames adds no corpus re-derivation.
+    * Determinism: the stop decision compares exact int64 micro inertias
+    * (structurally boundary-safe rounding of exact quotients — see
+    * [[kmeansInertiaOf]]), so the round count is engine- and
+    * partitioning-independent; the oracle unrolls [[KmeansConvMaxRounds]]
+    * rounds and re-derives the same stop round from the same trace. */
+  def kmeansConvergedTrace(emb: DataFrame, k: Int = KmeansK,
+                           maxRounds: Int = KmeansConvMaxRounds,
+                           epsPerMille: Long = KmeansConvEpsPerMille): DataFrame = {
+    require(maxRounds >= 1,
+      s"kmeansConvergedTrace: maxRounds must be >= 1, got $maxRounds")
+    val (frames, converged) = convergedRounds(kmVq(emb), k, maxRounds,
+      (prev, cur) => (BigInt(prev) - BigInt(cur)) * 1000
+        <= BigInt(prev) * epsPerMille)
+    val last = frames.size
+    frames.map { case (r, fr, im) =>
+      fr.selectExpr(s"CAST($r AS BIGINT) AS round_no", "vec_id", "cell", "dist",
+        s"CAST(${im}L AS BIGINT) AS inertia_micro",
+        s"${converged && r == last} AS stopped")
+    }.reduce(_ unionByName _).orderBy("round_no", "vec_id")
   }
 
   /** q107's sampling fraction — the share of the corpus the balanced
@@ -720,7 +790,8 @@ object SimilarityOps {
     *
     * Determinism: distances are the exact-integer [[KmeansBestExpr]]
     * quotient (one final IEEE division); both are rounded to 1e-6
-    * micro-units under the q67/q94 boundary guard and summed as int64 —
+    * micro-units (structurally boundary-safe — [[kmeansInertiaOf]]'s
+    * argument) and summed as int64 —
     * associative, partition-order-free — so per-cell means and the
     * silhouette are single IEEE ops over identical bits in both engines.
     * Fail-loudly: a vector whose own cell is missing from the induced
@@ -738,12 +809,14 @@ object SimilarityOps {
             (acc, c) -> named_struct(
               'a', CASE WHEN c.cell = cell THEN $distE ELSE acc.a END,
               'b', CASE WHEN c.cell = cell THEN acc.b ELSE least(acc.b, $distE) END)) AS ab"""
+    // no rounding-boundary branch: the distances are exact integer
+    // quotients, bit-identical cross-engine, and both engines round half
+    // away from zero — see [[kmeansInertiaOf]]'s scaladoc for why a
+    // probabilistic boundary guard here would be a 100 TB landmine
     def micro(src: String, guard: String, name: String): String = {
       val raw = s"ab.$src * 1e6"
       s"""CASE WHEN $guard
                THEN CAST(raise_error('q110: ${name}_guard — missing own cell or <2 populated cells') AS BIGINT)
-               WHEN abs($raw - floor($raw) - 0.5e0) < 1e-6
-               THEN CAST(raise_error('q110: distance at a rounding boundary') AS BIGINT)
                ELSE CAST(round($raw) AS BIGINT) END AS $name"""
     }
     assigned.crossJoin(broadcast(kmCents(assigned)))
@@ -1276,13 +1349,54 @@ object SimilarityOps {
       s"""WITH ${kmOracleCtes(KmeansRounds)}
           SELECT vec_id, cell, dist FROM a$KmeansRounds ORDER BY vec_id"""
     },
+    // q121 unrolls KmeansConvMaxRounds rounds of the SAME CTE prelude the
+    // q87/q94 oracles use, rebuilds the per-round exact micro-inertia
+    // trace, derives the stop round from the identical relative rule
+    // (first round improving by <= KmeansConvEpsPerMille per-mille of the
+    // previous inertia; cap if none — HUGEINT, exact at any magnitude),
+    // and emits exactly the rounds a live run would have paid. Unrolling
+    // past the fixpoint is safe: a converged round recomputes the same
+    // assignment, so the filtered prefix is independent of the unroll
+    // depth. Plain round() on both sides: the dist quotients are
+    // bit-identical cross-engine and both engines round half away from
+    // zero ([[kmeansInertiaOf]]'s structural argument).
+    "q121_kmeans_converged" -> {
+      val R = KmeansConvMaxRounds
+      val per = (1 to R)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round_no, vec_id, cell, dist FROM a$r")
+        .mkString("\n                 UNION ALL ")
+      s"""WITH ${kmOracleCtes(R)},
+          per AS ($per),
+          tr AS (SELECT round_no,
+                        CAST(SUM(CAST(round(dist * 1e6) AS BIGINT)) AS BIGINT)
+                          AS inertia_micro
+                 FROM per GROUP BY round_no),
+          dl AS (SELECT round_no, inertia_micro,
+                        LAG(inertia_micro) OVER (ORDER BY round_no) AS prev
+                 FROM tr),
+          st AS (SELECT COALESCE(MIN(CASE WHEN round_no >= 2
+                                           AND (CAST(prev AS HUGEINT) - CAST(inertia_micro AS HUGEINT)) * 1000
+                                               <= CAST(prev AS HUGEINT) * $KmeansConvEpsPerMille
+                                          THEN round_no END), $R) AS stop_round,
+                        MIN(CASE WHEN round_no >= 2
+                                  AND (CAST(prev AS HUGEINT) - CAST(inertia_micro AS HUGEINT)) * 1000
+                                      <= CAST(prev AS HUGEINT) * $KmeansConvEpsPerMille
+                                 THEN round_no END) IS NOT NULL AS conv
+                 FROM dl)
+          SELECT p.round_no AS round_no, p.vec_id AS vec_id, p.cell AS cell,
+                 p.dist AS dist, tr.inertia_micro AS inertia_micro,
+                 (st.conv AND p.round_no = st.stop_round) AS stopped
+          FROM per p JOIN tr ON p.round_no = tr.round_no CROSS JOIN st
+          WHERE p.round_no <= st.stop_round
+          ORDER BY round_no, vec_id"""
+    },
     "q94_kmeans_inertia" -> {
       val per = (1 to KmeansRounds)
         .map(r => s"SELECT CAST($r AS BIGINT) AS round_no, dist FROM a$r")
         .mkString("\n                 UNION ALL ")
-      // no boundary CASE here: the Spark side raise_errors within 1e-6 of
-      // a rounding boundary, so any row that reaches the compare rounds
-      // identically in both engines (the q67/q92 division of labor)
+      // plain round() on both sides: dist is an exact integer quotient —
+      // bit-identical cross-engine — and both engines round half away
+      // from zero ([[kmeansInertiaOf]]'s structural argument)
       s"""WITH ${kmOracleCtes(KmeansRounds)},
           per AS ($per),
           mi AS (SELECT round_no,

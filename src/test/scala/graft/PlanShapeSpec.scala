@@ -252,6 +252,20 @@ class PlanShapeSpec extends SparkSpec {
       "round budget leaked into the final plan: rounds are not checkpointed")
   }
 
+  test("q121 converged kmeans: per-round plan depth constant (checkpointed frames)") {
+    // the output unions one frame per PAID round, so total plan size grows
+    // linearly in the emitted rounds — but each frame must read its
+    // checkpoint flatly: quadratic growth means a round re-derived its
+    // predecessors (the un-checkpointed O(R²) fold)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def nodes(cap: Int): Int =
+      SimilarityOps.kmeansConvergedTrace(emb, maxRounds = cap)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    val (n2, n3, n4) = (nodes(2), nodes(3), nodes(4))
+    assert(n3 - n2 === n4 - n3,
+      s"plan growth is not linear in rounds ($n2, $n3, $n4): rounds are not checkpointed")
+  }
+
   test("q89 corpus render: no cartesian, every window partitioned") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = SparkEntry.queries("q89_corpus_render")(spark, "/root/testdata/sf0.001")

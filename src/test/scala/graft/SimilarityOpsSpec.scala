@@ -566,4 +566,60 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("empty assignment")), ex)
   }
 
+  test("spark rounds half away from zero on boundary doubles (the q94/q110/q121 contract)") {
+    // the micro roundings of EXACT integer quotients carry no boundary
+    // guard: both engines hold identical bits and round half away from
+    // zero. This pins the Spark half; the DuckDB half is pinned by the
+    // strict oracle compare on q94/q110/q121 themselves.
+    val got = spark.sql(
+      "SELECT round(2.5D), round(3.5D), round(-2.5D), round(0.49999999999999994D)")
+      .collect().head
+    assert((got.getDouble(0), got.getDouble(1), got.getDouble(2), got.getDouble(3))
+      === ((3.0, 4.0, -3.0, 0.0)))
+  }
+
+  test("q121 trace is self-consistent: rounds, inertias, and stopped obey the relative rule") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trace = SimilarityOps.kmeansConvergedTrace(embT)
+      .select("round_no", "inertia_micro", "stopped")
+      .distinct().orderBy("round_no")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // per-round inertia must equal q94's exact trace over the same budget
+    val q94 = SimilarityOps.kmeansInertia(embT, rounds = trace.size)
+      .select("round_no", "inertia_micro").as[(Long, Long)].collect().toMap
+    assert(trace.map(t => q94(t._1)) === trace.map(_._2))
+    // the emitted round count IS the first round passing the per-mille
+    // rule (Lloyd non-increasing, spec'd elsewhere), never past the cap
+    def stops(prev: Long, cur: Long): Boolean =
+      (BigInt(prev) - BigInt(cur)) * 1000 <=
+        BigInt(prev) * SimilarityOps.KmeansConvEpsPerMille
+    val deltas = trace.map(_._2).sliding(2).toSeq.collect {
+      case Seq(p, c) => stops(p, c) }
+    val converged = deltas.nonEmpty && deltas.last
+    assert(deltas.init.forall(!_), "the run must stop at the FIRST passing round")
+    assert(trace.size <= SimilarityOps.KmeansConvMaxRounds)
+    if (trace.size < SimilarityOps.KmeansConvMaxRounds)
+      assert(converged, "a below-cap run must have stopped on the rule")
+    // stopped marks exactly the final round of a rule-stopped run
+    assert(trace.map(_._3) ===
+      trace.map(t => converged && t._1 == trace.size.toLong))
+  }
+
+  test("q121 stops early on a separable fixture: stopped=true before the cap") {
+    // two tight, well-separated groups: Lloyd locks in after one update,
+    // so round 3's inertia equals round 2's and the run stops at round 3
+    val rows = (0 until 12).map { i =>
+      val v = Array.fill(64)(0.0f)
+      if (i < 6) v(0) = 10.0f + 0.001f * i else v(1) = 10.0f + 0.001f * i
+      (i.toLong, v.toSeq, i % 2)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val t = SimilarityOps.kmeansConvergedTrace(df, k = 2, maxRounds = 8)
+      .select("round_no", "stopped").distinct().orderBy("round_no")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(t.size < 8, s"expected an early stop, got ${t.size} rounds")
+    assert(t.last._2, "the final round must carry stopped=true")
+    assert(t.init.forall(!_._2), "stopped must mark ONLY the final round")
+  }
+
 }
