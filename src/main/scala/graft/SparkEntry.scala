@@ -414,6 +414,13 @@ object SparkEntry {
     "q108_quality_token_curve" -> ((s, d) =>
       graft.ops.QualityModelOps.qualityTokenCurve(
         qualityScoresShared(s, d), Tables.documents(s, d))),
+    // apply the q108 operating threshold: the highest score bin covering
+    // the fixed token budget becomes the cut; emits the kept doc set —
+    // the decision the q101→q103→q108 chain drives. Reads the
+    // MATERIALIZED q101 score snapshot (q103/q108 pattern)
+    "q123_quality_budget_cut" -> ((s, d) =>
+      graft.ops.QualityModelOps.qualityBudgetCut(
+        qualityScoresShared(s, d), Tables.documents(s, d))),
     // per-language tokenizer fertility/compression over the persisted q77
     // merge artifact — tokenization fused into one scan, no join back
     "q96_tokenizer_fertility" -> ((s, d) =>

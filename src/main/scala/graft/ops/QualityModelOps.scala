@@ -274,6 +274,54 @@ object QualityModelOps {
       .orderBy("bin")
   }
 
+  /** q123's fixed token budget — the training-run size the q108 curve
+    * exists to serve, shared with the oracle (and with q122's composed
+    * curation manifest). At the graded scales it lands mid-curve, so the
+    * cut genuinely bisects the corpus. */
+  val CurationTokenBudget = 10000L
+
+  /** q123 — APPLY the q108 operating threshold: the highest score bin
+    * whose cumulative token volume covers [[CurationTokenBudget]] becomes
+    * the cut, and every doc scoring in or above that bin is KEPT — the
+    * decision the q101 → q103 → q108 chain exists to drive, closing it
+    * with the emitted kept-doc set (doc_id, score, bin, tokens, and the
+    * cut on every row for auditability). When even the full curve cannot
+    * cover the budget (budget > corpus), the cut falls back to the LOWEST
+    * bin — keep everything, the only budget-respecting choice — rather
+    * than raising: an under-budget corpus is a normal early-pipeline
+    * state, unlike a malformed artifact.
+    *
+    * Scale shape: one corpus pass bins (score, tokens) rows — checkpointed
+    * because the cut aggregate and the keep filter both consume it — then
+    * the cut is ONE bounded aggregate over the ≤ |bins| cumulative table
+    * (the q108 bounded self-join, no window), broadcast back as a one-row
+    * dial for the row-local keep filter. Determinism: the bin is q103's
+    * floor division over exact integers, cumulative sums exact int64, the
+    * cut a MAX/MIN over exact integers — hash-identical cross-engine. */
+  def qualityBudgetCut(scores: DataFrame, docs: DataFrame,
+                       budget: Long = CurationTokenBudget,
+                       binMicro: Long = CalibrationBinMicro): DataFrame = {
+    val binned = scores.select(col("doc_id"), col("score_micro"))
+      .join(docs.selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok"), "doc_id")
+      .selectExpr("doc_id", "score_micro",
+        s"CAST(FLOOR(CAST(score_micro AS DOUBLE) / ${binMicro}e0) AS BIGINT) AS bin",
+        "n_tok")
+      .localCheckpoint()
+    val bins = binned.groupBy("bin").agg(sum("n_tok").as("n_tokens"))
+    val cum = bins.as("x")
+      .join(broadcast(bins.as("y")), col("y.bin") >= col("x.bin"))
+      .groupBy(col("x.bin").as("bin"))
+      .agg(sum(col("y.n_tokens")).as("cum_tokens"))
+    val cut = cum.agg(
+      coalesce(max(when(col("cum_tokens") >= budget, col("bin"))), min(col("bin")))
+        .as("cut_bin"))
+    binned.crossJoin(broadcast(cut))
+      .filter(col("bin") >= col("cut_bin"))
+      .select("doc_id", "score_micro", "bin", "n_tok", "cut_bin")
+      .orderBy("doc_id")
+  }
+
   /** DuckDB oracle: composes the q61 oracle verbatim for the weak labels
     * (the q71/q89/q98 pattern — the classifier's supervision cannot drift
     * from the individually-hash-verified heuristic), the q57 split rule,
@@ -305,6 +353,11 @@ object QualityModelOps {
                  b.n_docs AS n_docs, b.n_tokens AS n_tokens,
                  c.cum_docs AS cum_docs, c.cum_tokens AS cum_tokens
           FROM b JOIN c ON b.bin = c.bin ORDER BY bin""",
+    // q123 composes the q101 oracle verbatim (the q108 pattern): identical
+    // binning, the same bounded self-join cumulative, the same
+    // MAX-covering-bin-else-MIN cut as one scalar subquery, then the
+    // row-local keep filter
+    "q123_quality_budget_cut" -> QualityBudgetCutSql,
     "q103_score_calibration" ->
       s"""WITH q AS ($QualityClassifierSql),
           l AS (${TextOps.oracles("q61_training_filter")}),
@@ -319,6 +372,30 @@ object QualityModelOps {
                  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS keep_rate
           FROM j GROUP BY bin ORDER BY bin""")
+
+  /** The q123 oracle SQL, a val so q122's composed curation manifest can
+    * embed the same kept-set definition verbatim. */
+  private[graft] lazy val QualityBudgetCutSql =
+    s"""WITH q AS ($QualityClassifierSql),
+        t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+        j AS (SELECT q.doc_id AS doc_id, q.score_micro AS score_micro,
+                     CAST(FLOOR(CAST(q.score_micro AS DOUBLE) / ${CalibrationBinMicro}e0)
+                          AS BIGINT) AS bin,
+                     t.n_tok AS n_tok
+              FROM q JOIN t ON q.doc_id = t.doc_id),
+        b AS (SELECT bin, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+              FROM j GROUP BY bin),
+        c AS (SELECT x.bin AS bin, CAST(SUM(y.n_tokens) AS BIGINT) AS cum_tokens
+              FROM b x JOIN b y ON y.bin >= x.bin GROUP BY x.bin),
+        s AS (SELECT COALESCE(MAX(CASE WHEN cum_tokens >= $CurationTokenBudget
+                                       THEN bin END), MIN(bin)) AS cut_bin
+              FROM c)
+        SELECT j.doc_id AS doc_id, j.score_micro AS score_micro, j.bin AS bin,
+               j.n_tok AS n_tok, s.cut_bin AS cut_bin
+        FROM j CROSS JOIN s
+        WHERE j.bin >= s.cut_bin
+        ORDER BY doc_id"""
 
   /** The q101 oracle SQL, a val so q103 composes it verbatim. */
   private val QualityClassifierSql =

@@ -77,6 +77,47 @@ class QualityModelOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality budget cut: minimal covering cut, exact boundary, full-keep fallback") {
+    val scores = QualityModelOps.qualityClassifier(docs)
+      .select("doc_id", "score_micro")
+    val budget = QualityModelOps.CurationTokenBudget
+    val kept = QualityModelOps.qualityBudgetCut(scores, docs)
+      .select("doc_id", "bin", "n_tok", "cut_bin")
+      .as[(String, Long, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    val cut = kept.head._4
+    assert(kept.forall(_._4 === cut), "cut_bin must be a single dial on every row")
+    assert(kept.forall(_._2 >= cut), "kept rows must all score at or above the cut")
+    // coverage: the kept set meets the budget...
+    val keptToks = kept.map(_._3).sum
+    assert(keptToks >= budget, s"kept $keptToks tokens < budget $budget")
+    // ...and MINIMALLY so: dropping the cut bin itself falls below budget
+    // (the cut is the HIGHEST covering bin), unless the fallback fired
+    val aboveCut = kept.filter(_._2 > cut).map(_._3).sum
+    val totalToks = docs.selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    if (totalToks >= budget)
+      assert(aboveCut < budget,
+        s"cut not minimal: bins above $cut already cover $aboveCut >= $budget")
+    // fallback: an uncoverable budget keeps the WHOLE corpus (cut = lowest bin)
+    val all = QualityModelOps.qualityBudgetCut(scores, docs, budget = totalToks + 1)
+      .count()
+    assert(all === docs.count(),
+      s"budget > corpus must keep everything, kept $all of ${docs.count()}")
+  }
+
+  test("quality budget cut plan: bounded cumulative join, one-row dial broadcast, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val scores = QualityModelOps.qualityClassifier(docs)
+      .select("doc_id", "score_micro")
+    val q = QualityModelOps.qualityBudgetCut(scores, docs)
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q123 must not window")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastNestedLoopJoin") || exec.contains("BroadcastHashJoin"),
+      s"the one-row cut dial must broadcast:\n${exec.take(1500)}")
+  }
+
   test("quality classifier plan: bounded weight table broadcast, no window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = QualityModelOps.qualityClassifier(docs)
