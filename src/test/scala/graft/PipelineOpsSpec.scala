@@ -27,6 +27,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frac("val") > 0.03 && frac("test") > 0.03)
   }
 
+  test("q122 curation manifest equals the stagewise application of its graded stages") {
+    // compose the INDIVIDUALLY GRADED stage outputs (q89 render, q106
+    // canon, q123 budget cut, q113 split) with plain Scala collections and
+    // the shared md5 shard rule — the composed query must agree exactly,
+    // pinning stage order and survivor semantics end-to-end
+    val d = "/root/testdata/sf0.001"
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the render stage at CORPUS scope (q89's graded render chain covers
+    // only the train split because its verdict join is train-only, so the
+    // full-corpus render is re-applied here from the same stage ops)
+    val dirty = Tables.documents(spark, d)
+      .selectExpr("doc_id", s"${graft.ops.TextOps.DirtyExpr} AS text")
+    val rendered = graft.ops.DedupOps.spanScrubText(dirty)
+      .selectExpr("doc_id",
+        s"${graft.ops.TextOps.piiRedact("clean_text")} AS final_text")
+      .selectExpr("doc_id",
+        "CAST(size(split(final_text, ' ')) AS BIGINT) AS n_tokens",
+        "md5(final_text) AS final_fp")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val canon = SparkEntry.queries("q106_cluster_canon")(spark, d)
+      .filter(col("canon")).select("doc_id").as[Long].collect().toSet
+    val kept = SparkEntry.queries("q123_quality_budget_cut")(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    val split = SparkEntry.queries("q113_leakfree_split")(spark, d)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = (canon & kept).toSeq
+      .map { id =>
+        val (toks, fp) = rendered(id)
+        (split(id), java.lang.Long.parseLong(md5hex(id.toString).take(2), 16) % 16,
+          id, toks, java.lang.Long.parseLong(fp.take(12), 16))
+      }
+      .groupBy(r => (r._1, r._2))
+      .map { case ((sp, sh), rows) =>
+        (sp, sh, rows.size.toLong, rows.map(_._4).sum,
+          rows.map(_._3).min, rows.map(_._3).max,
+          rows.map(_._5).reduce(_ ^ _))
+      }.toSeq.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q122_curation_manifest")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.map(_._3).sum === (canon & kept).size.toLong)
+  }
+
   test("stratified sample: threshold form tracks the exact-rank twin per stratum") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap

@@ -277,6 +277,19 @@ class PlanShapeSpec extends SparkSpec {
       "q89 must not funnel the corpus through an unpartitioned window")
   }
 
+  test("q122 curation manifest: no cartesian, no unpartitioned window, survivor joins co-keyed") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = SparkEntry.queries("q122_curation_manifest")(spark, "/root/testdata/sf0.001")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"cartesian leaked into the composed curation DAG:\n${exec.take(1200)}")
+    // inherited stage windows (q84's span merge) must stay partitioned;
+    // the composition itself adds none
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "q122 must not funnel the corpus through an unpartitioned window")
+  }
+
   test("q79 BPE tokenization applies merges row-locally: no shuffle beyond the output sort") {
     // learning runs as its own bounded jobs; the APPLICATION the query
     // plans must be a pure projection over the scan — a hash exchange here
