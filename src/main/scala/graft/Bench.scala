@@ -17,10 +17,14 @@ import org.apache.spark.sql.SparkSession
   *  - TWO measured passes, per-query MIN reported: the host shows noisy-
   *    neighbor CPU steal (observed 3 s → 19 s on an identical warm plan),
   *    and min-of-2 is the standard estimator for "the plan's cost" under
-  *    external interference; when the probes flag the two-pass run as
-  *    noise-bound, a THIRD pass runs and the minima are min-of-3 (the
-  *    noise flag is then recomputed over all probes — a run still noisy
-  *    after three passes stays flagged rather than laundered);
+  *    external interference; while EVERY pass so far is individually
+  *    noise-bound, further passes run up to [[MaxPasses]] and the minima
+  *    are min-of-N. The artifact-level `noise_bound` is the per-pass
+  *    conjunction ([[passNoise]]): one quiet pass upper-bounds every
+  *    reported minimum, so its existence clears the flag; a run all-noisy
+  *    after MaxPasses stays flagged rather than laundered. Official runs
+  *    additionally hold the first pass for a bounded quiet-probe window
+  *    (`gate_wait` in the compact line records the wait);
   *  - a fixed-cost CPU probe runs before and after each measured pass AND
   *    every [[ProbeEvery]] queries inside it. Its plan never changes, so
   *    probe variance IS host interference — a reader can attribute an
@@ -68,17 +72,30 @@ object Bench {
     * is external CPU steal, not the probe. */
   val ProbeQuietSec = 0.13
 
-  /** Noise gate for the official artifact: flagged noise-bound when the
-    * run's MEDIAN probe exceeds 1.5× the quiet baseline (or 1.5× the
-    * run's own best probe, whichever is larger — a host that is uniformly
-    * a bit slower should not flag). A flagged artifact's totals measure
-    * the neighbors, not the plans: re-run or read the committed
-    * quiet-window detail instead of comparing round-over-round. */
+  /** Noise gate over one probe sequence: flagged noise-bound when the
+    * MEDIAN probe exceeds 1.5× the quiet baseline (or 1.5× the sequence's
+    * own best probe, whichever is larger — a host that is uniformly a bit
+    * slower should not flag). */
   def noiseBound(probes: Seq[Double]): Boolean =
     probes.nonEmpty && {
       val sorted = probes.sorted
       sorted(sorted.size / 2) > 1.5 * math.max(ProbeQuietSec, sorted.head)
     }
+
+  /** Per-PASS noise verdicts — the artifact-level flag is their
+    * conjunction: the reported metric is the per-query MIN across passes,
+    * and external steal only ever INFLATES a timing, so one genuinely
+    * quiet pass upper-bounds every reported minimum and makes the totals
+    * trustworthy regardless of how noisy the other passes were. (The old
+    * median-over-all-probes rule kept a run flagged forever once one
+    * steal-bound pass had polluted the pool — remediation passes could
+    * never clear it.) A run where EVERY pass saw steal stays flagged:
+    * that is documented exhaustion, not laundering. */
+  def passNoise(probes: Probes): Seq[Boolean] = probes.passes.map(noiseBound)
+
+  /** Measured-pass budget: the standard two, plus remediation passes while
+    * every pass so far is individually noise-bound. */
+  val MaxPasses = 5
 
   /** 3-decimal rendering, locale-independent (f"" uses the default locale). */
   def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
@@ -129,7 +146,8 @@ object Bench {
     * query that fails one pass keeps its surviving timing but is flagged
     * flaky, never silently scored as healthy.
     */
-  def renderLines(results: Seq[QueryResult], probes: Probes, sfDir: String): Seq[String] = {
+  def renderLines(results: Seq[QueryResult], probes: Probes, sfDir: String,
+                  gateWaitSec: Double = 0.0): Seq[String] = {
     val merged = results.map { case QueryResult(name, ps) =>
       val oks = ps.collect { case Right(v) => v }
       val firstErr = ps.zipWithIndex.collectFirst { case (Left(e), i) => (e, i + 1) }
@@ -172,10 +190,13 @@ object Bench {
     val perQuery =
       s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":${secObj(ok)},""" +
         s""""errors":$errJson,"pass_totals":$passTotals,"sf":"$sf"}"""
-    val noisy = noiseBound(probes.all)
+    val perPass = passNoise(probes)
+    val noisy = perPass.nonEmpty && perPass.forall(identity)
+    val passNoiseJson = perPass.mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},""" +
         s""""nqueries":${ok.size},"nerrors":${errors.size},"noise_bound":$noisy,""" +
+        s""""pass_noise":$passNoiseJson,"gate_wait":${fmt(gateWaitSec)},""" +
         s""""pass_totals":$passTotals,"probe":${probeArr(probes.all)},"sf":"$sf"}"""
     Seq(detail, perQuery, compact)
   }
@@ -187,7 +208,8 @@ object Bench {
     * Does NOT stop the session — callable from tests on a shared session.
     */
   def run(spark: SparkSession, sfDir: String, prefixes: Seq[String],
-          probeRows: Long = 64L * 1000 * 1000): RunResult = {
+          probeRows: Long = 64L * 1000 * 1000,
+          gateMaxWaitSec: Double = 0.0): RunResult = {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => prefixes.exists(name.startsWith) }
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -209,6 +231,20 @@ object Bench {
       (timings, mids.result())
     }
     probeOnce(spark, probeRows) // probe warmup (JIT for the probe plan itself)
+    // QUIET GATE (official runs only — gateMaxWaitSec=0 disables): hold
+    // the first measured pass until the median of the last 3 probes is
+    // quiet, bounded by gateMaxWaitSec of waiting. Steal bursts outlast
+    // any affordable wait (r11 saw one span the whole closing window), so
+    // this is best-effort; the wait is recorded as `gate_wait` either way
+    // — telemetry, never laundering.
+    val gateT0 = System.nanoTime()
+    var gateProbes = Seq(probeOnce(spark, probeRows))
+    while (noiseBound(gateProbes.takeRight(3)) &&
+           (System.nanoTime() - gateT0) / 1e9 < gateMaxWaitSec) {
+      Thread.sleep(2000)
+      gateProbes = gateProbes :+ probeOnce(spark, probeRows)
+    }
+    val gateWait = (System.nanoTime() - gateT0) / 1e9
     val p1b = probeOnce(spark, probeRows)
     val (pass1, mids1) = measuredPass()
     val p1a = probeOnce(spark, probeRows) // boundary probe: ends pass 1, starts pass 2
@@ -216,17 +252,19 @@ object Bench {
     val p2a = probeOnce(spark, probeRows)
     var probes = Probes(Seq((p1b +: mids1) :+ p1a, (p1a +: mids2) :+ p2a))
     var passes = Seq(pass1, pass2)
-    // NOISE REMEDIATION: when the two-pass run is noise-bound (the probes
-    // saw external CPU steal), pay ONE more pass and report min-of-3 —
-    // bounded cost, since per-query minima are already the metric, and the
-    // extra pass usually lands the minimum in a quieter window. The flag
-    // is then recomputed over ALL probes: a run still noisy after three
-    // passes stays flagged rather than laundered.
-    if (noiseBound(probes.all)) {
-      val (pass3, mids3) = measuredPass()
-      val p3a = probeOnce(spark, probeRows)
-      probes = Probes(probes.passes :+ ((p2a +: mids3) :+ p3a))
-      passes = passes :+ pass3
+    // NOISE REMEDIATION: while EVERY pass so far is individually
+    // noise-bound (the probes saw external CPU steal in each), pay another
+    // pass up to [[MaxPasses]] — bounded cost, since per-query minima are
+    // already the metric, and one quiet pass upper-bounds every minimum
+    // (see [[passNoise]]). A run still all-noisy after MaxPasses stays
+    // flagged rather than laundered — documented exhaustion.
+    var lastBoundary = p2a
+    while (passes.size < MaxPasses && passNoise(probes).forall(identity)) {
+      val (passN, midsN) = measuredPass()
+      val pNa = probeOnce(spark, probeRows)
+      probes = Probes(probes.passes :+ ((lastBoundary +: midsN) :+ pNa))
+      passes = passes :+ passN
+      lastBoundary = pNa
     }
     val results = passes.head.indices.map { i =>
       QueryResult(passes.head(i)._1, passes.map(_(i)._2))
@@ -234,7 +272,7 @@ object Bench {
     val failed = results.collect {
       case QueryResult(name, ps) if ps.exists(_.isLeft) => name
     }
-    RunResult(renderLines(results, probes, sfDir), failed)
+    RunResult(renderLines(results, probes, sfDir, gateWait), failed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -251,7 +289,11 @@ object Bench {
     // optional arg: comma-separated name prefixes (local iteration only;
     // the driver invokes with no args → full suite)
     val prefixes = if (args.nonEmpty) args(0).split(",").toSeq else Seq("")
-    val result = run(spark, sfDir, prefixes)
+    // official (no-arg) runs gate on a quiet probe window before measuring;
+    // prefix-filtered local iteration skips the wait
+    val gateSec = sys.env.get("SPARK_GRAFT_GATE_SEC").map(_.toDouble)
+      .getOrElse(if (args.isEmpty) 60.0 else 0.0)
+    val result = run(spark, sfDir, prefixes, gateMaxWaitSec = gateSec)
     result.lines.foreach(println)
     // persist the forensic record: stdout-tail capture sheds the detail line,
     // so append it to a committed JSONL artifact (best-effort — the bench

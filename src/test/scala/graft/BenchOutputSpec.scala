@@ -107,11 +107,28 @@ class BenchOutputSpec extends SparkSpec {
 
   test("renderLines: compact line carries the noise_bound verdict") {
     val results = Seq(Bench.QueryResult("q01_a", Right(0.1), Right(0.1)))
-    val quiet = parseObj(Bench.renderLines(results, probes, "/sf").last)
+    val quiet = parseObj(Bench.renderLines(results,
+      Bench.Probes(Seq(0.12, 0.13), Seq(0.13, 0.12)), "/sf").last)
     assert(!quiet.get("noise_bound").asBoolean)
     val noisy = parseObj(Bench.renderLines(results,
-      Bench.Probes(Seq(0.13, 0.5), Seq(0.5, 0.6)), "/sf").last)
+      Bench.Probes(Seq(0.13, 0.5, 0.6), Seq(0.6, 0.13, 0.7)), "/sf").last)
     assert(noisy.get("noise_bound").asBoolean)
+  }
+
+  test("noise_bound is the per-pass conjunction: one quiet pass clears the flag") {
+    val results = Seq(Bench.QueryResult("q01_a", Right(0.1), Right(0.1)))
+    // pass 1 steal-bound, pass 2 quiet — the minima are upper-bounded by the
+    // quiet pass, so the artifact must NOT stay flagged (the r11 failure mode)
+    val mixed = Bench.Probes(Seq(0.13, 0.5, 0.6), Seq(0.6, 0.13, 0.12))
+    assert(Bench.passNoise(mixed) === Seq(true, false))
+    val line = parseObj(Bench.renderLines(results, mixed, "/sf").last)
+    assert(!line.get("noise_bound").asBoolean)
+    assert(line.get("pass_noise").get(0).asBoolean
+      && !line.get("pass_noise").get(1).asBoolean)
+    // gate telemetry is always present (0.0 when the gate is disabled)
+    assert(line.get("gate_wait").asDouble === 0.0)
+    val gated = parseObj(Bench.renderLines(results, mixed, "/sf", 12.345).last)
+    assert(gated.get("gate_wait").asDouble === 12.345)
   }
 
   test("renderLines: a third (noise-remediation) pass renders min-of-3 and 3 pass totals") {
