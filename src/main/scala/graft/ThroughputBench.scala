@@ -120,6 +120,9 @@ object ThroughputBench {
         case "semguard" =>
           streaming.StreamSemanticGuard.flag(
             ingestWire.selectExpr("doc_id AS vec_id", "embedding"), semRefs)
+        case "shardroute" =>
+          streaming.StreamShardWriter.route(
+            ingestWire.selectExpr("doc_id", "text"))
         case _ => streaming.FraudPipeline.fraudAlerts(wire)
       }
       out.write.format("noop").mode("overwrite").save()
@@ -134,6 +137,7 @@ object ThroughputBench {
       case "modelscore" => "model_score_rows_per_sec"
       case "cellsample" => "cell_sample_rows_per_sec"
       case "semguard" => "sem_guard_rows_per_sec"
+      case "shardroute" => "shard_route_rows_per_sec"
       case _ => "pipeline_rows_per_sec"
     }
     println(f"""{"metric":"$metric%s","value":$rps%.0f,"rows":$n,"sec":$sec%.3f,"cpus":$cpus}""")
