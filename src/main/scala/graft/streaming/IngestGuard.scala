@@ -63,7 +63,7 @@ object IngestGuard {
                    delay: String = "10 minutes",
                    bands: Int = DedupOps.Bands,
                    numHashes: Int = DedupOps.NumHashes,
-                   minAgree: Double = 0.5): DataFrame = {
+                   minAgree: Double = DedupOps.JaccardThreshold): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     val sigExpr = DedupOps.signatureExpr(numHashes)
     def withBands(df: DataFrame, sigName: String): DataFrame =
