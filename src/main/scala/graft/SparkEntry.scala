@@ -333,6 +333,11 @@ object SparkEntry {
     // pass, with the over-repetition flag — all exact integer quotients
     "q105_mixture_epoch_plan" -> ((s, d) =>
       PipelineOps.mixtureEpochPlan(Tables.documents(s, d))),
+    // the cost model that justifies packing: per length bucket, the exact
+    // pad-token waste and fill rate length-bucketed batching would pay —
+    // read against q78's ~1.0 packed fill
+    "q125_padding_waste"   -> ((s, d) =>
+      PipelineOps.paddingWaste(Tables.documents(s, d))),
     // concat-and-chunk packing bookkeeping: per-doc offset + chunk span
     // from a two-pass distributed prefix sum (no global window)
     "q73_sequence_packing" -> ((s, d) =>
@@ -600,6 +605,12 @@ object SparkEntry {
     // int8 symmetric storage quantization with per-vector error reporting
     "q74_embedding_quantize" -> ((s, d) =>
       SimilarityOps.quantizeInt8(Tables.embeddings(s, d))),
+    // exact mean/covariance moment table over the embedding column — the
+    // PCA/whitening/OPQ prep artifact and the drift census between
+    // embedding-model versions; upper-triangle products explode straight
+    // into a map-combinable aggregate (no self-join, D² states shuffle)
+    "q124_embedding_moments" -> ((s, d) =>
+      SimilarityOps.embeddingMoments(Tables.embeddings(s, d))),
     // one-row embedding integrity census (null/ragged/zero-norm counts +
     // exact quantized-norm² stats) — run before trusting the column
     "q118_embedding_audit"  -> ((s, d) =>

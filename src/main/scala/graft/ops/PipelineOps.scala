@@ -208,6 +208,37 @@ object PipelineOps {
           .as("content_fp48"))
       .orderBy("split", "shard")
 
+  /** q125's length-bucket width (tokens) — the granularity a
+    * length-sorted batcher groups by, shared with the oracle. */
+  val PadBucketTokens = 32L
+
+  /** q125 — PADDING-WASTE REPORT: the cost model that justifies q73's
+    * concat-and-chunk packing — under LENGTH-BUCKETED batching (sort by
+    * length, batch within [[PadBucketTokens]]-wide buckets, pad each doc
+    * to its bucket's max), how many pad tokens does the corpus burn? One
+    * row per bucket: doc/token volume, the pad target (bucket max), the
+    * exact integer pad_waste = n·max − Σlen, and the fill rate — read
+    * next to q78's packing stats (fill ≈ 1 by construction there), the
+    * delta is the compute a trainer saves by packing. Also the batching
+    * policy dial: a bucket with low fill wants a narrower width.
+    *
+    * Scale shape: the bucket id is row-local integer math; the report is
+    * ONE map-combinable aggregate with ≤ max_len/width output rows. Waste
+    * is exact int64 (n·max ≤ corpus tokens · width); fill is one IEEE
+    * division. */
+  def paddingWaste(docs: DataFrame, bucketTokens: Long = PadBucketTokens): DataFrame =
+    docs.selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+      .selectExpr(s"CAST(n_tok DIV $bucketTokens AS BIGINT) AS bucket", "n_tok")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        max("n_tok").as("max_tokens"))
+      .selectExpr("bucket", "n_docs", "sum_tokens", "max_tokens",
+        "n_docs * max_tokens - sum_tokens AS pad_waste",
+        """CAST(sum_tokens AS DOUBLE)
+           / (CAST(n_docs AS DOUBLE) * CAST(max_tokens AS DOUBLE)) AS fill_rate""")
+      .orderBy("bucket")
+
   /** q120 — CROSS-TABLE REFERENTIAL AUDIT: the one-row census that closes
     * the audit family (q117 metadata, q118 embeddings, q119 documents) by
     * checking the tables AGAINST EACH OTHER — documents with no embedding
@@ -652,6 +683,17 @@ object PipelineOps {
                 CAST(ROW_NUMBER() OVER (PARTITION BY s.shard ORDER BY ord, doc_id) AS BIGINT) AS pos
          FROM s JOIN sq ON s.shard = sq.shard
          ORDER BY shard_seq, pos""",
+    "q125_padding_waste" ->
+      s"""SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+                 CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+                 CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_waste,
+                 CAST(SUM(n_tok) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(n_tok) AS DOUBLE)) AS fill_rate
+         FROM (SELECT CAST(len(str_split(text, ' ')) AS BIGINT) // $PadBucketTokens AS bucket,
+                      CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents)
+         GROUP BY bucket ORDER BY bucket""",
     "q100_shard_manifest" ->
       """SELECT bucket % 16 AS shard,
                 CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -935,6 +935,53 @@ object SimilarityOps {
                      / (CAST(n_vectors - n_null - n_bad_dim - n_zero_norm AS DOUBLE) * 1e6)
            END AS mean_n2""")
 
+  /** q124 — EMBEDDING MOMENTS: the exact per-dimension-pair second-moment
+    * table (mean vector + upper-triangle covariance) — the artifact PCA /
+    * whitening / OPQ rotation training starts from, and the drift census
+    * two embedding-model versions are compared by. Emits one row per
+    * (i ≤ j) pair: n, both means, and the covariance, all derived from
+    * exact milli-unit integer sums (the q118 quantization recipe) so the
+    * table is hash-identical cross-engine — covariance numerators are
+    * DECIMAL(38,0) (no overflow at any corpus size), each emitted figure
+    * one correctly-rounded cast + IEEE division.
+    *
+    * Scale shape: ONE corpus pass builds the flattened upper-triangle
+    * product array per row and explodes it STRAIGHT INTO a partial
+    * (map-combinable) aggregate — the D(D+1)/2-per-row stream never
+    * materializes, no self-join, and only the ≤ 2 080 agg states shuffle;
+    * the per-dimension sums ride a second bounded aggregate joined back
+    * broadcast. CPU is the O(N·D²) inherent to covariance; memory and
+    * shuffle are bounded by D². A malformed vector fails LOUDLY (the q109
+    * arrival-guard contract): a null/ragged row would silently skew every
+    * moment, and q118 is the census that counts them upstream. */
+  def embeddingMoments(emb: DataFrame, dim: Int = Dim): DataFrame = {
+    val q = emb.selectExpr(
+      s"""CASE WHEN embedding IS NULL OR size(embedding) != $dim
+               THEN CAST(raise_error('q124: malformed embedding (null or wrong dimension) — moments would silently skew; run the q118 audit') AS ARRAY<BIGINT>)
+               ELSE transform(embedding,
+                      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+          END AS qv""")
+    val sums = q.selectExpr("posexplode(qv) AS (i, qc)")
+      .groupBy("i")
+      .agg(sum(col("qc").cast("decimal(38,0)")).as("s"))
+    val prods = q.selectExpr(
+      s"""explode(flatten(transform(sequence(0, ${dim - 1}), i ->
+            transform(sequence(i, ${dim - 1}), j ->
+              struct(i AS i, j AS j, qv[i] * qv[j] AS xy))))) AS e""")
+      .selectExpr("e.i AS i", "e.j AS j", "e.xy AS xy")
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("xy").cast("decimal(38,0)")).as("sxy"))
+    prods
+      .join(broadcast(sums.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .selectExpr("CAST(i AS INT) AS i", "CAST(j AS INT) AS j", "n",
+        "CAST(si AS DOUBLE) / (CAST(n AS DOUBLE) * 1e3) AS mean_i",
+        "CAST(sj AS DOUBLE) / (CAST(n AS DOUBLE) * 1e3) AS mean_j",
+        """CAST(CAST(n AS DECIMAL(38,0)) * sxy - si * sj AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e6) AS cov""")
+      .orderBy("i", "j")
+  }
+
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
     * intra-cell cosine distribution (p97 ≈ 0.24, max 0.47) so both verdicts
     * are exercised; a runtime dial like the LSH band constants (the paper
@@ -1439,6 +1486,29 @@ object SimilarityOps {
     // n2q is NULL exactly as Spark's CASE makes it — a future fixture
     // gaining a bad row changes the census on BOTH engines identically
     // instead of diverging at the hash.
+    // q124: the same milli-unit quantization as q118; per-dimension sums
+    // and pair product sums are HUGEINT (DuckDB) / DECIMAL(38,0) (Spark),
+    // every emitted figure one correctly-rounded cast + IEEE division —
+    // the oracle assumes the clean corpus the Spark side RAISES on
+    // otherwise, so a future malformed fixture fails loudly, not silently
+    "q124_embedding_moments" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                     FROM embeddings),
+          x AS (SELECT vec_id, t.i AS i, qv[t.i + 1] AS qc
+                FROM q, range($Dim) t(i)),
+          s AS (SELECT i, SUM(qc) AS s FROM x GROUP BY i),
+          p AS (SELECT a.i AS i, b.i AS j,
+                       CAST(COUNT(*) AS BIGINT) AS n, SUM(a.qc * b.qc) AS sxy
+                FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY a.i, b.i)
+          SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, p.n AS n,
+                 CAST(si.s AS DOUBLE) / (CAST(p.n AS DOUBLE) * 1e3) AS mean_i,
+                 CAST(sj.s AS DOUBLE) / (CAST(p.n AS DOUBLE) * 1e3) AS mean_j,
+                 CAST(p.n * p.sxy - si.s * sj.s AS DOUBLE)
+                   / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE) * 1e6) AS cov
+          FROM p JOIN s si ON p.i = si.i JOIN s sj ON p.j = sj.i
+          ORDER BY i, j""",
     "q118_embedding_audit" ->
       s"""WITH f AS (SELECT
                        CAST(embedding IS NULL AS BIGINT) AS isn,

@@ -27,6 +27,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frac("val") > 0.03 && frac("test") > 0.03)
   }
 
+  test("q125 padding waste: buckets partition the corpus, waste identity holds") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = PipelineOps.PadBucketTokens
+    val rep = PipelineOps.paddingWaste(docs)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val lens = docs.selectExpr("CAST(size(split(text, ' ')) AS BIGINT)")
+      .as[Long].collect()
+    assert(rep.map(_._2).sum === lens.length.toLong)
+    assert(rep.map(_._3).sum === lens.sum)
+    rep.foreach { case (bucket, n, sum, max, waste, fill) =>
+      assert(max / w === bucket, s"pad target outside its own bucket: $max vs $bucket")
+      assert(waste === n * max - sum && waste >= 0)
+      assert(fill > 0.0 && fill <= 1.0)
+      // the bucket max really is the max of its members
+      assert(lens.filter(_ / w == bucket).max === max)
+    }
+    // hand fixture: lens 1,31,33 under width 32 → buckets 0 (two docs,
+    // pad target 31, waste 30) and 1 (one doc, zero waste)
+    val hand = Seq((1L, "a"), (2L, ("b " * 30).trim + " c"), (3L, "d " * 32 + "e"))
+      .toDF("doc_id", "text")
+    val h = PipelineOps.paddingWaste(hand)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(h.map(r => (r._1, r._2, r._4, r._5)).toSeq
+      === Seq((0L, 2L, 31L, 30L), (1L, 1L, 33L, 0L)))
+  }
+
   test("q122 curation manifest equals the stagewise application of its graded stages") {
     // compose the INDIVIDUALLY GRADED stage outputs (q89 render, q106
     // canon, q123 budget cut, q113 split) with plain Scala collections and

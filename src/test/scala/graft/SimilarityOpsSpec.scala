@@ -277,6 +277,39 @@ class SimilarityOpsSpec extends SparkSpec {
       "balance factors must sum to k over the populated cells")
   }
 
+  test("q124 embedding moments: exact moments on a hand fixture, PSD diagonal, full triangle") {
+    // two 2-dim-meaningful vectors padded to 64: hand-check (0,1) moments
+    val a = Array.fill(64)(0.0f); a(0) = 1.0f; a(1) = 2.0f
+    val b = Array.fill(64)(0.0f); b(0) = 3.0f; b(1) = 6.0f
+    val rows = Seq((0L, a.toSeq), (1L, b.toSeq)).toDF("vec_id", "embedding")
+    val m = SimilarityOps.embeddingMoments(rows)
+      .as[(Int, Int, Long, Double, Double, Double)].collect()
+    assert(m.length === 64 * 65 / 2)
+    assert(m.forall(_._3 === 2L))
+    val byPair = m.map(r => (r._1, r._2) -> r).toMap
+    // mean(0) = 2, mean(1) = 4; cov(0,0) = E[x²]−E[x]² = 5−4 = 1;
+    // cov(1,1) = 20−16 = 4; cov(0,1) = 10−8 = 2
+    assert(byPair((0, 0))._4 === 2.0 && byPair((1, 1))._4 === 4.0)
+    assert(byPair((0, 0))._6 === 1.0)
+    assert(byPair((1, 1))._6 === 4.0)
+    assert(byPair((0, 1))._6 === 2.0)
+    assert(byPair((5, 9))._6 === 0.0) // untouched dims carry zero moments
+    // variances (the diagonal) are non-negative on the real corpus too
+    val realDiag = SimilarityOps.embeddingMoments(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+      .filter("i = j").selectExpr("cov").as[Double].collect()
+    assert(realDiag.length === 64 && realDiag.forall(_ >= 0.0))
+  }
+
+  test("q124 fails loudly on malformed embeddings instead of skewing the moments") {
+    val bad = Seq((0L, Some(Seq.fill(64)(1.0f))), (1L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.embeddingMoments(bad).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("q124") || e.getCause != null)
+  }
+
   test("q118 embedding audit flags null, ragged, and zero-norm vectors exactly") {
     val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
       0L -> Some(Seq.fill(64)(0.001f)),         // healthy: each q = 1, n2q = 64
