@@ -455,7 +455,18 @@ object GraftFunctions {
     SimHash64(children.head, children(1).eval().asInstanceOf[Number].intValue())
   }
 
+  private val trisumIdent = FunctionIdentifier("graft_trisum")
+  private val trisumInfo = new ExpressionInfo(classOf[TriangleSumAgg].getName, "graft_trisum")
+  private val trisumBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2 && children(1).foldable,
+      "graft_trisum(qv, dim) takes an array and a literal dimension")
+    TriangleSumAgg(children.head,
+      children(1).eval().asInstanceOf[Number].intValue())
+      .toAggregateExpression()
+  }
+
   def registerAll(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((trisumIdent, trisumInfo, trisumBuilder))
     ext.injectFunction((dotIdent, dotInfo, dotBuilder))
     ext.injectFunction((shinglesIdent, shinglesInfo, shinglesBuilder))
     ext.injectFunction((simhashIdent, simhashInfo, simhashBuilder))
@@ -466,6 +477,7 @@ object GraftFunctions {
 
   /** Idempotent: safe to call from every query builder. */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(trisumIdent, trisumInfo, trisumBuilder)
     spark.sessionState.functionRegistry.registerFunction(dotIdent, dotInfo, dotBuilder)
     spark.sessionState.functionRegistry.registerFunction(shinglesIdent, shinglesInfo, shinglesBuilder)
     spark.sessionState.functionRegistry.registerFunction(simhashIdent, simhashInfo, simhashBuilder)

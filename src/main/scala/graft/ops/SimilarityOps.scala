@@ -954,7 +954,18 @@ object SimilarityOps {
     * shuffle are bounded by D². A malformed vector fails LOUDLY (the q109
     * arrival-guard contract): a null/ragged row would silently skew every
     * moment, and q118 is the census that counts them upstream. */
-  def embeddingMoments(emb: DataFrame, dim: Int = Dim): DataFrame = {
+  def embeddingMoments(emb: DataFrame, dim: Int = Dim): DataFrame =
+    momentsFrom(emb, dim, exploded = false)
+
+  /** The built-ins-only twin of [[embeddingMoments]] (posexplode of the
+    * per-row product triangle into a hash aggregate) — same values by
+    * construction, kept as the spec cross-check for the native
+    * `graft_trisum` aggregate (the q58 threshold/rank twin pattern). */
+  private[graft] def embeddingMomentsExploded(emb: DataFrame, dim: Int = Dim): DataFrame =
+    momentsFrom(emb, dim, exploded = true)
+
+  private def momentsFrom(emb: DataFrame, dim: Int, exploded: Boolean): DataFrame = {
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
     val q = emb.selectExpr(
       s"""CASE WHEN embedding IS NULL OR size(embedding) != $dim
                THEN CAST(raise_error('q124: malformed embedding (null or wrong dimension) — moments would silently skew; run the q118 audit') AS ARRAY<BIGINT>)
@@ -964,13 +975,29 @@ object SimilarityOps {
     val sums = q.selectExpr("posexplode(qv) AS (i, qc)")
       .groupBy("i")
       .agg(sum(col("qc").cast("decimal(38,0)")).as("s"))
-    val prods = q.selectExpr(
-      s"""explode(flatten(transform(sequence(0, ${dim - 1}), i ->
-            transform(sequence(i, ${dim - 1}), j ->
-              struct(i AS i, j AS j, qv[i] * qv[j] AS xy))))) AS e""")
-      .selectExpr("e.i AS i", "e.j AS j", "e.xy AS xy")
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"), sum(col("xy").cast("decimal(38,0)")).as("sxy"))
+    // position → (i, j) decode: a bounded D(D+1)/2-row table built once
+    // from the SAME triangle enumeration order the accumulators use and
+    // joined back broadcast (positions cannot drift from the products)
+    val triangle = s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+                         transform(sequence(i, ${dim - 1}), j -> %s)))"""
+    val posMap = emb.sparkSession.range(1).selectExpr(
+        s"posexplode(${triangle.format("struct(i AS i, j AS j)")}) AS (pos, ij)")
+      .selectExpr("pos", "ij.i AS i", "ij.j AS j")
+    // product sums: the native graft_trisum aggregate folds each row's
+    // upper triangle into one long[] buffer per partition (tight JVM
+    // loop, one ≤ 17 KB state shuffled per partition, integer adds —
+    // partitioning-independent); the exploded twin streams the same
+    // triangle through Generate → partial hash agg
+    val prods = (if (exploded)
+      q.selectExpr(
+          s"posexplode(${triangle.format("qv[i] * qv[j]")}) AS (pos, xy)")
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum(col("xy").cast("decimal(38,0)")).as("sxy"))
+    else
+      q.agg(expr(s"graft_trisum(qv, $dim)").as("tri"), count(lit(1)).as("n"))
+        .selectExpr("n", "posexplode(tri) AS (pos, xy)")
+        .selectExpr("pos", "n", "CAST(xy AS DECIMAL(38,0)) AS sxy"))
+      .join(broadcast(posMap), "pos")
     prods
       .join(broadcast(sums.select(col("i"), col("s").as("si"))), "i")
       .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), "j")

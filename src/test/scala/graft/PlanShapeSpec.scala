@@ -290,19 +290,19 @@ class PlanShapeSpec extends SparkSpec {
       "q122 must not funnel the corpus through an unpartitioned window")
   }
 
-  test("q124 embedding moments: products explode into a partial aggregate; sums broadcast back") {
+  test("q124 embedding moments: native partial trisum aggregate; sums broadcast back") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = SimilarityOps.embeddingMoments(
       Tables.embeddings(spark, "/root/testdata/sf0.001"))
     val exec = q.queryExecution.executedPlan.toString
-    // the O(N·D²) product stream must flow generate → partial hash agg —
-    // a self-join or window here would materialize it
+    // the O(N·D²) product stream must fold inside the map-side partial
+    // graft_trisum buffers — a self-join or window would materialize it
     assert(!exec.contains("SortMergeJoin") && !exec.contains("CartesianProduct"),
       s"q124 must not self-join the component table:\n${exec.take(1500)}")
     assert(exec.contains("BroadcastHashJoin"),
       s"the 64-row dimension sums must broadcast back:\n${exec.take(1500)}")
-    assert(exec.contains("partial"),
-      s"product explode must feed a map-side partial aggregate:\n${exec.take(1500)}")
+    assert(exec.contains("partial_graft_trisum"),
+      s"the native triangle aggregate must run map-side partial:\n${exec.take(1500)}")
     assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
       "q124 must not window")
   }

@@ -301,6 +301,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(realDiag.length === 64 && realDiag.forall(_ >= 0.0))
   }
 
+  test("q124 native trisum equals the exploded twin and is partitioning-independent") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val native = SimilarityOps.embeddingMoments(embT).collect().map(_.toSeq).toSeq
+    val twin = SimilarityOps.embeddingMomentsExploded(embT).collect().map(_.toSeq).toSeq
+    assert(native === twin)
+    // integer adds are associative/commutative: any repartitioning, same table
+    val reparted = SimilarityOps.embeddingMoments(
+      embT.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(native === reparted)
+  }
+
+  test("graft_trisum overflows loudly, never wraps") {
+    // components of ~3e9 quantize to ~3e12 milli-units; their product
+    // (~9e24) exceeds Long range — the aggregate must throw, not wrap
+    val huge = Seq((0L, Seq.fill(64)(3.0e9f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.embeddingMoments(huge).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(chain(e).exists(m => m.contains("overflow") || m.contains("graft_trisum")),
+      s"expected a loud overflow, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("q124 fails loudly on malformed embeddings instead of skewing the moments") {
     val bad = Seq((0L, Some(Seq.fill(64)(1.0f))), (1L, Option.empty[Seq[Float]]))
       .toDF("vec_id", "embedding")
