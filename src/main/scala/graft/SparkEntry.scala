@@ -227,6 +227,11 @@ object SparkEntry {
     "q47_orders_outer"     -> ((s, d) =>
       RelationalOps.ordersPerCustomerOuter(Tables.customer(s, d), Tables.orders(s, d))),
     "q48_asof_join"        -> ((s, d) => RelationalOps.asofJoin(Tables.events(s, d))),
+    // point-in-interval temporal join with NO equi key (the shape Spark
+    // would nest-loop): both sides binned into window-wide time buckets →
+    // equi-join on bucket + row-local range filter — the activity burst
+    // after each signup
+    "q126_interval_join"   -> ((s, d) => RelationalOps.intervalJoin(Tables.events(s, d))),
     "q49_shipping_priority" -> ((s, d) => RelationalOps.shippingPriority(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q51_cohort_pivot"     -> ((s, d) => RelationalOps.cohortTypePivot(Tables.events(s, d))),
@@ -871,6 +876,20 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    // q126: DuckDB plans the pure range predicate natively (IEJoin); the
+    // engine's bucketed form must produce the identical aggregate
+    "q126_interval_join" ->
+      s"""WITH a AS (SELECT event_id, epoch_us(ts) AS us_a FROM events
+                     WHERE event_type = 'signup'),
+          t AS (SELECT epoch_us(ts) AS us_t,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events)
+          SELECT a.event_id AS event_id,
+                 CAST(COUNT(t.us_t) AS BIGINT) AS n_follow,
+                 COALESCE(SUM(t.cents), 0) / 100.0 AS total_value
+          FROM a LEFT JOIN t ON t.us_t > a.us_a
+                            AND t.us_t <= a.us_a + ${RelationalOps.IntervalUs}
+          GROUP BY a.event_id ORDER BY event_id""",
     "q49_shipping_priority" ->
       """SELECT l_orderkey,
                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

@@ -455,4 +455,47 @@ object RelationalOps {
         (sum(Exact.units(col("o_totalprice"), 2)).over(w) / lit(100.0)).as("running_spend"))
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
+
+  /** q126's interval width (µs): the 1-hour follow window each anchor
+    * scans, shared with the oracle — and deliberately EQUAL to the bucket
+    * width, so every anchor's window spans at most two buckets. */
+  val IntervalUs = 3600L * 1000 * 1000
+
+  /** q126 — INTERVAL JOIN, bucketed (the temporal-join shape with NO equi
+    * key, which neither Spark nor a naive shuffle can plan scalably): for
+    * every `anchorType` event, the count and exact value volume of ALL
+    * events — any user — in the hour after it (the activity-burst report
+    * around each signup). A direct `t.us > a.us AND t.us <= a.us + W`
+    * join has no join key, so Spark would nest-loop the full cross
+    * product. The scale idiom: BIN both sides into W-wide time buckets —
+    * a target affects only anchors in its own or the previous bucket, so
+    * each anchor probes exactly 2 buckets — turning the pure range join
+    * into an EQUI-join on bucket + a row-local range filter.
+    *
+    * Scale shape: one explode(2) on the (small) anchor side, one co-keyed
+    * shuffle on the bucket id for both sides; per-bucket fan-out is
+    * bounded by events-per-hour (a data property a skewed hour would
+    * surface in AQE; salting composes if one hour is hot). LEFT join so
+    * burst-less anchors keep their zero row; COUNT/SUM ignore the null
+    * probe rows. Exact integer cents (the q02 recipe) + epoch-µs integer
+    * arithmetic — hash-identical cross-engine. */
+  def intervalJoin(events: DataFrame, anchorType: String = "signup",
+                   windowUs: Long = IntervalUs): DataFrame = {
+    val targets = events.select(
+      unix_micros(col("ts")).as("us_t"),
+      Exact.units(col("value"), 2).as("cents"),
+      expr(s"unix_micros(ts) DIV $windowUs").as("bucket"))
+    val anchors = events.filter(col("event_type") === anchorType)
+      .select(col("event_id"), unix_micros(col("ts")).as("us_a"))
+      .withColumn("bucket", explode(expr(s"array(us_a DIV $windowUs, us_a DIV $windowUs + 1)")))
+    anchors
+      .join(targets,
+        anchors("bucket") === targets("bucket") &&
+          col("us_t") > col("us_a") && col("us_t") <= col("us_a") + lit(windowUs),
+        "left_outer")
+      .groupBy("event_id")
+      .agg(count(col("us_t")).as("n_follow"),
+        (coalesce(sum(col("cents")), lit(0L)) / lit(100.0)).as("total_value"))
+      .orderBy("event_id")
+  }
 }

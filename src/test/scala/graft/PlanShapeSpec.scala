@@ -290,6 +290,18 @@ class PlanShapeSpec extends SparkSpec {
       "q122 must not funnel the corpus through an unpartitioned window")
   }
 
+  test("q126 interval join: bucket binning turns the range join into an equi-join") {
+    val q = graft.ops.RelationalOps.intervalJoin(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val exec = q.queryExecution.executedPlan.toString
+    // the pure range predicate would plan as a nested loop over the full
+    // cross product — the bucket key must carry the join
+    assert(!exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"q126 must equi-join on the time bucket, not nest-loop:\n${exec.take(1500)}")
+    assert(exec.contains("Join") || exec.contains("join"),
+      s"expected a keyed join in the plan:\n${exec.take(800)}")
+  }
+
   test("q124 embedding moments: native partial trisum aggregate; sums broadcast back") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = SimilarityOps.embeddingMoments(

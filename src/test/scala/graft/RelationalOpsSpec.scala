@@ -31,6 +31,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows === Seq((1L, 2L, 600100.0), (2L, 1L, 200.0), (3L, 0L, 0.0)))
   }
 
+  test("q126 interval join counts exactly the strict 1h-after window across bucket edges") {
+    // anchor at t=100s: follows at 101s (same bucket), 3650s (NEXT bucket,
+    // still inside 3700s), 3701s (next bucket, OUTSIDE — boundary is
+    // us <= us_a + W); t=100s itself and an equal-timestamp row are
+    // excluded (STRICTLY after); anchor at 10000s has zero follows but
+    // keeps its row; null values count toward n_follow, not the sum
+    val ev = Seq(
+      (1L, ts(100), 1L, "signup", 0.0, "{}"),
+      (2L, ts(100), 2L, "click", 9.0, "{}"),      // tie with anchor: excluded
+      (3L, ts(101), 2L, "click", 2.5, "{}"),      // in (same bucket)
+      (4L, ts(3650), 3L, "view", 1.5, "{}"),      // in (adjacent bucket)
+      (5L, ts(3700), 3L, "view", 10.0, "{}"),     // in (exactly us_a + W)
+      (6L, ts(3701), 3L, "view", 100.0, "{}"),    // out (past the window)
+      (7L, ts(10000), 4L, "signup", 0.0, "{}")    // burst-less anchor
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.intervalJoin(ev)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 3L, 14.0), (7L, 0L, 0.0)))
+    // null value: counted, not summed
+    val withNull = ev.unionByName(Seq(
+      (8L, ts(102), 5L, "click", null.asInstanceOf[java.lang.Double], "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val g2 = RelationalOps.intervalJoin(withNull)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(g2.head === ((1L, 4L, 14.0)))
+  }
+
   test("as-of join picks the latest prior reference event per user") {
     val ev = Seq(
       (1L, ts(100), 1L, "signup", 0.0, "{}"),
