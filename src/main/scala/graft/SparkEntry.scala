@@ -616,6 +616,11 @@ object SparkEntry {
     // into a map-combinable aggregate (no self-join, D² states shuffle)
     "q124_embedding_moments" -> ((s, d) =>
       SimilarityOps.embeddingMoments(Tables.embeddings(s, d))),
+    // per-label centroid cosine between two md5-dealt corpus halves — the
+    // drift census an index rebuild or model-version bump reads first;
+    // count factors cancel, so cosine runs on exact integer sum vectors
+    "q127_embedding_drift" -> ((s, d) =>
+      SimilarityOps.embeddingDrift(Tables.embeddings(s, d))),
     // one-row embedding integrity census (null/ragged/zero-norm counts +
     // exact quantized-norm² stats) — run before trusting the column
     "q118_embedding_audit"  -> ((s, d) =>

@@ -1009,6 +1009,57 @@ object SimilarityOps {
       .orderBy("i", "j")
   }
 
+  /** q127 — EMBEDDING DRIFT CENSUS: per label, the cosine between the
+    * label's centroid in each HALF of the corpus (halves dealt by the
+    * stateless md5 rule — the stand-in for two crawl snapshots or two
+    * embedding-model versions sharing a corpus). cos ≈ 1 means the
+    * label's region is stable; a drifting label is the first thing an
+    * index rebuild or a model-version bump must re-examine. The count
+    * factors cancel in the cosine, so it is computed directly on the
+    * per-dimension SUM vectors — exact milli-unit integers end-to-end
+    * (DECIMAL(38,0)/HUGEINT products — no overflow at any corpus size),
+    * then one correctly-rounded cast and one IEEE sqrt/divide per label.
+    *
+    * Scale shape: ONE co-keyed aggregate — posexplode to (label, dim)
+    * with the half folded CONDITIONALLY into both sum columns (no second
+    * shuffle, no self-join), then a bounded |labels|·D → |labels|
+    * aggregate. A label missing from one half (or with a zero-norm sum
+    * vector) reports NULL drift rather than a NaN. Malformed embeddings
+    * raise (the q124 contract). */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val comp = emb.selectExpr(
+        "CAST(label AS BIGINT) AS label",
+        s"pmod(conv(substring(md5(CAST(vec_id AS STRING)), 1, 2), 16, 10), 2) AS half",
+        s"""CASE WHEN embedding IS NULL OR size(embedding) != $Dim
+                 THEN CAST(raise_error('q127: malformed embedding (null or wrong dimension) — drift would silently skew; run the q118 audit') AS ARRAY<BIGINT>)
+                 ELSE transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+            END AS qv""")
+      .select(col("label"), col("half"), posexplode(col("qv")).as(Seq("dim", "q")))
+    val g = comp.groupBy("label", "dim")
+      .agg(
+        coalesce(sum(when(col("half") === 0, col("q")).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("sa"),
+        coalesce(sum(when(col("half") === 1, col("q")).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("sb"),
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("na_d"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb_d"))
+    g.groupBy("label")
+      .agg(
+        sum(expr("sa * sb")).as("sab"),
+        sum(expr("sa * sa")).as("saa"),
+        sum(expr("sb * sb")).as("sbb"),
+        max("na_d").as("n_a"),
+        max("nb_d").as("n_b"))
+      .selectExpr("label", "n_a", "n_b",
+        """CASE WHEN n_a = 0 OR n_b = 0 OR saa = 0 OR sbb = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(sab AS DOUBLE)
+                     / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE)))
+           END AS drift_cos""")
+      .orderBy("label")
+  }
+
   /** Cosine threshold for [[semanticDedup]] — sized to the test corpus's
     * intra-cell cosine distribution (p97 ≈ 0.24, max 0.47) so both verdicts
     * are exercised; a runtime dial like the LSH band constants (the paper
@@ -1513,6 +1564,34 @@ object SimilarityOps {
     // n2q is NULL exactly as Spark's CASE makes it — a future fixture
     // gaining a bad row changes the census on BOTH engines identically
     // instead of diverging at the hash.
+    // q127: same milli-unit quantization and range-join unnest as q124;
+    // the count factors cancel so cosine runs on the HUGEINT sum vectors,
+    // one correctly-rounded cast + IEEE sqrt/divide per label
+    "q127_embedding_drift" ->
+      s"""WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+                            ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::BIGINT % 2
+                              AS half,
+                            list_transform(embedding,
+                              x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                     FROM embeddings),
+          x AS (SELECT label, half, t.i AS dim, qv[t.i + 1] AS qc
+                FROM q, range($Dim) t(i)),
+          g AS (SELECT label, dim,
+                       COALESCE(SUM(CASE WHEN half = 0 THEN qc END), 0) AS sa,
+                       COALESCE(SUM(CASE WHEN half = 1 THEN qc END), 0) AS sb,
+                       SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS na_d,
+                       SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS nb_d
+                FROM x GROUP BY 1, 2)
+          SELECT label, CAST(MAX(na_d) AS BIGINT) AS n_a,
+                 CAST(MAX(nb_d) AS BIGINT) AS n_b,
+                 CASE WHEN MAX(na_d) = 0 OR MAX(nb_d) = 0
+                        OR SUM(sa * sa) = 0 OR SUM(sb * sb) = 0
+                      THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(SUM(sa * sb) AS DOUBLE)
+                           / (sqrt(CAST(SUM(sa * sa) AS DOUBLE))
+                              * sqrt(CAST(SUM(sb * sb) AS DOUBLE)))
+                 END AS drift_cos
+          FROM g GROUP BY label ORDER BY label""",
     // q124: the same milli-unit quantization as q118; per-dimension sums
     // and pair product sums are HUGEINT (DuckDB) / DECIMAL(38,0) (Spark),
     // every emitted figure one correctly-rounded cast + IEEE division —

@@ -290,6 +290,17 @@ class PlanShapeSpec extends SparkSpec {
       "q122 must not funnel the corpus through an unpartitioned window")
   }
 
+  test("q127 embedding drift: one co-keyed aggregate — halves folded conditionally, no self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = SimilarityOps.embeddingDrift(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"),
+      s"q127 must fold both halves in ONE aggregate, not join them:\n${exec.take(1500)}")
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q127 must not window")
+  }
+
   test("q126 interval join: bucket binning turns the range join into an equi-join") {
     val q = graft.ops.RelationalOps.intervalJoin(
       Tables.events(spark, "/root/testdata/sf0.001"))

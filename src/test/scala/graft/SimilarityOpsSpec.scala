@@ -326,6 +326,42 @@ class SimilarityOpsSpec extends SparkSpec {
       s"expected a loud overflow, got: ${chain(e).mkString(" | ")}")
   }
 
+  test("q127 embedding drift matches an exact BigInt reference; one-sided labels report NULL") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def half(id: Long) = java.lang.Long.parseLong(md5hex(id.toString).take(2), 16) % 2
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = SimilarityOps.embeddingDrift(embT).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // exact reference: BigInt sum vectors per (label, half), the same
+    // correctly-rounded cast + sqrt/divide sequence
+    val rows = embT.selectExpr("CAST(label AS BIGINT) AS label", "vec_id", "embedding")
+      .as[(Long, Long, Seq[Float])].collect()
+    def quant(x: Float): BigInt = BigInt(
+      BigDecimal(x.toDouble * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    val expected = rows.groupBy(_._1).map { case (label, rs) =>
+      val (a, b) = rs.partition(r => half(r._2) == 0L)
+      def sums(part: Array[(Long, Long, Seq[Float])]): IndexedSeq[BigInt] =
+        (0 until 64).map(d => part.map(r => quant(r._3(d))).foldLeft(BigInt(0))(_ + _))
+      val (sa, sb) = (sums(a), sums(b))
+      val (sab, saa, sbb) = (
+        (0 until 64).map(d => sa(d) * sb(d)).sum,
+        (0 until 64).map(d => sa(d) * sa(d)).sum,
+        (0 until 64).map(d => sb(d) * sb(d)).sum)
+      val cos = if (a.isEmpty || b.isEmpty || saa == 0 || sbb == 0) None
+        else Some(sab.doubleValue / (math.sqrt(saa.doubleValue) * math.sqrt(sbb.doubleValue)))
+      label -> ((a.length.toLong, b.length.toLong, cos))
+    }
+    assert(got === expected)
+    // a label living in ONE half only: NULL drift, not NaN
+    val oneSidedIds = (0L to 500L).filter(half(_) == 0L).take(3)
+    val oneSided = oneSidedIds.map(id => (id, Seq.fill(64)(1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val os = SimilarityOps.embeddingDrift(oneSided).collect().head
+    assert(os.getLong(1) === 3L && os.getLong(2) === 0L && os.isNullAt(3))
+  }
+
   test("q124 fails loudly on malformed embeddings instead of skewing the moments") {
     val bad = Seq((0L, Some(Seq.fill(64)(1.0f))), (1L, Option.empty[Seq[Float]]))
       .toDF("vec_id", "embedding")
