@@ -79,6 +79,15 @@ object ThroughputBench {
     lazy val modelWeights = ops.QualityModelOps.bucketWeightsMicro(
       Tables.documents(spark, "/root/testdata/sf0.001"))
 
+    // budgetgate mode: modelscore plus the q123 one-row cut dial, both
+    // batch artifacts derived once (never inside the measured pass)
+    lazy val budgetCutDial = streaming.StreamBudgetGate.cutBinOf(
+      ops.QualityModelOps.qualityBudgetCut(
+        ops.QualityModelOps.qualityClassifier(
+          Tables.documents(spark, "/root/testdata/sf0.001"))
+          .select("doc_id", "score_micro"),
+        Tables.documents(spark, "/root/testdata/sf0.001")))
+
     // cellsample mode: the full topic-aware admission chain — arriving
     // embeddings routed to their learned cell (StreamCentroidAssign) and
     // admitted/shed against the batch q107 dial (StreamCellSample), both
@@ -123,6 +132,9 @@ object ThroughputBench {
         case "shardroute" =>
           streaming.StreamShardWriter.route(
             ingestWire.selectExpr("doc_id", "text"))
+        case "budgetgate" =>
+          val (w, bias) = modelWeights
+          streaming.StreamBudgetGate.flag(qualityWire, w.toSeq, bias, budgetCutDial)
         case _ => streaming.FraudPipeline.fraudAlerts(wire)
       }
       out.write.format("noop").mode("overwrite").save()
@@ -138,6 +150,7 @@ object ThroughputBench {
       case "cellsample" => "cell_sample_rows_per_sec"
       case "semguard" => "sem_guard_rows_per_sec"
       case "shardroute" => "shard_route_rows_per_sec"
+      case "budgetgate" => "budget_gate_rows_per_sec"
       case _ => "pipeline_rows_per_sec"
     }
     println(f"""{"metric":"$metric%s","value":$rps%.0f,"rows":$n,"sec":$sec%.3f,"cpus":$cpus}""")
