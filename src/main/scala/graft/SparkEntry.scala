@@ -163,6 +163,14 @@ object SparkEntry {
           "md5(final_text) AS final_fp")
     }
 
+  /** The q76 kept set, materialized once per (session, corpus) — q129's
+    * realization audit aggregates this snapshot (q76 stays the live
+    * measured sampling plan; a real pipeline audits the PERSISTED sample
+    * it shipped, not a re-draw). All (string, long) columns round-trip
+    * parquet bit-exactly. */
+  private[graft] def mixtureKeptShared(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "mixkept")(PipelineOps.mixtureSample(Tables.documents(s, d)))
+
   /** The q77 merge list, learned once per (session, corpus) — q79 applies
     * it; q77 itself re-learns so the iterative cost stays measured there
     * (a bounded Seq on the driver: the artifact a real pipeline persists
@@ -365,6 +373,11 @@ object SparkEntry {
     // temperature-weighted target corpus (skew-proof; no per-stratum sort)
     "q76_mixture_sample"   -> ((s, d) =>
       PipelineOps.mixtureSample(Tables.documents(s, d))),
+    // did the sample LAND the mixture? per stratum: demanded vs achieved
+    // counts from the MATERIALIZED q76 snapshot, exact deviation, binomial
+    // sigma, 3σ ok bit — closes the q72 → q76 loop
+    "q129_mixture_realization" -> ((s, d) =>
+      PipelineOps.mixtureRealization(mixtureKeptShared(s, d), Tables.documents(s, d))),
     // §7.1 graft.ext — near-dup detection over `documents`
     "q36_minhash_signature" -> ((s, d) => DedupOps.minhashSignature(Tables.documents(s, d))),
     "q37_lsh_pairs"        -> ((s, d) => DedupOps.lshPairs(Tables.documents(s, d))),
@@ -448,6 +461,13 @@ object SparkEntry {
     // MATERIALIZED q101 score snapshot (q103/q108 pattern)
     "q123_quality_budget_cut" -> ((s, d) =>
       graft.ops.QualityModelOps.qualityBudgetCut(
+        qualityScoresShared(s, d), Tables.documents(s, d))),
+    // per-language quality-score distribution census: exact binned
+    // median/p95 per lang over the bounded q103 bin table — the fairness
+    // artifact read before applying the ONE corpus-wide q123 cut; never
+    // a per-language rank (the q58 lesson)
+    "q128_lang_score_census" -> ((s, d) =>
+      graft.ops.QualityModelOps.langScoreCensus(
         qualityScoresShared(s, d), Tables.documents(s, d))),
     // per-language tokenizer fertility/compression over the persisted q77
     // merge artifact — tokenization fused into one scan, no join back

@@ -428,6 +428,36 @@ object PipelineOps {
       .orderBy("lang", "source", "r")
   }
 
+  /** q129 — MIXTURE REALIZATION AUDIT: did the q76 hash-threshold sample
+    * actually LAND the q72 mixture? Per (lang, source) stratum: corpus
+    * size, the demanded keep_n, the achieved kept count (from the
+    * MATERIALIZED q76 snapshot), the exact integer deviation, the
+    * binomial sigma the threshold rule predicts, and an `ok` bit flagging
+    * any stratum drifting past 3σ — the release check that closes the
+    * q72 → q76 loop (a biased md5, a wrong dial, or a corrupted snapshot
+    * all surface here as a 3σ breach). Rate-capped strata (keep_n = n)
+    * have σ = 0 and must land exactly.
+    *
+    * Scale shape: ONE map-combinable aggregate over the kept snapshot to
+    * ≤ |strata| rows, joined to the bounded budget table — no corpus
+    * re-scan beyond the stratum count q72 pays anyway; dev is exact
+    * int64, sigma/ok one deterministic double expression each. */
+  def mixtureRealization(kept: DataFrame, docs: DataFrame,
+                         target: Long = MixtureTarget): DataFrame = {
+    val w = keepBudget(docs, target)
+    val g = kept.groupBy("lang", "source").agg(count(lit(1)).as("n_kept0"))
+    w.join(g, Seq("lang", "source"), "left_outer")
+      .select(col("lang"), col("source"), col("n"), col("keep_n"),
+        coalesce(col("n_kept0"), lit(0L)).as("n_kept"))
+      .selectExpr("lang", "source", "n", "keep_n", "n_kept",
+        "n_kept - keep_n AS dev",
+        """sqrt(CAST(keep_n AS DOUBLE)
+                * (1e0 - CAST(keep_n AS DOUBLE) / CAST(n AS DOUBLE))) AS sigma""")
+      .selectExpr("lang", "source", "n", "keep_n", "n_kept", "dev", "sigma",
+        "CAST(ABS(dev) AS DOUBLE) <= 3e0 * sigma AS ok")
+      .orderBy("lang", "source")
+  }
+
   /** q105's total-token budget dial (in documents), shared with the
     * oracle. Larger than the corpus so upsampling strata exist. */
   val EpochPlanTarget = 2000L
@@ -627,6 +657,28 @@ object PipelineOps {
               w_micro / CAST(SUM(w_micro) OVER () AS DOUBLE) AS p
        FROM w ORDER BY lang, source"""
 
+  /** The q76 keep budget as a DuckDB expression over an `mw` row (the
+    * [[keepBudget]] formula), shared by the q76 and q129 oracles. */
+  private val KeepBudgetDuckExpr =
+    s"CAST(CEIL(least(1e0, p * CAST($MixtureTarget AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)) AS BIGINT)"
+
+  /** The q76 SQL, a val so q129's realization audit composes the kept set
+    * verbatim (the SequencePackingSql pattern). */
+  private lazy val MixtureSampleSql =
+    s"""WITH mw AS ($MixtureWeightsSql),
+        w AS (SELECT lang, source, n, $KeepBudgetDuckExpr AS keep_n FROM mw),
+        c AS (SELECT lang, source, keep_n,
+                     CAST((CAST(keep_n AS HUGEINT) * $TwoPow48) // n AS BIGINT) AS cut
+              FROM w),
+        u AS (SELECT doc_id, lang, source,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u
+              FROM documents)
+       SELECT u.lang AS lang, u.source AS source, u.doc_id AS doc_id,
+              u.u AS u, c.keep_n AS keep_n
+       FROM u JOIN c ON u.lang = c.lang AND u.source = c.source
+       WHERE u.u < c.cut
+       ORDER BY lang, source, doc_id"""
+
   def oracles: Map[String, String] = Map(
     "q56_normalize" ->
       """SELECT doc_id,
@@ -728,24 +780,27 @@ object PipelineOps {
     // is the same exact-integer floor(keep_n·2^48 / n) (HUGEINT there,
     // DECIMAL(38,0) here) and u the same 48-bit md5 prefix — both sides of
     // the row-local keep rule are bit-identical by construction
-    "q76_mixture_sample" -> {
-      val target = MixtureTarget
-      s"""WITH mw AS ($MixtureWeightsSql),
-          w AS (SELECT lang, source, n,
-                       CAST(CEIL(least(1e0, p * CAST($target AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE)) AS BIGINT) AS keep_n
-                FROM mw),
-          c AS (SELECT lang, source, keep_n,
-                       CAST((CAST(keep_n AS HUGEINT) * $TwoPow48) // n AS BIGINT) AS cut
-                FROM w),
-          u AS (SELECT doc_id, lang, source,
-                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u
-                FROM documents)
-         SELECT u.lang AS lang, u.source AS source, u.doc_id AS doc_id,
-                u.u AS u, c.keep_n AS keep_n
-         FROM u JOIN c ON u.lang = c.lang AND u.source = c.source
-         WHERE u.u < c.cut
-         ORDER BY lang, source, doc_id"""
-    },
+    "q76_mixture_sample" -> MixtureSampleSql,
+    // q129 composes the q76 kept set and its budget CTEs verbatim: per
+    // stratum the achieved count joins the demanded keep_n; dev is exact
+    // integer, sigma/ok one deterministic double expression each
+    "q129_mixture_realization" ->
+      s"""WITH k AS ($MixtureSampleSql),
+          mw AS ($MixtureWeightsSql),
+          w AS (SELECT lang, source, n, $KeepBudgetDuckExpr AS keep_n FROM mw),
+          g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM k GROUP BY 1, 2)
+          SELECT w.lang AS lang, w.source AS source, w.n AS n,
+                 w.keep_n AS keep_n,
+                 COALESCE(g.n_kept, 0) AS n_kept,
+                 COALESCE(g.n_kept, 0) - w.keep_n AS dev,
+                 sqrt(CAST(w.keep_n AS DOUBLE)
+                      * (1e0 - CAST(w.keep_n AS DOUBLE) / CAST(w.n AS DOUBLE))) AS sigma,
+                 CAST(ABS(COALESCE(g.n_kept, 0) - w.keep_n) AS DOUBLE)
+                   <= 3e0 * sqrt(CAST(w.keep_n AS DOUBLE)
+                        * (1e0 - CAST(w.keep_n AS DOUBLE) / CAST(w.n AS DOUBLE))) AS ok
+          FROM w LEFT JOIN g ON w.lang = g.lang AND w.source = g.source
+          ORDER BY lang, source""",
     "q73_sequence_packing" -> SequencePackingSql,
     // q105 composes the q72 oracle verbatim; needed/epochs/rem/cut are
     // all exact integer quotients (HUGEINT there, DECIMAL(38,0) here)

@@ -322,6 +322,45 @@ object QualityModelOps {
       .orderBy("doc_id")
   }
 
+  /** q128 — PER-LANGUAGE SCORE CENSUS: how the q101 quality distribution
+    * differs by language — per lang: doc count and the exact binned
+    * median / 95th-percentile score bin (lowest bin whose ascending
+    * cumulative covers 50% / 95%). The fairness artifact read before
+    * applying ONE corpus-wide cut (q123) across languages: a language
+    * whose whole distribution sits below the cut is about to be erased
+    * from the corpus, and this census is where that shows first.
+    * Percentiles are computed over the BOUNDED q103 bin table — exact
+    * integer thresholds (cum·2 ≥ n, cum·20 ≥ 19·n), never a per-language
+    * rank: real corpora are lang-skewed and a per-stratum sort funnels
+    * the dominant language through one task (the q58 lesson — exact
+    * per-row percentiles at 100 TB are what q53's sketches are for).
+    *
+    * Scale shape: one co-keyed doc_id join, one map-combinable
+    * (lang, bin) aggregate, then everything is bounded (≤ |langs|·|bins|
+    * rows): a broadcast cumulative self-join and one ≤ |langs|-row
+    * aggregate. No window anywhere. */
+  def langScoreCensus(scores: DataFrame, docs: DataFrame,
+                      binMicro: Long = CalibrationBinMicro): DataFrame = {
+    val cells = scores.select(col("doc_id"), col("score_micro"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .selectExpr("lang",
+        s"CAST(FLOOR(CAST(score_micro AS DOUBLE) / ${binMicro}e0) AS BIGINT) AS bin")
+      .groupBy("lang", "bin").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumed by the cumulative join AND the totals
+    val tot = cells.groupBy("lang").agg(sum("n").as("n_docs"))
+    val cum = cells.as("x")
+      .join(broadcast(cells.as("y")),
+        col("y.lang") === col("x.lang") && col("y.bin") <= col("x.bin"))
+      .groupBy(col("x.lang").as("lang"), col("x.bin").as("bin"))
+      .agg(sum(col("y.n")).as("cum_n"))
+    cum.join(broadcast(tot), "lang")
+      .groupBy("lang")
+      .agg(max("n_docs").as("n_docs"),
+        min(when(col("cum_n") * 2 >= col("n_docs"), col("bin"))).as("p50_bin"),
+        min(when(col("cum_n") * 20 >= col("n_docs") * 19, col("bin"))).as("p95_bin"))
+      .orderBy("lang")
+  }
+
   /** DuckDB oracle: composes the q61 oracle verbatim for the weak labels
     * (the q71/q89/q98 pattern — the classifier's supervision cannot drift
     * from the individually-hash-verified heuristic), the q57 split rule,
@@ -353,6 +392,26 @@ object QualityModelOps {
                  b.n_docs AS n_docs, b.n_tokens AS n_tokens,
                  c.cum_docs AS cum_docs, c.cum_tokens AS cum_tokens
           FROM b JOIN c ON b.bin = c.bin ORDER BY bin""",
+    // q128 composes the q101 oracle verbatim: identical binning keyed by
+    // lang, bounded cumulative self-join, exact integer percentile
+    // thresholds — never a per-language rank
+    "q128_lang_score_census" ->
+      s"""WITH q AS ($QualityClassifierSql),
+          j AS (SELECT d.lang AS lang,
+                       CAST(FLOOR(CAST(q.score_micro AS DOUBLE) / ${CalibrationBinMicro}e0)
+                            AS BIGINT) AS bin
+                FROM q JOIN documents d ON q.doc_id = d.doc_id),
+          c AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n
+                FROM j GROUP BY 1, 2),
+          t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs FROM c GROUP BY lang),
+          cc AS (SELECT x.lang AS lang, x.bin AS bin, CAST(SUM(y.n) AS BIGINT) AS cum_n
+                 FROM c x JOIN c y ON y.lang = x.lang AND y.bin <= x.bin
+                 GROUP BY 1, 2)
+          SELECT cc.lang AS lang, MAX(t.n_docs) AS n_docs,
+                 MIN(CASE WHEN cc.cum_n * 2 >= t.n_docs THEN cc.bin END) AS p50_bin,
+                 MIN(CASE WHEN cc.cum_n * 20 >= t.n_docs * 19 THEN cc.bin END) AS p95_bin
+          FROM cc JOIN t ON cc.lang = t.lang
+          GROUP BY cc.lang ORDER BY lang""",
     // q123 composes the q101 oracle verbatim (the q108 pattern): identical
     // binning, the same bounded self-join cumulative, the same
     // MAX-covering-bin-else-MIN cut as one scalar subquery, then the

@@ -27,6 +27,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frac("val") > 0.03 && frac("test") > 0.03)
   }
 
+  test("q129 mixture realization: achieved counts match the sample; identities hold; corpus lands in 3σ") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = PipelineOps.mixtureSample(docs)
+    val audit = PipelineOps.mixtureRealization(kept, docs)
+      .as[(String, String, Long, Long, Long, Long, Double, Boolean)].collect()
+    val keptCounts = kept.groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(audit.nonEmpty)
+    audit.foreach { case (lang, source, n, keepN, nKept, dev, sigma, ok) =>
+      assert(nKept === keptCounts.getOrElse((lang, source), 0L))
+      assert(dev === nKept - keepN)
+      assert(sigma >= 0.0 && keepN >= 1L && keepN <= n)
+      // a rate-capped stratum (keep everything) must land EXACTLY
+      if (keepN == n) assert(dev === 0L && sigma === 0.0 && ok)
+      assert(ok === (math.abs(dev).toDouble <= 3.0 * sigma))
+    }
+    // the md5 draw is unbiased: the real corpus lands inside 3σ everywhere
+    assert(audit.forall(_._8), s"3σ breach: ${audit.filterNot(_._8).toSeq}")
+    // every stratum is audited exactly once
+    assert(audit.map(a => (a._1, a._2)).distinct.length === audit.length)
+    assert(audit.length === docs.select("lang", "source").distinct().count())
+  }
+
   test("q125 padding waste: buckets partition the corpus, waste identity holds") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val w = PipelineOps.PadBucketTokens

@@ -118,6 +118,38 @@ class QualityModelOpsSpec extends SparkSpec {
       s"the one-row cut dial must broadcast:\n${exec.take(1500)}")
   }
 
+  test("q128 lang score census: percentile bins are minimal covers; totals partition the corpus") {
+    val scores = QualityModelOps.qualityClassifier(docs)
+      .select("doc_id", "score_micro")
+    val census = QualityModelOps.langScoreCensus(scores, docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(census.map(_._2).sum === docs.count())
+    // recompute per-lang bins locally and check the minimal-cover rule
+    val binsByLang = scores
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .selectExpr("lang",
+        s"CAST(FLOOR(CAST(score_micro AS DOUBLE) / ${QualityModelOps.CalibrationBinMicro}e0) AS BIGINT) AS bin")
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    census.foreach { case (lang, n, p50, p95) =>
+      val bins = binsByLang(lang).sorted
+      assert(n === bins.length.toLong)
+      def cumAt(b: Long) = bins.count(_ <= b).toLong
+      assert(cumAt(p50) * 2 >= n, s"$lang p50 bin does not cover half")
+      assert(cumAt(p50 - 1) * 2 < n, s"$lang p50 bin not minimal")
+      assert(cumAt(p95) * 20 >= n * 19, s"$lang p95 bin does not cover 95%")
+      assert(cumAt(p95 - 1) * 20 < n * 19, s"$lang p95 bin not minimal")
+      assert(p95 >= p50)
+    }
+  }
+
+  test("q128 plan: no window — percentiles come from the bounded bin table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = QualityModelOps.langScoreCensus(
+      QualityModelOps.qualityClassifier(docs).select("doc_id", "score_micro"), docs)
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q128 must not window (per-language rank is the q58 scale-killer)")
+  }
+
   test("quality classifier plan: bounded weight table broadcast, no window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = QualityModelOps.qualityClassifier(docs)
