@@ -269,6 +269,10 @@ object SparkEntry {
     "q120_referential_audit" -> ((s, d) =>
       PipelineOps.referentialAudit(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q41_regex_tokens"     -> ((s, d) => TextOps.regexTokens(Tables.documents(s, d))),
+    // deterministic T5-style span corruption bookkeeping: one md5-drawn
+    // span masked per 20-token block (15% at full blocks), replay-safe —
+    // the denoising-objective prep; pure row-local projection
+    "q130_span_corruption" -> ((s, d) => TextOps.spanCorruption(Tables.documents(s, d))),
     "q60_repetition"       -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d))),
     "q61_training_filter"  -> ((s, d) => TextOps.trainingFilter(Tables.documents(s, d))),
     "q63_term_index"       -> ((s, d) => TextOps.termIndex(Tables.documents(s, d))),
@@ -378,6 +382,11 @@ object SparkEntry {
     // sigma, 3σ ok bit — closes the q72 → q76 loop
     "q129_mixture_realization" -> ((s, d) =>
       PipelineOps.mixtureRealization(mixtureKeptShared(s, d), Tables.documents(s, d))),
+    // Hamilton largest-remainder apportionment of a global token budget
+    // across sources: integer allocs summing EXACTLY to the budget —
+    // floor + remainder-ranked top-up, all DECIMAL(38,0)/HUGEINT math
+    "q131_token_allocation" -> ((s, d) =>
+      PipelineOps.tokenAllocation(Tables.documents(s, d))),
     // §7.1 graft.ext — near-dup detection over `documents`
     "q36_minhash_signature" -> ((s, d) => DedupOps.minhashSignature(Tables.documents(s, d))),
     "q37_lsh_pairs"        -> ((s, d) => DedupOps.lshPairs(Tables.documents(s, d))),

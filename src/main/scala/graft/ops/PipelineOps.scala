@@ -458,6 +458,50 @@ object PipelineOps {
       .orderBy("lang", "source")
   }
 
+  /** q131's global token budget, shared with the oracle. */
+  val AllocationBudgetTokens = 100000L
+
+  /** q131 — LARGEST-REMAINDER TOKEN ALLOCATION: apportion a global token
+    * budget across sources proportionally to their exact token volume
+    * with the Hamilton method — integer allocations that sum EXACTLY to
+    * the budget (floor the proportional share, then hand the leftover
+    * units to the largest remainders, ties on source name). The exact
+    * apportionment a batch scheduler / per-source sampling budget needs:
+    * naive `round(share·budget)` drifts off the total and the drift is
+    * nondeterministic under re-aggregation; this never does, and every
+    * step is DECIMAL(38,0)/HUGEINT integer math so both engines agree to
+    * the unit.
+    *
+    * Scale shape: one map-combinable per-source aggregate to ≤ |sources|
+    * rows; everything after is bounded — a one-row total broadcast, the
+    * q112 broadcast self-join rank over remainders (never a window), a
+    * one-row leftover broadcast. NULL sources bucket under the shared
+    * \\u0001 sentinel so they are apportioned, not dropped. */
+  def tokenAllocation(docs: DataFrame, budget: Long = AllocationBudgetTokens): DataFrame = {
+    val per = docs
+      .select(coalesce(col("source"), lit(GraphOps.NullSourceSentinel)).as("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .localCheckpoint() // bounded ≤ |sources| rows; consumed three times
+    val tot = per.agg(sum("n_tokens").as("total"))
+    val based = per.crossJoin(broadcast(tot))
+      .selectExpr("source", "n_docs", "n_tokens", "total",
+        s"CAST(CAST($budget AS DECIMAL(38,0)) * n_tokens DIV total AS BIGINT) AS base",
+        s"CAST(CAST($budget AS DECIMAL(38,0)) * n_tokens % total AS BIGINT) AS rem")
+    val ranked = based.select(col("source"), col("rem"))
+      .join(broadcast(based.select(col("source").as("s2"), col("rem").as("rem2"))),
+        col("rem2") > col("rem") ||
+          (col("rem2") === col("rem") && col("s2") <= col("source")))
+      .groupBy("source").agg(count(lit(1)).as("rk"))
+    val leftover = based.agg((lit(budget) - sum("base")).as("leftover"))
+    based.join(ranked, "source").crossJoin(broadcast(leftover))
+      .selectExpr("source", "n_docs", "n_tokens",
+        "CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share",
+        "base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc")
+      .orderBy("source")
+  }
+
   /** q105's total-token budget dial (in documents), shared with the
     * oracle. Larger than the corpus so upsampling strata exist. */
   val EpochPlanTarget = 2000L
@@ -781,6 +825,31 @@ object PipelineOps {
     // DECIMAL(38,0) here) and u the same 48-bit md5 prefix — both sides of
     // the row-local keep rule are bit-identical by construction
     "q76_mixture_sample" -> MixtureSampleSql,
+    // q131: identical HUGEINT floor/remainder math, the same bounded
+    // remainder-rank self-join, one-row total/leftover folded in
+    "q131_token_allocation" ->
+      s"""WITH per AS (SELECT COALESCE(source, chr(1) || 'null') AS source,
+                              CAST(COUNT(*) AS BIGINT) AS n_docs,
+                              CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+          b AS (SELECT source, n_docs, n_tokens, total,
+                       CAST((CAST($AllocationBudgetTokens AS HUGEINT) * n_tokens) // total
+                            AS BIGINT) AS base,
+                       CAST((CAST($AllocationBudgetTokens AS HUGEINT) * n_tokens) % total
+                            AS BIGINT) AS rem
+                FROM per, tot),
+          r AS (SELECT x.source AS source, CAST(COUNT(*) AS BIGINT) AS rk
+                FROM b x JOIN b y ON y.rem > x.rem
+                                  OR (y.rem = x.rem AND y.source <= x.source)
+                GROUP BY 1),
+          l AS (SELECT $AllocationBudgetTokens - SUM(base) AS leftover FROM b)
+          SELECT b.source AS source, b.n_docs AS n_docs, b.n_tokens AS n_tokens,
+                 CAST(b.n_tokens AS DOUBLE) / CAST(b.total AS DOUBLE) AS share,
+                 CAST(b.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+                   AS alloc
+          FROM b JOIN r ON b.source = r.source, l
+          ORDER BY source""",
     // q129 composes the q76 kept set and its budget CTEs verbatim: per
     // stratum the achieved count joins the demanded keep_n; dev is exact
     // integer, sigma/ok one deterministic double expression each

@@ -836,6 +836,52 @@ object TextOps {
         "CAST(total_stop AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS stop_ratio")
       .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)
 
+  /** q130's corruption dials, shared with the oracle: one
+    * [[CorruptSpanLen]]-token span masked per [[CorruptBlockTokens]]-token
+    * block (= 15% masking at full blocks, the T5 rate). */
+  val CorruptBlockTokens = 20
+  val CorruptSpanLen = 3
+
+  /** q130 — SPAN-CORRUPTION BOOKKEEPING: the deterministic denoising-
+    * objective prep (T5/UL2-style infill): each doc is partitioned into
+    * [[CorruptBlockTokens]]-token blocks and ONE [[CorruptSpanLen]]-token
+    * span per (long-enough) block is masked, the span's offset drawn by
+    * the replay-safe 48-bit md5 fold on (doc_id, block) — a retried task,
+    * a re-run, or the oracle all mask the SAME tokens, which is exactly
+    * what `rand()`-based corruption loses under speculative re-execution.
+    * Emits per doc the token count, span/masked-token counts, and the
+    * fingerprint of the corrupted text (masked tokens replaced by the
+    * `<mask>` sentinel) — the artifact half of the objective; the label
+    * half is the q84/q82-style span inventory a trainer derives the same
+    * way.
+    *
+    * Scale shape: ONE row-local projection — the mask predicate is pure
+    * integer/md5 math per token, no shuffle, no state; this is the q79
+    * apply-side shape and whole-stage-codegen keeps it in one pass. */
+  def spanCorruption(docs: DataFrame,
+                     blockTokens: Int = CorruptBlockTokens,
+                     spanLen: Int = CorruptSpanLen): DataFrame = {
+    // offset draw for token position i's block b: md5₄₈(doc_id:b) % (bs-spanLen+1)
+    val b = s"(i DIV $blockTokens)"
+    val bs = s"least($blockTokens, n_tokens - $b * $blockTokens)"
+    val off = s"""(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+                       CAST($b AS STRING))), 1, 12), 16, 10) % ($bs - ${spanLen - 1}))"""
+    val maskPred = s"$bs >= $spanLen AND " +
+      s"(i - $b * $blockTokens) BETWEEN $off AND $off + ${spanLen - 1}"
+    docs.selectExpr("doc_id", "split(text, ' ') AS ts")
+      .selectExpr("doc_id", "ts", "CAST(size(ts) AS BIGINT) AS n_tokens")
+      .selectExpr("doc_id", "n_tokens",
+        s"""array_join(transform(ts, (t, i) ->
+              CASE WHEN $maskPred THEN '<mask>' ELSE t END), ' ') AS corrupted""",
+        s"""CAST(size(filter(sequence(0, CAST((n_tokens - 1) DIV $blockTokens AS INT)),
+              bb -> least($blockTokens, n_tokens - bb * $blockTokens) >= $spanLen))
+            AS BIGINT) AS n_spans""")
+      .selectExpr("doc_id", "n_tokens", "n_spans",
+        s"n_spans * $spanLen AS n_masked",
+        "md5(corrupted) AS corrupted_fp")
+      .orderBy("doc_id")
+  }
+
   def oracles: Map[String, String] = {
     val langs = langSets.map(_._1)
     val hitSql = langSets.map { case (l, ws) =>
@@ -846,6 +892,36 @@ object TextOps {
       s"WHEN $rest THEN '$l'"
     }.mkString(" ")
     val base = Map(
+      // q130: the same per-token block/offset integer math and md5 draw;
+      // spans counted as distinct qualifying blocks, the corrupted text
+      // rebuilt in token order
+      "q130_span_corruption" -> {
+        val (bT, sL) = (CorruptBlockTokens, CorruptSpanLen)
+        s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+            p AS (SELECT doc_id, len(ts) AS n, ii - 1 AS i, ts[ii] AS tok
+                  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS ii
+                        FROM toks)),
+            q AS (SELECT doc_id, n, i, tok,
+                         least($bT, n - (i // $bT) * $bT) AS bs,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                             || CAST(i // $bT AS VARCHAR)), 1, 12))::BIGINT
+                           AS draw
+                  FROM p),
+            m AS (SELECT doc_id, n, i, bs,
+                         CASE WHEN bs >= $sL
+                               AND i - (i // $bT) * $bT
+                                   BETWEEN draw % (bs - ${sL - 1})
+                                       AND draw % (bs - ${sL - 1}) + ${sL - 1}
+                              THEN '<mask>' ELSE tok END AS tok2
+                  FROM q)
+            SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT CASE WHEN bs >= $sL THEN i // $bT END) AS BIGINT)
+                     AS n_spans,
+                   CAST(COUNT(DISTINCT CASE WHEN bs >= $sL THEN i // $bT END) * $sL AS BIGINT)
+                     AS n_masked,
+                   md5(string_agg(tok2, ' ' ORDER BY i)) AS corrupted_fp
+            FROM m GROUP BY doc_id ORDER BY doc_id"""
+      },
       "q86_pii_scrub" ->
         s"""WITH dirty AS (SELECT doc_id, $DuckDirtyExpr AS dirty FROM documents)
             SELECT doc_id,

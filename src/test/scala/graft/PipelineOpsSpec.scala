@@ -51,6 +51,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(audit.length === docs.select("lang", "source").distinct().count())
   }
 
+  test("q131 token allocation: Hamilton apportionment — exact total, quota bounds, hand fixture") {
+    val docsT = Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = PipelineOps.AllocationBudgetTokens
+    val rows = PipelineOps.tokenAllocation(docsT)
+      .as[(String, Long, Long, Double, Long)].collect()
+    // allocations sum EXACTLY to the budget — the property round() loses
+    assert(rows.map(_._5).sum === budget)
+    val totalTok = rows.map(_._3).sum
+    rows.foreach { case (_, _, nTok, share, alloc) =>
+      // within one unit of the exact quota (the Hamilton guarantee)
+      val quota = BigDecimal(budget) * nTok / totalTok
+      assert(BigDecimal(alloc) > quota - 1 && BigDecimal(alloc) < quota + 1)
+      assert(math.abs(share - nTok.toDouble / totalTok) < 1e-12)
+    }
+    // more tokens never allocates fewer units (within one apportionment)
+    rows.sortBy(_._3).sliding(2).foreach {
+      case Array(lo, hi) => assert(lo._5 <= hi._5)
+      case _ =>
+    }
+    // hand fixture: tokens 5/3/2 of budget 7 → quotas 3.5/2.1/1.4 →
+    // bases 3/2/1, leftover 1 goes to the largest remainder (.5 → a)
+    val hand = Seq((1L, "w " * 4 + "w", "en", "a", 0L), (2L, "w w w", "en", "b", 0L),
+      (3L, "w w", "en", "c", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val h = PipelineOps.tokenAllocation(hand, budget = 7L)
+      .as[(String, Long, Long, Double, Long)].collect().map(r => r._1 -> r._5).toMap
+    assert(h === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("q125 padding waste: buckets partition the corpus, waste identity holds") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val w = PipelineOps.PadBucketTokens

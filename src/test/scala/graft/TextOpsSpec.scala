@@ -11,6 +11,35 @@ class TextOpsSpec extends SparkSpec {
   private def docs(rows: (Long, String, String, String, Long)*) =
     rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("q130 span corruption: exact span accounting, replay-stable, local md5 reference agrees") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (bT, sL) = (TextOps.CorruptBlockTokens, TextOps.CorruptSpanLen)
+    // 40 tokens → 2 full blocks → 2 spans, 6 masked; 2 tokens → nothing
+    val long = (0 until 40).map(i => s"t$i").mkString(" ")
+    val d = docs(doc(1L, long), doc(2L, "a b"))
+    val got = TextOps.spanCorruption(d)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 === 40L && got(0)._3 === 2L && got(0)._4 === 6L)
+    assert(got(1)._2 === 2L && got(1)._3 === 0L && got(1)._4 === 0L)
+    // the untouched doc's corrupted text IS the original
+    assert(got(1)._5 === md5hex("a b"))
+    // rebuild doc 1's corrupted text locally from the same draw rule
+    val toks = long.split(" ")
+    val masked = toks.zipWithIndex.map { case (t, i) =>
+      val b = i / bT
+      val bs = math.min(bT, toks.length - b * bT)
+      val off = (java.lang.Long.parseLong(md5hex(s"1:$b").take(12), 16) % (bs - sL + 1)).toInt
+      if (bs >= sL && i - b * bT >= off && i - b * bT <= off + sL - 1) "<mask>" else t
+    }
+    assert(got(0)._5 === md5hex(masked.mkString(" ")))
+    assert(masked.count(_ == "<mask>") === 6)
+    // replay-stable: a second run masks the identical tokens
+    val again = TextOps.spanCorruption(d)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("repetition score: template-stamped text scores 1.0, varied text low") {
     val d = docs(
       doc(1, "spam spam spam spam spam spam"),       // every 3-gram identical
