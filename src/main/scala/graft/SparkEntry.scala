@@ -560,6 +560,33 @@ object SparkEntry {
         graft.ops.QualityModelOps.qualityBudgetCut(
           qualityScoresShared(s, d), Tables.documents(s, d)),
         PipelineOps.leakFreeSplit(clustersShared(s, d)))),
+    // the curation FUNNEL: one row of stage-by-stage survivor counts
+    // through the q122 DAG (corpus → canon → budget cut → both → per
+    // leak-free split) — the release dashboard that makes q122's
+    // survivor semantics legible; every figure one bounded aggregate
+    // over the same materialized snapshots, folded broadcast
+    "q132_curation_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val canonIds = graft.ops.GraphOps.clusterCanon(clustersShared(s, d),
+        qualityScoresShared(s, d)).filter(col("canon")).select("doc_id")
+      val keptIds = graft.ops.QualityModelOps.qualityBudgetCut(
+        qualityScoresShared(s, d), docs).select("doc_id")
+      val surv = canonIds.join(keptIds, "doc_id")
+        .join(PipelineOps.leakFreeSplit(clustersShared(s, d))
+          .select("doc_id", "split"), "doc_id")
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(canonIds.agg(count(lit(1)).as("n_canon"))))
+        .crossJoin(broadcast(keptIds.agg(count(lit(1)).as("n_budget_kept"))))
+        .crossJoin(broadcast(surv.agg(
+          count(lit(1)).as("n_survivors"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))))
+        .selectExpr("n_docs", "n_canon", "n_budget_kept", "n_survivors",
+          "n_train", "n_val", "n_test",
+          "CAST(n_survivors AS DOUBLE) / CAST(n_docs AS DOUBLE) AS survival_rate")
+    }),
     // incremental ingest dedup: the arriving batch (one source partition)
     // vs the standing corpus — broadcast increment bands, corpus probed
     // in place
@@ -1035,6 +1062,29 @@ object SparkEntry {
                                   OR (a.source = b.source AND a.cnt >= 2))
           GROUP BY 1, 2
           ORDER BY source_a, source_b""") +
+    // q132 composes the q106/q123/q113 fragments verbatim (the q122
+    // pattern) into one row of stage counts
+    ("q132_curation_funnel" ->
+      s"""WITH cn AS ($q106OracleSql),
+          kc AS (${graft.ops.QualityModelOps.QualityBudgetCutSql}),
+          sp AS ($q113OracleSql),
+          sv AS (SELECT cn.doc_id AS doc_id, sp.split AS split
+                 FROM cn JOIN kc ON cn.doc_id = kc.doc_id
+                         JOIN sp ON cn.doc_id = sp.doc_id
+                 WHERE cn.canon),
+          a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+          b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_canon FROM cn WHERE canon),
+          c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_budget_kept FROM kc),
+          e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+                       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                       CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+                       CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+                FROM sv)
+          SELECT a.n_docs AS n_docs, b.n_canon AS n_canon,
+                 c.n_budget_kept AS n_budget_kept, e.n_survivors AS n_survivors,
+                 e.n_train AS n_train, e.n_val AS n_val, e.n_test AS n_test,
+                 CAST(e.n_survivors AS DOUBLE) / CAST(a.n_docs AS DOUBLE) AS survival_rate
+          FROM a, b, c, e""") +
     // q116 composes the q69 oracle verbatim: per increment doc the best
     // match is MAX jac then MIN corpus id (the q106 two-step argmax —
     // the Spark side's (jac, -a_id) struct MAX picks the same row)

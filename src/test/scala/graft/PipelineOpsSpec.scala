@@ -150,6 +150,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._3).sum === (canon & kept).size.toLong)
   }
 
+  test("q132 curation funnel agrees with the q122 manifest stage-by-stage") {
+    val d = "/root/testdata/sf0.001"
+    val f = SparkEntry.queries("q132_curation_funnel")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().head
+    val (nDocs, nCanon, nKept, nSurv, nTrain, nVal, nTest, rate) = f
+    // funnel shape: each stage only narrows, splits partition survivors
+    assert(nCanon <= nDocs && nSurv <= nCanon && nSurv <= nKept)
+    assert(nTrain + nVal + nTest === nSurv)
+    assert(rate === nSurv.toDouble / nDocs)
+    // the manifest q122 ships must carry exactly these survivors per split
+    val manifest = SparkEntry.queries("q122_curation_manifest")(spark, d)
+      .select("split", "n_docs").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(manifest.values.sum === nSurv)
+    assert(manifest.getOrElse("train", 0L) === nTrain)
+    assert(manifest.getOrElse("val", 0L) === nVal)
+    assert(manifest.getOrElse("test", 0L) === nTest)
+  }
+
   test("stratified sample: threshold form tracks the exact-rank twin per stratum") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
