@@ -672,6 +672,12 @@ object SparkEntry {
     // into a map-combinable aggregate (no self-join, D² states shuffle)
     "q124_embedding_moments" -> ((s, d) =>
       SimilarityOps.embeddingMoments(Tables.embeddings(s, d))),
+    // corpus-trained per-dimension affine SQ8 dial (FAISS ScalarQuantizer
+    // form) + per-dimension error census — the accept/reject evidence for
+    // shipping the 4x-compressed serving corpus; one bounded dial aggregate
+    // broadcast back, everything else row-local
+    "q133_scalar_quant_census" -> ((s, d) =>
+      SimilarityOps.scalarQuantCensus(Tables.embeddings(s, d))),
     // per-label centroid cosine between two md5-dealt corpus halves — the
     // drift census an index rebuild or model-version bump reads first;
     // count factors cancel, so cosine runs on exact integer sum vectors

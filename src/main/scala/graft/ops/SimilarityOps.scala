@@ -1318,6 +1318,56 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** q133 — PER-DIMENSION AFFINE SQ8 DIAL + ERROR CENSUS: train the
+    * FAISS-style `ScalarQuantizer(QT_8bit)` artifact — per dimension, the
+    * corpus [lo, hi] range mapped affinely onto the 256 int8 codes — and
+    * report, per dimension, how much the corpus loses to it (codes used,
+    * max |err|, SSE, MSE). This is the CORPUS-TRAINED counterpart of q74's
+    * row-local per-vector symmetric scheme: q74 needs no training pass but
+    * wastes codes on narrow dimensions; the affine dial is the one serving
+    * stacks actually ship, and this census is the accept/reject evidence.
+    *
+    * Exactness: values quantize to milli-unit integers first (the
+    * q118/q124 recipe), so the trained dial is exact; code and dequantized
+    * value are round-half-up integer rationals computed with nonneg
+    * numerator/denominator — `DIV` (Spark) and `//` (DuckDB) agree on
+    * nonnegative operands, so every figure is hash-identical cross-engine.
+    *
+    * Scale shape: ONE bounded aggregate over the posexploded corpus trains
+    * the D-row dial, which joins back BROADCAST (the q87 centroid-state
+    * pattern); code/err are then row-local and the census is a second
+    * map-combinable D-row aggregate. No window, no self-join; the explode
+    * is recomputed rather than cached (row-local, cheaper than a 100 TB
+    * materialization). A malformed vector fails LOUDLY (q124 contract). */
+  def scalarQuantCensus(emb: DataFrame, dim: Int = Dim): DataFrame = {
+    val e = emb.selectExpr(
+      s"""CASE WHEN embedding IS NULL OR size(embedding) != $dim
+               THEN CAST(raise_error('q133: malformed embedding (null or wrong dimension) — the trained dial would silently skew; run the q118 audit') AS ARRAY<BIGINT>)
+               ELSE transform(embedding,
+                      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+          END AS qv""")
+      .selectExpr("posexplode(qv) AS (i, m)")
+    val dial = e.groupBy("i")
+      .agg(min("m").as("lo"), max("m").as("hi"))
+    e.join(broadcast(dial), "i")
+      .selectExpr("i", "m", "lo", "hi",
+        """CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                ELSE ((m - lo) * 510 + (hi - lo)) DIV (2 * (hi - lo)) END AS code""")
+      .selectExpr("i", "m", "lo", "hi", "code",
+        "lo + (code * (hi - lo) * 2 + 255) DIV 510 AS deq")
+      .groupBy("i", "lo", "hi")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("code")).as("n_codes_used"),
+        max(expr("abs(m - deq)")).as("max_abs_err_milli"),
+        sum(expr("(m - deq) * (m - deq)")).as("sse_milli2"))
+      .selectExpr("CAST(i AS INT) AS dim", "n",
+        "lo AS lo_milli", "hi AS hi_milli", "n_codes_used",
+        "max_abs_err_milli", "sse_milli2",
+        "CAST(sse_milli2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mse")
+      .orderBy("dim")
+  }
+
   private lazy val q59Sql: String =
     s"""WITH t AS (${graft.ops.DedupOps.oracles("q37_lsh_pairs")}),
         vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1597,6 +1647,32 @@ object SimilarityOps {
     // every emitted figure one correctly-rounded cast + IEEE division —
     // the oracle assumes the clean corpus the Spark side RAISES on
     // otherwise, so a future malformed fixture fails loudly, not silently
+    // same milli-unit quantization as q124; code/deq are round-half-up
+    // integer rationals with nonneg operands, so `//` here and `DIV` on
+    // the Spark side floor identically
+    "q133_scalar_quant_census" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                     FROM embeddings),
+          e AS (SELECT vec_id, t.i AS i, qv[t.i + 1] AS m
+                FROM q, range($Dim) t(i)),
+          dial AS (SELECT i, MIN(m) AS lo, MAX(m) AS hi FROM e GROUP BY i),
+          c AS (SELECT e.i AS i, m, lo, hi,
+                       CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                            ELSE ((m - lo) * 510 + (hi - lo)) // (2 * (hi - lo))
+                       END AS code
+                FROM e JOIN dial ON e.i = dial.i),
+          d AS (SELECT i, m, lo, hi, code,
+                       lo + (code * (hi - lo) * 2 + 255) // 510 AS deq
+                FROM c)
+          SELECT CAST(i AS INT) AS dim, COUNT(*) AS n,
+                 lo AS lo_milli, hi AS hi_milli,
+                 CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes_used,
+                 CAST(MAX(ABS(m - deq)) AS BIGINT) AS max_abs_err_milli,
+                 CAST(SUM((m - deq) * (m - deq)) AS BIGINT) AS sse_milli2,
+                 CAST(SUM((m - deq) * (m - deq)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mse
+          FROM d GROUP BY i, lo, hi ORDER BY dim""",
     "q124_embedding_moments" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv

@@ -330,6 +330,19 @@ class PlanShapeSpec extends SparkSpec {
       "q124 must not window")
   }
 
+  test("q133 scalar quant census: D-row dial broadcast back, no window, no self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = SimilarityOps.scalarQuantCensus(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the trained per-dimension dial must broadcast back:\n${exec.take(1500)}")
+    assert(!exec.contains("SortMergeJoin") && !exec.contains("CartesianProduct"),
+      s"the exploded corpus must never shuffle for the dial join:\n${exec.take(1500)}")
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q133 must not window")
+  }
+
   test("q79 BPE tokenization applies merges row-locally: no shuffle beyond the output sort") {
     // learning runs as its own bounded jobs; the APPLICATION the query
     // plans must be a pure projection over the scan — a hash exchange here

@@ -371,6 +371,48 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(String.valueOf(e.getMessage).contains("q124") || e.getCause != null)
   }
 
+  test("q133 scalar quant census: exact codes/errors on a hand fixture; degenerate dims use one code") {
+    val rows = Seq(0L -> 0.0f, 1L -> 0.5f, 2L -> 1.0f).map { case (id, v) =>
+      val a = Array.fill(64)(0.0f); a(0) = v; (id, a.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = SimilarityOps.scalarQuantCensus(rows).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // dim 0: milli 0/500/1000 → lo=0 hi=1000; codes 0/128/255 round-half-up;
+    // deq 0/502/1000 — endpoints exact, midpoint off by 2 milli
+    val d0 = got(0)
+    assert(d0.getLong(1) === 3L && d0.getLong(2) === 0L && d0.getLong(3) === 1000L)
+    assert(d0.getLong(4) === 3L, "three distinct codes")
+    assert(d0.getLong(5) === 2L, "max err |500 - 502|")
+    assert(d0.getLong(6) === 4L, "sse = 2²")
+    assert(d0.getDouble(7) === 4.0 / 3e6)
+    // degenerate dimension (lo = hi): one code, zero error
+    val d5 = got(5)
+    assert(d5.getLong(4) === 1L && d5.getLong(5) === 0L && d5.getLong(6) === 0L)
+  }
+
+  test("q133 error is half-step-bounded on the real corpus and partitioning-invariant") {
+    val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = SimilarityOps.scalarQuantCensus(embT).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (lo, hi, maxErr) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      // affine SQ8 guarantee: |err| ≤ half a quantization step plus the
+      // dequantization rounding — a broken dial blows straight past this
+      assert(maxErr <= (hi - lo + 509) / 510 + 1,
+        s"dim ${r.getInt(0)}: err $maxErr vs range ${hi - lo}")
+    }
+    val reparted = SimilarityOps.scalarQuantCensus(embT.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
+  test("q133 fails loudly on malformed embeddings — the dial would silently shrink") {
+    val bad = Seq((0L, Some(Seq.fill(64)(1.0f))), (1L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] { SimilarityOps.scalarQuantCensus(bad).collect() }
+    assert(String.valueOf(e.getMessage).contains("q133") || e.getCause != null)
+  }
+
   test("q118 embedding audit flags null, ragged, and zero-norm vectors exactly") {
     val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
       0L -> Some(Seq.fill(64)(0.001f)),         // healthy: each q = 1, n2q = 64
