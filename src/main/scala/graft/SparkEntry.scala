@@ -251,6 +251,11 @@ object SparkEntry {
     // splits (the eval-leak check), KMV set-intersection sketch gated by
     // a tolerance boolean (the 100 TB path — HLL cannot intersect)
     "q65_contamination"    -> ((s, d) => SketchOps.contamination(Tables.documents(s, d))),
+    // HLL distinct census: deterministic md5 registers make the ESTIMATE
+    // itself hash-gradable (vs approx_count_distinct's engine-specific
+    // sketch); register path never shuffles the corpus, exact-distinct
+    // branch is the grading harness
+    "q134_hll_census"      -> ((s, d) => SketchOps.hllCensus(Tables.documents(s, d))),
     // §7.1 graft.ext — text analysis over `documents`
     "q30_token_stats"      -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "q31_quality_score"    -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -391,6 +396,10 @@ object SparkEntry {
     "q36_minhash_signature" -> ((s, d) => DedupOps.minhashSignature(Tables.documents(s, d))),
     "q37_lsh_pairs"        -> ((s, d) => DedupOps.lshPairs(Tables.documents(s, d))),
     "q38_jaccard_pairs"    -> ((s, d) => DedupOps.jaccardPairs(Tables.documents(s, d))),
+    // winnowing (MOSS): windowed-min k-gram fingerprints with the
+    // ≥ K+W-1 shared-substring detection guarantee; doc-partitioned
+    // window, df-capped pair join — the position-robust overlap detector
+    "q135_winnow_pairs"    -> ((s, d) => DedupOps.winnowPairs(Tables.documents(s, d))),
     "q39_simhash"          -> ((s, d) => DedupOps.simhash(Tables.documents(s, d))),
     "q40_simhash_pairs"    -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
     "q62_simhash_lsh"      -> ((s, d) => DedupOps.simhashLshPairs(Tables.documents(s, d))),

@@ -601,6 +601,76 @@ object DedupOps {
                            unnest(range(1, len(t.ts) + 1)) AS i
                     FROM toks t LEFT JOIN r ON t.doc_id = r.doc_id))"""
 
+  val WinnowK = 5       // character k-gram width
+  val WinnowW = 4       // winnowing window ⇒ guarantee threshold t = K+W-1 = 8
+  val WinnowDfCap = 8   // stop-fingerprint cut (MOSS drops ubiquitous prints)
+  val WinnowMinShared = 2
+
+  /** q135 — WINNOWING fingerprint pairs (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every K-char k-gram, slide a
+    * W-hash window, select each window's minimum (rightmost on ties), and
+    * report document pairs sharing ≥ [[WinnowMinShared]] selected
+    * fingerprints with their resemblance. The selection rule carries the
+    * GUARANTEE the other dedup family members lack: any shared substring
+    * of length ≥ K+W−1 produces at least one shared fingerprint (and no
+    * match shorter than K is ever found) — position-robust plagiarism /
+    * license-text detection, vs MinHash/SimHash's whole-document
+    * similarity and q80's exact n-gram spans.
+    *
+    * Rightmost tie-break rides `MIN(struct(h, -p))`: struct ordering is
+    * lexicographic in BOTH engines, so min-hash-then-max-position is one
+    * windowed MIN — no argmin self-join. Selections collapse to the
+    * distinct per-doc fingerprint SET (winnowing density 2/(W+1) ⇒ ~1/3
+    * of grams survive before the set-collapse).
+    *
+    * Scale shape: the window is PARTITIONED by doc_id (per-doc sort, the
+    * q112-documented scale-safe shape); fingerprints with document
+    * frequency > [[WinnowDfCap]] are dropped BEFORE the pair join (the
+    * q38 DfCap pattern — MOSS's own "ignore fingerprints in many
+    * documents" rule), bounding every join bucket at C(cap,2) pairs; the
+    * per-doc size join collapses to (doc_id, count) first (the q120
+    * collapse). No cartesian, no unpartitioned window, no all-pairs. */
+  /** The distinct winnowed fingerprint SET per document — exposed so the
+    * spec can assert the tie-break determinism and 2/(W+1) density
+    * directly. One definition feeds [[winnowPairs]] and the tests. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = docs.where(s"length(text) >= $WinnowK")
+      .selectExpr("doc_id", "text",
+        s"explode(sequence(1, length(text) - ${WinnowK - 1})) AS p")
+      .selectExpr("doc_id", "p",
+        s"CAST(conv(substring(md5(substring(text, p, $WinnowK)), 1, 15), 16, 10) AS BIGINT) AS h")
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(WinnowW - 1), 0)
+    hashed
+      .withColumn("s", min(struct(col("h"), (-col("p")).as("np"))).over(win))
+      .where(col("p") >= WinnowW) // full windows only — partial prefixes
+                                  // would break cross-length determinism
+      .select(col("doc_id"), col("s.h").as("h"))
+      .distinct()
+  }
+
+  def winnowPairs(docs: DataFrame): DataFrame = {
+    val sel = winnowFingerprints(docs)
+    val kept = sel.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= WinnowDfCap)
+      .select("h")
+    val fps = sel.join(kept, Seq("h")) // co-keyed on h — no extra shuffle shape
+    val fpn = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    fps.as("a").join(fps.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= WinnowMinShared)
+      .join(fpn.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nf", "n_fp_a"), Seq("doc_a"))
+      .join(fpn.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nf", "n_fp_b"), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b",
+        "CAST(n_shared AS DOUBLE) / CAST(n_fp_a + n_fp_b - n_shared AS DOUBLE) AS resemblance")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** DuckDB equivalents. Same md5-salting construction, generated from the
     * same constants so the two sides cannot drift. */
   def oracles: Map[String, String] = {
@@ -641,6 +711,33 @@ object DedupOps {
       "q36_minhash_signature" ->
         s"""WITH $baseCte
             SELECT doc_id, $mhSql FROM base ORDER BY doc_id""",
+      // q135: identical winnowing recipe — struct MIN over the same frame
+      // gives the same rightmost tie-break; `//`-vs-DIV never appears
+      // (no integer division), so the only cross-engine surface is md5 +
+      // lexicographic struct ordering, both bit-identical
+      "q135_winnow_pairs" ->
+        s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= $WinnowK),
+            pos AS (SELECT doc_id, text,
+                           CAST(unnest(range(1, length(text) - ${WinnowK - 2})) AS INT) AS p
+                    FROM d),
+            g AS (SELECT doc_id, p, substr(text, p, $WinnowK) AS gram FROM pos),
+            h AS (SELECT doc_id, p, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM g),
+            w AS (SELECT doc_id, p,
+                         MIN({'h': h, 'np': -p}) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS s
+                  FROM h),
+            sel AS (SELECT DISTINCT doc_id, s.h AS h FROM w WHERE p >= $WinnowW),
+            kept AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) <= $WinnowDfCap),
+            fps AS (SELECT sel.doc_id, sel.h FROM sel JOIN kept USING (h)),
+            fpn AS (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY doc_id),
+            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+                   FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared)
+            SELECT doc_a, doc_b, n_shared, na.nf AS n_fp_a, nb.nf AS n_fp_b,
+                   CAST(n_shared AS DOUBLE) / CAST(na.nf + nb.nf - n_shared AS DOUBLE) AS resemblance
+            FROM pr JOIN fpn na ON pr.doc_a = na.doc_id
+                    JOIN fpn nb ON pr.doc_b = nb.doc_id
+            ORDER BY doc_a, doc_b""",
       "q37_lsh_pairs" ->
         s"""WITH $baseCte,
             sig AS (SELECT doc_id, shs, $mhSql FROM base),

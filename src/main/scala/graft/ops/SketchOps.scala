@@ -224,12 +224,144 @@ object SketchOps {
       .orderBy("split_a", "split_b")
   }
 
+  /** HLL register count — b = 8 index bits off the 60-bit md5 hash, the
+    * standard m = 256 / σ ≈ 1.04/√m ≈ 6.5% operating point. One
+    * definition: [[hllRegisters]], [[hllCensus]], the q134 oracle, and
+    * the spec's merge law all read it. */
+  val HllRegisters = 256
+  private val HllRestBits = 52      // 60 - log2(HllRegisters)
+  private val HllRest = 1L << HllRestBits // 2^52
+  private val HllRhoMax = HllRestBits + 1 // all-zero rest field
+  /** α_256 · m² · 2^53 as ONE shared expression string: every literal is
+    * CAST to DOUBLE explicitly, because Spark parses bare decimal
+    * literals as DECIMAL and would round the α chain through decimal
+    * arithmetic — a 1e-8 drift from DuckDB's all-double evaluation. With
+    * the casts, both engines run the identical left-associated IEEE
+    * chain and the estimate is bit-exact. */
+  private val HllEstNum =
+    "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))" +
+      " * CAST(65536 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE)"
+
+  /** The per-(lang, register) MAX-ρ table of the canonical HyperLogLog
+    * sketch (Flajolet et al. 2007) over distinct tokens — exposed so the
+    * spec can assert the MERGE LAW (registers of a union = element-wise
+    * max of the parts' registers), the property that makes HLL the
+    * distinct sketch every warehouse actually ships. Register index is
+    * the hash's top 8 bits; ρ is the number of leading zeros of the
+    * remaining 52-bit field plus one, computed EXACTLY from the bit
+    * length (`length(bin(r))` — identical builtin in both engines), never
+    * from a float log. MAX absorbs duplicate insertions, so the corpus is
+    * NEVER distinct-shuffled on this path: partial aggregation collapses
+    * every partition to ≤ langs × 256 rows before the only (tiny) shuffle. */
+  def hllRegisters(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+        s"coalesce(lang, '${graft.ops.GraphOps.NullSourceSentinel}') AS lang",
+        "explode(split(text, ' ')) AS token")
+      .selectExpr("lang", s"${hash60("token")} AS h")
+      .selectExpr("lang", s"h DIV $HllRest AS j",
+        s"""CASE WHEN h % $HllRest = 0 THEN $HllRhoMax
+                 ELSE $HllRhoMax - length(bin(h % $HllRest)) END AS rho""")
+      .groupBy("lang", "j").agg(max("rho").as("reg"))
+
+  /** q134 — HYPERLOGLOG DISTINCT CENSUS, hash-exact: per language, the
+    * register-table summary of the HLL distinct-token sketch (registers
+    * hit, zero registers, the EXACT integer harmonic denominator scaled
+    * by 2^53) and the raw HLL estimate, graded against the exact distinct
+    * count. Complements q21/q53's KMV exactly as q133 complements q74:
+    * KMV buys set algebra (q65's intersection), HLL buys the 256-byte
+    * fixed-size mergeable state every production warehouse ships.
+    *
+    * Unlike engine-builtin `approx_count_distinct` (whose HLL is
+    * implementation-specific and thus only tolerance-gradable), every
+    * register here is a deterministic function of md5, so the ESTIMATE
+    * ITSELF is bit-identical cross-engine and the whole row hash-grades.
+    * The harmonic denominator Σ 2^(-ρ_j) is kept exact by scaling to
+    * 2^(53-ρ) BIGINT terms (ρ ≤ 53 ⇒ terms ≥ 1; 256·2^52 = 2^60 cannot
+    * overflow); the estimate is then literal-identical IEEE arithmetic on
+    * both engines. The log-based small-range (linear counting) correction
+    * is deliberately NOT applied — ln is not correctly rounded, so it
+    * would desync the engines by one ulp; the census emits the
+    * correction's ingredient (`n_zero_registers`) instead, and `rel_err`
+    * against the exact count is the accuracy evidence.
+    *
+    * Scale shape: the register path never shuffles the corpus (MAX is
+    * duplicate-proof — see [[hllRegisters]]); the exact-distinct branch is
+    * the GRADING HARNESS (the q64 exact-re-count framing) — at 100 TB you
+    * ship only the register path and this census is how you qualify it. */
+  def hllCensus(docs: DataFrame): DataFrame = {
+    val m = HllRegisters
+    val two53 = 1L << (HllRestBits + 1)
+    val tok = docs.selectExpr(
+      s"coalesce(lang, '${graft.ops.GraphOps.NullSourceSentinel}') AS lang",
+      "explode(split(text, ' ')) AS token")
+    val perLang = hllRegisters(docs).groupBy("lang").agg(
+        count(lit(1)).as("n_registers_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRhoMax} - reg)")).as("s_hit"))
+      .selectExpr("lang", "n_registers_hit",
+        s"CAST($m - n_registers_hit AS BIGINT) AS n_zero_registers",
+        s"s_hit + ($m - n_registers_hit) * $two53 AS harmonic_denom_scaled")
+    val exact = tok.distinct().groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
+    perLang.join(exact, Seq("lang"))
+      .selectExpr("lang", "exact_distinct", "n_registers_hit",
+        "n_zero_registers", "harmonic_denom_scaled",
+        // α_256 · m² · 2^53 / Σ — literal-identical expression text in the
+        // oracle; every op is correctly-rounded IEEE, so bits match
+        s"$HllEstNum / CAST(harmonic_denom_scaled AS DOUBLE) AS raw_est")
+      .withColumn("rel_err", expr(
+        "(raw_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)"))
+      // the estimate the sketch would SHIP applies the paper's small-range
+      // linear-counting correction (m·ln(m/V) when raw ≤ 2.5m and V > 0).
+      // ln is not correctly rounded, so the corrected value itself is not
+      // hash-gradable — it lives only inside this TOLERANCE boolean (the
+      // q65 kmv_ok pattern), where an engine ulp cannot flip the verdict
+      .withColumn("est_ok", expr(
+        s"""abs(CASE WHEN n_zero_registers > 0 AND raw_est <= 2.5 * $m.0
+                     THEN $m.0 * ln($m.0 / CAST(n_zero_registers AS DOUBLE))
+                     ELSE raw_est END
+                - CAST(exact_distinct AS DOUBLE))
+            <= greatest(0.25 * CAST(exact_distinct AS DOUBLE), 10.0)"""))
+      .orderBy("lang")
+  }
+
   /** q64's oracle is exact (the two-pass output is exact; the sketch only
     * proposes candidates, and its recall guarantee is what the hash match
     * proves). q65's exact columns are recomputed by DuckDB from the same
     * md5 fingerprint + bucket recipes as q34/q57; `kmv_ok` is the q21/q53
-    * computed-vs-oracle boolean. */
+    * computed-vs-oracle boolean. q134 is fully exact: DuckDB rebuilds the
+    * registers from the same md5 recipe (`//`/`DIV` and `bin` agree on
+    * nonnegative operands) and the estimate expression is literal-identical
+    * IEEE arithmetic. */
   def oracles: Map[String, String] = Map(
+    "q134_hll_census" ->
+      s"""WITH t AS (SELECT coalesce(lang, '${graft.ops.GraphOps.NullSourceSentinel}') AS lang,
+                            unnest(str_split(text, ' ')) AS token
+                     FROM documents),
+              h AS (SELECT lang, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM t),
+              r AS (SELECT lang, h // $HllRest AS j,
+                           CASE WHEN h % $HllRest = 0 THEN $HllRhoMax
+                                ELSE $HllRhoMax - length(bin(h % $HllRest)) END AS rho
+                    FROM h),
+              reg AS (SELECT lang, j, MAX(rho) AS reg FROM r GROUP BY lang, j),
+              p AS (SELECT lang, COUNT(*) AS n_registers_hit,
+                           CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - reg)) AS BIGINT) AS s_hit
+                    FROM reg GROUP BY lang),
+              e AS (SELECT lang, COUNT(DISTINCT token) AS exact_distinct FROM t GROUP BY lang),
+              c AS (SELECT p.lang AS lang, e.exact_distinct AS exact_distinct,
+                           p.n_registers_hit AS n_registers_hit,
+                           CAST($HllRegisters - p.n_registers_hit AS BIGINT) AS n_zero_registers,
+                           s_hit + ($HllRegisters - n_registers_hit) * ${1L << 53} AS harmonic_denom_scaled
+                    FROM p JOIN e USING (lang))
+         SELECT lang, exact_distinct, n_registers_hit, n_zero_registers,
+                harmonic_denom_scaled, raw_est,
+                (raw_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) AS rel_err,
+                abs(CASE WHEN n_zero_registers > 0 AND raw_est <= 2.5 * $HllRegisters.0
+                         THEN $HllRegisters.0 * ln($HllRegisters.0 / CAST(n_zero_registers AS DOUBLE))
+                         ELSE raw_est END
+                    - CAST(exact_distinct AS DOUBLE))
+                  <= greatest(0.25 * CAST(exact_distinct AS DOUBLE), 10.0) AS est_ok
+         FROM (SELECT c.*,
+                      $HllEstNum / CAST(harmonic_denom_scaled AS DOUBLE) AS raw_est
+               FROM c) ORDER BY lang""",
     "q64_heavy_hitters" ->
       """WITH t AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
               n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM t)

@@ -13,6 +13,60 @@ class DedupOpsSpec extends SparkSpec {
     (4L, "tiny doc", "en", "s1", 0L) // < 3 tokens: dropped by shingling
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("q135 winnowing: shared substring of length ≥ K+W-1 guarantees a shared fingerprint; disjoint docs share none") {
+    // docs 1/2 share a 33-char block ≫ t = 8 ⇒ the guarantee forces ≥ 1
+    // shared fingerprint; doc 3 has no 5-gram in common with either
+    val d = Seq(
+      (1L, "PREFIXAAA shared-block-goes-here-exactly SUFFIX111"),
+      (2L, "zzDIFFER shared-block-goes-here-exactly OTHER9"),
+      (3L, "qqqqwwwweeeerrrrttttyyyyuuuuiiiioooo")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.winnowPairs(d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      "the Schleimer guarantee: a shared run ≥ K+W-1 chars must surface")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("q135 selection is deterministic under ties and position-shift; density ≈ 2/(W+1)") {
+    // a repeated-char doc makes EVERY window an all-tie — the rightmost
+    // rule must still pick deterministically, and the distinct fingerprint
+    // set collapses to exactly one hash
+    val rep = Seq((7L, "aaaaaaaaaaaaaaaaaaaa")).toDF("doc_id", "text")
+    val hashedRep = DedupOps.winnowFingerprints(rep).collect()
+    assert(hashedRep.length === 1, s"all-equal grams must collapse to one fingerprint, got ${hashedRep.length}")
+    // shifting a doc by a prefix must not change which GRAMS are selected
+    // far from the boundary (position-robustness, the point of winnowing):
+    // the shifted doc still shares ≥ MinShared fingerprints with the original
+    val base = "the winnowing algorithm selects minimum hashes from sliding windows"
+    val two = Seq((1L, base), (2L, "XYZPAD-" + base)).toDF("doc_id", "text")
+    val p = DedupOps.winnowPairs(two).collect()
+    assert(p.length === 1 && p(0).getLong(2) >= 2,
+      "prefix shift must preserve the shared fingerprint set")
+    // density: selected distinct fingerprints ≈ 2/(W+1) of grams (paper
+    // §4); allow generous slack for set-collapse on a real doc
+    val doc = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val grams = doc.selectExpr("greatest(length(text) - 4, 0) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    val sel = DedupOps.winnowFingerprints(doc).count()
+    assert(sel > grams / 10 && sel < grams,
+      s"winnowed density off: $sel of $grams grams")
+  }
+
+  test("q135 is partitioning-invariant and emits self-consistent resemblance") {
+    val docs01 = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = DedupOps.winnowPairs(docs01).collect()
+    val reparted = DedupOps.winnowPairs(docs01.repartition(7)).collect()
+    assert(base.map(_.toSeq).toSeq === reparted.map(_.toSeq).toSeq)
+    base.foreach { r =>
+      val (shared, na, nb, res) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(shared <= math.min(na, nb), "shared prints cannot exceed either set")
+      assert(res > 0.0 && res <= 1.0)
+      assert(math.abs(res - shared.toDouble / (na + nb - shared)) == 0.0)
+    }
+  }
+
   test("minhash signature: identical docs get identical signatures") {
     val two = Seq((1L, "a b c d e", "en", "s1", 0L), (2L, "a b c d e", "en", "s1", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

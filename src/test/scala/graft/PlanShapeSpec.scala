@@ -343,6 +343,32 @@ class PlanShapeSpec extends SparkSpec {
       "q133 must not window")
   }
 
+  test("q134 HLL census: no window, no cartesian — registers collapse by partial aggregation") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.SketchOps.hllCensus(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q134 must not window")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"), "q134 must not cross-join")
+    // the register path must map-combine: a partial_max on the register
+    // table before any exchange is the no-token-shuffle proof
+    assert(exec.contains("partial_max") || exec.contains("partial_Max"),
+      s"register MAX must partial-aggregate before the shuffle:\n${exec.take(1500)}")
+  }
+
+  test("q135 winnowing: every window is doc-partitioned; no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.DedupOps.winnowPairs(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "the winnowing selection must be a window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "q135's sliding-min window lost its per-doc partitioning — a global sort at corpus scale")
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "q135 must never plan an all-pairs product")
+  }
+
   test("q79 BPE tokenization applies merges row-locally: no shuffle beyond the output sort") {
     // learning runs as its own bounded jobs; the APPLICATION the query
     // plans must be a pure projection over the scan — a hash exchange here

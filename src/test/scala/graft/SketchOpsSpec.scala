@@ -36,6 +36,49 @@ class SketchOpsSpec extends SparkSpec {
     assert(m.contains("x") && m("x") <= 150L && m("x") >= 150L - 5L)
   }
 
+  test("q134 registers obey the HLL merge law: union registers = element-wise max of the halves'") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.where("doc_id % 2 = 0")
+    val b = docs.where("doc_id % 2 = 1")
+    val whole = SketchOps.hllRegisters(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ra = SketchOps.hllRegisters(a).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val rb = SketchOps.hllRegisters(b).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val merged = (ra.keySet ++ rb.keySet).map { k =>
+      k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))
+    }.toMap
+    assert(whole === merged,
+      "HLL registers of a union must equal the element-wise max of the parts' — the mergeability that makes the sketch shippable")
+  }
+
+  test("q134 census is duplicate-insertion-proof and partitioning-invariant; raw estimate lands near exact") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = SketchOps.hllCensus(docs).collect().map(_.toSeq).toSeq
+    assert(base.nonEmpty)
+    // inserting the whole corpus twice must not move a single register or
+    // estimate — MAX absorbs duplicates (the reason the corpus is never
+    // distinct-shuffled on the register path)
+    val doubled = SketchOps.hllCensus(docs.unionAll(docs)).collect().map(_.toSeq).toSeq
+    assert(doubled === base)
+    val reparted = SketchOps.hllCensus(docs.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(reparted === base)
+    // accuracy: the SHIPPED estimate (raw, or linear-counting in the
+    // small range — the paper's rule) must qualify on every language;
+    // the raw estimator itself is only σ-bounded once out of the
+    // linear-counting regime (exact ≥ 2.5m = 640)
+    base.foreach { r =>
+      val (lang, exact) = (r(0), r(1).asInstanceOf[Long])
+      val relErr = r(6).asInstanceOf[Double]
+      val estOk = r(7).asInstanceOf[Boolean]
+      assert(exact > 0)
+      assert(estOk, s"lang $lang: corrected estimate out of tolerance (exact $exact, rel_err $relErr)")
+      if (exact >= 640)
+        assert(math.abs(relErr) < 0.30, s"lang $lang: rel_err $relErr vs exact $exact")
+    }
+  }
+
   test("q64 two-pass output equals the exact group-by computation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = SketchOps.heavyHitters(docs)
