@@ -403,6 +403,75 @@ case class HyperplaneBands(child: Expression, bands: Int, planesPerBand: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer et al. 2003) over a text
+  * column: hash every K-char k-gram to 60 bits (first 15 md5 hex chars —
+  * the same slice as `conv(substring(md5(g),1,15),16,10)`), slide a W-hash
+  * window, select each full window's minimum with RIGHTMOST tie-break, and
+  * return the distinct selected hashes sorted ascending.
+  *
+  * Why a custom expression: the composed form explodes every character
+  * position to a row (≈ corpus bytes), shuffles them all into a per-doc
+  * window sort for the sliding MIN, then pays a global distinct shuffle to
+  * collapse selections to the fingerprint set. The whole selection is a
+  * pure row-local fold, so this computes it in one linear pass per
+  * document — no window shuffle, no distinct shuffle; only the ~2/(W+1)
+  * surviving fingerprints ever leave the row. Bit-equal to the windowed
+  * `MIN(struct(h, -p))` + DISTINCT form (the spec proves it), which is
+  * also what the DuckDB oracle runs. k-grams are CHARACTER-based
+  * (`UTF8String.substringSQL` semantics, matching SQL substring in both
+  * engines). Texts shorter than K+W-1 chars have no full window → empty
+  * array. `CodegenFallback`: md5 dominates. */
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1 && w >= 1, "k-gram width and window must be >= 1")
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val nChars = text.numChars()
+    val n = nChars - k + 1 // gram count
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      // substringSQL is 1-based char-indexed — identical to SQL substring
+      md.update(text.substringSQL(i + 1, k).getBytes)
+      val d = md.digest()
+      // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      hs(i) = (h << 4) | ((d(7) >> 4) & 0xFL)
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var e = w - 1
+    while (e < n) {
+      var best = e - w + 1
+      var j = best + 1
+      while (j <= e) {
+        if (hs(j) <= hs(best)) best = j // <= → rightmost minimal survives
+        j += 1
+      }
+      sel.add(hs(best))
+      e += 1
+    }
+    val out = new Array[Any](sel.size())
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Function registration, both as a `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)`) and as an idempotent imperative
   * call for sessions the library does not construct. */
@@ -455,6 +524,16 @@ object GraftFunctions {
     SimHash64(children.head, children(1).eval().asInstanceOf[Number].intValue())
   }
 
+  private val winnowIdent = FunctionIdentifier("graft_winnow")
+  private val winnowInfo = new ExpressionInfo(classOf[WinnowHashes].getName, "graft_winnow")
+  private val winnowBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 3 && children(1).foldable && children(2).foldable,
+      "graft_winnow(text, k, w) takes a string and two literal ints")
+    WinnowHashes(children.head,
+      children(1).eval().asInstanceOf[Number].intValue(),
+      children(2).eval().asInstanceOf[Number].intValue())
+  }
+
   private val trisumIdent = FunctionIdentifier("graft_trisum")
   private val trisumInfo = new ExpressionInfo(classOf[TriangleSumAgg].getName, "graft_trisum")
   private val trisumBuilder: Seq[Expression] => Expression = { children =>
@@ -473,6 +552,7 @@ object GraftFunctions {
     ext.injectFunction((minhashIdent, minhashInfo, minhashBuilder))
     ext.injectFunction((dotlIdent, dotlInfo, dotlBuilder))
     ext.injectFunction((bandsIdent, bandsInfo, bandsBuilder))
+    ext.injectFunction((winnowIdent, winnowInfo, winnowBuilder))
   }
 
   /** Idempotent: safe to call from every query builder. */
@@ -484,6 +564,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(minhashIdent, minhashInfo, minhashBuilder)
     spark.sessionState.functionRegistry.registerFunction(dotlIdent, dotlInfo, dotlBuilder)
     spark.sessionState.functionRegistry.registerFunction(bandsIdent, bandsInfo, bandsBuilder)
+    spark.sessionState.functionRegistry.registerFunction(winnowIdent, winnowInfo, winnowBuilder)
   }
 }
 

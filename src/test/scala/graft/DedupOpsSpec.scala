@@ -53,6 +53,25 @@ class DedupOpsSpec extends SparkSpec {
       s"winnowed density off: $sel of $grams grams")
   }
 
+  test("q135 native graft_winnow equals the windowed MIN(struct) twin bit-for-bit") {
+    val docs01 = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = DedupOps.winnowFingerprints(docs01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val windowed = DedupOps.winnowFingerprintsWindowed(docs01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native === windowed,
+      "the native selection must match the composed windowed form — the oracle runs the windowed shape")
+    // and on adversarial shapes: ties, short texts, exactly-one-window
+    val edge = Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "abcdefg"),
+      (4L, "tiny"), (5L, "")).toDF("doc_id", "text")
+    val ne = DedupOps.winnowFingerprints(edge)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val we = DedupOps.winnowFingerprintsWindowed(edge)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ne === we)
+    assert(!ne.exists(_._1 >= 4L), "texts shorter than K must yield no fingerprints")
+  }
+
   test("q135 is partitioning-invariant and emits self-consistent resemblance") {
     val docs01 = Tables.documents(spark, "/root/testdata/sf0.001")
     val base = DedupOps.winnowPairs(docs01).collect()

@@ -357,14 +357,22 @@ class PlanShapeSpec extends SparkSpec {
       s"register MAX must partial-aggregate before the shuffle:\n${exec.take(1500)}")
   }
 
-  test("q135 winnowing: every window is doc-partitioned; no cartesian") {
+  test("q135 winnowing: fingerprint selection is row-local (no window, no exchange); no cartesian in the pair join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the native graft_winnow path must plan as a pure generate/projection
+    // over the scan — the windowed twin's corpus-sized sort + distinct
+    // shuffle is exactly what the expression exists to remove
+    val fp = graft.ops.DedupOps.winnowFingerprints(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(fp.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q135's fingerprint selection must not window")
+    val fpExec = fp.queryExecution.executedPlan.toString
+    assert(!fpExec.contains("Exchange"),
+      s"fingerprint selection must not shuffle:\n${fpExec.take(1200)}")
+    assert(fpExec.contains("graft_winnow"),
+      "the native winnow expression must be in the plan")
     val q = graft.ops.DedupOps.winnowPairs(
       Tables.documents(spark, "/root/testdata/sf0.001"))
-    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(wins.nonEmpty, "the winnowing selection must be a window")
-    assert(wins.forall(_.partitionSpec.nonEmpty),
-      "q135's sliding-min window lost its per-doc partitioning — a global sort at corpus scale")
     assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"),
       "q135 must never plan an all-pairs product")
   }
