@@ -230,6 +230,14 @@ object SparkEntry {
     "q53_approx_percentiles" -> ((s, d) =>
       RelationalOps.approxPercentilesChecked(Tables.events(s, d))),
     "q54_sessionize"       -> ((s, d) => RelationalOps.sessionize(Tables.events(s, d))),
+    // funnel analysis: strictly-ordered view→click→purchase conversion
+    // with exact time-to-advance — every stage a conditional MIN, every
+    // join co-keyed on user_id, census rows from one-row aggregates
+    "q136_funnel"          -> ((s, d) => RelationalOps.funnelCensus(Tables.events(s, d))),
+    // SAX motif discovery: sliding per-user windows → PAA → z-normalized
+    // Gaussian-breakpoint words; exact-integer window stats make every
+    // symbol bit-deterministic; output bounded by the 4^m word alphabet
+    "q137_sax_motifs"      -> ((s, d) => RelationalOps.saxMotifs(Tables.events(s, d))),
     "q29_order_sequence"   -> ((s, d) => RelationalOps.orderSequence(Tables.orders(s, d))),
     "q46_users_in_either"  -> ((s, d) => RelationalOps.usersInEither(Tables.events(s, d))),
     "q47_orders_outer"     -> ((s, d) =>
@@ -922,6 +930,57 @@ object SparkEntry {
                 MIN(us) AS start_us, MAX(us) AS end_us,
                 MAX(us) - MIN(us) AS duration_us
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    // q137: same window/PAA/symbol recipe; the symbol CASEs come from the
+    // SAME generator as the Spark side (only the element accessor differs)
+    "q137_sax_motifs" -> {
+      val L = RelationalOps.SaxWindow
+      val sym = RelationalOps.saxSymbolExprs(i => s"win[$i]").mkString(", ")
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                            CAST(ROUND(value * 100) AS BIGINT) AS c
+                     FROM events WHERE value IS NOT NULL),
+          w AS (SELECT user_id, list(c) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN CURRENT ROW AND ${L - 1} FOLLOWING) AS win
+                FROM e),
+          f AS (SELECT user_id, win,
+                       CAST(list_sum(win) AS BIGINT) AS s,
+                       CAST(list_sum(list_transform(win, x -> x * x)) AS BIGINT) AS ss
+                FROM w WHERE len(win) = $L),
+          g AS (SELECT user_id, win, s, $L * ss - s * s AS d FROM f),
+          y AS (SELECT user_id, concat_ws('', $sym) AS word FROM g)
+          SELECT word, COUNT(*) AS n_windows,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM y GROUP BY word HAVING COUNT(*) >= ${RelationalOps.SaxMinSupport}
+          ORDER BY n_windows DESC, word"""
+    },
+    // q136: identical stage CTE chain; DuckDB SUMs cast back to BIGINT
+    // (HUGEINT default); strictly-after `>` on epoch-µs integers both sides
+    "q136_funnel" -> {
+      val st = RelationalOps.FunnelStages
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+          s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+                 WHERE event_type = '${st(0)}' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, MIN(us) AS t2, MIN(t1) AS t1
+                 FROM e JOIN s1 ON e.user_id = s1.user_id
+                 WHERE event_type = '${st(1)}' AND us > t1 GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, MIN(us) AS t3, MIN(t2) AS t2
+                 FROM e JOIN s2 ON e.user_id = s2.user_id
+                 WHERE event_type = '${st(2)}' AND us > t2 GROUP BY e.user_id),
+          r AS (SELECT 1 AS stage, '${st(0)}' AS event_type,
+                       COUNT(*) AS n_users, CAST(NULL AS BIGINT) AS sum_advance_us
+                FROM s1
+                UNION ALL
+                SELECT 2, '${st(1)}', COUNT(*), CAST(SUM(t2 - t1) AS BIGINT) FROM s2
+                UNION ALL
+                SELECT 3, '${st(2)}', COUNT(*), CAST(SUM(t3 - t2) AS BIGINT) FROM s3)
+          SELECT r.stage AS stage, r.event_type AS event_type, r.n_users AS n_users,
+                 CASE WHEN p.n_users IS NULL OR p.n_users = 0 THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(r.n_users AS DOUBLE) / CAST(p.n_users AS DOUBLE) END AS conv_from_prev,
+                 r.sum_advance_us AS sum_advance_us,
+                 CASE WHEN r.stage = 1 OR r.n_users = 0 THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(r.sum_advance_us AS DOUBLE) / CAST(r.n_users AS DOUBLE) END AS avg_advance_us
+          FROM r LEFT JOIN r p ON r.stage = p.stage + 1
+          ORDER BY stage"""
+    },
     "q29_order_sequence" ->
       """SELECT o_custkey, o_orderkey,
                 price_c / 100.0 AS price,

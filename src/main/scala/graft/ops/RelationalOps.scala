@@ -434,6 +434,129 @@ object RelationalOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** The ordered funnel q136 walks — the corpus's own product funnel.
+    * Shared with the oracle text so the stage list cannot drift. */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q136 — FUNNEL ANALYSIS with strictly-ordered semantics: per user,
+    * the first `view`, the first `click` STRICTLY AFTER it, and the first
+    * `purchase` strictly after that; per stage, the users reaching it,
+    * the conversion rate from the previous stage, and the exact total and
+    * mean time-to-advance — the product-analytics query every event
+    * warehouse serves, and a fixed-pattern instance of the sequence
+    * (CEP) matching the reference's alert chain never had.
+    *
+    * Strictness matters: a simultaneous view+click (same µs) does NOT
+    * convert — the funnel proves ORDER, not co-occurrence (q18's
+    * users-in-both is the unordered form). Each stage is one conditional
+    * MIN; each subsequent stage joins the previous stage's per-user
+    * timestamps CO-KEYED on user_id (the filter-then-join order means
+    * stage k only scans its own event type — volumes shrink down the
+    * funnel). All shuffles share the user_id key; the census rows are
+    * three one-row aggregates and the conversion join is a broadcast
+    * over the 3-row table. Times are epoch-µs integers end to end; the
+    * two emitted doubles are one IEEE division each. */
+  def funnelCensus(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val s1 = e.filter(col("event_type") === FunnelStages(0))
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = e.filter(col("event_type") === FunnelStages(1))
+      .join(s1, "user_id").where(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+    val s3 = e.filter(col("event_type") === FunnelStages(2))
+      .join(s2, "user_id").where(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"), min("t2").as("t2"))
+    val r1 = s1.agg(count(lit(1)).as("n_users"))
+      .selectExpr("1 AS stage", s"'${FunnelStages(0)}' AS event_type",
+        "n_users", "CAST(NULL AS BIGINT) AS sum_advance_us")
+    val r2 = s2.agg(count(lit(1)).as("n_users"),
+        sum(col("t2") - col("t1")).as("sum_advance_us"))
+      .selectExpr("2 AS stage", s"'${FunnelStages(1)}' AS event_type",
+        "n_users", "sum_advance_us")
+    val r3 = s3.agg(count(lit(1)).as("n_users"),
+        sum(col("t3") - col("t2")).as("sum_advance_us"))
+      .selectExpr("3 AS stage", s"'${FunnelStages(2)}' AS event_type",
+        "n_users", "sum_advance_us")
+    val rows = r1.unionByName(r2).unionByName(r3)
+    rows.join(
+        broadcast(rows.selectExpr("stage AS pstage", "n_users AS prev_users")),
+        col("stage") === col("pstage") + 1, "left")
+      .selectExpr("stage", "event_type", "n_users",
+        """CASE WHEN prev_users IS NULL OR prev_users = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(n_users AS DOUBLE) / CAST(prev_users AS DOUBLE) END AS conv_from_prev""",
+        "sum_advance_us",
+        """CASE WHEN stage = 1 OR n_users = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(sum_advance_us AS DOUBLE) / CAST(n_users AS DOUBLE) END AS avg_advance_us""")
+      .orderBy("stage")
+  }
+
+  val SaxWindow = 8      // values per sliding window (L)
+  val SaxSegments = 4    // PAA segments (m) — segn = L/m = 2 values each
+  val SaxMinSupport = 2L // motif = a word at least this frequent
+
+  /** q137 — SAX MOTIF DISCOVERY (Lin, Keogh et al. 2003's symbolic
+    * aggregate approximation) over per-user event-value series: each
+    * sliding window of [[SaxWindow]] values is PAA-reduced to
+    * [[SaxSegments]] segment means, z-normalized against the WINDOW's own
+    * mean/deviation, and quantized at the Gaussian quartile breakpoints
+    * (±0.6745, 0) into a 4-letter word over {a,b,c,d}; words repeating
+    * ≥ [[SaxMinSupport]] times are the corpus's recurring value-shape
+    * motifs (spike-then-decay, ramps…) — the time-series pattern-mining
+    * layer the reference's per-record fraud predicate cannot see.
+    *
+    * Determinism: window sums S, ΣX² and the deviation discriminant
+    * D = L·ΣX² − S² are exact cents integers; each symbol comparison is
+    * `(segS·L − S·segn)  <  β · √D · segn` — an exactly-representable
+    * integer (cast once) against one sqrt and two multiplies of
+    * explicit-DOUBLE literals, every op correctly rounded, so the word is
+    * bit-identical cross-engine (the q133/q134 literal-identical-IEEE
+    * recipe). Flat windows (D = 0) map to the all-'c' word explicitly.
+    *
+    * Scale shape: the only window is PARTITIONED by user (the q54 shape);
+    * everything after is row-local array math into a ≤ 4^m = 256-key
+    * aggregate — output bounded by the alphabet, not the corpus. */
+  /** The per-segment symbol CASE, generated ONCE for both engines —
+    * `elem(i)` is the only dialect difference (`element_at(win, i)` vs
+    * `win[i]`), so the comparison arithmetic literally cannot drift. */
+  private[graft] def saxSymbolExprs(elem: Int => String): Seq[String] = {
+    val L = SaxWindow
+    val segn = L / SaxSegments
+    (0 until SaxSegments).map { g =>
+      val segS = (1 to segn).map(j => elem(g * segn + j)).mkString("(", " + ", ")")
+      val lhs = s"CAST($segS * $L - s * $segn AS DOUBLE)"
+      s"""CASE WHEN d = 0 THEN 'c'
+               WHEN $lhs < CAST(-0.6745 AS DOUBLE) * sqrt(CAST(d AS DOUBLE)) * CAST($segn AS DOUBLE) THEN 'a'
+               WHEN $lhs < CAST(0 AS DOUBLE) THEN 'b'
+               WHEN $lhs < CAST(0.6745 AS DOUBLE) * sqrt(CAST(d AS DOUBLE)) * CAST($segn AS DOUBLE) THEN 'c'
+               ELSE 'd' END"""
+    }
+  }
+
+  def saxMotifs(events: DataFrame): DataFrame = {
+    val L = SaxWindow
+    val segn = L / SaxSegments
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.currentRow, L - 1)
+    val win = events.where(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("c"))
+      .withColumn("win", collect_list("c").over(w))
+      .where(size(col("win")) === L)
+    val sym = saxSymbolExprs(i => s"element_at(win, $i)").mkString(", ")
+    win
+      .selectExpr("user_id", "win",
+        "aggregate(win, CAST(0 AS BIGINT), (a, x) -> a + x) AS s",
+        "aggregate(win, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS ss")
+      .selectExpr("user_id", "win", "s", s"$L * ss - s * s AS d")
+      .selectExpr("user_id", s"concat_ws('', $sym) AS word")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("user_id")).as("n_users"))
+      .where(col("n_windows") >= SaxMinSupport)
+      .orderBy(desc("n_windows"), col("word"))
+  }
+
   /** Set union: per-type user sets recombined distinct (the reference's
     * branch legs are never recombined — SURVEY §2.D; this closes that gap). */
   def usersInEither(events: DataFrame, typeA: String = "purchase", typeB: String = "error"): DataFrame = {

@@ -377,6 +377,27 @@ class PlanShapeSpec extends SparkSpec {
       "q135 must never plan an all-pairs product")
   }
 
+  test("q136 funnel: stage chain plans with no window and no cartesian — co-keyed joins only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.RelationalOps.funnelCensus(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q136 must not window — stages are conditional MINs")
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "q136 must not cross-join")
+  }
+
+  test("q137 SAX: the only window is user-partitioned; word census bounded by the alphabet") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.RelationalOps.saxMotifs(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "the sliding value window must be a window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "q137's sliding window lost its per-user partitioning — a global sort at corpus scale")
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("q79 BPE tokenization applies merges row-locally: no shuffle beyond the output sort") {
     // learning runs as its own bounded jobs; the APPLICATION the query
     // plans must be a pure projection over the scan — a hash exchange here

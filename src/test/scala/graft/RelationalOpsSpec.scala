@@ -96,6 +96,82 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("q136 funnel: strictly-ordered conversion, simultaneous events do not convert") {
+    val ev = Seq(
+      // user 1: full funnel, 10s then 20s to advance
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(10), 1L, "click", 0.0, "{}"),
+      (3L, ts(30), 1L, "purchase", 0.0, "{}"),
+      // user 2: click BEFORE the first view — ordered funnel must not count it
+      (4L, ts(5), 2L, "click", 0.0, "{}"),
+      (5L, ts(10), 2L, "view", 0.0, "{}"),
+      // user 3: click SIMULTANEOUS with view — strictness excludes it
+      (6L, ts(7), 3L, "view", 0.0, "{}"),
+      (7L, ts(7), 3L, "click", 0.0, "{}"),
+      // user 4: view only
+      (8L, ts(1), 4L, "view", 0.0, "{}"),
+      // user 5: purchase with no view — never enters the funnel
+      (9L, ts(2), 5L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.funnelCensus(ev).collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    val byStage = got.map(r => r.getInt(0) -> r).toMap
+    assert(byStage(1).getLong(2) === 4L, "users 1-4 reach 'view'")
+    assert(byStage(2).getLong(2) === 1L, "only user 1 clicks strictly after viewing")
+    assert(byStage(3).getLong(2) === 1L)
+    assert(byStage(1).isNullAt(3) && byStage(1).isNullAt(4) && byStage(1).isNullAt(5))
+    assert(byStage(2).getDouble(3) === 0.25)
+    assert(byStage(2).getLong(4) === 10000000L, "10 s view→click in µs")
+    assert(byStage(3).getLong(4) === 20000000L)
+    assert(byStage(3).getDouble(5) === 20000000.0)
+  }
+
+  test("q136 funnel on the corpus: stage counts are monotone and self-consistent") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.funnelCensus(events).collect()
+    val n = rows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(n(1) >= n(2) && n(2) >= n(3), s"funnel must narrow: $n")
+    assert(n(1) > 0 && n(3) > 0, "testdata must exercise the full funnel")
+    rows.filter(_.getInt(0) > 1).foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(4) >= 0L)
+    }
+    val reparted = RelationalOps.funnelCensus(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
+  test("q137 SAX: a ramp window reads 'abcd', a flat window 'cccc'; support counts windows and users") {
+    // two users with the same 8-value ramp (one full window each) plus
+    // two users with flat series — motifs need support ≥ 2
+    val ramp = (1 to 8).map(i => i * 1.0)
+    val ev = (for {
+      (uid, vals) <- Seq(1L -> ramp, 2L -> ramp,
+        3L -> Seq.fill(8)(5.0), 4L -> Seq.fill(8)(5.0))
+      (v, i) <- vals.zipWithIndex
+    } yield (uid * 100 + i, ts(i.toLong), uid, "view", v, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.saxMotifs(ev)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("abcd" -> (2L, 2L), "cccc" -> (2L, 2L)),
+      s"got $got")
+  }
+
+  test("q137 SAX on the corpus: words are 4 symbols over a-d, output bounded, partitioning-invariant") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.saxMotifs(events).collect()
+    assert(rows.nonEmpty, "the corpus must contain repeated value shapes")
+    assert(rows.length <= 256, "output is bounded by the 4^4 word alphabet")
+    rows.foreach { r =>
+      assert(r.getString(0).matches("[abcd]{4}"), s"bad word ${r.getString(0)}")
+      assert(r.getLong(1) >= RelationalOps.SaxMinSupport)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1))
+    }
+    val reparted = RelationalOps.saxMotifs(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q21 self-check: HLL estimate within rsd bound of the exact count") {
     // approx_count_distinct defaults to rsd = 0.05; on the testdata's
     // cardinalities (hundreds of users per type) the estimate must land
