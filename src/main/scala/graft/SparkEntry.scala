@@ -238,6 +238,12 @@ object SparkEntry {
     // Gaussian-breakpoint words; exact-integer window stats make every
     // symbol bit-deterministic; output bounded by the 4^m word alphabet
     "q137_sax_motifs"      -> ((s, d) => RelationalOps.saxMotifs(Tables.events(s, d))),
+    // retention triangle: day-of-first-event cohorts × days-since, from
+    // one distinct (user, day) collapse; cohort sizes broadcast
+    "q138_retention"       -> ((s, d) => RelationalOps.retentionCohorts(Tables.events(s, d))),
+    // DAU/WAU stickiness: the sliding COUNT(DISTINCT) nobody can slide,
+    // re-planned as a bounded contribution-explode into one hash agg
+    "q139_stickiness"      -> ((s, d) => RelationalOps.stickinessCensus(Tables.events(s, d))),
     "q29_order_sequence"   -> ((s, d) => RelationalOps.orderSequence(Tables.orders(s, d))),
     "q46_users_in_either"  -> ((s, d) => RelationalOps.usersInEither(Tables.events(s, d))),
     "q47_orders_outer"     -> ((s, d) =>
@@ -981,6 +987,30 @@ object SparkEntry {
           FROM r LEFT JOIN r p ON r.stage = p.stage + 1
           ORDER BY stage"""
     },
+    // q138/q139: same day grain (floor-divided epoch-µs) and the same
+    // shared window constant on both engines
+    "q138_retention" ->
+      s"""WITH e AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // ${RelationalOps.DayUs} AS day FROM events),
+          f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+          sizes AS (SELECT cohort_day, COUNT(*) AS cohort_users FROM f GROUP BY cohort_day),
+          cells AS (SELECT cohort_day, day - cohort_day AS period, COUNT(*) AS n_active
+                    FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+          SELECT cohort_day, period, cohort_users, n_active,
+                 CAST(n_active AS DOUBLE) / CAST(cohort_users AS DOUBLE) AS retention
+          FROM cells JOIN sizes USING (cohort_day)
+          ORDER BY cohort_day, period""",
+    "q139_stickiness" ->
+      s"""WITH e AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // ${RelationalOps.DayUs} AS day FROM events),
+          dau AS (SELECT day, COUNT(*) AS dau FROM e GROUP BY day),
+          w AS (SELECT DISTINCT user_id, day + r.range AS day
+                FROM e, range(${RelationalOps.StickyWindowDays}) r),
+          wau AS (SELECT day, COUNT(*) AS wau FROM w GROUP BY day)
+          SELECT day, dau, wau,
+                 CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+          FROM dau JOIN wau USING (day)
+          ORDER BY day""",
     "q29_order_sequence" ->
       """SELECT o_custkey, o_orderkey,
                 price_c / 100.0 AS price,

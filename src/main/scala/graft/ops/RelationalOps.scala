@@ -602,6 +602,75 @@ object RelationalOps {
     * burst-less anchors keep their zero row; COUNT/SUM ignore the null
     * probe rows. Exact integer cents (the q02 recipe) + epoch-µs integer
     * arithmetic — hash-identical cross-engine. */
+  /** Epoch-µs per day — shared by q138/q139 and their oracles so the
+    * activity grain cannot drift between engines. */
+  val DayUs: Long = 86400000000L
+  /** q139's trailing-activity window in days (WAU). */
+  val StickyWindowDays: Int = 7
+
+  /** q138 — RETENTION COHORT TRIANGLE: users cohorted by the day of their
+    * first event; for each (cohort_day, days-since) cell, how many of the
+    * cohort were active — the growth-analytics artifact every event
+    * warehouse serves, and the time-grain cousin of q51's mod-cohort pivot.
+    *
+    * Scale shape: activity collapses to DISTINCT (user, day) in one
+    * map-combinable hash aggregate (the corpus is touched exactly once);
+    * the cohort day is a second user-keyed MIN over that already-collapsed
+    * set; the cell census joins the two CO-KEYED on user_id, so a user's
+    * rows meet without a second corpus shuffle shape. Cohort sizes are
+    * bounded by the calendar (≤ #days rows) and broadcast back over the
+    * ≤ days² cell table. Day ids are floor-divided epoch-µs integers
+    * (positive, so Spark DIV and DuckDB // agree bit-exactly); the
+    * retention rate is the single IEEE division per cell. Period 0 is the
+    * built-in self-check: n_active = cohort_users by construction. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .distinct()
+    val cohorts = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_users"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("period"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .selectExpr("cohort_day", "period", "cohort_users", "n_active",
+        "CAST(n_active AS DOUBLE) / CAST(cohort_users AS DOUBLE) AS retention")
+      .orderBy("cohort_day", "period")
+  }
+
+  /** q139 — DAU/WAU STICKINESS: per day, the distinct users active that
+    * day (DAU), the distinct users active in the trailing
+    * [[StickyWindowDays]]-day window (WAU), and their ratio — the
+    * engagement census usually written as a sliding COUNT(DISTINCT),
+    * which no engine can slide incrementally.
+    *
+    * Instead of a window, each (user, day) activity row CONTRIBUTES
+    * itself to the [[StickyWindowDays]] target days it supports (day …
+    * day+6) via one bounded explode, and WAU(t) falls out of the same
+    * DISTINCT-then-COUNT hash aggregate as DAU — map-combinable, no sort,
+    * no per-day corpus rescan; the 7× expansion happens AFTER the corpus
+    * collapses to distinct (user, day), so it is 7× of the small set.
+    * The final day-keyed join is between two calendar-bounded tables
+    * (broadcast). Start-of-corpus days carry truncated windows (only
+    * observed activity) — the honest read; phantom target days past the
+    * corpus end drop out of the inner join because they have no DAU. */
+  def stickinessCensus(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .distinct()
+    val dau = active.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = active
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, day + ${StickyWindowDays - 1})")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(broadcast(wau), "day")
+      .selectExpr("day", "dau", "wau",
+        "CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness")
+      .orderBy("day")
+  }
+
   def intervalJoin(events: DataFrame, anchorType: String = "signup",
                    windowUs: Long = IntervalUs): DataFrame = {
     val targets = events.select(

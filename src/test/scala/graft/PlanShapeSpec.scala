@@ -387,6 +387,30 @@ class PlanShapeSpec extends SparkSpec {
       "q136 must not cross-join")
   }
 
+  test("q138 retention: no window, cohort sizes broadcast, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.RelationalOps.retentionCohorts(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q138 is aggregates + one co-keyed join — never a window")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      "the calendar-bounded cohort-size table must broadcast")
+    assert(!phys.contains("CartesianProduct"))
+  }
+
+  test("q139 stickiness: the sliding distinct is an explode into hash aggs — no window, bounded join broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.RelationalOps.stickinessCensus(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q139 must not plan the sliding distinct as a window")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      "the day-keyed DAU/WAU join is calendar-bounded — must broadcast")
+    assert(!phys.contains("CartesianProduct"))
+  }
+
   test("q137 SAX: the only window is user-partitioned; word census bounded by the alphabet") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = graft.ops.RelationalOps.saxMotifs(

@@ -172,6 +172,92 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q138 retention: hand fixture — cohorts by first-event day, cells count distinct active users") {
+    val day = RelationalOps.DayUs
+    def at(d: Long, offsetUs: Long = 0L) =
+      new java.sql.Timestamp((d * day + offsetUs) / 1000)
+    // day-19723 cohort: u1 active days 0,1,3 (twice on day 1 — distinct
+    // collapses it); u2 active day 0 only. day-19724 cohort: u3 days 1,2.
+    val d0 = 19723L
+    val ev = Seq(
+      (1L, at(d0), 1L, "view", 0.0, "{}"),
+      (2L, at(d0 + 1), 1L, "view", 0.0, "{}"),
+      (3L, at(d0 + 1, 5L), 1L, "click", 0.0, "{}"),
+      (4L, at(d0 + 3), 1L, "view", 0.0, "{}"),
+      (5L, at(d0, 9L), 2L, "view", 0.0, "{}"),
+      (6L, at(d0 + 1), 3L, "view", 0.0, "{}"),
+      (7L, at(d0 + 2), 3L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.retentionCohorts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got === Map(
+      (d0, 0L)     -> (2L, 2L, 1.0),
+      (d0, 1L)     -> (2L, 1L, 0.5),
+      (d0, 3L)     -> (2L, 1L, 0.5),
+      (d0 + 1, 0L) -> (1L, 1L, 1.0),
+      (d0 + 1, 1L) -> (1L, 1L, 1.0)), s"got $got")
+  }
+
+  test("q138 retention on the corpus: period-0 self-check, monotone bounds, partitioning invariance") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.retentionCohorts(events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L, "periods are days since first activity")
+      assert(r.getLong(3) <= r.getLong(2), "a cell cannot exceed its cohort")
+      if (r.getLong(1) == 0L)
+        assert(r.getLong(3) === r.getLong(2), "everyone is active on their first day")
+    }
+    // cohort sizes sum to the distinct-user census — no user lost or doubled
+    val cohortTotal = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val nUsers = events.select("user_id").distinct().count()
+    assert(cohortTotal === nUsers)
+    val reparted = RelationalOps.retentionCohorts(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
+  test("q139 stickiness: hand fixture — WAU is the trailing-7-day distinct union, DAU the day's own") {
+    val day = RelationalOps.DayUs
+    def at(d: Long) = new java.sql.Timestamp(d * day / 1000)
+    val d0 = 19723L
+    // u1 active d0 and d0+8 (outside the 7-day window of each other);
+    // u2 active d0+1; u3 active d0+8
+    val ev = Seq(
+      (1L, at(d0), 1L, "view", 0.0, "{}"),
+      (2L, at(d0 + 8), 1L, "view", 0.0, "{}"),
+      (3L, at(d0 + 1), 2L, "view", 0.0, "{}"),
+      (4L, at(d0 + 8), 3L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.stickinessCensus(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // d0: dau {u1}, wau {u1}. d0+1: dau {u2}, wau {u1,u2}.
+    // d0+8: dau {u1,u3}; the trailing window is d0+2 … d0+8, so u2's
+    // d0+1 activity is one day too old — wau {u1,u3}
+    assert(got === Map(
+      d0 -> (1L, 1L),
+      (d0 + 1) -> (1L, 2L),
+      (d0 + 8) -> (2L, 2L)), s"got $got")
+    // only observed days appear — no phantom target days past the corpus
+    assert(!got.contains(d0 + 2) && !got.contains(d0 + 9))
+  }
+
+  test("q139 stickiness on the corpus: DAU ≤ WAU ≤ user census, ratio in (0,1], partitioning invariance") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.stickinessCensus(events).collect()
+    assert(rows.nonEmpty)
+    val nUsers = events.select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "DAU cannot exceed WAU")
+      assert(r.getLong(2) <= nUsers)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val reparted = RelationalOps.stickinessCensus(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q21 self-check: HLL estimate within rsd bound of the exact count") {
     // approx_count_distinct defaults to rsd = 0.05; on the testdata's
     // cardinalities (hundreds of users per type) the estimate must land
