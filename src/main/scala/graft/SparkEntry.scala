@@ -470,6 +470,18 @@ object SparkEntry {
     "q103_score_calibration" -> ((s, d) =>
       graft.ops.QualityModelOps.scoreCalibration(
         qualityScoresShared(s, d), qualityLabelsShared(s, d))),
+    // exact binned ROC/AUC of the classifier vs its supervising heuristic
+    // — the ranking-separation verdict q103's calibration doesn't give;
+    // Mann-Whitney pairs counted exactly from the bounded bin histogram,
+    // never a corpus-wide rank
+    "q141_roc_auc"         -> ((s, d) =>
+      graft.ops.QualityModelOps.rocAuc(
+        qualityScoresShared(s, d), qualityLabelsShared(s, d))),
+    // PageRank over the symmetrized customer–supplier purchase graph:
+    // exact integer micro-mass power iterations, checkpointed per round —
+    // the canonical iterative message-passing workload
+    "q140_pagerank"        -> ((s, d) =>
+      graft.ops.GraphOps.pageRank(Tables.orders(s, d), Tables.lineitem(s, d))),
     // soft dedup: every doc kept, downweighted by near-dup cluster
     // multiplicity — reads the MATERIALIZED q66 cluster table (q59 pattern)
     "q97_softdedup_weights" -> ((s, d) =>

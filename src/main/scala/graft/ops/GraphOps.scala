@@ -217,6 +217,95 @@ object GraphOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Fixed PageRank round budget — shared with the unrolled oracle CTE
+    * chain so the engines walk the identical number of power iterations. */
+  val PageRankRounds: Int = 5
+  /** Initial per-node mass in micro-units (rank 1.0). */
+  val PageRankInitMicro: Long = 1000000L
+
+  /** q140 — PAGERANK over the symmetrized customer–supplier purchase
+    * graph (an edge wherever a customer's order contains a supplier's
+    * line item): the canonical iterative-message-passing workload — the
+    * entity-importance score every link-analysis / seed-selection
+    * pipeline runs — exercised as [[PageRankRounds]] exact power
+    * iterations with the per-node convention r' = 0.15 + 0.85·Σ r/deg.
+    *
+    * Determinism: mass lives in micro-unit BIGINTs; each round does ONE
+    * floor division per edge (r DIV deg) and one per node (85·m DIV 100)
+    * — both engines floor identically on non-negative integers, and the
+    * dropped remainders are the deterministic "leaked mass" of the
+    * integer formulation (≤ deg µ-units per node per round). No doubles
+    * anywhere until the final rank projection. Headroom: a node's mass
+    * is bounded by the conserved total N·10⁶, so the 85× step stays
+    * inside BIGINT up to ~10¹¹ nodes — beyond the 100 TB design point.
+    *
+    * Scale shape: the edge list comes from the orders⋈lineitem equi-join
+    * (co-keyed on orderkey) collapsed to DISTINCT (cust, supp) — the only
+    * corpus-scale shuffle, paid once and checkpointed WITH each node's
+    * degree attached, so every round is exactly one src-keyed join +
+    * one dst-keyed map-combinable SUM. Ranks are checkpointed per round
+    * (the q87/q66 idiom) — plan depth is round-invariant. Node ids live
+    * in one space (2·custkey / 2·suppkey+1) so the bipartite key spaces
+    * cannot collide. Every node of the symmetrized graph has in- and
+    * out-edges, so there are no dangling nodes by construction. */
+  def pageRank(orders: DataFrame, lineitem: DataFrame,
+               rounds: Int = PageRankRounds): DataFrame = {
+    val eb = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
+      .distinct()
+    val edges = eb.unionByName(eb.selectExpr("dst AS src", "src AS dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val edgeDeg = edges.join(deg, "src").localCheckpoint()
+    var ranks = deg
+      .select(col("src").as("node"), lit(PageRankInitMicro).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val contrib = edgeDeg.join(ranks, edgeDeg("src") === ranks("node"))
+        .selectExpr("dst", "r DIV deg AS c")
+        .groupBy("dst").agg(sum("c").as("m"))
+      ranks = ranks.select("node")
+        .join(contrib, ranks("node") === contrib("dst"), "left_outer")
+        .selectExpr("node",
+          "150000 + (85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100 AS r")
+        .localCheckpoint()
+    }
+    ranks.selectExpr(
+        "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type",
+        "node DIV 2 AS key", "r AS rank_micro",
+        "CAST(r AS DOUBLE) / 1e6 AS pr")
+      .orderBy(desc("rank_micro"), col("node_type"), col("key"))
+  }
+
+  /** The q140 oracle unrolled to `rounds` power iterations — identical
+    * integer mass arithmetic (DuckDB `//` and Spark `DIV` agree on
+    * non-negative BIGINTs), LEFT JOIN + COALESCE for the (structurally
+    * impossible, kept for shape parity) no-inbound-mass case. */
+  private[graft] def pageRankSql(rounds: Int = PageRankRounds): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""r$i AS (SELECT d.src AS node,
+                 CAST(150000 + (85 * COALESCE(m.m, 0)) // 100 AS BIGINT) AS r
+          FROM deg d LEFT JOIN (
+            SELECT e.dst AS dst, CAST(SUM(p.r // d2.deg) AS BIGINT) AS m
+            FROM r${i - 1} p JOIN deg d2 ON p.node = d2.src
+                 JOIN e ON e.src = p.node
+            GROUP BY e.dst) m ON d.src = m.dst)"""
+    }.mkString(",\n          ")
+    s"""WITH eb AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM eb UNION ALL SELECT dst, src FROM eb),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT src AS node, CAST($PageRankInitMicro AS BIGINT) AS r FROM deg),
+        $roundCtes
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+               node // 2 AS key, r AS rank_micro,
+               CAST(r AS DOUBLE) / 1e6 AS pr
+        FROM r$rounds
+        ORDER BY rank_micro DESC, node_type, key"""
+  }
+
   /** q66's oracle composes the verified q37 pair oracle verbatim (the edges
     * cannot drift from the individually-hash-checked query) with a
     * recursive-CTE min-label reachability — DuckDB's walk accumulates every
@@ -225,6 +314,7 @@ object GraphOps {
     * q97 composes the q66 oracle verbatim (the q71 pattern), so the weight
     * table's cluster inputs cannot drift from the verified clustering. */
   def oracles: Map[String, String] = Map(
+    "q140_pagerank" -> pageRankSql(),
     "q97_softdedup_weights" ->
       s"""WITH c AS (${q66Sql}),
           z AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size

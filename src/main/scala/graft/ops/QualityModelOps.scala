@@ -361,6 +361,67 @@ object QualityModelOps {
       .orderBy("lang")
   }
 
+  /** q141 — EXACT BINNED ROC/AUC of the q101 classifier against the q61
+    * heuristic that supervised it: per descending score bin, the ROC
+    * point a "keep everything scoring in or above this bin" cut realizes
+    * (TPR, FPR, precision), plus the exact area under that curve — the
+    * ranking-quality verdict q103's reliability curve doesn't give (a
+    * classifier can be calibrated and still not SEPARATE; AUC is the
+    * probability a random kept doc outscores a random dropped one).
+    *
+    * AUC is the Mann-Whitney pair statistic computed EXACTLY from the
+    * bounded bin histogram — never a corpus-wide rank (the q58 lesson):
+    * num2 = Σ_b n_pos·(2·neg_below + n_neg) counts each correctly-ordered
+    * pair twice and each same-bin tie once, so AUC = num2 / (2·P·N) with
+    * both sides held in DECIMAL(38,0)/HUGEINT until the one final IEEE
+    * division. Degenerate one-class corpora emit NULL (a missing class is
+    * an upstream-label state, not a malformed artifact — the q123
+    * fallback philosophy). Scale shape: one co-keyed snapshot join and
+    * one map-combinable aggregate touch the corpus; everything after is
+    * bounded self-joins over the ≤ |bins| table (broadcast, no window). */
+  def rocAuc(scores: DataFrame, labels: DataFrame,
+             binMicro: Long = CalibrationBinMicro): DataFrame = {
+    val bins = scores.select(col("doc_id"), col("score_micro"))
+      .join(labels.select(col("doc_id"), col("keep")), "doc_id")
+      .selectExpr(
+        s"CAST(FLOOR(CAST(score_micro AS DOUBLE) / ${binMicro}e0) AS BIGINT) AS bin",
+        "keep")
+      .groupBy("bin")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_neg"))
+      .localCheckpoint() // consumed by two cumulative joins + the AUC fold
+    val cum = bins.as("x")
+      .join(broadcast(bins.as("y")), col("y.bin") >= col("x.bin"))
+      .groupBy(col("x.bin").as("bin"))
+      .agg(sum(col("y.n_pos")).as("cum_pos"), sum(col("y.n_neg")).as("cum_neg"))
+    val below = bins.as("x")
+      .join(broadcast(bins.as("y")), col("y.bin") < col("x.bin"), "left_outer")
+      .groupBy(col("x.bin").as("bin"))
+      .agg(coalesce(sum(col("y.n_neg")), lit(0L)).as("neg_below"))
+    val auc = bins.join(broadcast(below), "bin")
+      .agg(sum("n_pos").as("p"), sum("n_neg").as("n"),
+        sum(expr("""CAST(n_pos AS DECIMAL(38,0)) *
+                    (2 * CAST(neg_below AS DECIMAL(38,0)) + n_neg)"""))
+          .as("num2"))
+      .selectExpr("p", "n",
+        """CASE WHEN p = 0 OR n = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(num2 AS DOUBLE) /
+                     CAST(2 * CAST(p AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS DOUBLE)
+           END AS auc""")
+    bins.join(cum, "bin")
+      .crossJoin(broadcast(auc))
+      .selectExpr("bin",
+        s"CAST(bin AS DOUBLE) * ${binMicro}e0 / 1e6 AS bin_lo",
+        "n_pos", "n_neg",
+        """CASE WHEN p = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE) END AS tpr""",
+        """CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(cum_neg AS DOUBLE) / CAST(n AS DOUBLE) END AS fpr""",
+        "CAST(cum_pos AS DOUBLE) / CAST(cum_pos + cum_neg AS DOUBLE) AS precision_at",
+        "auc", "2e0 * auc - 1e0 AS gini")
+      .orderBy(desc("bin"))
+  }
+
   /** DuckDB oracle: composes the q61 oracle verbatim for the weak labels
     * (the q71/q89/q98 pattern — the classifier's supervision cannot drift
     * from the individually-hash-verified heuristic), the q57 split rule,
@@ -430,7 +491,50 @@ object QualityModelOps {
                  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
                  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
                    / CAST(COUNT(*) AS DOUBLE) AS keep_rate
-          FROM j GROUP BY bin ORDER BY bin""")
+          FROM j GROUP BY bin ORDER BY bin""",
+    // q141 composes the q101 + q61 oracles verbatim (the q103 pattern):
+    // identical binning, the same bounded self-join cumulatives (no
+    // window either side), HUGEINT pair arithmetic mirroring Spark's
+    // DECIMAL(38,0), and the same single final IEEE divisions
+    "q141_roc_auc" ->
+      s"""WITH q AS ($QualityClassifierSql),
+          l AS (${TextOps.oracles("q61_training_filter")}),
+          j AS (SELECT CAST(FLOOR(CAST(q.score_micro AS DOUBLE) / ${CalibrationBinMicro}e0)
+                            AS BIGINT) AS bin,
+                       l.keep AS keep
+                FROM q JOIN l ON q.doc_id = l.doc_id),
+          b AS (SELECT bin,
+                       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+                FROM j GROUP BY bin),
+          c AS (SELECT x.bin AS bin, CAST(SUM(y.n_pos) AS BIGINT) AS cum_pos,
+                       CAST(SUM(y.n_neg) AS BIGINT) AS cum_neg
+                FROM b x JOIN b y ON y.bin >= x.bin GROUP BY x.bin),
+          bl AS (SELECT x.bin AS bin,
+                        CAST(COALESCE(SUM(y.n_neg), 0) AS BIGINT) AS neg_below
+                 FROM b x LEFT JOIN b y ON y.bin < x.bin GROUP BY x.bin),
+          a AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+                       CAST(SUM(n_neg) AS BIGINT) AS n,
+                       SUM(CAST(n_pos AS HUGEINT) *
+                           (2 * CAST(neg_below AS HUGEINT) + n_neg)) AS num2
+                FROM b JOIN bl USING (bin)),
+          a2 AS (SELECT p, n,
+                        CASE WHEN p = 0 OR n = 0 THEN CAST(NULL AS DOUBLE)
+                             ELSE CAST(num2 AS DOUBLE) /
+                                  CAST(2 * CAST(p AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+                        END AS auc
+                 FROM a)
+          SELECT b.bin AS bin,
+                 CAST(b.bin AS DOUBLE) * ${CalibrationBinMicro}e0 / 1e6 AS bin_lo,
+                 b.n_pos AS n_pos, b.n_neg AS n_neg,
+                 CASE WHEN p = 0 THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE) END AS tpr,
+                 CASE WHEN n = 0 THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(cum_neg AS DOUBLE) / CAST(n AS DOUBLE) END AS fpr,
+                 CAST(cum_pos AS DOUBLE) / CAST(cum_pos + cum_neg AS DOUBLE) AS precision_at,
+                 auc, 2e0 * auc - 1e0 AS gini
+          FROM b JOIN c USING (bin) CROSS JOIN a2
+          ORDER BY bin DESC""")
 
   /** The q123 oracle SQL, a val so q122's composed curation manifest can
     * embed the same kept-set definition verbatim. */

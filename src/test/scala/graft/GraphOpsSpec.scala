@@ -208,4 +208,65 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got === Seq((s0, s0, 1L), (s0, "a", 1L)))
   }
 
+  /** Reference: the exact integer PageRank recursion on the driver —
+    * the same per-edge r/deg floor division and per-node 85·m/100 floor,
+    * so the DataFrame loop must match bit-for-bit. */
+  private def pageRankLocal(edges: Seq[(Long, Long)],
+                            rounds: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var r = deg.keys.map(_ -> GraphOps.PageRankInitMicro).toMap
+    for (_ <- 1 to rounds) {
+      val m = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      sym.foreach { case (src, dst) => m(dst) += r(src) / deg(src) }
+      r = r.keys.map(n => n -> (150000L + 85L * m(n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("q140 pagerank: hand graph matches the exact integer reference; hub outranks leaves") {
+    // star: customer 1 buys from suppliers 1,2,3; customer 2 from supplier 1
+    // orders (o_orderkey, o_custkey); lineitem (l_orderkey, l_suppkey)
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1L), (10L, 2L), (11L, 3L), (12L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    // node ids: cust c → 2c, supp s → 2s+1
+    val edges = Seq((2L, 3L), (2L, 5L), (2L, 7L), (4L, 3L))
+    val want = pageRankLocal(edges, GraphOps.PageRankRounds)
+    val got = GraphOps.pageRank(orders, lineitem).collect()
+      .map { r =>
+        val node = if (r.getString(0) == "customer") r.getLong(1) * 2
+                   else r.getLong(1) * 2 + 1
+        node -> r.getLong(2)
+      }.toMap
+    assert(got === want, s"got $got want $want")
+    // supplier 1 (node 3) has two in-edges — it must outrank the
+    // single-customer suppliers 2 and 3
+    assert(got(3L) > got(5L) && got(3L) > got(7L))
+    // customer 1 (node 2, three purchases) outranks customer 2 (one)
+    assert(got(2L) > got(4L))
+  }
+
+  test("q140 pagerank on the corpus: mass bounded, every node ranked, partitioning invariance") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val rows = GraphOps.pageRank(orders, lineitem).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    val n = rows.length.toLong
+    // floor division only ever LEAKS mass: the total never exceeds the
+    // initial N·10⁶, and damping keeps every node at least the 0.15 base
+    assert(total <= n * GraphOps.PageRankInitMicro)
+    assert(rows.forall(_.getLong(2) >= 150000L))
+    // both node types present, keys unique within type
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType.keySet === Set("customer", "supplier"))
+    byType.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length === rs.length)
+    }
+    val reparted = GraphOps.pageRank(orders.repartition(7), lineitem.repartition(5))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
 }

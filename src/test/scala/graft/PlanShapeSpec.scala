@@ -387,6 +387,34 @@ class PlanShapeSpec extends SparkSpec {
       "q136 must not cross-join")
   }
 
+  test("q140 pagerank: plan depth is round-invariant; no window, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    def nodes(rounds: Int): Int = graft.ops.GraphOps
+      .pageRank(orders, lineitem, rounds = rounds)
+      .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nodes(2) === nodes(4),
+      "round budget leaked into the final plan: rounds are not checkpointed")
+    val q = graft.ops.GraphOps.pageRank(orders, lineitem)
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("q141 ROC/AUC: bounded bin self-joins broadcast; no window, no corpus rank") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = graft.ops.QualityModelOps.rocAuc(
+      graft.ops.QualityModelOps.qualityClassifier(docs),
+      graft.ops.TextOps.trainingFilter(docs).select("doc_id", "keep"))
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "AUC must come from the bin histogram, never a corpus-wide rank window")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin") || phys.contains("BroadcastHashJoin"),
+      "the bounded bin self-joins must broadcast")
+    assert(!phys.contains("CartesianProduct"))
+  }
+
   test("q138 retention: no window, cohort sizes broadcast, no cartesian") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = graft.ops.RelationalOps.retentionCohorts(

@@ -162,4 +162,71 @@ class QualityModelOpsSpec extends SparkSpec {
     assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
       "q101 must not window")
   }
+
+  private def rocFixture(rows: Seq[(Long, Long, Boolean)]) = {
+    val scores = rows.map { case (id, s, _) => (id, s) }.toDF("doc_id", "score_micro")
+    val labels = rows.map { case (id, _, k) => (id, k) }.toDF("doc_id", "keep")
+    QualityModelOps.rocAuc(scores, labels)
+  }
+
+  test("q141 ROC/AUC: separated bins give AUC 1, reversed 0, one-bin ties 0.5, one-class NULL") {
+    // two positives in bin 2, two negatives in bin 0 — perfect separation
+    val sep = rocFixture(Seq((1L, 4000000L, true), (2L, 5000000L, true),
+      (3L, 0L, false), (4L, 1000000L, false))).collect()
+    assert(sep.map(_.getLong(0)).toSeq === Seq(2L, 0L), "descending bins")
+    assert(sep.forall(_.getDouble(7) === 1.0), "AUC 1 on every row")
+    assert(sep.forall(_.getDouble(8) === 1.0), "gini = 2·AUC − 1")
+    val top = sep(0); val bot = sep(1)
+    assert(top.getDouble(4) === 1.0 && top.getDouble(5) === 0.0,
+      "cutting at the top bin keeps all positives, no negatives")
+    assert(top.getDouble(6) === 1.0)
+    assert(bot.getDouble(4) === 1.0 && bot.getDouble(5) === 1.0,
+      "cutting at the bottom bin keeps everything")
+    assert(bot.getDouble(6) === 0.5)
+    // labels reversed: the classifier is perfectly anti-ordered
+    val rev = rocFixture(Seq((1L, 4000000L, false), (2L, 5000000L, false),
+      (3L, 0L, true), (4L, 1000000L, true))).collect()
+    assert(rev.forall(_.getDouble(7) === 0.0))
+    assert(rev.forall(_.getDouble(8) === -1.0))
+    // one bin, one of each: pure tie — AUC ½
+    val tie = rocFixture(Seq((1L, 100L, true), (2L, 200L, false))).collect()
+    assert(tie.length === 1 && tie(0).getDouble(7) === 0.5)
+    // a single class carries no ranking information — NULL, not a raise
+    val onecls = rocFixture(Seq((1L, 100L, true), (2L, 4000000L, true))).collect()
+    assert(onecls.forall(r => r.isNullAt(7) && r.isNullAt(8)))
+    assert(onecls.forall(r => !r.isNullAt(4) && r.isNullAt(5)),
+      "tpr still defined, fpr NULL with zero negatives")
+  }
+
+  test("q141 ROC/AUC on the corpus: matches the exact BigInt pair reference; curve monotone") {
+    val scores = QualityModelOps.qualityClassifier(docs)
+    val labels = TextOps.trainingFilter(docs).select("doc_id", "keep")
+    val rows = QualityModelOps.rocAuc(scores, labels).collect()
+    assert(rows.length >= 2, "the corpus must spread over several bins")
+    // exact reference: bin the same way, count ordered pairs in BigInt,
+    // divide once — must match the engine's double BIT-for-bit
+    val binned = scores.select("doc_id", "score_micro")
+      .join(labels, "doc_id")
+      .selectExpr(
+        s"CAST(FLOOR(CAST(score_micro AS DOUBLE) / ${QualityModelOps.CalibrationBinMicro}e0) AS BIGINT) AS bin",
+        "keep")
+      .as[(Long, Boolean)].collect()
+    val byBin = binned.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.count(_._2).toLong, xs.count(!_._2).toLong) }.toSeq.sortBy(_._1)
+    val p = BigInt(byBin.map(_._2).sum); val n = BigInt(byBin.map(_._3).sum)
+    var negBelow = BigInt(0); var num2 = BigInt(0)
+    byBin.foreach { case (_, pos, neg) =>
+      num2 += BigInt(pos) * (2 * negBelow + neg); negBelow += neg }
+    val wantAuc = num2.toDouble / (2 * p * n).toDouble
+    assert(rows.forall(_.getDouble(7) === wantAuc),
+      s"engine AUC ${rows.head.getDouble(7)} != reference $wantAuc")
+    assert(wantAuc > 0.8, "the classifier must genuinely separate the heuristic labels")
+    // descending the curve, tpr and fpr only grow; the last point is (1,1)
+    val tprs = rows.map(_.getDouble(4)); val fprs = rows.map(_.getDouble(5))
+    assert(tprs.zip(tprs.tail).forall { case (a, b) => a <= b })
+    assert(fprs.zip(fprs.tail).forall { case (a, b) => a <= b })
+    assert(tprs.last === 1.0 && fprs.last === 1.0)
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum === docs.count(),
+      "bins partition the corpus")
+  }
 }
