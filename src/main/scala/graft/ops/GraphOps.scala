@@ -242,12 +242,17 @@ object GraphOps {
     * Scale shape: the edge list comes from the orders⋈lineitem equi-join
     * (co-keyed on orderkey) collapsed to DISTINCT (cust, supp) — the only
     * corpus-scale shuffle, paid once and checkpointed WITH each node's
-    * degree attached, so every round is exactly one src-keyed join +
-    * one dst-keyed map-combinable SUM. Ranks are checkpointed per round
-    * (the q87/q66 idiom) — plan depth is round-invariant. Node ids live
-    * in one space (2·custkey / 2·suppkey+1) so the bipartite key spaces
-    * cannot collide. Every node of the symmetrized graph has in- and
-    * out-edges, so there are no dangling nodes by construction. */
+    * degree attached AND pre-partitioned on src (localCheckpoint
+    * preserves the hash partitioning), so every round plans exactly ONE
+    * exchange: the dst-keyed map-combinable message SUM — the src-side
+    * join reuses the stored layout, and the new ranks come out
+    * partitioned on node for the next round. Symmetrization means every
+    * node has in-edges, so the rank update reads straight off the
+    * contribution aggregate — no join-back for mass-less nodes (none
+    * exist) and no dangling nodes. Ranks are checkpointed per round (the
+    * q87/q66 idiom) — plan depth is round-invariant. Node ids live in one
+    * space (2·custkey / 2·suppkey+1) so the bipartite key spaces cannot
+    * collide. */
   def pageRank(orders: DataFrame, lineitem: DataFrame,
                rounds: Int = PageRankRounds): DataFrame = {
     val eb = orders.select(col("o_orderkey"), col("o_custkey"))
@@ -257,19 +262,17 @@ object GraphOps {
       .distinct()
     val edges = eb.unionByName(eb.selectExpr("dst AS src", "src AS dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val edgeDeg = edges.join(deg, "src").localCheckpoint()
-    var ranks = deg
+    val edgeDeg = edges.join(deg, "src")
+      .repartition(col("src")).localCheckpoint()
+    var ranks = edgeDeg
       .select(col("src").as("node"), lit(PageRankInitMicro).as("r"))
+      .distinct()
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val contrib = edgeDeg.join(ranks, edgeDeg("src") === ranks("node"))
+      ranks = edgeDeg.join(ranks, edgeDeg("src") === ranks("node"))
         .selectExpr("dst", "r DIV deg AS c")
         .groupBy("dst").agg(sum("c").as("m"))
-      ranks = ranks.select("node")
-        .join(contrib, ranks("node") === contrib("dst"), "left_outer")
-        .selectExpr("node",
-          "150000 + (85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100 AS r")
+        .selectExpr("dst AS node", "150000 + (85 * m) DIV 100 AS r")
         .localCheckpoint()
     }
     ranks.selectExpr(
