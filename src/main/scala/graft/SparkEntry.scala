@@ -482,6 +482,16 @@ object SparkEntry {
     // the canonical iterative message-passing workload
     "q140_pagerank"        -> ((s, d) =>
       graft.ops.GraphOps.pageRank(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // triangle/clustering-coefficient census of the near-dup pair graph
+    // (degree-ordered counting): the transitivity evidence q66's
+    // one-survivor-per-component policy rests on — reads the MATERIALIZED
+    // q37 pair snapshot
+    "q142_triangle_census" -> ((s, d) =>
+      graft.ops.GraphOps.triangleCensus(lshPairsShared(s, d))),
+    // collocation mining by exact lift: PMI-style phrase discovery with
+    // the logarithm replaced by an exact integer cross-multiplication
+    "q143_collocations"    -> ((s, d) =>
+      TextOps.collocations(Tables.documents(s, d))),
     // soft dedup: every doc kept, downweighted by near-dup cluster
     // multiplicity — reads the MATERIALIZED q66 cluster table (q59 pattern)
     "q97_softdedup_weights" -> ((s, d) =>

@@ -309,6 +309,57 @@ object GraphOps {
         ORDER BY rank_micro DESC, node_type, key"""
   }
 
+  /** q142 — TRIANGLE / CLUSTERING-COEFFICIENT CENSUS of the near-dup
+    * graph: triangle count, wedge (2-path) count, and the global
+    * clustering coefficient C = 3·T/W — the transitivity evidence behind
+    * q66's whole premise. Connected-components dedup assumes near-dup
+    * similarity is (approximately) transitive: a high C says clusters
+    * are clique-like and one-survivor-per-component is safe; a low C
+    * says the pair graph is chains of borderline matches and q66 is
+    * over-merging — the metric a dedup rollout reads FIRST.
+    *
+    * Algorithm: degree-ordered triangle counting (the MapReduce-standard
+    * scale shape): orient every edge from its (deg, id)-smaller endpoint
+    * — out-degrees are then bounded by O(√m), so the wedge self-join's
+    * per-key fan-out cannot blow up on hub nodes the way a naive
+    * neighborhood join would — and each triangle materializes exactly
+    * once as a wedge at its smallest vertex closed by one oriented edge.
+    * Wedge totals come from Σ deg·(deg−1)/2 (exact — the product is
+    * even, so DIV is lossless). Everything is counts; the one double is
+    * a single IEEE division, NULL on a wedge-less graph. */
+  def triangleCensus(pairs: DataFrame): DataFrame = {
+    val e = pairs.selectExpr("least(a_id, b_id) AS a", "greatest(a_id, b_id) AS b")
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // consumed by deg, the orient join, and the edge count
+    val deg = e.selectExpr("a AS n").unionByName(e.selectExpr("b AS n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.selectExpr("n AS a", "deg AS dega"), "a")
+      .join(deg.selectExpr("n AS b", "deg AS degb"), "b")
+      .selectExpr(
+        "CASE WHEN dega < degb OR (dega = degb AND a < b) THEN a ELSE b END AS src",
+        "CASE WHEN dega < degb OR (dega = degb AND a < b) THEN b ELSE a END AS dst",
+        "CASE WHEN dega < degb OR (dega = degb AND a < b) THEN degb ELSE dega END AS degdst")
+      .localCheckpoint() // consumed by both wedge sides and the closing join
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.degdst") < col("e2.degdst") ||
+            (col("e1.degdst") === col("e2.degdst") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(oriented.as("e3"),
+        col("v") === col("e3.src") && col("w") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("deg * (deg - 1) DIV 2")), lit(0L)).as("n_wedges"))
+    val en = e.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(broadcast(en)).crossJoin(broadcast(tri))
+      .selectExpr("n_nodes", "n_edges", "n_wedges", "n_triangles",
+        """CASE WHEN n_wedges = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+           END AS global_clustering""")
+  }
+
   /** q66's oracle composes the verified q37 pair oracle verbatim (the edges
     * cannot drift from the individually-hash-checked query) with a
     * recursive-CTE min-label reachability — DuckDB's walk accumulates every
@@ -318,6 +369,39 @@ object GraphOps {
     * table's cluster inputs cannot drift from the verified clustering. */
   def oracles: Map[String, String] = Map(
     "q140_pagerank" -> pageRankSql(),
+    // q142 composes the verified q37 pair oracle verbatim; identical
+    // (deg, id) orientation, wedge join, and exact wedge formula
+    "q142_triangle_census" -> {
+      val pairsSql = DedupOps.oracles("q37_lsh_pairs")
+      s"""WITH p AS ($pairsSql),
+          e AS (SELECT DISTINCT least(a_id, b_id) AS a, greatest(a_id, b_id) AS b
+                FROM p WHERE a_id <> b_id),
+          deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+                  GROUP BY n),
+          o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                             THEN a ELSE b END AS src,
+                       CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                             THEN b ELSE a END AS dst,
+                       CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                             THEN db.deg ELSE da.deg END AS degdst
+                FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+          w AS (SELECT e1.dst AS v, e2.dst AS ww
+                FROM o e1 JOIN o e2 ON e1.src = e2.src
+                 AND (e1.degdst < e2.degdst
+                      OR (e1.degdst = e2.degdst AND e1.dst < e2.dst))),
+          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM w JOIN o e3 ON w.v = e3.src AND w.ww = e3.dst),
+          s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                       CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
+                FROM deg),
+          en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+          SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                 CASE WHEN n_wedges = 0 THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+                 END AS global_clustering
+          FROM s CROSS JOIN en CROSS JOIN t"""
+    },
     "q97_softdedup_weights" ->
       s"""WITH c AS (${q66Sql}),
           z AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size

@@ -882,6 +882,62 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q143's dials: a collocation must occur at least this often… */
+  val CollocationMinSupport = 5L
+  /** …and lift at least [[CollocationLiftNum]]/[[CollocationLiftDen]]
+    * over independence — a RATIONAL, so the cut stays an exact
+    * cross-multiplied integer comparison on both engines (3/2 rather
+    * than 2: the synthetic corpus draws tokens near-independently, so
+    * its strongest collocations sit in the 1.5–1.7 band). */
+  val CollocationLiftNum = 3L
+  val CollocationLiftDen = 2L
+
+  /** q143 — COLLOCATION MINING by exact lift: adjacent token pairs that
+    * co-occur at least [[CollocationMinLift]]× more often than their
+    * marginals predict (with [[CollocationMinSupport]] support) — the
+    * PMI-style phrase discovery every tokenizer/vocab pipeline runs
+    * before merging multiword units, done WITHOUT the logarithm: ranking
+    * and thresholding by PMI is ranking by lift = P(xy)/(P(x)·P(y)) =
+    * n_xy·N / (n_x·n_y), and a rational threshold num/den makes the cut
+    * an exact integer cross-multiplication — `den·n_xy·N ≥ num·n_x·n_y`
+    * in DECIMAL(38,0)/HUGEINT — so it cannot drift cross-engine the way
+    * `ln` (not correctly rounded in either engine) would. The emitted
+    * lift is the single IEEE division of two exactly-computed integers.
+    *
+    * Marginals are DIRECTIONAL (x as left word, y as right word — the
+    * bigram-model convention), so both are exact column sums of the
+    * bigram table itself. Scale shape: bigrams explode row-locally
+    * (transform over the token array — no position self-join), collapse
+    * in ONE map-combinable aggregate; the marginal joins are token-keyed
+    * over the already-collapsed table and the grand total is a one-row
+    * broadcast. No window, no corpus self-join. */
+  def collocations(docs: DataFrame,
+                   minSupport: Long = CollocationMinSupport,
+                   liftNum: Long = CollocationLiftNum,
+                   liftDen: Long = CollocationLiftDen): DataFrame = {
+    val big = docs.selectExpr("split(text, ' ') AS tk")
+      .selectExpr(
+        """CASE WHEN size(tk) >= 2
+                THEN transform(sequence(0, size(tk) - 2),
+                               i -> named_struct('x', tk[i], 'y', tk[i + 1]))
+                ELSE array() END AS ps""")
+      .selectExpr("explode(ps) AS p")
+      .selectExpr("p.x AS x", "p.y AS y")
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint() // consumed by both marginals, the total, and the probe
+    val lx = big.groupBy("x").agg(sum("n_xy").as("n_x"))
+    val ry = big.groupBy("y").agg(sum("n_xy").as("n_y"))
+    val tot = big.agg(sum("n_xy").as("n"))
+    big.join(lx, "x").join(ry, "y").crossJoin(broadcast(tot))
+      .filter(col("n_xy") >= minSupport &&
+        expr(s"""$liftDen * CAST(n_xy AS DECIMAL(38,0)) * n >=
+                 $liftNum * CAST(n_x AS DECIMAL(38,0)) * n_y"""))
+      .selectExpr("x", "y", "n_xy", "n_x", "n_y",
+        """CAST(CAST(n_xy AS DECIMAL(38,0)) * n AS DOUBLE) /
+           CAST(CAST(n_x AS DECIMAL(38,0)) * n_y AS DOUBLE) AS lift""")
+      .orderBy(desc("n_xy"), col("x"), col("y"))
+  }
+
   def oracles: Map[String, String] = {
     val langs = langSets.map(_._1)
     val hitSql = langSets.map { case (l, ws) =>
@@ -892,6 +948,27 @@ object TextOps {
       s"WHEN $rest THEN '$l'"
     }.mkString(" ")
     val base = Map(
+      // q143: identical row-local bigramming (1-indexed scalar unnest vs
+      // 0-indexed transform — same pairs; DuckDB's range() table function
+      // rejects lateral column args, so the index explodes in SELECT),
+      // identical exact cross-multiplied HUGEINT cut
+      "q143_collocations" ->
+        s"""WITH d AS (SELECT str_split(text, ' ') AS tk FROM documents),
+            ix AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM d),
+            bg AS (SELECT tk[i] AS x, tk[i + 1] AS y FROM ix),
+            big AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+                    FROM bg GROUP BY 1, 2),
+            lx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM big GROUP BY x),
+            ry AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM big GROUP BY y),
+            tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM big)
+            SELECT big.x AS x, big.y AS y, n_xy, n_x, n_y,
+                   CAST(CAST(n_xy AS HUGEINT) * n AS DOUBLE) /
+                   CAST(CAST(n_x AS HUGEINT) * n_y AS DOUBLE) AS lift
+            FROM big JOIN lx USING (x) JOIN ry USING (y) CROSS JOIN tot
+            WHERE n_xy >= $CollocationMinSupport
+              AND $CollocationLiftDen * CAST(n_xy AS HUGEINT) * n >=
+                  $CollocationLiftNum * CAST(n_x AS HUGEINT) * n_y
+            ORDER BY n_xy DESC, x, y""",
       // q130: the same per-token block/offset integer math and md5 draw;
       // spans counted as distinct qualifying blocks, the corrupted text
       // rebuilt in token order

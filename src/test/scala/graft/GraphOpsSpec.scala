@@ -208,6 +208,50 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got === Seq((s0, s0, 1L), (s0, "a", 1L)))
   }
 
+  /** Reference: brute-force triangle count — for every edge, intersect
+    * the endpoints' neighbor sets; each triangle counted 3× then divided. */
+  private def triRef(es: Seq[(Long, Long)]): (Long, Long) = {
+    val canon = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val nbr = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val t3 = canon.map { case (a, b) => (nbr(a) intersect nbr(b)).size.toLong }.sum
+    val wedges = nbr.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    (t3 / 3, wedges)
+  }
+
+  test("q142 triangles: K3, K4, path, and star match the brute-force reference") {
+    val cases = Seq(
+      ("K3", Seq((1L, 2L), (2L, 3L), (1L, 3L)), 1L, 1.0),
+      ("K4", Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)), 4L, 1.0),
+      ("path", Seq((1L, 2L), (2L, 3L), (3L, 4L)), 0L, 0.0),
+      ("star", Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)), 0L, 0.0))
+    cases.foreach { case (name, es, wantTri, wantC) =>
+      val row = GraphOps.triangleCensus(pairsDf(es)).collect().head
+      val (refT, refW) = triRef(es)
+      assert(row.getLong(3) === wantTri, s"$name triangles")
+      assert(row.getLong(3) === refT && row.getLong(2) === refW, s"$name vs reference")
+      assert(row.getDouble(4) === wantC, s"$name clustering coefficient")
+    }
+    // duplicate + reversed + self-loop edges collapse before counting
+    val messy = GraphOps.triangleCensus(pairsDf(
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (2L, 2L)))).collect().head
+    assert(messy.getLong(1) === 3L && messy.getLong(3) === 1L)
+  }
+
+  test("q142 triangles on the corpus pair graph: matches brute force; partitioning invariance") {
+    val pairs = graft.ops.DedupOps.lshPairs(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val es = pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val row = GraphOps.triangleCensus(pairs).collect().head
+    val (refT, refW) = triRef(es)
+    assert(row.getLong(3) === refT && row.getLong(2) === refW)
+    assert(refT > 0L,
+      "the near-dup corpus must contain at least one triangle for C to mean anything")
+    val reparted = GraphOps.triangleCensus(pairs.repartition(7)).collect().head
+    assert(reparted.toSeq === row.toSeq)
+  }
+
   /** Reference: the exact integer PageRank recursion on the driver —
     * the same per-edge r/deg floor division and per-node 85·m/100 floor,
     * so the DataFrame loop must match bit-for-bit. */

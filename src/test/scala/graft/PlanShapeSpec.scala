@@ -415,6 +415,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"))
   }
 
+  test("q142 triangles: degree-ordered joins only — no window, no cartesian on the edge side") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.GraphOps.triangleCensus(
+      graft.ops.DedupOps.lshPairs(Tables.documents(spark, "/root/testdata/sf0.001")))
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "the one-row census joins must broadcast; edge joins are equi-keyed")
+  }
+
+  test("q143 collocations: bigrams explode row-locally — no window, no corpus self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.TextOps.collocations(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "adjacency must come from the row-local transform, never a position rank")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      "the one-row total must broadcast (BNLJ), never a cartesian")
+  }
+
   test("q138 retention: no window, cohort sizes broadcast, no cartesian") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = graft.ops.RelationalOps.retentionCohorts(

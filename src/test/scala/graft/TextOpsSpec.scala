@@ -391,4 +391,61 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("overflows micro-units"),
       s"wrong failure: ${e.getMessage}")
   }
+
+  private def collocDocs(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("q143 collocations: support and lift cuts are exact; lift is the plain ratio") {
+    // (a,b)×5 and (c,d)×5 pass both cuts; (e,f)×4 fails support alone
+    // (its lift 4·14/(4·4) = 3.5 clears the bar)
+    val docs = collocDocs(
+      Seq.fill(5)("a b") ++ Seq.fill(5)("c d") ++ Seq.fill(4)("e f"))
+    val got = TextOps.collocations(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet === Set(("a", "b"), ("c", "d")), s"got ${got.keySet}")
+    assert(got(("a", "b")) === ((5L, 5L, 5L, 70.0 / 25.0)))
+    // the ≥ boundary holds exactly: diluting a's marginal with "a f"
+    // docs puts (a,b) and (a,f) at lift 5·15/(10·5) == 3/2 PRECISELY —
+    // kept, because the cut is the exact cross-multiplied rational
+    val boundary = TextOps.collocations(
+      collocDocs(Seq.fill(5)("a b") ++ Seq.fill(5)("c d") ++ Seq.fill(5)("a f")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(boundary.keySet === Set(("a", "b"), ("a", "f"), ("c", "d")),
+      s"got ${boundary.keySet}")
+    assert(boundary(("a", "b")) === 1.5 && boundary(("a", "f")) === 1.5)
+    // one more dilution drops below 3/2: (a,b) = 5·20/(15·5) = 4/3
+    val diluted = TextOps.collocations(
+      collocDocs(Seq.fill(5)("a b") ++ Seq.fill(5)("c d") ++
+        Seq.fill(5)("a f") ++ Seq.fill(5)("a g")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(diluted === Set(("c", "d")), s"got $diluted")
+  }
+
+  test("q143 collocations on the corpus: matches the exact BigInt reference; partitioning invariance") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = TextOps.collocations(docs).collect()
+    assert(rows.nonEmpty, "the corpus must contain collocations")
+    // reference: bigram the collected texts, apply the same BigInt rule
+    val bigrams = docs.select("text").as[String].collect()
+      .flatMap(t => { val tk = t.split(" ", -1); tk.zip(tk.drop(1)) })
+    val big = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val lx = big.groupBy(_._1._1).map { case (x, m) => x -> m.values.sum }
+    val ry = big.groupBy(_._1._2).map { case (y, m) => y -> m.values.sum }
+    val n = BigInt(big.values.sum)
+    val want = big.collect {
+      case ((x, y), nxy) if nxy >= TextOps.CollocationMinSupport &&
+        BigInt(TextOps.CollocationLiftDen) * nxy * n >=
+          BigInt(TextOps.CollocationLiftNum) * lx(x) * ry(y) =>
+        (x, y) -> (nxy, lx(x), ry(y),
+          (BigInt(nxy) * n).toDouble / (BigInt(lx(x)) * ry(y)).toDouble)
+    }.toMap
+    val got = rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === want,
+      s"${got.size} engine rows vs ${want.size} reference rows")
+    val reparted = TextOps.collocations(docs.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
