@@ -492,6 +492,14 @@ object SparkEntry {
     // the logarithm replaced by an exact integer cross-multiplication
     "q143_collocations"    -> ((s, d) =>
       TextOps.collocations(Tables.documents(s, d))),
+    // first-order Markov transition census over event types: one
+    // user-partitioned lead window into a bounded |types|² aggregate
+    "q144_markov_transitions" -> ((s, d) =>
+      RelationalOps.markovTransitions(Tables.events(s, d))),
+    // Johnson–Lindenstrauss projection + distortion census: exact int64
+    // coordinates against deterministic integer planes, one row-local pass
+    "q145_jl_projection"   -> ((s, d) =>
+      SimilarityOps.jlProjection(Tables.embeddings(s, d))),
     // soft dedup: every doc kept, downweighted by near-dup cluster
     // multiplicity — reads the MATERIALIZED q66 cluster table (q59 pattern)
     "q97_softdedup_weights" -> ((s, d) =>
@@ -1009,6 +1017,23 @@ object SparkEntry {
           FROM r LEFT JOIN r p ON r.stage = p.stage + 1
           ORDER BY stage"""
     },
+    // q144: identical total ordering ((us, event_id)) under the same
+    // user-partitioned lead; counts exact, p one IEEE division
+    "q144_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                    FROM events),
+          t AS (SELECT event_type AS from_type,
+                       lead(event_type, 1) OVER (PARTITION BY user_id
+                         ORDER BY us, event_id) AS to_type
+                FROM e),
+          c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+                  FROM c GROUP BY 1)
+          SELECT from_type, to_type, n, n_from,
+                 CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+          FROM c JOIN tot USING (from_type)
+          ORDER BY from_type, to_type""",
     // q138/q139: same day grain (floor-divided epoch-µs) and the same
     // shared window constant on both engines
     "q138_retention" ->

@@ -671,6 +671,37 @@ object RelationalOps {
       .orderBy("day")
   }
 
+  /** q144 — MARKOV TRANSITION CENSUS: for every ordered pair of event
+    * types, how often a user's next event follows the current one, and
+    * the conditional probability P(to | from) — the first-order behavior
+    * model behind next-action prediction, anomaly scoring (improbable
+    * transitions), and the q136 funnel's unpinned cousin (the funnel
+    * proves one fixed path; this measures ALL paths).
+    *
+    * Scale shape: the only corpus-scale operation is ONE user-partitioned
+    * `lead` window (the q29/q137 contract — per-user series are bounded
+    * by design, so no task sees more than a user's history); transitions
+    * collapse map-combinably into the ≤ |types|² census, and the
+    * row-total join is a broadcast over that bounded table. Ordering is
+    * total ((us, event_id) — the q136 tie rule), so the census is
+    * deterministic; p is the single IEEE division per cell. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val trans = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .selectExpr("event_type AS from_type",
+        """lead(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY us, event_id) AS to_type""")
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum("n").as("n_from"))
+    trans.join(broadcast(totals), "from_type")
+      .selectExpr("from_type", "to_type", "n", "n_from",
+        "CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p")
+      .orderBy("from_type", "to_type")
+  }
+
   def intervalJoin(events: DataFrame, anchorType: String = "signup",
                    windowUs: Long = IntervalUs): DataFrame = {
     val targets = events.select(

@@ -1368,6 +1368,89 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** q145's projected dimensionality… */
+  val ProjDims = 16
+  /** …and plane-index base: offset into the shared integer plane family
+    * so the JL planes are independent draws from the LSH band planes. */
+  val JlPlaneBase = 1000
+  /** E[w²] of the [[plane]] family — values −9…9 uniform: 570/19 = 30
+    * EXACTLY, so the distortion denominator is an exact integer. */
+  val PlaneMeanSq = 30L
+
+  /** q145 — JOHNSON–LINDENSTRAUSS RANDOM PROJECTION + distortion census:
+    * every embedding projected to [[ProjDims]] dimensions against fixed
+    * deterministic integer planes, with the per-vector norm-distortion
+    * ratio ‖Pv‖² / (E[w²]·K·‖v‖²) — the dimension-reduction artifact
+    * (and its acceptance evidence) an ANN/clustering pipeline computes
+    * before trading 64 floats for 16. E[ratio] = 1 by the JL argument;
+    * its concentration IS the census.
+    *
+    * Determinism: the vector quantizes to exact 1e-6 integers (the
+    * [[QuantizeExpr]] recipe) and the planes are integers, so every
+    * projected coordinate is exact int64 arithmetic (graded via the md5
+    * fingerprint of the K coordinates); norms are exact integer sums and
+    * the ratio one IEEE division. Integer headroom is structural: the
+    * fail-loud |x| ≤ 1 guard bounds micro values by 10⁶, so
+    * |p_j| ≤ 9·64·10⁶ < 6·10⁸ and Σp² ≤ 16·3.4·10¹⁷ < 2⁶³.
+    *
+    * Scale shape: ONE row-local projection pass — K native integer dots
+    * per row against literal plane arrays, no shuffle, no join; the
+    * output sort is the only exchange. */
+  def jlProjection(emb: DataFrame, k: Int = ProjDims): DataFrame = {
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    val quant = emb.selectExpr("vec_id",
+      s"""CASE WHEN embedding IS NULL OR size(embedding) != $Dim
+               THEN CAST(raise_error('q145: malformed embedding (null or wrong dimension) — run the q118 audit') AS ARRAY<BIGINT>)
+               WHEN exists(embedding, x -> x IS NULL OR abs(CAST(x AS DOUBLE)) > 1.0D)
+               THEN CAST(raise_error('q145: embedding element null or |x| > 1 — the int64 projection bound assumes unit-scale inputs') AS ARRAY<BIGINT>)
+               ELSE transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+          END AS vq""")
+    val projCols = (0 until k).map { j =>
+      val wq = (0 until Dim).map(d => s"${plane(JlPlaneBase + j, d)}L")
+        .mkString("array(", ", ", ")")
+      s"graft_dotl(vq, $wq) AS p$j"
+    }
+    val fp = (0 until k).map(j => s"CAST(p$j AS STRING)")
+      .mkString("md5(concat_ws(',', ", ", ", ")) AS proj_fp")
+    val sumsq = (0 until k).map(j => s"p$j * p$j")
+      .mkString("(", " + ", ") AS proj_norm2")
+    quant
+      .selectExpr(("vec_id" +: projCols) :+ "graft_dotl(vq, vq) AS vec_norm2": _*)
+      .selectExpr("vec_id", fp, sumsq, "vec_norm2")
+      .selectExpr("vec_id", "proj_fp", "proj_norm2", "vec_norm2",
+        s"""CASE WHEN vec_norm2 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(proj_norm2 AS DOUBLE) /
+                      CAST($PlaneMeanSq * $k * vec_norm2 AS DOUBLE) END AS distortion""")
+      .orderBy("vec_id")
+  }
+
+  /** The q145 oracle: identical integer plane chains (explicit 64-term
+    * sums — the q43 oracle idiom), identical fingerprint text. */
+  private lazy val q145Sql: String = {
+    val projDefs = (0 until ProjDims).map { j =>
+      (0 until Dim).map(d => s"${plane(JlPlaneBase + j, d)} * vq[${d + 1}]")
+        .mkString("(", " + ", s") AS p$j")
+    }.mkString(",\n               ")
+    val normChain = (0 until Dim).map(d => s"vq[${d + 1}] * vq[${d + 1}]")
+      .mkString("(", " + ", ")")
+    val fp = (0 until ProjDims).map(j => s"CAST(p$j AS VARCHAR)")
+      .mkString("md5(concat_ws(',', ", ", ", "))")
+    val sumsq = (0 until ProjDims).map(j => s"p$j * p$j")
+      .mkString("(", " + ", ")")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+                     x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
+                   FROM embeddings),
+        p AS (SELECT vec_id,
+               $projDefs,
+               $normChain AS vec_norm2
+              FROM q)
+        SELECT vec_id, $fp AS proj_fp, $sumsq AS proj_norm2, vec_norm2,
+               CASE WHEN vec_norm2 = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST($sumsq AS DOUBLE) /
+                         CAST($PlaneMeanSq * $ProjDims * vec_norm2 AS DOUBLE) END AS distortion
+        FROM p ORDER BY vec_id"""
+  }
+
   private lazy val q59Sql: String =
     s"""WITH t AS (${graft.ops.DedupOps.oracles("q37_lsh_pairs")}),
         vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1379,6 +1462,7 @@ object SimilarityOps {
         ORDER BY a_id, b_id"""
 
   def oracles: Map[String, String] = Map(
+    "q145_jl_projection" -> q145Sql,
     "q74_embedding_quantize" ->
       """WITH a AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS arr

@@ -415,6 +415,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"))
   }
 
+  test("q144 markov: the only window is user-partitioned; census join broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.RelationalOps.markovTransitions(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "q144's lead must stay PARTITIONED by user — a global sort at corpus scale")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), "the bounded row-total join must broadcast")
+    assert(!phys.contains("CartesianProduct"))
+  }
+
+  test("q145 JL projection: one row-local pass — no window, no join, no exchange before the output sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Join => LJoin}
+    val q = graft.ops.SimilarityOps.jlProjection(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(q.queryExecution.optimizedPlan.collect { case j: LJoin => j }.isEmpty,
+      "projection is per-row arithmetic — nothing to join")
+    val exchanges = q.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"only the output sort may exchange, saw $exchanges")
+  }
+
   test("q142 triangles: degree-ordered joins only — no window, no cartesian on the edge side") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = graft.ops.GraphOps.triangleCensus(

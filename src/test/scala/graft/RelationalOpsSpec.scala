@@ -172,6 +172,52 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q144 markov: hand fixture — adjacent pairs per user in (us, event_id) order, rows sum to P=1") {
+    // u1: view → click → view → purchase; u2: view → view
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(10), 1L, "click", 0.0, "{}"),
+      (3L, ts(20), 1L, "view", 0.0, "{}"),
+      (4L, ts(30), 1L, "purchase", 0.0, "{}"),
+      (5L, ts(5), 2L, "view", 0.0, "{}"),
+      (6L, ts(6), 2L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.markovTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got === Map(
+      ("view", "click")    -> (1L, 3L, 1.0 / 3.0),
+      ("view", "purchase") -> (1L, 3L, 1.0 / 3.0),
+      ("view", "view")     -> (1L, 3L, 1.0 / 3.0),
+      ("click", "view")    -> (1L, 1L, 1.0)), s"got $got")
+    // simultaneous events order by event_id — the q136 tie rule
+    val tie = Seq(
+      (9L, ts(7), 3L, "b", 0.0, "{}"),
+      (8L, ts(7), 3L, "a", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tg = RelationalOps.markovTransitions(tie).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tg === Seq(("a", "b")))
+  }
+
+  test("q144 markov on the corpus: per-from probabilities sum to 1, transition conservation, invariance") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.markovTransitions(events).collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (f, rs) =>
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-9, s"P(·|$f) must sum to 1")
+      assert(rs.forall(_.getLong(3) === rs.map(_.getLong(2)).sum), "n_from = Σn over the row")
+    }
+    // every non-final event contributes exactly one transition
+    val nTrans = rows.map(_.getLong(2)).sum
+    val perUser = events.groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(nTrans === perUser.map(_ - 1).sum)
+    val reparted = RelationalOps.markovTransitions(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q138 retention: hand fixture — cohorts by first-event day, cells count distinct active users") {
     val day = RelationalOps.DayUs
     def at(d: Long, offsetUs: Long = 0L) =

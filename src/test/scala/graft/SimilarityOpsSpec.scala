@@ -758,4 +758,54 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(t.init.forall(!_._2), "stopped must mark ONLY the final round")
   }
 
+  test("q145 JL projection: a unit basis vector projects to exactly its plane column") {
+    val d = 5
+    val v = Array.tabulate(64)(i => if (i == d) 1.0f else 0.0f)
+    val row = SimilarityOps.jlProjection(
+      Seq((7L, v.toSeq)).toDF("vec_id", "embedding")).collect().head
+    // p_j = plane(base+j, d) · 10⁶ — rebuild the fingerprint and norms
+    val ps = (0 until SimilarityOps.ProjDims)
+      .map(j => SimilarityOps.plane(SimilarityOps.JlPlaneBase + j, d).toLong * 1000000L)
+    val wantFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(ps.map(_.toString).mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getString(1) === wantFp, "projected coordinates must be bit-exact")
+    assert(row.getLong(2) === ps.map(p => p * p).sum)
+    assert(row.getLong(3) === 1000000L * 1000000L)
+    val wantDist = ps.map(p => p * p).sum.toDouble /
+      (SimilarityOps.PlaneMeanSq * SimilarityOps.ProjDims * 1000000L * 1000000L).toDouble
+    assert(row.getDouble(4) === wantDist)
+    // a zero vector carries no norm to distort — NULL, not NaN
+    val zrow = SimilarityOps.jlProjection(
+      Seq((8L, Array.fill(64)(0.0f).toSeq)).toDF("vec_id", "embedding")).collect().head
+    assert(zrow.isNullAt(4) && zrow.getLong(2) === 0L)
+  }
+
+  test("q145 JL projection: malformed and out-of-scale embeddings raise") {
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception](SimilarityOps.jlProjection(bad).collect())
+    assert(e1.getMessage.contains("malformed embedding"), e1.getMessage)
+    // the shared 5-vector fixture contains a 2·cos element > 1 — the
+    // int64 headroom guard must refuse rather than silently overflow
+    val e2 = intercept[Exception](SimilarityOps.jlProjection(emb.drop("label")).collect())
+    assert(e2.getMessage.contains("|x| > 1"), e2.getMessage)
+  }
+
+  test("q145 JL projection on the corpus: distortion concentrates near 1; deterministic; invariant") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = SimilarityOps.jlProjection(embs).collect()
+    assert(rows.length === embs.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(3) > 0L)
+      assert(r.getDouble(4) > 0.05 && r.getDouble(4) < 5.0,
+        s"vec ${r.getLong(0)}: distortion ${r.getDouble(4)} outside any plausible JL band")
+    }
+    val mean = rows.map(_.getDouble(4)).sum / rows.length
+    assert(mean > 0.7 && mean < 1.3,
+      s"mean distortion $mean — E[ratio]=1 by the JL argument")
+    val again = SimilarityOps.jlProjection(embs.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === rows.map(_.toSeq).toSeq)
+  }
+
 }
