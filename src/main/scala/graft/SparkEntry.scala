@@ -496,6 +496,14 @@ object SparkEntry {
     // user-partitioned lead window into a bounded |types|² aggregate
     "q144_markov_transitions" -> ((s, d) =>
       RelationalOps.markovTransitions(Tables.events(s, d))),
+    // Benford first-digit audit: the forensic-accounting population
+    // screen over exact integer cents; χ² from micro-rounded terms
+    "q146_benford_audit"   -> ((s, d) =>
+      EventOps.benfordAudit(Tables.events(s, d))),
+    // per-user round-number affinity: whole-dollar share vs the corpus
+    // base rate as a binomial z — the per-entity forensic screen
+    "q147_round_affinity"  -> ((s, d) =>
+      EventOps.roundNumberAffinity(Tables.events(s, d))),
     // Johnson–Lindenstrauss projection + distortion census: exact int64
     // coordinates against deterministic integer planes, one row-local pass
     "q145_jl_projection"   -> ((s, d) =>
@@ -1017,6 +1025,61 @@ object SparkEntry {
           FROM r LEFT JOIN r p ON r.stage = p.stage + 1
           ORDER BY stage"""
     },
+    // q146: the Benford column is the exact m/2⁶⁰ integer ratio on both
+    // engines (decimal-text literals land one ulp apart — see
+    // EventOps.exactDoubleLit); identical χ²-term expression shape,
+    // micro-rounded before the order-free SUM
+    "q146_benford_audit" -> {
+      val vals = EventOps.BenfordP
+        .map { case (d, p) => s"($d, ${EventOps.benfordLitSql(p)})" }.mkString(", ")
+      s"""WITH b(digit, p_benford) AS (VALUES $vals),
+          c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+          o AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM c WHERE cents > 0 GROUP BY 1),
+          j AS (SELECT b.digit AS digit, COALESCE(o.n, 0) AS n,
+                       b.p_benford AS p_benford
+                FROM b LEFT JOIN o ON b.digit = o.digit),
+          t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM j),
+          m AS (SELECT digit, n, n_total, p_benford,
+                 CASE WHEN n_total = 0 THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) END AS p_observed,
+                 CASE WHEN n_total = 0 THEN CAST(NULL AS BIGINT)
+                      ELSE CAST(ROUND((CAST(n AS DOUBLE) - p_benford * CAST(n_total AS DOUBLE))
+                           * (CAST(n AS DOUBLE) - p_benford * CAST(n_total AS DOUBLE))
+                           / (p_benford * CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT)
+                 END AS term
+                FROM j CROSS JOIN t),
+          x AS (SELECT CAST(SUM(term) AS BIGINT) AS chi2_micro FROM m)
+          SELECT digit, n, n_total, p_observed, p_benford,
+                 p_observed - p_benford AS deviation,
+                 CAST(chi2_micro AS DOUBLE) / 1e6 AS chi2
+          FROM m CROSS JOIN x ORDER BY digit"""
+    },
+    // q147: exact integer round-ness modulus, identical z expression
+    // shape (IEEE sqrt is correctly rounded in both engines)
+    "q147_round_affinity" ->
+      s"""WITH c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+                     FROM events),
+          p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_tx,
+                       CAST(SUM(CASE WHEN cents % ${EventOps.RoundUnitCents} = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_round
+                FROM c WHERE cents > 0 GROUP BY user_id),
+          t AS (SELECT CAST(SUM(n_tx) AS BIGINT) AS t_tx,
+                       CAST(SUM(n_round) AS BIGINT) AS t_round FROM p),
+          m AS (SELECT user_id, n_tx, n_round,
+                       CAST(n_round AS DOUBLE) / CAST(n_tx AS DOUBLE) AS share,
+                       CAST(t_round AS DOUBLE) / CAST(t_tx AS DOUBLE) AS base_rate
+                FROM p CROSS JOIN t WHERE n_tx >= ${EventOps.RoundMinTx}),
+          z AS (SELECT user_id, n_tx, n_round, share, base_rate,
+                       CASE WHEN base_rate = 0e0 OR base_rate = 1e0 THEN CAST(NULL AS DOUBLE)
+                            ELSE (CAST(n_round AS DOUBLE) - base_rate * CAST(n_tx AS DOUBLE))
+                                 / sqrt(base_rate * (1e0 - base_rate) * CAST(n_tx AS DOUBLE))
+                       END AS z
+                FROM m)
+          SELECT user_id, n_tx, n_round, share, base_rate, z,
+                 abs(z) > 3e0 AS flagged
+          FROM z ORDER BY user_id""",
     // q144: identical total ordering ((us, event_id)) under the same
     // user-partitioned lead; counts exact, p one IEEE division
     "q144_markov_transitions" ->

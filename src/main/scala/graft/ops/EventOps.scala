@@ -117,4 +117,128 @@ object EventOps {
         col("event_id"),
         to_json(struct(col("event_id"), col("user_id"))).as("json"))
       .orderBy("event_id")
+
+  /** Benford's-law expected first-digit proportions, log10(1 + 1/d). */
+  val BenfordP: Seq[(Int, Double)] = (1 to 9).map(d => d -> math.log10(1 + 1.0 / d))
+
+  /** Render a double constant as the exact integer ratio m / 2⁶⁰ — both
+    * operands are exactly representable (m shares the double's own
+    * significand, the divisor is a power of two), so the division
+    * reproduces the IDENTICAL double in any IEEE engine. Decimal-text
+    * literals are NOT safe here: Spark's decimal-literal → DOUBLE cast
+    * lands one ulp off DuckDB's parse for several of these constants
+    * (observed on log10(4/3) at r12), which a bit-exact compare sees. */
+  private def exactDoubleLit(p: Double, suffix: String): String = {
+    // BigDecimal.exact: the double's true binary value (the plain
+    // BigDecimal(Double) constructor would re-parse its shortest decimal
+    // string, and ×2⁶⁰ of THAT is not whole)
+    val m = BigDecimal.exact(p) * BigDecimal(2).pow(60)
+    require(m.isWhole && m.abs <= BigDecimal(Long.MaxValue),
+      s"constant $p not representable as m/2^60")
+    s"(CAST(${m.toBigInt}$suffix AS DOUBLE) / CAST(${1L << 60}$suffix AS DOUBLE))"
+  }
+  private[graft] def benfordLitSpark(p: Double): String = exactDoubleLit(p, "L")
+  private[graft] def benfordLitSql(p: Double): String = exactDoubleLit(p, "")
+
+  /** q146 — BENFORD FIRST-DIGIT AUDIT: the distribution of leading
+    * digits of transaction amounts against Benford's law — the classic
+    * forensic-accounting screen for fabricated amounts (invented numbers
+    * over-pick middle digits; organic multiplicative processes follow
+    * log10(1+1/d)). The natural corpus-level companion to the
+    * reference's per-row `amount > threshold` rule: that flags single
+    * transactions, this flags a POPULATION that was tampered with.
+    *
+    * Determinism: digits come from exact integer cents (first character
+    * of the BIGINT's decimal text — identical cross-engine); counts are
+    * exact; the Benford column is a shared literal; every emitted double
+    * is either one IEEE division of exact integers, one subtraction of
+    * bit-identical doubles, or the χ² total — whose 9 per-digit terms
+    * are micro-rounded to integers BEFORE the order-free SUM (a raw
+    * double sum over shuffled rows would be fold-order-dependent).
+    *
+    * Scale shape: one row-local digit projection + one map-combinable
+    * 9-row aggregate touch the corpus; everything after is bounded.
+    * Zero/negative-cent rows carry no leading digit and are excluded. */
+  def benfordAudit(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val bt = spark.range(1).selectExpr(
+      s"inline(array(${BenfordP.map { case (d, p) =>
+        s"named_struct('digit', $d, 'p_benford', ${benfordLitSpark(p)})"
+      }.mkString(", ")}))")
+    val obs = events.select(Exact.units(col("value"), 2).as("cents"))
+      .filter(col("cents") > 0)
+      .selectExpr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT) AS digit")
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val joined = bt.join(obs, Seq("digit"), "left_outer")
+      .selectExpr("digit", "coalesce(n, CAST(0 AS BIGINT)) AS n", "p_benford")
+      .localCheckpoint() // 9 rows; consumed by the total, χ², and output
+    val tot = joined.agg(sum("n").as("n_total"))
+    val terms = joined.crossJoin(broadcast(tot))
+      .selectExpr("digit", "n", "n_total", "p_benford",
+        """CASE WHEN n_total = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) END AS p_observed""",
+        """CASE WHEN n_total = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(ROUND((CAST(n AS DOUBLE) - p_benford * CAST(n_total AS DOUBLE))
+                     * (CAST(n AS DOUBLE) - p_benford * CAST(n_total AS DOUBLE))
+                     / (p_benford * CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT)
+           END AS chi2_term_micro""")
+      .localCheckpoint() // 9 rows; consumed by the χ² fold and the output
+    val chi2 = terms.agg(sum("chi2_term_micro").as("chi2_micro"))
+    terms.crossJoin(broadcast(chi2))
+      .selectExpr("digit", "n", "n_total", "p_observed", "p_benford",
+        "p_observed - p_benford AS deviation",
+        "CAST(chi2_micro AS DOUBLE) / 1e6 AS chi2")
+      .orderBy("digit")
+  }
+
+  /** q147's floor: a user needs at least this many transactions for the
+    * binomial z to mean anything (and to bound the report). */
+  val RoundMinTx = 20L
+  /** A "round" amount is a whole multiple of this many cents (whole
+    * dollars — the coarsest unit with a usable base rate on the test
+    * corpus: ~1% of amounts; $100 multiples are 1-in-10⁴). */
+  val RoundUnitCents = 100L
+
+  /** q147 — ROUND-NUMBER AFFINITY per user: the share of a user's
+    * transaction amounts landing on exact whole-dollar marks, scored as a
+    * binomial z against the corpus base rate — the second classic
+    * forensic screen (humans invent round numbers; organic amounts
+    * don't), and the per-ENTITY complement of q146's population screen.
+    * Flagged at |z| > 3.
+    *
+    * Determinism: round-ness is an exact integer modulus on cents; the
+    * base rate is one IEEE division of exact corpus totals; z is the
+    * fixed expression shape (n_round − rate·n)/√(rate·(1−rate)·n) —
+    * identical operand doubles through correctly-rounded ops (√ is IEEE
+    * correctly rounded) — and the flag compares bit-identical doubles.
+    *
+    * Scale shape: one row-local cents/round projection, ONE user-keyed
+    * map-combinable aggregate, corpus totals as a one-row broadcast;
+    * the output is bounded by users with ≥ [[RoundMinTx]] rows. */
+  def roundNumberAffinity(events: DataFrame,
+                          minTx: Long = RoundMinTx,
+                          unitCents: Long = RoundUnitCents): DataFrame = {
+    val per = events
+      .select(col("user_id"), Exact.units(col("value"), 2).as("cents"))
+      .filter(col("cents") > 0)
+      .selectExpr("user_id",
+        s"CASE WHEN cents % $unitCents = 0 THEN 1L ELSE 0L END AS is_round")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_tx"), sum("is_round").as("n_round"))
+      .localCheckpoint() // consumed by the corpus totals and the report
+    val tot = per.agg(sum("n_tx").as("t_tx"), sum("n_round").as("t_round"))
+    per.filter(col("n_tx") >= minTx)
+      .crossJoin(broadcast(tot))
+      .selectExpr("user_id", "n_tx", "n_round",
+        "CAST(n_round AS DOUBLE) / CAST(n_tx AS DOUBLE) AS share",
+        "CAST(t_round AS DOUBLE) / CAST(t_tx AS DOUBLE) AS base_rate")
+      .selectExpr("user_id", "n_tx", "n_round", "share", "base_rate",
+        """CASE WHEN base_rate = 0e0 OR base_rate = 1e0 THEN CAST(NULL AS DOUBLE)
+                ELSE (CAST(n_round AS DOUBLE) - base_rate * CAST(n_tx AS DOUBLE))
+                     / sqrt(base_rate * (1e0 - base_rate) * CAST(n_tx AS DOUBLE))
+           END AS z""")
+      .selectExpr("user_id", "n_tx", "n_round", "share", "base_rate", "z",
+        "abs(z) > 3e0 AS flagged")
+      .orderBy("user_id")
+  }
 }

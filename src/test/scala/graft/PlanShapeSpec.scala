@@ -415,6 +415,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"))
   }
 
+  test("q146 benford / q147 round affinity: one corpus aggregate each, bounded joins broadcast, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    Seq(graft.ops.EventOps.benfordAudit(events),
+        graft.ops.EventOps.roundNumberAffinity(events)).foreach { q =>
+      assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+      val phys = q.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct"),
+        "the one-row total joins must broadcast")
+    }
+  }
+
   test("q144 markov: the only window is user-partitioned; census join broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = graft.ops.RelationalOps.markovTransitions(
