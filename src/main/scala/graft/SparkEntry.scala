@@ -500,6 +500,14 @@ object SparkEntry {
     // screen over exact integer cents; χ² from micro-rounded terms
     "q146_benford_audit"   -> ((s, d) =>
       EventOps.benfordAudit(Tables.events(s, d))),
+    // autocorrelation census: Pearson r of the hourly count series at
+    // lags 1..24 — seasonality evidence from one bounded-table pass
+    "q148_autocorrelation" -> ((s, d) =>
+      RelationalOps.autocorrelation(Tables.events(s, d))),
+    // RFM segmentation: binned quartile codes for recency/frequency/
+    // monetary — never a corpus-wide user rank (the q128 pattern)
+    "q149_rfm_segments"    -> ((s, d) =>
+      RelationalOps.rfmSegments(Tables.events(s, d))),
     // per-user round-number affinity: whole-dollar share vs the corpus
     // base rate as a binomial z — the per-entity forensic screen
     "q147_round_affinity"  -> ((s, d) =>
@@ -1080,6 +1088,70 @@ object SparkEntry {
           SELECT user_id, n_tx, n_round, share, base_rate, z,
                  abs(z) > 3e0 AS flagged
           FROM z ORDER BY user_id""",
+    // q148: identical hour grain, HUGEINT moments mirroring DECIMAL(38,0),
+    // identical num/√(d1·d2) shape (IEEE sqrt correctly rounded both sides)
+    "q148_autocorrelation" ->
+      s"""WITH hrs AS (SELECT epoch_us(ts) // ${RelationalOps.HourUs} AS h,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+          l AS (SELECT h + r.range AS h2, CAST(r.range AS INT) AS lag, c AS x
+                FROM hrs, range(1, ${RelationalOps.AcfMaxLag + 1}) r),
+          p AS (SELECT l.lag AS lag, l.x AS x, hrs.c AS y
+                FROM l JOIN hrs ON l.h2 = hrs.h),
+          s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy
+                FROM p GROUP BY lag)
+          SELECT lag, n_pairs,
+                 CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0
+                      THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+                 END AS r
+          FROM s ORDER BY lag""",
+    // q149: identical integer metrics, bin widths, minimal-cover quartile
+    // dials, and CASE-comparison codes
+    "q149_rfm_segments" -> {
+      def dialSql(tbl: String, bin: String, p: String) =
+        s"""${p}b AS (SELECT $bin AS b, CAST(COUNT(*) AS BIGINT) AS n FROM $tbl GROUP BY 1),
+            ${p}c AS (SELECT x.b AS b, CAST(SUM(y.n) AS BIGINT) AS cum
+                      FROM ${p}b x JOIN ${p}b y ON y.b <= x.b GROUP BY x.b),
+            ${p}q AS (SELECT MIN(CASE WHEN cum * 4 >= nu THEN b END) AS ${bin}_q1,
+                             MIN(CASE WHEN cum * 4 >= nu * 2 THEN b END) AS ${bin}_q2,
+                             MIN(CASE WHEN cum * 4 >= nu * 3 THEN b END) AS ${bin}_q3
+                      FROM ${p}c CROSS JOIN nu)"""
+      def codeSql(bin: String) =
+        s"""CAST(1 + (CASE WHEN $bin > ${bin}_q1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN $bin > ${bin}_q2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN $bin > ${bin}_q3 THEN 1 ELSE 0 END) AS INT)"""
+      s"""WITH per AS (SELECT user_id,
+                        MAX(epoch_us(ts) // ${RelationalOps.DayUs}) AS last_day,
+                        CAST(COUNT(*) AS BIGINT) AS frequency,
+                        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+                 FROM events GROUP BY user_id),
+          a AS (SELECT MAX(last_day) AS corpus_day FROM per),
+          u AS (SELECT user_id, corpus_day - last_day AS r_bin,
+                       frequency, monetary_cents,
+                       frequency // ${RelationalOps.RfmFreqBin} AS f_bin,
+                       monetary_cents // ${RelationalOps.RfmMonetaryBinCents} AS m_bin
+                FROM per CROSS JOIN a),
+          nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM u),
+          ${dialSql("u", "r_bin", "r")},
+          ${dialSql("u", "f_bin", "f")},
+          ${dialSql("u", "m_bin", "m")}
+          SELECT user_id, r_bin AS recency_days, frequency,
+                 CAST(monetary_cents AS DOUBLE) / 100.0 AS monetary,
+                 ${codeSql("r_bin")} AS r_code,
+                 ${codeSql("f_bin")} AS f_code,
+                 ${codeSql("m_bin")} AS m_code,
+                 concat('R', ${codeSql("r_bin")}, 'F', ${codeSql("f_bin")},
+                        'M', ${codeSql("m_bin")}) AS segment
+          FROM u CROSS JOIN rq CROSS JOIN fq CROSS JOIN mq
+          ORDER BY user_id"""
+    },
     // q144: identical total ordering ((us, event_id)) under the same
     // user-partitioned lead; counts exact, p one IEEE division
     "q144_markov_transitions" ->

@@ -702,6 +702,118 @@ object RelationalOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Epoch-µs per hour (q148's series grain) and its lag budget. */
+  val HourUs: Long = 3600000000L
+  val AcfMaxLag: Int = 24
+
+  /** q148 — AUTOCORRELATION (seasonality) CENSUS: the Pearson
+    * correlation of the hourly event-count series against itself at lags
+    * 1…[[AcfMaxLag]] — the signal a capacity planner or anomaly detector
+    * reads to find daily rhythm (a 24-lag peak) or its absence before
+    * trusting any fixed-window baseline.
+    *
+    * Scale shape: the corpus collapses ONCE into the calendar-bounded
+    * hourly count table (map-combinable); every lag pair, moment sum,
+    * and the census itself live on that bounded table (a ≤ hours×lags
+    * broadcast join — never a window, never a second corpus pass).
+    * Moments are exact DECIMAL(38,0)/HUGEINT sums (hourly counts square
+    * to ~10¹⁶ at 10⁸ events/hour — BIGINT would overflow the Σx²
+    * accumulation on a long calendar); r is computed from six exact
+    * integers through the fixed shape num / √(d1·d2), each step a
+    * correctly-rounded IEEE op, NULL when either side is constant. */
+  def autocorrelation(events: DataFrame, maxLag: Int = AcfMaxLag): DataFrame = {
+    val hours = events.selectExpr(s"unix_micros(ts) DIV $HourUs AS h")
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // calendar-bounded; probed once per side
+    val lagged = hours
+      .selectExpr("h", "c", s"explode(sequence(1, $maxLag)) AS lag")
+      .selectExpr("h + lag AS h2", "lag", "c AS x")
+      .join(broadcast(hours.selectExpr("h AS h2", "c AS y")), Seq("h2"))
+    lagged.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .selectExpr("lag", "n_pairs",
+        """CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+           END AS r""")
+      .orderBy("lag")
+  }
+
+  /** q149 bin widths: binned quartiles (the q128 minimal-cover pattern)
+    * — never a corpus-wide rank over users. */
+  val RfmMonetaryBinCents = 10000L // $100 bins
+  val RfmFreqBin = 10L
+
+  /** q149 — RFM SEGMENTATION: every user scored into quartile codes for
+    * Recency (days since last event — code 1 = most recent), Frequency
+    * (events), and Monetary (total value) — the classic customer-base
+    * segmentation every CRM/growth stack ships, and the per-entity
+    * rollup of q138's cohort view.
+    *
+    * Quartile boundaries are BINNED minimal-cover thresholds (lowest bin
+    * whose ascending cumulative covers k·n/4), computed per metric over
+    * the bounded bin tables — the q128/q58 lesson: an exact per-user
+    * quartile rank is a corpus-wide sort; binned quartiles cost three
+    * bounded aggregates and lose only bin-width resolution. Codes are
+    * then row-local comparisons against a broadcast one-row dial.
+    *
+    * Determinism: all three metrics are exact integers (days, counts,
+    * cents), bins are floor divisions, thresholds integer minimal-covers,
+    * codes integer comparisons; the only double is the monetary
+    * cents/100 projection. Scale shape: ONE user-keyed corpus aggregate;
+    * everything after is bounded. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val per = events.select(col("user_id"),
+        expr(s"unix_micros(ts) DIV $DayUs").as("day"),
+        Exact.units(col("value"), 2).as("cents"))
+      .groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+        sum("cents").as("monetary_cents"))
+      .localCheckpoint() // consumed by the anchor, three dials, the report
+    val anchor = per.agg(max("last_day").as("corpus_day"))
+    val users = per.crossJoin(broadcast(anchor))
+      .selectExpr("user_id", "corpus_day - last_day AS r_bin",
+        "frequency", "monetary_cents",
+        s"frequency DIV $RfmFreqBin AS f_bin",
+        s"monetary_cents DIV $RfmMonetaryBinCents AS m_bin")
+      .localCheckpoint() // user-bounded; probed by three dials + report
+    // per metric: lowest bin whose ascending cumulative covers k·n/4
+    def dial(bin: String): DataFrame = {
+      val bins = users.groupBy(bin).agg(count(lit(1)).as("n"))
+      val cum = bins.as("x")
+        .join(broadcast(bins.as("y")), col(s"y.$bin") <= col(s"x.$bin"))
+        .groupBy(col(s"x.$bin").as("b"))
+        .agg(sum(col("y.n")).as("cum"))
+      cum.crossJoin(broadcast(users.agg(count(lit(1)).as("nu"))))
+        .agg(min(when(col("cum") * 4 >= col("nu"), col("b"))).as(s"${bin}_q1"),
+          min(when(col("cum") * 4 >= col("nu") * 2, col("b"))).as(s"${bin}_q2"),
+          min(when(col("cum") * 4 >= col("nu") * 3, col("b"))).as(s"${bin}_q3"))
+    }
+    def code(bin: String): String =
+      s"CAST(1 + IF($bin > ${bin}_q1, 1, 0) + IF($bin > ${bin}_q2, 1, 0) " +
+        s"+ IF($bin > ${bin}_q3, 1, 0) AS INT)"
+    users
+      .crossJoin(broadcast(dial("r_bin")))
+      .crossJoin(broadcast(dial("f_bin")))
+      .crossJoin(broadcast(dial("m_bin")))
+      .selectExpr("user_id", "r_bin AS recency_days", "frequency",
+        // CAST first: in SQL text, BIGINT / 100.0 is DECIMAL division
+        "CAST(monetary_cents AS DOUBLE) / 100.0 AS monetary",
+        s"${code("r_bin")} AS r_code", s"${code("f_bin")} AS f_code",
+        s"${code("m_bin")} AS m_code")
+      .selectExpr("user_id", "recency_days", "frequency", "monetary",
+        "r_code", "f_code", "m_code",
+        "concat('R', r_code, 'F', f_code, 'M', m_code) AS segment")
+      .orderBy("user_id")
+  }
+
   def intervalJoin(events: DataFrame, anchorType: String = "signup",
                    windowUs: Long = IntervalUs): DataFrame = {
     val targets = events.select(

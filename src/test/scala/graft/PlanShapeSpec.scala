@@ -427,6 +427,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q148/q149: no window anywhere — binned quartiles and lag joins on bounded tables only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    Seq(graft.ops.RelationalOps.autocorrelation(events),
+        graft.ops.RelationalOps.rfmSegments(events)).foreach { q =>
+      assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        "quartiles/lags must come from bounded aggregates, never a rank window")
+      assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    }
+  }
+
   test("q144 markov: the only window is user-partitioned; census join broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = graft.ops.RelationalOps.markovTransitions(

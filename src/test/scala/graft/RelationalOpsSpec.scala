@@ -218,6 +218,90 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q148 autocorrelation: a period-2 series reads r = -1 at lag 1 and r = +1 at lag 2") {
+    val hour = RelationalOps.HourUs
+    // hourly counts 1,3,1,3,… over 12 hours: perfectly anti-correlated at
+    // lag 1, perfectly correlated at lag 2
+    val ev = (0 until 12).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      (0 until n).map(i =>
+        (h.toLong * 10 + i, new java.sql.Timestamp(h * hour / 1000 + i), 1L,
+          "view", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.autocorrelation(ev, maxLag = 3).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .toMap
+    assert(got(1)._1 === 11L && got(2)._1 === 10L)
+    assert(got(1)._2 === -1.0 && got(2)._2 === 1.0, s"got $got")
+    // a constant series has zero variance — NULL, not NaN
+    val flat = (0 until 6).map(h =>
+      (h.toLong, new java.sql.Timestamp(h * hour / 1000), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val frows = RelationalOps.autocorrelation(flat, maxLag = 2).collect()
+    assert(frows.nonEmpty && frows.forall(_.isNullAt(2)))
+  }
+
+  test("q148 autocorrelation on the corpus: r bounded, pairs shrink with lag, partitioning invariance") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.autocorrelation(events).collect()
+    assert(rows.length === RelationalOps.AcfMaxLag)
+    rows.foreach { r =>
+      if (!r.isNullAt(2))
+        assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12, s"lag ${r.getInt(0)}: |r| > 1")
+    }
+    // the hour series is gappy at this scale, so pair counts are NOT
+    // monotone in lag — only bounded by the series length
+    val nHours = events.selectExpr(
+      s"unix_micros(ts) DIV ${RelationalOps.HourUs} AS h").distinct().count()
+    rows.foreach(r => assert(r.getLong(1) > 0 && r.getLong(1) < nHours))
+    val reparted = RelationalOps.autocorrelation(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
+  test("q149 RFM: hand fixture — quartile codes from binned minimal-cover thresholds") {
+    val day = RelationalOps.DayUs
+    // four users with clearly separated metrics; one event per day each
+    // u1: 40 events ending day 19760 (recent, frequent, rich: $100/event)
+    // u2: 20 events ending day 19750; u3: 10 ending 19740; u4: 1 on 19700
+    def evs(uid: Long, n: Int, endDay: Long, v: Double) =
+      (0 until n).map(i => (uid * 1000 + i,
+        new java.sql.Timestamp((endDay - i) * day / 1000), uid, "view", v, "{}"))
+    val ev = (evs(1L, 40, 19760L, 100.0) ++ evs(2L, 20, 19750L, 10.0) ++
+      evs(3L, 10, 19740L, 1.0) ++ evs(4L, 1, 19700L, 0.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.rfmSegments(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(7)))
+      .toMap
+    assert(got(1L) === ((0L, 40L, 4000.0, "R1F4M4")), s"got ${got(1L)}")
+    assert(got(4L)._1 === 60L && got(4L)._4.startsWith("R4"),
+      "the stalest user lands in the worst recency quartile")
+    // codes are monotone with the metrics: u1 ≥ u2 ≥ u3 on F ("RxFyMz"
+    // has the F digit at index 3 — codes are always one digit)
+    val f = got.view.mapValues(_._4.charAt(3)).toMap
+    assert(f(1L) >= f(2L) && f(2L) >= f(3L), s"F codes: $f")
+  }
+
+  test("q149 RFM on the corpus: codes in 1..4, quartiles roughly balanced, partitioning invariance") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.rfmSegments(events).collect()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(rows.length === nUsers)
+    rows.foreach { r =>
+      Seq(4, 5, 6).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 4))
+      assert(r.getString(7) === s"R${r.getInt(4)}F${r.getInt(5)}M${r.getInt(6)}")
+    }
+    // minimal-cover quartiles: at least a quarter of users sit at or
+    // below each q1 code (bins are coarse, so only the ≥ bound holds)
+    Seq(4, 5, 6).foreach { i =>
+      val c1 = rows.count(_.getInt(i) == 1)
+      assert(c1 * 4 >= nUsers, s"col $i: only $c1 users in the first quartile")
+    }
+    val reparted = RelationalOps.rfmSegments(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q138 retention: hand fixture — cohorts by first-event day, cells count distinct active users") {
     val day = RelationalOps.DayUs
     def at(d: Long, offsetUs: Long = 0L) =
