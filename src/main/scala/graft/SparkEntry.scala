@@ -508,6 +508,15 @@ object SparkEntry {
     // monetary — never a corpus-wide user rank (the q128 pattern)
     "q149_rfm_segments"    -> ((s, d) =>
       RelationalOps.rfmSegments(Tables.events(s, d))),
+    // co-purchase nearest neighbor (item-item collaborative filtering):
+    // bipartite projection of the purchase graph, hot-customer capped
+    "q150_copurchase_nn"   -> ((s, d) =>
+      graft.ops.GraphOps.coPurchaseNeighbors(
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+    // market-basket association rules: Apriori-at-2 with the exact
+    // rational lift cut — basket cousin of q143's sequence collocations
+    "q151_basket_rules"    -> ((s, d) =>
+      RelationalOps.basketRules(Tables.lineitem(s, d))),
     // per-user round-number affinity: whole-dollar share vs the corpus
     // base rate as a binomial z — the per-entity forensic screen
     "q147_round_affinity"  -> ((s, d) =>
@@ -1152,6 +1161,26 @@ object SparkEntry {
           FROM u CROSS JOIN rq CROSS JOIN fq CROSS JOIN mq
           ORDER BY user_id"""
     },
+    // q151: identical basket collapse, co-keyed pair join, and exact
+    // HUGEINT lift cut mirroring Spark's DECIMAL(38,0)
+    "q151_basket_rules" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          np AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_p FROM b GROUP BY pk),
+          ntx AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_tx FROM b),
+          pr AS (SELECT a.pk AS p1, b2.pk AS p2, CAST(COUNT(*) AS BIGINT) AS n_ab
+                 FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+                 GROUP BY 1, 2)
+          SELECT p1, p2, n_ab, na.n_p AS n_a, nb.n_p AS n_b, n_tx,
+                 CAST(n_ab AS DOUBLE) / CAST(na.n_p AS DOUBLE) AS conf_ab,
+                 CAST(n_ab AS DOUBLE) / CAST(nb.n_p AS DOUBLE) AS conf_ba,
+                 CAST(CAST(n_ab AS HUGEINT) * n_tx AS DOUBLE) /
+                 CAST(CAST(na.n_p AS HUGEINT) * nb.n_p AS DOUBLE) AS lift
+          FROM pr JOIN np na ON pr.p1 = na.pk JOIN np nb ON pr.p2 = nb.pk
+               CROSS JOIN ntx
+          WHERE n_ab >= ${RelationalOps.BasketMinSupport}
+            AND ${RelationalOps.BasketLiftDen} * CAST(n_ab AS HUGEINT) * n_tx >=
+                ${RelationalOps.BasketLiftNum} * CAST(na.n_p AS HUGEINT) * nb.n_p
+          ORDER BY n_ab DESC, p1, p2""",
     // q144: identical total ordering ((us, event_id)) under the same
     // user-partitioned lead; counts exact, p one IEEE division
     "q144_markov_transitions" ->

@@ -360,6 +360,61 @@ object GraphOps {
            END AS global_clustering""")
   }
 
+  /** q150's hot-key cap: customers buying from more than this many
+    * suppliers are excluded from the projection (the q38 df-cap idiom —
+    * a mega-customer's k² pair fan-out is the one thing that can blow
+    * this join up at scale, and such rows carry no similarity signal). */
+  val CoPurchaseCapSupp = 200L
+
+  /** q150 — CO-PURCHASE NEAREST NEIGHBOR (item-item collaborative
+    * filtering): for every supplier, the other supplier most similar by
+    * shared customers — cosine over binary purchase vectors,
+    * co / √(n_a·n_b) — the "customers who bought from X also bought
+    * from Y" artifact, computed as the bipartite projection of the q140
+    * purchase graph.
+    *
+    * Scale shape: the (cust, supp) edge list is built once (co-keyed
+    * orders⋈lineitem, distinct) and checkpointed; the projection is ONE
+    * customer-keyed self-join whose fan-out is bounded by the
+    * [[CoPurchaseCapSupp]] cap, collapsing map-combinably to the
+    * ≤ |supp|² co-occurrence table; everything after (degrees, argmax,
+    * join-back) is bounded. The per-supplier best partner uses the
+    * MAX-then-equality-join-then-MIN-tie-break form on both engines —
+    * cosines are bit-identical (one IEEE √ and ÷ over exact integers),
+    * so the equality join cannot drift. No window anywhere. */
+  def coPurchaseNeighbors(orders: DataFrame, lineitem: DataFrame,
+                          cap: Long = CoPurchaseCapSupp): DataFrame = {
+    val e0 = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("o_custkey AS c", "l_suppkey AS s")
+      .distinct()
+    val fanout = e0.groupBy("c").agg(count(lit(1)).as("k"))
+    val e = e0.join(fanout.filter(col("k") <= cap).select("c"), "c")
+      .localCheckpoint() // consumed by degrees and both pair sides
+    val deg = e.groupBy("s").agg(count(lit(1)).as("n_cust"))
+      .localCheckpoint() // bounded; consumed three times
+    val sim = e.as("a").join(e.as("b"),
+        col("a.c") === col("b.c") && col("a.s") =!= col("b.s"))
+      .groupBy(col("a.s").as("s"), col("b.s").as("t"))
+      .agg(count(lit(1)).as("co"))
+      .join(broadcast(deg.selectExpr("s", "n_cust AS n_s")), "s")
+      .join(broadcast(deg.selectExpr("s AS t", "n_cust AS n_t")), "t")
+      .selectExpr("s", "t", "co", "n_s", "n_t",
+        """CAST(co AS DOUBLE)
+           / sqrt(CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)) AS cos""")
+      .localCheckpoint() // bounded; consumed by best, pick, and join-back
+    val best = sim.groupBy("s").agg(max("cos").as("bc"))
+    val pick = sim.join(best, Seq("s"))
+      .filter(col("cos") === col("bc"))
+      .groupBy("s").agg(min("t").as("partner"))
+    pick.join(sim.selectExpr("s", "t AS partner", "co", "n_s", "n_t", "cos"),
+        Seq("s", "partner"))
+      .selectExpr("s AS supplier", "n_s AS n_cust", "partner", "co",
+        "n_t AS partner_n_cust", "cos AS cosine")
+      .orderBy("supplier")
+  }
+
   /** q66's oracle composes the verified q37 pair oracle verbatim (the edges
     * cannot drift from the individually-hash-checked query) with a
     * recursive-CTE min-label reachability — DuckDB's walk accumulates every
@@ -369,6 +424,29 @@ object GraphOps {
     * table's cluster inputs cannot drift from the verified clustering. */
   def oracles: Map[String, String] = Map(
     "q140_pagerank" -> pageRankSql(),
+    // q150: identical cap, projection, cosine expression, and the same
+    // MAX/equality/MIN-tie-break argmax (no window either side)
+    "q150_copurchase_nn" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          f AS (SELECT c FROM e0 GROUP BY c HAVING COUNT(*) <= $CoPurchaseCapSupp),
+          e AS (SELECT e0.c AS c, e0.s AS s FROM e0 JOIN f ON e0.c = f.c),
+          deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_cust FROM e GROUP BY s),
+          co AS (SELECT a.s AS s, b.s AS t, CAST(COUNT(*) AS BIGINT) AS co
+                 FROM e a JOIN e b ON a.c = b.c AND a.s <> b.s GROUP BY 1, 2),
+          sim AS (SELECT co.s AS s, co.t AS t, co.co AS co,
+                         da.n_cust AS n_s, db.n_cust AS n_t,
+                         CAST(co.co AS DOUBLE)
+                         / sqrt(CAST(da.n_cust AS DOUBLE) * CAST(db.n_cust AS DOUBLE)) AS cos
+                  FROM co JOIN deg da ON co.s = da.s JOIN deg db ON co.t = db.s),
+          best AS (SELECT s, MAX(cos) AS bc FROM sim GROUP BY s),
+          pick AS (SELECT sim.s AS s, MIN(t) AS partner
+                   FROM sim JOIN best ON sim.s = best.s AND sim.cos = best.bc
+                   GROUP BY sim.s)
+          SELECT pick.s AS supplier, sim.n_s AS n_cust, pick.partner AS partner,
+                 sim.co AS co, sim.n_t AS partner_n_cust, sim.cos AS cosine
+          FROM pick JOIN sim ON pick.s = sim.s AND pick.partner = sim.t
+          ORDER BY supplier""",
     // q142 composes the verified q37 pair oracle verbatim; identical
     // (deg, id) orientation, wedge join, and exact wedge formula
     "q142_triangle_census" -> {

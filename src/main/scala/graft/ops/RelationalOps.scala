@@ -814,6 +814,56 @@ object RelationalOps {
       .orderBy("user_id")
   }
 
+  /** q151 dials: a rule needs this much support… */
+  val BasketMinSupport = 2L
+  /** …and lift ≥ num/den over independence — the q143 rational-cut rule
+    * (exact cross-multiplied integers, no logarithm). */
+  val BasketLiftNum = 3L
+  val BasketLiftDen = 2L
+
+  /** q151 — MARKET-BASKET ASSOCIATION RULES: part pairs co-occurring in
+    * the same order with support, directional confidences, and lift —
+    * the Apriori-at-k=2 artifact every recommender/assortment pipeline
+    * computes, and the BASKET cousin of q143's sequence collocations
+    * (co-occurrence within an unordered transaction vs adjacency within
+    * an ordered document).
+    *
+    * Scale shape: baskets collapse once to DISTINCT (order, part); the
+    * in-basket pair join is co-keyed on the order key with fan-out
+    * bounded by parts-per-order (≤ 7 in TPC-H-shaped data — the data
+    * model bounds it, no cap needed), collapsing map-combinably into
+    * the pair table; marginals join the collapsed table and the basket
+    * total is a one-row broadcast. The lift cut is the exact
+    * DECIMAL(38,0)/HUGEINT cross-multiplication; confidences and lift
+    * are single IEEE divisions of exact integers. */
+  def basketRules(lineitem: DataFrame,
+                  minSupport: Long = BasketMinSupport,
+                  liftNum: Long = BasketLiftNum,
+                  liftDen: Long = BasketLiftDen): DataFrame = {
+    val b = lineitem.selectExpr("l_orderkey AS ok", "l_partkey AS pk")
+      .distinct()
+      .localCheckpoint() // consumed by marginals, the total, both pair sides
+    val np = b.groupBy("pk").agg(count(lit(1)).as("n_p"))
+      .localCheckpoint() // bounded by |parts|; consumed twice
+    val ntx = b.select("ok").distinct().agg(count(lit(1)).as("n_tx"))
+    b.as("a").join(b.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+      .join(np.selectExpr("pk AS p1", "n_p AS n_a"), "p1")
+      .join(np.selectExpr("pk AS p2", "n_p AS n_b"), "p2")
+      .crossJoin(broadcast(ntx))
+      .filter(expr(s"""$liftDen * CAST(n_ab AS DECIMAL(38,0)) * n_tx >=
+                       $liftNum * CAST(n_a AS DECIMAL(38,0)) * n_b"""))
+      .selectExpr("p1", "p2", "n_ab", "n_a", "n_b", "n_tx",
+        "CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS conf_ab",
+        "CAST(n_ab AS DOUBLE) / CAST(n_b AS DOUBLE) AS conf_ba",
+        """CAST(CAST(n_ab AS DECIMAL(38,0)) * n_tx AS DOUBLE) /
+           CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE) AS lift""")
+      .orderBy(desc("n_ab"), col("p1"), col("p2"))
+  }
+
   def intervalJoin(events: DataFrame, anchorType: String = "signup",
                    windowUs: Long = IntervalUs): DataFrame = {
     val targets = events.select(

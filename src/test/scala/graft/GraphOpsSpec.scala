@@ -252,6 +252,59 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(reparted.toSeq === row.toSeq)
   }
 
+  test("q150 co-purchase NN: hand graph — cosine argmax, min-id ties, hot-customer cap") {
+    // c1 buys from s1+s2 (order 10); c2 from s1 (20) and s2 (21); c3 from
+    // s1+s3 (order 30) → cos(s1,s2)=2/√6 beats cos(s1,s3)=1/√3
+    val orders = Seq((10L, 1L), (20L, 2L), (21L, 2L), (30L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 1L), (21L, 2L), (30L, 1L), (30L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = GraphOps.coPurchaseNeighbors(orders, li).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(got(1L) === ((2L, 2L, 2.0 / math.sqrt(3.0 * 2.0))), s"got ${got(1L)}")
+    assert(got(2L)._1 === 1L && got(3L)._1 === 1L)
+    // equal cosines tie-break to the smaller partner id
+    val o2 = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+    val l2 = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L)).toDF("l_orderkey", "l_suppkey")
+    val tie = GraphOps.coPurchaseNeighbors(o2, l2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tie(1L) === 2L, "cos(s1,s2) == cos(s1,s3) must pick s2")
+    // a customer over the cap contributes NO pairs
+    val capped = GraphOps.coPurchaseNeighbors(o2, l2, cap = 1L).collect()
+    assert(capped.isEmpty, "both customers exceed cap=1 — no projection survives")
+  }
+
+  test("q150 co-purchase NN on the corpus: matches a brute-force reference; partitioning invariance") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val rows = GraphOps.coPurchaseNeighbors(orders, li).collect()
+    assert(rows.nonEmpty)
+    // brute force over the collected capped edge list
+    val es = orders.select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+      .map { case (ok, c) => ok -> c }.toMap
+    val pairs = li.select("l_orderkey", "l_suppkey").as[(Long, Long)].collect()
+      .flatMap { case (ok, s) => es.get(ok).map(c => (c, s)) }.distinct
+    val byCust = pairs.groupBy(_._1).filter(_._2.length <= GraphOps.CoPurchaseCapSupp)
+    val kept = byCust.values.flatten.toSeq
+    val deg = kept.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    val co = byCust.values.toSeq.flatMap { cs =>
+      val ss = cs.map(_._2).toSeq
+      for (a <- ss; b <- ss if a != b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = co.keys.map(_._1).toSeq.distinct.sorted.map { s =>
+      val cands = co.collect { case ((`s`, t), n) =>
+        (t, n, n.toDouble / math.sqrt(deg(s).toDouble * deg(t).toDouble)) }
+      val bc = cands.map(_._3).max
+      val (t, n, c) = cands.filter(_._3 == bc).minBy(_._1)
+      s -> (t, n, c)
+    }.toMap
+    val got = rows.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(got === want, s"${got.size} vs ${want.size} suppliers")
+    val reparted = GraphOps.coPurchaseNeighbors(orders.repartition(7), li.repartition(5))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   /** Reference: the exact integer PageRank recursion on the driver —
     * the same per-edge r/deg floor division and per-node 85·m/100 floor,
     * so the DataFrame loop must match bit-for-bit. */

@@ -438,6 +438,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q150/q151: co-keyed pair joins only — no window, no cartesian on the corpus side") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val d = "/root/testdata/sf0.001"
+    Seq(graft.ops.GraphOps.coPurchaseNeighbors(
+          Tables.orders(spark, d), Tables.lineitem(spark, d)),
+        graft.ops.RelationalOps.basketRules(Tables.lineitem(spark, d))).foreach { q =>
+      assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        "argmax/rules come from aggregates, never a rank window")
+      assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    }
+  }
+
   test("q144 markov: the only window is user-partitioned; census join broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = graft.ops.RelationalOps.markovTransitions(

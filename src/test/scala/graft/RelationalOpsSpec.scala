@@ -302,6 +302,57 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q151 basket rules: hand fixture — support cut, exact 3/2 lift boundary, confidences") {
+    def li(rows: (Long, Long)*) = rows.toDF("l_orderkey", "l_partkey")
+    // (p1,p2) in 2 of 4 baskets, p1 only there: lift 2·4/(2·2) = 2 — kept;
+    // (p3,p4) support 1 — dropped
+    val got = RelationalOps.basketRules(
+      li((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 3L), (3L, 4L), (4L, 3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(6), r.getDouble(7), r.getDouble(8))).toMap
+    assert(got.keySet === Set((1L, 2L)), s"got ${got.keySet}")
+    assert(got((1L, 2L)) === ((2L, 1.0, 1.0, 2.0)))
+    // exact boundary: n_ab=2, N=6, n_a=2, n_b=4 → lift = 12/8 = 3/2 — KEPT
+    val boundary = RelationalOps.basketRules(
+      li((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 2L), (4L, 2L),
+         (5L, 9L), (6L, 9L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(8)).toMap
+    assert(boundary === Map((1L, 2L) -> 1.5), s"got $boundary")
+    // duplicate lineitem rows for the same (order, part) collapse first
+    // (the p3 baskets pad N so the pair clears the lift cut: 2·4/(2·2)=2)
+    val dup = RelationalOps.basketRules(
+      li((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 3L), (4L, 3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dup === Map((1L, 2L) -> 2L))
+  }
+
+  test("q151 basket rules on the corpus: matches the exact BigInt reference; partitioning invariance") {
+    val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.basketRules(lineitem).collect()
+    assert(rows.nonEmpty, "the corpus must contain co-ordered part pairs")
+    val baskets = lineitem.selectExpr("l_orderkey", "l_partkey")
+      .as[(Long, Long)].collect().distinct
+    val np = baskets.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val n = BigInt(baskets.map(_._1).distinct.length)
+    val pairs = baskets.groupBy(_._1).values.flatMap { ps =>
+      val s = ps.map(_._2).sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = pairs.collect {
+      case ((a, b), nab) if nab >= RelationalOps.BasketMinSupport &&
+        BigInt(RelationalOps.BasketLiftDen) * nab * n >=
+          BigInt(RelationalOps.BasketLiftNum) * np(a) * np(b) =>
+        (a, b) -> (nab, np(a), np(b),
+          (BigInt(nab) * n).toDouble / (BigInt(np(a)) * np(b)).toDouble)
+    }.toMap
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(8)))).toMap
+    assert(got === want, s"${got.size} engine rules vs ${want.size} reference")
+    val reparted = RelationalOps.basketRules(lineitem.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q138 retention: hand fixture — cohorts by first-event day, cells count distinct active users") {
     val day = RelationalOps.DayUs
     def at(d: Long, offsetUs: Long = 0L) =
