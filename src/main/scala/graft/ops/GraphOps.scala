@@ -394,24 +394,27 @@ object GraphOps {
       .localCheckpoint() // consumed by degrees and both pair sides
     val deg = e.groupBy("s").agg(count(lit(1)).as("n_cust"))
       .localCheckpoint() // bounded; consumed three times
-    val sim = e.as("a").join(e.as("b"),
-        col("a.c") === col("b.c") && col("a.s") =!= col("b.s"))
+    // each unordered pair is generated and aggregated ONCE (s < t halves
+    // the corpus-scale shuffle); both directions come from mirroring the
+    // already-collapsed bounded pair table
+    val copairs = e.as("a").join(e.as("b"),
+        col("a.c") === col("b.c") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("s"), col("b.s").as("t"))
       .agg(count(lit(1)).as("co"))
+    val sim = copairs.unionByName(copairs.selectExpr("t AS s", "s AS t", "co"))
       .join(broadcast(deg.selectExpr("s", "n_cust AS n_s")), "s")
       .join(broadcast(deg.selectExpr("s AS t", "n_cust AS n_t")), "t")
       .selectExpr("s", "t", "co", "n_s", "n_t",
         """CAST(co AS DOUBLE)
            / sqrt(CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)) AS cos""")
-      .localCheckpoint() // bounded; consumed by best, pick, and join-back
-    val best = sim.groupBy("s").agg(max("cos").as("bc"))
-    val pick = sim.join(best, Seq("s"))
-      .filter(col("cos") === col("bc"))
-      .groupBy("s").agg(min("t").as("partner"))
-    pick.join(sim.selectExpr("s", "t AS partner", "co", "n_s", "n_t", "cos"),
-        Seq("s", "partner"))
-      .selectExpr("s AS supplier", "n_s AS n_cust", "partner", "co",
-        "n_t AS partner_n_cust", "cos AS cosine")
+    // argmax as ONE lexicographic struct MAX (the q109 idiom): max cos,
+    // ties to the smallest partner id via the negated key — same pick as
+    // the oracle's MAX/equality/MIN form because cosines are bit-exact
+    sim.groupBy("s", "n_s")
+      .agg(max(struct(col("cos").as("cos"), (-col("t")).as("negt"),
+        col("co").as("co"), col("n_t").as("n_t"))).as("b"))
+      .selectExpr("s AS supplier", "n_s AS n_cust", "-b.negt AS partner",
+        "b.co AS co", "b.n_t AS partner_n_cust", "b.cos AS cosine")
       .orderBy("supplier")
   }
 
