@@ -517,6 +517,20 @@ object SparkEntry {
     // rational lift cut — basket cousin of q143's sequence collocations
     "q151_basket_rules"    -> ((s, d) =>
       RelationalOps.basketRules(Tables.lineitem(s, d))),
+    // last-touch revenue attribution: purchases credited to the most
+    // recent strictly-prior touch via the q48 as-of window, rolled to
+    // the per-channel census
+    "q152_attribution"     -> ((s, d) =>
+      RelationalOps.lastTouchAttribution(Tables.events(s, d))),
+    // join-key skew audit: per (table, key), the distribution evidence
+    // (max/top-1% shares, CV) that picks salting vs plain hashing —
+    // exact metrics off the bounded count-of-counts table
+    "q153_key_skew"        -> ((s, d) =>
+      graft.ops.ScaleOps.keySkewAudit(Seq(
+        ("events", "user_id", Tables.events(s, d)),
+        ("orders", "o_custkey", Tables.orders(s, d)),
+        ("lineitem", "l_suppkey", Tables.lineitem(s, d)),
+        ("lineitem", "l_partkey", Tables.lineitem(s, d))))),
     // per-user round-number affinity: whole-dollar share vs the corpus
     // base rate as a binomial z — the per-entity forensic screen
     "q147_round_affinity"  -> ((s, d) =>
@@ -1181,6 +1195,72 @@ object SparkEntry {
             AND ${RelationalOps.BasketLiftDen} * CAST(n_ab AS HUGEINT) * n_tx >=
                 ${RelationalOps.BasketLiftNum} * CAST(na.n_p AS HUGEINT) * nb.n_p
           ORDER BY n_ab DESC, p1, p2""",
+    // q152: identical strictly-prior IGNORE-NULLS window (the q48 as-of
+    // syntax), exact cents, single-division shares
+    "q152_attribution" ->
+      s"""WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                            CAST(ROUND(value * 100) AS BIGINT) AS cents
+                     FROM events),
+          w AS (SELECT event_type, cents,
+                       last_value(CASE WHEN event_type <> '${RelationalOps.AttributionTarget}'
+                                       THEN event_type END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+                FROM t),
+          c AS (SELECT COALESCE(touch, '${RelationalOps.AttributionDirect}') AS channel,
+                       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+                FROM w WHERE event_type = '${RelationalOps.AttributionTarget}'
+                GROUP BY 1),
+          tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS t_cents,
+                         CAST(SUM(n_purchases) AS BIGINT) AS t_n FROM c)
+          SELECT channel, n_purchases,
+                 CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue,
+                 CASE WHEN t_cents = 0 THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(revenue_cents AS DOUBLE) / CAST(t_cents AS DOUBLE)
+                 END AS revenue_share,
+                 CAST(n_purchases AS DOUBLE) / CAST(t_n AS DOUBLE) AS purchase_share
+          FROM c CROSS JOIN tot ORDER BY channel""",
+    // q153: identical count-of-counts collapse, descending-cumulative
+    // top-1% walk with exact boundary-class inclusion, HUGEINT moments
+    "q153_key_skew" -> {
+      val specs = Seq(("events", "user_id", "e"), ("orders", "o_custkey", "o"),
+        ("lineitem", "l_suppkey", "s"), ("lineitem", "l_partkey", "p"))
+      val ctes = specs.map { case (tbl, key, p) =>
+        s"""${p}cnt AS (SELECT CAST($key AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM $tbl GROUP BY 1),
+            ${p}coc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM ${p}cnt GROUP BY c),
+            ${p}tot AS (SELECT CAST(SUM(c * m) AS BIGINT) AS n_rows,
+                               CAST(SUM(m) AS BIGINT) AS n_keys,
+                               MAX(c) AS max_count,
+                               SUM(CAST(c AS HUGEINT) * c * m) AS sum_c2
+                        FROM ${p}coc),
+            ${p}cum AS (SELECT x.c AS c, x.m AS m,
+                               CAST(COALESCE(SUM(y.m), 0) AS BIGINT) AS keys_above,
+                               CAST(COALESCE(SUM(y.c * y.m), 0) AS BIGINT) AS rows_above
+                        FROM ${p}coc x LEFT JOIN ${p}coc y ON y.c > x.c
+                        GROUP BY x.c, x.m),
+            ${p}top AS (SELECT MAX(rows_above + least(m, target - keys_above) * c)
+                                 AS top1pct_rows
+                        FROM (SELECT ${p}cum.*, (n_keys + 99) // 100 AS target
+                              FROM ${p}cum CROSS JOIN ${p}tot)
+                        WHERE keys_above < target),
+            ${p}fin AS (SELECT '$tbl' AS tbl, '$key' AS key, n_rows, n_keys, max_count,
+                               CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+                               top1pct_rows,
+                               CAST(top1pct_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1pct_share,
+                               CASE WHEN n_keys <= 1 THEN CAST(NULL AS DOUBLE)
+                                    ELSE sqrt(CAST(n_keys AS HUGEINT) * sum_c2
+                                              - CAST(n_rows AS HUGEINT) * n_rows + 0e0)
+                                         / CAST(n_rows AS DOUBLE)
+                               END AS cv
+                        FROM ${p}tot CROSS JOIN ${p}top)"""
+      }.mkString(",\n          ")
+      s"""WITH $ctes
+          SELECT * FROM (${specs.map(x => s"SELECT * FROM ${x._3}fin")
+            .mkString(" UNION ALL ")})
+          ORDER BY tbl, key"""
+    },
     // q144: identical total ordering ((us, event_id)) under the same
     // user-partitioned lead; counts exact, p one IEEE division
     "q144_markov_transitions" ->

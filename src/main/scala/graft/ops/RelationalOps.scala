@@ -864,6 +864,55 @@ object RelationalOps {
       .orderBy(desc("n_ab"), col("p1"), col("p2"))
   }
 
+  /** q152's conversion event and the no-prior-touch bucket. */
+  val AttributionTarget = "purchase"
+  val AttributionDirect = "direct"
+
+  /** q152 — LAST-TOUCH REVENUE ATTRIBUTION: every purchase's value is
+    * credited to the user's most recent STRICTLY-prior non-purchase
+    * event type (the "channel"); purchases with no prior touch credit
+    * the [[AttributionDirect]] bucket — the marketing-BI workload the
+    * q48 as-of join is the primitive for, rolled up to the per-channel
+    * revenue census with shares.
+    *
+    * Determinism: the touch comes from an IGNORE-NULLS `last` over the
+    * user-partitioned (us, event_id)-ordered window with a
+    * (unbounded, −1) frame — strictly prior in the q136 total row
+    * order, so simultaneous-µs events resolve by event id identically
+    * on both engines; revenue is exact integer cents; shares are single
+    * IEEE divisions against a broadcast one-row total.
+    *
+    * Scale shape: ONE user-partitioned window pass (per-user series
+    * bounded — the q29/q137/q144 contract), one map-combinable
+    * ≤ |types|-row census, bounded broadcast total. */
+  def lastTouchAttribution(events: DataFrame,
+                           target: String = AttributionTarget): DataFrame = {
+    val touched = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        Exact.units(col("value"), 2).as("cents"))
+      .selectExpr("event_type", "cents",
+        s"""last(CASE WHEN event_type <> '$target' THEN event_type END, true)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch""")
+      .filter(col("event_type") === target)
+    val census = touched
+      .selectExpr(s"coalesce(touch, '$AttributionDirect') AS channel", "cents")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
+      .localCheckpoint() // ≤ |types| rows; consumed by the total + output
+    val tot = census.agg(sum("revenue_cents").as("t_cents"),
+      sum("n_purchases").as("t_n"))
+    census.crossJoin(broadcast(tot))
+      .selectExpr("channel", "n_purchases",
+        "CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue",
+        """CASE WHEN t_cents = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(revenue_cents AS DOUBLE) / CAST(t_cents AS DOUBLE)
+           END AS revenue_share""",
+        "CAST(n_purchases AS DOUBLE) / CAST(t_n AS DOUBLE) AS purchase_share")
+      .orderBy("channel")
+  }
+
   def intervalJoin(events: DataFrame, anchorType: String = "signup",
                    windowUs: Long = IntervalUs): DataFrame = {
     val targets = events.select(

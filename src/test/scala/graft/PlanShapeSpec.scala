@@ -450,6 +450,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q152 attribution: the as-of window stays user-partitioned; no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the corpus-scale window runs inside the checkpointed census build —
+    // probe the same window expression the op uses on the raw input
+    val probe = Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .selectExpr("event_type",
+        """last(CASE WHEN event_type <> 'purchase' THEN event_type END, true)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch""")
+    val wins = probe.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "the as-of touch must stay PARTITIONED by user")
+    val q = graft.ops.RelationalOps.lastTouchAttribution(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("q153 skew audit: two collapses then bounded-table math — no window, no corpus self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.ScaleOps.keySkewAudit(Seq(
+      ("events", "user_id", Tables.events(spark, "/root/testdata/sf0.001"))))
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "the top-1% walk must come from the count-of-counts table, never a key rank")
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("q144 markov: the only window is user-partitioned; census join broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = graft.ops.RelationalOps.markovTransitions(

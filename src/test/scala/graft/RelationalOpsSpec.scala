@@ -353,6 +353,45 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q152 attribution: hand fixture — strictly-prior last touch, direct bucket, tie order") {
+    val ev = Seq(
+      // u1: view → p($5) → click → p($7) → p($2): view gets 5, click 9
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(10), 1L, "purchase", 5.0, "{}"),
+      (3L, ts(20), 1L, "click", 0.0, "{}"),
+      (4L, ts(30), 1L, "purchase", 7.0, "{}"),
+      (5L, ts(40), 1L, "purchase", 2.0, "{}"),
+      // u2: purchase with no prior touch → direct
+      (6L, ts(5), 2L, "purchase", 3.0, "{}"),
+      // u3: view and purchase at the SAME µs — the smaller event id is
+      // the prior row (q136 tie rule), so the view gets the credit
+      (100L, ts(7), 3L, "view", 0.0, "{}"),
+      (101L, ts(7), 3L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = RelationalOps.lastTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map(
+      "view"   -> (2L, 6.0, 6.0 / 18.0),
+      "click"  -> (2L, 9.0, 9.0 / 18.0),
+      "direct" -> (1L, 3.0, 3.0 / 18.0)), s"got $got")
+  }
+
+  test("q152 attribution on the corpus: shares sum to 1, revenue conserves, partitioning invariance") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.lastTouchAttribution(events).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    val nPurch = events.filter("event_type = 'purchase'").count()
+    assert(rows.map(_.getLong(1)).sum === nPurch, "every purchase is attributed")
+    assert(rows.map(_.getString(0)).forall(c =>
+      c == "direct" || (RelationalOps.EventTypes.contains(c) && c != "purchase")))
+    val reparted = RelationalOps.lastTouchAttribution(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q138 retention: hand fixture — cohorts by first-event day, cells count distinct active users") {
     val day = RelationalOps.DayUs
     def at(d: Long, offsetUs: Long = 0L) =

@@ -56,4 +56,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted <= unsalted / 4,
       s"salting did not rebalance: max task rows $unsalted -> $salted")
   }
+
+  test("q153 skew audit: hand distributions — max/top-1% shares and CV exact") {
+    // a×8, b×1, c×1: max_share 0.8; top-1% = top-1 key = 0.8;
+    // CV = √(3·66 − 100)/10 = √98/10
+    val hot = ((0 until 8).map(i => (i.toLong, "a")) ++
+      Seq((8L, "b"), (9L, "c"))).toDF("id", "k")
+    val uniform = (0 until 10).map(i => (i.toLong, s"k${i % 5}")).toDF("id", "k")
+    val rows = ScaleOps.keySkewAudit(Seq(
+        ("hot", "k", hot), ("uniform", "k", uniform))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val h = rows("hot")
+    assert((h.getLong(2), h.getLong(3), h.getLong(4)) === ((10L, 3L, 8L)))
+    assert(h.getDouble(5) === 0.8 && h.getLong(6) === 8L && h.getDouble(7) === 0.8)
+    assert(h.getDouble(8) === math.sqrt(98.0) / 10.0)
+    val u = rows("uniform")
+    assert((u.getLong(2), u.getLong(3), u.getLong(4)) === ((10L, 5L, 2L)))
+    assert(u.getDouble(5) === 0.2 && u.getDouble(7) === 0.2)
+    assert(u.getDouble(8) === 0.0, "a uniform distribution has zero CV")
+  }
+
+  test("q153 skew audit: boundary-class partial inclusion — top-1% never overcounts keys") {
+    // 300 keys ×1 row: target = 3 keys, all in the same frequency class
+    // (c=1, m=300) — covered must be 3 rows, not the whole class
+    val flat = (0 until 300).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    val r = ScaleOps.keySkewAudit(Seq(("flat", "k", flat))).collect().head
+    assert(r.getLong(6) === 3L, s"got ${r.getLong(6)} — boundary class leaked")
+    assert(r.getDouble(7) === 0.01)
+  }
+
+  test("q153 skew audit on the corpus: matches a driver reference; partitioning invariance") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val row = ScaleOps.keySkewAudit(Seq(("events", "user_id", events)))
+      .collect().head
+    val counts = events.select("user_id").as[Long].collect()
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val n = counts.sum; val k = counts.length.toLong
+    assert(row.getLong(2) === n && row.getLong(3) === k)
+    assert(row.getLong(4) === counts.max)
+    val target = (k + 99) / 100
+    val want = counts.sorted.reverse.take(target.toInt).sum
+    assert(row.getLong(6) === want)
+    val cv = math.sqrt((BigInt(k) * counts.map(c => BigInt(c) * c).sum
+      - BigInt(n) * n).toDouble) / n.toDouble
+    assert(row.getDouble(8) === cv)
+    val again = ScaleOps.keySkewAudit(Seq(("events", "user_id", events.repartition(7))))
+      .collect().head
+    assert(again.toSeq === row.toSeq)
+  }
 }
