@@ -522,6 +522,11 @@ object SparkEntry {
     // the per-channel census
     "q152_attribution"     -> ((s, d) =>
       RelationalOps.lastTouchAttribution(Tables.events(s, d))),
+    // mergeable distinct-user cube: one hash-exact HLL per day plus a
+    // total row built by MERGING the daily registers — COUNT(DISTINCT)
+    // over arbitrary ranges without re-scanning, the 100 TB way
+    "q154_hll_daily_cube"  -> ((s, d) =>
+      SketchOps.hllDailyCube(Tables.events(s, d))),
     // join-key skew audit: per (table, key), the distribution evidence
     // (max/top-1% shares, CV) that picks salting vs plain hashing —
     // exact metrics off the bounded count-of-counts table

@@ -323,6 +323,68 @@ object SketchOps {
       .orderBy("lang")
   }
 
+  /** q154's merged-total row key (outside the epoch-day range). */
+  val HllCubeTotalDay = -1L
+
+  /** q154 — MERGEABLE DISTINCT-USER CUBE: the q134 sketch machinery
+    * applied the way a warehouse actually deploys it — one 256-register
+    * HLL of DISTINCT USERS per DAY, pre-aggregated so any date range's
+    * distinct count comes from merging daily sketches instead of
+    * re-scanning the corpus (the only way COUNT(DISTINCT) over arbitrary
+    * windows survives 100 TB). The cube's total row (day =
+    * [[HllCubeTotalDay]]) is computed BY MERGING the daily register
+    * tables (per-register MAX over the bounded days×256 table) — the
+    * merge law is part of the graded artifact, not just a spec claim —
+    * and graded against the corpus-wide exact distinct like every daily
+    * row.
+    *
+    * Determinism and scale shape are q134's: registers are md5-derived
+    * (bit-identical cross-engine, duplicate-proof MAX so the corpus
+    * never shuffles raw rows — only (day, j, rho) triples), harmonic
+    * denominators exact scaled BIGINTs, the estimate literal-identical
+    * IEEE, the ln-based correction confined to the `est_ok` tolerance
+    * boolean, and the exact-distinct branch is the grading harness. */
+  def hllDailyCube(events: DataFrame): DataFrame = {
+    val m = HllRegisters
+    val two53 = 1L << (HllRestBits + 1)
+    val keyed = events.selectExpr(
+      s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+      "CAST(user_id AS STRING) AS uk")
+    val dayRegs = keyed
+      .selectExpr("day", s"${hash60("uk")} AS h")
+      .selectExpr("day", s"h DIV $HllRest AS j",
+        s"""CASE WHEN h % $HllRest = 0 THEN $HllRhoMax
+                 ELSE $HllRhoMax - length(bin(h % $HllRest)) END AS rho""")
+      .groupBy("day", "j").agg(max("rho").as("reg"))
+      .localCheckpoint() // bounded days×256; consumed by the merge + census
+    val merged = dayRegs.groupBy("j").agg(max("reg").as("reg"))
+      .selectExpr(s"CAST($HllCubeTotalDay AS BIGINT) AS day", "j", "reg")
+    val census = dayRegs.unionByName(merged).groupBy("day").agg(
+        count(lit(1)).as("n_registers_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRhoMax} - reg)")).as("s_hit"))
+      .selectExpr("day", "n_registers_hit",
+        s"CAST($m - n_registers_hit AS BIGINT) AS n_zero_registers",
+        s"s_hit + ($m - n_registers_hit) * $two53 AS harmonic_denom_scaled")
+    val daily = keyed.distinct().groupBy("day").agg(count(lit(1)).as("exact_distinct"))
+    val exact = daily.unionByName(
+      keyed.select("uk").distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+        .selectExpr(s"CAST($HllCubeTotalDay AS BIGINT) AS day", "exact_distinct"))
+    census.join(exact, Seq("day"))
+      .selectExpr("day", "exact_distinct", "n_registers_hit",
+        "n_zero_registers", "harmonic_denom_scaled",
+        s"$HllEstNum / CAST(harmonic_denom_scaled AS DOUBLE) AS raw_est")
+      .withColumn("rel_err", expr(
+        "(raw_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)"))
+      .withColumn("est_ok", expr(
+        s"""abs(CASE WHEN n_zero_registers > 0 AND raw_est <= 2.5 * $m.0
+                     THEN $m.0 * ln($m.0 / CAST(n_zero_registers AS DOUBLE))
+                     ELSE raw_est END
+                - CAST(exact_distinct AS DOUBLE))
+            <= greatest(0.25 * CAST(exact_distinct AS DOUBLE), 10.0)"""))
+      .orderBy("day")
+  }
+
   /** q64's oracle is exact (the two-pass output is exact; the sketch only
     * proposes candidates, and its recall guarantee is what the hash match
     * proves). q65's exact columns are recomputed by DuckDB from the same
@@ -332,6 +394,42 @@ object SketchOps {
     * nonnegative operands) and the estimate expression is literal-identical
     * IEEE arithmetic. */
   def oracles: Map[String, String] = Map(
+    // q154: the q134 recipe keyed by day; the total row's registers come
+    // from MERGING the daily tables (MAX per j), exactly as Spark's do
+    "q154_hll_daily_cube" ->
+      s"""WITH k AS (SELECT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                            CAST(user_id AS VARCHAR) AS uk FROM events),
+              h AS (SELECT day, ('0x' || substr(md5(uk), 1, 15))::BIGINT AS h FROM k),
+              r AS (SELECT day, h // $HllRest AS j,
+                           CASE WHEN h % $HllRest = 0 THEN $HllRhoMax
+                                ELSE $HllRhoMax - length(bin(h % $HllRest)) END AS rho
+                    FROM h),
+              reg AS (SELECT day, j, MAX(rho) AS reg FROM r GROUP BY day, j),
+              mrg AS (SELECT CAST($HllCubeTotalDay AS BIGINT) AS day, j, MAX(reg) AS reg
+                      FROM reg GROUP BY j),
+              allr AS (SELECT * FROM reg UNION ALL SELECT * FROM mrg),
+              p AS (SELECT day, COUNT(*) AS n_registers_hit,
+                           CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - reg)) AS BIGINT) AS s_hit
+                    FROM allr GROUP BY day),
+              ed AS (SELECT day, COUNT(DISTINCT uk) AS exact_distinct FROM k GROUP BY day
+                     UNION ALL
+                     SELECT CAST($HllCubeTotalDay AS BIGINT), COUNT(DISTINCT uk) FROM k),
+              c AS (SELECT p.day AS day, ed.exact_distinct AS exact_distinct,
+                           p.n_registers_hit AS n_registers_hit,
+                           CAST($HllRegisters - p.n_registers_hit AS BIGINT) AS n_zero_registers,
+                           s_hit + ($HllRegisters - n_registers_hit) * ${1L << 53} AS harmonic_denom_scaled
+                    FROM p JOIN ed USING (day))
+         SELECT day, exact_distinct, n_registers_hit, n_zero_registers,
+                harmonic_denom_scaled, raw_est,
+                (raw_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) AS rel_err,
+                abs(CASE WHEN n_zero_registers > 0 AND raw_est <= 2.5 * $HllRegisters.0
+                         THEN $HllRegisters.0 * ln($HllRegisters.0 / CAST(n_zero_registers AS DOUBLE))
+                         ELSE raw_est END
+                    - CAST(exact_distinct AS DOUBLE))
+                  <= greatest(0.25 * CAST(exact_distinct AS DOUBLE), 10.0) AS est_ok
+         FROM (SELECT c.*,
+                      $HllEstNum / CAST(harmonic_denom_scaled AS DOUBLE) AS raw_est
+               FROM c) ORDER BY day""",
     "q134_hll_census" ->
       s"""WITH t AS (SELECT coalesce(lang, '${graft.ops.GraphOps.NullSourceSentinel}') AS lang,
                             unnest(str_split(text, ' ')) AS token

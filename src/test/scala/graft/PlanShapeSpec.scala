@@ -477,6 +477,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("q154 daily cube: register path aggregates only — no window, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.SketchOps.hllDailyCube(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("q144 markov: the only window is user-partitioned; census join broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = graft.ops.RelationalOps.markovTransitions(

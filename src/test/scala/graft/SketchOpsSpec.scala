@@ -141,4 +141,32 @@ class SketchOpsSpec extends SparkSpec {
       SketchOps.heavyHitters(docs, capacity = 10, thresholdInv = 50)
     }
   }
+
+  test("q154 daily cube: total row = merged daily sketches = direct corpus sketch; days complete") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = SketchOps.hllDailyCube(events).collect()
+    val total = rows.filter(_.getLong(0) == SketchOps.HllCubeTotalDay)
+    assert(total.length === 1)
+    // the merge law end-to-end: the total row's register summary equals
+    // the sketch built DIRECTLY from the whole corpus (one fake-day pass)
+    val direct = SketchOps.hllDailyCube(
+        events.selectExpr("event_id", "CAST(timestamp_micros(0) AS TIMESTAMP) AS ts",
+          "user_id", "event_type", "value", "props"))
+      .collect().filter(_.getLong(0) == 0L).head
+    assert(total.head.getLong(2) === direct.getLong(2), "n_registers_hit must merge losslessly")
+    assert(total.head.getLong(4) === direct.getLong(4), "harmonic denominators must match")
+    assert(total.head.getDouble(5) === direct.getDouble(5), "estimates bit-equal")
+    // one row per active day + the total; totals dominate any single day
+    val nDays = events.selectExpr(
+      s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS d").distinct().count()
+    assert(rows.length === nDays + 1)
+    assert(rows.forall(r => r.getLong(1) > 0))
+    assert(total.head.getLong(1) === rows.map(_.getLong(1)).max,
+      "the union of days has at least as many distinct users as any day")
+    // the sketch qualifies: est_ok on every row, rel_err sane
+    assert(rows.forall(_.getBoolean(7)), "HLL estimate outside tolerance somewhere")
+    val reparted = SketchOps.hllDailyCube(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
