@@ -527,6 +527,10 @@ object SparkEntry {
     // over arbitrary ranges without re-scanning, the 100 TB way
     "q154_hll_daily_cube"  -> ((s, d) =>
       SketchOps.hllDailyCube(Tables.events(s, d))),
+    // the question the cube answers: a 14-day range's distinct users by
+    // MERGING stored daily sketches, graded against the exact distinct
+    "q155_hll_range"       -> ((s, d) =>
+      SketchOps.hllRangeEstimate(Tables.events(s, d))),
     // join-key skew audit: per (table, key), the distribution evidence
     // (max/top-1% shares, CV) that picks salting vs plain hashing —
     // exact metrics off the bounded count-of-counts table

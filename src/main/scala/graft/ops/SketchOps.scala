@@ -344,18 +344,31 @@ object SketchOps {
     * denominators exact scaled BIGINTs, the estimate literal-identical
     * IEEE, the ln-based correction confined to the `est_ok` tolerance
     * boolean, and the exact-distinct branch is the grading harness. */
-  def hllDailyCube(events: DataFrame): DataFrame = {
-    val m = HllRegisters
-    val two53 = 1L << (HllRestBits + 1)
-    val keyed = events.selectExpr(
+  /** The (day, uk) projection shared by the cube, the range estimator,
+    * and [[graft.streaming.StreamHllCube]]'s batch twin. */
+  private[graft] def userDayKeyed(events: DataFrame): DataFrame =
+    events.selectExpr(
       s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
       "CAST(user_id AS STRING) AS uk")
-    val dayRegs = keyed
+
+  /** The per-day distinct-user register table (day, j, reg) — q154/q155's
+    * sketch state and the EXACT artifact the streaming maintainer keeps
+    * (MAX per register is duplicate-proof AND re-delivery-proof). */
+  private[graft] def registersFromKeyed(keyed: DataFrame): DataFrame =
+    keyed
       .selectExpr("day", s"${hash60("uk")} AS h")
       .selectExpr("day", s"h DIV $HllRest AS j",
         s"""CASE WHEN h % $HllRest = 0 THEN $HllRhoMax
                  ELSE $HllRhoMax - length(bin(h % $HllRest)) END AS rho""")
       .groupBy("day", "j").agg(max("rho").as("reg"))
+  private[graft] def userDayRegisters(events: DataFrame): DataFrame =
+    registersFromKeyed(userDayKeyed(events))
+
+  def hllDailyCube(events: DataFrame): DataFrame = {
+    val m = HllRegisters
+    val two53 = 1L << (HllRestBits + 1)
+    val keyed = userDayKeyed(events)
+    val dayRegs = userDayRegisters(events)
       .localCheckpoint() // bounded days×256; consumed by the merge + census
     val merged = dayRegs.groupBy("j").agg(max("reg").as("reg"))
       .selectExpr(s"CAST($HllCubeTotalDay AS BIGINT) AS day", "j", "reg")
@@ -385,6 +398,72 @@ object SketchOps {
       .orderBy("day")
   }
 
+  /** q155's range, in days relative to the corpus's first active day —
+    * shared constants so both engines (and the spec) ask the same
+    * question of the cube. */
+  val HllRangeStartOff = 7L
+  val HllRangeLen = 14L
+
+  /** q155 — RANGE DISTINCT from the cube: the question q154 exists to
+    * answer — "how many distinct users were active in days
+    * [d0+[[HllRangeStartOff]], +[[HllRangeLen]])?" — answered by MERGING
+    * the stored daily register tables for the range (per-register MAX
+    * over ≤ range×256 rows) instead of re-scanning the corpus, graded
+    * against the exact range distinct. At 100 TB the exact branch is the
+    * qualification harness; the merge path is what ships, and this query
+    * is the evidence the range estimate inherits the sketch's accuracy.
+    *
+    * Scale shape: the register table is the q154 build (corpus never
+    * shuffles raw rows); the range anchor d0 is a one-row broadcast MIN;
+    * the merge, census, and estimate all live on bounded tables. The
+    * exact grading branch is one distinct + filter pass. */
+  def hllRangeEstimate(events: DataFrame): DataFrame = {
+    val m = HllRegisters
+    val two53 = 1L << (HllRestBits + 1)
+    val keyed = userDayKeyed(events).localCheckpoint()
+    val dayRegs = registersFromKeyed(keyed)
+      .localCheckpoint()
+    val anchor = dayRegs.agg(min("day").as("d0"))
+    val sel = dayRegs.crossJoin(broadcast(anchor))
+      .filter(col("day") >= col("d0") + lit(HllRangeStartOff) &&
+        col("day") < col("d0") + lit(HllRangeStartOff + HllRangeLen))
+    val census = sel.groupBy("j").agg(max("reg").as("reg"))
+      .agg(count(lit(1)).as("n_registers_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRhoMax} - reg)")).as("s_hit"))
+      .selectExpr("n_registers_hit",
+        s"CAST($m - n_registers_hit AS BIGINT) AS n_zero_registers",
+        // coalesce: an empty range has no hit registers, all-zero sketch
+        s"coalesce(s_hit, CAST(0 AS BIGINT)) + ($m - n_registers_hit) * $two53 AS harmonic_denom_scaled")
+    val days = sel.select("day").distinct().agg(count(lit(1)).as("n_days_covered"))
+    val exact = keyed.crossJoin(broadcast(anchor.withColumnRenamed("d0", "e0")))
+      .filter(col("day") >= col("e0") + lit(HllRangeStartOff) &&
+        col("day") < col("e0") + lit(HllRangeStartOff + HllRangeLen))
+      .select("uk").distinct().agg(count(lit(1)).as("exact_distinct"))
+    census.crossJoin(broadcast(days)).crossJoin(broadcast(exact))
+      .crossJoin(broadcast(anchor))
+      .selectExpr(
+        s"d0 + $HllRangeStartOff AS day_from",
+        s"d0 + ${HllRangeStartOff + HllRangeLen} AS day_to_excl",
+        "n_days_covered", "exact_distinct", "n_registers_hit",
+        "n_zero_registers", "harmonic_denom_scaled",
+        s"$HllEstNum / CAST(harmonic_denom_scaled AS DOUBLE) AS raw_est")
+      .selectExpr("day_from", "day_to_excl", "n_days_covered",
+        "exact_distinct", "n_registers_hit", "n_zero_registers",
+        "harmonic_denom_scaled", "raw_est",
+        """CASE WHEN exact_distinct = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE (raw_est - CAST(exact_distinct AS DOUBLE))
+                     / CAST(exact_distinct AS DOUBLE) END AS rel_err""")
+      // a 14-day slice of testdata sits squarely in the small-range regime
+      // where the SHIPPED estimate is the linear-counting correction; as in
+      // q134/q154 the ln lives only inside this tolerance boolean
+      .withColumn("est_ok", expr(
+        s"""abs(CASE WHEN n_zero_registers > 0 AND raw_est <= 2.5 * $m.0
+                     THEN $m.0 * ln($m.0 / CAST(n_zero_registers AS DOUBLE))
+                     ELSE raw_est END
+                - CAST(exact_distinct AS DOUBLE))
+            <= greatest(0.25 * CAST(exact_distinct AS DOUBLE), 10.0)"""))
+  }
+
   /** q64's oracle is exact (the two-pass output is exact; the sketch only
     * proposes candidates, and its recall guarantee is what the hash match
     * proves). q65's exact columns are recomputed by DuckDB from the same
@@ -394,6 +473,50 @@ object SketchOps {
     * nonnegative operands) and the estimate expression is literal-identical
     * IEEE arithmetic. */
   def oracles: Map[String, String] = Map(
+    // q155: the q154 register recipe, range-filtered against the MIN-day
+    // anchor and merged (MAX per j) — identical estimate arithmetic
+    "q155_hll_range" ->
+      s"""WITH k AS (SELECT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                            CAST(user_id AS VARCHAR) AS uk FROM events),
+              h AS (SELECT day, ('0x' || substr(md5(uk), 1, 15))::BIGINT AS h FROM k),
+              r AS (SELECT day, h // $HllRest AS j,
+                           CASE WHEN h % $HllRest = 0 THEN $HllRhoMax
+                                ELSE $HllRhoMax - length(bin(h % $HllRest)) END AS rho
+                    FROM h),
+              reg AS (SELECT day, j, MAX(rho) AS reg FROM r GROUP BY day, j),
+              a AS (SELECT MIN(day) AS d0 FROM reg),
+              sel AS (SELECT reg.* FROM reg CROSS JOIN a
+                      WHERE day >= d0 + $HllRangeStartOff
+                        AND day < d0 + ${HllRangeStartOff + HllRangeLen}),
+              mrg AS (SELECT j, MAX(reg) AS reg FROM sel GROUP BY j),
+              cen AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+                             CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - reg)), 0)
+                                  AS BIGINT) AS s_hit
+                      FROM mrg),
+              dys AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_covered FROM sel),
+              ex AS (SELECT CAST(COUNT(DISTINCT uk) AS BIGINT) AS exact_distinct
+                     FROM k CROSS JOIN a
+                     WHERE day >= d0 + $HllRangeStartOff
+                       AND day < d0 + ${HllRangeStartOff + HllRangeLen}),
+              c AS (SELECT d0 + $HllRangeStartOff AS day_from,
+                           d0 + ${HllRangeStartOff + HllRangeLen} AS day_to_excl,
+                           n_days_covered, exact_distinct, n_registers_hit,
+                           CAST($HllRegisters - n_registers_hit AS BIGINT) AS n_zero_registers,
+                           s_hit + ($HllRegisters - n_registers_hit) * ${1L << 53} AS harmonic_denom_scaled
+                    FROM cen CROSS JOIN dys CROSS JOIN ex CROSS JOIN a)
+         SELECT day_from, day_to_excl, n_days_covered, exact_distinct,
+                n_registers_hit, n_zero_registers, harmonic_denom_scaled, raw_est,
+                CASE WHEN exact_distinct = 0 THEN CAST(NULL AS DOUBLE)
+                     ELSE (raw_est - CAST(exact_distinct AS DOUBLE))
+                          / CAST(exact_distinct AS DOUBLE) END AS rel_err,
+                abs(CASE WHEN n_zero_registers > 0 AND raw_est <= 2.5 * $HllRegisters.0
+                         THEN $HllRegisters.0 * ln($HllRegisters.0 / CAST(n_zero_registers AS DOUBLE))
+                         ELSE raw_est END
+                    - CAST(exact_distinct AS DOUBLE))
+                <= greatest(0.25 * CAST(exact_distinct AS DOUBLE), 10.0) AS est_ok
+         FROM (SELECT c.*,
+                      $HllEstNum / CAST(harmonic_denom_scaled AS DOUBLE) AS raw_est
+               FROM c)""",
     // q154: the q134 recipe keyed by day; the total row's registers come
     // from MERGING the daily tables (MAX per j), exactly as Spark's do
     "q154_hll_daily_cube" ->

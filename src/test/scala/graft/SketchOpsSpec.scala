@@ -169,4 +169,44 @@ class SketchOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
+
+  test("q155 range estimate: merged daily sketches = direct range sketch; exact branch correct") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = SketchOps.hllRangeEstimate(events).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (from, toExcl) = (r.getLong(0), r.getLong(1))
+    assert(toExcl - from === SketchOps.HllRangeLen)
+    // the anchor is the corpus's first active day + the shared offset
+    val d0 = events.selectExpr(
+      s"min(unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs}) AS d").head().getLong(0)
+    assert(from === d0 + SketchOps.HllRangeStartOff)
+    // exact branch against a driver-side distinct over the same range
+    val inRange = events.filter(
+      s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} >= $from AND " +
+      s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} < $toExcl")
+    val exact = inRange.selectExpr("CAST(user_id AS STRING) AS uk").distinct().count()
+    assert(exact > 0, "testdata must actually cover the graded range")
+    assert(r.getLong(3) === exact)
+    assert(r.getLong(2) ===
+      inRange.selectExpr(s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS d")
+        .distinct().count())
+    // THE merge law the query grades: estimating from the stored per-day
+    // registers (MAX-merged) is bit-identical to sketching the range's
+    // raw rows directly in one pass — day granularity costs nothing
+    val direct = SketchOps.hllDailyCube(
+        inRange.selectExpr("event_id", "CAST(timestamp_micros(0) AS TIMESTAMP) AS ts",
+          "user_id", "event_type", "value", "props"))
+      .collect().filter(_.getLong(0) == 0L).head
+    assert(r.getLong(4) === direct.getLong(2), "n_registers_hit must merge losslessly")
+    assert(r.getLong(6) === direct.getLong(4), "harmonic denominators must match")
+    assert(r.getDouble(7) === direct.getDouble(5), "estimates bit-equal")
+    // the SHIPPED estimate (small-range linear counting inside the
+    // tolerance boolean, as in q154) must qualify; rel_err itself is the
+    // honest raw-sketch report and is unbounded in the small-range regime
+    assert(r.getBoolean(9), "corrected estimate outside tolerance")
+    val reparted = SketchOps.hllRangeEstimate(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
