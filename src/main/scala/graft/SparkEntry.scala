@@ -531,6 +531,11 @@ object SparkEntry {
     // MERGING stored daily sketches, graded against the exact distinct
     "q155_hll_range"       -> ((s, d) =>
       SketchOps.hllRangeEstimate(Tables.events(s, d))),
+    // the q154/q155 pattern applied to percentiles: range p50/p95/p99 by
+    // SUMMING stored per-day histograms, graded against the exact range
+    // quantile via two-pass bin refinement — all integer math
+    "q156_hist_range_quantiles" -> ((s, d) =>
+      SketchOps.histRangeQuantiles(Tables.events(s, d))),
     // join-key skew audit: per (table, key), the distribution evidence
     // (max/top-1% shares, CV) that picks salting vs plain hashing —
     // exact metrics off the bounded count-of-counts table

@@ -464,6 +464,124 @@ object SketchOps {
             <= greatest(0.25 * CAST(exact_distinct AS DOUBLE), 10.0)"""))
   }
 
+  /** q156's histogram geometry: integer-cents values bucketed into
+    * [[HistBinCents]]-wide bins. Even width, so the bin midpoint — the
+    * shipped estimate — is an exact integer on both engines. */
+  val HistBinCents = 2000L
+
+  /** Floor-division of integer cents by the bin width, written as
+    * remainder-subtraction so Spark's truncating `DIV` and DuckDB's
+    * flooring `//` compute the identical bin even for negative cents:
+    * the numerator is first rounded down to an exact multiple of the
+    * width, where truncation and floor agree. Both engines' `%` is
+    * C-style (sign of dividend), so the text is shared verbatim. */
+  private def floorBin(c: String): String =
+    s"($c - ((($c % $HistBinCents) + $HistBinCents) % $HistBinCents)) DIV $HistBinCents"
+
+  /** The per-day value-histogram cube (day, bin, n) — q156's stored sketch
+    * state, the quantile analog of [[userDayRegisters]]. SUM-mergeable:
+    * any day range's value distribution is the per-bin SUM of its days'
+    * histograms, exactly — unlike the HLL registers there is no estimate
+    * error in the merge itself, only in reading a quantile off bins. One
+    * map-combinable aggregate; raw rows never shuffle. */
+  private[graft] def valueDayHist(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+        s"${floorBin("CAST(round(value * 100) AS BIGINT)")} AS bin")
+      .groupBy("day", "bin").agg(count(lit(1)).as("n"))
+
+  /** q156 — RANGE QUANTILES from the histogram cube: the q154/q155
+    * pattern applied to the OTHER aggregate nobody can compute over
+    * arbitrary windows at 100 TB, percentiles. p50/p95/p99 of `value`
+    * over the same 14-day window q155 counts users in, answered by
+    * SUMMING the stored per-day histograms (never re-scanning raw
+    * history) and reading the target rank off the merged bins; graded
+    * against the EXACT range quantile, recovered by the classic two-pass
+    * distributed selection: the merged histogram locates each target
+    * rank's bin and the rank mass below it, then ONE filtered re-scan
+    * collapses only the target bins' rows to per-cents counts (≤ bin
+    * width rows per quantile BY CONSTRUCTION) and picks the exact value.
+    * `contained` — the exact value lying inside the picked bin — is the
+    * histogram-quantile guarantee itself; a broken merge or a misplaced
+    * rank flips it and fails the hash.
+    *
+    * Scale shape: the cube build is one map-combinable aggregate (raw
+    * rows never shuffle); the merged histogram, cumulative, and rank
+    * pick live on tables bounded by value-range/width REGARDless of
+    * corpus size (cumulative via the q108 bounded self-join, never a
+    * corpus window); the exact branch's second scan filters to ≤ 3 bins
+    * and its in-bin cumulative window is over ≤ 3×width rows by
+    * construction — the q112 bounded-window discipline. Every output
+    * column is exact integer math: no doubles anywhere. */
+  def histRangeQuantiles(events: DataFrame): DataFrame = {
+    val w = HistBinCents
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hist = valueDayHist(events).localCheckpoint() // bounded days × bins
+    val anchor = hist.agg(min("day").as("d0"))
+    val sel = hist.crossJoin(broadcast(anchor))
+      .filter(col("day") >= col("d0") + lit(HllRangeStartOff) &&
+        col("day") < col("d0") + lit(HllRangeStartOff + HllRangeLen))
+    val rangeHist = sel.groupBy("bin").agg(sum("n").as("n"))
+      .localCheckpoint() // the merged sketch: ≤ value-range/width rows
+    val tot = rangeHist.agg(coalesce(sum("n"), lit(0L)).as("n_range"))
+    val ps = Seq(("p50", 1L, 2L), ("p95", 19L, 20L), ("p99", 99L, 100L))
+      .toDF("p_label", "p_num", "p_den")
+    // integer ceil: ⌈p·n⌉ as (num·n + den − 1) DIV den — no IEEE anywhere
+    val targets = ps.crossJoin(broadcast(tot))
+      .selectExpr("p_label", "n_range",
+        "(p_num * n_range + p_den - 1) DIV p_den AS target_rank")
+    val cum = rangeHist.as("h1").join(broadcast(rangeHist.as("h2")),
+        col("h2.bin") <= col("h1.bin"))
+      .groupBy(col("h1.bin").as("bin"))
+      .agg(max(col("h1.n")).as("n_bin"), sum(col("h2.n")).as("cum_n"))
+    // the bin containing each target rank: MIN bin with cum ≥ target
+    // (cum is strictly increasing across present bins) — struct-MIN over
+    // a ≤ 3×bins product, no window
+    val picked = targets.join(broadcast(cum), col("cum_n") >= col("target_rank"))
+      .groupBy("p_label")
+      .agg(max("n_range").as("n_range"), max("target_rank").as("target_rank"),
+        min(struct(col("bin"), col("cum_n"), col("n_bin"))).as("pk"))
+      .selectExpr("p_label", "n_range", "target_rank", "pk.bin AS bin",
+        "pk.cum_n - pk.n_bin AS cum_below")
+      .localCheckpoint() // 3 rows; the exact pass probes the corpus with it
+    val rangeCents = events.filter(col("value").isNotNull)
+      .selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .crossJoin(broadcast(anchor))
+      .filter(col("day") >= col("d0") + lit(HllRangeStartOff) &&
+        col("day") < col("d0") + lit(HllRangeStartOff + HllRangeLen))
+    val inBin = rangeCents
+      .join(broadcast(picked.select("p_label", "bin")),
+        expr(floorBin("c")) === col("bin"))
+      .groupBy("p_label", "c").agg(count(lit(1)).as("cn"))
+    // in-bin cumulative: ≤ 3×HistBinCents rows by construction (distinct
+    // cents inside one bin), so this window is bounded no matter the
+    // corpus — then the exact quantile is the min cents whose below-bin
+    // mass plus in-bin cumulative reaches the target
+    val wSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_label").orderBy("c")
+    val exact = inBin.withColumn("cum_in", sum("cn").over(wSpec))
+      .join(broadcast(picked.select("p_label", "cum_below", "target_rank")),
+        "p_label")
+      .filter(col("cum_below") + col("cum_in") >= col("target_rank"))
+      .groupBy("p_label").agg(min("c").as("exact_cents"))
+    picked.join(exact, "p_label").crossJoin(broadcast(anchor))
+      .selectExpr("p_label",
+        s"d0 + $HllRangeStartOff AS day_from",
+        s"d0 + ${HllRangeStartOff + HllRangeLen} AS day_to_excl",
+        "n_range", "target_rank", "bin",
+        s"bin * $w AS bin_lo_cents",
+        s"bin * $w + $w AS bin_hi_cents_excl",
+        s"bin * $w + ${w / 2} AS est_mid_cents",
+        "exact_cents",
+        s"bin * $w + ${w / 2} - exact_cents AS err_cents",
+        s"exact_cents >= bin * $w AND exact_cents < bin * $w + $w AS contained")
+      .orderBy("p_label")
+  }
+
   /** q64's oracle is exact (the two-pass output is exact; the sketch only
     * proposes candidates, and its recall guarantee is what the hash match
     * proves). q65's exact columns are recomputed by DuckDB from the same
@@ -473,6 +591,56 @@ object SketchOps {
     * nonnegative operands) and the estimate expression is literal-identical
     * IEEE arithmetic. */
   def oracles: Map[String, String] = Map(
+    // q156: the histogram-cube walk mirrored bin-for-bin (shared floor-div
+    // text, exact integer targets), but exact_cents comes STRAIGHT from the
+    // definition — min cents with range-wide cumulative ≥ target — so the
+    // oracle independently grades Spark's two-pass bin refinement
+    "q156_hist_range_quantiles" ->
+      s"""WITH c AS (SELECT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                            CAST(ROUND(value * 100) AS BIGINT) AS c
+                     FROM events WHERE value IS NOT NULL),
+              hist AS (SELECT day,
+                              (c - (((c % $HistBinCents) + $HistBinCents) % $HistBinCents)) // $HistBinCents AS bin,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM c GROUP BY 1, 2),
+              a AS (SELECT MIN(day) AS d0 FROM hist),
+              sel AS (SELECT hist.* FROM hist CROSS JOIN a
+                      WHERE day >= d0 + $HllRangeStartOff
+                        AND day < d0 + ${HllRangeStartOff + HllRangeLen}),
+              rh AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS n FROM sel GROUP BY bin),
+              tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_range FROM rh),
+              ps AS (SELECT * FROM (VALUES ('p50', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+                                           ('p95', CAST(19 AS BIGINT), CAST(20 AS BIGINT)),
+                                           ('p99', CAST(99 AS BIGINT), CAST(100 AS BIGINT)))
+                                   AS t(p_label, p_num, p_den)),
+              tg AS (SELECT p_label, n_range,
+                            (p_num * n_range + p_den - 1) // p_den AS target_rank
+                     FROM ps CROSS JOIN tot),
+              cum AS (SELECT bin, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n FROM rh),
+              pick AS (SELECT p_label, n_range, target_rank, MIN(bin) AS bin
+                       FROM tg JOIN cum ON cum_n >= target_rank
+                       GROUP BY 1, 2, 3),
+              rc AS (SELECT c.c, CAST(COUNT(*) AS BIGINT) AS cn
+                     FROM c CROSS JOIN a
+                     WHERE day >= d0 + $HllRangeStartOff
+                       AND day < d0 + ${HllRangeStartOff + HllRangeLen}
+                     GROUP BY c.c),
+              rcc AS (SELECT c, CAST(SUM(cn) OVER (ORDER BY c) AS BIGINT) AS cum FROM rc),
+              ex AS (SELECT p_label, MIN(c) AS exact_cents
+                     FROM tg JOIN rcc ON cum >= target_rank GROUP BY 1)
+         SELECT pick.p_label,
+                d0 + $HllRangeStartOff AS day_from,
+                d0 + ${HllRangeStartOff + HllRangeLen} AS day_to_excl,
+                n_range, target_rank, bin,
+                bin * $HistBinCents AS bin_lo_cents,
+                bin * $HistBinCents + $HistBinCents AS bin_hi_cents_excl,
+                bin * $HistBinCents + ${HistBinCents / 2} AS est_mid_cents,
+                exact_cents,
+                bin * $HistBinCents + ${HistBinCents / 2} - exact_cents AS err_cents,
+                exact_cents >= bin * $HistBinCents
+                  AND exact_cents < bin * $HistBinCents + $HistBinCents AS contained
+         FROM pick JOIN ex ON pick.p_label = ex.p_label CROSS JOIN a
+         ORDER BY 1""",
     // q155: the q154 register recipe, range-filtered against the MIN-day
     // anchor and merged (MAX per j) — identical estimate arithmetic
     "q155_hll_range" ->

@@ -209,4 +209,46 @@ class SketchOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
+
+  test("q156 range quantiles: merged-histogram rank pick contains the exact quantile; exact branch = definition") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = SketchOps.histRangeQuantiles(events).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("p50", "p95", "p99"))
+    val byP = rows.map(r => r.getString(0) -> r).toMap
+    val (from, toExcl) = (rows.head.getLong(1), rows.head.getLong(2))
+    assert(toExcl - from === SketchOps.HllRangeLen)
+    // reference: driver-side exact type-1 quantiles over the range's cents
+    val cents = events.filter("value IS NOT NULL")
+      .filter(s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} >= $from AND " +
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} < $toExcl")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(_.getLong(0)).sorted
+    assert(cents.nonEmpty, "testdata must cover the graded range")
+    for ((label, num, den) <- Seq(("p50", 1L, 2L), ("p95", 19L, 20L), ("p99", 99L, 100L))) {
+      val r = byP(label)
+      assert(r.getLong(3) === cents.length, s"$label n_range")
+      val target = (num * cents.length + den - 1) / den
+      assert(r.getLong(4) === target, s"$label target_rank")
+      assert(r.getLong(9) === cents(target.toInt - 1), s"$label exact_cents")
+      // the histogram-quantile guarantee: the merged-cube bin pick brackets
+      // the exact value, and the shipped midpoint errs by < half a bin
+      assert(r.getBoolean(11), s"$label containment")
+      assert(math.abs(r.getLong(10)) <= SketchOps.HistBinCents / 2, s"$label err bound")
+      assert(r.getLong(8) === r.getLong(6) + SketchOps.HistBinCents / 2)
+    }
+    // merge law at range granularity: summing the stored per-day histograms
+    // equals histogramming the range's raw rows directly
+    val dayHist = SketchOps.valueDayHist(events)
+      .filter(s"day >= $from AND day < $toExcl")
+      .groupBy("bin").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = cents.groupBy(c =>
+        (c - (((c % SketchOps.HistBinCents) + SketchOps.HistBinCents) % SketchOps.HistBinCents))
+          / SketchOps.HistBinCents)
+      .map { case (b, cs) => b -> cs.length.toLong }
+    assert(dayHist === direct, "per-day SUM merge must equal the direct range histogram")
+    val reparted = SketchOps.histRangeQuantiles(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
