@@ -536,6 +536,16 @@ object SparkEntry {
     // quantile via two-pass bin refinement — all integer math
     "q156_hist_range_quantiles" -> ((s, d) =>
       SketchOps.histRangeQuantiles(Tables.events(s, d))),
+    // the cube trilogy's third leg: range TOP-K by merging stored per-day
+    // top-K summaries, with SpaceSaving-style lower/upper bounds graded
+    // against the exact range counts — never a rank-within-day window
+    "q157_topk_range"      -> ((s, d) =>
+      SketchOps.topkRangeCensus(Tables.events(s, d))),
+    // SUM-mergeable Count-Min grid, hash-exact: point-frequency probes
+    // with the never-underestimate guarantee graded, ghost keys exposing
+    // pure collision mass
+    "q158_countmin_census" -> ((s, d) =>
+      SketchOps.countMinCensus(Tables.events(s, d))),
     // join-key skew audit: per (table, key), the distribution evidence
     // (max/top-1% shares, CV) that picks salting vs plain hashing —
     // exact metrics off the bounded count-of-counts table

@@ -582,6 +582,230 @@ object SketchOps {
       .orderBy("p_label")
   }
 
+  /** q157's cube capacity: the K most active users stored per day, and
+    * the size of the final range top-k answer. Shared by both engines,
+    * the spec, and the streaming maintainer. */
+  val TopkK = 8
+
+  /** Bounded-state EXACT top-K selection over per-key counts: the state
+    * is the ≤ K best (cnt DESC, key ASC) entries seen so far. Because
+    * each key reaches the aggregate exactly once per group (the input is
+    * the already-collapsed per-(day, key) count table), the top-K of a
+    * union of disjoint partials is contained in the union of the
+    * partials' top-Ks — so merge-then-truncate is exact, and the result
+    * is a pure SELECTION (order-free, partitioning-invariant), unlike a
+    * Misra-Gries pass whose internal state is arrival-order-dependent.
+    * This is the map-combinable replacement for a per-day rank window:
+    * at 100 TB a day can hold billions of distinct keys and a
+    * rank-within-day window would sort them all; here only ≤ K-entry
+    * states ever move. Input rows are (day, key, cnt); day is carried by
+    * the grouping, not the state. */
+  final class TopKByCount(k: Int)
+      extends Aggregator[(Long, String, Long), List[(Long, String)], Array[(String, Long)]] {
+    require(k > 0, "capacity must be positive")
+    // strict total order: cnt DESC then key ASC (keys are unique per
+    // group, so this never compares equal distinct entries)
+    private def better(a: (Long, String), b: (Long, String)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def truncate(l: List[(Long, String)]): List[(Long, String)] =
+      l.sortWith(better).take(k)
+    override def zero: List[(Long, String)] = Nil
+    override def reduce(b: List[(Long, String)], row: (Long, String, Long)): List[(Long, String)] =
+      truncate((row._3, row._2) :: b)
+    override def merge(a: List[(Long, String)], b: List[(Long, String)]): List[(Long, String)] =
+      truncate(a ::: b)
+    override def finish(b: List[(Long, String)]): Array[(String, Long)] =
+      b.sortWith(better).map { case (c, u) => (u, c) }.toArray
+    override def bufferEncoder: Encoder[List[(Long, String)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[(String, Long)]] = ExpressionEncoder()
+  }
+
+  /** The collapsed per-(day, user) activity table — q157's input and its
+    * exact-branch probe target. One map-combinable aggregate; the only
+    * corpus-scale shuffle in the whole query. */
+  private[graft] def userDayCounts(events: DataFrame): DataFrame =
+    userDayKeyed(events).groupBy("day", "uk").agg(count(lit(1)).as("cnt"))
+
+  /** The stored per-day top-K summary (day, uk, cnt) + per-day threshold
+    * table (day, thr) — q157's sketch state, the frequent-items analog
+    * of [[userDayRegisters]] (distinct) and [[valueDayHist]] (quantiles).
+    * `thr` is the day's K-th largest count when the day had MORE than K
+    * keys (the mass ceiling for any key the summary dropped) and 0 when
+    * everything fit — the per-day error bound the range reader charges
+    * for absent days. */
+  private[graft] def topkStored(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.select(col("day"), col("uk"), col("cnt"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKByCount(TopkK).toColumn.name("top"))
+      .toDF("day", "top")
+      .select(col("day"), explode(col("top")).as("e"))
+      .select(col("day"), col("e._1").as("uk"), col("e._2").as("cnt"))
+  }
+
+  private[graft] def topkDailySummaries(counts: DataFrame): (DataFrame, DataFrame) = {
+    val stored = topkStored(counts)
+      .localCheckpoint() // bounded days × K
+    val nKeys = counts.groupBy("day").agg(count(lit(1)).as("n_keys"))
+    val thr = stored.groupBy("day").agg(min("cnt").as("kth"))
+      .join(nKeys, Seq("day"))
+      .selectExpr("day",
+        s"CASE WHEN n_keys > $TopkK THEN kth ELSE CAST(0 AS BIGINT) END AS thr")
+    (stored, thr)
+  }
+
+  /** q157 — RANGE TOP-K from a mergeable per-day top-k cube: the third
+    * leg of the cube trilogy (q154/q155 distinct, q156 quantiles, here
+    * frequent items). "Who were the most active users over days
+    * [d0+7, d0+21)?" answered by MERGING the stored per-day top-K
+    * summaries — per candidate, the SUM of its stored daily counts is a
+    * LOWER bound on its true range count, and charging each absent day's
+    * stored threshold yields an UPPER bound (SpaceSaving-style error
+    * accounting, Metwally 2005; mergeable-summaries framing per Agarwal
+    * 2012) — then graded against the exact range counts. Both bounds are
+    * part of the graded artifact: `lb_ok`/`ub_ok` flipping fails the
+    * hash, so the bound algebra is proven, not just claimed.
+    *
+    * Scale shape: ONE corpus-collapsing aggregate builds the per-(day,
+    * user) counts; the summaries come from the bounded-state
+    * [[TopKByCount]] aggregate (never a rank-within-day window); the
+    * merge, slack, and final rank all live on ≤ range×K-row tables (the
+    * final rank is the q130 bounded self-join, not a window); the exact
+    * grading branch probes the collapsed table with the ≤ range×K
+    * candidate set broadcast. Raw events never shuffle — only collapsed
+    * (day, uk, cnt) rows do, once. */
+  def topkRangeCensus(events: DataFrame): DataFrame = {
+    val counts = userDayCounts(events)
+      .localCheckpoint() // consumed by the store build + the exact branch
+    val (stored, thr) = topkDailySummaries(counts)
+    val anchor = counts.agg(min("day").as("d0"))
+    def inRange(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(anchor))
+        .filter(col("day") >= col("d0") + lit(HllRangeStartOff) &&
+          col("day") < col("d0") + lit(HllRangeStartOff + HllRangeLen))
+        .drop("d0")
+    val ss = inRange(stored).localCheckpoint() // ≤ range×K rows
+    val st = inRange(thr)                      // ≤ range rows
+    val cands = ss.select("uk").distinct()
+    val est = ss.groupBy("uk")
+      .agg(sum("cnt").as("est_count"), count(lit(1)).as("days_present"))
+    // absent-day slack: candidates × range thresholds, minus present
+    // pairs — all bounded frames, the anti-join is ≤ (range×K)×range
+    val slack = cands.crossJoin(st)
+      .join(ss.select("day", "uk"), Seq("day", "uk"), "left_anti")
+      .groupBy("uk").agg(sum("thr").as("slack"))
+    val exact = counts
+      .crossJoin(broadcast(anchor))
+      .filter(col("day") >= col("d0") + lit(HllRangeStartOff) &&
+        col("day") < col("d0") + lit(HllRangeStartOff + HllRangeLen))
+      .join(broadcast(cands), Seq("uk"))
+      .groupBy("uk").agg(sum("cnt").as("exact_count"))
+    val f = est.join(slack, Seq("uk"), "left").join(exact, Seq("uk"))
+      .selectExpr("uk", "days_present", "est_count",
+        "est_count + coalesce(slack, CAST(0 AS BIGINT)) AS ub_count",
+        "exact_count")
+      .localCheckpoint() // ≤ range×K rows; the rank self-join reads it twice
+    // final rank by (est DESC, uk ASC): the q130 bounded self-join —
+    // count of rows at-or-before self in the total order
+    val rk = f.select(col("uk"), col("est_count"))
+      .join(broadcast(f.select(col("uk").as("u2"), col("est_count").as("e2"))),
+        col("e2") > col("est_count") ||
+          (col("e2") === col("est_count") && col("u2") <= col("uk")))
+      .groupBy("uk").agg(count(lit(1)).as("rk_est"))
+    f.join(rk, "uk")
+      .selectExpr("uk", "days_present", "est_count", "ub_count", "exact_count",
+        "est_count <= exact_count AS lb_ok",
+        "exact_count <= ub_count AS ub_ok",
+        "rk_est",
+        s"rk_est <= $TopkK AS is_topk")
+      .orderBy("rk_est", "uk")
+  }
+
+  /** q158's Count-Min geometry: d independent hash rows × w counters.
+    * w = 256 keeps the whole sketch at d×w = 1024 BIGINTs — broadcastable
+    * anywhere — while the per-row error bound N/w stays meaningful at
+    * test scales. Shared by both engines and the spec. */
+  val CmsRows = 4
+  val CmsWidth = 256L
+  /** Probe selection modulus: users whose 60-bit md5 ≡ 0 (mod this) are
+    * graded — a deterministic, engine-agreed sample of the key universe. */
+  val CmsProbeMod = 8L
+  /** Error-bound factor for the `within_bound` report column:
+    * est − exact ≤ [[CmsBoundFactor]]·N/w. The CMS guarantee is
+    * probabilistic (per-row expectation N/w, Markov + min over d rows);
+    * with md5 hashing the outcome is DETERMINISTIC per corpus, so this
+    * boolean is a stable graded fact, not a flaky tolerance. */
+  val CmsBoundFactor = 8L
+
+  /** The d hash-row column indices of a key, as one row-local array —
+    * row r's hash is the shared 60-bit md5 slice of "cm{r}:key", reduced
+    * mod w. Salting by row prefix makes the d rows independent without
+    * needing a second hash family. */
+  private def cmsCols(key: String): String =
+    (0 until CmsRows).map { r =>
+      s"${hash60(s"concat('cm$r:', $key)")} % $CmsWidth"
+    }.mkString("array(", ", ", ")")
+
+  /** q158 — COUNT-MIN SKETCH census, hash-exact: the SUM-mergeable
+    * frequency sketch (Cormode–Muthukrishnan 2005) that complements the
+    * cube trilogy's MAX-mergeable HLL (q154) and its top-k store (q157):
+    * per-user activity counts folded into a d×w counter grid, point
+    * estimates read back as the MIN over the d addressed counters, graded
+    * against exact counts for a deterministic md5-selected probe panel
+    * PLUS ghost keys the corpus never contained. The structural guarantee
+    * — CMS never underestimates (`over_ok`), and ghost keys expose pure
+    * collision mass — is part of the graded artifact: a broken hash,
+    * a lost counter, or a wrong merge flips a boolean or a count and
+    * fails the hash compare.
+    *
+    * Scale shape: the corpus collapses ONCE to per-key exact counts (the
+    * only corpus-scale shuffle); the d cell addresses explode off that
+    * collapsed table row-locally into a map-combinable SUM onto d×w
+    * bounded registers. Unlike the HLL registers the counters are
+    * duplicate-SENSITIVE (SUM, not MAX) — the price of supporting point
+    * frequencies — so a streaming maintainer needs the StreamShardWriter
+    * batch-id idempotency discipline rather than blind re-delivery.
+    * Probes join the ≤ d×w register table broadcast. */
+  /** The d×w counter grid over per-key counts — q158's sketch state and
+    * the object of the SUM-merge law the spec proves. */
+  private[graft] def cmsRegisters(counts: DataFrame): DataFrame =
+    counts
+      .select(posexplode(expr(cmsCols("uk"))).as(Seq("r", "j")), col("cnt"))
+      .groupBy("r", "j").agg(sum("cnt").as("reg"))
+
+  private[graft] def userCounts(events: DataFrame): DataFrame =
+    events.selectExpr("CAST(user_id AS STRING) AS uk")
+      .groupBy("uk").agg(count(lit(1)).as("cnt"))
+
+  def countMinCensus(events: DataFrame): DataFrame = {
+    val counts = userCounts(events)
+      .localCheckpoint() // consumed by registers, total, and probes
+    val registers = cmsRegisters(counts)
+      .localCheckpoint() // bounded d×w
+    val tot = counts.agg(sum("cnt").as("n_total"))
+    val ghosts = counts.sparkSession.range(1, 4)
+      .selectExpr("concat('ghost:', id) AS uk", "CAST(0 AS BIGINT) AS exact_count")
+    val probes = counts
+      .filter(expr(s"${hash60("uk")} % $CmsProbeMod = 0"))
+      .select(col("uk"), col("cnt").as("exact_count"))
+      .unionByName(ghosts)
+    val est = probes
+      .select(col("uk"), col("exact_count"),
+        posexplode(expr(cmsCols("uk"))).as(Seq("r", "j")))
+      .join(broadcast(registers), Seq("r", "j"), "left")
+      // an untouched cell is an implicit zero counter
+      .groupBy("uk", "exact_count")
+      .agg(min(coalesce(col("reg"), lit(0L))).as("est_count"))
+    est.crossJoin(broadcast(tot))
+      .selectExpr("uk", "exact_count", "est_count",
+        "est_count - exact_count AS err",
+        "est_count >= exact_count AS over_ok",
+        s"est_count - exact_count <= ($CmsBoundFactor * n_total) DIV $CmsWidth AS within_bound")
+      .orderBy("uk")
+  }
+
   /** q64's oracle is exact (the two-pass output is exact; the sketch only
     * proposes candidates, and its recall guarantee is what the hash match
     * proves). q65's exact columns are recomputed by DuckDB from the same
@@ -591,6 +815,95 @@ object SketchOps {
     * nonnegative operands) and the estimate expression is literal-identical
     * IEEE arithmetic. */
   def oracles: Map[String, String] = Map(
+    // q158: the grid rebuilt from the definition with the same md5 row
+    // salts; DuckDB's || renders integers identically to Spark's concat
+    // literals, so the hashed strings agree byte-for-byte
+    "q158_countmin_census" ->
+      s"""WITH counts AS (SELECT CAST(user_id AS VARCHAR) AS uk,
+                                 CAST(COUNT(*) AS BIGINT) AS cnt
+                          FROM events GROUP BY 1),
+              rows_ AS (SELECT unnest([${(0 until CmsRows).mkString(", ")}]) AS r),
+              cells AS (SELECT r,
+                               ('0x' || substr(md5('cm' || r || ':' || uk), 1, 15))::BIGINT
+                                 % $CmsWidth AS j,
+                               cnt
+                        FROM counts CROSS JOIN rows_),
+              reg AS (SELECT r, j, CAST(SUM(cnt) AS BIGINT) AS reg
+                      FROM cells GROUP BY r, j),
+              tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM counts),
+              probes AS (SELECT uk, cnt AS exact_count FROM counts
+                         WHERE ('0x' || substr(md5(uk), 1, 15))::BIGINT % $CmsProbeMod = 0
+                         UNION ALL
+                         SELECT 'ghost:' || g, CAST(0 AS BIGINT)
+                         FROM (SELECT unnest([1, 2, 3]) AS g)),
+              pc AS (SELECT uk, exact_count, r,
+                            ('0x' || substr(md5('cm' || r || ':' || uk), 1, 15))::BIGINT
+                              % $CmsWidth AS j
+                     FROM probes CROSS JOIN rows_),
+              est AS (SELECT uk, exact_count,
+                             CAST(MIN(COALESCE(reg, 0)) AS BIGINT) AS est_count
+                      FROM pc LEFT JOIN reg USING (r, j)
+                      GROUP BY uk, exact_count)
+         SELECT uk, exact_count, est_count,
+                est_count - exact_count AS err,
+                est_count >= exact_count AS over_ok,
+                est_count - exact_count <= ($CmsBoundFactor * n_total) // $CmsWidth AS within_bound
+         FROM est CROSS JOIN tot
+         ORDER BY uk""",
+    // q157: the cube rebuilt from the definition — per-day top-K via a
+    // row_number window (the oracle CAN afford the rank the engine
+    // avoids), thresholds from the K-th stored count, the same range
+    // merge/slack/exact walk, final rank via the same self-join order
+    "q157_topk_range" ->
+      s"""WITH k AS (SELECT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                            CAST(user_id AS VARCHAR) AS uk,
+                            CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM events GROUP BY 1, 2),
+              rn AS (SELECT k.*, row_number() OVER (PARTITION BY day
+                                                    ORDER BY cnt DESC, uk) AS rn
+                     FROM k),
+              stored AS (SELECT day, uk, cnt FROM rn WHERE rn <= $TopkK),
+              nk AS (SELECT day, COUNT(*) AS n_keys FROM k GROUP BY day),
+              kth AS (SELECT day, MIN(cnt) AS kth FROM stored GROUP BY day),
+              thr AS (SELECT nk.day AS day,
+                             CASE WHEN n_keys > $TopkK THEN kth
+                                  ELSE CAST(0 AS BIGINT) END AS thr
+                      FROM nk JOIN kth USING (day)),
+              a AS (SELECT MIN(day) AS d0 FROM k),
+              ss AS (SELECT stored.* FROM stored CROSS JOIN a
+                     WHERE day >= d0 + $HllRangeStartOff
+                       AND day < d0 + ${HllRangeStartOff + HllRangeLen}),
+              st AS (SELECT thr.* FROM thr CROSS JOIN a
+                     WHERE day >= d0 + $HllRangeStartOff
+                       AND day < d0 + ${HllRangeStartOff + HllRangeLen}),
+              cand AS (SELECT DISTINCT uk FROM ss),
+              est AS (SELECT uk, CAST(SUM(cnt) AS BIGINT) AS est_count,
+                             CAST(COUNT(*) AS BIGINT) AS days_present
+                      FROM ss GROUP BY uk),
+              sl AS (SELECT c.uk AS uk,
+                            CAST(COALESCE(SUM(CASE WHEN p.uk IS NULL
+                                                   THEN st.thr END), 0) AS BIGINT) AS slack
+                     FROM cand c CROSS JOIN st
+                     LEFT JOIN ss p ON p.day = st.day AND p.uk = c.uk
+                     GROUP BY c.uk),
+              ex AS (SELECT k.uk AS uk, CAST(SUM(cnt) AS BIGINT) AS exact_count
+                     FROM k CROSS JOIN a JOIN cand USING (uk)
+                     WHERE day >= d0 + $HllRangeStartOff
+                       AND day < d0 + ${HllRangeStartOff + HllRangeLen}
+                     GROUP BY k.uk),
+              f AS (SELECT est.uk AS uk, days_present, est_count,
+                           est_count + slack AS ub_count, exact_count
+                    FROM est JOIN sl USING (uk) JOIN ex USING (uk)),
+              rk AS (SELECT f.uk AS uk, CAST(COUNT(*) AS BIGINT) AS rk_est
+                     FROM f JOIN f g ON g.est_count > f.est_count
+                                     OR (g.est_count = f.est_count AND g.uk <= f.uk)
+                     GROUP BY f.uk)
+         SELECT f.uk, days_present, est_count, ub_count, exact_count,
+                est_count <= exact_count AS lb_ok,
+                exact_count <= ub_count AS ub_ok,
+                rk_est, rk_est <= $TopkK AS is_topk
+         FROM f JOIN rk USING (uk)
+         ORDER BY rk_est, f.uk""",
     // q156: the histogram-cube walk mirrored bin-for-bin (shared floor-div
     // text, exact integer targets), but exact_cents comes STRAIGHT from the
     // definition — min cents with range-wide cumulative ≥ target — so the

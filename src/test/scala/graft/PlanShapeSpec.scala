@@ -828,4 +828,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"single-row vocab must broadcast:\n${plan.take(1200)}")
   }
+
+  test("q157 topk cube: summaries are a map-combinable bounded-state aggregate, never a rank window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val counts = SketchOps.userDayCounts(events)
+    val stored = SketchOps.topkStored(counts)
+    // the per-day selection must plan as partial_topkbycount (≤ K-entry
+    // states tree-merged) — a Window here is the rank-within-day sort
+    // that dies on a billion-key day
+    val sp = stored.queryExecution.executedPlan.toString
+    assert(sp.contains("partial_topkbycount"),
+      s"typed top-K aggregate lost its map-side partial:\n${sp.take(1200)}")
+    assert(stored.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q157 summaries must not window")
+    // the full census: no window anywhere and no unbounded cartesian —
+    // the only BNLJ is the q130-style rank self-join over ≤ range×K rows
+    val q = SketchOps.topkRangeCensus(events)
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q157 census must not window")
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"unbounded cartesian leaked into q157:\n${exec.take(1200)}")
+  }
 }

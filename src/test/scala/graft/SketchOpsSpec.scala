@@ -251,4 +251,135 @@ class SketchOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
+
+  test("q157 TopKByCount is an exact selection: matches a sort on any partitioning, merge-then-truncate law holds") {
+    import SketchOps.TopKByCount
+    // unique keys with contrived ties at the K boundary
+    val rows = Seq(
+      (1L, "u03", 9L), (1L, "u01", 9L), (1L, "u12", 9L), (1L, "u07", 9L),
+      (1L, "u05", 7L), (1L, "u09", 7L), (1L, "u02", 7L), (1L, "u11", 7L),
+      (1L, "u04", 7L), (1L, "u06", 3L), (1L, "u08", 1L), (1L, "u10", 1L))
+    val expect = rows.map { case (_, u, c) => (c, u) }
+      .sortBy { case (c, u) => (-c, u) }.take(SketchOps.TopkK)
+      .map { case (c, u) => (u, c) }
+    for (parts <- Seq(1, 3, 7)) {
+      val got = rows.toDS().repartition(parts)
+        .groupByKey(_._1)
+        .agg(new TopKByCount(SketchOps.TopkK).toColumn.name("top"))
+        .collect().head._2.toSeq
+      assert(got === expect, s"selection diverged at $parts partitions")
+    }
+    // merge law: top-K(A ∪ B) = truncate(top-K(A) ++ top-K(B)) for
+    // DISJOINT key sets — the property that makes the partial exact
+    val agg = new TopKByCount(4)
+    val a = rows.take(6).map { case (_, u, c) => (c, u) }
+      .foldLeft(agg.zero)((s, e) => agg.reduce(s, (1L, e._2, e._1)))
+    val b = rows.drop(6).map { case (_, u, c) => (c, u) }
+      .foldLeft(agg.zero)((s, e) => agg.reduce(s, (1L, e._2, e._1)))
+    val whole = rows.map { case (_, u, c) => (c, u) }
+      .foldLeft(agg.zero)((s, e) => agg.reduce(s, (1L, e._2, e._1)))
+    assert(agg.finish(agg.merge(a, b)).toSeq === agg.finish(whole).toSeq)
+  }
+
+  test("q157 range top-k: bounds bracket exact, census matches a driver reference, sketch is genuinely lossy here") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = SketchOps.topkRangeCensus(events).collect()
+    assert(rows.nonEmpty)
+    // driver-side reference from the definition
+    val counts = events.selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+        "CAST(user_id AS STRING) AS uk")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = counts.keys.map(_._1).min
+    val (from, toExcl) = (d0 + SketchOps.HllRangeStartOff,
+      d0 + SketchOps.HllRangeStartOff + SketchOps.HllRangeLen)
+    val byDay = counts.groupBy(_._1._1)
+    val stored = byDay.view.mapValues(m =>
+      m.toSeq.map { case ((_, u), c) => (u, c) }
+        .sortBy { case (u, c) => (-c, u) }.take(SketchOps.TopkK).toMap).toMap
+    val thr = byDay.view.mapValues { m =>
+      if (m.size > SketchOps.TopkK)
+        m.values.toSeq.sortBy(-_).apply(SketchOps.TopkK - 1) else 0L
+    }.toMap
+    // NOTE: the K-th largest of the day = min of the stored K entries
+    val rangeDays = byDay.keys.filter(d => d >= from && d < toExcl).toSeq
+    val cands = rangeDays.flatMap(d => stored(d).keys).distinct
+    def ref(u: String) = {
+      val present = rangeDays.filter(d => stored(d).contains(u))
+      val est = present.map(d => stored(d)(u)).sum
+      val slack = rangeDays.filterNot(d => stored(d).contains(u)).map(thr).sum
+      val exact = rangeDays.map(d => counts.getOrElse((d, u), 0L)).sum
+      (present.size.toLong, est, est + slack, exact)
+    }
+    val expect = cands.map(u => u -> ref(u)).toMap
+    assert(rows.length === cands.size)
+    rows.foreach { r =>
+      val (dp, est, ub, exact) = expect(r.getString(0))
+      assert(r.getLong(1) === dp && r.getLong(2) === est &&
+        r.getLong(3) === ub && r.getLong(4) === exact, s"row ${r.getString(0)}")
+      assert(r.getBoolean(5) && r.getBoolean(6), s"bounds violated for ${r.getString(0)}")
+    }
+    // the bound machinery must actually be exercised by this corpus:
+    // some candidate loses mass on a day it fell out of the top-K
+    assert(rows.exists(r => r.getLong(2) < r.getLong(4)),
+      "no lossy candidate — corpus too small to exercise the slack path")
+    assert(rows.exists(r => r.getLong(3) > r.getLong(4)),
+      "upper bound everywhere tight — thresholds never charged")
+    // final answer: exactly min(K, candidates) rows flagged, ranks 1..n
+    assert(rows.count(_.getBoolean(8)) === math.min(SketchOps.TopkK, cands.size))
+    assert(rows.map(_.getLong(7)).sorted.toSeq === (1L to cands.size).toSeq)
+    val reparted = SketchOps.topkRangeCensus(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
+  test("q158 CMS: SUM-merge law, per-row mass conservation, probes match a driver grid, ghosts never negative") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val counts = SketchOps.userCounts(events)
+    val regs = SketchOps.cmsRegisters(counts).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // merge law: the grid over a union of DISJOINT key sets is the
+    // element-wise SUM of the halves' grids — what makes per-shard /
+    // per-day CMS states combinable without touching raw rows
+    val a = SketchOps.cmsRegisters(counts.where("uk % 2 = 0")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = SketchOps.cmsRegisters(counts.where("uk % 2 = 1")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(regs === merged, "CMS registers must SUM-merge losslessly")
+    // conservation: every hash row distributes the full mass N
+    val n = events.count()
+    for (r <- 0 until SketchOps.CmsRows)
+      assert(regs.collect { case ((`r`, _), v) => v }.sum === n,
+        s"row $r lost mass")
+    // census vs a driver-rebuilt grid (same md5 recipe via Spark SQL for
+    // the hash itself, grid + min folded locally)
+    val keyCnt = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ghostKeys = (1 to 3).map(g => s"ghost:$g")
+    def cols(k: String): Seq[(Int, Long)] = {
+      val exprs = (0 until SketchOps.CmsRows).map(r =>
+        s"CAST(conv(substring(md5('cm$r:$k'), 1, 15), 16, 10) AS BIGINT) % ${SketchOps.CmsWidth}")
+      spark.sql(s"SELECT ${exprs.mkString(", ")}")
+        .head().toSeq.map(_.asInstanceOf[Long]).zipWithIndex.map(_.swap)
+    }
+    val rows = SketchOps.countMinCensus(events).collect()
+    val probeSel = keyCnt.keySet.filter { k =>
+      spark.sql(s"SELECT CAST(conv(substring(md5('$k'), 1, 15), 16, 10) AS BIGINT) % ${SketchOps.CmsProbeMod}")
+        .head().getLong(0) == 0L
+    }
+    assert(rows.map(_.getString(0)).toSet === probeSel ++ ghostKeys)
+    rows.foreach { row =>
+      val k = row.getString(0)
+      val exact = keyCnt.getOrElse(k, 0L)
+      val est = cols(k).map { case (r, j) => regs.getOrElse((r, j), 0L) }.min
+      assert(row.getLong(1) === exact && row.getLong(2) === est, s"probe $k")
+      assert(row.getBoolean(4), s"CMS underestimated $k — impossible by construction")
+    }
+    assert(ghostKeys.forall(g => rows.find(_.getString(0) == g).get.getLong(1) == 0L))
+    val reparted = SketchOps.countMinCensus(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
