@@ -546,6 +546,11 @@ object SparkEntry {
     // pure collision mass
     "q158_countmin_census" -> ((s, d) =>
       SketchOps.countMinCensus(Tables.events(s, d))),
+    // SymSpell deletion-neighborhood record linkage: every lev-1 name
+    // pair via bounded-fan-out equi-joins — never an all-pairs compare;
+    // the brute-definition oracle grades candidate COMPLETENESS
+    "q159_edit_linkage"    -> ((s, d) =>
+      DedupOps.editLinkagePairs(Tables.customer(s, d))),
     // join-key skew audit: per (table, key), the distribution evidence
     // (max/top-1% shares, CV) that picks salting vs plain hashing —
     // exact metrics off the bounded count-of-counts table

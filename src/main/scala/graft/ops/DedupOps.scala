@@ -693,6 +693,61 @@ object DedupOps {
 
   /** DuckDB equivalents. Same md5-salting construction, generated from the
     * same constants so the two sides cannot drift. */
+  /** q159 — EDIT-DISTANCE RECORD LINKAGE via the SymSpell
+    * deletion-neighborhood join (Garbe's symmetric-delete scheme; the
+    * spelling-correction candidate rule turned into an entity-resolution
+    * join): every pair of customer names at Levenshtein distance exactly 1,
+    * found WITHOUT an all-pairs comparison. Two complete candidate
+    * branches cover the d = 1 edit taxonomy:
+    *
+    *  - substitution (equal length): a and b differ at one position i
+    *    ⇔ deleting position i from both yields the SAME string — so the
+    *    positional deletion-variant tables equi-join on (pos, variant);
+    *  - insert/delete (length ± 1): the longer name with one char deleted
+    *    IS the shorter name — so the variant table equi-joins the name
+    *    table directly.
+    *
+    * Both joins are plain hash equi-joins whose key groups are bounded by
+    * the alphabet (a (pos, variant) key admits ≤ |Σ| names; a variant key
+    * admits ≤ (len+1)·|Σ| insertions), so the plan stays near-linear even
+    * when every name shares a long constant prefix — the structure that
+    * makes any contiguous-block (pigeonhole) candidate rule collapse into
+    * all-pairs on ID-shaped keys. The `dist = 1` filter is provably
+    * always-true (the branch taxonomy above IS the proof) but executes as
+    * the contract; the oracle recomputes the pair set from the bare
+    * definition (length-banded brute force), so the hash match proves the
+    * neighborhood scheme's completeness, not just its precision. */
+  def editLinkagePairs(customer: DataFrame): DataFrame = {
+    val names = customer.selectExpr("c_name AS name")
+      .where("name IS NOT NULL").distinct()
+      .localCheckpoint() // the linkage key table; consumed by three scans
+    // all one-char-deletion variants, position-tagged; generation is
+    // row-local and the variant column is materialized by the explode
+    // (length+1 rows per name — bounded fan-out, no shuffle)
+    val tagged = names.select(col("name"), posexplode(expr(
+      """transform(sequence(1, length(name)),
+                   i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"""))
+      .as(Seq("pos", "variant")))
+    val sub = tagged.as("a").join(tagged.as("b"),
+        col("a.pos") === col("b.pos") && col("a.variant") === col("b.variant") &&
+          col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    // untagged distinct variants for the indel branch (dedup row-locally:
+    // deleting either of two equal adjacent chars yields one variant)
+    val variants = names.select(col("name"), explode(expr(
+      """array_distinct(transform(sequence(1, length(name)),
+                        i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"""))
+      .as("variant"))
+    val indel = variants.as("a").join(names.as("b"),
+        col("a.variant") === col("b.name"))
+      .selectExpr("least(a.name, b.name) AS name_a",
+        "greatest(a.name, b.name) AS name_b")
+    sub.unionByName(indel).distinct()
+      .withColumn("dist", expr("CAST(levenshtein(name_a, name_b) AS BIGINT)"))
+      .where("dist = 1")
+      .orderBy("name_a", "name_b")
+  }
+
   def oracles: Map[String, String] = {
     val shSql =
       """list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
@@ -731,6 +786,21 @@ object DedupOps {
       "q36_minhash_signature" ->
         s"""WITH $baseCte
             SELECT doc_id, $mhSql FROM base ORDER BY doc_id""",
+      // q159: the oracle is the BARE definition — a length-banded brute
+      // join with the levenshtein predicate — so the hash match proves
+      // the engine's deletion-neighborhood candidates are COMPLETE, not
+      // merely precise. (Quadratic is fine for the oracle at graded
+      // scales; the engine's plan is the one that must survive 100 TB.)
+      "q159_edit_linkage" ->
+        """WITH n AS (SELECT DISTINCT c_name AS name FROM customer
+                      WHERE c_name IS NOT NULL)
+           SELECT a.name AS name_a, b.name AS name_b,
+                  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+           FROM n a JOIN n b
+             ON a.name < b.name
+            AND abs(length(a.name) - length(b.name)) <= 1
+            AND levenshtein(a.name, b.name) = 1
+           ORDER BY name_a, name_b""",
       // q135: identical winnowing recipe — struct MIN over the same frame
       // gives the same rightmost tie-break; `//`-vs-DIV never appears
       // (no integer division), so the only cross-engine surface is md5 +

@@ -377,4 +377,49 @@ class DedupOpsSpec extends SparkSpec {
     assert(row.getLong(2) === 1L, "LSH must catch it (all bands collide)")
     assert(row.getDouble(3) === 1.0)
   }
+
+  // classic DP Levenshtein — the spec's independent referee for q159
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q159 edit linkage covers the whole d=1 taxonomy and nothing else (hand fixture)") {
+    // substitution, deletion, insertion, doubled-char deletion (dup
+    // variants), a d=2 pair, a d=3+ pair, and a null
+    val names = Seq("abc", "abd", "ab", "xabc", "aab", "cba", "zzzz")
+    val fixture = (names.map(Option(_)) :+ None).toDF("c_name")
+    val got = DedupOps.editLinkagePairs(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val expect = (for {
+      a <- names; b <- names if a < b && lev(a, b) == 1
+    } yield (a, b, 1L)).sortBy(p => (p._1, p._2))
+    assert(got === expect)
+    // sanity on the taxonomy itself: the fixture exercises all three edits
+    assert(expect.contains(("abc", "abd", 1L)), "substitution pair missing")
+    assert(expect.contains(("ab", "abc", 1L)), "indel pair missing")
+    assert(expect.contains(("aab", "ab", 1L)), "doubled-char deletion missing")
+    assert(expect.contains(("abc", "xabc", 1L)),
+      "prefix-insertion pair must be found") // xabc = insert 'x' before abc
+  }
+
+  test("q159 edit linkage equals brute force on the real corpus; deterministic under repartition") {
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val rows = DedupOps.editLinkagePairs(customer).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val names = customer.selectExpr("c_name").collect().map(_.getString(0)).distinct
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) == 1
+    } yield (a, b, 1L)).sortBy(p => (p._1, p._2)).toSeq
+    assert(rows === brute, "deletion-neighborhood candidates must be COMPLETE")
+    assert(rows.nonEmpty, "corpus must exercise the linkage")
+    val reparted = DedupOps.editLinkagePairs(customer.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(p => Seq(p._1, p._2, p._3)))
+  }
 }

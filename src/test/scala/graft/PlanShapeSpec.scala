@@ -829,6 +829,20 @@ class PlanShapeSpec extends SparkSpec {
       s"single-row vocab must broadcast:\n${plan.take(1200)}")
   }
 
+  test("q159 edit linkage: equi hash joins only — the deletion neighborhood never degrades to all-pairs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val q = DedupOps.editLinkagePairs(customer)
+    val exec = q.queryExecution.executedPlan.toString
+    // a CartesianProduct or BNLJ here means the candidate rule fell back
+    // to comparing every name against every name — the exact plan the
+    // SymSpell join exists to avoid
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan leaked into q159:\n${exec.take(1200)}")
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q159 must not window")
+  }
+
   test("q157 topk cube: summaries are a map-combinable bounded-state aggregate, never a rank window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val counts = SketchOps.userDayCounts(events)
