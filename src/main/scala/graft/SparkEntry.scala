@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // zone-map / data-skipping audit: per day-shard min/max stats, two
+    // predicates' prune decisions, and the skip⇒zero-matches soundness
+    // law — the storage-layout evidence, graded
+    "q160_zonemap_audit"   -> ((s, d) =>
+      graft.ops.ScaleOps.zoneMapAudit(Tables.events(s, d))),
     // join-key skew audit: per (table, key), the distribution evidence
     // (max/top-1% shares, CV) that picks salting vs plain hashing —
     // exact metrics off the bounded count-of-counts table
@@ -1289,6 +1294,42 @@ object SparkEntry {
           SELECT * FROM (${specs.map(x => s"SELECT * FROM ${x._3}fin")
             .mkString(" UNION ALL ")})
           ORDER BY tbl, key"""
+    },
+    // q160: the zone map rebuilt from the definition — one per-day
+    // aggregate, the same NULL-bounds skip rule, soundness re-derived
+    "q160_zonemap_audit" -> {
+      val dayUs = graft.ops.RelationalOps.DayUs
+      val off = SketchOps.HllRangeStartOff
+      val offEnd = SketchOps.HllRangeStartOff + SketchOps.HllRangeLen
+      val (lo, hi) = (graft.ops.ScaleOps.ZoneCentsLo, graft.ops.ScaleOps.ZoneCentsHi)
+      s"""WITH base AS (SELECT epoch_us(ts) // $dayUs AS day,
+                               epoch_us(ts) AS ts_us,
+                               CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT)
+                                    ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+                        FROM events),
+              a AS (SELECT MIN(day) AS d0 FROM base),
+              z AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                           MIN(ts_us) AS ts_us_min, MAX(ts_us) AS ts_us_max,
+                           MIN(cents) AS cents_min, MAX(cents) AS cents_max,
+                           MAX((d0 + $off) * $dayUs) AS ts_lo_us,
+                           MAX((d0 + $offEnd) * $dayUs) AS ts_hi_us_excl,
+                           CAST(COUNT(CASE WHEN ts_us >= (d0 + $off) * $dayUs
+                                            AND ts_us < (d0 + $offEnd) * $dayUs
+                                           THEN 1 END) AS BIGINT) AS n_match_ts,
+                           CAST(COUNT(CASE WHEN cents >= $lo AND cents <= $hi
+                                           THEN 1 END) AS BIGINT) AS n_match_cents
+                    FROM base CROSS JOIN a GROUP BY day),
+              s AS (SELECT z.*,
+                           ts_us_max < ts_lo_us OR ts_us_min >= ts_hi_us_excl AS skip_ts,
+                           cents_max IS NULL OR cents_max < $lo
+                             OR cents_min > $hi AS skip_cents
+                    FROM z)
+         SELECT day, n_rows, ts_us_min, ts_us_max, cents_min, cents_max,
+                skip_ts, n_match_ts,
+                NOT skip_ts OR n_match_ts = 0 AS skip_sound_ts,
+                skip_cents, n_match_cents,
+                NOT skip_cents OR n_match_cents = 0 AS skip_sound_cents
+         FROM s ORDER BY day"""
     },
     // q144: identical total ordering ((us, event_id)) under the same
     // user-partitioned lead; counts exact, p one IEEE division

@@ -120,4 +120,68 @@ object ScaleOps {
     }
     per.reduce(_ unionByName _).orderBy("tbl", "key")
   }
+
+  /** q160's value-predicate window, in exact integer cents (inclusive
+    * bounds). Shared by both engines and the spec. */
+  val ZoneCentsLo = 10000L
+  val ZoneCentsHi = 15000L
+
+  /** q160 — ZONE-MAP / DATA-SKIPPING AUDIT: per day-shard, the min/max
+    * statistics a columnar layout keeps per file (parquet row-group /
+    * Iceberg-Delta file stats), and — for two fixed predicates — whether
+    * those stats alone allow SKIPPING the shard, each decision verified
+    * against the shard's actual matching rows. This is the artifact that
+    * decides storage layout at 100 TB: the ts-range predicate (the q155
+    * window) prunes 'every shard but the range' because the shard key IS
+    * time, while the cents predicate prunes (almost) nothing because
+    * value is uniform within every day — layout, not the sketch, decides
+    * which scans read 14 days instead of the whole corpus. The soundness
+    * law of min/max pruning (skip ⇒ zero matches; false positives
+    * allowed, false negatives never) is part of the graded artifact:
+    * `skip_sound_*` flipping fails the hash.
+    *
+    * Scale shape: ONE map-combinable aggregate per shard builds the zone
+    * map, the match counts ride the same aggregate as conditional
+    * counts, and the skip decisions are row-local expressions over the
+    * bounded per-shard stats table. The anchor is a one-row broadcast
+    * MIN. A shard with only NULL values carries NULL cents bounds —
+    * skippable for any value predicate (NULL never matches a range),
+    * handled explicitly on both engines. */
+  def zoneMapAudit(events: DataFrame): DataFrame = {
+    val dayUs = RelationalOps.DayUs
+    val (off, len) = (SketchOps.HllRangeStartOff, SketchOps.HllRangeLen)
+    val base = events.selectExpr(
+      s"unix_micros(ts) DIV $dayUs AS day",
+      "unix_micros(ts) AS ts_us",
+      "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(round(value * 100) AS BIGINT) END AS cents")
+    val anchor = base.agg(min("day").as("d0"))
+    base.crossJoin(broadcast(anchor))
+      .selectExpr("day", "ts_us", "cents",
+        s"(d0 + $off) * $dayUs AS ts_lo_us",
+        s"(d0 + ${off + len}) * $dayUs AS ts_hi_us_excl")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"),
+        min("ts_us").as("ts_us_min"), max("ts_us").as("ts_us_max"),
+        min("cents").as("cents_min"), max("cents").as("cents_max"),
+        max("ts_lo_us").as("ts_lo_us"), max("ts_hi_us_excl").as("ts_hi_us_excl"),
+        count(when(col("ts_us") >= col("ts_lo_us") &&
+          col("ts_us") < col("ts_hi_us_excl"), 1)).as("n_match_ts"),
+        count(when(col("cents") >= lit(ZoneCentsLo) &&
+          col("cents") <= lit(ZoneCentsHi), 1)).as("n_match_cents"))
+      .selectExpr("day", "n_rows", "ts_us_min", "ts_us_max",
+        "cents_min", "cents_max",
+        "ts_us_max < ts_lo_us OR ts_us_min >= ts_hi_us_excl AS skip_ts",
+        "n_match_ts",
+        s"cents_max IS NULL OR cents_max < $ZoneCentsLo " +
+          s"OR cents_min > $ZoneCentsHi AS skip_cents",
+        "n_match_cents")
+      .selectExpr("day", "n_rows", "ts_us_min", "ts_us_max",
+        "cents_min", "cents_max",
+        "skip_ts", "n_match_ts",
+        "NOT skip_ts OR n_match_ts = 0 AS skip_sound_ts",
+        "skip_cents", "n_match_cents",
+        "NOT skip_cents OR n_match_cents = 0 AS skip_sound_cents")
+      .orderBy("day")
+  }
 }

@@ -104,4 +104,61 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().head
     assert(again.toSeq === row.toSeq)
   }
+
+  test("q160 zone maps: time layout prunes the ts predicate to exactly the window; soundness everywhere") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = ScaleOps.zoneMapAudit(events).collect()
+    val days = rows.map(_.getLong(0))
+    val d0 = days.min
+    val (from, toExcl) = (d0 + graft.ops.SketchOps.HllRangeStartOff,
+      d0 + graft.ops.SketchOps.HllRangeStartOff + graft.ops.SketchOps.HllRangeLen)
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      // day-sharding makes ts-pruning EXACT: skip iff the shard is
+      // outside the window (no false positives on this layout)
+      assert(r.getBoolean(6) === (day < from || day >= toExcl), s"skip_ts day $day")
+      assert(r.getBoolean(8), s"ts skip unsound at day $day")
+      assert(r.getBoolean(11), s"cents skip unsound at day $day")
+      // zone bounds really bracket the shard
+      assert(r.getLong(2) >= day * graft.ops.RelationalOps.DayUs &&
+        r.getLong(3) < (day + 1) * graft.ops.RelationalOps.DayUs)
+    }
+    // match counts conserve: per-shard ts matches sum to the window total
+    val windowTotal = events.filter(
+      s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} >= $from AND " +
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} < $toExcl").count()
+    assert(rows.map(_.getLong(7)).sum === windowTotal)
+    // the value column is NOT prunable under time layout — the lesson
+    assert(rows.exists(r => !r.getBoolean(9) && r.getLong(10) > 0),
+      "cents predicate should match inside un-skipped shards")
+    val reparted = ScaleOps.zoneMapAudit(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
+  test("q160 zone maps: NULL-only and out-of-range shards skip soundly (hand fixture)") {
+    val dayUs = graft.ops.RelationalOps.DayUs
+    // day 0: cents straddle the window; day 1: all NULL values; day 2:
+    // all cents below the window; days 7..20 exist so the ts window
+    // [d0+7, d0+21) is populated
+    val rows = (Seq(
+      (0L * dayUs + 10, Some(120.00)), (0L * dayUs + 20, Some(80.00)),
+      (1L * dayUs + 10, None), (1L * dayUs + 20, None),
+      (2L * dayUs + 10, Some(1.00)), (2L * dayUs + 20, Some(2.00))) ++
+      (7L until 21L).map(d => (d * dayUs + 5, Some(125.50))))
+      .toDF("us", "v")
+      .selectExpr("timestamp_micros(us) AS ts", "CAST(v AS DOUBLE) AS value")
+    val got = ScaleOps.zoneMapAudit(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got(0L).getBoolean(9), "straddling shard must NOT skip")
+    assert(got(0L).getLong(10) === 1L) // only the $120 row matches
+    assert(got(1L).getBoolean(9) && got(1L).isNullAt(4) && got(1L).isNullAt(5),
+      "all-NULL shard must skip with NULL bounds")
+    assert(got(1L).getBoolean(11))
+    assert(got(2L).getBoolean(9) && got(2L).getLong(10) === 0L,
+      "below-window shard must skip")
+    // ts predicate: only days 7..20 match; day 0 skips
+    assert(got(0L).getBoolean(6) && got(7L).getLong(7) === 1L && !got(7L).getBoolean(6))
+    assert(got.values.forall(r => r.getBoolean(8) && r.getBoolean(11)))
+  }
 }
