@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // bloom-filter semi-join pruning: the constant-size broadcast that
+    // replaces shipping a too-big build side; per-day survivor/fp census
+    // with the no-false-negative guarantee graded
+    "q161_bloom_prune"     -> ((s, d) =>
+      SketchOps.bloomPruneCensus(Tables.events(s, d))),
     // zone-map / data-skipping audit: per day-shard min/max stats, two
     // predicates' prune decisions, and the skip⇒zero-matches soundness
     // law — the storage-layout evidence, graded

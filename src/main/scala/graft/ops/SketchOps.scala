@@ -806,6 +806,93 @@ object SketchOps {
       .orderBy("uk")
   }
 
+  /** q161's Bloom geometry: m bits in m/64 BIGINT words, k md5-salted
+    * hash probes, and the heavy-spender build-side dial (exact integer
+    * cents). Shared by both engines and the spec. */
+  val BloomBits = 4096L
+  val BloomWords = 64
+  val BloomHashes = 4
+  val BloomSpendCents = 350000L
+
+  /** Bit position of hash row r for a key — the shared 60-bit md5 slice
+    * of "bf{r}:key" reduced mod m (the q158 salting scheme). */
+  private def bloomPos(key: String, r: Int): String =
+    s"(${hash60(s"concat('bf$r:', $key)")} % $BloomBits)"
+
+  /** The m/64-word bit table of the build-side key set — OR-mergeable
+    * (like the HLL registers, duplicate- and re-delivery-proof). */
+  private[graft] def bloomWords(keys: DataFrame): DataFrame =
+    keys.select(explode(expr(
+        (0 until BloomHashes).map(r => bloomPos("uk", r))
+          .mkString("array(", ", ", ")"))).as("pos"))
+      .selectExpr("CAST(pos DIV 64 AS INT) AS w", "CAST(pos % 64 AS INT) AS b")
+      .groupBy("w")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("word"))
+
+  /** q161 — BLOOM-FILTER SEMI-JOIN PRUNING census: the constant-size
+    * filter a 100 TB engine broadcasts INSTEAD of a build-side key set
+    * that is too large to ship — every probe row tests k bits row-locally
+    * and only survivors enter the expensive join/shuffle. Build side:
+    * heavy-spending users (exact integer cents total over the shared
+    * dial). The filter is the full m-bit array as ONE broadcast row of
+    * m/64 BIGINT words (densified from the OR-merged word table, absent
+    * words = 0); the probe pass is pure row-local bit arithmetic. Graded
+    * per day-shard: rows, bloom survivors, true members, false
+    * positives, the fp rate among true negatives, and the Bloom
+    * guarantee itself — `no_false_neg` (a member NEVER fails the filter)
+    * — which flipping fails the hash. The exact-membership branch (one
+    * co-keyed join) is the grading harness, exactly as the exact
+    * distinct is for the HLL family: what ships at scale is the
+    * broadcast word row and the row-local test.
+    *
+    * Scale shape: the build side collapses once (map-combinable cents
+    * SUM); the word table is ≤ m/64 rows OR-merged map-combinably; the
+    * probe never shuffles for the filter decision — only the grading
+    * join moves rows, and it moves them co-keyed on the user key. */
+  def bloomPruneCensus(events: DataFrame): DataFrame = {
+    val keys = events.filter(col("value").isNotNull)
+      .selectExpr("CAST(user_id AS STRING) AS uk",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("uk").agg(sum("cents").as("t"))
+      .filter(col("t") > lit(BloomSpendCents))
+      .select("uk")
+      .localCheckpoint() // consumed by the word build + the truth join
+    val dense = bloomWords(keys)
+      .join(broadcast(
+        keys.sparkSession.range(BloomWords).selectExpr("CAST(id AS INT) AS w")),
+        Seq("w"), "right")
+      .selectExpr("w", "coalesce(word, CAST(0 AS BIGINT)) AS word")
+      .agg(sort_array(collect_list(struct(col("w"), col("word")))).as("sw"))
+      .selectExpr("transform(sw, s -> s.word) AS words")
+    val passExpr = (0 until BloomHashes).map { r =>
+      val pos = bloomPos("uk", r)
+      s"(element_at(words, CAST($pos DIV 64 AS INT) + 1) " +
+        s"& shiftleft(CAST(1 AS BIGINT), CAST($pos % 64 AS INT))) <> 0"
+    }.mkString("(", ") AND (", ")")
+    val probed = events
+      .selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+        "CAST(user_id AS STRING) AS uk")
+      .crossJoin(broadcast(dense))
+      .selectExpr("day", "uk", s"$passExpr AS bloom_pass")
+    val truth = probed.join(
+        keys.withColumn("is_member", lit(true)), Seq("uk"), "left")
+      .selectExpr("day", "bloom_pass", "coalesce(is_member, false) AS is_member")
+    truth.groupBy("day")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("bloom_pass"), 1)).as("n_pass"),
+        count(when(col("is_member"), 1)).as("n_member"),
+        count(when(col("bloom_pass") && !col("is_member"), 1)).as("n_false_pos"),
+        expr("bool_and(NOT is_member OR bloom_pass)").as("no_false_neg"))
+      .selectExpr("day", "n_rows", "n_pass", "n_member", "n_false_pos",
+        "no_false_neg",
+        """CASE WHEN n_rows = n_member THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(n_false_pos AS DOUBLE) / CAST(n_rows - n_member AS DOUBLE)
+           END AS fp_rate""",
+        "CAST(n_rows - n_pass AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pruned_frac")
+      .orderBy("day")
+  }
+
   /** q64's oracle is exact (the two-pass output is exact; the sketch only
     * proposes candidates, and its recall guarantee is what the hash match
     * proves). q65's exact columns are recomputed by DuckDB from the same
@@ -815,6 +902,54 @@ object SketchOps {
     * nonnegative operands) and the estimate expression is literal-identical
     * IEEE arithmetic. */
   def oracles: Map[String, String] = Map(
+    // q161: the filter rebuilt from the definition — same salts, same
+    // word layout, dense 64-list via range ⟕ words, same bit test.
+    // DuckDB's << is overflow-CHECKED, so bit 63 (the sign bit Spark's
+    // shiftleft wraps into silently) needs the explicit MIN_LONG literal
+    "q161_bloom_prune" ->
+      s"""WITH k0 AS (SELECT CAST(user_id AS VARCHAR) AS uk,
+                             CAST(ROUND(value * 100) AS BIGINT) AS cents
+                      FROM events WHERE value IS NOT NULL),
+              keys AS (SELECT uk FROM k0 GROUP BY uk
+                       HAVING SUM(cents) > $BloomSpendCents),
+              hs AS (SELECT unnest([${(0 until BloomHashes).mkString(", ")}]) AS r),
+              pos AS (SELECT ('0x' || substr(md5('bf' || r || ':' || uk), 1, 15))::BIGINT
+                               % $BloomBits AS pos
+                      FROM keys CROSS JOIN hs),
+              wt AS (SELECT CAST(pos // 64 AS INT) AS w, CAST(pos % 64 AS INT) AS b
+                     FROM pos),
+              words AS (SELECT w, bit_or(CASE WHEN b = 63
+                                              THEN CAST(-9223372036854775808 AS BIGINT)
+                                              ELSE CAST(1 AS BIGINT) << b END) AS word
+                        FROM wt GROUP BY w),
+              dense AS (SELECT list(COALESCE(word, 0) ORDER BY t.w) AS words
+                        FROM range($BloomWords) t(w) LEFT JOIN words ON words.w = t.w),
+              probe AS (SELECT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                               CAST(user_id AS VARCHAR) AS uk
+                        FROM events),
+              pp AS (SELECT day, uk,
+                            ${(0 until BloomHashes).map { r =>
+                              val p = s"(('0x' || substr(md5('bf$r:' || uk), 1, 15))::BIGINT % $BloomBits)"
+                              val mask = s"CASE WHEN $p % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+                                s"ELSE CAST(1 AS BIGINT) << CAST($p % 64 AS INT) END"
+                              s"(words[CAST($p // 64 AS INT) + 1] & ($mask)) <> 0"
+                            }.mkString("(", ") AND (", ")")} AS bloom_pass
+                     FROM probe CROSS JOIN dense),
+              truth AS (SELECT day, bloom_pass,
+                               keys.uk IS NOT NULL AS is_member
+                        FROM pp LEFT JOIN keys USING (uk)),
+              c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                           CAST(COUNT(CASE WHEN bloom_pass THEN 1 END) AS BIGINT) AS n_pass,
+                           CAST(COUNT(CASE WHEN is_member THEN 1 END) AS BIGINT) AS n_member,
+                           CAST(COUNT(CASE WHEN bloom_pass AND NOT is_member THEN 1 END) AS BIGINT) AS n_false_pos,
+                           bool_and(NOT is_member OR bloom_pass) AS no_false_neg
+                    FROM truth GROUP BY day)
+         SELECT day, n_rows, n_pass, n_member, n_false_pos, no_false_neg,
+                CASE WHEN n_rows = n_member THEN CAST(NULL AS DOUBLE)
+                     ELSE CAST(n_false_pos AS DOUBLE) / CAST(n_rows - n_member AS DOUBLE)
+                END AS fp_rate,
+                CAST(n_rows - n_pass AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pruned_frac
+         FROM c ORDER BY day""",
     // q158: the grid rebuilt from the definition with the same md5 row
     // salts; DuckDB's || renders integers identically to Spark's concat
     // literals, so the hashed strings agree byte-for-byte

@@ -843,6 +843,21 @@ class PlanShapeSpec extends SparkSpec {
       "q159 must not window")
   }
 
+  test("q161 bloom prune: the filter broadcasts as one row; the probe decision never shuffles") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = SketchOps.bloomPruneCensus(events)
+    val exec = q.queryExecution.executedPlan.toString
+    // the dense word row must reach the probe via a broadcast — an
+    // Exchange keyed for the filter test would mean the probe shuffled
+    // to learn a 512-byte constant
+    assert(exec.contains("BroadcastExchange") || exec.contains("BroadcastNestedLoopJoin"),
+      s"bloom word row must broadcast:\n${exec.take(1200)}")
+    assert(!exec.contains("CartesianProduct"),
+      s"unbounded cartesian leaked into q161:\n${exec.take(1200)}")
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q161 must not window")
+  }
+
   test("q157 topk cube: summaries are a map-combinable bounded-state aggregate, never a rank window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val counts = SketchOps.userDayCounts(events)

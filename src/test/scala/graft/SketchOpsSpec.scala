@@ -382,4 +382,63 @@ class SketchOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
+
+  test("q161 bloom: OR-merge law, no false negatives ever, census matches a driver filter, pruning engages") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    // build-side keys per the shared dial
+    val keyRows = events.where("value IS NOT NULL")
+      .selectExpr("CAST(user_id AS STRING) AS uk",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("uk").agg(org.apache.spark.sql.functions.sum("cents").as("t"))
+    val members = keyRows.where(s"t > ${SketchOps.BloomSpendCents}")
+      .select("uk").collect().map(_.getString(0)).toSet
+    assert(members.nonEmpty && members.size < keyRows.count(),
+      "dial must split the users non-trivially")
+    val keysDf = members.toSeq.toDF("uk")
+    // OR-merge law: the word table of a union of key sets is the
+    // element-wise OR of the halves' tables
+    val (ka, kb) = members.toSeq.sorted.splitAt(members.size / 2)
+    def words(ks: Seq[String]) = SketchOps.bloomWords(ks.toDF("uk")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val whole = words(members.toSeq)
+    val (wa, wb) = (words(ka), words(kb))
+    val ored = (wa.keySet ++ wb.keySet).map(w =>
+      w -> (wa.getOrElse(w, 0L) | wb.getOrElse(w, 0L))).toMap
+    assert(whole === ored, "bloom words must OR-merge losslessly")
+    // driver filter: rebuild positions via the same md5 recipe and test
+    // every event row locally
+    val wordVec = Array.tabulate(SketchOps.BloomWords)(w => whole.getOrElse(w, 0L))
+    def positions(uk: String): Seq[Long] = {
+      val exprs = (0 until SketchOps.BloomHashes).map(r =>
+        s"CAST(conv(substring(md5('bf$r:$uk'), 1, 15), 16, 10) AS BIGINT) % ${SketchOps.BloomBits}")
+      spark.sql(s"SELECT ${exprs.mkString(", ")}").head().toSeq.map(_.asInstanceOf[Long])
+    }
+    val userPass = (events.selectExpr("CAST(user_id AS STRING) AS uk").distinct()
+      .collect().map(_.getString(0))).map { uk =>
+      uk -> positions(uk).forall(p =>
+        (wordVec((p / 64).toInt) & (1L << (p % 64).toInt)) != 0L)
+    }.toMap
+    // the Bloom guarantee, proven against the driver filter
+    assert(members.forall(userPass), "a member failed its own filter")
+    val evRows = events.selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+        "CAST(user_id AS STRING) AS uk")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rows = SketchOps.bloomPruneCensus(events).collect()
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      val de = evRows.filter(_._1 == day)
+      assert(r.getLong(1) === de.length)
+      assert(r.getLong(2) === de.count(e => userPass(e._2)), s"n_pass day $day")
+      assert(r.getLong(3) === de.count(e => members(e._2)), s"n_member day $day")
+      assert(r.getLong(4) === de.count(e => userPass(e._2) && !members(e._2)))
+      assert(r.getBoolean(5), s"false negative at day $day — impossible for a Bloom filter")
+    }
+    // the filter must actually prune at this corpus
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)),
+      "bloom never rejected anything — census degenerate")
+    val reparted = SketchOps.bloomPruneCensus(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
