@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // hourly burst detector: truncated dyadic EWMA baseline with the
+    // cross-multiplied integer burst rule — anomaly detection without
+    // an IEEE division deciding the flag
+    "q162_burst_detector"  -> ((s, d) =>
+      RelationalOps.burstDetector(Tables.events(s, d))),
     // bloom-filter semi-join pruning: the constant-size broadcast that
     // replaces shipping a too-big build side; per-day survivor/fp census
     // with the no-false-negative guarantee graded
@@ -1174,6 +1179,31 @@ object SparkEntry {
                                   * CAST(n_pairs * syy - sy * sy AS DOUBLE))
                  END AS r
           FROM s ORDER BY lag""",
+    // q162: identical hourly grain, dyadic weights, and cross-multiplied
+    // integer burst rule; baseline is the one fixed-shape IEEE division
+    "q162_burst_detector" -> {
+      val w = RelationalOps.EwmaWindowHours
+      val den = (1L << w) - 1
+      s"""WITH hrs AS (SELECT epoch_us(ts) // ${RelationalOps.HourUs} AS h,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+              a AS (SELECT MIN(h) AS h0 FROM hrs),
+              base AS (SELECT x.h AS h, x.n AS n,
+                              CAST(COALESCE(SUM(y.n * (CAST(1 AS BIGINT)
+                                     << CAST($w - (x.h - y.h) AS INT))), 0)
+                                   AS BIGINT) AS ewma_num
+                       FROM hrs x LEFT JOIN hrs y
+                         ON y.h >= x.h - $w AND y.h < x.h
+                       GROUP BY x.h, x.n)
+         SELECT h, n, ewma_num,
+                CAST($den AS BIGINT) AS ewma_den,
+                h >= h0 + $w AS warm,
+                CAST(ewma_num AS DOUBLE) / CAST($den AS DOUBLE) AS baseline,
+                CASE WHEN h >= h0 + $w
+                     THEN n * CAST($den AS BIGINT) > ${RelationalOps.BurstFactor} * ewma_num
+                     ELSE CAST(NULL AS BOOLEAN) END AS burst
+         FROM base CROSS JOIN a ORDER BY h"""
+    },
     // q149: identical integer metrics, bin widths, minimal-cover quartile
     // dials, and CASE-comparison codes
     "q149_rfm_segments" -> {

@@ -746,6 +746,60 @@ object RelationalOps {
       .orderBy("lag")
   }
 
+  /** q162's truncated-EWMA geometry: dyadic weights 2^(W−i) over the W
+    * prior hours (i = 1 is the most recent; denominator 2^W − 1), and
+    * the burst dial n·den > K·num. All exact integers — the infinite
+    * EWMA's 2^t scaling is untenable, so the window truncates the tail
+    * below weight 1, which is what makes the rule exact AND streamable
+    * with O(W) state. */
+  val EwmaWindowHours = 16
+  val BurstFactor = 3L
+
+  /** q162 — HOURLY BURST DETECTOR on a truncated dyadic EWMA baseline:
+    * per active hour, the exact dyadic-weighted mass of the 16 prior
+    * hours is the baseline, and the hour flags as a burst when its count
+    * exceeds [[BurstFactor]]× the baseline — evaluated as the
+    * cross-multiplied integer rule n·(2^W−1) > K·Σ n_{t-i}·2^(W-i), so
+    * both engines agree bit-exactly and no IEEE division ever decides
+    * the flag (the q143/q151 rational-threshold discipline applied to
+    * anomaly detection). Hours before the first full window are emitted
+    * with a NULL verdict (`warm` = false): a cold-start baseline of
+    * zeros would flag the entire ramp-up as bursts. Quiet hours have no
+    * row — an absent hour has n = 0 and cannot burst, but it DOES feed
+    * later baselines as a true zero (the dyadic sum simply skips it).
+    *
+    * Scale shape: the corpus collapses ONCE into the calendar-bounded
+    * hourly table (q148's grain); the prior-window mass is a bounded
+    * ≤ hours×W broadcast self-join — never a corpus window, never a
+    * second pass. Integer headroom: 10⁸ events/hour × 2¹⁵ × 16 lags
+    * ≈ 5×10¹³ — five decades inside int64. */
+  def burstDetector(events: DataFrame): DataFrame = {
+    val w = EwmaWindowHours
+    val den = (1L << w) - 1
+    val hours = events.selectExpr(s"unix_micros(ts) DIV $HourUs AS h")
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // calendar-bounded; probed as anchor + both join sides
+    val h0 = hours.agg(min("h").as("h0"))
+    val pairs = hours.as("a").join(broadcast(hours.as("b")),
+        col("b.h") >= col("a.h") - lit(w.toLong) && col("b.h") < col("a.h"),
+        "left")
+      .select(col("a.h").as("h"), col("a.n").as("n"),
+        col("b.n").as("bn"), (col("a.h") - col("b.h")).as("lag"))
+    pairs.groupBy("h", "n")
+      .agg(coalesce(sum(expr(
+        s"bn * shiftleft(CAST(1 AS BIGINT), $w - CAST(lag AS INT))")),
+        lit(0L)).as("ewma_num"))
+      .crossJoin(broadcast(h0))
+      .selectExpr("h", "n", "ewma_num",
+        s"CAST($den AS BIGINT) AS ewma_den",
+        s"h >= h0 + $w AS warm",
+        s"CAST(ewma_num AS DOUBLE) / CAST($den AS DOUBLE) AS baseline",
+        s"""CASE WHEN h >= h0 + $w
+                 THEN n * CAST($den AS BIGINT) > $BurstFactor * ewma_num
+                 ELSE CAST(NULL AS BOOLEAN) END AS burst""")
+      .orderBy("h")
+  }
+
   /** q149 bin widths: binned quartiles (the q128 minimal-cover pattern)
     * — never a corpus-wide rank over users. */
   val RfmMonetaryBinCents = 10000L // $100 bins

@@ -562,4 +562,57 @@ class RelationalOpsSpec extends SparkSpec {
   }
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("q162 burst detector: hand series — dyadic baseline exact, cold start NULL, silence-gap burst") {
+    val hourUs = RelationalOps.HourUs
+    val w = RelationalOps.EwmaWindowHours
+    val den = (1L << w) - 1
+    // hours 0..19: 1 event each; hour 20: 10 events (the burst);
+    // hour 40 after a 19-hour silence: 1 event (bursts over a 0 baseline)
+    val hourCounts = (0L to 19L).map(_ -> 1L) ++ Seq(20L -> 10L, 21L -> 1L, 40L -> 1L)
+    val fixture = hourCounts.flatMap { case (h, c) =>
+      (0L until c).map(i => h * hourUs + i * 1000L)
+    }.toDF("us").selectExpr("timestamp_micros(us) AS ts")
+    val got = RelationalOps.burstDetector(fixture).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // cold start: hours 0..15 carry a NULL verdict
+    assert((0L to 15L).forall(h => got(h).isNullAt(6) && !got(h).getBoolean(4)))
+    // hour 20 baseline: 16 prior hours of 1 → num = 2^16 − 1 = den,
+    // so baseline = 1.0 exactly and 10 > 3·1 flags
+    assert(got(20L).getLong(2) === den)
+    assert(got(20L).getDouble(5) === 1.0)
+    assert(got(20L).getBoolean(6) === true, "10 events over baseline 1 must burst")
+    // hour 17: count 1, baseline 1 → 1·den > 3·den is false
+    assert(got(17L).getBoolean(6) === false)
+    // hour 40: every prior-window hour is silent → baseline 0, burst
+    assert(got(40L).getLong(2) === 0L && got(40L).getBoolean(6) === true,
+      "any activity after total silence is a burst")
+    // hand-check one mixed window: hour 21 sees the 10-burst at lag 1
+    // (weight 2^15) plus 15 ones at lags 2..16 → num = 10·2^15 + (2^15 − 1)
+    assert(got(21L).getLong(2) === 10L * (1L << 15) + ((1L << 15) - 1))
+  }
+
+  test("q162 burst detector on the corpus: matches a driver fold; partitioning invariance") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.burstDetector(events).collect()
+    val w = RelationalOps.EwmaWindowHours
+    val den = (1L << w) - 1
+    val counts = events.selectExpr(s"unix_micros(ts) DIV ${RelationalOps.HourUs} AS h")
+      .collect().map(_.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val h0 = counts.keys.min
+    assert(rows.length === counts.size)
+    rows.foreach { r =>
+      val h = r.getLong(0)
+      val num = (1 to w).map(lag =>
+        counts.getOrElse(h - lag, 0L) * (1L << (w - lag))).sum
+      assert(r.getLong(1) === counts(h) && r.getLong(2) === num, s"hour $h")
+      if (h >= h0 + w)
+        assert(r.getBoolean(6) === (counts(h) * den > RelationalOps.BurstFactor * num))
+      else assert(r.isNullAt(6))
+    }
+    assert(rows.exists(r => !r.isNullAt(6)), "corpus must contain warm hours")
+    val reparted = RelationalOps.burstDetector(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
