@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // HLL grouping-sets rollup: registers built ONCE at (day, type)
+    // grain; every coarser level MAX-merged from that store and graded
+    // against its own exact distinct — one sketch build, every rollup
+    "q163_hll_rollup"      -> ((s, d) =>
+      SketchOps.hllRollupCube(Tables.events(s, d))),
     // hourly burst detector: truncated dyadic EWMA baseline with the
     // cross-multiplied integer burst rule — anomaly detection without
     // an IEEE division deciding the flag

@@ -806,6 +806,86 @@ object SketchOps {
       .orderBy("uk")
   }
 
+  /** q163's rolled-dimension sentinels: day reuses [[HllCubeTotalDay]];
+    * the rolled event_type is a printable marker no real type contains. */
+  val HllRollupAllTypes = "~all~"
+
+  /** q163 — HLL GROUPING-SETS ROLLUP from ONE register store: the
+    * warehouse law the q154 cube only states for days, proven for a full
+    * two-dimensional cube — registers are built ONCE at the finest grain
+    * (day × event_type) and every coarser grouping level ((type), (day),
+    * ()) is derived by MAX-merging that store, never by re-scanning the
+    * corpus. All four levels are graded against the exact distinct at
+    * their own grain, so the hash match proves the sketch's level
+    * algebra, not just one census. At 100 TB this is the difference
+    * between one sketch build serving every dashboard rollup and a
+    * COUNT(DISTINCT) per grouping set.
+    *
+    * Scale shape: raw rows never shuffle — the register path moves
+    * (day, type, j, rho) triples into a MAX aggregate and every rollup
+    * level lives on the bounded days×types×256 store. The exact branch
+    * (the grading harness, as everywhere in the HLL family) collapses
+    * the corpus ONCE to the distinct (day, type, uk) triple table and
+    * derives each level's exact count from that collapsed table — the
+    * finest exact cube, not four corpus scans. */
+  def hllRollupCube(events: DataFrame): DataFrame = {
+    val m = HllRegisters
+    val two53 = 1L << (HllRestBits + 1)
+    val keyed = events.selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+        s"coalesce(event_type, '${graft.ops.GraphOps.NullSourceSentinel}') AS et",
+        "CAST(user_id AS STRING) AS uk")
+      .localCheckpoint() // consumed by the register build + the triple table
+    val fine = keyed
+      .selectExpr("day", "et", s"${hash60("uk")} AS h")
+      .selectExpr("day", "et", s"h DIV $HllRest AS j",
+        s"""CASE WHEN h % $HllRest = 0 THEN $HllRhoMax
+                 ELSE $HllRhoMax - length(bin(h % $HllRest)) END AS rho""")
+      .groupBy("day", "et", "j").agg(max("rho").as("reg"))
+      .localCheckpoint() // the ONE store: bounded days × types × 256
+    val allDay = s"CAST($HllCubeTotalDay AS BIGINT) AS day"
+    val allEt = s"'$HllRollupAllTypes' AS et"
+    val regsAll = fine.selectExpr("'day_type' AS level", "day", "et", "j", "reg")
+      .unionByName(fine.groupBy("et", "j").agg(max("reg").as("reg"))
+        .selectExpr("'type' AS level", allDay, "et", "j", "reg"))
+      .unionByName(fine.groupBy("day", "j").agg(max("reg").as("reg"))
+        .selectExpr("'day' AS level", "day", allEt, "j", "reg"))
+      .unionByName(fine.groupBy("j").agg(max("reg").as("reg"))
+        .selectExpr("'total' AS level", allDay, allEt, "j", "reg"))
+    val census = regsAll.groupBy("level", "day", "et").agg(
+        count(lit(1)).as("n_registers_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - reg)")).as("s_hit"))
+      .selectExpr("level", "day", "et", "n_registers_hit",
+        s"CAST($m - n_registers_hit AS BIGINT) AS n_zero_registers",
+        s"s_hit + ($m - n_registers_hit) * $two53 AS harmonic_denom_scaled")
+    val triple = keyed.distinct()
+      .localCheckpoint() // the finest exact cube; all four levels read it
+    val exact = triple.groupBy("day", "et").agg(count(lit(1)).as("exact_distinct"))
+        .selectExpr("'day_type' AS level", "day", "et", "exact_distinct")
+      .unionByName(triple.select("et", "uk").distinct()
+        .groupBy("et").agg(count(lit(1)).as("exact_distinct"))
+        .selectExpr("'type' AS level", allDay, "et", "exact_distinct"))
+      .unionByName(triple.select("day", "uk").distinct()
+        .groupBy("day").agg(count(lit(1)).as("exact_distinct"))
+        .selectExpr("'day' AS level", "day", allEt, "exact_distinct"))
+      .unionByName(triple.select("uk").distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+        .selectExpr("'total' AS level", allDay, allEt, "exact_distinct"))
+    census.join(exact, Seq("level", "day", "et"))
+      .selectExpr("level", "day", "et", "exact_distinct", "n_registers_hit",
+        "n_zero_registers", "harmonic_denom_scaled",
+        s"$HllEstNum / CAST(harmonic_denom_scaled AS DOUBLE) AS raw_est")
+      .withColumn("rel_err", expr(
+        "(raw_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)"))
+      .withColumn("est_ok", expr(
+        s"""abs(CASE WHEN n_zero_registers > 0 AND raw_est <= 2.5 * $m.0
+                     THEN $m.0 * ln($m.0 / CAST(n_zero_registers AS DOUBLE))
+                     ELSE raw_est END
+                - CAST(exact_distinct AS DOUBLE))
+            <= greatest(0.25 * CAST(exact_distinct AS DOUBLE), 10.0)"""))
+      .orderBy("level", "day", "et")
+  }
+
   /** q161's Bloom geometry: m bits in m/64 BIGINT words, k md5-salted
     * hash probes, and the heavy-spender build-side dial (exact integer
     * cents). Shared by both engines and the spec. */
@@ -902,6 +982,66 @@ object SketchOps {
     * nonnegative operands) and the estimate expression is literal-identical
     * IEEE arithmetic. */
   def oracles: Map[String, String] = Map(
+    // q163: the q154 recipe at (day, type) grain with every rollup level
+    // MAX-merged from the same fine store, exact counts off the distinct
+    // triple table — identical estimate arithmetic at all four levels
+    "q163_hll_rollup" ->
+      s"""WITH k AS (SELECT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                            COALESCE(event_type, '${graft.ops.GraphOps.NullSourceSentinel}') AS et,
+                            CAST(user_id AS VARCHAR) AS uk FROM events),
+              h AS (SELECT day, et, ('0x' || substr(md5(uk), 1, 15))::BIGINT AS h FROM k),
+              r AS (SELECT day, et, h // $HllRest AS j,
+                           CASE WHEN h % $HllRest = 0 THEN $HllRhoMax
+                                ELSE $HllRhoMax - length(bin(h % $HllRest)) END AS rho
+                    FROM h),
+              fine AS (SELECT day, et, j, MAX(rho) AS reg FROM r GROUP BY 1, 2, 3),
+              regs AS (SELECT 'day_type' AS level, day, et, j, reg FROM fine
+                       UNION ALL
+                       SELECT 'type', CAST($HllCubeTotalDay AS BIGINT), et, j, MAX(reg)
+                       FROM fine GROUP BY et, j
+                       UNION ALL
+                       SELECT 'day', day, '$HllRollupAllTypes', j, MAX(reg)
+                       FROM fine GROUP BY day, j
+                       UNION ALL
+                       SELECT 'total', CAST($HllCubeTotalDay AS BIGINT),
+                              '$HllRollupAllTypes', j, MAX(reg)
+                       FROM fine GROUP BY j),
+              p AS (SELECT level, day, et, COUNT(*) AS n_registers_hit,
+                           CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - reg)) AS BIGINT) AS s_hit
+                    FROM regs GROUP BY 1, 2, 3),
+              t AS (SELECT DISTINCT day, et, uk FROM k),
+              e AS (SELECT 'day_type' AS level, day, et,
+                           CAST(COUNT(*) AS BIGINT) AS exact_distinct
+                    FROM t GROUP BY day, et
+                    UNION ALL
+                    SELECT 'type', CAST($HllCubeTotalDay AS BIGINT), et,
+                           CAST(COUNT(DISTINCT uk) AS BIGINT)
+                    FROM t GROUP BY et
+                    UNION ALL
+                    SELECT 'day', day, '$HllRollupAllTypes',
+                           CAST(COUNT(DISTINCT uk) AS BIGINT)
+                    FROM t GROUP BY day
+                    UNION ALL
+                    SELECT 'total', CAST($HllCubeTotalDay AS BIGINT),
+                           '$HllRollupAllTypes', CAST(COUNT(DISTINCT uk) AS BIGINT)
+                    FROM t),
+              c AS (SELECT p.level AS level, p.day AS day, p.et AS et,
+                           e.exact_distinct AS exact_distinct,
+                           p.n_registers_hit AS n_registers_hit,
+                           CAST($HllRegisters - p.n_registers_hit AS BIGINT) AS n_zero_registers,
+                           s_hit + ($HllRegisters - n_registers_hit) * ${1L << 53} AS harmonic_denom_scaled
+                    FROM p JOIN e ON p.level = e.level AND p.day = e.day AND p.et = e.et)
+         SELECT level, day, et, exact_distinct, n_registers_hit, n_zero_registers,
+                harmonic_denom_scaled, raw_est,
+                (raw_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) AS rel_err,
+                abs(CASE WHEN n_zero_registers > 0 AND raw_est <= 2.5 * $HllRegisters.0
+                         THEN $HllRegisters.0 * ln($HllRegisters.0 / CAST(n_zero_registers AS DOUBLE))
+                         ELSE raw_est END
+                    - CAST(exact_distinct AS DOUBLE))
+                  <= greatest(0.25 * CAST(exact_distinct AS DOUBLE), 10.0) AS est_ok
+         FROM (SELECT c.*,
+                      $HllEstNum / CAST(harmonic_denom_scaled AS DOUBLE) AS raw_est
+               FROM c) ORDER BY level, day, et""",
     // q161: the filter rebuilt from the definition — same salts, same
     // word layout, dense 64-list via range ⟕ words, same bit test.
     // DuckDB's << is overflow-CHECKED, so bit 63 (the sign bit Spark's

@@ -383,6 +383,41 @@ class SketchOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q163 rollup: every level MAX-merges from the fine store; total row bit-equals the q154 cube's") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = SketchOps.hllRollupCube(events).collect()
+    val byLevel = rows.groupBy(_.getString(0))
+    assert(byLevel.keySet === Set("day_type", "type", "day", "total"))
+    assert(byLevel("total").length === 1)
+    // the level algebra: the 'day' rows must agree with the q154 cube's
+    // daily rows (same registers — the et dimension merges away), and the
+    // 'total' row must bit-equal the q154 total (register space is
+    // identical: both hash the same uk universe)
+    val q154 = SketchOps.hllDailyCube(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    byLevel("day").foreach { r =>
+      val ref = q154(r.getLong(1))
+      assert(r.getLong(3) === ref.getLong(1), s"day ${r.getLong(1)} exact")
+      assert(r.getLong(4) === ref.getLong(2), "n_registers_hit")
+      assert(r.getLong(6) === ref.getLong(4), "harmonic denom")
+      assert(r.getDouble(7) === ref.getDouble(5), "estimates bit-equal")
+    }
+    val tot = byLevel("total").head
+    val ref = q154(SketchOps.HllCubeTotalDay)
+    assert(tot.getLong(3) === ref.getLong(1) && tot.getLong(4) === ref.getLong(2) &&
+      tot.getLong(6) === ref.getLong(4) && tot.getDouble(7) === ref.getDouble(5),
+      "one register store must serve both cubes identically")
+    // exact-count hierarchy: finer levels can only see MORE distincts
+    // in aggregate (supersets per group) and the total bounds every group
+    val totalExact = tot.getLong(3)
+    assert(rows.forall(_.getLong(3) <= totalExact))
+    // qualification at every level
+    assert(rows.forall(_.getBoolean(9)), "HLL estimate outside tolerance at some level")
+    val reparted = SketchOps.hllRollupCube(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q161 bloom: OR-merge law, no false negatives ever, census matches a driver filter, pruning engages") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     // build-side keys per the shared dial
