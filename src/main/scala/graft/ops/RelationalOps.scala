@@ -773,11 +773,23 @@ object RelationalOps {
     * ≤ hours×W broadcast self-join — never a corpus window, never a
     * second pass. Integer headroom: 10⁸ events/hour × 2¹⁵ × 16 lags
     * ≈ 5×10¹³ — five decades inside int64. */
-  def burstDetector(events: DataFrame): DataFrame = {
+  /** The hourly collapse — ONE definition shared by the batch detector
+    * and [[graft.streaming.StreamBurst]]'s per-batch delta, so the two
+    * sides cannot drift on the grain. */
+  private[graft] def hourlyCounts(events: DataFrame): DataFrame =
+    events.selectExpr(s"unix_micros(ts) DIV $HourUs AS h")
+      .groupBy("h").agg(count(lit(1)).as("n"))
+
+  def burstDetector(events: DataFrame): DataFrame =
+    burstFromHours(hourlyCounts(events))
+
+  /** The verdict stage over an (h, n) hourly table — consumed by the
+    * batch path above and by the streaming store reader, which derives
+    * its hours from the maintained partial-count store instead. */
+  private[graft] def burstFromHours(hoursIn: DataFrame): DataFrame = {
     val w = EwmaWindowHours
     val den = (1L << w) - 1
-    val hours = events.selectExpr(s"unix_micros(ts) DIV $HourUs AS h")
-      .groupBy("h").agg(count(lit(1)).as("n"))
+    val hours = hoursIn
       .localCheckpoint() // calendar-bounded; probed as anchor + both join sides
     val h0 = hours.agg(min("h").as("h0"))
     val pairs = hours.as("a").join(broadcast(hours.as("b")),
