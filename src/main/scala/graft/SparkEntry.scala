@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // bottom-k uniform sample: fixed-size mergeable sampling (KMV with
+    // payloads) through the q157 bounded-state selection — plus the
+    // sample-vs-exact estimator qualification it exists for
+    "q164_bottomk_sample"  -> ((s, d) =>
+      PipelineOps.bottomkSample(Tables.documents(s, d))),
     // HLL grouping-sets rollup: registers built ONCE at (day, type)
     // grain; every coarser level MAX-merged from that store and graded
     // against its own exact distinct — one sketch build, every rollup

@@ -723,7 +723,94 @@ object PipelineOps {
        WHERE u.u < c.cut
        ORDER BY lang, source, doc_id"""
 
+  /** q164's fixed sample size, shared by both engines and the spec. */
+  val BottomK = 64
+
+  /** q164 — BOTTOM-K UNIFORM SAMPLE + estimator qualification: the
+    * fixed-size companion of the fraction-based q58/q107 keep rules —
+    * the K documents with the smallest 48-bit md5 draws form a uniform
+    * without-replacement sample of EXACTLY min(K, N) rows, deterministic
+    * and replay-safe, and (unlike any fraction rule) MERGEABLE: the
+    * bottom-K of a union is the truncated merge of the parts' bottom-Ks,
+    * so per-shard samples combine without a corpus pass — the KMV
+    * machinery (q65) with payloads attached. Selection runs through the
+    * q157 bounded-state aggregate (hash negated so the descending order
+    * selects ASCENDING draws): ≤ K-entry states tree-merge, the corpus
+    * is never sorted and never shuffles. The graded artifact carries the
+    * sample itself (rank, draw, payload) plus the reason samples exist —
+    * the sample-estimated mean tokens/doc against the exact corpus mean,
+    * both as floor'd exact micro integers, with the deterministic
+    * qualification boolean `est_ok` (|err| ≤ half the exact mean; md5
+    * draws make the outcome a stable fact per corpus, not a flaky
+    * tolerance).
+    *
+    * Scale shape: one linear pass hashes and measures docs; the
+    * selection state is ≤ K entries per partition; the census is one
+    * map-combinable aggregate; payload lookup broadcasts K ids. The
+    * only sort anywhere is the final ≤ K-row rank self-join. */
+  def bottomkSample(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs.select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+        md5Prefix48(col("doc_id")).as("h"))
+      .localCheckpoint() // consumed by selection, census, and payload join
+    val sel = hashed.selectExpr("CAST(0 AS BIGINT) AS g",
+        "CAST(doc_id AS STRING) AS k", "-h AS c")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .agg(new SketchOps.TopKByCount(BottomK).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(explode(col("top")).as("e"))
+      .selectExpr("CAST(e._1 AS BIGINT) AS doc_id")
+    val sample = hashed.join(broadcast(sel), Seq("doc_id"))
+      .localCheckpoint() // ≤ K rows; rank reads it twice
+    val rk = sample.as("a").join(broadcast(sample.as("b")),
+        col("b.h") < col("a.h") ||
+          (col("b.h") === col("a.h") &&
+            expr("CAST(b.doc_id AS STRING) <= CAST(a.doc_id AS STRING)")))
+      .groupBy(col("a.doc_id").as("doc_id")).agg(count(lit(1)).as("rk"))
+    val census = hashed.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tot_tok"))
+      .selectExpr("n_docs",
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * tot_tok DIV n_docs AS BIGINT) AS exact_mean_tok_micro")
+    val scensus = sample.agg(count(lit(1)).as("k_actual"), sum("n_tok").as("s_tok"))
+      .selectExpr("k_actual",
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * s_tok DIV k_actual AS BIGINT) AS sample_mean_tok_micro")
+    sample.join(rk, Seq("doc_id"))
+      .crossJoin(broadcast(census)).crossJoin(broadcast(scensus))
+      .selectExpr("rk", "doc_id", "h", "n_tok", "k_actual", "n_docs",
+        "sample_mean_tok_micro", "exact_mean_tok_micro",
+        "sample_mean_tok_micro - exact_mean_tok_micro AS err_micro",
+        "abs(sample_mean_tok_micro - exact_mean_tok_micro) * 2 <= exact_mean_tok_micro AS est_ok")
+      .orderBy("rk")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q164_bottomk_sample" ->
+      s"""WITH hd AS (SELECT doc_id,
+                             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+                             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+                      FROM documents),
+              sel AS (SELECT * FROM (
+                        SELECT hd.*, CAST(row_number() OVER (
+                                 ORDER BY h, CAST(doc_id AS VARCHAR)) AS BIGINT) AS rk
+                        FROM hd)
+                      WHERE rk <= $BottomK),
+              cen AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST((1000000::HUGEINT * SUM(n_tok)) // COUNT(*) AS BIGINT)
+                               AS exact_mean_tok_micro
+                      FROM hd),
+              sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_actual,
+                            CAST((1000000::HUGEINT * SUM(n_tok)) // COUNT(*) AS BIGINT)
+                              AS sample_mean_tok_micro
+                     FROM sel)
+         SELECT rk, doc_id, h, n_tok, k_actual, n_docs,
+                sample_mean_tok_micro, exact_mean_tok_micro,
+                sample_mean_tok_micro - exact_mean_tok_micro AS err_micro,
+                abs(sample_mean_tok_micro - exact_mean_tok_micro) * 2
+                  <= exact_mean_tok_micro AS est_ok
+         FROM sel CROSS JOIN cen CROSS JOIN sc
+         ORDER BY rk""",
     "q56_normalize" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

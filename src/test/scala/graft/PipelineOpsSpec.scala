@@ -510,4 +510,38 @@ class PipelineOpsSpec extends SparkSpec {
     // the fixture exercises both flag values (real near-dup clusters exist)
     assert(split.exists(_._5) && split.exists(!_._5))
   }
+
+  test("q164 bottom-k sample: selection = sorted draws, mergeable across halves, census exact, invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = PipelineOps.bottomkSample(docs).collect()
+    assert(rows.length === PipelineOps.BottomK)
+    // reference: the K smallest draws by (h, doc_id-as-string)
+    val all = docs.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        PipelineOps.md5Prefix48(org.apache.spark.sql.functions.col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = all.sortBy { case (id, h) => (h, id.toString) }
+      .take(PipelineOps.BottomK)
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq === want.toSeq,
+      "selection must be exactly the K smallest draws")
+    assert(rows.map(_.getLong(0)).toSeq === (1L to PipelineOps.BottomK).toSeq)
+    // mergeability: bottom-K(whole) = truncated merge of halves' bottom-Ks
+    val aIds = PipelineOps.bottomkSample(docs.where("doc_id % 2 = 0"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val bIds = PipelineOps.bottomkSample(docs.where("doc_id % 2 = 1"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val merged = (aIds ++ bIds).sortBy { case (id, h) => (h, id.toString) }
+      .take(PipelineOps.BottomK)
+    assert(merged.toSeq === want.toSeq,
+      "per-shard samples must merge to the corpus sample")
+    // census: exact means, qualification holds on this corpus
+    val nTok = docs.selectExpr("CAST(size(split(text, ' ')) AS BIGINT)")
+      .collect().map(_.getLong(0))
+    val exactMean = BigInt(1000000) * nTok.sum / nTok.length
+    assert(rows.head.getLong(7) === exactMean.toLong)
+    assert(rows.forall(_.getBoolean(9)), "sample estimator failed qualification")
+    val reparted = PipelineOps.bottomkSample(docs.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
