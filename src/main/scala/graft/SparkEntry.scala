@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // SCD2 state history via gaps-and-islands: value-change runs per
+    // user as [from, to) intervals with the open current row — the
+    // warehouse dimension build from a raw change log
+    "q165_scd2_intervals"  -> ((s, d) =>
+      RelationalOps.scd2Intervals(Tables.events(s, d))),
     // bottom-k uniform sample: fixed-size mergeable sampling (KMV with
     // payloads) through the q157 bounded-state selection — plus the
     // sample-vs-exact estimator qualification it exists for
@@ -1189,6 +1194,34 @@ object SparkEntry {
                                   * CAST(n_pairs * syy - sy * sy AS DOUBLE))
                  END AS r
           FROM s ORDER BY lag""",
+    // q165: identical (us, event_id) total order, change-flag lag,
+    // running island sum, and close-over lead on the collapsed islands
+    "q165_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+             f AS (SELECT e.*,
+                          CASE WHEN lag(event_type, 1) OVER w IS NULL
+                                 OR lag(event_type, 1) OVER w <> event_type
+                               THEN 1 ELSE 0 END AS chg
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             g AS (SELECT f.*,
+                          CAST(SUM(chg) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS island_idx
+                   FROM f),
+             i AS (SELECT user_id, island_idx, MAX(event_type) AS state,
+                          MIN(us) AS valid_from_us,
+                          CAST(COUNT(*) AS BIGINT) AS n_events
+                   FROM g GROUP BY user_id, island_idx)
+         SELECT user_id, island_idx, state, valid_from_us,
+                lead(valid_from_us, 1) OVER (PARTITION BY user_id
+                  ORDER BY island_idx) AS valid_to_us_excl,
+                n_events,
+                lead(valid_from_us, 1) OVER (PARTITION BY user_id
+                  ORDER BY island_idx) IS NULL AS is_current
+         FROM i ORDER BY user_id, island_idx""",
     // q162: identical hourly grain, dyadic weights, and cross-multiplied
     // integer burst rule; baseline is the one fixed-shape IEEE division
     "q162_burst_detector" -> {

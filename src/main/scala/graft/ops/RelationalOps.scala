@@ -434,6 +434,45 @@ object RelationalOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q165 — SCD2 STATE HISTORY via gaps-and-islands: per user, the
+    * run-length history of their event_type "state" — every maximal run
+    * of consecutive equal types becomes one interval row
+    * [valid_from_us, valid_to_us_excl) with the last run open
+    * (`is_current`) — the slowly-changing-dimension type-2 build every
+    * warehouse ships for dimension tables, derived from the raw change
+    * log. q54's time-gap islands split on SILENCE; these split on VALUE
+    * CHANGE — together they cover the gaps-and-islands taxonomy.
+    *
+    * Plan: ONE shuffle on user_id serves the change-flag lag, the
+    * running island sum, the per-island collapse, and the close-over
+    * lead (the q54 discipline — user-partitioned windows over a balanced
+    * key, never a global sort; the lead runs on the already-collapsed
+    * island table). The (us, event_id) total order is q144's, so
+    * simultaneous events resolve identically cross-engine. All exact
+    * epoch-µs integers. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull
+          || lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("island_idx", sum("chg").over(cum))
+      .groupBy("user_id", "island_idx")
+      .agg(max("event_type").as("state"), // constant within the island
+        min("us").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wi = Window.partitionBy("user_id").orderBy("island_idx")
+    islands
+      .withColumn("valid_to_us_excl", lead("valid_from_us", 1).over(wi))
+      .withColumn("is_current", col("valid_to_us_excl").isNull)
+      .select("user_id", "island_idx", "state", "valid_from_us",
+        "valid_to_us_excl", "n_events", "is_current")
+      .orderBy("user_id", "island_idx")
+  }
+
   /** The ordered funnel q136 walks — the corpus's own product funnel.
     * Shared with the oracle text so the stage list cannot drift. */
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")

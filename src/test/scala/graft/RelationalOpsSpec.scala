@@ -563,6 +563,51 @@ class RelationalOpsSpec extends SparkSpec {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 
+  test("q165 SCD2 intervals: hand log — runs collapse, A→B→A reopens, same-µs ties by event_id, intervals tile") {
+    val fix = Seq(
+      // user 1: A A B A — four events, three islands; the two same-µs
+      // events at t=30 resolve by event_id (20 before 21 → B then A)
+      (1L, 10L, 10L, "A"), (1L, 11L, 20L, "A"),
+      (1L, 20L, 30L, "B"), (1L, 21L, 30L, "A"),
+      // user 2: single state forever — one open interval
+      (2L, 30L, 5L, "X"), (2L, 31L, 6L, "X"))
+      .toDF("user_id", "event_id", "us", "event_type")
+      .selectExpr("user_id", "event_id", "event_type", "timestamp_micros(us) AS ts")
+    val got = RelationalOps.scd2Intervals(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, "A", 10L, Some(30L), 2L, false),
+      (1L, 2L, "B", 30L, Some(30L), 1L, false),
+      (1L, 3L, "A", 30L, None, 1L, true),
+      (2L, 1L, "X", 5L, None, 2L, true)))
+  }
+
+  test("q165 SCD2 on the corpus: tiling, one current per user, event conservation, invariance") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.scd2Intervals(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5), r.getBoolean(6)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, is) =>
+      val sorted = is.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to is.length).toSeq, s"user $u island idx")
+      // intervals tile: each closes exactly at the next one's open
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5.contains(b._4), s"user $u interval gap")
+          assert(a._3 != b._3, s"user $u adjacent islands share a state — runs not maximal")
+        case _ =>
+      }
+      assert(sorted.count(_._7) === 1 && sorted.last._7, s"user $u current flag")
+      assert(sorted.last._5.isEmpty)
+    }
+    assert(rows.map(_._6).sum === events.count(), "island events must conserve")
+    val reparted = RelationalOps.scd2Intervals(events.repartition(7)).collect()
+      .map(_.toSeq).toSeq
+    assert(reparted === RelationalOps.scd2Intervals(events).collect().map(_.toSeq).toSeq)
+  }
+
   test("q162 burst detector: hand series — dyadic baseline exact, cold start NULL, silence-gap burst") {
     val hourUs = RelationalOps.HourUs
     val w = RelationalOps.EwmaWindowHours
