@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // exact bitmap distinct cube: the dense-key EXACT counterpart of
+    // q154 — OR-mergeable per-day user bitmaps whose popcount equals the
+    // direct distinct, total row built by merging the daily word tables
+    "q166_bitmap_cube"     -> ((s, d) =>
+      SketchOps.bitmapDailyCube(Tables.events(s, d))),
     // SCD2 state history via gaps-and-islands: value-change runs per
     // user as [from, to) intervals with the open current row — the
     // warehouse dimension build from a raw change log

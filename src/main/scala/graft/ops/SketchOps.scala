@@ -886,6 +886,50 @@ object SketchOps {
       .orderBy("level", "day", "et")
   }
 
+  /** q166 — EXACT BITMAP DISTINCT CUBE: when the key domain is DENSE
+    * integers (user ids here), the sketch trade is unnecessary — a
+    * per-day bitmap of active users (user_id's bit in word user DIV 64)
+    * is OR-mergeable like the HLL registers but EXACT: any range's
+    * distinct count is the popcount of the OR of its days' bitmaps, no
+    * estimate, no tolerance boolean. This is the bitmap-index side of
+    * the q154 coin, and the cube's graded law is `exact_match` — the
+    * popcount-vs-direct-distinct equality that a single lost or doubled
+    * bit flips. The total row is built by OR-MERGING the daily word
+    * tables, exactly as q154's is by MAX.
+    *
+    * The honest trade vs HLL: state is ⌈key-domain⌉/64 words per day,
+    * not a fixed 256 registers — exact and mergeable, but only viable
+    * while ids stay dense (RoaringBitmap's run/array containers are the
+    * production refinement of exactly this structure; a 10⁹-user day is
+    * ~16 MB of plain words). Raw rows never shuffle: only (day, w, bit)
+    * triples move into the OR aggregate, duplicate- and
+    * re-delivery-proof like every OR/MAX store here. */
+  def bitmapDailyCube(events: DataFrame): DataFrame = {
+    val keyed = events.selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+        "user_id AS uid")
+      .localCheckpoint() // consumed by the word build + the exact branch
+    val words = keyed
+      .selectExpr("day", "CAST(uid DIV 64 AS BIGINT) AS w",
+        "CAST(uid % 64 AS INT) AS b")
+      .groupBy("day", "w")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("word"))
+      .localCheckpoint() // bounded days × domain/64
+    val merged = words.groupBy("w").agg(expr("bit_or(word)").as("word"))
+      .selectExpr(s"CAST($HllCubeTotalDay AS BIGINT) AS day", "w", "word")
+    val census = words.unionByName(merged).groupBy("day")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("CAST(bit_count(word) AS BIGINT)")).as("bitmap_distinct"))
+    val daily = keyed.distinct().groupBy("day").agg(count(lit(1)).as("exact_distinct"))
+    val exact = daily.unionByName(
+      keyed.select("uid").distinct().agg(count(lit(1)).as("exact_distinct"))
+        .selectExpr(s"CAST($HllCubeTotalDay AS BIGINT) AS day", "exact_distinct"))
+    census.join(exact, Seq("day"))
+      .selectExpr("day", "n_words", "bitmap_distinct", "exact_distinct",
+        "bitmap_distinct = exact_distinct AS exact_match")
+      .orderBy("day")
+  }
+
   /** q161's Bloom geometry: m bits in m/64 BIGINT words, k md5-salted
     * hash probes, and the heavy-spender build-side dial (exact integer
     * cents). Shared by both engines and the spec. */
@@ -982,6 +1026,35 @@ object SketchOps {
     * nonnegative operands) and the estimate expression is literal-identical
     * IEEE arithmetic. */
   def oracles: Map[String, String] = Map(
+    // q166: same word layout and OR merge; DuckDB's checked << needs the
+    // MIN_LONG literal for bit 63 (the q161 note), bit_count is two's-
+    // complement popcount on both engines
+    "q166_bitmap_cube" ->
+      s"""WITH k AS (SELECT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                            user_id AS uid FROM events),
+              wt AS (SELECT day, CAST(uid // 64 AS BIGINT) AS w,
+                            CAST(uid % 64 AS INT) AS b FROM k),
+              words AS (SELECT day, w,
+                               bit_or(CASE WHEN b = 63
+                                           THEN CAST(-9223372036854775808 AS BIGINT)
+                                           ELSE CAST(1 AS BIGINT) << b END) AS word
+                        FROM wt GROUP BY day, w),
+              mrg AS (SELECT CAST($HllCubeTotalDay AS BIGINT) AS day, w,
+                             bit_or(word) AS word
+                      FROM words GROUP BY w),
+              allw AS (SELECT * FROM words UNION ALL SELECT * FROM mrg),
+              c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_words,
+                           CAST(SUM(CAST(bit_count(word) AS BIGINT)) AS BIGINT)
+                             AS bitmap_distinct
+                    FROM allw GROUP BY day),
+              e AS (SELECT day, CAST(COUNT(DISTINCT uid) AS BIGINT) AS exact_distinct
+                    FROM k GROUP BY day
+                    UNION ALL
+                    SELECT CAST($HllCubeTotalDay AS BIGINT),
+                           CAST(COUNT(DISTINCT uid) AS BIGINT) FROM k)
+         SELECT day, n_words, bitmap_distinct, exact_distinct,
+                bitmap_distinct = exact_distinct AS exact_match
+         FROM c JOIN e USING (day) ORDER BY day""",
     // q163: the q154 recipe at (day, type) grain with every rollup level
     // MAX-merged from the same fine store, exact counts off the distinct
     // triple table — identical estimate arithmetic at all four levels

@@ -418,6 +418,52 @@ class SketchOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q166 bitmap cube: popcount = exact everywhere, OR-merge = direct range bitmap, bit-63 users survive") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = SketchOps.bitmapDailyCube(events).collect()
+    // THE graded law: bitmaps are exact, per day and for the merged total
+    assert(rows.forall(_.getBoolean(4)), "bitmap popcount diverged from exact distinct")
+    val total = rows.filter(_.getLong(0) == SketchOps.HllCubeTotalDay)
+    assert(total.length === 1)
+    assert(total.head.getLong(3) ===
+      events.select("user_id").distinct().count())
+    // range law (the q155 analog, exact here): OR of a range's daily
+    // bitmaps = the direct bitmap of the range's rows
+    val d0 = rows.map(_.getLong(0)).filter(_ >= 0).min
+    val (from, toExcl) = (d0 + 7, d0 + 21)
+    val inRange = events.filter(
+      s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} >= $from AND " +
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} < $toExcl")
+    val rangeDistinct = inRange.select("user_id").distinct().count()
+    // rebuild per-day words locally and OR them over the range
+    val uidByDay = events.selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rangeWords = scala.collection.mutable.Map.empty[Long, Long]
+    uidByDay.filter(p => p._1 >= from && p._1 < toExcl).foreach { case (_, uid) =>
+      val w = uid / 64
+      rangeWords(w) = rangeWords.getOrElse(w, 0L) | (1L << (uid % 64).toInt)
+    }
+    assert(rangeWords.values.map(java.lang.Long.bitCount).sum === rangeDistinct,
+      "OR-merged range bitmap must count the exact range distinct")
+    val reparted = SketchOps.bitmapDailyCube(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+    // the sign bit (uid ≡ 63 mod 64) on a hand fixture — the q161 <<
+    // lesson: Spark wraps, the oracle needs MIN_LONG, popcount must
+    // still be exact and word boundaries must not leak
+    val fix = Seq((0L, 63L), (0L, 64L), (0L, 0L), (1L, 63L))
+      .toDF("day0", "uid")
+      .selectExpr(s"timestamp_micros(day0 * ${graft.ops.RelationalOps.DayUs}) AS ts",
+        "uid AS user_id")
+    val fr = SketchOps.bitmapDailyCube(fix).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(fr(0L) === ((2L, 3L, true)), "day 0: words {0 (bits 0,63), 1 (bit 0)}")
+    assert(fr(1L) === ((1L, 1L, true)))
+    assert(fr(SketchOps.HllCubeTotalDay) === ((2L, 3L, true)),
+      "merged total must OR away the day-1 duplicate of uid 63")
+  }
+
   test("q161 bloom: OR-merge law, no false negatives ever, census matches a driver filter, pruning engages") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     // build-side keys per the shared dial
