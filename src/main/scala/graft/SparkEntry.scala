@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // A/B experiment census: md5 arm assignment (never rand()), exact
+    // per-arm conversion counts, pooled two-proportion z — the
+    // experimentation-platform query, with a deterministic verdict
+    "q168_ab_test"         -> ((s, d) =>
+      RelationalOps.abTestCensus(Tables.events(s, d))),
     // exact bitmap distinct cube: the dense-key EXACT counterpart of
     // q154 — OR-mergeable per-day user bitmaps whose popcount equals the
     // direct distinct, total row built by merging the daily word tables
@@ -1227,6 +1232,40 @@ object SparkEntry {
                 lead(valid_from_us, 1) OVER (PARTITION BY user_id
                   ORDER BY island_idx) IS NULL AS is_current
          FROM i ORDER BY user_id, island_idx""",
+    // q168: identical md5 arm deal, exact counts, and the literal same
+    // pooled-z expression text — the verdict is a stable graded fact
+    "q168_ab_test" -> {
+      val (eid, crit) = (RelationalOps.AbExperimentId, RelationalOps.AbZCrit)
+      s"""WITH u AS (SELECT CAST(user_id AS VARCHAR) AS uk,
+                            MAX(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                                      AND CAST(ROUND(value * 100) AS BIGINT) >= ${RelationalOps.AbConvCents}
+                                     THEN 1 ELSE 0 END) AS converted
+                     FROM events GROUP BY 1),
+              ar AS (SELECT uk, converted,
+                            ('0x' || substr(md5('$eid:' || uk), 1, 12))::BIGINT % 2 AS arm
+                     FROM u),
+              c AS (SELECT CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+                           CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+                           CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+                           CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+                    FROM ar),
+              zc AS (SELECT c.*,
+                            CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+                            CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+                            CASE WHEN n_a = 0 OR n_b = 0
+                                   OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                                 THEN CAST(NULL AS DOUBLE)
+                                 ELSE (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                       - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                                      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                                             * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                                             * (1e0 / CAST(n_a AS DOUBLE) + 1e0 / CAST(n_b AS DOUBLE)))
+                            END AS z
+                     FROM c)
+         SELECT n_a, conv_a, n_b, conv_b, p_a, p_b, z,
+                CASE WHEN z IS NULL THEN false ELSE abs(z) > $crit END AS significant
+         FROM zc"""
+    },
     // q162: identical hourly grain, dyadic weights, and cross-multiplied
     // integer burst rule; baseline is the one fixed-shape IEEE division
     "q162_burst_detector" -> {

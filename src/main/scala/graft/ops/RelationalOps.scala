@@ -434,6 +434,65 @@ object RelationalOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q168's experiment dials: the arm salt (a named experiment id so a
+    * second experiment draws independently) and the two-sided 5%
+    * critical value, written as the exact decimal text both engines
+    * parse to the same double. */
+  val AbExperimentId = "exp1"
+  val AbZCrit = "1.96"
+  /** Conversion = a purchase of at least this many exact cents — a rare
+    * event (~3% of users at test scales), so the census is non-degenerate
+    * where a purchased-at-all rule saturates to p = 1 on every arm. */
+  val AbConvCents = 30000L
+
+  /** q168 — A/B EXPERIMENT CENSUS: users dealt to arms by a replay-safe
+    * md5 draw on (experiment id, user) — the assignment rule an
+    * experimentation platform ships, never `rand()` — and the classic
+    * two-proportion pooled z-test on conversion (did the user ever
+    * purchase), computed from exact integer counts through one
+    * fixed-shape IEEE expression (the q147 z-score discipline). The
+    * graded artifact is one census row: per-arm user/conversion counts
+    * (exact), the rates, the pooled z, and the 5% two-sided verdict —
+    * deterministic per corpus because the assignment is md5, so
+    * `significant` is a stable graded fact. With assignment independent
+    * of behavior the verdict should be (and is) null-effect at every
+    * test scale; a biased deal or a broken count flips it.
+    *
+    * Scale shape: ONE user-keyed collapse of the corpus (map-combinable
+    * MAX for converted), arm + draw row-local, then a 2-row aggregate
+    * folded to one census row. Degenerate arms (either n = 0, or a
+    * pooled rate of 0 or 1) yield NULL z and a false verdict rather
+    * than NaN. */
+  def abTestCensus(events: DataFrame): DataFrame = {
+    val users = events
+      .selectExpr("CAST(user_id AS STRING) AS uk",
+        "CASE WHEN event_type = 'purchase' AND value IS NOT NULL " +
+          s"AND CAST(round(value * 100) AS BIGINT) >= $AbConvCents " +
+          "THEN 1L ELSE 0L END AS conv")
+      .groupBy("uk").agg(max("conv").as("converted"))
+      .withColumn("arm",
+        PipelineOps.md5Prefix48(concat(lit(AbExperimentId + ":"), col("uk"))) % 2)
+    users.agg(
+        count(when(col("arm") === 0, 1)).as("n_a"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        count(when(col("arm") === 1, 1)).as("n_b"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+        "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a",
+        "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b",
+        """CASE WHEN n_a = 0 OR n_b = 0
+                 OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN CAST(NULL AS DOUBLE)
+                ELSE (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                            * (1e0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                            * (1e0 / CAST(n_a AS DOUBLE) + 1e0 / CAST(n_b AS DOUBLE)))
+           END AS z""")
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b", "p_a", "p_b", "z",
+        s"CASE WHEN z IS NULL THEN false ELSE abs(z) > $AbZCrit END AS significant")
+  }
+
   /** q165 — SCD2 STATE HISTORY via gaps-and-islands: per user, the
     * run-length history of their event_type "state" — every maximal run
     * of consecutive equal types becomes one interval row

@@ -563,6 +563,54 @@ class RelationalOpsSpec extends SparkSpec {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 
+  test("q168 A/B census: a real effect turns the verdict on; zero-conversion corpora NULL out; corpus matches driver") {
+    // arm parity of a uk under the shared md5 deal, computed once
+    def arm(uk: String): Long =
+      spark.sql(s"SELECT CAST(conv(substring(md5('${RelationalOps.AbExperimentId}:$uk'), 1, 12), 16, 10) AS BIGINT) % 2")
+        .head().getLong(0)
+    val parities = (0L until 80L).map(u => u -> arm(u.toString)).toMap
+    val (arm0, arm1) = (parities.filter(_._2 == 0L).keys.toSeq.sorted,
+      parities.filter(_._2 == 1L).keys.toSeq.sorted)
+    assert(arm0.size >= 20 && arm1.size >= 20, "md5 deal badly unbalanced on 80 users")
+    // effect fixture: every arm-0 user converts (one $350 purchase),
+    // arm-1 users never do — the z must scream
+    def ev(uid: Long, i: Long, typ: String, v: Double) =
+      (uid * 1000 + i, uid, typ, v)
+    val effect = (arm0.flatMap(u => Seq(ev(u, 0, "purchase", 350.0))) ++
+      arm1.flatMap(u => Seq(ev(u, 0, "purchase", 10.0), ev(u, 1, "view", 350.0))))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp_micros(event_id) AS ts", "user_id",
+        "event_type", "CAST(value AS DOUBLE) AS value")
+    val r = RelationalOps.abTestCensus(effect).collect().head
+    assert(r.getLong(0) === arm0.size && r.getLong(1) === arm0.size)
+    assert(r.getLong(2) === arm1.size && r.getLong(3) === 0L)
+    assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 0.0)
+    assert(r.getBoolean(7) === true, "a total effect must be significant")
+    // the view row at $350 must NOT count as conversion (type matters)
+    // — already implied by conv_b = 0 above
+    // degenerate: nobody converts anywhere → NULL z, false verdict
+    val nul = RelationalOps.abTestCensus(
+      effect.withColumn("value", org.apache.spark.sql.functions.lit(1.0)))
+      .collect().head
+    assert(nul.isNullAt(6) && !nul.getBoolean(7))
+    // corpus: exact counts vs a driver fold
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val row = RelationalOps.abTestCensus(events).collect().head
+    val perUser = events.selectExpr("CAST(user_id AS STRING) AS uk",
+        s"""CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                 AND CAST(round(value * 100) AS BIGINT) >= ${RelationalOps.AbConvCents}
+            THEN 1L ELSE 0L END AS c""")
+      .collect().groupBy(_.getString(0)).toSeq.map { case (uk, rs) =>
+        (arm(uk), rs.map(_.getLong(1)).max)
+      }
+    assert(row.getLong(0) === perUser.count(_._1 == 0L))
+    assert(row.getLong(1) === perUser.filter(_._1 == 0L).map(_._2).sum)
+    assert(row.getLong(2) === perUser.count(_._1 == 1L))
+    assert(row.getLong(3) === perUser.filter(_._1 == 1L).map(_._2).sum)
+    val again = RelationalOps.abTestCensus(events.repartition(7)).collect().head
+    assert(again.toSeq === row.toSeq)
+  }
+
   test("q165 SCD2 intervals: hand log — runs collapse, A→B→A reopens, same-µs ties by event_id, intervals tile") {
     val fix = Seq(
       // user 1: A A B A — four events, three islands; the two same-µs
