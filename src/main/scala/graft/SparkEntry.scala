@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // consistent-hashing reshard audit: exact moved-key counts under
+    // mod vs ring when 16 shards grow to 20 — the artifact that prices
+    // a reshard; successor lookup via the bucketed-candidate trick
+    "q167_reshard_audit"   -> ((s, d) =>
+      graft.ops.ScaleOps.reshardAudit(Tables.events(s, d))),
     // A/B experiment census: md5 arm assignment (never rand()), exact
     // per-arm conversion counts, pooled two-proportion z — the
     // experimentation-platform query, with a deterministic verdict
@@ -1232,6 +1237,40 @@ object SparkEntry {
                 lead(valid_from_us, 1) OVER (PARTITION BY user_id
                   ORDER BY island_idx) IS NULL AS is_current
          FROM i ORDER BY user_id, island_idx""",
+    // q167: the oracle can afford the naive keys×ring probe — same ring
+    // salts, same wrapped order (min over a struct), same mod rule; the
+    // bucket trick is the ENGINE's scale plan, not part of the answer
+    "q167_reshard_audit" -> {
+      import graft.ops.ScaleOps._
+      s"""WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS uk FROM events),
+              kh AS (SELECT uk, ('0x' || substr(md5(uk), 1, 12))::BIGINT AS h FROM keys),
+              ring AS (SELECT CAST(s.range AS INT) AS shard,
+                              ('0x' || substr(md5('ring:' || s.range || ':' || v.range), 1, 12))::BIGINT AS pos
+                       FROM range($ReshardTo) s, range($RingVnodes) v),
+              own AS (SELECT uk, h,
+                             (min({'e': CASE WHEN pos >= h THEN pos
+                                             ELSE pos + $RingSpace END,
+                                   's': shard})).s AS ch_shard
+                      FROM kh CROSS JOIN ring GROUP BY uk, h),
+              o2 AS (SELECT uk, ch_shard,
+                            h % $ReshardFrom AS mod_from, h % $ReshardTo AS mod_to
+                     FROM own),
+              c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                           CAST(COUNT(CASE WHEN mod_from <> mod_to THEN 1 END) AS BIGINT) AS mod_moved,
+                           CAST(COUNT(CASE WHEN ch_shard >= $ReshardFrom THEN 1 END) AS BIGINT) AS ch_moved
+                    FROM o2),
+              ms AS (SELECT CAST(MAX(cc) AS BIGINT) AS mod_max
+                     FROM (SELECT COUNT(*) AS cc FROM o2 GROUP BY mod_to)),
+              cs AS (SELECT CAST(MAX(cc) AS BIGINT) AS ch_max
+                     FROM (SELECT COUNT(*) AS cc FROM o2 GROUP BY ch_shard))
+         SELECT n_keys, mod_moved, ch_moved,
+                CAST(mod_moved AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mod_moved_frac,
+                CAST(ch_moved AS DOUBLE) / CAST(n_keys AS DOUBLE) AS ch_moved_frac,
+                ch_moved < mod_moved AS ch_beats_mod,
+                CAST(mod_max AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mod_max_share,
+                CAST(ch_max AS DOUBLE) / CAST(n_keys AS DOUBLE) AS ch_max_share
+         FROM c CROSS JOIN ms CROSS JOIN cs"""
+    },
     // q168: identical md5 arm deal, exact counts, and the literal same
     // pooled-z expression text — the verdict is a stable graded fact
     "q168_ab_test" -> {

@@ -121,6 +121,91 @@ object ScaleOps {
     per.reduce(_ unionByName _).orderBy("tbl", "key")
   }
 
+  /** q167's reshard geometry: shard counts before/after the expansion,
+    * virtual nodes per shard, the 48-bit ring space, and the bucket
+    * width for the scalable successor lookup. Shared by both engines
+    * and the spec. */
+  val ReshardFrom = 16
+  val ReshardTo = 20
+  val RingVnodes = 64
+  val RingSpace = PipelineOps.TwoPow48
+  val RingBucketBits = 40 // 2^48 space / 2^40 width = 256 buckets
+  val RingBucketWidth = 1L << RingBucketBits
+
+  /** q167 — CONSISTENT-HASHING RESHARD AUDIT: when a 16-shard layout
+    * grows to 20, how many keys MOVE? Under mod-hashing (`h % K`) almost
+    * everything does (exactly the keys with h%16 ≠ h%20 — 4/5 of the
+    * space); under a consistent-hash ring (md5-positioned virtual nodes,
+    * Karger 1997 / the memcached ring) only the keys whose arc a NEW
+    * shard's vnode captured — about K'−K/K' = 1/5. Both counts are
+    * computed EXACTLY over the real key population and graded, with the
+    * per-scheme hottest-shard share as the balance evidence (vnodes are
+    * what keep ring arcs even). This is the operational artifact that
+    * prices a reshard at 100 TB: 80% of the corpus re-spilled vs 20%.
+    *
+    * Ring-successor lookup, the scale-relevant part: the ring is ≤
+    * shards×vnodes rows, but a naive per-key successor probe fans every
+    * key out against the whole ring. Instead the ring is bucketed into
+    * 2^48/2^40 = 256 arcs (the q126 interval-bucket trick): per bucket,
+    * the candidates are its own nodes plus the FIRST node after the
+    * bucket (or the global minimum as the wrap candidate), so each key
+    * equi-joins ~ring/256 + 1 broadcast candidates and picks min by the
+    * wrapped order (pos < h continues at pos + 2^48). Because the grown
+    * ring contains the old ring's nodes unchanged, a key moved under CH
+    * ⟺ its successor in the NEW ring belongs to an added shard — one
+    * lookup decides the audit, no second ring pass. */
+  def reshardAudit(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val ring = spark.range(ReshardTo.toLong).selectExpr("CAST(id AS INT) AS shard")
+      .crossJoin(spark.range(RingVnodes.toLong).selectExpr("CAST(id AS INT) AS v"))
+      .select(col("shard"),
+        PipelineOps.md5Prefix48(
+          concat(lit("ring:"), col("shard"), lit(":"), col("v"))).as("pos"))
+      .localCheckpoint() // bounded shards × vnodes
+    val buckets = spark.range(1L << (48 - RingBucketBits))
+      .selectExpr("CAST(id AS BIGINT) AS bucket")
+    val inBucket = ring.selectExpr(s"pos DIV $RingBucketWidth AS bucket", "pos", "shard")
+    val afterCand = buckets.crossJoin(ring) // bounded 256 × ring
+      .filter(col("pos") >= (col("bucket") + 1) * lit(RingBucketWidth))
+      .groupBy("bucket").agg(min(struct(col("pos"), col("shard"))).as("m"))
+      .selectExpr("bucket", "m.pos AS pos", "m.shard AS shard")
+    val globalMin = ring.agg(min(struct(col("pos"), col("shard"))).as("g"))
+      .selectExpr("g.pos AS gpos", "g.shard AS gshard")
+    val wrapped = buckets.join(afterCand, Seq("bucket"), "left")
+      .crossJoin(broadcast(globalMin))
+      .selectExpr("bucket", "coalesce(pos, gpos) AS pos",
+        "coalesce(shard, gshard) AS shard")
+    val candidates = inBucket.unionByName(wrapped)
+      .localCheckpoint() // ≤ ring + buckets rows, broadcast to the keys
+    val keys = events.selectExpr("CAST(user_id AS STRING) AS uk").distinct()
+      .select(col("uk"), PipelineOps.md5Prefix48(col("uk")).as("h"))
+    val owned = keys
+      .selectExpr("uk", "h", s"h DIV $RingBucketWidth AS bucket")
+      .join(broadcast(candidates), Seq("bucket"))
+      .selectExpr("uk", "h", "shard",
+        s"CASE WHEN pos >= h THEN pos ELSE pos + $RingSpace END AS eff")
+      .groupBy("uk", "h")
+      .agg(min(struct(col("eff"), col("shard"))).as("o"))
+      .selectExpr("uk", "h", "o.shard AS ch_shard",
+        s"h % $ReshardFrom AS mod_from", s"h % $ReshardTo AS mod_to")
+      .localCheckpoint() // per-key verdicts; consumed by census + balance
+    val census = owned.agg(
+      count(lit(1)).as("n_keys"),
+      count(when(col("mod_from") =!= col("mod_to"), 1)).as("mod_moved"),
+      count(when(col("ch_shard") >= lit(ReshardFrom), 1)).as("ch_moved"))
+    val modShare = owned.groupBy("mod_to").agg(count(lit(1)).as("c"))
+      .agg(max("c").as("mod_max"))
+    val chShare = owned.groupBy("ch_shard").agg(count(lit(1)).as("c"))
+      .agg(max("c").as("ch_max"))
+    census.crossJoin(broadcast(modShare)).crossJoin(broadcast(chShare))
+      .selectExpr("n_keys", "mod_moved", "ch_moved",
+        "CAST(mod_moved AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mod_moved_frac",
+        "CAST(ch_moved AS DOUBLE) / CAST(n_keys AS DOUBLE) AS ch_moved_frac",
+        "ch_moved < mod_moved AS ch_beats_mod",
+        "CAST(mod_max AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mod_max_share",
+        "CAST(ch_max AS DOUBLE) / CAST(n_keys AS DOUBLE) AS ch_max_share")
+  }
+
   /** q160's value-predicate window, in exact integer cents (inclusive
     * bounds). Shared by both engines and the spec. */
   val ZoneCentsLo = 10000L

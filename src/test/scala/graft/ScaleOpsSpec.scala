@@ -105,6 +105,50 @@ class ScaleOpsSpec extends SparkSpec {
     assert(again.toSeq === row.toSeq)
   }
 
+  test("q167 reshard audit: bucketed successor = naive successor (wrap keys included), CH beats mod") {
+    import graft.ops.ScaleOps._
+    // pure-JVM md5 (identical to Spark's md5() on UTF-8) — the referee
+    def p48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(12), 16)
+    }
+    val ringRef = (for (s <- 0 until ReshardTo; v <- 0 until RingVnodes)
+      yield (s, p48(s"ring:$s:$v"))).sortBy(r => (r._2, r._1))
+    def naiveOwner(h: Long): Int =
+      ringRef.find(_._2 >= h).getOrElse(ringRef.minBy(_._2))._1
+    // fixture: normal keys PLUS mined keys whose draw lies past the last
+    // ring vnode — the wrap arm of the bucketed lookup must fire
+    val wrapIds = Seq(575L, 1126L, 2302L, 8693L, 10678L)
+    assert(wrapIds.forall(u => p48(u.toString) > ringRef.map(_._2).max),
+      "mined wrap keys drifted — remine against the current ring salts")
+    val ids = (0L until 40L) ++ wrapIds
+    val fixture = ids.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("i", "user_id")
+      .selectExpr("i AS event_id", "timestamp_micros(i) AS ts", "user_id",
+        "'view' AS event_type", "CAST(1.0 AS DOUBLE) AS value", "'' AS props")
+    val r = ScaleOps.reshardAudit(fixture).collect().head
+    val hs = ids.map(u => u.toString -> p48(u.toString))
+    val chMoved = hs.count { case (_, h) => naiveOwner(h) >= ReshardFrom }
+    val modMoved = hs.count { case (_, h) => h % ReshardFrom != h % ReshardTo }
+    assert(r.getLong(0) === ids.length.toLong)
+    assert(r.getLong(1) === modMoved.toLong, "mod moved count")
+    assert(r.getLong(2) === chMoved.toLong,
+      "bucketed ring lookup disagrees with the naive successor — wrap arm broken?")
+    assert(r.getBoolean(5), "consistent hashing must beat mod on moves")
+    // corpus: engine equals the same naive reference end to end
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val row = ScaleOps.reshardAudit(events).collect().head
+    val uks = events.selectExpr("CAST(user_id AS STRING)").distinct()
+      .collect().map(_.getString(0))
+    assert(row.getLong(0) === uks.length.toLong)
+    assert(row.getLong(2) === uks.count(u => naiveOwner(p48(u)) >= ReshardFrom).toLong)
+    assert(row.getLong(1) === uks.count { u =>
+      val h = p48(u); h % ReshardFrom != h % ReshardTo }.toLong)
+    val again = ScaleOps.reshardAudit(events.repartition(7)).collect().head
+    assert(again.toSeq === row.toSeq)
+  }
+
   test("q160 zone maps: time layout prunes the ts predicate to exactly the window; soundness everywhere") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val rows = ScaleOps.zoneMapAudit(events).collect()
