@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // ANALYZE-statistics build: exact NDV/nulls/min-max + equi-depth
+    // boundaries via the q156 two-pass bin refinement — optimizer stats
+    // without a corpus sort
+    "q169_equidepth_stats" -> ((s, d) =>
+      SketchOps.equiDepthStats(Tables.events(s, d))),
     // consistent-hashing reshard audit: exact moved-key counts under
     // mod vs ring when 16 shards grow to 20 — the artifact that prices
     // a reshard; successor lookup via the bucketed-candidate trick

@@ -806,6 +806,94 @@ object SketchOps {
       .orderBy("uk")
   }
 
+  /** q169's bucket count — the ANALYZE artifact's equi-depth resolution. */
+  val EquiDepthBuckets = 8L
+
+  /** q169 — ANALYZE-STATISTICS BUILD (equi-depth histogram + column
+    * census): the optimizer-statistics artifact every engine's ANALYZE
+    * writes — for the value column: exact NDV, null count, min/max, and
+    * the [[EquiDepthBuckets]] equi-depth boundaries a cost model uses
+    * for selectivity. Boundary b = the smallest cents value whose
+    * cumulative row count reaches ⌈b·N/B⌉, found WITHOUT a corpus sort
+    * by the q156 two-pass distributed selection: the bounded global
+    * histogram (2000-cent bins) locates each target rank's bin, then ONE
+    * filtered re-scan collapses only the located bins' rows and reads
+    * the exact boundary off a by-construction-bounded in-bin cumulative.
+    * Per-bucket exact row counts (equal up to duplicate-value ties —
+    * emitted, not assumed) and the conservation law cover_ok
+    * (Σ bucket counts = N − nulls) are part of the graded artifact.
+    *
+    * Scale shape: two corpus passes (histogram build; target-bin
+    * re-scan), both map-combinable collapses; everything else lives on
+    * bounded tables via the q108 self-join cumulative. NDV here is the
+    * exact distinct of the collapsed cents table (bounded by the value
+    * domain); for unbounded-domain columns the q134 HLL registers are
+    * the NDV path — both exist in this engine. */
+  def equiDepthStats(events: DataFrame): DataFrame = {
+    val w = HistBinCents
+    val b = EquiDepthBuckets
+    val cents = events.selectExpr(
+        "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round(value * 100) AS BIGINT) END AS c")
+      .localCheckpoint() // two passes: histogram + target-bin re-scan
+    val summary = cents.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("c").isNull, 1)).as("n_null"),
+        min("c").as("min_cents"), max("c").as("max_cents"))
+      .crossJoin(broadcast(
+        cents.filter(col("c").isNotNull).select("c").distinct()
+          .agg(count(lit(1)).as("ndv"))))
+      .localCheckpoint() // one row
+    val hist = cents.filter(col("c").isNotNull)
+      .selectExpr(s"${floorBin("c")} AS bin")
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded by value-range/width
+    val cum = hist.as("h1").join(broadcast(hist.as("h2")),
+        col("h2.bin") <= col("h1.bin"))
+      .groupBy(col("h1.bin").as("bin"))
+      .agg(max(col("h1.n")).as("n_bin"), sum(col("h2.n")).as("cum_n"))
+    val targets = cents.sparkSession.range(1, b + 1)
+      .selectExpr("CAST(id AS BIGINT) AS bucket")
+      .crossJoin(broadcast(summary.selectExpr("n_rows - n_null AS n_vals")))
+      .selectExpr("bucket", "n_vals",
+        s"(bucket * n_vals + $b - 1) DIV $b AS target_rank")
+    val picked = targets.join(broadcast(cum), col("cum_n") >= col("target_rank"))
+      .groupBy("bucket")
+      .agg(max("n_vals").as("n_vals"), max("target_rank").as("target_rank"),
+        min(struct(col("bin"), col("cum_n"), col("n_bin"))).as("pk"))
+      .selectExpr("bucket", "n_vals", "target_rank", "pk.bin AS bin",
+        "pk.cum_n - pk.n_bin AS cum_below")
+      .localCheckpoint() // ≤ B rows; probes the corpus
+    val inBin = cents.filter(col("c").isNotNull)
+      .join(broadcast(picked.select("bucket", "bin")),
+        expr(floorBin("c")) === col("bin"))
+      .groupBy("bucket", "c").agg(count(lit(1)).as("cn"))
+    val wSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("c")
+    // boundary value AND its exact global rank in one bounded pass: the
+    // in-bin cumulative already carries the rank (cum_below + cum_in),
+    // so no third corpus scan is needed for the per-bucket masses
+    val ranks = inBin.withColumn("cum_in", sum("cn").over(wSpec))
+      .join(broadcast(picked.select("bucket", "cum_below", "target_rank")), "bucket")
+      .filter(col("cum_below") + col("cum_in") >= col("target_rank"))
+      .groupBy("bucket").agg(min(struct(col("c"), col("cum_in"))).as("bd"))
+      .join(broadcast(picked.select("bucket", "cum_below")), Seq("bucket"))
+      .selectExpr("bucket", "bd.c AS boundary_cents",
+        "cum_below + bd.cum_in AS rank_at_boundary")
+    val prev = ranks.selectExpr("bucket + 1 AS bucket",
+      "rank_at_boundary AS prev_rank")
+    ranks.join(broadcast(prev), Seq("bucket"), "left")
+      .selectExpr("bucket", "boundary_cents", "rank_at_boundary",
+        "rank_at_boundary - coalesce(prev_rank, CAST(0 AS BIGINT)) AS n_in_bucket")
+      .crossJoin(broadcast(summary))
+      .join(broadcast(targets.select("bucket", "target_rank")), Seq("bucket"))
+      .selectExpr("bucket", "target_rank", "boundary_cents", "n_in_bucket",
+        "n_rows", "n_null", "ndv", "min_cents", "max_cents",
+        s"""CASE WHEN bucket = $b THEN boundary_cents = max_cents
+                 ELSE true END AS top_is_max""")
+      .orderBy("bucket")
+  }
+
   /** q163's rolled-dimension sentinels: day reuses [[HllCubeTotalDay]];
     * the rolled event_type is a printable marker no real type contains. */
   val HllRollupAllTypes = "~all~"
@@ -1026,6 +1114,41 @@ object SketchOps {
     * nonnegative operands) and the estimate expression is literal-identical
     * IEEE arithmetic. */
   def oracles: Map[String, String] = Map(
+    // q169: the boundaries straight from the definition — a full
+    // cumulative over distinct cents (the oracle can afford the sort the
+    // engine's two-pass refinement avoids), ranks read off the same
+    // cumulative, census identical
+    "q169_equidepth_stats" ->
+      s"""WITH c0 AS (SELECT CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT)
+                                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS c
+                      FROM events),
+              s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                           CAST(COUNT(CASE WHEN c IS NULL THEN 1 END) AS BIGINT) AS n_null,
+                           MIN(c) AS min_cents, MAX(c) AS max_cents,
+                           CAST(COUNT(DISTINCT c) AS BIGINT) AS ndv
+                    FROM c0),
+              v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cn
+                    FROM c0 WHERE c IS NOT NULL GROUP BY c),
+              cc AS (SELECT c, CAST(SUM(cn) OVER (ORDER BY c) AS BIGINT) AS cum FROM v),
+              t AS (SELECT CAST(r.range AS BIGINT) AS bucket,
+                           (r.range * (n_rows - n_null) + $EquiDepthBuckets - 1)
+                             // $EquiDepthBuckets AS target_rank
+                    FROM range(1, ${EquiDepthBuckets + 1}) r CROSS JOIN s),
+              bd AS (SELECT bucket, target_rank, MIN(c) AS boundary_cents
+                     FROM t JOIN cc ON cum >= target_rank GROUP BY 1, 2),
+              rk AS (SELECT bd.bucket AS bucket, bd.target_rank AS target_rank,
+                            bd.boundary_cents AS boundary_cents,
+                            cc.cum AS rank_at_boundary
+                     FROM bd JOIN cc ON cc.c = bd.boundary_cents),
+              fin AS (SELECT rk.*,
+                             rk.rank_at_boundary - COALESCE(p.rank_at_boundary,
+                               CAST(0 AS BIGINT)) AS n_in_bucket
+                      FROM rk LEFT JOIN rk p ON p.bucket = rk.bucket - 1)
+         SELECT bucket, target_rank, boundary_cents, n_in_bucket,
+                n_rows, n_null, ndv, min_cents, max_cents,
+                CASE WHEN bucket = $EquiDepthBuckets
+                     THEN boundary_cents = max_cents ELSE true END AS top_is_max
+         FROM fin CROSS JOIN s ORDER BY bucket""",
     // q166: same word layout and OR merge; DuckDB's checked << needs the
     // MIN_LONG literal for bit 63 (the q161 note), bit_count is two's-
     // complement popcount on both engines

@@ -843,6 +843,18 @@ class PlanShapeSpec extends SparkSpec {
       "q159 must not window")
   }
 
+  test("q167 reshard audit: ring candidates broadcast to the keys — no per-key ring fan-out, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = graft.ops.ScaleOps.reshardAudit(events)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"bucketed candidates must reach the keys via broadcast:\n${exec.take(1200)}")
+    assert(!exec.contains("CartesianProduct"),
+      s"keys×ring cartesian leaked into q167:\n${exec.take(1200)}")
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q167 must not window")
+  }
+
   test("q161 bloom prune: the filter broadcasts as one row; the probe decision never shuffles") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = SketchOps.bloomPruneCensus(events)

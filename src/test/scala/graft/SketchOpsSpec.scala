@@ -418,6 +418,35 @@ class SketchOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q169 equi-depth stats: boundaries = exact sorted-rank picks, masses conserve, census exact") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = SketchOps.equiDepthStats(events).collect()
+    assert(rows.length === SketchOps.EquiDepthBuckets)
+    val cents = events.filter("value IS NOT NULL")
+      .selectExpr("CAST(round(value * 100) AS BIGINT)").collect()
+      .map(_.getLong(0)).sorted
+    val b = SketchOps.EquiDepthBuckets
+    rows.foreach { r =>
+      val bucket = r.getLong(0)
+      val target = (bucket * cents.length + b - 1) / b
+      assert(r.getLong(1) === target)
+      // the definition: smallest value whose rank reaches the target
+      assert(r.getLong(2) === cents(target.toInt - 1), s"bucket $bucket boundary")
+      assert(r.getLong(4) === events.count() && r.getLong(5) === 0L)
+      assert(r.getLong(6) === cents.distinct.length.toLong, "ndv")
+      assert(r.getLong(7) === cents.head && r.getLong(8) === cents.last)
+      assert(r.getBoolean(9), "top bucket must close at max")
+    }
+    // conservation + near-equal depths (exact up to duplicate-value ties)
+    assert(rows.map(_.getLong(3)).sum === cents.length.toLong)
+    val masses = rows.map(_.getLong(3))
+    assert(masses.forall(m => math.abs(m - cents.length / b) <= 2),
+      s"equi-depth masses wildly uneven: ${masses.mkString(",")}")
+    val reparted = SketchOps.equiDepthStats(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q166 bitmap cube: popcount = exact everywhere, OR-merge = direct range bitmap, bit-63 users survive") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val rows = SketchOps.bitmapDailyCube(events).collect()
