@@ -551,6 +551,10 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // TWAP per user: interval-weighted mean — the aggregate plain AVG
+    // gets wrong under irregular sampling; exact HUGEINT weights
+    "q170_twap"            -> ((s, d) =>
+      RelationalOps.twapPerUser(Tables.events(s, d))),
     // ANALYZE-statistics build: exact NDV/nulls/min-max + equi-depth
     // boundaries via the q156 two-pass bin refinement — optimizer stats
     // without a corpus sort
@@ -1214,6 +1218,27 @@ object SparkEntry {
                                   * CAST(n_pairs * syy - sy * sy AS DOUBLE))
                  END AS r
           FROM s ORDER BY lag""",
+    // q170: identical total order, LOCF interval weights, HUGEINT
+    // numerator, exact floor-divided milli result
+    "q170_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           CAST(ROUND(value * 100) AS BIGINT) AS cents
+                    FROM events WHERE value IS NOT NULL),
+             l AS (SELECT e.*,
+                          lead(us, 1) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) - us AS dur_us
+                   FROM e),
+             g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_priced,
+                          MAX(us) - MIN(us) AS span_us,
+                          SUM(CAST(cents AS HUGEINT) * dur_us) AS num,
+                          CAST(SUM(dur_us) AS BIGINT) AS den_us
+                   FROM l GROUP BY user_id)
+         SELECT user_id, n_priced, span_us,
+                num AS twap_num, den_us AS twap_den_us,
+                CASE WHEN den_us IS NULL OR den_us = 0 THEN CAST(NULL AS BIGINT)
+                     ELSE CAST(CAST(1000 AS HUGEINT) * num // den_us AS BIGINT)
+                END AS twap_milli
+         FROM g ORDER BY user_id""",
     // q165: identical (us, event_id) total order, change-flag lag,
     // running island sum, and close-over lead on the collapsed islands
     "q165_scd2_intervals" ->

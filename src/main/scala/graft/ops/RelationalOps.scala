@@ -434,6 +434,44 @@ object RelationalOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q170 — TIME-WEIGHTED AVERAGE (TWAP) per user: the mean of `value`
+    * where each observation is weighted by how long it REMAINED the
+    * latest observation — Σ cents·Δµs / Σ Δµs over consecutive-event
+    * gaps — the financial/metering aggregate a plain AVG silently gets
+    * wrong whenever sampling is irregular (a price held for an hour
+    * counts an hour, not one tick). The last event holds no interval
+    * and contributes no mass; single-event users emit NULL. Everything
+    * is exact integers: the numerator runs in DECIMAL(38,0)/HUGEINT
+    * (cents × µs × events overflows int64 on long timelines), the
+    * shipped `twap_milli` is one exact floor division, and the raw
+    * num/den pair is emitted so any downstream re-weighting stays exact.
+    *
+    * Plan: one user_id shuffle serves the lead window (the q144 total
+    * order) and the per-user fold — no self-join, no second pass.
+    * Null-value rows are EXCLUDED up front (a null price holds nothing);
+    * the interval then spans to the next PRICED event, which is the
+    * standard last-observation-carried-forward reading. */
+  def twapPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events.filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("dur_us", lead("us", 1).over(w) - col("us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_priced"),
+        (max("us") - min("us")).as("span_us"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * dur_us")).as("num"),
+        sum("dur_us").as("den_us"))
+      .selectExpr("user_id", "n_priced", "span_us",
+        "CAST(num AS DECIMAL(38,0)) AS twap_num",
+        "den_us AS twap_den_us",
+        """CASE WHEN den_us IS NULL OR den_us = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(CAST(1000 AS DECIMAL(38,0)) * num DIV den_us AS BIGINT)
+           END AS twap_milli""")
+      .orderBy("user_id")
+  }
+
   /** q168's experiment dials: the arm salt (a named experiment id so a
     * second experiment draws independently) and the two-sided 5%
     * critical value, written as the exact decimal text both engines

@@ -563,6 +563,53 @@ class RelationalOpsSpec extends SparkSpec {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 
+  test("q170 TWAP: hand timeline — held prices weigh by duration, AVG would lie; single-event NULL; corpus fold") {
+    // user 1: $1.00 held 9 µs-units, then $100.00 held 1 → TWAP 10.90,
+    // while AVG says 50.50; last event holds nothing. user 2: one priced
+    // event → NULL twap. user 3: null price dropped, interval spans to
+    // the next PRICED event (LOCF)
+    val fix = Seq(
+      (1L, 10L, 0L, Some(1.0)), (1L, 11L, 9L, Some(100.0)), (1L, 12L, 10L, Some(7.0)),
+      (2L, 20L, 0L, Some(5.0)),
+      (3L, 30L, 0L, Some(2.0)), (3L, 31L, 4L, None), (3L, 32L, 10L, Some(4.0)))
+      .toDF("user_id", "event_id", "us", "v")
+      .selectExpr("user_id", "event_id", "timestamp_micros(us) AS ts",
+        "CAST(v AS DOUBLE) AS value")
+    val got = RelationalOps.twapPerUser(fix).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // user 1: num = 100·9 + 10000·1 = 10900, den = 10 → 1090.0 cents
+    assert(got(1L).getDecimal(3).longValueExact === 10900L)
+    assert(got(1L).getLong(4) === 10L)
+    assert(got(1L).getLong(5) === 1090000L) // 1090.000 milli-cents: AVG would say 5050.000
+    assert(got(2L).isNullAt(5) && got(2L).getLong(1) === 1L)
+    // user 3: $2.00 held 10 (to the next PRICED event) → twap = 200 cents
+    assert(got(3L).getDecimal(3).longValueExact === 2000L &&
+      got(3L).getLong(4) === 10L && got(3L).getLong(5) === 200000L)
+    // corpus: exact driver fold
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.twapPerUser(events).collect()
+    val perUser = events.filter("value IS NOT NULL")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val evs = perUser(r.getLong(0)).sortBy(e => (e._3, e._2))
+      val num = evs.toSeq.sliding(2).collect {
+        case Seq(a, b) => BigInt(a._4) * (b._3 - a._3)
+      }.sum
+      val den = evs.toSeq.sliding(2).collect {
+        case Seq(a, b) => b._3 - a._3
+      }.sum
+      assert(BigInt(r.getDecimal(3).toBigInteger) === num, s"user ${r.getLong(0)} num")
+      assert(r.getLong(4) === den)
+      assert(r.getLong(5) === (BigInt(1000) * num / den).toLong)
+    }
+    val again = RelationalOps.twapPerUser(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === rows.map(_.toSeq).toSeq)
+  }
+
   test("q168 A/B census: a real effect turns the verdict on; zero-conversion corpora NULL out; corpus matches driver") {
     // arm parity of a uk under the shared md5 deal, computed once
     def arm(uk: String): Long =
