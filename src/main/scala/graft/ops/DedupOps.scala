@@ -742,8 +742,17 @@ object DedupOps {
         col("a.variant") === col("b.name"))
       .selectExpr("least(a.name, b.name) AS name_a",
         "greatest(a.name, b.name) AS name_b")
-    sub.unionByName(indel).distinct()
-      .withColumn("dist", expr("CAST(levenshtein(name_a, name_b) AS BIGINT)"))
+      .distinct() // deleting either of two equal adjacent chars can emit
+                  // the same pair twice — dedup the (small) indel branch
+    // NO global distinct: a substitution pair matches at exactly ONE
+    // (pos, variant) key so the sub branch is dup-free by construction,
+    // and the branches are length-disjoint — deduping the union would
+    // re-shuffle every candidate for nothing
+    sub.unionByName(indel)
+      // threshold form runs the banded O(len·k) DP instead of the full
+      // O(len²) table; candidates are provably at distance 1 ≤ 2, where
+      // the form returns the exact distance
+      .withColumn("dist", expr("CAST(levenshtein(name_a, name_b, 2) AS BIGINT)"))
       .where("dist = 1")
       .orderBy("name_a", "name_b")
   }
