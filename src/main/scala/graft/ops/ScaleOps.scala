@@ -232,32 +232,43 @@ object ScaleOps {
     * MIN. A shard with only NULL values carries NULL cents bounds —
     * skippable for any value predicate (NULL never matches a range),
     * handled explicitly on both engines. */
-  def zoneMapAudit(events: DataFrame): DataFrame = {
-    val dayUs = RelationalOps.DayUs
-    val (off, len) = (SketchOps.HllRangeStartOff, SketchOps.HllRangeLen)
-    val base = events.selectExpr(
-      s"unix_micros(ts) DIV $dayUs AS day",
-      "unix_micros(ts) AS ts_us",
-      "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
-        "ELSE CAST(round(value * 100) AS BIGINT) END AS cents")
-    val anchor = base.agg(min("day").as("d0"))
-    base.crossJoin(broadcast(anchor))
-      .selectExpr("day", "ts_us", "cents",
-        s"(d0 + $off) * $dayUs AS ts_lo_us",
-        s"(d0 + ${off + len}) * $dayUs AS ts_hi_us_excl")
+  /** The pure per-day zone-map store — every column MIN/MAX/SUM-mergeable
+    * across arbitrary row subsets, which is exactly what lets
+    * [[graft.streaming.StreamZoneMap]] maintain it per micro-batch. ONE
+    * definition shared by the batch audit and the streaming maintainer. */
+  private[graft] def zoneStats(events: DataFrame): DataFrame =
+    events.selectExpr(
+        s"unix_micros(ts) DIV ${RelationalOps.DayUs} AS day",
+        "unix_micros(ts) AS ts_us",
+        "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round(value * 100) AS BIGINT) END AS cents")
       .groupBy("day")
       .agg(count(lit(1)).as("n_rows"),
         min("ts_us").as("ts_us_min"), max("ts_us").as("ts_us_max"),
         min("cents").as("cents_min"), max("cents").as("cents_max"),
-        max("ts_lo_us").as("ts_lo_us"), max("ts_hi_us_excl").as("ts_hi_us_excl"),
-        count(when(col("ts_us") >= col("ts_lo_us") &&
-          col("ts_us") < col("ts_hi_us_excl"), 1)).as("n_match_ts"),
         count(when(col("cents") >= lit(ZoneCentsLo) &&
           col("cents") <= lit(ZoneCentsHi), 1)).as("n_match_cents"))
+
+  /** The audit stage over a (merged) stats table. The ts-predicate
+    * window covers WHOLE days and the shard key IS the day, so the
+    * per-shard match count is derivable from the stats alone
+    * (n_rows inside the window, 0 outside) — no raw-row access, which
+    * is what makes the streamed store's audit bit-equal to the batch
+    * query's by construction. */
+  private[graft] def zoneAuditFromStats(stats: DataFrame): DataFrame = {
+    val dayUs = RelationalOps.DayUs
+    val (off, len) = (SketchOps.HllRangeStartOff, SketchOps.HllRangeLen)
+    val anchor = stats.agg(min("day").as("d0"))
+    stats.crossJoin(broadcast(anchor))
+      .selectExpr("day", "n_rows", "ts_us_min", "ts_us_max",
+        "cents_min", "cents_max", "n_match_cents",
+        s"(d0 + $off) * $dayUs AS ts_lo_us",
+        s"(d0 + ${off + len}) * $dayUs AS ts_hi_us_excl")
       .selectExpr("day", "n_rows", "ts_us_min", "ts_us_max",
         "cents_min", "cents_max",
         "ts_us_max < ts_lo_us OR ts_us_min >= ts_hi_us_excl AS skip_ts",
-        "n_match_ts",
+        s"""CASE WHEN day >= ts_lo_us DIV $dayUs AND day < ts_hi_us_excl DIV $dayUs
+                 THEN n_rows ELSE CAST(0 AS BIGINT) END AS n_match_ts""",
         s"cents_max IS NULL OR cents_max < $ZoneCentsLo " +
           s"OR cents_min > $ZoneCentsHi AS skip_cents",
         "n_match_cents")
@@ -269,4 +280,7 @@ object ScaleOps {
         "NOT skip_cents OR n_match_cents = 0 AS skip_sound_cents")
       .orderBy("day")
   }
+
+  def zoneMapAudit(events: DataFrame): DataFrame =
+    zoneAuditFromStats(zoneStats(events))
 }
