@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // 2-D skyline (Pareto frontier): the cheapest-for-its-size staircase
+    // via grid decomposition — bucket-partitioned window + bounded
+    // prefix pruning, never an all-pairs join; graded vs the definition
+    "q171_skyline"         -> ((s, d) =>
+      RelationalOps.skylineParts(Tables.part(s, d))),
     // TWAP per user: interval-weighted mean — the aggregate plain AVG
     // gets wrong under irregular sampling; exact HUGEINT weights
     "q170_twap"            -> ((s, d) =>
@@ -1218,6 +1223,23 @@ object SparkEntry {
                                   * CAST(n_pairs * syy - sy * sy AS DOUBLE))
                  END AS r
           FROM s ORDER BY lag""",
+    // q171: the bare definition — all-pairs NOT EXISTS dominance — so
+    // the hash match proves the grid decomposition exact, not heuristic
+    "q171_skyline" ->
+      """WITH pts AS (SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+                             CAST(p_size AS BIGINT) AS part_size,
+                             CAST(COUNT(*) AS BIGINT) AS n_parts
+                      FROM part
+                      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+                      GROUP BY 1, 2)
+         SELECT price_cents, part_size, n_parts
+         FROM pts p
+         WHERE NOT EXISTS (SELECT 1 FROM pts q
+                           WHERE q.price_cents <= p.price_cents
+                             AND q.part_size >= p.part_size
+                             AND (q.price_cents < p.price_cents
+                                  OR q.part_size > p.part_size))
+         ORDER BY price_cents""",
     // q170: identical total order, LOCF interval weights, HUGEINT
     // numerator, exact floor-divided milli result
     "q170_twap" ->

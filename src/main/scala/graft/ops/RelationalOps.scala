@@ -434,6 +434,64 @@ object RelationalOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q171's price-bucket width (exact cents) for the skyline's grid
+    * pruning. */
+  val SkylineBucketCents = 1000L
+
+  /** q171 — 2-D SKYLINE (Pareto frontier): the parts no other part beats
+    * on BOTH price (minimize, exact cents) and size (maximize) — the
+    * multi-objective shortlist query (cheapest-for-its-size staircase)
+    * that relational engines don't ship as an operator and naive SQL
+    * writes as an all-pairs NOT EXISTS. Planned scalably as the classic
+    * grid decomposition:
+    *
+    *  1. collapse to distinct (price, size) combos (map-combinable, with
+    *     multiplicity — an exact duplicate cannot dominate its twin, so
+    *     duplicates survive together);
+    *  2. per price-bucket, the local skyline via ONE bucket-partitioned
+    *     window: sorted by (price ASC, size DESC), a combo survives iff
+    *     the running max size over STRICTLY EARLIER rows is below its
+    *     own (every potential in-bucket dominator sorts earlier — equal
+    *     prices order bigger-size first, and distinctness rules out full
+    *     ties);
+    *  3. across buckets, a bounded prefix table (per-bucket max size,
+    *     cumulated over strictly cheaper buckets via the q108 bounded
+    *     self-join) kills every combo an earlier bucket dominates —
+    *     earlier-bucket prices are strictly cheaper BY CONSTRUCTION, so
+    *     `size ≤ prefix_max` is exact dominance, not a heuristic.
+    *
+    * A later bucket can never dominate (its prices are strictly higher),
+    * so (2) ∧ (3) IS the exact skyline — graded against the bare
+    * NOT-EXISTS definition, which proves the decomposition complete and
+    * precise. The only window is bucket-partitioned (the q112
+    * discipline); everything else is bounded. */
+  def skylineParts(part: DataFrame): DataFrame = {
+    val w = SkylineBucketCents
+    val pts = part
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+      .selectExpr("CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents",
+        "CAST(p_size AS BIGINT) AS part_size")
+      .groupBy("price_cents", "part_size").agg(count(lit(1)).as("n_parts"))
+      .withColumn("bucket", expr(s"price_cents DIV $w"))
+      .localCheckpoint() // consumed by the window pass + the prefix table
+    val ws = Window.partitionBy("bucket")
+      .orderBy(col("price_cents").asc, col("part_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = pts
+      .withColumn("run_max", max("part_size").over(ws))
+      .filter(col("run_max").isNull || col("run_max") < col("part_size"))
+    val bmax = pts.groupBy("bucket").agg(max("part_size").as("bmax"))
+      .localCheckpoint() // bounded by price-range/width
+    val prefix = bmax.as("x").join(broadcast(bmax.as("y")),
+        col("y.bucket") < col("x.bucket"), "left")
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(max(col("y.bmax")).as("prefix_max"))
+    local.join(broadcast(prefix), Seq("bucket"))
+      .filter(col("prefix_max").isNull || col("prefix_max") < col("part_size"))
+      .select("price_cents", "part_size", "n_parts")
+      .orderBy("price_cents")
+  }
+
   /** q170 — TIME-WEIGHTED AVERAGE (TWAP) per user: the mean of `value`
     * where each observation is weighted by how long it REMAINED the
     * latest observation — Σ cents·Δµs / Σ Δµs over consecutive-event

@@ -843,6 +843,19 @@ class PlanShapeSpec extends SparkSpec {
       "q159 must not window")
   }
 
+  test("q171 skyline: the only window is bucket-partitioned; no all-pairs dominance join") {
+    val part = Tables.part(spark, "/root/testdata/sf0.001")
+    val q = RelationalOps.skylineParts(part)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"all-pairs dominance leaked into q171:\n${exec.take(1200)}")
+    // the local-skyline window must be PARTITIONED (by bucket) — a
+    // global window here is the single-task sort the grid exists to avoid
+    val globalWindow = "Window\\s.*\\[\\]".r // empty partition spec
+    assert(globalWindow.findFirstIn(exec).isEmpty,
+      s"unpartitioned window in q171:\n${exec.take(1200)}")
+  }
+
   test("q167 reshard audit: ring candidates broadcast to the keys — no per-key ring fan-out, no window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val q = graft.ops.ScaleOps.reshardAudit(events)

@@ -563,6 +563,42 @@ class RelationalOpsSpec extends SparkSpec {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 
+  test("q171 skyline: hand frontier — staircase exact, ties and duplicates handled, brute-force equality on corpus") {
+    // (price cents, size): frontier should be (100,9) (200,12) (500,50);
+    // (200,9) dominated cross-bucket by (100,9) [equal size, cheaper];
+    // (150,9) dominated in-bucket-or-not by (100,9); (100,9) duplicate
+    // survives with n_parts 2; (600,50) dominated by (500,50)
+    val fix = Seq(
+      (1.00, 9), (1.00, 9), (1.50, 9), (2.00, 12), (2.00, 9),
+      (5.00, 50), (6.00, 50), (3.00, 11))
+      .toDF("p_retailprice", "p_size")
+      .selectExpr("CAST(p_retailprice AS DOUBLE) AS p_retailprice",
+        "CAST(p_size AS INT) AS p_size")
+    val got = RelationalOps.skylineParts(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((100L, 9L, 2L), (200L, 12L, 1L), (500L, 50L, 1L)))
+    // corpus: brute-force dominance definition
+    val part = Tables.part(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.skylineParts(part).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val combos = part.selectExpr("CAST(round(p_retailprice * 100) AS BIGINT) AS pc",
+        "CAST(p_size AS BIGINT) AS sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((pc, sz), n) => (pc, sz, n) }
+    val brute = combos.filter { case (pc, sz, _) =>
+      !combos.exists { case (qc, qz, _) =>
+        qc <= pc && qz >= sz && (qc < pc || qz > sz) }
+    }.sortBy(_._1)
+    assert(rows === brute, "grid decomposition must equal the definition")
+    // the staircase law: prices strictly increase, sizes strictly increase
+    assert(rows.map(_._1) === rows.map(_._1).sorted.distinct)
+    assert(rows.map(_._2) === rows.map(_._2).sorted.distinct)
+    val again = RelationalOps.skylineParts(part.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === rows.map(p => Seq(p._1, p._2, p._3)))
+  }
+
   test("q170 TWAP: hand timeline — held prices weigh by duration, AVG would lie; single-event NULL; corpus fold") {
     // user 1: $1.00 held 9 µs-units, then $100.00 held 1 → TWAP 10.90,
     // while AVG says 50.50; last event holds nothing. user 2: one priced
