@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // CMS inner-product join-cardinality estimate: the planner's number
+    // — self-join size bounded from two 1 KB sketches, the overestimate
+    // theorem graded against the exact Σc²
+    "q172_join_cardinality" -> ((s, d) =>
+      SketchOps.cmsJoinCardinality(Tables.events(s, d))),
     // 2-D skyline (Pareto frontier): the cheapest-for-its-size staircase
     // via grid decomposition — bucket-partitioned window + bounded
     // prefix pruning, never an all-pairs join; graded vs the definition

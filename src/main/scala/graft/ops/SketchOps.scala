@@ -1105,6 +1105,40 @@ object SketchOps {
       .orderBy("day")
   }
 
+  /** q172 — JOIN-CARDINALITY ESTIMATION via the Count-Min inner product
+    * (Cormode–Muthukrishnan's second theorem — the one optimizers use):
+    * the size of the user-keyed self-join |events ⋈ events| is exactly
+    * Σ_u c_u², and the CMS estimates it as min_r Σ_j reg[r][j]² — a
+    * guaranteed OVERESTIMATE (collisions only add non-negative cross
+    * terms), computable from two 1 KB sketches withOUT touching either
+    * table again. This is the q158 grid doing the optimizer's job: at
+    * 100 TB the planner reads this number to pick broadcast vs shuffle
+    * vs salt BEFORE paying the join, and the q153 skew audit's Σc² is
+    * the exact branch it is graded against. `over_ok` (est ≥ exact) is
+    * the theorem itself — a flipped register breaks it and fails the
+    * hash.
+    *
+    * Scale shape: the corpus collapses once to per-key counts (shared
+    * with q158's build); the register squares live on the bounded d×w
+    * grid; the exact branch is one DECIMAL(38,0) aggregate over the
+    * collapsed table (a hot key's c² overflows int64 — same headroom
+    * note as q153). */
+  def cmsJoinCardinality(events: DataFrame): DataFrame = {
+    val counts = userCounts(events)
+      .localCheckpoint() // consumed by the grid build + the exact branch
+    val est = cmsRegisters(counts)
+      .groupBy("r")
+      .agg(sum(expr("CAST(reg AS DECIMAL(38,0)) * reg")).as("est_r"))
+      .agg(min("est_r").as("est_pairs"))
+    val exact = counts.agg(
+      count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("exact_pairs"))
+    exact.crossJoin(broadcast(est))
+      .selectExpr("n_rows", "n_keys", "exact_pairs", "est_pairs",
+        "est_pairs >= exact_pairs AS over_ok",
+        "CAST(est_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE) AS blowup")
+  }
+
   /** q64's oracle is exact (the two-pass output is exact; the sketch only
     * proposes candidates, and its recall guarantee is what the hash match
     * proves). q65's exact columns are recomputed by DuckDB from the same
@@ -1286,6 +1320,31 @@ object SketchOps {
                 END AS fp_rate,
                 CAST(n_rows - n_pass AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pruned_frac
          FROM c ORDER BY day""",
+    // q172: same grid, same squares; exact branch = Σc² in HUGEINT,
+    // estimate = min over rows of the register self-inner-product
+    "q172_join_cardinality" ->
+      s"""WITH counts AS (SELECT CAST(user_id AS VARCHAR) AS uk,
+                                 CAST(COUNT(*) AS BIGINT) AS cnt
+                          FROM events GROUP BY 1),
+              rows_ AS (SELECT unnest([${(0 until CmsRows).mkString(", ")}]) AS r),
+              cells AS (SELECT r,
+                               ('0x' || substr(md5('cm' || r || ':' || uk), 1, 15))::BIGINT
+                                 % $CmsWidth AS j,
+                               cnt
+                        FROM counts CROSS JOIN rows_),
+              reg AS (SELECT r, j, CAST(SUM(cnt) AS BIGINT) AS reg
+                      FROM cells GROUP BY r, j),
+              est AS (SELECT MIN(est_r) AS est_pairs
+                      FROM (SELECT r, SUM(CAST(reg AS HUGEINT) * reg) AS est_r
+                            FROM reg GROUP BY r)),
+              ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                            CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                            SUM(CAST(cnt AS HUGEINT) * cnt) AS exact_pairs
+                     FROM counts)
+         SELECT n_rows, n_keys, exact_pairs, est_pairs,
+                est_pairs >= exact_pairs AS over_ok,
+                CAST(est_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE) AS blowup
+         FROM ex CROSS JOIN est""",
     // q158: the grid rebuilt from the definition with the same md5 row
     // salts; DuckDB's || renders integers identically to Spark's concat
     // literals, so the hashed strings agree byte-for-byte

@@ -418,6 +418,34 @@ class SketchOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q172 join cardinality: overestimate theorem, exact branch = q153's Σc², collision-free grid is tight") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val r = SketchOps.cmsJoinCardinality(events).collect().head
+    // exact branch = Σc² — the SAME number q153 computes as sum_c2 for
+    // (events, user_id): the cross-query law tying the skew audit to
+    // the planner's estimate
+    val counts = events.selectExpr("CAST(user_id AS STRING)").collect()
+      .groupBy(_.getString(0)).map(_._2.length.toLong)
+    val exact = counts.map(c => BigInt(c) * c).sum
+    assert(BigInt(r.getDecimal(2).toBigInteger) === exact)
+    assert(r.getLong(0) === counts.sum && r.getLong(1) === counts.size.toLong)
+    // the theorem: est ≥ exact, always
+    assert(r.getBoolean(4) && r.getDouble(5) >= 1.0)
+    // driver-rebuilt grid: est = min over rows of Σ reg²
+    val regs = SketchOps.cmsRegisters(SketchOps.userCounts(events)).collect()
+      .map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val estRef = (0 until SketchOps.CmsRows).map { row =>
+      regs.collect { case ((`row`, _), v) => BigInt(v) * v }.sum
+    }.min
+    assert(BigInt(r.getDecimal(3).toBigInteger) === estRef)
+    // 15 keys over 256 columns collide in no row at this sf → the
+    // estimate is TIGHT (blowup exactly 1) — the zero-collision case
+    assert(r.getDouble(5) === 1.0,
+      "expected a collision-free grid at sf0.001 — salts changed?")
+    val again = SketchOps.cmsJoinCardinality(events.repartition(7)).collect().head
+    assert(again.toSeq === r.toSeq)
+  }
+
   test("q169 equi-depth stats: boundaries = exact sorted-rank picks, masses conserve, census exact") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val rows = SketchOps.equiDepthStats(events).collect()
