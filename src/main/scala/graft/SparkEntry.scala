@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // MERGE INTO / CDC apply: last-writer-wins upsert+delete against a
+    // base snapshot — the Delta/Iceberg core op; winner per key is one
+    // lexicographic struct MAX, never a rank window
+    "q173_cdc_merge"       -> ((s, d) =>
+      RelationalOps.cdcMerge(Tables.customer(s, d), Tables.events(s, d))),
     // CMS inner-product join-cardinality estimate: the planner's number
     // — self-join size bounded from two 1 KB sketches, the overestimate
     // theorem graded against the exact Σc²
@@ -1228,6 +1233,32 @@ object SparkEntry {
                                   * CAST(n_pairs * syy - sy * sy AS DOUBLE))
                  END AS r
           FROM s ORDER BY lag""",
+    // q173: same LWW total order via the same lexicographic struct MAX,
+    // same merge matrix (upsert/delete × base/cdc)
+    "q173_cdc_merge" ->
+      """WITH ch AS (SELECT user_id AS key, epoch_us(ts) AS us, event_id,
+                            CASE WHEN event_type = 'error' THEN 'delete'
+                                 ELSE 'upsert' END AS op,
+                            CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT)
+                                 ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+                     FROM events),
+             lastw AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_changes,
+                              max({'u': us, 'e': event_id, 'o': op, 'c': cents}) AS w
+                       FROM ch GROUP BY key),
+             l2 AS (SELECT key, n_changes, w.o AS last_op, w.c AS last_cents
+                    FROM lastw),
+             base AS (SELECT c_custkey AS key,
+                             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS base_cents
+                      FROM customer)
+         SELECT key,
+                CASE WHEN last_op = 'upsert' THEN last_cents
+                     ELSE base_cents END AS balance_cents,
+                COALESCE(n_changes, CAST(0 AS BIGINT)) AS n_changes,
+                COALESCE(last_op, 'base') AS last_op,
+                CASE WHEN base_cents IS NULL THEN 'cdc' ELSE 'base' END AS src
+         FROM base FULL OUTER JOIN l2 USING (key)
+         WHERE COALESCE(last_op, 'upsert') <> 'delete'
+         ORDER BY key""",
     // q171: the bare definition — all-pairs NOT EXISTS dominance — so
     // the hash match proves the grid decomposition exact, not heuristic
     "q171_skyline" ->

@@ -434,6 +434,46 @@ object RelationalOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q173 — MERGE INTO / CDC APPLY: the Delta-Iceberg-style upsert the
+    * reference's append-only sink never needed — a base snapshot
+    * (customers) merged with a change log (events reinterpreted as CDC:
+    * `error` = DELETE the key, anything else = UPSERT the key's balance
+    * to that event's exact cents) under LAST-WRITER-WINS by the
+    * (us, event_id) total order. Emits the post-merge snapshot with
+    * provenance: per surviving key the balance, the change count, the
+    * winning op (`base` for untouched rows), and whether the key was
+    * born in the base or inserted by CDC.
+    *
+    * Scale shape: the winner per key is ONE lexicographic struct MAX
+    * (the q109/q150 argmax idiom — never a rank window; the change log
+    * collapses map-combinably before anything joins), then one co-keyed
+    * FULL OUTER join against the base and a row-local CASE applies
+    * upsert/delete/keep. Deletes of absent keys are no-ops; CDC inserts
+    * of keys the base never had survive with src = 'cdc' — the full
+    * MERGE matrix, each cell spec-pinned. */
+  def cdcMerge(customer: DataFrame, events: DataFrame): DataFrame = {
+    val changes = events.selectExpr(
+        "user_id AS key",
+        "unix_micros(ts) AS us", "event_id",
+        "CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op",
+        "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round(value * 100) AS BIGINT) END AS cents")
+    val last = changes.groupBy("key")
+      .agg(count(lit(1)).as("n_changes"),
+        max(struct(col("us"), col("event_id"), col("op"), col("cents"))).as("w"))
+      .selectExpr("key", "n_changes", "w.op AS last_op", "w.cents AS last_cents")
+    val base = customer.selectExpr("c_custkey AS key",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS base_cents")
+    base.join(last, Seq("key"), "full_outer")
+      .filter(coalesce(col("last_op"), lit("upsert")) =!= "delete")
+      .selectExpr("key",
+        "CASE WHEN last_op = 'upsert' THEN last_cents ELSE base_cents END AS balance_cents",
+        "coalesce(n_changes, CAST(0 AS BIGINT)) AS n_changes",
+        "coalesce(last_op, 'base') AS last_op",
+        "CASE WHEN base_cents IS NULL THEN 'cdc' ELSE 'base' END AS src")
+      .orderBy("key")
+  }
+
   /** q171's price-bucket width (exact cents) for the skyline's grid
     * pruning. */
   val SkylineBucketCents = 1000L

@@ -563,6 +563,68 @@ class RelationalOpsSpec extends SparkSpec {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 
+  test("q173 CDC merge: the full merge matrix on a hand log; corpus matches a driver LWW fold") {
+    val base = Seq((1L, 10.00), (2L, 20.00), (3L, 30.00), (4L, 40.00))
+      .toDF("c_custkey", "c_acctbal")
+      .selectExpr("c_custkey", "'x' AS c_name", "CAST(0 AS BIGINT) AS c_nationkey",
+        "CAST(c_acctbal AS DOUBLE) AS c_acctbal", "'m' AS c_mktsegment")
+    // (key, event_id, us, type, value)
+    val log = Seq(
+      (1L, 10L, 100L, "purchase", Some(11.0)), (1L, 11L, 200L, "error", None),
+      (2L, 20L, 100L, "error", None), (2L, 21L, 200L, "purchase", Some(22.0)),
+      (4L, 40L, 100L, "purchase", Some(41.0)), (4L, 41L, 100L, "purchase", Some(42.0)),
+      (5L, 50L, 100L, "purchase", Some(55.0)),
+      (6L, 60L, 100L, "error", None))
+      .toDF("user_id", "event_id", "us", "event_type", "v")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+        "event_type", "CAST(v AS DOUBLE) AS value", "'' AS props")
+    val got = RelationalOps.cdcMerge(base, log).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getString(3), r.getString(4))).toSeq
+    assert(got === Seq(
+      // key 1: delete wins last → gone. key 2: upsert after delete wins
+      (2L, Some(2200L), 2L, "upsert", "base"),
+      // key 3: untouched base
+      (3L, Some(3000L), 0L, "base", "base"),
+      // key 4: same-µs tie → larger event_id (42.0) wins
+      (4L, Some(4200L), 2L, "upsert", "base"),
+      // key 5: CDC insert of a key the base never had
+      (5L, Some(5500L), 1L, "upsert", "cdc")))
+      // key 6: delete of an absent key is a no-op (absent)
+    // corpus: driver LWW fold
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.cdcMerge(customer, events).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getString(3), r.getString(4))).toSeq
+    val ch = events.selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type", "CASE WHEN value IS NULL THEN NULL " +
+          "ELSE CAST(round(value * 100) AS BIGINT) END AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .groupBy(_._1)
+    val baseMap = customer.selectExpr("c_custkey",
+        "CAST(round(c_acctbal * 100) AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keys = (baseMap.keySet ++ ch.keySet).toSeq.sorted
+    val want = keys.flatMap { k =>
+      val changes: Seq[(Long, Long, Long, String, Option[Long])] =
+        ch.get(k).map(_.toSeq.sortBy(e => (e._2, e._3))).getOrElse(Seq.empty)
+      val last = changes.lastOption
+      val lastOp = last.map(e => if (e._4 == "error") "delete" else "upsert")
+      if (lastOp.contains("delete")) None
+      else Some((k,
+        if (lastOp.contains("upsert")) last.get._5 else baseMap.get(k).map(identity),
+        changes.size.toLong, lastOp.getOrElse("base"),
+        if (baseMap.contains(k)) "base" else "cdc"))
+    }
+    assert(rows === want, "corpus merge must equal the driver LWW fold")
+    val again = RelationalOps.cdcMerge(customer, events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === rows.map(p =>
+      Seq[Any](p._1, p._2.map(Long.box).orNull, p._3, p._4, p._5)))
+  }
+
   test("q171 skyline: hand frontier — staircase exact, ties and duplicates handled, brute-force equality on corpus") {
     // (price cents, size): frontier should be (100,9) (200,12) (500,50);
     // (200,9) dominated cross-bucket by (100,9) [equal size, cheaper];
