@@ -110,6 +110,15 @@ object ThroughputBench {
     lazy val semRefs = ops.SimilarityOps.evalVectorState(
       Tables.embeddings(spark, "/root/testdata/sf0.001")).localCheckpoint()
 
+    // burststore / zonestats modes: the per-micro-batch DELTA collapse
+    // each store maintainer pays in-flight (the write itself is the
+    // bounded partition overwrite) — synthetic timestamped arrivals with
+    // a sprinkle of null values so the NULL-bounds path is exercised
+    val eventWire = spark.range(n).selectExpr(
+      "timestamp_micros(1700000000000000 + id * 1000) AS ts",
+      """CASE WHEN id % 50 = 0 THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(pmod(id * 37, 32753) AS DOUBLE) / 100.0 END AS value""")
+
     def once(): Double = {
       val t0 = System.nanoTime()
       val out = mode match {
@@ -135,6 +144,8 @@ object ThroughputBench {
         case "budgetgate" =>
           val (w, bias) = modelWeights
           streaming.StreamBudgetGate.flag(qualityWire, w.toSeq, bias, budgetCutDial)
+        case "burststore" => ops.RelationalOps.hourlyCounts(eventWire)
+        case "zonestats" => ops.ScaleOps.zoneStats(eventWire)
         case _ => streaming.FraudPipeline.fraudAlerts(wire)
       }
       out.write.format("noop").mode("overwrite").save()
@@ -151,6 +162,8 @@ object ThroughputBench {
       case "semguard" => "sem_guard_rows_per_sec"
       case "shardroute" => "shard_route_rows_per_sec"
       case "budgetgate" => "budget_gate_rows_per_sec"
+      case "burststore" => "burst_store_rows_per_sec"
+      case "zonestats" => "zone_stats_rows_per_sec"
       case _ => "pipeline_rows_per_sec"
     }
     println(f"""{"metric":"$metric%s","value":$rps%.0f,"rows":$n,"sec":$sec%.3f,"cpus":$cpus}""")
