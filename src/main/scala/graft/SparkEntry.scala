@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // cardinality-estimation q-error audit: the q169 stats estimating
+    // probe selectivities off the 8-row histogram, graded beside exact
+    // counts — the loop a database team runs to evaluate statistics
+    "q174_selectivity_qerror" -> ((s, d) =>
+      SketchOps.selectivityAudit(Tables.events(s, d))),
     // MERGE INTO / CDC apply: last-writer-wins upsert+delete against a
     // base snapshot — the Delta/Iceberg core op; winner per key is one
     // lexicographic struct MAX, never a rank window

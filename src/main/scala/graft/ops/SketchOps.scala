@@ -894,6 +894,74 @@ object SketchOps {
       .orderBy("bucket")
   }
 
+  /** q174's probe predicates (label, lo_cents, hi_cents — inclusive):
+    * a mid band, a narrow band, the whole domain, and an empty range.
+    * Shared by both engines and the spec. */
+  val SelectivityProbes: Seq[(String, Long, Long)] = Seq(
+    ("band_mid", 10000L, 15000L),
+    ("narrow", 5000L, 5100L),
+    ("all", 0L, 10000000L),
+    ("empty", 40000000L, 50000000L))
+
+  /** q174 — CARDINALITY-ESTIMATION Q-ERROR AUDIT: the q169 statistics
+    * doing the optimizer's actual job — for each probe predicate, the
+    * row-count ESTIMATE read off the equi-depth histogram under the
+    * uniform-within-bucket assumption (full buckets contribute their
+    * mass; boundary buckets contribute mass × overlap/width, floored in
+    * exact micro integers per bucket so the sum is order-free), graded
+    * beside the EXACT count and the classic q-error
+    * max(est/act, act/est) (+1-smoothed so the empty range stays
+    * finite). This closes the optimizer loop the way a database team
+    * actually evaluates statistics: build (q169) → estimate → measure
+    * the estimate's distortion; a q_error of 1 is a perfect oracle, and
+    * the planner's join/scan choices degrade with log(q_error).
+    *
+    * Scale shape: the stats side is the q169 build (two corpus passes);
+    * the estimator itself touches ONLY the 8-row interval table × 4
+    * probes — the whole point of keeping statistics; actuals ride one
+    * conditional-count aggregate over the corpus (the grading branch). */
+  def selectivityAudit(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val stats = equiDepthStats(events)
+      .selectExpr("bucket", "boundary_cents", "n_in_bucket", "min_cents")
+      .localCheckpoint() // 8 rows
+    val iv = stats.as("a")
+      .join(broadcast(stats.selectExpr("bucket + 1 AS bucket",
+        "boundary_cents AS prev_b").as("p")), Seq("bucket"), "left")
+      .selectExpr("bucket", "coalesce(prev_b, min_cents - 1) AS lo_excl",
+        "boundary_cents AS hi_incl", "n_in_bucket")
+    val probes = spark.range(1).selectExpr(s"inline(array(${
+      SelectivityProbes.map { case (l, lo, hi) =>
+        s"named_struct('pred', '$l', 'lo', CAST($lo AS BIGINT), 'hi', CAST($hi AS BIGINT))"
+      }.mkString(", ")}))")
+    val est = probes.crossJoin(broadcast(iv))
+      .selectExpr("pred", "lo", "hi",
+        "greatest(CAST(0 AS BIGINT), least(hi, hi_incl) - greatest(lo - 1, lo_excl)) AS ow",
+        "hi_incl - lo_excl AS bw", "n_in_bucket")
+      .selectExpr("pred", "lo", "hi",
+        "CAST(CAST(n_in_bucket AS DECIMAL(38,0)) * ow * 1000000 DIV bw AS BIGINT) AS e")
+      .groupBy("pred", "lo", "hi").agg(sum("e").as("est_rows_micro"))
+    val cents = events.filter(col("value").isNotNull)
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS c")
+    val acts = cents.agg(
+        SelectivityProbes.map { case (l, lo, hi) =>
+          count(when(col("c") >= lit(lo) && col("c") <= lit(hi), 1)).as(s"a_$l")
+        }.head, SelectivityProbes.tail.map { case (l, lo, hi) =>
+          count(when(col("c") >= lit(lo) && col("c") <= lit(hi), 1)).as(s"a_$l")
+        }: _*)
+      .selectExpr(s"stack(${SelectivityProbes.size}, ${
+        SelectivityProbes.map { case (l, _, _) => s"'$l', a_$l" }.mkString(", ")
+      }) AS (pred, actual_rows)")
+    est.join(broadcast(acts), Seq("pred"))
+      .selectExpr("pred", "lo AS lo_cents", "hi AS hi_cents",
+        "est_rows_micro", "actual_rows",
+        """greatest((CAST(est_rows_micro AS DOUBLE) / 1e6 + 1e0)
+                      / (CAST(actual_rows AS DOUBLE) + 1e0),
+                    (CAST(actual_rows AS DOUBLE) + 1e0)
+                      / (CAST(est_rows_micro AS DOUBLE) / 1e6 + 1e0)) AS q_error""")
+      .orderBy("pred")
+  }
+
   /** q163's rolled-dimension sentinels: day reuses [[HllCubeTotalDay]];
     * the rolled event_type is a printable marker no real type contains. */
   val HllRollupAllTypes = "~all~"
@@ -1147,12 +1215,8 @@ object SketchOps {
     * registers from the same md5 recipe (`//`/`DIV` and `bin` agree on
     * nonnegative operands) and the estimate expression is literal-identical
     * IEEE arithmetic. */
-  def oracles: Map[String, String] = Map(
-    // q169: the boundaries straight from the definition — a full
-    // cumulative over distinct cents (the oracle can afford the sort the
-    // engine's two-pass refinement avoids), ranks read off the same
-    // cumulative, census identical
-    "q169_equidepth_stats" ->
+  // q169's oracle text, shared verbatim with the q174 composition
+  private lazy val q169Sql: String =
       s"""WITH c0 AS (SELECT CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT)
                                   ELSE CAST(ROUND(value * 100) AS BIGINT) END AS c
                       FROM events),
@@ -1182,7 +1246,47 @@ object SketchOps {
                 n_rows, n_null, ndv, min_cents, max_cents,
                 CASE WHEN bucket = $EquiDepthBuckets
                      THEN boundary_cents = max_cents ELSE true END AS top_is_max
-         FROM fin CROSS JOIN s ORDER BY bucket""",
+         FROM fin CROSS JOIN s ORDER BY bucket"""
+
+  def oracles: Map[String, String] = Map(
+    // q169: the boundaries straight from the definition — a full
+    // cumulative over distinct cents (the oracle can afford the sort the
+    // engine's two-pass refinement avoids), ranks read off the same
+    // cumulative, census identical
+    "q169_equidepth_stats" -> q169Sql,
+    // q174: composes the q169 oracle verbatim; identical interval
+    // algebra on half-open (lo, hi] ranges, per-bucket floored micro
+    // estimate, +1-smoothed q-error — one literal IEEE shape
+    "q174_selectivity_qerror" -> {
+      val probeVals = SelectivityProbes.map { case (l, lo, hi) =>
+        s"('$l', CAST($lo AS BIGINT), CAST($hi AS BIGINT))" }.mkString(", ")
+      s"""WITH eq AS ($q169Sql),
+              cv AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c
+                     FROM events WHERE value IS NOT NULL),
+              iv AS (SELECT a.bucket AS bucket,
+                            COALESCE(p.boundary_cents, a.min_cents - 1) AS lo_excl,
+                            a.boundary_cents AS hi_incl, a.n_in_bucket AS n_in_bucket
+                     FROM eq a LEFT JOIN eq p ON p.bucket = a.bucket - 1),
+              pr(pred, lo, hi) AS (VALUES $probeVals),
+              est AS (SELECT pred, lo, hi,
+                             CAST(SUM(CAST(CAST(n_in_bucket AS HUGEINT)
+                               * greatest(CAST(0 AS BIGINT),
+                                          least(hi, hi_incl) - greatest(lo - 1, lo_excl))
+                               * 1000000 // (hi_incl - lo_excl) AS BIGINT)) AS BIGINT)
+                               AS est_rows_micro
+                      FROM pr CROSS JOIN iv GROUP BY pred, lo, hi),
+              act AS (SELECT pred, CAST(COUNT(c) AS BIGINT) AS actual_rows
+                      FROM pr LEFT JOIN cv ON c >= lo AND c <= hi
+                      GROUP BY pred)
+         SELECT pred, lo AS lo_cents, hi AS hi_cents,
+                est_rows_micro, actual_rows,
+                greatest((CAST(est_rows_micro AS DOUBLE) / 1e6 + 1e0)
+                           / (CAST(actual_rows AS DOUBLE) + 1e0),
+                         (CAST(actual_rows AS DOUBLE) + 1e0)
+                           / (CAST(est_rows_micro AS DOUBLE) / 1e6 + 1e0)) AS q_error
+         FROM est JOIN act USING (pred)
+         ORDER BY pred"""
+    },
     // q166: same word layout and OR merge; DuckDB's checked << needs the
     // MIN_LONG literal for bit 63 (the q161 note), bit_count is two's-
     // complement popcount on both engines

@@ -418,6 +418,39 @@ class SketchOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q174 selectivity q-error: whole-domain estimate conserves mass exactly, empty is perfect, bands match a driver estimator") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = SketchOps.selectivityAudit(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === SketchOps.SelectivityProbes.map(_._1).toSet)
+    val nVals = events.filter("value IS NOT NULL").count()
+    // conservation: estimating the whole domain returns exactly N —
+    // every bucket contributes its full mass (ow = bw)
+    assert(rows("all").getLong(3) === 1000000L * nVals)
+    assert(rows("all").getLong(4) === nVals && rows("all").getDouble(5) === 1.0)
+    assert(rows("empty").getLong(3) === 0L && rows("empty").getLong(4) === 0L &&
+      rows("empty").getDouble(5) === 1.0)
+    // driver estimator over the q169 intervals
+    val stats = SketchOps.equiDepthStats(events).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(7)))
+    val ivs = stats.sortBy(_._1).foldLeft((Seq.empty[(Long, Long, Long)], 0L)) {
+      case ((acc, _), (bucket, boundary, mass, minC)) =>
+        val lo = if (bucket == 1L) minC - 1 else acc.last._2
+        (acc :+ ((lo, boundary, mass)), boundary)
+    }._1
+    for ((label, lo, hi) <- SketchOps.SelectivityProbes) {
+      val want = ivs.map { case (le, hiI, n) =>
+        val ow = math.max(0L, math.min(hi, hiI) - math.max(lo - 1, le))
+        (BigInt(n) * ow * 1000000 / (hiI - le)).toLong
+      }.sum
+      assert(rows(label).getLong(3) === want, s"probe $label estimate")
+      assert(rows(label).getDouble(5) >= 1.0, s"probe $label q-error < 1")
+    }
+    val again = SketchOps.selectivityAudit(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === SketchOps.selectivityAudit(events).collect().map(_.toSeq).toSeq)
+  }
+
   test("q172 join cardinality: overestimate theorem, exact branch = q153's Σc², collision-free grid is tight") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val r = SketchOps.cmsJoinCardinality(events).collect().head
