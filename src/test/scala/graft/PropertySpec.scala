@@ -397,4 +397,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("TopKByCount equals the sorted selection on 100 random count tables under any segmentation") {
+    // the q157/q164 selection invariant: because each key reaches the
+    // aggregate exactly once, ANY split of the rows folded separately
+    // and merged must equal the sorted top-K of the whole — with ties at
+    // the boundary broken by key, and undersized inputs kept whole
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { c =>
+      val k = 1 + rnd.nextInt(10)
+      val n = rnd.nextInt(40)
+      // heavy tie pressure: counts drawn from a tiny range
+      val rows = (0 until n).map(i =>
+        (0L, f"k$i%03d", (1 + rnd.nextInt(4)).toLong))
+      val agg = new graft.ops.SketchOps.TopKByCount(k)
+      val expect = rows.map { case (_, key, cnt) => (cnt, key) }
+        .sortBy { case (cnt, key) => (-cnt, key) }.take(k)
+        .map { case (cnt, key) => (key, cnt) }
+      val cuts = Vector.fill(1 + rnd.nextInt(4))(rnd.nextInt(n + 1)).sorted
+      val segments = (0 +: cuts :+ n).distinct.sliding(2).collect {
+        case Seq(a, b) => rows.slice(a, b)
+      }.toVector
+      val merged = segments
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged).toSeq === expect,
+        s"table $c (k=$k, n=$n): segmented fold diverged from the sorted selection")
+    }
+  }
 }
