@@ -105,6 +105,46 @@ class ScaleOpsSpec extends SparkSpec {
     assert(again.toSeq === row.toSeq)
   }
 
+  test("q175 z-order: BOTH predicates prune (the lesson vs q160), soundness everywhere, Morton matches a driver interleave") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = ScaleOps.zOrderAudit(events).collect()
+    assert(rows.map(_.getLong(1)).sum === events.count(), "shards must partition the corpus")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < ScaleOps.ZOrderShards))
+    rows.foreach { r =>
+      assert(r.getBoolean(8) && r.getBoolean(11), s"unsound skip at shard ${r.getLong(0)}")
+    }
+    // the comparative lesson: under time layout (q160) the cents
+    // predicate pruned NOTHING; under z-order both dimensions prune
+    assert(rows.exists(_.getBoolean(6)), "no ts-skippable z-shard")
+    assert(rows.exists(_.getBoolean(9)), "no cents-skippable z-shard — z-order buys nothing?")
+    val q160rows = ScaleOps.zoneMapAudit(events).collect()
+    assert(!q160rows.exists(r => r.getBoolean(9) && r.getLong(1) > 0),
+      "time layout unexpectedly prunes the cents predicate — the comparison is vacuous")
+    // driver Morton reference on a handful of rows
+    def morton(a: Int, b: Int): Long =
+      (0 until ScaleOps.ZOrderBits).map { i =>
+        (((a >> i) & 1).toLong << (2 * i + 1)) | (((b >> i) & 1).toLong << (2 * i))
+      }.sum
+    val d0 = events.selectExpr(
+      s"min(unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs})").head().getLong(0)
+    val zPerShard = (1 << (2 * ScaleOps.ZOrderBits)) / ScaleOps.ZOrderShards
+    val sample = events.limit(50).selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+        "CASE WHEN value IS NULL THEN NULL ELSE CAST(round(value * 100) AS BIGINT) END AS cents")
+      .collect()
+    val shardsWithRows = rows.map(_.getLong(0)).toSet
+    sample.foreach { s =>
+      val di = (s.getLong(0) - d0).toInt
+      val bi = if (s.isNullAt(1)) ScaleOps.ZOrderNullBin
+        else (s.getLong(1) / graft.ops.SketchOps.HistBinCents).toInt
+      assert(shardsWithRows.contains(morton(di, bi) / zPerShard),
+        "a sampled row's driver-computed shard is absent from the audit")
+    }
+    val reparted = ScaleOps.zOrderAudit(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q167 reshard audit: bucketed successor = naive successor (wrap keys included), CH beats mod") {
     import graft.ops.ScaleOps._
     // pure-JVM md5 (identical to Spark's md5() on UTF-8) — the referee
