@@ -154,7 +154,9 @@ object ScaleOps {
     * ring contains the old ring's nodes unchanged, a key moved under CH
     * ⟺ its successor in the NEW ring belongs to an added shard — one
     * lookup decides the audit, no second ring pass. */
-  def reshardAudit(events: DataFrame): DataFrame = {
+  /** The per-key owner lookup (the scale-relevant stage), exposed
+    * pre-checkpoint so `PlanShapeSpec` can pin its broadcast shape. */
+  private[graft] def ringOwners(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     val ring = spark.range(ReshardTo.toLong).selectExpr("CAST(id AS INT) AS shard")
       .crossJoin(spark.range(RingVnodes.toLong).selectExpr("CAST(id AS INT) AS v"))
@@ -179,7 +181,7 @@ object ScaleOps {
       .localCheckpoint() // ≤ ring + buckets rows, broadcast to the keys
     val keys = events.selectExpr("CAST(user_id AS STRING) AS uk").distinct()
       .select(col("uk"), PipelineOps.md5Prefix48(col("uk")).as("h"))
-    val owned = keys
+    keys
       .selectExpr("uk", "h", s"h DIV $RingBucketWidth AS bucket")
       .join(broadcast(candidates), Seq("bucket"))
       .selectExpr("uk", "h", "shard",
@@ -188,6 +190,10 @@ object ScaleOps {
       .agg(min(struct(col("eff"), col("shard"))).as("o"))
       .selectExpr("uk", "h", "o.shard AS ch_shard",
         s"h % $ReshardFrom AS mod_from", s"h % $ReshardTo AS mod_to")
+  }
+
+  def reshardAudit(events: DataFrame): DataFrame = {
+    val owned = ringOwners(events)
       .localCheckpoint() // per-key verdicts; consumed by census + balance
     val census = owned.agg(
       count(lit(1)).as("n_keys"),

@@ -858,14 +858,22 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q167 reshard audit: ring candidates broadcast to the keys — no per-key ring fan-out, no window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the owner lookup (pre-checkpoint — the checkpointed census plan
+    // cannot show it): keys must equi-join the BROADCAST candidate table
+    val lookup = graft.ops.ScaleOps.ringOwners(events)
+    val lp = lookup.queryExecution.executedPlan.toString
+    assert(lp.contains("BroadcastHashJoin"),
+      s"bucketed candidates must reach the keys via broadcast:\n${lp.take(1200)}")
+    assert(!lp.contains("CartesianProduct"),
+      s"keys×ring cartesian leaked into the q167 lookup:\n${lp.take(1200)}")
+    assert(lookup.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q167 lookup must not window")
+    // the census over the checkpointed verdicts: one-row folds only
     val q = graft.ops.ScaleOps.reshardAudit(events)
-    val exec = q.queryExecution.executedPlan.toString
-    assert(exec.contains("BroadcastHashJoin"),
-      s"bucketed candidates must reach the keys via broadcast:\n${exec.take(1200)}")
-    assert(!exec.contains("CartesianProduct"),
-      s"keys×ring cartesian leaked into q167:\n${exec.take(1200)}")
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "unbounded cartesian leaked into the q167 census")
     assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
-      "q167 must not window")
+      "q167 census must not window")
   }
 
   test("q161 bloom prune: the filter broadcasts as one row; the probe decision never shuffles") {
