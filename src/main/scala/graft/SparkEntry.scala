@@ -1302,7 +1302,7 @@ object SparkEntry {
                           CAST(SUM(dur_us) AS BIGINT) AS den_us
                    FROM l GROUP BY user_id)
          SELECT user_id, n_priced, span_us,
-                num AS twap_num, den_us AS twap_den_us,
+                CAST(num AS BIGINT) AS twap_num, den_us AS twap_den_us,
                 CASE WHEN den_us IS NULL OR den_us = 0 THEN CAST(NULL AS BIGINT)
                      ELSE CAST(CAST(1000 AS HUGEINT) * num // den_us AS BIGINT)
                 END AS twap_milli
@@ -1608,7 +1608,8 @@ object SparkEntry {
               a AS (SELECT MIN(day) AS d0 FROM base),
               zb AS (SELECT ts_us, cents,
                             CAST(day - d0 AS INT) AS di,
-                            CAST(COALESCE(cents // $w, ${graft.ops.ScaleOps.ZOrderNullBin}) AS INT) AS bi,
+                            CAST(COALESCE((cents - (((cents % $w) + $w) % $w)) // $w,
+                                          ${graft.ops.ScaleOps.ZOrderNullBin}) AS INT) AS bi,
                             (d0 + $off) * $dayUs AS ts_lo_us,
                             (d0 + $offEnd) * $dayUs AS ts_hi_us_excl
                      FROM base CROSS JOIN a),

