@@ -96,12 +96,16 @@ class BenchOutputSpec extends SparkSpec {
     assert(last.get("nerrors").asInt == 2 && last.get("nqueries").asInt == 1)
   }
 
-  test("noise gate: bursty steal flags, quiet and uniformly-slower hosts don't") {
+  test("noise gate: both bursty AND uniformly-slow passes flag; quiet doesn't") {
     assert(!Bench.noiseBound(Seq(0.13, 0.14, 0.15)), "quiet run flagged")
-    // uniformly slower host: the run's own best probe lifts the bar
-    assert(!Bench.noiseBound(Seq(0.30, 0.31, 0.32)), "uniform host flagged")
-    // r9-official-like burst: median probe ≫ quiet baseline
+    // r12 failure mode: a UNIFORMLY slow pass (sustained steal — every probe
+    // ~2.5x quiet, best probe near median) must flag; the old self-relative
+    // clause judged it quiet and published inflated minima
+    assert(Bench.noiseBound(Seq(0.30, 0.31, 0.32)), "uniformly-slow pass laundered")
+    // r9-official-like burst: median probe >> quiet baseline
     assert(Bench.noiseBound(Seq(0.119, 0.2, 0.3, 0.4, 0.535)), "burst not flagged")
+    // mildly-above-quiet median stays under the 1.5x absolute bar
+    assert(!Bench.noiseBound(Seq(0.14, 0.18, 0.19)), "near-quiet run flagged")
     assert(!Bench.noiseBound(Seq.empty), "empty probes must not flag")
   }
 
