@@ -610,6 +610,12 @@ object SparkEntry {
     // sample-vs-exact estimator qualification it exists for
     "q164_bottomk_sample"  -> ((s, d) =>
       PipelineOps.bottomkSample(Tables.documents(s, d))),
+    // weighted bottom-k sample (Efraimidis–Spirakis A-Res): q164's
+    // machinery with exact-integer u^(1/w) keys via the max-of-w-replicas
+    // identity — inclusion biased by clipped token mass, still
+    // deterministic, replay-safe, and shard-mergeable
+    "q176_weighted_bottomk" -> ((s, d) =>
+      PipelineOps.weightedBottomkSample(Tables.documents(s, d))),
     // HLL grouping-sets rollup: registers built ONCE at (day, type)
     // grain; every coarser level MAX-merged from that store and graded
     // against its own exact distinct — one sketch build, every rollup

@@ -785,7 +785,120 @@ object PipelineOps {
       .orderBy("rk")
   }
 
+  /** q176's fixed sample size and integer weight clip, shared by both
+    * engines and the spec. The clip bounds any single document's
+    * replica count (and its influence on the sample — standard practice
+    * for importance weights) so the per-row key cost is ≤ [[WeightCap]]
+    * md5 evaluations. */
+  val WBottomK = 64
+  val WeightCap = 256L
+
+  /** q176 — WEIGHTED bottom-k sample (Efraimidis–Spirakis A-Res), the
+    * weighted twin of q164: fixed-size, deterministic, replay-safe, and
+    * mergeable, with per-document inclusion biased by an integer weight
+    * (the clipped token count — "sample training docs proportional to
+    * their token mass").
+    *
+    * A-Res keys are u^(1/w), but IEEE `ln`/`pow` are NOT guaranteed
+    * bit-identical across engines, and a one-ulp disagreement at the
+    * selection boundary silently swaps a sample member. So the key is
+    * computed in EXACT integer arithmetic via the replica identity:
+    * for integer w, max of w iid uniforms has CDF x^w — exactly the
+    * distribution of u^(1/w) — so `key = MAX over r < w of
+    * md5_48("wk:doc:r")` IS the A-Res key, in the md5 draw space both
+    * engines already replicate byte-for-byte (the q58/q164 primitive).
+    * Top-K largest keys = the E–S weighted without-replacement sample.
+    *
+    * Scale shape: the key is computed ROW-LOCALLY (one `aggregate` over
+    * a ≤ [[WeightCap]]-element sequence — no explode, no per-replica
+    * shuffle); selection runs through the q157/q164 bounded-state
+    * [[SketchOps.TopKByCount]] aggregate (≤ K-entry states tree-merge;
+    * the corpus is never sorted); the census is one map-combinable
+    * aggregate; the only joins broadcast ≤ K rows. Mergeable like q164:
+    * each doc lives in exactly one shard, so per-shard top-Ks
+    * truncate-merge to the global sample (spec-pinned).
+    *
+    * The graded audit is the fact weighted sampling exists for: with
+    * these md5 draws the sample's mean weight dominates the corpus mean
+    * (`heavy_bias_ok`), both as exact floor'd micro integers. */
+  def weightedBottomkSample(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+      .selectExpr("doc_id", "n_tok", s"least(n_tok, $WeightCap) AS w")
+      .filter(col("w") >= 1) // zero-weight docs are never sampled, by definition
+      .selectExpr("doc_id", "n_tok", "w",
+        """aggregate(sequence(CAST(0 AS BIGINT), w - 1), CAST(-1 AS BIGINT),
+          |  (acc, r) -> greatest(acc, CAST(conv(substring(md5(
+          |    concat('wk:', CAST(doc_id AS STRING), ':', CAST(r AS STRING))
+          |  ), 1, 12), 16, 10) AS BIGINT))) AS key48""".stripMargin)
+      .localCheckpoint() // consumed by selection, census, and payload join
+    val sel = keyed
+      .selectExpr("CAST(0 AS BIGINT) AS g", "CAST(doc_id AS STRING) AS k",
+        "key48 AS c") // TopKByCount orders c DESC, k ASC — largest keys win
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .agg(new SketchOps.TopKByCount(WBottomK).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(explode(col("top")).as("e"))
+      .selectExpr("CAST(e._1 AS BIGINT) AS doc_id")
+    val sample = keyed.join(broadcast(sel), Seq("doc_id"))
+      .localCheckpoint() // ≤ K rows; rank reads it twice
+    val rk = sample.as("a").join(broadcast(sample.as("b")),
+        col("b.key48") > col("a.key48") ||
+          (col("b.key48") === col("a.key48") &&
+            expr("CAST(b.doc_id AS STRING) <= CAST(a.doc_id AS STRING)")))
+      .groupBy(col("a.doc_id").as("doc_id")).agg(count(lit(1)).as("rk"))
+    val census = keyed.agg(count(lit(1)).as("n_docs"), sum("w").as("tot_w"))
+      .selectExpr("n_docs",
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * tot_w DIV n_docs AS BIGINT) AS corpus_mean_w_micro")
+    val scensus = sample.agg(count(lit(1)).as("k_actual"), sum("w").as("s_w"))
+      .selectExpr("k_actual",
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * s_w DIV k_actual AS BIGINT) AS sample_mean_w_micro")
+    sample.join(rk, Seq("doc_id"))
+      .crossJoin(broadcast(census)).crossJoin(broadcast(scensus))
+      .selectExpr("rk", "doc_id", "key48", "n_tok", "w", "k_actual", "n_docs",
+        "sample_mean_w_micro", "corpus_mean_w_micro",
+        "sample_mean_w_micro >= corpus_mean_w_micro AS heavy_bias_ok")
+      .orderBy("rk")
+  }
+
   def oracles: Map[String, String] = Map(
+    // q176: identical replica recipe (DuckDB's || renders integers the
+    // same as Spark's CAST-to-STRING concat; range(w) = sequence(0, w-1)),
+    // brute-force rank as the selection definition the bounded-state
+    // aggregate must reproduce
+    "q176_weighted_bottomk" ->
+      s"""WITH hd AS (SELECT doc_id,
+                             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+                      FROM documents),
+              wd AS (SELECT doc_id, n_tok, least(n_tok, $WeightCap) AS w
+                     FROM hd WHERE least(n_tok, $WeightCap) >= 1),
+              kd AS (SELECT doc_id, n_tok, w,
+                            list_max(list_transform(range(w), r ->
+                              ('0x' || substr(md5('wk:' || CAST(doc_id AS VARCHAR)
+                                 || ':' || CAST(r AS VARCHAR)), 1, 12))::BIGINT))
+                              AS key48
+                     FROM wd),
+              sel AS (SELECT * FROM (
+                        SELECT kd.*, CAST(row_number() OVER (
+                                 ORDER BY key48 DESC, CAST(doc_id AS VARCHAR)) AS BIGINT) AS rk
+                        FROM kd)
+                      WHERE rk <= $WBottomK),
+              cen AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST((1000000::HUGEINT * SUM(w)) // COUNT(*) AS BIGINT)
+                               AS corpus_mean_w_micro
+                      FROM kd),
+              sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_actual,
+                            CAST((1000000::HUGEINT * SUM(w)) // COUNT(*) AS BIGINT)
+                              AS sample_mean_w_micro
+                     FROM sel)
+         SELECT rk, doc_id, key48, n_tok, w, k_actual, n_docs,
+                sample_mean_w_micro, corpus_mean_w_micro,
+                sample_mean_w_micro >= corpus_mean_w_micro AS heavy_bias_ok
+         FROM sel CROSS JOIN cen CROSS JOIN sc
+         ORDER BY rk""",
     "q164_bottomk_sample" ->
       s"""WITH hd AS (SELECT doc_id,
                              CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,

@@ -544,4 +544,47 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
+
+  test("q176 weighted bottom-k: A-Res selection law, replica-key identity, mergeable, heavy-biased, invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = PipelineOps.weightedBottomkSample(docs).collect()
+    assert(rows.length === PipelineOps.WBottomK)
+    // reference: per-doc key recomputed from the definition (max of w
+    // md5 draws) on the driver, then the K LARGEST keys win
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long, r: Long): Long = {
+      val hex = md.digest(s"wk:$id:$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val all = docs.selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .collect().map { r =>
+        val (id, w) = (r.getLong(0), math.min(r.getLong(1), PipelineOps.WeightCap))
+        (id, (0L until w).map(draw(id, _)).max)
+      }
+    val want = all.sortBy { case (id, k) => (-k, id.toString) }
+      .take(PipelineOps.WBottomK)
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq === want.toSeq,
+      "selection must be exactly the K largest A-Res replica keys")
+    assert(rows.map(_.getLong(0)).toSeq === (1L to PipelineOps.WBottomK).toSeq)
+    // mergeability: top-K(whole) = truncated merge of the halves' top-Ks
+    // (each doc lives in exactly one half — the once-per-key precondition)
+    val aIds = PipelineOps.weightedBottomkSample(docs.where("doc_id % 2 = 0"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val bIds = PipelineOps.weightedBottomkSample(docs.where("doc_id % 2 = 1"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val merged = (aIds ++ bIds).sortBy { case (id, k) => (-k, id.toString) }
+      .take(PipelineOps.WBottomK)
+    assert(merged.toSeq === want.toSeq,
+      "per-shard weighted samples must merge to the corpus sample")
+    // the reason the weighting exists: heavy docs oversampled (graded fact)
+    assert(rows.forall(_.getBoolean(9)), "sample mean weight must dominate corpus mean")
+    assert(rows.head.getLong(7) > rows.head.getLong(8),
+      "strict dominance expected on this corpus (not just >=)")
+    // partitioning invariance (replay safety)
+    val reparted = PipelineOps.weightedBottomkSample(docs.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
