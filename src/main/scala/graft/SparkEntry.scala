@@ -551,6 +551,11 @@ object SparkEntry {
     // the brute-definition oracle grades candidate COMPLETENESS
     "q159_edit_linkage"    -> ((s, d) =>
       DedupOps.editLinkagePairs(Tables.customer(s, d))),
+    // radius-2 generalization: the full d<=2 op taxonomy (double-sub,
+    // sub+indel, double-indel, equal-length ins+del) via five deletion-
+    // neighborhood equi-join branches; brute oracle proves completeness
+    "q177_edit_linkage_d2" -> ((s, d) =>
+      DedupOps.editLinkageD2Pairs(Tables.customer(s, d))),
     // Z-ORDER layout audit: the q160 experiment under a Morton-coded
     // multi-dimensional layout — BOTH predicates become prunable, the
     // lesson Z-ORDER exists for; soundness graded per shard

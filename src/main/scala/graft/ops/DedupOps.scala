@@ -717,16 +717,45 @@ object DedupOps {
     * the contract; the oracle recomputes the pair set from the bare
     * definition (length-banded brute force), so the hash match proves the
     * neighborhood scheme's completeness, not just its precision. */
-  def editLinkagePairs(customer: DataFrame): DataFrame = {
+  /** The LCP dial shared by q159/q177: length of the corpus-global
+    * common prefix, via the classic lcp(min, max) identity — one tiny
+    * aggregate collected as a one-row dial. Deletion positions strictly
+    * inside the common prefix generate no match any other position
+    * can't (any shared-variant witness run-shifts to a deletion at
+    * position ≥ the LCP length), so both linkage queries prune their
+    * variant tables to positions ≥ max(1, lcp). */
+  private def prefixStart(names: DataFrame): Int = {
+    val mm = names.agg(min("name").as("lo"), max("name").as("hi")).collect()(0)
+    val c0 = if (mm.isNullAt(0)) 0 else {
+      val (lo, hi) = (mm.getString(0), mm.getString(1))
+      var k = 0
+      while (k < math.min(lo.length, hi.length) && lo(k) == hi(k)) k += 1
+      k
+    }
+    math.max(1, c0)
+  }
+
+  def editLinkagePairs(customer: DataFrame): DataFrame =
+    editLinkagePairsCandidates(customer)
+      // materialize before the global sort — range partitioning samples
+      // its child, which would otherwise re-run both branch joins
+      .localCheckpoint()
+      .orderBy("name_a", "name_b")
+
+  /** q159's pair stage pre-checkpoint — exposed (the topkStored pattern)
+    * so the plan guard can pin the join shape that the final sort's
+    * checkpoint would otherwise hide. */
+  private[graft] def editLinkagePairsCandidates(customer: DataFrame): DataFrame = {
     val names = customer.selectExpr("c_name AS name")
       .where("name IS NOT NULL").distinct()
       .localCheckpoint() // the linkage key table; consumed by three scans
-    // all one-char-deletion variants, position-tagged; generation is
-    // row-local and the variant column is materialized by the explode
-    // (length+1 rows per name — bounded fan-out, no shuffle)
+    val cs = prefixStart(names) // first deletion position worth generating
+    // all one-char-deletion variants at positions ≥ the LCP dial,
+    // position-tagged; generation is row-local and the variant column is
+    // materialized by the explode (bounded fan-out, no shuffle)
     val tagged = names.select(col("name"), posexplode(expr(
-      """transform(sequence(1, length(name)),
-                   i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"""))
+      s"""transform(sequence($cs, length(name)),
+                    i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"""))
       .as(Seq("pos", "variant")))
     val sub = tagged.as("a").join(tagged.as("b"),
         col("a.pos") === col("b.pos") && col("a.variant") === col("b.variant") &&
@@ -735,8 +764,8 @@ object DedupOps {
     // untagged distinct variants for the indel branch (dedup row-locally:
     // deleting either of two equal adjacent chars yields one variant)
     val variants = names.select(col("name"), explode(expr(
-      """array_distinct(transform(sequence(1, length(name)),
-                        i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"""))
+      s"""array_distinct(transform(sequence($cs, length(name)),
+                         i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"""))
       .as("variant"))
     val indel = variants.as("a").join(names.as("b"),
         col("a.variant") === col("b.name"))
@@ -754,7 +783,165 @@ object DedupOps {
       // the form returns the exact distance
       .withColumn("dist", expr("CAST(levenshtein(name_a, name_b, 2) AS BIGINT)"))
       .where("dist = 1")
+  }
+
+  /** q177 — EDIT-DISTANCE LINKAGE AT RADIUS 2: q159's SymSpell scheme
+    * generalized to Levenshtein distance ≤ 2 (the production fuzzy-match
+    * radius), still WITHOUT an all-pairs comparison. The candidate rule
+    * is Garbe's deletion-neighborhood theorem at d = 2: if lev(a,b) = d,
+    * an optimal alignment deletes ≤ d chars from EACH side to a common
+    * string (each sub deletes one from both; each indel deletes one from
+    * the longer side) — so five equi-join branches over deletion-variant
+    * tables cover the full d ≤ 2 op taxonomy, split by length delta:
+    *
+    *  - Δ0, share a single deletion (V1 ⋈ V1 on variant): one
+    *    substitution (delete the differing position from both) AND the
+    *    equal-length insert+delete pairs, transpositions included
+    *    ("ab"/"ba": delete pos 1 of one, pos 2 of the other);
+    *  - Δ0, two substitutions (positional V2 ⋈ V2 on (i, j, variant)):
+    *    a double-sub pair differing at original positions i < j matches
+    *    at EXACTLY the (i, j) double-deletion key — tagging makes the
+    *    branch dup-free for its target class and alphabet²-bounds the
+    *    key groups (≤ |Σ|² names per (i, j, variant));
+    *  - Δ1, one indel (V1 ⋈ names): q159's branch;
+    *  - Δ1, sub + indel (V2 ⋈ V1 on variant): the longer side deletes
+    *    one char for the indel and one for the sub, the shorter deletes
+    *    one for the sub — length algebra (Lₐ-2 = L_b-1) selects the
+    *    delta implicitly;
+    *  - Δ2, two indels (V2 ⋈ names): the longer minus two chars IS the
+    *    shorter.
+    *
+    * Each branch certifies its distance STRUCTURALLY, so the general
+    * edit-distance DP never runs on the bulk (measured ~200 µs/pair —
+    * it was 80% of the first cut's wall-clock on 4M candidates):
+    * hamming-1 and one-indel pairs are distance 1 by construction;
+    * (i, j, variant)-join matches that differ at BOTH i and j are
+    * exactly the hamming-2 pairs (lev = 2 always — lev 1 on equal
+    * length means hamming 1) and each such pair matches at exactly one
+    * (i, j), so the branch is dup-free; shared-single-deletion pairs
+    * with hamming ≥ 3 are the ins+del class (lev ≤ 2 through the
+    * common variant, ≥ 2 because hamming ≥ 3 excludes lev 1); the
+    * two-deletion Δ2 branch is pinned at lev = 2 by the length delta.
+    * Only the Δ1 sub+indel branch — whose candidates can sit at lev 3 —
+    * runs the banded threshold DP, and it is orders of magnitude
+    * smaller than the corpus. The branches are pairwise disjoint
+    * (hamming classes and length deltas partition the taxonomy), so no
+    * global distinct re-shuffles the result. The oracle is the bare
+    * length-banded brute definition, so the hash match proves both
+    * candidate COMPLETENESS and the structural distance assignments.
+    * All joins remain hash equi-joins with alphabet-bounded key groups
+    * — near-linear even under long shared prefixes, the adversarial
+    * case for contiguous-block candidate rules.
+    *
+    * The LCP dial: deletion positions inside the corpus-global common
+    * prefix (length c = lcp of the lexicographic MIN and MAX name — the
+    * classic identity, one tiny aggregate collected as a one-row dial)
+    * can be pruned from every variant table. Proof sketch: any shared-
+    * variant witness deleting at p < c normalizes to deleting at the
+    * end e of the run containing p (same variant string); if e < c the
+    * variant's prefix disagrees with every name's at c-1 chars unless
+    * P[e..c] is one run, which pushes e to ≥ c. So generating deletions
+    * only at positions ≥ max(1, c) preserves every true match — and on
+    * a shared-prefix corpus (exactly the adversarial case) it shrinks
+    * the double-deletion table by (L/(L-c))² ≈ 10×. */
+  def editLinkageD2Pairs(customer: DataFrame): DataFrame =
+    editLinkageD2PairsCandidates(customer)
+      // materialize before the global sort: range partitioning SAMPLES
+      // its child, which would otherwise re-execute every branch join a
+      // second time — measured as ~60% of the query's wall-clock
+      .localCheckpoint()
       .orderBy("name_a", "name_b")
+
+  /** q177's pair stage pre-checkpoint (the topkStored pattern) for the
+    * plan guard. */
+  private[graft] def editLinkageD2PairsCandidates(customer: DataFrame): DataFrame = {
+    val names = customer.selectExpr("c_name AS name")
+      .where("name IS NOT NULL").distinct()
+      .localCheckpoint() // consumed by the branch scans + the LCP dial
+    val cs = prefixStart(names) // first deletion position worth generating
+    // V1 tagged (pos, variant) — the q159 sub-branch key; pos is the
+    // 0-based index within the pruned range, an injective renaming of
+    // the true position cs+pos shared by both join sides
+    val v1t = names.select(col("name"), posexplode(expr(
+      s"""transform(sequence($cs, length(name)),
+                    i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"""))
+      .as(Seq("pos", "variant")))
+    // V1 untagged, row-locally distinct (adjacent equal chars collapse)
+    val v1 = names.select(col("name"), explode(expr(
+      s"""array_distinct(transform(sequence($cs, length(name)),
+                         i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"""))
+      .as("variant"))
+    // V2 positional: delete original positions i < j, (i, j) kept as the
+    // join tag for the hamming-2 branch (the length guard keeps every
+    // sequence() ascending — Spark DESCENDS when start > stop)
+    val v2p = names.where(s"length(name) > $cs")
+      .select(col("name"), explode(expr(
+        s"""flatten(transform(sequence($cs, length(name) - 1),
+          |  i -> transform(sequence(i + 1, length(name)),
+          |    j -> named_struct('i', i, 'j', j,
+          |      'v', concat(substring(name, 1, i - 1),
+          |                  substring(name, i + 1, j - i - 1),
+          |                  substring(name, j + 1))))))""".stripMargin)).as("e"))
+      .selectExpr("name", "e.i AS i", "e.j AS j", "e.v AS variant")
+    // V2 untagged distinct (row-local dedup) for the Δ1/Δ2 branches
+    val v2 = names.where(s"length(name) > $cs")
+      .select(col("name"), explode(expr(
+        s"""array_distinct(flatten(transform(sequence($cs, length(name) - 1),
+          |  i -> transform(sequence(i + 1, length(name)),
+          |    j -> concat(substring(name, 1, i - 1),
+          |                substring(name, i + 1, j - i - 1),
+          |                substring(name, j + 1))))))""".stripMargin)).as("variant"))
+    // equal-length hamming, restricted to the positions that can differ
+    // (≤ c agree corpus-wide), so the interpreted lambda runs L-c steps
+    val hamming =
+      s"""aggregate(sequence($cs, length(name_a)), 0,
+        |  (acc, i) -> acc + IF(substring(name_a, i, 1) = substring(name_b, i, 1), 0, 1))"""
+        .stripMargin
+    // dist 1, Δ0: one substitution — matches at exactly (pos, pos)
+    val sub = v1t.as("a").join(v1t.as("b"),
+        col("a.pos") === col("b.pos") && col("a.variant") === col("b.variant") &&
+          col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    // dist 1, Δ1: one indel (v1 is array_distinct'd → one row per pair)
+    val b01 = v1.as("a").join(names.as("b"), col("a.variant") === col("b.name"))
+      .selectExpr("least(a.name, b.name) AS name_a",
+        "greatest(a.name, b.name) AS name_b")
+    // dist 2, Δ0, hamming-2: variant equality = "equal outside {i, j}",
+    // the differ-at-i/differ-at-j residual pins hamming exactly 2 and
+    // kills the hamming-1 re-matches that would otherwise fan out ×len
+    val b22 = v2p.as("a").join(v2p.as("b"),
+        col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
+          col("a.variant") === col("b.variant") && col("a.name") < col("b.name") &&
+          expr("substring(a.name, a.i, 1) <> substring(b.name, b.i, 1)") &&
+          expr("substring(a.name, a.j, 1) <> substring(b.name, b.j, 1)"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    // dist 2, Δ0, ins+del beyond hamming reach (shift pairs like
+    // "abc"/"bca"): share a 1-deletion variant but differ at ≥ 3
+    // positions; can share several variants → small distinct
+    val b11x = v1.as("a").join(v1.as("b"),
+        col("a.variant") === col("b.variant") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct() // dedup BEFORE the interpreted hamming lambda runs
+      .where(expr(s"$hamming >= 3"))
+    // dist 2, Δ1, sub+indel: the one branch whose candidates can sit at
+    // lev 1 (pure indel, re-matched through an extra common deletion) or
+    // lev 3 — the banded threshold DP settles it, on this branch only
+    val b12 = v2.as("a").join(v1.as("b"), col("a.variant") === col("b.variant"))
+      .selectExpr("least(a.name, b.name) AS name_a",
+        "greatest(a.name, b.name) AS name_b")
+      .distinct()
+      .where(expr("levenshtein(name_a, name_b, 2) = 2"))
+    // dist 2, Δ2: longer minus two chars IS the shorter — lev ≥ Δlen = 2
+    // and ≤ 2 by the two deletions; dup-free via array_distinct
+    val b02 = v2.as("a").join(names.as("b"), col("a.variant") === col("b.name"))
+      .selectExpr("least(a.name, b.name) AS name_a",
+        "greatest(a.name, b.name) AS name_b")
+    sub.withColumn("dist", lit(1L))
+      .unionByName(b01.withColumn("dist", lit(1L)))
+      .unionByName(b22.withColumn("dist", lit(2L)))
+      .unionByName(b11x.withColumn("dist", lit(2L)))
+      .unionByName(b12.withColumn("dist", lit(2L)))
+      .unionByName(b02.withColumn("dist", lit(2L)))
   }
 
   def oracles: Map[String, String] = {
@@ -809,6 +996,18 @@ object DedupOps {
              ON a.name < b.name
             AND abs(length(a.name) - length(b.name)) <= 1
             AND levenshtein(a.name, b.name) = 1
+           ORDER BY name_a, name_b""",
+      // q177: the same bare-definition brute at radius 2 — the hash match
+      // proves the five-branch deletion-neighborhood taxonomy is COMPLETE
+      "q177_edit_linkage_d2" ->
+        """WITH n AS (SELECT DISTINCT c_name AS name FROM customer
+                      WHERE c_name IS NOT NULL)
+           SELECT a.name AS name_a, b.name AS name_b,
+                  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+           FROM n a JOIN n b
+             ON a.name < b.name
+            AND abs(length(a.name) - length(b.name)) <= 2
+            AND levenshtein(a.name, b.name) <= 2
            ORDER BY name_a, name_b""",
       // q135: identical winnowing recipe — struct MIN over the same frame
       // gives the same rightmost tie-break; `//`-vs-DIV never appears

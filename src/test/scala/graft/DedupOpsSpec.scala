@@ -422,4 +422,54 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === rows.map(p => Seq(p._1, p._2, p._3)))
   }
+
+  test("q177 radius-2 linkage covers the whole d<=2 taxonomy and nothing else (hand fixture)") {
+    // every d<=2 op class: substitution, indel, double-substitution,
+    // sub+indel (Δ1), double indel (Δ2), transposition (equal-length
+    // ins+del at adjacent positions), a SHIFT pair (lev 2 via ins+del
+    // with hamming 3 — "abcd"/"bcda"), a hamming-2 pair that ALSO shares
+    // a 1-deletion variant ("aab"/"baa" — the branch-overlap trap), a
+    // d=3 pair that must NOT appear, LCP-degenerate short names, and a
+    // name equal to another's prefix
+    val names = Seq("abc", "abd", "ab", "axd", "abcd", "bcda", "bacd",
+      "aab", "baa", "a", "zzz", "zqz", "qqq")
+    val fixture = (names.map(Option(_)) :+ None).toDF("c_name")
+    val got = DedupOps.editLinkageD2Pairs(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val expect = (for {
+      a <- names; b <- names
+      if a < b && lev(a, b) <= 2 && lev(a, b) >= 1
+    } yield (a, b, lev(a, b).toLong)).sortBy(p => (p._1, p._2))
+    assert(got === expect)
+    // the fixture genuinely exercises each class
+    assert(expect.contains(("abc", "abd", 1L)), "substitution missing")
+    assert(expect.contains(("ab", "abc", 1L)), "indel missing")
+    assert(expect.contains(("abd", "axd", 1L)) &&
+      expect.contains(("abc", "axd", 2L)), "double-substitution missing")
+    assert(expect.contains(("ab", "abd", 1L)) &&
+      expect.contains(("ab", "axd", 2L)), "sub+indel (delta-1) missing")
+    assert(expect.contains(("ab", "abcd", 2L)), "double indel (delta-2) missing")
+    assert(expect.contains(("abcd", "bacd", 2L)), "transposition missing")
+    assert(expect.contains(("abcd", "bcda", 2L)), "shift pair (hamming 3, lev 2) missing")
+    assert(expect.contains(("aab", "baa", 2L)), "hamming-2-with-shared-V1 pair missing")
+    assert(lev("qqq", "zzz") === 3 && !expect.exists(p => p._1 == "qqq" && p._2 == "zzz"),
+      "d=3 pair must be excluded")
+  }
+
+  test("q177 radius-2 linkage equals brute force on the real corpus; deterministic under repartition") {
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val rows = DedupOps.editLinkageD2Pairs(customer).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val names = customer.selectExpr("c_name").collect().map(_.getString(0)).distinct
+    val brute = (for {
+      a <- names; b <- names
+      if a < b && lev(a, b) >= 1 && lev(a, b) <= 2
+    } yield (a, b, lev(a, b).toLong)).sortBy(p => (p._1, p._2)).toSeq
+    assert(rows === brute,
+      "radius-2 deletion-neighborhood candidates must be COMPLETE and distances structural")
+    assert(rows.exists(_._3 == 2L), "corpus must exercise distance 2")
+    val reparted = DedupOps.editLinkageD2Pairs(customer.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(p => Seq(p._1, p._2, p._3)))
+  }
 }

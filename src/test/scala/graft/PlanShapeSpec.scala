@@ -832,7 +832,9 @@ class PlanShapeSpec extends SparkSpec {
   test("q159 edit linkage: equi hash joins only — the deletion neighborhood never degrades to all-pairs") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val customer = Tables.customer(spark, "/root/testdata/sf0.001")
-    val q = DedupOps.editLinkagePairs(customer)
+    // the pre-checkpoint candidates stage: the final sort's checkpoint
+    // would hide the joins from the plan (the q167 lesson)
+    val q = DedupOps.editLinkagePairsCandidates(customer)
     val exec = q.queryExecution.executedPlan.toString
     // a CartesianProduct or BNLJ here means the candidate rule fell back
     // to comparing every name against every name — the exact plan the
@@ -841,6 +843,22 @@ class PlanShapeSpec extends SparkSpec {
       s"all-pairs plan leaked into q159:\n${exec.take(1200)}")
     assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
       "q159 must not window")
+  }
+
+  test("q177 radius-2 linkage: equi hash joins only across all five branches") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val q = DedupOps.editLinkageD2PairsCandidates(customer)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") && !exec.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan leaked into q177:\n${exec.take(1200)}")
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q177 must not window")
+    // the structural-distance design keeps the quadratic-cost threshold
+    // DP off the bulk: levenshtein may appear at most once (the small
+    // delta-1 sub+indel branch), never in the hamming-2 spine
+    assert("levenshtein".r.findAllIn(exec.toLowerCase).length <= 1,
+      s"the edit-distance DP crept onto a bulk branch:\n${exec.take(1200)}")
   }
 
   test("q171 skyline: the only window is bucket-partitioned; no all-pairs dominance join") {
