@@ -451,16 +451,35 @@ object RelationalOps {
     * upsert/delete/keep. Deletes of absent keys are no-ops; CDC inserts
     * of keys the base never had survive with src = 'cdc' — the full
     * MERGE matrix, each cell spec-pinned. */
-  def cdcMerge(customer: DataFrame, events: DataFrame): DataFrame = {
-    val changes = events.selectExpr(
-        "user_id AS key",
-        "unix_micros(ts) AS us", "event_id",
-        "CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op",
-        "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
-          "ELSE CAST(round(value * 100) AS BIGINT) END AS cents")
-    val last = changes.groupBy("key")
+  def cdcMerge(customer: DataFrame, events: DataFrame): DataFrame =
+    cdcApply(customer, cdcCollapse(cdcChanges(events)))
+
+  /** q173's change-log projection — shared with [[graft.streaming.StreamCdcMerge]]
+    * so the CDC reinterpretation has exactly one definition. */
+  private[graft] def cdcChanges(events: DataFrame): DataFrame =
+    events.selectExpr(
+      "user_id AS key",
+      "unix_micros(ts) AS us", "event_id",
+      "CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op",
+      "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(round(value * 100) AS BIGINT) END AS cents")
+
+  /** Per-key LWW collapse of a change log — the store shape the stream
+    * maintainer persists per batch: `n_changes` SUMs across partials and
+    * the winner struct `w` MAX-merges (lexicographic struct MAX over the
+    * (us, event_id) total order is associative, so any segmentation of a
+    * key's history collapses to the same winner). Map-combinable. */
+  private[graft] def cdcCollapse(changes: DataFrame): DataFrame =
+    changes.groupBy("key")
       .agg(count(lit(1)).as("n_changes"),
         max(struct(col("us"), col("event_id"), col("op"), col("cents"))).as("w"))
+
+  /** The merge matrix applied to a collapsed change table — one co-keyed
+    * FULL OUTER join against the base and a row-local CASE; shared
+    * verbatim by batch q173 and the streamed snapshot so the two are
+    * bit-equal by construction. */
+  private[graft] def cdcApply(customer: DataFrame, collapsed: DataFrame): DataFrame = {
+    val last = collapsed
       .selectExpr("key", "n_changes", "w.op AS last_op", "w.cents AS last_cents")
     val base = customer.selectExpr("c_custkey AS key",
       "CAST(round(c_acctbal * 100) AS BIGINT) AS base_cents")
