@@ -605,6 +605,12 @@ object SparkEntry {
     // direct distinct, total row built by merging the daily word tables
     "q166_bitmap_cube"     -> ((s, d) =>
       SketchOps.bitmapDailyCube(Tables.events(s, d))),
+    // Roaring container choice: q166's production refinement — per
+    // (day, 1024-wide block) the cheaper exact representation (sorted
+    // array vs bit block) at the true 2n-vs-width/8 crossover, with the
+    // popcount law per kind and the policy ledger per day
+    "q178_roaring_cube"    -> ((s, d) =>
+      SketchOps.roaringCube(Tables.events(s, d))),
     // SCD2 state history via gaps-and-islands: value-change runs per
     // user as [from, to) intervals with the open current row — the
     // warehouse dimension build from a raw change log

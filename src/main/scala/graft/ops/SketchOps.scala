@@ -1092,6 +1092,81 @@ object SketchOps {
       .orderBy("day")
   }
 
+  /** q178's Roaring geometry, scaled: blocks of [[RoaringBlockWidth]]
+    * consecutive values, array containers up to [[RoaringArrayMax]]
+    * entries. The threshold is not a tuning knob — it is the EXACT
+    * storage crossover of the two representations (2 bytes per entry in
+    * an array container vs width/8 bytes for the full bit block:
+    * 2n ≤ width/8 ⟺ n ≤ width/16), the same law that sets Roaring's
+    * 4096 threshold for its 65536-wide blocks. */
+  val RoaringBlockWidth = 1024L
+  val RoaringArrayMax = RoaringBlockWidth / 16
+
+  /** q178 — ROARING CONTAINER CHOICE: the production refinement q166's
+    * Scaladoc promises — the id domain cut into fixed-width blocks, and
+    * PER (day, block) the store picks the cheaper exact representation:
+    * a sorted array of offsets while the block is sparse, a plain bit
+    * block once it densifies past the crossover. Run on the per-day
+    * DISTINCT price points (cents), whose skew toward low blocks gives
+    * both container kinds at graded scales — dense cheap-price blocks
+    * go bitmap, the sparse expensive tail stays array.
+    *
+    * Graded per (day, block): the exact cardinality, the chosen kind,
+    * the popcount-exactness law (`popcount_ok` — the bit block's
+    * popcount equals the distinct count, same law as q166), and the
+    * state-size ledger (array bytes 2n, bitmap bytes width/8, chosen =
+    * min). Per-day sentinel rows (blk = -1) aggregate the ledger into
+    * the policy comparison the trade exists for: total state under
+    * choice vs all-array vs all-bitmap — blocks partition the domain,
+    * so the day row's popcount law is the block laws' conjunction.
+    *
+    * Scale shape: ONE distinct over (day, blk, off) triples is the only
+    * corpus-scale shuffle; words, popcounts, counts, and ledgers are
+    * map-combinable aggregates over it; the block/off split uses the
+    * negative-safe remainder-subtraction floor so both engines bin
+    * identically for all inputs (the q175 lesson). */
+  def roaringCube(events: DataFrame): DataFrame = {
+    val w = RoaringBlockWidth
+    val bb = w / 8 // bitmap container bytes
+    val triples = events.filter(col("value").isNotNull)
+      .selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .selectExpr("day",
+        s"(cents - (((cents % $w) + $w) % $w)) DIV $w AS blk",
+        s"CAST(((cents % $w) + $w) % $w AS INT) AS off")
+      .distinct()
+      .localCheckpoint() // consumed by the word build + the exact branch
+    val pops = triples
+      .selectExpr("day", "blk", "CAST(off DIV 64 AS INT) AS wi",
+        "CAST(off % 64 AS INT) AS b")
+      .groupBy("day", "blk", "wi")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("word"))
+      .groupBy("day", "blk")
+      .agg(sum(expr("CAST(bit_count(word) AS BIGINT)")).as("pop"))
+    val joined = triples.groupBy("day", "blk").agg(count(lit(1)).as("n_exact"))
+      .join(pops, Seq("day", "blk"))
+      .localCheckpoint() // bounded: days × touched blocks
+    val perBlock = joined.selectExpr("day", "blk", "n_exact",
+      s"IF(n_exact <= $RoaringArrayMax, 'array', 'bitmap') AS kind",
+      "pop = n_exact AS popcount_ok",
+      "2 * n_exact AS array_bytes",
+      s"CAST($bb AS BIGINT) AS bitmap_bytes",
+      s"least(2 * n_exact, CAST($bb AS BIGINT)) AS chosen_bytes")
+    val perDay = joined.groupBy("day")
+      .agg(sum("n_exact").as("n_exact"), sum("pop").as("pop"),
+        count(lit(1)).as("n_blocks"),
+        sum(expr(s"least(2 * n_exact, CAST($bb AS BIGINT))")).as("chosen_bytes"))
+      .selectExpr("day", "CAST(-1 AS BIGINT) AS blk", "n_exact",
+        "'day' AS kind", "pop = n_exact AS popcount_ok",
+        "2 * n_exact AS array_bytes",
+        s"n_blocks * $bb AS bitmap_bytes",
+        "chosen_bytes")
+    // kind joins the sort key: a genuinely negative cents block is also
+    // blk = -1, and the day sentinel must not tie with it ambiguously
+    perBlock.unionByName(perDay).orderBy("day", "blk", "kind")
+  }
+
   /** q161's Bloom geometry: m bits in m/64 BIGINT words, k md5-salted
     * hash probes, and the heavy-spender build-side dial (exact integer
     * cents). Shared by both engines and the spec. */
@@ -1329,6 +1404,49 @@ object SketchOps {
          SELECT day, n_words, bitmap_distinct, exact_distinct,
                 bitmap_distinct = exact_distinct AS exact_match
          FROM c JOIN e USING (day) ORDER BY day""",
+    // q178: same block/off split (negative-safe floor spelling), same
+    // word layout and bit-63 literal as q166, same ledger arithmetic;
+    // every SUM cast back to BIGINT before shipping
+    "q178_roaring_cube" -> {
+      val w = RoaringBlockWidth
+      val bb = w / 8
+      s"""WITH c AS (SELECT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                            CAST(ROUND(value * 100) AS BIGINT) AS cents
+                     FROM events WHERE value IS NOT NULL),
+              t AS (SELECT DISTINCT day,
+                           (cents - (((cents % $w) + $w) % $w)) // $w AS blk,
+                           CAST(((cents % $w) + $w) % $w AS INT) AS off
+                    FROM c),
+              words AS (SELECT day, blk, off // 64 AS wi,
+                               bit_or(CASE WHEN off % 64 = 63
+                                           THEN CAST(-9223372036854775808 AS BIGINT)
+                                           ELSE CAST(1 AS BIGINT) << (off % 64) END) AS word
+                        FROM t GROUP BY 1, 2, 3),
+              pops AS (SELECT day, blk,
+                              CAST(SUM(CAST(bit_count(word) AS BIGINT)) AS BIGINT) AS pop
+                       FROM words GROUP BY 1, 2),
+              j AS (SELECT day, blk, CAST(COUNT(*) AS BIGINT) AS n_exact
+                    FROM t GROUP BY 1, 2),
+              jp AS (SELECT * FROM j JOIN pops USING (day, blk)),
+              pb AS (SELECT day, blk, n_exact,
+                            CASE WHEN n_exact <= $RoaringArrayMax
+                                 THEN 'array' ELSE 'bitmap' END AS kind,
+                            pop = n_exact AS popcount_ok,
+                            2 * n_exact AS array_bytes,
+                            CAST($bb AS BIGINT) AS bitmap_bytes,
+                            least(2 * n_exact, CAST($bb AS BIGINT)) AS chosen_bytes
+                     FROM jp),
+              pd AS (SELECT day, CAST(-1 AS BIGINT) AS blk,
+                            CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+                            'day' AS kind,
+                            SUM(pop) = SUM(n_exact) AS popcount_ok,
+                            CAST(2 * SUM(n_exact) AS BIGINT) AS array_bytes,
+                            CAST(COUNT(*) * $bb AS BIGINT) AS bitmap_bytes,
+                            CAST(SUM(least(2 * n_exact, CAST($bb AS BIGINT))) AS BIGINT)
+                              AS chosen_bytes
+                     FROM jp GROUP BY day)
+         SELECT * FROM pb UNION ALL SELECT * FROM pd ORDER BY day, blk, kind"""
+    },
     // q163: the q154 recipe at (day, type) grain with every rollup level
     // MAX-merged from the same fine store, exact counts off the distinct
     // triple table — identical estimate arithmetic at all four levels

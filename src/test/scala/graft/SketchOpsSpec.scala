@@ -554,6 +554,54 @@ class SketchOpsSpec extends SparkSpec {
       "merged total must OR away the day-1 duplicate of uid 63")
   }
 
+  test("q178 roaring cube: kind flips at the exact crossover, popcount law per kind, day ledger sums, negative blocks floor") {
+    val w = SketchOps.RoaringBlockWidth
+    val t = SketchOps.RoaringArrayMax
+    val dayUs = graft.ops.RelationalOps.DayUs
+    // day 0: block 0 holds EXACTLY t distinct cents (array, and chosen
+    // ties at the crossover: 2t = width/8), block 1 holds t+1 (bitmap);
+    // day 1: a negative-cents row exercising the floor spelling (block
+    // -1, not 0), plus a bit-63 offset (off = 1023 -> word 15 bit 63)
+    val rows =
+      (0L until t).map(i => (0L, i * 2)) ++            // blk 0, offs 0,2,4,...
+      (0L to t).map(i => (0L, w + i)) ++               // blk 1, t+1 distinct
+      Seq((1L, -1L), (1L, w - 1L))                     // blk -1 off 1023; blk 0 off 1023
+    val fix = rows.toDF("day0", "cents")
+      .selectExpr(s"timestamp_micros(day0 * $dayUs) AS ts",
+        "CAST(cents AS DOUBLE) / 100 AS value",
+        "CAST(0 AS BIGINT) AS event_id", "'u' AS user_id", "'t' AS event_type")
+    val got = SketchOps.roaringCube(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3) == "day") ->
+        (r.getLong(2), r.getString(3), r.getBoolean(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(got((0L, 0L, false)) === ((t, "array", true, 2 * t, w / 8, 2 * t)),
+      "exactly-at-threshold block must choose array (2t = width/8 tie)")
+    assert(got((0L, 1L, false)) === ((t + 1, "bitmap", true, 2 * (t + 1), w / 8, w / 8)),
+      "one-past-threshold block must choose bitmap and pocket the savings")
+    assert(got((1L, -1L, false)) === ((1L, "array", true, 2L, w / 8, 2L)),
+      "negative cents must land in floor block -1 with a valid offset")
+    assert(got((1L, 0L, false))._1 === 1L && got((1L, 0L, false))._3,
+      "bit-63 offset (off = width-1) must popcount exactly")
+    // the day ledger: sums of the block rows, law = conjunction; the
+    // sentinel blk = -1 coexists with day 1's GENUINE block -1, told
+    // apart by kind (and the output sort includes kind for that reason)
+    assert(got((0L, -1L, true)) === ((2L * t + 1L, "day", true, 2 * (2 * t + 1),
+      2 * (w / 8), 2 * t + w / 8)), "day 0 ledger must sum its blocks")
+    assert(got.contains((1L, -1L, true)) && got.contains((1L, -1L, false)),
+      "sentinel and genuine block -1 must both survive, disambiguated by kind")
+    // the policy point on the real corpus: chosen never exceeds either
+    // pure policy, and both kinds appear across the tri-scale fixtures
+    val real = SketchOps.roaringCube(Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(real.forall(_.getBoolean(4)), "popcount law must hold corpus-wide")
+    assert(real.forall(r => r.getLong(7) <= r.getLong(5) && r.getLong(7) <= r.getLong(6)),
+      "chosen bytes must never exceed either pure policy")
+    val reparted = SketchOps.roaringCube(
+      Tables.events(spark, "/root/testdata/sf0.001").repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q161 bloom: OR-merge law, no false negatives ever, census matches a driver filter, pruning engages") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     // build-side keys per the shared dial
