@@ -559,6 +559,11 @@ object SparkEntry {
     // Z-ORDER layout audit: the q160 experiment under a Morton-coded
     // multi-dimensional layout — BOTH predicates become prunable, the
     // lesson Z-ORDER exists for; soundness graded per shard
+    // file compaction plan (lakehouse OPTIMIZE): day-ordered roll of the
+    // ingest files into contiguous target-size bins, cap/contiguity laws
+    // per bin, conservation + bin-count laws on the sentinel row
+    "q179_compaction_plan" -> ((s, d) =>
+      graft.ops.ScaleOps.compactionPlan(Tables.events(s, d))),
     "q175_zorder_audit"    -> ((s, d) =>
       graft.ops.ScaleOps.zOrderAudit(Tables.events(s, d))),
     // cardinality-estimation q-error audit: the q169 stats estimating
@@ -1606,6 +1611,48 @@ object SparkEntry {
                 skip_cents, n_match_cents,
                 NOT skip_cents OR n_match_cents = 0 AS skip_sound_cents
          FROM s ORDER BY day"""
+    },
+    // q179: identical byte proxy, the same bounded self-join prefix
+    // arithmetic (exclusive cumsum, 1-based seq), ceil via (x+t-1)//t
+    "q179_compaction_plan" -> {
+      val dayUs = graft.ops.RelationalOps.DayUs
+      val nb = graft.ops.ScaleOps.CompactionBins
+      s"""WITH files AS (SELECT epoch_us(ts) // $dayUs AS day,
+                                CAST(SUM(32 + length(CAST(user_id AS VARCHAR)) + length(event_type))
+                                     AS BIGINT) AS bytes
+                         FROM events GROUP BY 1),
+              tot AS (SELECT CAST(SUM(bytes) AS BIGINT) AS total,
+                             MAX(bytes) AS max_file,
+                             CAST(COUNT(*) AS BIGINT) AS n_files_all,
+                             CAST((SUM(bytes) + ${nb - 1}) // $nb AS BIGINT) AS target
+                      FROM files),
+              pre AS (SELECT a.day AS day, MAX(a.bytes) AS bytes,
+                             CAST(SUM(b.bytes) - MAX(a.bytes) AS BIGINT) AS cum_excl,
+                             CAST(COUNT(*) AS BIGINT) AS seq
+                      FROM files a JOIN files b ON b.day <= a.day
+                      GROUP BY a.day),
+              bn AS (SELECT day, bytes, seq, cum_excl // target AS bin,
+                            target, max_file, total, n_files_all
+                     FROM pre CROSS JOIN tot),
+              pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+                            MIN(day) AS first_day, MAX(day) AS last_day,
+                            CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+                            CAST(SUM(bytes) AS BIGINT) < MAX(target) + MAX(max_file) AS cap_ok,
+                            MAX(seq) - MIN(seq) + 1 = COUNT(*) AS contig_ok
+                     FROM bn GROUP BY bin),
+              sm AS (SELECT CAST(-1 AS BIGINT) AS bin,
+                            CAST(SUM(n_files) AS BIGINT) AS n_files,
+                            CAST(NULL AS BIGINT) AS first_day,
+                            CAST(NULL AS BIGINT) AS last_day,
+                            CAST(SUM(bin_bytes) AS BIGINT) AS bin_bytes,
+                            CAST(SUM(bin_bytes) AS BIGINT) = MAX(tot.total)
+                              AND CAST(SUM(n_files) AS BIGINT) = MAX(tot.n_files_all) AS cap_ok,
+                            COUNT(*) <= (MAX(tot.total) + MAX(tot.target) - 1) // MAX(tot.target)
+                              AND (MAX(tot.max_file) > MAX(tot.target)
+                                   OR COUNT(*) = (MAX(tot.total) + MAX(tot.target) - 1)
+                                        // MAX(tot.target)) AS contig_ok
+                     FROM pb CROSS JOIN tot)
+         SELECT * FROM pb UNION ALL SELECT * FROM sm ORDER BY bin"""
     },
     // q175: identical Morton recipe (shift spelling aside), same
     // predicates and skip rules as q160, null cents in the all-ones bin

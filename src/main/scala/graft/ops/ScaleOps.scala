@@ -378,4 +378,74 @@ object ScaleOps {
         "NOT skip_cents OR n_match_cents = 0 AS skip_sound_cents")
       .orderBy("shard")
   }
+
+  /** q179's bin-count dial: the target bin size is ⌈total/[[CompactionBins]]⌉
+    * exact integer bytes, so the plan scales with the corpus and the
+    * roll never produces more than [[CompactionBins]] bins. */
+  val CompactionBins = 8L
+
+  /** q179 — FILE COMPACTION PLAN (the lakehouse OPTIMIZE step): the
+    * small-files problem, planned. Ingest leaves one file per day whose
+    * sizes swing with traffic; the planner rolls the day-ordered file
+    * list into contiguous target-size bins — `bin = exclusive-prefix
+    * bytes DIV target` — the deterministic roll compaction Delta/Iceberg
+    * OPTIMIZE performs (contiguous input ranges preserve the time
+    * clustering q160 depends on; a best-fit repack would shred it).
+    *
+    * Graded per bin: file count, day span, exact bytes, and the two plan
+    * laws — `cap_ok` (a bin exceeds the target only by the straddling
+    * file: bytes < target + max_file_bytes) and `contig_ok` (the bin is
+    * an unbroken run of the day sequence). The sentinel row (bin = -1)
+    * carries the global laws: byte conservation (the bins partition the
+    * corpus exactly) and the bin-count bound n_bins = ⌈total/target⌉.
+    *
+    * Scale shape: the file manifest is METADATA (one row per day-file —
+    * thousands at 100 TB), so the prefix sum runs as the q108 bounded
+    * self-join, never a corpus window; the corpus itself is touched by
+    * exactly one map-combinable per-day collapse. Byte sizes are an
+    * exact integer proxy (fixed overhead + string lengths) so both
+    * engines compute identical plans. */
+  def compactionPlan(events: DataFrame): DataFrame = {
+    val dayUs = RelationalOps.DayUs
+    val files = events.selectExpr(
+        s"unix_micros(ts) DIV $dayUs AS day",
+        "32 + length(CAST(user_id AS STRING)) + length(event_type) AS row_bytes")
+      .groupBy("day").agg(sum("row_bytes").as("bytes"))
+      .localCheckpoint() // bounded metadata: one row per day-file
+    val totals = files.agg(sum("bytes").as("total"), max("bytes").as("max_file"),
+        count(lit(1)).as("n_files_all"))
+      .selectExpr("total", "max_file", "n_files_all",
+        s"(total + ${CompactionBins - 1}) DIV $CompactionBins AS target")
+    // exclusive prefix bytes + day sequence via the bounded self-join
+    val pre = files.as("a").join(files.as("b"), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(max(col("a.bytes")).as("bytes"),
+        (sum(col("b.bytes")) - max(col("a.bytes"))).as("cum_excl"),
+        count(lit(1)).as("seq"))
+    val binned = pre.crossJoin(broadcast(totals))
+      .selectExpr("day", "bytes", "seq", "cum_excl DIV target AS bin",
+        "target", "max_file", "total", "n_files_all")
+    val perBin = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n_files"),
+        min("day").as("first_day"), max("day").as("last_day"),
+        min("seq").as("seq_lo"), max("seq").as("seq_hi"),
+        sum("bytes").as("bin_bytes"),
+        max("target").as("target"), max("max_file").as("max_file"))
+      .selectExpr("bin", "n_files", "first_day", "last_day", "bin_bytes",
+        "bin_bytes < target + max_file AS cap_ok",
+        "seq_hi - seq_lo + 1 = n_files AS contig_ok")
+    val summary = perBin.agg(sum("n_files").as("nf"), sum("bin_bytes").as("bb"),
+        count(lit(1)).as("n_bins"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("CAST(-1 AS BIGINT) AS bin", "nf AS n_files",
+        "CAST(NULL AS BIGINT) AS first_day", "CAST(NULL AS BIGINT) AS last_day",
+        "bb AS bin_bytes",
+        "bb = total AND nf = n_files_all AS cap_ok", // conservation
+        // exact bin count unless a jumbo file (> target) straddles and
+        // skips indices — then the count can only shrink
+        """n_bins <= (total + target - 1) DIV target
+           AND (max_file > target OR n_bins = (total + target - 1) DIV target)
+           AS contig_ok""")
+    perBin.unionByName(summary).orderBy("bin")
+  }
 }

@@ -676,12 +676,12 @@ class RelationalOpsSpec extends SparkSpec {
     val got = RelationalOps.twapPerUser(fix).collect()
       .map(r => r.getLong(0) -> r).toMap
     // user 1: num = 100·9 + 10000·1 = 10900, den = 10 → 1090.0 cents
-    assert(got(1L).getDecimal(3).longValueExact === 10900L)
+    assert(got(1L).getLong(3) === 10900L)
     assert(got(1L).getLong(4) === 10L)
     assert(got(1L).getLong(5) === 1090000L) // 1090.000 milli-cents: AVG would say 5050.000
     assert(got(2L).isNullAt(5) && got(2L).getLong(1) === 1L)
     // user 3: $2.00 held 10 (to the next PRICED event) → twap = 200 cents
-    assert(got(3L).getDecimal(3).longValueExact === 2000L &&
+    assert(got(3L).getLong(3) === 2000L &&
       got(3L).getLong(4) === 10L && got(3L).getLong(5) === 200000L)
     // corpus: exact driver fold
     val events = Tables.events(spark, "/root/testdata/sf0.001")
@@ -699,7 +699,7 @@ class RelationalOpsSpec extends SparkSpec {
       val den = evs.toSeq.sliding(2).collect {
         case Seq(a, b) => b._3 - a._3
       }.sum
-      assert(BigInt(r.getDecimal(3).toBigInteger) === num, s"user ${r.getLong(0)} num")
+      assert(BigInt(r.getLong(3)) === num, s"user ${r.getLong(0)} num")
       assert(r.getLong(4) === den)
       assert(r.getLong(5) === (BigInt(1000) * num / den).toLong)
     }

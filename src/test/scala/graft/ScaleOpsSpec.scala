@@ -245,4 +245,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(0L).getBoolean(6) && got(7L).getLong(7) === 1L && !got(7L).getBoolean(6))
     assert(got.values.forall(r => r.getBoolean(8) && r.getBoolean(11)))
   }
+
+  test("q179 compaction plan: laws hold on the corpus, driver roll matches, jumbo file straddles soundly") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = ScaleOps.compactionPlan(events).collect()
+    val (bins, summary) = rows.partition(_.getLong(0) >= 0)
+    assert(summary.length === 1 && bins.length > 1)
+    // every law the artifact grades, re-asserted
+    assert(rows.forall(r => r.getBoolean(5) && r.getBoolean(6)),
+      "cap/contiguity/conservation laws must hold corpus-wide")
+    // driver-side roll from first principles
+    val sizes = events.selectExpr(
+        s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
+        "32 + length(CAST(user_id AS STRING)) + length(event_type) AS b")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("b").as("bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = sizes.map(_._2).sum
+    val target = (total + ScaleOps.CompactionBins - 1) / ScaleOps.CompactionBins
+    val cum = sizes.scanLeft(0L)(_ + _._2).init
+    val wantBins = sizes.zip(cum).groupBy { case (_, c) => c / target }
+    bins.foreach { r =>
+      val want = wantBins(r.getLong(0))
+      assert(r.getLong(1) === want.length && r.getLong(4) === want.map(_._1._2).sum,
+        s"bin ${r.getLong(0)} must match the driver roll")
+      assert(r.getLong(2) === want.map(_._1._1).min && r.getLong(3) === want.map(_._1._1).max)
+    }
+    assert(summary.head.getLong(4) === total, "byte conservation")
+    // jumbo file: one day holding more than a whole target's bytes makes
+    // the roll SKIP bin indices — cap_ok still holds per bin, and the
+    // summary's count law falls back to the <= bound without failing
+    val jumbo = (Seq.fill(80)((0L, "u1", "t")) ++
+      Seq((1L, "u2", "t"), (2L, "u3", "t"), (3L, "u4", "t")))
+      .toDF("day0", "user_id", "event_type")
+      .selectExpr(s"timestamp_micros(day0 * ${graft.ops.RelationalOps.DayUs}) AS ts",
+        "user_id", "event_type")
+    val jr = ScaleOps.compactionPlan(jumbo).collect()
+    assert(jr.forall(r => r.getBoolean(5)), "cap law must survive the jumbo file")
+    assert(jr.filter(_.getLong(0) >= 0).map(_.getLong(0)).toSet.size <
+      ScaleOps.CompactionBins, "jumbo file must actually skip bin indices here")
+    assert(jr.forall(_.getBoolean(6)), "count law must fall back to the bound, not fail")
+    val reparted = ScaleOps.compactionPlan(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }

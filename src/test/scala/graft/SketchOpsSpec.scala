@@ -460,7 +460,7 @@ class SketchOpsSpec extends SparkSpec {
     val counts = events.selectExpr("CAST(user_id AS STRING)").collect()
       .groupBy(_.getString(0)).map(_._2.length.toLong)
     val exact = counts.map(c => BigInt(c) * c).sum
-    assert(BigInt(r.getDecimal(2).toBigInteger) === exact)
+    assert(BigInt(r.getLong(2)) === exact)
     assert(r.getLong(0) === counts.sum && r.getLong(1) === counts.size.toLong)
     // the theorem: est ≥ exact, always
     assert(r.getBoolean(4) && r.getDouble(5) >= 1.0)
@@ -470,7 +470,7 @@ class SketchOpsSpec extends SparkSpec {
     val estRef = (0 until SketchOps.CmsRows).map { row =>
       regs.collect { case ((`row`, _), v) => BigInt(v) * v }.sum
     }.min
-    assert(BigInt(r.getDecimal(3).toBigInteger) === estRef)
+    assert(BigInt(r.getLong(3)) === estRef)
     // 15 keys over 256 columns collide in no row at this sf → the
     // estimate is TIGHT (blowup exactly 1) — the zero-collision case
     assert(r.getDouble(5) === 1.0,
