@@ -632,6 +632,11 @@ object SparkEntry {
     // deterministic, replay-safe, and shard-mergeable
     "q176_weighted_bottomk" -> ((s, d) =>
       PipelineOps.weightedBottomkSample(Tables.documents(s, d))),
+    // k-anonymity audit: re-identification risk through quasi-identifier
+    // classes up a generalization ladder — k and the at-risk set are
+    // provably monotone level-over-level, both graded
+    "q180_k_anonymity"     -> ((s, d) =>
+      PipelineOps.kAnonymityAudit(Tables.customer(s, d))),
     // HLL grouping-sets rollup: registers built ONCE at (day, type)
     // grain; every coarser level MAX-merged from that store and graded
     // against its own exact distinct — one sketch build, every rollup

@@ -864,7 +864,116 @@ object PipelineOps {
       .orderBy("rk")
   }
 
+  /** q180's dials: the k-anonymity floor and the two balance
+    * generalization widths (exact cents — $1 and $1000 buckets). */
+  val AnonK = 5L
+  val AnonBalFine = 100L
+  val AnonBalCoarse = 100000L
+
+  /** q180 — K-ANONYMITY AUDIT: the privacy-governance twin of q86's PII
+    * scrub — scrubbing hides DIRECT identifiers, but rows remain
+    * re-identifiable through QUASI-identifier combinations (nation ×
+    * market segment × account balance here). The audit measures k (the
+    * smallest equivalence-class size — Sweeney's k-anonymity) up a
+    * four-level generalization ladder: $1 balance buckets, $1000
+    * buckets, drop nation, segment only. Each level's partition
+    * COARSENS the previous, which makes two laws theorems rather than
+    * observations — k is non-decreasing (a merged class is at least as
+    * large as its largest constituent) and the at-risk row set (rows in
+    * classes below [[AnonK]]) only shrinks — both graded per level as
+    * `monotone_ok`, with the re-identification exposure as an exact
+    * floor'd micro fraction.
+    *
+    * Scale shape: ONE map-combinable corpus collapse to the finest
+    * class table (bounded by the QI domain, not the row count); every
+    * coarser level re-aggregates that bounded table — the q154/q163
+    * store-rollup discipline applied to governance. The finest balance
+    * bucket determines the coarser one (100 | 100000), so one class
+    * key serves the whole ladder; negative balances bin by the
+    * remainder-subtraction floor both engines share. */
+  def kAnonymityAudit(customer: DataFrame): DataFrame = {
+    def fd(c: String, w: Long) = s"($c - ((($c % $w) + $w) % $w)) DIV $w"
+    val fine = customer.selectExpr(
+        "CAST(c_nationkey AS BIGINT) AS nat",
+        "c_mktsegment AS seg",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS cents")
+      .selectExpr("nat", "seg", s"${fd("cents", AnonBalFine)} AS b1")
+      .groupBy("nat", "seg", "b1").agg(count(lit(1)).as("n"))
+      .withColumn("b2", expr(s"${fd("b1", AnonBalCoarse / AnonBalFine)}"))
+      .localCheckpoint() // bounded class table; every ladder level reads it
+    def level(df: DataFrame, lv: Long): DataFrame =
+      df.agg(sum("n").as("n_rows"), count(lit(1)).as("n_classes"),
+          min("n").as("k_anon"),
+          count(when(col("n") < lit(AnonK), 1)).as("n_small_classes"),
+          sum(when(col("n") < lit(AnonK), col("n")).otherwise(lit(0L)))
+            .as("n_at_risk_rows"))
+        .selectExpr(s"CAST($lv AS BIGINT) AS level", "n_rows", "n_classes",
+          "k_anon", "n_small_classes", "n_at_risk_rows",
+          "CAST(1000000 AS BIGINT) * n_at_risk_rows DIV n_rows AS risk_micro")
+    val l0 = level(fine, 0L)
+    val l1 = level(fine.groupBy("nat", "seg", "b2").agg(sum("n").as("n")), 1L)
+    val l2 = level(fine.groupBy("seg", "b2").agg(sum("n").as("n")), 2L)
+    val l3 = level(fine.groupBy("seg").agg(sum("n").as("n")), 3L)
+    val ladder = l0.unionByName(l1).unionByName(l2).unionByName(l3)
+      .localCheckpoint() // 4 rows; read twice for the monotone join
+    ladder.as("a")
+      .join(broadcast(ladder.selectExpr("level + 1 AS level",
+        "k_anon AS prev_k", "n_at_risk_rows AS prev_risk").as("p")),
+        Seq("level"), "left")
+      .selectExpr("level", "n_rows", "n_classes", "k_anon",
+        "n_small_classes", "n_at_risk_rows", "risk_micro",
+        """coalesce(k_anon >= prev_k AND n_at_risk_rows <= prev_risk, true)
+           AS monotone_ok""",
+        s"k_anon >= $AnonK AS k_ok")
+      .orderBy("level")
+  }
+
   def oracles: Map[String, String] = Map(
+    // q180: identical floor spelling, the same one-pass fine class table
+    // re-aggregated per ladder level, the same +1-level self-join
+    "q180_k_anonymity" -> {
+      val (kk, f, cr) = (AnonK, AnonBalFine, AnonBalCoarse / AnonBalFine)
+      s"""WITH fine AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+                               c_mktsegment AS seg,
+                               (b0 - (((b0 % $f) + $f) % $f)) // $f AS b1,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM (SELECT c_nationkey, c_mktsegment,
+                                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS b0
+                              FROM customer)
+                        GROUP BY 1, 2, (b0 - (((b0 % $f) + $f) % $f)) // $f),
+              fb AS (SELECT nat, seg, b1,
+                            (b1 - (((b1 % $cr) + $cr) % $cr)) // $cr AS b2, n
+                     FROM fine),
+              l0 AS (SELECT CAST(0 AS BIGINT) AS level, fb.* FROM fb),
+              l1 AS (SELECT CAST(1 AS BIGINT), nat, seg, CAST(NULL AS BIGINT), b2,
+                            CAST(SUM(n) AS BIGINT) FROM fb GROUP BY nat, seg, b2),
+              l2 AS (SELECT CAST(2 AS BIGINT), CAST(NULL AS BIGINT), seg,
+                            CAST(NULL AS BIGINT), b2,
+                            CAST(SUM(n) AS BIGINT) FROM fb GROUP BY seg, b2),
+              l3 AS (SELECT CAST(3 AS BIGINT), CAST(NULL AS BIGINT), seg,
+                            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                            CAST(SUM(n) AS BIGINT) FROM fb GROUP BY seg),
+              lv AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+                     UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+              ag AS (SELECT level, CAST(SUM(n) AS BIGINT) AS n_rows,
+                            CAST(COUNT(*) AS BIGINT) AS n_classes,
+                            MIN(n) AS k_anon,
+                            CAST(COUNT(CASE WHEN n < $kk THEN 1 END) AS BIGINT)
+                              AS n_small_classes,
+                            CAST(COALESCE(SUM(CASE WHEN n < $kk THEN n END), 0)
+                                 AS BIGINT) AS n_at_risk_rows
+                     FROM lv GROUP BY level)
+         SELECT a.level AS level, a.n_rows AS n_rows, a.n_classes AS n_classes,
+                a.k_anon AS k_anon, a.n_small_classes AS n_small_classes,
+                a.n_at_risk_rows AS n_at_risk_rows,
+                CAST(1000000 AS BIGINT) * a.n_at_risk_rows // a.n_rows AS risk_micro,
+                COALESCE(a.k_anon >= p.k_anon
+                         AND a.n_at_risk_rows <= p.n_at_risk_rows, true)
+                  AS monotone_ok,
+                a.k_anon >= $kk AS k_ok
+         FROM ag a LEFT JOIN ag p ON p.level = a.level - 1
+         ORDER BY a.level"""
+    },
     // q176: identical replica recipe (DuckDB's || renders integers the
     // same as Spark's CAST-to-STRING concat; range(w) = sequence(0, w-1)),
     // brute-force rank as the selection definition the bounded-state

@@ -545,6 +545,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q180 k-anonymity: ladder laws are theorems, driver recount matches, negative balances floor-bin") {
+    import org.apache.spark.sql.functions.col
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val rows = PipelineOps.kAnonymityAudit(customer).collect()
+    assert(rows.length === 4 && rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(rows.forall(_.getBoolean(7)), "monotone laws must hold — they are theorems")
+    // k non-decreasing, at-risk non-increasing, re-checked directly
+    assert(rows.map(_.getLong(3)).toSeq === rows.map(_.getLong(3)).sorted)
+    assert(rows.map(_.getLong(5)).toSeq === rows.map(_.getLong(5)).sorted.reverse)
+    // driver recount of level 0 and level 3 from first principles
+    val cs = customer.selectExpr("CAST(c_nationkey AS BIGINT)", "c_mktsegment",
+        "CAST(round(c_acctbal * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def fl(c: Long, w: Long) = (c - (((c % w) + w) % w)) / w
+    val l0 = cs.groupBy(t => (t._1, t._2, fl(t._3, PipelineOps.AnonBalFine)))
+      .map(_._2.length.toLong)
+    assert(rows(0).getLong(2) === l0.size && rows(0).getLong(3) === l0.min)
+    assert(rows(0).getLong(5) === l0.filter(_ < PipelineOps.AnonK).sum)
+    val l3 = cs.groupBy(_._2).map(_._2.length.toLong)
+    assert(rows(3).getLong(2) === l3.size && rows(3).getLong(3) === l3.min)
+    // negative balances must bin by floor, not truncation: -1 cent in a
+    // $1 bucket is bucket -1, separate from +1 cent's bucket 0
+    val fix = Seq((1L, "S", -0.01), (2L, "S", 0.01), (3L, "S", -0.01),
+      (4L, "S", -0.01), (5L, "S", -0.01), (6L, "S", -0.01))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .withColumn("c_nationkey", col("c_custkey") * 0)
+    val fr = PipelineOps.kAnonymityAudit(fix).collect()
+    assert(fr(0).getLong(2) === 2L, "floor binning must split -1ç from +1ç")
+    assert(fr(0).getLong(3) === 1L && fr(0).getLong(5) === 1L,
+      "the singleton +1ç row is the only at-risk row at level 0 (the -1ç class has 5)")
+    val reparted = PipelineOps.kAnonymityAudit(customer.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q176 weighted bottom-k: A-Res selection law, replica-key identity, mergeable, heavy-biased, invariant") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
