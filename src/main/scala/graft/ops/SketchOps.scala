@@ -1126,9 +1126,18 @@ object SketchOps {
     * negative-safe remainder-subtraction floor so both engines bin
     * identically for all inputs (the q175 lesson). */
   def roaringCube(events: DataFrame): DataFrame = {
+    val triples = roaringTriples(events)
+      .localCheckpoint() // consumed by the word build + the exact branch
+    val joined = triples.groupBy("day", "blk").agg(count(lit(1)).as("n_exact"))
+      .join(roaringPops(roaringWords(triples)), Seq("day", "blk"))
+    roaringRender(joined)
+  }
+
+  /** q178's distinct (day, blk, off) triples — the one corpus-scale
+    * collapse, shared with [[graft.streaming.StreamRoaring]]. */
+  private[graft] def roaringTriples(events: DataFrame): DataFrame = {
     val w = RoaringBlockWidth
-    val bb = w / 8 // bitmap container bytes
-    val triples = events.filter(col("value").isNotNull)
+    events.filter(col("value").isNotNull)
       .selectExpr(
         s"unix_micros(ts) DIV ${graft.ops.RelationalOps.DayUs} AS day",
         "CAST(round(value * 100) AS BIGINT) AS cents")
@@ -1136,17 +1145,32 @@ object SketchOps {
         s"(cents - (((cents % $w) + $w) % $w)) DIV $w AS blk",
         s"CAST(((cents % $w) + $w) % $w AS INT) AS off")
       .distinct()
-      .localCheckpoint() // consumed by the word build + the exact branch
-    val pops = triples
+  }
+
+  /** The OR-mergeable word store (day, blk, wi, word) — q178's sketch
+    * state; bit_or makes it duplicate- AND re-delivery-proof with no
+    * bookkeeping (the q154 register algebra on exact bits). */
+  private[graft] def roaringWords(triples: DataFrame): DataFrame =
+    triples
       .selectExpr("day", "blk", "CAST(off DIV 64 AS INT) AS wi",
         "CAST(off % 64 AS INT) AS b")
       .groupBy("day", "blk", "wi")
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("word"))
-      .groupBy("day", "blk")
+
+  /** Per-(day, block) popcounts off a word table. Exact: the popcount of
+    * OR'd distinct-value bits IS the distinct count, so a maintained
+    * word store needs no separate count column. */
+  private[graft] def roaringPops(words: DataFrame): DataFrame =
+    words.groupBy("day", "blk")
       .agg(sum(expr("CAST(bit_count(word) AS BIGINT)")).as("pop"))
-    val joined = triples.groupBy("day", "blk").agg(count(lit(1)).as("n_exact"))
-      .join(pops, Seq("day", "blk"))
-      .localCheckpoint() // bounded: days × touched blocks
+
+  /** The container-choice render over (day, blk, n_exact, pop) stats —
+    * shared verbatim by batch q178 and the streamed read so the two are
+    * bit-equal by construction. */
+  private[graft] def roaringRender(stats: DataFrame): DataFrame = {
+    val w = RoaringBlockWidth
+    val bb = w / 8 // bitmap container bytes
+    val joined = stats.localCheckpoint() // bounded: days × touched blocks
     val perBlock = joined.selectExpr("day", "blk", "n_exact",
       s"IF(n_exact <= $RoaringArrayMax, 'array', 'bitmap') AS kind",
       "pop = n_exact AS popcount_ok",
