@@ -616,6 +616,11 @@ object SparkEntry {
     // popcount law per kind and the policy ledger per day
     "q178_roaring_cube"    -> ((s, d) =>
       SketchOps.roaringCube(Tables.events(s, d))),
+    // run containers, graded where each kind wins: sequential event_ids
+    // (one run per day) collapse under run containers, value-shaped
+    // cents stay array/bitmap — one container algebra, three kinds
+    "q181_roaring_runs"    -> ((s, d) =>
+      SketchOps.roaringRunsCube(Tables.events(s, d))),
     // SCD2 state history via gaps-and-islands: value-change runs per
     // user as [from, to) intervals with the open current row — the
     // warehouse dimension build from a raw change log

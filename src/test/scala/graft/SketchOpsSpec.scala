@@ -602,6 +602,56 @@ class SketchOpsSpec extends SparkSpec {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q181 run containers: head anti-join counts runs exactly, tie prefers array, the sequential-vs-value lesson holds") {
+    val w = SketchOps.RoaringBlockWidth
+    val dayUs = graft.ops.RelationalOps.DayUs
+    // day 0 cents: offs {0..9, 20, 22, 24} = 1 long run + 3 singletons
+    // (4 runs, n=13: array 26, run 18, bitmap 128 -> run); day 1 cents:
+    // exactly n=3 with one run (array 6 = run 6 -> tie prefers array);
+    // event_ids are globally sequential so each day is one run
+    val rows =
+      ((0 until 10).map(o => (0L, o.toDouble / 100)) ++
+        Seq((0L, 0.20), (0L, 0.22), (0L, 0.24)) ++
+        Seq((1L, 5.00), (1L, 5.01), (1L, 5.02)))
+    val fix = rows.zipWithIndex.map { case ((d, v), i) => (d, v, i.toLong) }
+      .toDF("day0", "v", "event_id")
+      .selectExpr(s"timestamp_micros(day0 * $dayUs) AS ts",
+        "CAST(v AS DOUBLE) AS value", "event_id")
+    val got = SketchOps.roaringRunsCube(fix).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getString(5), r.getLong(9), r.getBoolean(11)))
+      .toMap
+    assert(got(("cents", 0L, 0L)) === ((13L, 4L, "run", 18L, true)),
+      "punctured run block: 4 runs, run container wins")
+    assert(got(("cents", 1L, 0L)) === ((3L, 1L, "array", 6L, false)),
+      "n=3 single-run block ties array (6 = 6) and the tie prefers array")
+    assert(got(("event_id", 0L, 0L))._3 === "run" &&
+      got(("event_id", 0L, 0L))._2 === 1L,
+      "sequential ids: one run per day")
+    // real corpus: driver-side first-principles run count per block
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = SketchOps.roaringRunsCube(events).collect()
+    val offs = events.selectExpr(s"unix_micros(ts) DIV $dayUs AS day",
+        "CAST(event_id AS BIGINT) AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (d, v) => (d, Math.floorDiv(v, w), Math.floorMod(v, w)) }
+      .distinct.groupBy(t => (t._1, t._2))
+    real.filter(r => r.getString(0) == "event_id" && r.getLong(1) >= 0).foreach { r =>
+      val os = offs((r.getLong(1), r.getLong(2))).map(_._3).toSet
+      val runs = os.count(o => !os.contains(o - 1))
+      assert(r.getLong(3) === os.size && r.getLong(4) === runs,
+        s"block (${r.getLong(1)}, ${r.getLong(2)}) run count")
+    }
+    // the graded lesson on the real table: run-aware beats two-way for
+    // sequential ids, gains nothing for value-shaped cents
+    val tot = real.filter(_.getLong(1) == -1L)
+      .map(r => r.getString(0) -> r.getBoolean(11)).toMap
+    assert(tot("event_id") && !tot("cents"))
+    val reparted = SketchOps.roaringRunsCube(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q161 bloom: OR-merge law, no false negatives ever, census matches a driver filter, pruning engages") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     // build-side keys per the shared dial
