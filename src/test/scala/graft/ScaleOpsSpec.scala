@@ -289,4 +289,50 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
+
+  test("q182 delete amplification: LWW tombstones only, both kinds chosen where each wins, ledger conserves") {
+    val dayUs = graft.ops.RelationalOps.DayUs
+    // user 1: deleted at the end (tombstone); user 2: deleted THEN
+    // re-upserted (resurrected — NOT a tombstone); user 3: never deleted.
+    // day 0: mostly user-1 rows -> heavy delete density -> REWRITE wins;
+    // day 1: one user-1 row among many -> DV wins; day 2: untouched.
+    def ev(day: Long, eid: Long, uid: Long, et: String) = (day, eid, uid, et)
+    // rewrite needs surviving bytes < 16 + 4·n_del: 10 deleted rows
+    // (DV 56 bytes) vs one ~34-byte survivor
+    val rows = (1L to 10L).map(i => ev(0, i, 1, s"e$i")) ++ Seq(ev(0, 11, 3, "d"),
+      ev(1, 110, 2, "error"), ev(1, 111, 1, "x")) ++
+      (120L to 140L).map(i => ev(1, i, 3, "t")) ++
+      Seq(ev(2, 150, 3, "z"), ev(2, 151, 2, "purchase"), ev(3, 160, 1, "error"))
+    val fix = rows.toDF("day0", "event_id", "user_id", "event_type")
+      .selectExpr(s"timestamp_micros(day0 * $dayUs + event_id) AS ts",
+        "event_id", "user_id", "event_type", "CAST(NULL AS DOUBLE) AS value")
+    val got = ScaleOps.deleteAmplification(fix).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // only user 1 is tombstoned: user 2's delete was overwritten by the
+    // later upsert (LWW), user 3 never deleted
+    assert(got(0L).getLong(2) === 10L && got(0L).getString(7) === "rewrite",
+      "10-of-11-deleted file must rewrite (1 surviving row is cheaper than a 56-byte DV)")
+    assert(got(1L).getLong(2) === 1L && got(1L).getString(7) === "dv",
+      "1-of-23-deleted file must take the deletion vector")
+    assert(got(2L).getLong(2) === 0L && got(2L).getString(7) === "none" &&
+      got(2L).getLong(8) === 0L, "untouched file costs nothing")
+    // conservation + the choice law on the sentinel
+    val s = got(-1L)
+    assert(s.getLong(1) === rows.length && s.getLong(2) ===
+      got.filterKeys(_ >= 0).values.map(_.getLong(2)).sum)
+    assert(s.getLong(8) <= s.getLong(5) && s.getLong(8) <= s.getLong(6),
+      "chosen total must not exceed either pure policy")
+    // real corpus: tombstones exist, every ledger row's choice is minimal
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = ScaleOps.deleteAmplification(events).collect()
+    assert(real.filter(_.getLong(0) >= 0).forall { r =>
+      r.getLong(8) === math.min(if (r.getLong(2) == 0) 0L else r.getLong(5),
+        if (r.getLong(2) == 0) 0L else r.getLong(6))
+    })
+    assert(real.find(_.getLong(0) == -1L).get.getLong(2) > 0,
+      "corpus must exercise real tombstones")
+    val reparted = ScaleOps.deleteAmplification(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
 }
