@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 
 /** Native codegen'd dot product over two ARRAY<DOUBLE> columns.
   *
@@ -472,6 +472,68 @@ case class WinnowHashes(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Code-point hamming distance from a 1-based start position — q177's
+  * bulk filter (`hamming ≥ 3` separates the shift pairs from the
+  * hamming-2 spine).
+  *
+  * Why a custom expression: the SQL spelling is a higher-order
+  * `aggregate` over `substring` calls — interpreted per element, two
+  * UTF8String allocations per position, measured at ~136 µs/row on
+  * 18-char names (it dominated q177's candidate pass). This codegen'd
+  * loop walks both strings once with zero allocation beyond the two
+  * `toString`s. Positions are Unicode CODE POINTS, matching Spark's
+  * `substring`/`length` semantics so the expression agrees with the SQL
+  * form on every input, not just ASCII. Unequal code-point lengths →
+  * null (the q177 join guarantees equal lengths; null fails any filter,
+  * surfacing misuse instead of fabricating a distance). */
+case class HammingFrom(left: Expression, right: Expression, start: Int)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  require(start >= 1, "graft_hamming start position is 1-based")
+
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = HammingFrom.compute(a.toString, b.toString, start)
+    if (r < 0) null else r
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val h = ctx.freshName("hamH")
+      s"""
+         |int $h = graft.expressions.HammingFrom.compute(
+         |  $a.toString(), $b.toString(), $start);
+         |if ($h < 0) { ${ev.isNull} = true; } else { ${ev.value} = $h; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingFrom {
+  /** -1 = unequal code-point length; otherwise diffs at positions ≥
+    * `start` (1-based code points). Shared by eval and codegen. */
+  def compute(sa: String, sb: String, start: Int): Int = {
+    var ia = 0
+    var ib = 0
+    var pos = 1
+    var h = 0
+    while (ia < sa.length && ib < sb.length) {
+      val ca = sa.codePointAt(ia)
+      val cb = sb.codePointAt(ib)
+      if (pos >= start && ca != cb) h += 1
+      ia += Character.charCount(ca)
+      ib += Character.charCount(cb)
+      pos += 1
+    }
+    if (ia < sa.length || ib < sb.length) -1 else h
+  }
+}
+
 /** Function registration, both as a `SparkSessionExtensions` hook
   * (`.withExtensions(new GraftExtensions)`) and as an idempotent imperative
   * call for sessions the library does not construct. */
@@ -534,6 +596,15 @@ object GraftFunctions {
       children(2).eval().asInstanceOf[Number].intValue())
   }
 
+  private val hammingIdent = FunctionIdentifier("graft_hamming")
+  private val hammingInfo = new ExpressionInfo(classOf[HammingFrom].getName, "graft_hamming")
+  private val hammingBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 3 && children(2).foldable,
+      "graft_hamming(a, b, start) takes two strings and a literal 1-based start")
+    HammingFrom(children.head, children(1),
+      children(2).eval().asInstanceOf[Number].intValue())
+  }
+
   private val trisumIdent = FunctionIdentifier("graft_trisum")
   private val trisumInfo = new ExpressionInfo(classOf[TriangleSumAgg].getName, "graft_trisum")
   private val trisumBuilder: Seq[Expression] => Expression = { children =>
@@ -553,6 +624,7 @@ object GraftFunctions {
     ext.injectFunction((dotlIdent, dotlInfo, dotlBuilder))
     ext.injectFunction((bandsIdent, bandsInfo, bandsBuilder))
     ext.injectFunction((winnowIdent, winnowInfo, winnowBuilder))
+    ext.injectFunction((hammingIdent, hammingInfo, hammingBuilder))
   }
 
   /** Idempotent: safe to call from every query builder. */
@@ -565,6 +637,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(dotlIdent, dotlInfo, dotlBuilder)
     spark.sessionState.functionRegistry.registerFunction(bandsIdent, bandsInfo, bandsBuilder)
     spark.sessionState.functionRegistry.registerFunction(winnowIdent, winnowInfo, winnowBuilder)
+    spark.sessionState.functionRegistry.registerFunction(hammingIdent, hammingInfo, hammingBuilder)
   }
 }
 

@@ -855,6 +855,7 @@ object DedupOps {
   /** q177's pair stage pre-checkpoint (the topkStored pattern) for the
     * plan guard. */
   private[graft] def editLinkageD2PairsCandidates(customer: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(customer.sparkSession)
     val names = customer.selectExpr("c_name AS name")
       .where("name IS NOT NULL").distinct()
       .localCheckpoint() // consumed by the branch scans + the LCP dial
@@ -892,11 +893,9 @@ object DedupOps {
           |                substring(name, i + 1, j - i - 1),
           |                substring(name, j + 1))))))""".stripMargin)).as("variant"))
     // equal-length hamming, restricted to the positions that can differ
-    // (≤ c agree corpus-wide), so the interpreted lambda runs L-c steps
-    val hamming =
-      s"""aggregate(sequence($cs, length(name_a)), 0,
-        |  (acc, i) -> acc + IF(substring(name_a, i, 1) = substring(name_b, i, 1), 0, 1))"""
-        .stripMargin
+    // (≤ c agree corpus-wide) — the codegen'd native expression; the
+    // interpreted HOF spelling it replaces ran at ~136 µs/row
+    val hamming = s"graft_hamming(name_a, name_b, $cs)"
     // dist 1, Δ0: one substitution — matches at exactly (pos, pos)
     val sub = v1t.as("a").join(v1t.as("b"),
         col("a.pos") === col("b.pos") && col("a.variant") === col("b.variant") &&

@@ -125,6 +125,43 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("graft_hamming equals the HOF fold; start offset, null, astral code points, codegen presence") {
+    withFn {
+      val df = Seq(("Customer#18", "Customer#81"), ("abc", "abc"))
+        .toDF("a", "b")
+        .selectExpr("graft_hamming(a, b, 1) AS h1", "graft_hamming(a, b, 10) AS h10",
+          """aggregate(sequence(1, length(a)), 0,
+             (acc, i) -> acc + IF(substring(a, i, 1) = substring(b, i, 1), 0, 1)) AS hof""")
+      val rows = df.collect()
+      assert(rows(0).getInt(0) === 2 && rows(0).getInt(0) === rows(0).getInt(2))
+      assert(rows(0).getInt(1) === 2, "start offset must skip the agreeing prefix only")
+      assert(rows(1).getInt(0) === 0 && rows(1).getInt(1) === 0)
+      // positions are CODE POINTS (Spark substring semantics): an astral
+      // char is ONE position, so these differ at exactly 1, not 2
+      val astral = Seq(("a😀b", "a😁b")).toDF("a", "b")
+        .selectExpr("graft_hamming(a, b, 1) AS h",
+          """aggregate(sequence(1, length(a)), 0,
+             (acc, i) -> acc + IF(substring(a, i, 1) = substring(b, i, 1), 0, 1)) AS hof""")
+        .collect().head
+      assert(astral.getInt(0) === 1 && astral.getInt(0) === astral.getInt(1))
+      // unequal code-point lengths and null inputs yield null
+      val edge = Seq(("ab", "abc")).toDF("a", "b")
+        .selectExpr("graft_hamming(a, b, 1) AS r",
+          "graft_hamming(CAST(NULL AS STRING), b, 1) AS n")
+        .collect().head
+      assert(edge.isNullAt(0) && edge.isNullAt(1))
+      // codegen actually emits (no silent interpreted fallback) — via
+      // spark.range, which plans a real WholeStageCodegen stage (a local
+      // relation would plan as LocalTableScan with no codegen at all)
+      val plan = spark.range(1)
+        .selectExpr("concat('x', CAST(id AS STRING)) AS a", "'y0' AS b")
+        .selectExpr("graft_hamming(a, b, 1) AS h")
+      val gen = org.apache.spark.sql.execution.debug.codegenString(plan.queryExecution.executedPlan)
+      assert(gen.contains("HammingFrom.compute"), "expected codegen'd hamming in the plan source")
+      assert(plan.collect().head.getInt(0) === 1)
+    }
+  }
+
   test("GraftExtensions injects every native function via the standard hook") {
     // the spark.sql.extensions / withExtensions path a user configures —
     // getOrCreate only applies extensions when building a NEW session, so
