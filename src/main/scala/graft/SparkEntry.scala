@@ -579,6 +579,10 @@ object SparkEntry {
     // MERGE INTO / CDC apply: last-writer-wins upsert+delete against a
     // base snapshot — the Delta/Iceberg core op; winner per key is one
     // lexicographic struct MAX, never a rank window
+    // time travel: AS OF snapshots = base + LWW collapse of the log
+    // PREFIX per cutoff — no stored snapshots; v4 IS q173's table
+    "q183_time_travel"     -> ((s, d) =>
+      RelationalOps.cdcTimeTravel(Tables.customer(s, d), Tables.events(s, d))),
     "q173_cdc_merge"       -> ((s, d) =>
       RelationalOps.cdcMerge(Tables.customer(s, d), Tables.events(s, d))),
     // CMS inner-product join-cardinality estimate: the planner's number
@@ -1282,6 +1286,39 @@ object SparkEntry {
           FROM s ORDER BY lag""",
     // q173: same LWW total order via the same lexicographic struct MAX,
     // same merge matrix (upsert/delete × base/cdc)
+    // q183: per version the SAME q173 merge over the log prefix; the
+    // cutoff arithmetic is exact integer (floor on positive spans)
+    "q183_time_travel" -> {
+      val perVersion = (1 to graft.ops.RelationalOps.TimeTravelVersions).map { v =>
+        s"""SELECT CAST($v AS BIGINT) AS version, key,
+                   CASE WHEN last_op = 'upsert' THEN last_cents
+                        ELSE base_cents END AS balance_cents,
+                   COALESCE(n_changes, CAST(0 AS BIGINT)) AS n_changes,
+                   COALESCE(last_op, 'base') AS last_op,
+                   CASE WHEN base_cents IS NULL THEN 'cdc' ELSE 'base' END AS src
+            FROM base FULL OUTER JOIN
+                 (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_changes,
+                         max({'u': us, 'e': event_id, 'o': op, 'c': cents}) AS w
+                  FROM ch CROSS JOIN bounds
+                  WHERE us <= t0 + ((t1 - t0) * $v) // ${graft.ops.RelationalOps.TimeTravelVersions}
+                  GROUP BY key)
+                 unnested_$v USING (key)
+            CROSS JOIN LATERAL (SELECT w.o AS last_op, w.c AS last_cents) lw_$v
+            WHERE COALESCE(w.o, 'upsert') <> 'delete'"""
+      }.mkString("\n UNION ALL \n")
+      s"""WITH ch AS (SELECT user_id AS key, epoch_us(ts) AS us, event_id,
+                             CASE WHEN event_type = 'error' THEN 'delete'
+                                  ELSE 'upsert' END AS op,
+                             CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT)
+                                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+                      FROM events),
+              bounds AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM ch),
+              base AS (SELECT c_custkey AS key,
+                              CAST(ROUND(c_acctbal * 100) AS BIGINT) AS base_cents
+                       FROM customer)
+         $perVersion
+         ORDER BY version, key"""
+    },
     "q173_cdc_merge" ->
       """WITH ch AS (SELECT user_id AS key, epoch_us(ts) AS us, event_id,
                             CASE WHEN event_type = 'error' THEN 'delete'

@@ -493,6 +493,40 @@ object RelationalOps {
       .orderBy("key")
   }
 
+  /** q183's version count: snapshots at quarter points of the log's
+    * time span. */
+  val TimeTravelVersions = 4
+
+  /** q183 — TIME TRAVEL / SNAPSHOT AS OF: the read side of the q173
+    * merge — a lakehouse table at version v is the base plus the PREFIX
+    * of the change log up to v's cutoff, so "AS OF" needs no stored
+    * snapshots at all: one LWW collapse of the truncated log and the
+    * same merge matrix. Four versions at quarter points of the log's
+    * span ship as one artifact; the last version is, by construction,
+    * exactly q173's current table (spec-pinned), and intermediate
+    * versions witness keys being born, deleted, and resurrected as the
+    * cutoff sweeps forward — the semantics Delta/Iceberg time travel
+    * promises, graded.
+    *
+    * Scale shape: per version ONE map-combinable collapse of the
+    * filtered log (the filter is a pushed-down range predicate on ts —
+    * at 100 TB it prunes partitions) and one co-keyed outer join; the
+    * cutoffs are a one-row min/max dial. Versions never read each
+    * other. */
+  def cdcTimeTravel(customer: DataFrame, events: DataFrame): DataFrame = {
+    val b = events.agg(min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1")).collect()(0)
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val snaps = (1 to TimeTravelVersions).map { v =>
+      val cutoff = t0 + (t1 - t0) * v / TimeTravelVersions
+      cdcApply(customer,
+        cdcCollapse(cdcChanges(events.filter(unix_micros(col("ts")) <= cutoff))))
+        .selectExpr(s"CAST($v AS BIGINT) AS version", "key", "balance_cents",
+          "n_changes", "last_op", "src")
+    }
+    snaps.reduce(_ unionByName _).orderBy("version", "key")
+  }
+
   /** q171's price-bucket width (exact cents) for the skyline's grid
     * pruning. */
   val SkylineBucketCents = 1000L

@@ -625,6 +625,48 @@ class RelationalOpsSpec extends SparkSpec {
       Seq[Any](p._1, p._2.map(Long.box).orNull, p._3, p._4, p._5)))
   }
 
+  test("q183 time travel: v-last IS q173, a key is born/deleted/resurrected as the cutoff sweeps") {
+    // hand timeline spanning the four quarter cutoffs (t0=0, t1=4000):
+    // key 5 born in Q1, deleted in Q2, resurrected in Q3; key 1 deleted
+    // in Q4 only — each version shows a different table
+    val base = Seq((1L, 10.00), (3L, 30.00))
+      .toDF("c_custkey", "c_acctbal")
+    val log = Seq(
+      (5L, 1L, 0L, "purchase", Some(50.0)),
+      (5L, 2L, 900L, "purchase", Some(55.0)),
+      (5L, 3L, 1500L, "error", None),
+      (5L, 4L, 2500L, "purchase", Some(59.0)),
+      (1L, 5L, 3500L, "error", None),
+      (3L, 6L, 4000L, "purchase", Some(33.0)))
+      .toDF("user_id", "event_id", "us", "event_type", "v")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+        "event_type", "CAST(v AS DOUBLE) AS value")
+    val got = RelationalOps.cdcTimeTravel(base, log).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(5))).toMap
+    assert(got((1L, 5L)) === ((Some(5500L), "cdc")), "v1: key 5 alive at 55")
+    assert(!got.contains((2L, 5L)), "v2: key 5 deleted")
+    assert(got((3L, 5L)) === ((Some(5900L), "cdc")), "v3: key 5 resurrected at 59")
+    assert(got.contains((3L, 1L)) && !got.contains((4L, 1L)),
+      "key 1 survives through v3 and is gone at v4")
+    assert(got((4L, 3L)) === ((Some(3300L), "base")), "v4: key 3 upserted")
+    // the last version IS the current q173 table, by construction
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val tt = RelationalOps.cdcTimeTravel(customer, events).collect()
+    val vLast = tt.filter(_.getLong(0) == RelationalOps.TimeTravelVersions.toLong)
+      .map(r => r.toSeq.drop(1)).toSeq
+    val current = RelationalOps.cdcMerge(customer, events).collect().map(_.toSeq).toSeq
+    assert(vLast === current, "the final version must equal the current table")
+    // versions genuinely differ on this corpus (the log is live all month)
+    assert(tt.map(_.getLong(0)).distinct.length === RelationalOps.TimeTravelVersions)
+    assert(tt.filter(_.getLong(0) == 1L).map(r => r.getLong(2)).sum !==
+      tt.filter(_.getLong(0) == 4L).map(r => r.getLong(2)).sum)
+    val reparted = RelationalOps.cdcTimeTravel(customer, events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === tt.map(_.toSeq).toSeq)
+  }
+
   test("q171 skyline: hand frontier — staircase exact, ties and duplicates handled, brute-force equality on corpus") {
     // (price cents, size): frontier should be (100,9) (200,12) (500,50);
     // (200,9) dominated cross-bucket by (100,9) [equal size, cheaper];
