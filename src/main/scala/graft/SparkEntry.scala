@@ -651,6 +651,11 @@ object SparkEntry {
     // provably monotone level-over-level, both graded
     "q180_k_anonymity"     -> ((s, d) =>
       PipelineOps.kAnonymityAudit(Tables.customer(s, d))),
+    // weighted stratified sample: the cell completing the sampling
+    // matrix — exactly min(K, n) docs PER LANGUAGE, token-mass-biased
+    // via the q176 exact-integer A-Res keys, per-stratum mergeable
+    "q184_weighted_stratified" -> ((s, d) =>
+      PipelineOps.weightedStratifiedSample(Tables.documents(s, d))),
     // HLL grouping-sets rollup: registers built ONCE at (day, type)
     // grain; every coarser level MAX-merged from that store and graded
     // against its own exact distinct — one sketch build, every rollup

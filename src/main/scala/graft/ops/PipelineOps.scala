@@ -821,18 +821,24 @@ object PipelineOps {
     * The graded audit is the fact weighted sampling exists for: with
     * these md5 draws the sample's mean weight dominates the corpus mean
     * (`heavy_bias_ok`), both as exact floor'd micro integers. */
-  def weightedBottomkSample(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val keyed = docs
-      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
-      .selectExpr("doc_id", "n_tok", s"least(n_tok, $WeightCap) AS w")
+  /** The A-Res keyed table shared by q176 and q184: per doc the clipped
+    * integer weight and the exact-integer u^(1/w) key via the
+    * max-of-w-replicas identity, computed ROW-LOCALLY. */
+  private def aresKeyed(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", "lang", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+      .selectExpr("doc_id", "lang", "n_tok", s"least(n_tok, $WeightCap) AS w")
       .filter(col("w") >= 1) // zero-weight docs are never sampled, by definition
-      .selectExpr("doc_id", "n_tok", "w",
+      .selectExpr("doc_id", "lang", "n_tok", "w",
         """aggregate(sequence(CAST(0 AS BIGINT), w - 1), CAST(-1 AS BIGINT),
           |  (acc, r) -> greatest(acc, CAST(conv(substring(md5(
           |    concat('wk:', CAST(doc_id AS STRING), ':', CAST(r AS STRING))
           |  ), 1, 12), 16, 10) AS BIGINT))) AS key48""".stripMargin)
+
+  def weightedBottomkSample(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = aresKeyed(docs).drop("lang")
       .localCheckpoint() // consumed by selection, census, and payload join
     val sel = keyed
       .selectExpr("CAST(0 AS BIGINT) AS g", "CAST(doc_id AS STRING) AS k",
@@ -928,7 +934,102 @@ object PipelineOps {
       .orderBy("level")
   }
 
+  /** q184's per-stratum sample size. */
+  val WStratK = 16
+
+  /** q184 — WEIGHTED STRATIFIED SAMPLE: the cell that completes the
+    * sampling matrix — uniform-global (q164), uniform-stratified (q58),
+    * weighted-global (q176), and now weighted WITHIN each language
+    * stratum: exactly min(K, |stratum|) docs per language, inclusion
+    * biased by clipped token mass via the same exact-integer A-Res
+    * replica keys as q176 ("per language, K docs favoring token-rich
+    * ones" — the curriculum-sampling ask fraction rules can't serve,
+    * because fractions can't promise a FIXED count per stratum).
+    *
+    * Selection runs through the bounded-state [[SketchOps.TopKByCount]]
+    * with the stratum as the group (languages dense-indexed off a
+    * bounded collected dial): ≤ K-entry states PER LANGUAGE tree-merge,
+    * the corpus is never sorted, and per-shard stratified samples
+    * truncate-merge per stratum exactly as q176's do globally. Graded
+    * per stratum: the sample (rank, key, payload), the exact min(K, n)
+    * size, and the per-language heavy-bias fact. */
+  def weightedStratifiedSample(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = aresKeyed(docs).filter(col("lang").isNotNull)
+      .localCheckpoint() // consumed by selection, census, and payload join
+    val langs = keyed.select("lang").distinct().orderBy("lang")
+      .collect().map(_.getString(0)).toSeq // bounded dial: the strata
+    val lidx = langs.zipWithIndex.map { case (l, i) => (l, i.toLong) }
+      .toDF("lang", "g")
+    val sel = keyed.join(broadcast(lidx), Seq("lang"))
+      .selectExpr("g", "CAST(doc_id AS STRING) AS k", "key48 AS c")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .agg(new SketchOps.TopKByCount(WStratK).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(explode(col("top")).as("e"))
+      .selectExpr("CAST(e._1 AS BIGINT) AS doc_id")
+    val sample = keyed.join(broadcast(sel), Seq("doc_id"))
+      .localCheckpoint() // ≤ K × strata rows
+    val rk = sample.as("a").join(broadcast(sample.as("b")),
+        col("a.lang") === col("b.lang") &&
+          (col("b.key48") > col("a.key48") ||
+            (col("b.key48") === col("a.key48") &&
+              expr("CAST(b.doc_id AS STRING) <= CAST(a.doc_id AS STRING)"))))
+      .groupBy(col("a.doc_id").as("doc_id")).agg(count(lit(1)).as("rk"))
+    val census = keyed.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("tot_w"))
+      .selectExpr("lang", "n_docs",
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * tot_w DIV n_docs AS BIGINT) AS corpus_mean_w_micro")
+    val scensus = sample.groupBy("lang")
+      .agg(count(lit(1)).as("k_actual"), sum("w").as("s_w"))
+      .selectExpr("lang", "k_actual",
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * s_w DIV k_actual AS BIGINT) AS sample_mean_w_micro")
+    sample.join(rk, Seq("doc_id"))
+      .join(broadcast(census), Seq("lang")).join(broadcast(scensus), Seq("lang"))
+      .selectExpr("lang", "rk", "doc_id", "key48", "n_tok", "w",
+        "k_actual", "n_docs",
+        s"k_actual = least(CAST($WStratK AS BIGINT), n_docs) AS size_ok",
+        "sample_mean_w_micro", "corpus_mean_w_micro",
+        "sample_mean_w_micro >= corpus_mean_w_micro AS heavy_bias_ok")
+      .orderBy("lang", "rk")
+  }
+
   def oracles: Map[String, String] = Map(
+    // q184: the same replica keys, per-stratum brute rank as the
+    // selection definition, identical census arithmetic
+    "q184_weighted_stratified" ->
+      s"""WITH hd AS (SELECT doc_id, lang,
+                             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+                      FROM documents WHERE lang IS NOT NULL),
+              wd AS (SELECT doc_id, lang, n_tok, least(n_tok, $WeightCap) AS w
+                     FROM hd WHERE least(n_tok, $WeightCap) >= 1),
+              kd AS (SELECT doc_id, lang, n_tok, w,
+                            list_max(list_transform(range(w), r ->
+                              ('0x' || substr(md5('wk:' || CAST(doc_id AS VARCHAR)
+                                 || ':' || CAST(r AS VARCHAR)), 1, 12))::BIGINT))
+                              AS key48
+                     FROM wd),
+              sel AS (SELECT * FROM (
+                        SELECT kd.*, CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY key48 DESC, CAST(doc_id AS VARCHAR)) AS BIGINT) AS rk
+                        FROM kd)
+                      WHERE rk <= $WStratK),
+              cen AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST((1000000::HUGEINT * SUM(w)) // COUNT(*) AS BIGINT)
+                               AS corpus_mean_w_micro
+                      FROM kd GROUP BY lang),
+              sc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_actual,
+                            CAST((1000000::HUGEINT * SUM(w)) // COUNT(*) AS BIGINT)
+                              AS sample_mean_w_micro
+                     FROM sel GROUP BY lang)
+         SELECT lang, rk, doc_id, key48, n_tok, w, k_actual, n_docs,
+                k_actual = least(CAST($WStratK AS BIGINT), n_docs) AS size_ok,
+                sample_mean_w_micro, corpus_mean_w_micro,
+                sample_mean_w_micro >= corpus_mean_w_micro AS heavy_bias_ok
+         FROM sel JOIN cen USING (lang) JOIN sc USING (lang)
+         ORDER BY lang, rk""",
     // q180: identical floor spelling, the same one-pass fine class table
     // re-aggregated per ladder level, the same +1-level self-join
     "q180_k_anonymity" -> {

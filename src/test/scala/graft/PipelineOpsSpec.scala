@@ -580,6 +580,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q184 weighted stratified: per-stratum brute rank matches, tiny stratum takes all, shard-mergeable per stratum") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = PipelineOps.weightedStratifiedSample(docs).collect()
+    assert(rows.forall(_.getBoolean(8)), "size law: exactly min(K, n) per stratum")
+    assert(rows.forall(_.getBoolean(11)), "heavy-bias law per stratum on this corpus")
+    // driver brute: per-lang top-K by the replica key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long, r: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"wk:$id:$r".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12), 16)
+    val all = docs.selectExpr("doc_id", "lang", "CAST(size(split(text, ' ')) AS BIGINT)")
+      .where("lang IS NOT NULL").collect()
+      .map { r =>
+        val (id, w) = (r.getLong(0), math.min(r.getLong(2), PipelineOps.WeightCap))
+        (r.getString(1), id, (0L until w).map(draw(id, _)).max)
+      }
+    val want = all.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      ds.sortBy { case (_, id, k) => (-k, id.toString) }
+        .take(PipelineOps.WStratK).zipWithIndex
+        .map { case ((_, id, k), i) => (lang, i + 1L, id, k) }
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === want, "per-stratum selection must be the brute per-lang top-K")
+    // per-stratum mergeability across doc_id halves
+    val aS = PipelineOps.weightedStratifiedSample(docs.where("doc_id % 2 = 0"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val bS = PipelineOps.weightedStratifiedSample(docs.where("doc_id % 2 = 1"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val merged = (aS ++ bS).groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      ds.sortBy { case (_, id, k) => (-k, id.toString) }.take(PipelineOps.WStratK)
+        .map { case (_, id, k) => (lang, id, k) }
+    }.sortBy(t => (t._1, t._2))
+    assert(merged === want.map(t => (t._1, t._3, t._4)).sortBy(t => (t._1, t._2)),
+      "per-shard stratified samples must truncate-merge per stratum")
+    // a stratum smaller than K yields ALL its docs, size_ok still true
+    val tiny = docs.limit(0).unionByName(
+      Seq((1L, "a b c", "xx", "s", 5L), (2L, "d e", "xx", "s", 3L),
+        (3L, "f", "xx", "s", 1L), (4L, "g h i j", "yy", "s", 7L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val tr = PipelineOps.weightedStratifiedSample(tiny).collect()
+    assert(tr.count(_.getString(0) == "xx") === 3 && tr.count(_.getString(0) == "yy") === 1)
+    assert(tr.forall(_.getBoolean(8)))
+    val reparted = PipelineOps.weightedStratifiedSample(docs.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q176 weighted bottom-k: A-Res selection law, replica-key identity, mergeable, heavy-biased, invariant") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
