@@ -569,6 +569,11 @@ object SparkEntry {
     // write-amplification fact erasure planning exists for
     "q182_delete_amplification" -> ((s, d) =>
       graft.ops.ScaleOps.deleteAmplification(Tables.events(s, d))),
+    // post-compaction zone audit: q179's clustering claim graded — the
+    // q160 skip protocol re-run at bin granularity, with the day-range
+    // disjointness that makes pruning survive OPTIMIZE
+    "q185_compaction_zones" -> ((s, d) =>
+      graft.ops.ScaleOps.compactionZoneAudit(Tables.events(s, d))),
     "q175_zorder_audit"    -> ((s, d) =>
       graft.ops.ScaleOps.zOrderAudit(Tables.events(s, d))),
     // cardinality-estimation q-error audit: the q169 stats estimating
@@ -1722,6 +1727,51 @@ object SparkEntry {
                             CAST(SUM(chosen_bytes) AS BIGINT) AS chosen_bytes
                      FROM lg)
          SELECT * FROM lg UNION ALL SELECT * FROM sm ORDER BY day"""
+    },
+    // q185: the q179 bin CTE verbatim + the q160 zone/skip arithmetic
+    // at bin granularity + the prefix-max disjointness law
+    "q185_compaction_zones" -> {
+      val dayUs = graft.ops.RelationalOps.DayUs
+      val nb = graft.ops.ScaleOps.CompactionBins
+      val off = SketchOps.HllRangeStartOff
+      val offEnd = SketchOps.HllRangeStartOff + SketchOps.HllRangeLen
+      s"""WITH files AS (SELECT epoch_us(ts) // $dayUs AS day,
+                                CAST(SUM(32 + length(CAST(user_id AS VARCHAR))
+                                         + length(event_type)) AS BIGINT) AS bytes
+                         FROM events GROUP BY 1),
+              tot AS (SELECT CAST((SUM(bytes) + ${nb - 1}) // $nb AS BIGINT) AS target
+                      FROM files),
+              pre AS (SELECT a.day AS day,
+                             CAST(SUM(b.bytes) - MAX(a.bytes) AS BIGINT) AS cum_excl
+                      FROM files a JOIN files b ON b.day <= a.day
+                      GROUP BY a.day),
+              bins AS (SELECT day, cum_excl // target AS bin
+                       FROM pre CROSS JOIN tot),
+              a AS (SELECT MIN(day) AS d0 FROM bins),
+              r AS (SELECT bin, e.day AS day, epoch_us(ts) AS ts_us,
+                           (d0 + $off) * $dayUs AS ts_lo_us,
+                           (d0 + $offEnd) * $dayUs AS ts_hi_us_excl
+                    FROM (SELECT epoch_us(ts) // $dayUs AS day, ts FROM events) e
+                    JOIN bins USING (day) CROSS JOIN a),
+              pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                            MIN(day) AS first_day, MAX(day) AS last_day,
+                            MIN(ts_us) AS ts_us_min, MAX(ts_us) AS ts_us_max,
+                            MAX(ts_lo_us) AS ts_lo_us,
+                            MAX(ts_hi_us_excl) AS ts_hi_us_excl,
+                            CAST(COUNT(CASE WHEN ts_us >= ts_lo_us
+                                             AND ts_us < ts_hi_us_excl
+                                            THEN 1 END) AS BIGINT) AS n_match_ts
+                     FROM r GROUP BY bin),
+              d AS (SELECT x.bin AS bin, MAX(p.last_day) AS prev_last_day
+                    FROM pb x LEFT JOIN pb p ON p.bin < x.bin
+                    GROUP BY x.bin)
+         SELECT bin, n_rows, first_day, last_day, ts_us_min, ts_us_max,
+                COALESCE(prev_last_day < first_day, true) AS disjoint_ok,
+                ts_us_max < ts_lo_us OR ts_us_min >= ts_hi_us_excl AS skip_ts,
+                n_match_ts,
+                NOT (ts_us_max < ts_lo_us OR ts_us_min >= ts_hi_us_excl)
+                  OR n_match_ts = 0 AS skip_sound_ts
+         FROM pb JOIN d USING (bin) ORDER BY bin"""
     },
     // q179: identical byte proxy, the same bounded self-join prefix
     // arithmetic (exclusive cumsum, 1-based seq), ceil via (x+t-1)//t

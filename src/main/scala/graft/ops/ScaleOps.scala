@@ -384,6 +384,65 @@ object ScaleOps {
     * roll never produces more than [[CompactionBins]] bins. */
   val CompactionBins = 8L
 
+  /** q185 — POST-COMPACTION ZONE-MAP AUDIT: the claim q179 makes —
+    * "roll compaction preserves the time clustering q160 depends on" —
+    * promoted from a Scaladoc sentence to a graded experiment. Rows are
+    * dealt to their day's compaction bin (the shared q179 roll) and the
+    * q160 data-skipping protocol re-runs at BIN granularity: per bin the
+    * ts min/max zone map, the same two-week window predicate, the
+    * min/max skip rule, and per-bin skip SOUNDNESS. The structural
+    * reason pruning survives is graded too: `disjoint_ok` — each bin's
+    * day range starts strictly after every earlier bin's ends (the roll
+    * is contiguous in day order, so bins partition time; a best-fit
+    * repack would interleave days and drag every bin's zone over the
+    * window). Checked via the q108 bounded prefix self-join, never a
+    * window.
+    *
+    * Scale shape: the day→bin map is bounded metadata broadcast onto one
+    * map-combinable corpus collapse; everything after reads the
+    * bounded per-bin table. */
+  def compactionZoneAudit(events: DataFrame): DataFrame = {
+    val dayUs = RelationalOps.DayUs
+    val (off, len) = (SketchOps.HllRangeStartOff, SketchOps.HllRangeLen)
+    val bins = compactionBinned(events).select("day", "bin")
+      .localCheckpoint() // bounded day→bin map
+    val anchor = bins.agg(min("day").as("d0"))
+    val perBin = events.selectExpr(
+        s"unix_micros(ts) DIV $dayUs AS day", "unix_micros(ts) AS ts_us")
+      .join(broadcast(bins), Seq("day"))
+      .crossJoin(broadcast(anchor))
+      .selectExpr("bin", "day", "ts_us",
+        s"(d0 + $off) * $dayUs AS ts_lo_us",
+        s"(d0 + ${off + len}) * $dayUs AS ts_hi_us_excl")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min("day").as("first_day"), max("day").as("last_day"),
+        min("ts_us").as("ts_us_min"), max("ts_us").as("ts_us_max"),
+        max("ts_lo_us").as("ts_lo_us"), max("ts_hi_us_excl").as("ts_hi_us_excl"),
+        count(when(col("ts_us") >= col("ts_lo_us") &&
+          col("ts_us") < col("ts_hi_us_excl"), 1)).as("n_match_ts"))
+      .localCheckpoint() // bounded; read twice for the disjointness prefix
+    perBin.as("a")
+      .join(perBin.selectExpr("bin", "last_day").as("p"),
+        col("p.bin") < col("a.bin"), "left")
+      .groupBy(col("a.bin").as("bin"))
+      .agg(max(col("a.n_rows")).as("n_rows"),
+        max(col("a.first_day")).as("first_day"), max(col("a.last_day")).as("last_day"),
+        max(col("a.ts_us_min")).as("ts_us_min"), max(col("a.ts_us_max")).as("ts_us_max"),
+        max(col("a.ts_lo_us")).as("ts_lo_us"),
+        max(col("a.ts_hi_us_excl")).as("ts_hi_us_excl"),
+        max(col("a.n_match_ts")).as("n_match_ts"),
+        max(col("p.last_day")).as("prev_last_day"))
+      .selectExpr("bin", "n_rows", "first_day", "last_day",
+        "ts_us_min", "ts_us_max",
+        "coalesce(prev_last_day < first_day, true) AS disjoint_ok",
+        "ts_us_max < ts_lo_us OR ts_us_min >= ts_hi_us_excl AS skip_ts",
+        "n_match_ts",
+        """NOT (ts_us_max < ts_lo_us OR ts_us_min >= ts_hi_us_excl)
+           OR n_match_ts = 0 AS skip_sound_ts""")
+      .orderBy("bin")
+  }
+
   /** q182 — DELETE PROPAGATION / WRITE-AMPLIFICATION PLAN: what a GDPR
     * erasure actually costs a lake. Tombstoned keys (users whose q173
     * LWW-final op is DELETE — the same collapse, reused) must vanish
@@ -464,7 +523,10 @@ object ScaleOps {
     * exactly one map-combinable per-day collapse. Byte sizes are an
     * exact integer proxy (fixed overhead + string lengths) so both
     * engines compute identical plans. */
-  def compactionPlan(events: DataFrame): DataFrame = {
+  /** q179's day→bin assignment (plus the plan dials carried along) —
+    * the shared roll arithmetic, also consumed by q185's post-compaction
+    * zone audit. Bounded metadata end to end. */
+  private[graft] def compactionBinned(events: DataFrame): DataFrame = {
     val dayUs = RelationalOps.DayUs
     val files = events.selectExpr(
         s"unix_micros(ts) DIV $dayUs AS day",
@@ -481,9 +543,13 @@ object ScaleOps {
       .agg(max(col("a.bytes")).as("bytes"),
         (sum(col("b.bytes")) - max(col("a.bytes"))).as("cum_excl"),
         count(lit(1)).as("seq"))
-    val binned = pre.crossJoin(broadcast(totals))
+    pre.crossJoin(broadcast(totals))
       .selectExpr("day", "bytes", "seq", "cum_excl DIV target AS bin",
         "target", "max_file", "total", "n_files_all")
+  }
+
+  def compactionPlan(events: DataFrame): DataFrame = {
+    val binned = compactionBinned(events)
     val perBin = binned.groupBy("bin")
       .agg(count(lit(1)).as("n_files"),
         min("day").as("first_day"), max("day").as("last_day"),
@@ -493,6 +559,8 @@ object ScaleOps {
       .selectExpr("bin", "n_files", "first_day", "last_day", "bin_bytes",
         "bin_bytes < target + max_file AS cap_ok",
         "seq_hi - seq_lo + 1 = n_files AS contig_ok")
+    val totals = binned
+      .selectExpr("total", "max_file", "n_files_all", "target").limit(1)
     val summary = perBin.agg(sum("n_files").as("nf"), sum("bin_bytes").as("bb"),
         count(lit(1)).as("n_bins"))
       .crossJoin(broadcast(totals))

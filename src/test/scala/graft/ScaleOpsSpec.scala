@@ -290,6 +290,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q185 post-compaction zones: bins partition days disjointly, skip rule sound, pruning engages, rows conserve") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = ScaleOps.compactionZoneAudit(events).collect()
+    assert(rows.forall(_.getBoolean(6)), "bins must hold disjoint day ranges — the roll's contiguity payoff")
+    assert(rows.forall(_.getBoolean(9)), "skip soundness everywhere")
+    assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)),
+      "the window must make pruning engage without being trivial")
+    assert(rows.map(_.getLong(1)).sum === events.count(), "row conservation across bins")
+    // day ranges ascend with bin order (the roll is day-ordered)
+    val spans = rows.sortBy(_.getLong(0)).map(r => (r.getLong(2), r.getLong(3)))
+    spans.sliding(2).foreach { case Array((_, l), (f, _)) => assert(l < f); case _ => }
+    // bin membership matches the q179 plan's day assignment
+    val plan = ScaleOps.compactionPlan(events).collect().filter(_.getLong(0) >= 0)
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    rows.foreach(r => assert(plan(r.getLong(0)) === ((r.getLong(2), r.getLong(3))),
+      s"bin ${r.getLong(0)} day span must equal the plan's"))
+    val reparted = ScaleOps.compactionZoneAudit(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q182 delete amplification: LWW tombstones only, both kinds chosen where each wins, ledger conserves") {
     val dayUs = graft.ops.RelationalOps.DayUs
     // user 1: deleted at the end (tombstone); user 2: deleted THEN
