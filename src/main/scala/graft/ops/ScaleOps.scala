@@ -526,12 +526,21 @@ object ScaleOps {
   /** q179's day→bin assignment (plus the plan dials carried along) —
     * the shared roll arithmetic, also consumed by q185's post-compaction
     * zone audit. Bounded metadata end to end. */
-  private[graft] def compactionBinned(events: DataFrame): DataFrame = {
+  /** The per-day byte manifest (exact integer proxy) — q179's one
+    * corpus-scale collapse, shared with [[graft.streaming.StreamCompaction]]. */
+  private[graft] def compactionFiles(events: DataFrame): DataFrame = {
     val dayUs = RelationalOps.DayUs
-    val files = events.selectExpr(
+    events.selectExpr(
         s"unix_micros(ts) DIV $dayUs AS day",
         "32 + length(CAST(user_id AS STRING)) + length(event_type) AS row_bytes")
       .groupBy("day").agg(sum("row_bytes").as("bytes"))
+  }
+
+  private[graft] def compactionBinned(events: DataFrame): DataFrame =
+    compactionBinnedFromFiles(compactionFiles(events))
+
+  private[graft] def compactionBinnedFromFiles(filesIn: DataFrame): DataFrame = {
+    val files = filesIn
       .localCheckpoint() // bounded metadata: one row per day-file
     val totals = files.agg(sum("bytes").as("total"), max("bytes").as("max_file"),
         count(lit(1)).as("n_files_all"))
@@ -548,8 +557,14 @@ object ScaleOps {
         "target", "max_file", "total", "n_files_all")
   }
 
-  def compactionPlan(events: DataFrame): DataFrame = {
-    val binned = compactionBinned(events)
+  def compactionPlan(events: DataFrame): DataFrame =
+    compactionPlanFromFiles(compactionFiles(events))
+
+  /** The roll + laws over an explicit manifest — shared verbatim by
+    * batch q179 and the streamed plan so the two are bit-equal by
+    * construction. */
+  private[graft] def compactionPlanFromFiles(files: DataFrame): DataFrame = {
+    val binned = compactionBinnedFromFiles(files)
     val perBin = binned.groupBy("bin")
       .agg(count(lit(1)).as("n_files"),
         min("day").as("first_day"), max("day").as("last_day"),
