@@ -574,6 +574,12 @@ object SparkEntry {
     // disjointness that makes pruning survive OPTIMIZE
     "q185_compaction_zones" -> ((s, d) =>
       graft.ops.ScaleOps.compactionZoneAudit(Tables.events(s, d))),
+    // join-order choice: the System-R uniformity estimate vs the exact
+    // intermediates (count-collapse, plans never executed) and the one
+    // bit the planner consumes — does the estimator rank them right
+    "q186_join_order"      -> ((s, d) =>
+      SketchOps.joinOrderAudit(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
     "q175_zorder_audit"    -> ((s, d) =>
       graft.ops.ScaleOps.zOrderAudit(Tables.events(s, d))),
     // cardinality-estimation q-error audit: the q169 stats estimating

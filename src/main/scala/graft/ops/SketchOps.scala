@@ -903,6 +903,64 @@ object SketchOps {
     ("all", 0L, 10000000L),
     ("empty", 40000000L, 50000000L))
 
+  /** q186 — JOIN-ORDER CHOICE: the decision the whole statistics loop
+    * (q153 skew → q169 ANALYZE → q172 sketch cardinality → q174
+    * selectivity q-error) exists to feed. For the three-table join
+    * customer ⋈ orders ⋈ lineitem there are two left-deep orders, and
+    * their costs differ by the INTERMEDIATE they materialize: |C⋈O| vs
+    * |O⋈L|. Per candidate order the artifact carries the System-R
+    * textbook estimate — |R|·|S| / max(ndv_R(k), ndv_S(k)), the
+    * uniformity assumption every classical optimizer ships — the EXACT
+    * intermediate, the q-error, both rankings, and `agree`: whether the
+    * estimator picks the truly cheaper order (the only bit the planner
+    * consumes).
+    *
+    * The exact branch never materializes a join: |R⋈S| = Σ_k c_R(k)·
+    * c_S(k) over the collapsed per-key count tables (map-combinable
+    * collapses, one co-keyed join of key-sized tables, Σ in
+    * DECIMAL(38,0) shipped as BIGINT — the q153/q172 discipline). At
+    * 100 TB this is exactly how you'd VALIDATE an optimizer's cost
+    * model offline: count-collapse, never execute the plans. */
+  def joinOrderAudit(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame): DataFrame = {
+    def counts(df: DataFrame, key: String) =
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    def side(df: DataFrame, key: String) = {
+      val c = counts(df, key)
+      (c, c.agg(sum("c").as("n"), count(lit(1)).as("ndv")))
+    }
+    def audit(ord: String, l: (DataFrame, DataFrame), r: (DataFrame, DataFrame)) = {
+      val exact = l._1.as("a").join(r._1.as("b"), col("a.k") === col("b.k"))
+        .agg(sum(expr("CAST(a.c AS DECIMAL(38,0)) * b.c")).as("x"))
+        .selectExpr("CAST(x AS BIGINT) AS exact_inter")
+      val est = l._2.crossJoin(broadcast(
+          r._2.selectExpr("n AS n2", "ndv AS ndv2")))
+        .selectExpr("n AS n_left", "n2 AS n_right", "ndv AS ndv_left",
+          "ndv2 AS ndv_right",
+          "CAST(CAST(n AS DECIMAL(38,0)) * n2 DIV greatest(ndv, ndv2) AS BIGINT) AS est_inter")
+      est.crossJoin(broadcast(exact))
+        .selectExpr(s"'$ord' AS ord", "n_left", "n_right", "ndv_left", "ndv_right",
+          "exact_inter", "est_inter",
+          """greatest((CAST(est_inter AS DOUBLE) + 1e0) / (CAST(exact_inter AS DOUBLE) + 1e0),
+                      (CAST(exact_inter AS DOUBLE) + 1e0) / (CAST(est_inter AS DOUBLE) + 1e0))
+             AS q_error""")
+    }
+    val co = audit("CO_first", side(customer, "c_custkey"), side(orders, "o_custkey"))
+    val ol = audit("OL_first", side(orders, "o_orderkey"), side(lineitem, "l_orderkey"))
+    val both = co.unionByName(ol).localCheckpoint() // 2 rows
+    val mins = both.agg(min("est_inter").as("est_min"), min("exact_inter").as("exact_min"))
+    both.crossJoin(broadcast(mins))
+      .selectExpr("ord", "n_left", "n_right", "ndv_left", "ndv_right",
+        "exact_inter", "est_inter", "q_error",
+        "est_inter = est_min AS chosen",
+        "exact_inter = exact_min AS optimal",
+        // the one bit the planner consumes: the estimate ranks the
+        // orders the same way the exact intermediates do
+        "(est_inter = est_min) = (exact_inter = exact_min) AS agree")
+      .orderBy("ord")
+  }
+
   /** q174 — CARDINALITY-ESTIMATION Q-ERROR AUDIT: the q169 statistics
     * doing the optimizer's actual job — for each probe predicate, the
     * row-count ESTIMATE read off the equi-depth histogram under the
@@ -1591,6 +1649,53 @@ object SketchOps {
                      FROM pb GROUP BY src)
          SELECT * FROM pb UNION ALL SELECT * FROM sm ORDER BY src, day, blk"""
     },
+    // q186: identical count-collapse exact branch (Σ c_R·c_S in
+    // HUGEINT), the same System-R formula, rankings, and +1-smoothed
+    // q-error IEEE shape
+    "q186_join_order" ->
+      """WITH cc AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+              oc AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+              ok AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+              lk AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+              rows_(ord) AS (VALUES ('CO_first'), ('OL_first')),
+              e AS (SELECT 'CO_first' AS ord,
+                           CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS exact_inter
+                    FROM cc a JOIN oc b ON a.k = b.k
+                    UNION ALL
+                    SELECT 'OL_first',
+                           CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS BIGINT)
+                    FROM ok a JOIN lk b ON a.k = b.k),
+              s AS (SELECT 'CO_first' AS ord,
+                           (SELECT CAST(SUM(c) AS BIGINT) FROM cc) AS n_left,
+                           (SELECT CAST(SUM(c) AS BIGINT) FROM oc) AS n_right,
+                           (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS ndv_left,
+                           (SELECT CAST(COUNT(*) AS BIGINT) FROM oc) AS ndv_right
+                    UNION ALL
+                    SELECT 'OL_first',
+                           (SELECT CAST(SUM(c) AS BIGINT) FROM ok),
+                           (SELECT CAST(SUM(c) AS BIGINT) FROM lk),
+                           (SELECT CAST(COUNT(*) AS BIGINT) FROM ok),
+                           (SELECT CAST(COUNT(*) AS BIGINT) FROM lk)),
+              j AS (SELECT ord, n_left, n_right, ndv_left, ndv_right, exact_inter,
+                           CAST(CAST(n_left AS HUGEINT) * n_right
+                                // greatest(ndv_left, ndv_right) AS BIGINT) AS est_inter
+                    FROM s JOIN e USING (ord)),
+              m AS (SELECT MIN(est_inter) AS est_min,
+                           MIN(exact_inter) AS exact_min FROM j)
+         SELECT ord, n_left, n_right, ndv_left, ndv_right,
+                exact_inter, est_inter,
+                greatest((CAST(est_inter AS DOUBLE) + 1e0)
+                           / (CAST(exact_inter AS DOUBLE) + 1e0),
+                         (CAST(exact_inter AS DOUBLE) + 1e0)
+                           / (CAST(est_inter AS DOUBLE) + 1e0)) AS q_error,
+                est_inter = est_min AS chosen,
+                exact_inter = exact_min AS optimal,
+                (est_inter = est_min) = (exact_inter = exact_min) AS agree
+         FROM j CROSS JOIN m ORDER BY ord""",
     // q163: the q154 recipe at (day, type) grain with every rollup level
     // MAX-merged from the same fine store, exact counts off the distinct
     // triple table — identical estimate arithmetic at all four levels

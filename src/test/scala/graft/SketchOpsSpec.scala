@@ -652,6 +652,42 @@ class SketchOpsSpec extends SparkSpec {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q186 join order: exact = count-collapse identity, FK joins estimate perfectly, skew flips the choice detectably") {
+    // real corpus: FK joins satisfy the uniformity assumption exactly,
+    // so the estimator is spot-on and ranks the orders right
+    val (c, o, l) = (Tables.customer(spark, "/root/testdata/sf0.001"),
+      Tables.orders(spark, "/root/testdata/sf0.001"),
+      Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    val real = SketchOps.joinOrderAudit(c, o, l).collect()
+    assert(real.forall(_.getBoolean(10)), "FK joins must rank correctly")
+    assert(real.forall(_.getDouble(7) < 1.01), "FK joins estimate near-exactly")
+    // exact branch = driver count-collapse identity
+    val co = real.find(_.getString(0) == "CO_first").get
+    val ccM = c.selectExpr("c_custkey").collect().groupBy(_.getLong(0)).map(p => p._1 -> p._2.length)
+    val ocM = o.selectExpr("o_custkey").collect().groupBy(_.getLong(0)).map(p => p._1 -> p._2.length)
+    val want = ccM.map { case (k, n) => n.toLong * ocM.getOrElse(k, 0).toLong }.sum
+    assert(co.getLong(5) === want, "exact intermediate must equal the sum of per-key products")
+    // skew fixture: a hot correlated key makes uniformity UNDERESTIMATE
+    // the C⋈O intermediate enough to flip the order choice — the audit
+    // must report agree = false (the bit that triggers a stats upgrade)
+    import spark.implicits._
+    val a = ((1 to 20).map(_ => 1L) :+ 2L).toDF("c_custkey")
+    val b = ((1 to 20).map(_ => 1L) :+ 2L).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("o_custkey", "o_orderkey")
+    val cl = (1 to 300).map(i => (i % 21).toLong).toDF("l_orderkey")
+    val skew = SketchOps.joinOrderAudit(a, b, cl).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(skew("CO_first").getLong(5) === 401L && skew("CO_first").getLong(6) === 220L,
+      "hot key: exact 20*20+1, System-R 21*21/2")
+    assert(skew("CO_first").getBoolean(8) && !skew("CO_first").getBoolean(9),
+      "the estimator must pick CO while OL is truly cheaper")
+    assert(skew.values.forall(!_.getBoolean(10)),
+      "the flipped choice must surface as agree = false")
+    val reparted = SketchOps.joinOrderAudit(c, o.repartition(7), l)
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q161 bloom: OR-merge law, no false negatives ever, census matches a driver filter, pruning engages") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     // build-side keys per the shared dial
