@@ -897,15 +897,27 @@ object PipelineOps {
     * bucket determines the coarser one (100 | 100000), so one class
     * key serves the whole ladder; negative balances bin by the
     * remainder-subtraction floor both engines share. */
-  def kAnonymityAudit(customer: DataFrame): DataFrame = {
+  def kAnonymityAudit(customer: DataFrame): DataFrame =
+    kAnonymityLadder(kAnonymityFine(customer))
+
+  /** q180's finest class table (nat, seg, b1, n, b2) — ONE map-combinable
+    * corpus collapse; the store [[graft.streaming.StreamKAnonymity]]
+    * maintains per batch (class counts SUM across partials). */
+  private[graft] def kAnonymityFine(customer: DataFrame): DataFrame = {
     def fd(c: String, w: Long) = s"($c - ((($c % $w) + $w) % $w)) DIV $w"
-    val fine = customer.selectExpr(
+    customer.selectExpr(
         "CAST(c_nationkey AS BIGINT) AS nat",
         "c_mktsegment AS seg",
         "CAST(round(c_acctbal * 100) AS BIGINT) AS cents")
       .selectExpr("nat", "seg", s"${fd("cents", AnonBalFine)} AS b1")
       .groupBy("nat", "seg", "b1").agg(count(lit(1)).as("n"))
       .withColumn("b2", expr(s"${fd("b1", AnonBalCoarse / AnonBalFine)}"))
+  }
+
+  /** The generalization ladder + monotone laws over a fine class table —
+    * shared verbatim by batch q180 and the streamed read. */
+  private[graft] def kAnonymityLadder(fineIn: DataFrame): DataFrame = {
+    val fine = fineIn
       .localCheckpoint() // bounded class table; every ladder level reads it
     def level(df: DataFrame, lv: Long): DataFrame =
       df.agg(sum("n").as("n_rows"), count(lit(1)).as("n_classes"),
