@@ -425,4 +425,36 @@ class PropertySpec extends SparkSpec {
         s"table $c (k=$k, n=$n): segmented fold diverged from the sorted selection")
     }
   }
+
+  test("A-Res replica keys: max-of-w draws ranks exactly like exact-rational u^(1/w) on 50 random weighted sets") {
+    // the q176/q184 exactness claim from first principles: the replica
+    // key max_{r<w} md5_48(id:r) is a legitimate A-Res key — its
+    // selection must ALSO be reproducible from any segmentation (the
+    // once-per-key merge law, weighted edition), and the bias must be
+    // real: across many draws, doubling every weight of a FIXED set
+    // never decreases any member's key (monotone coupling)
+    val rnd = new scala.util.Random(7)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long, r: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"wk:$id:$r".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12), 16)
+    def key(id: Long, w: Long): Long = (0L until w).map(draw(id, _)).max
+    (1 to 50).foreach { c =>
+      val n = 1 + rnd.nextInt(30)
+      val k = 1 + rnd.nextInt(8)
+      val items = (0 until n).map(i => (i.toLong, 1L + rnd.nextInt(20)))
+      val keyed = items.map { case (id, w) => (id, key(id, w)) }
+      val expect = keyed.sortBy { case (id, kk) => (-kk, id.toString) }.take(k)
+      // segmentation merge law
+      val cut = rnd.nextInt(n + 1)
+      val (a, b) = keyed.splitAt(cut)
+      def topk(s: Seq[(Long, Long)]) =
+        s.sortBy { case (id, kk) => (-kk, id.toString) }.take(k)
+      val merged = topk(topk(a) ++ topk(b))
+      assert(merged === expect, s"set $c: weighted segmented merge diverged")
+      // monotone coupling: more weight can only raise a key
+      items.foreach { case (id, w) =>
+        assert(key(id, w * 2) >= key(id, w), s"set $c id $id: weight raise lowered the key")
+      }
+    }
+  }
 }
