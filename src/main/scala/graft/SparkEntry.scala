@@ -590,6 +590,10 @@ object SparkEntry {
     // MERGE INTO / CDC apply: last-writer-wins upsert+delete against a
     // base snapshot — the Delta/Iceberg core op; winner per key is one
     // lexicographic struct MAX, never a rank window
+    // robust outlier census: the reference's fixed fraud threshold
+    // upgraded to exact per-day median/MAD flags, graded side by side
+    "q187_robust_outliers" -> ((s, d) =>
+      RelationalOps.robustOutliers(Tables.events(s, d))),
     // time travel: AS OF snapshots = base + LWW collapse of the log
     // PREFIX per cutoff — no stored snapshots; v4 IS q173's table
     "q183_time_travel"     -> ((s, d) =>
@@ -1302,6 +1306,48 @@ object SparkEntry {
           FROM s ORDER BY lag""",
     // q173: same LWW total order via the same lexicographic struct MAX,
     // same merge matrix (upsert/delete × base/cdc)
+    // q187: identical value-count collapse, lower-median selection
+    // (cum >= (n+1)//2 over the day-ordered values), MAD from the
+    // deviation multiset, and the same exact-integer flag rules
+    "q187_robust_outliers" -> {
+      val thr = (graft.ops.EventOps.FraudThreshold * 100).toLong
+      val k = graft.ops.RelationalOps.MadK
+      s"""WITH vc AS (SELECT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              m AS (SELECT day, MIN(cents) AS med_cents, MAX(n_day) AS n_day
+                    FROM (SELECT day, cents, n,
+                                 SUM(n) OVER (PARTITION BY day ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                                 SUM(n) OVER (PARTITION BY day) AS n_day
+                          FROM vc)
+                    WHERE cum >= (n_day + 1) // 2 GROUP BY day),
+              dv AS (SELECT vc.day AS day, abs(cents - med_cents) AS dev,
+                            CAST(SUM(n) AS BIGINT) AS n
+                     FROM vc JOIN m ON vc.day = m.day GROUP BY 1, 2),
+              md AS (SELECT day, MIN(dev) AS mad_cents
+                     FROM (SELECT day, dev, n,
+                                  SUM(n) OVER (PARTITION BY day ORDER BY dev
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                                  SUM(n) OVER (PARTITION BY day) AS n_day
+                           FROM dv)
+                     WHERE cum >= (n_day + 1) // 2 GROUP BY day),
+              f AS (SELECT vc.day AS day, MAX(m.n_day) AS n_rows,
+                           MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents,
+                           CAST(COALESCE(SUM(CASE WHEN abs(cents - med_cents)
+                                                       > $k * mad_cents
+                                                  THEN n END), 0) AS BIGINT)
+                             AS n_robust_flag,
+                           CAST(COALESCE(SUM(CASE WHEN cents > $thr THEN n END), 0)
+                                AS BIGINT) AS n_fixed_flag
+                    FROM vc JOIN m ON vc.day = m.day JOIN md ON vc.day = md.day
+                    GROUP BY vc.day)
+         SELECT day, n_rows, med_cents, mad_cents, n_robust_flag, n_fixed_flag,
+                CAST(1000000 AS BIGINT) * n_robust_flag // n_rows AS robust_micro,
+                CAST(1000000 AS BIGINT) * n_fixed_flag // n_rows AS fixed_micro
+         FROM f ORDER BY day"""
+    },
     // q183: per version the SAME q173 merge over the log prefix; the
     // cutoff arithmetic is exact integer (floor on positive spans)
     "q183_time_travel" -> {

@@ -493,6 +493,67 @@ object RelationalOps {
       .orderBy("key")
   }
 
+  /** q187's robust flag radius: |x − median| > [[MadK]] · MAD. */
+  val MadK = 3L
+
+  /** q187 — ROBUST OUTLIER CENSUS (median / MAD): the statistical
+    * upgrade of the reference's own fraud rule. The reference flags
+    * `amount > 10000` (TransactionProcessor.java:15,39 — one fixed
+    * global constant); the production flagger centers per DAY on the
+    * exact median and scales by the exact median absolute deviation,
+    * both order statistics a mean/stddev rule can't imitate (one whale
+    * drags a mean; it moves a median by at most one rank). Everything
+    * is exact integer cents: per day the lower median (rank ⌈n/2⌉), the
+    * MAD from the |x − med| multiset, the robust flag count at
+    * [[MadK]]·MAD, and — the graded comparison the upgrade argues for —
+    * the fixed-threshold rule's count on the same day next to it.
+    *
+    * Scale shape: the corpus collapses ONCE to the (day, cents, n)
+    * value-count table (map-combinable; bounded by days × distinct
+    * values); both medians are cumulative selections over
+    * day-partitioned windows on that BOUNDED table (the q112/q171
+    * discipline — each partition holds one day's distinct values, never
+    * raw rows); the flag counts ride broadcast joins of the ≤ days-row
+    * dial back onto one more map-combinable pass. */
+  def robustOutliers(events: DataFrame): DataFrame = {
+    val vc = events.filter(col("value").isNotNull)
+      .selectExpr(s"unix_micros(ts) DIV $DayUs AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("day", "cents").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded value-count table; read three times
+    def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
+      val w = Window.partitionBy("day").orderBy(valueCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("cum", sum("n").over(w))
+        .withColumn("n_day", sum("n").over(Window.partitionBy("day")))
+        .filter(col("cum") >= expr("(n_day + 1) DIV 2"))
+        .groupBy("day").agg(min(valueCol).as("med"), max("n_day").as("n_day"))
+    }
+    val med = lowerMedian(vc, "cents")
+      .selectExpr("day", "med AS med_cents", "n_day")
+    val mad = lowerMedian(
+        vc.join(broadcast(med), Seq("day"))
+          .selectExpr("day", "abs(cents - med_cents) AS dev", "n")
+          .groupBy("day", "dev").agg(sum("n").as("n")),
+        "dev")
+      .selectExpr("day", "med AS mad_cents")
+    val dials = med.join(mad, Seq("day")) // ≤ days rows
+    vc.join(broadcast(dials), Seq("day"))
+      .groupBy("day")
+      .agg(max("n_day").as("n_rows"),
+        max("med_cents").as("med_cents"), max("mad_cents").as("mad_cents"),
+        sum(when(expr(s"abs(cents - med_cents) > $MadK * mad_cents"), col("n"))
+          .otherwise(lit(0L))).as("n_robust_flag"),
+        sum(when(expr(
+          s"cents > ${(EventOps.FraudThreshold * 100).toLong}"),
+          col("n")).otherwise(lit(0L))).as("n_fixed_flag"))
+      .selectExpr("day", "n_rows", "med_cents", "mad_cents",
+        "n_robust_flag", "n_fixed_flag",
+        "CAST(1000000 AS BIGINT) * n_robust_flag DIV n_rows AS robust_micro",
+        "CAST(1000000 AS BIGINT) * n_fixed_flag DIV n_rows AS fixed_micro")
+      .orderBy("day")
+  }
+
   /** q183's version count: snapshots at quarter points of the log's
     * time span. */
   val TimeTravelVersions = 4

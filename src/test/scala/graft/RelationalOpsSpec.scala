@@ -625,6 +625,51 @@ class RelationalOpsSpec extends SparkSpec {
       Seq[Any](p._1, p._2.map(Long.box).orNull, p._3, p._4, p._5)))
   }
 
+  test("q187 robust outliers: whale-immune median/MAD on a hand day, driver recount corpus-wide") {
+    val dayUs = graft.ops.RelationalOps.DayUs
+    // day 0: values 1..7 dollars plus a 1M-dollar whale. median = 4.50$?
+    // 8 values -> lower median = rank 4 = 4$; MAD over |x-400|:
+    // {300,200,100,0,100,200,300, huge} -> rank 4 = 200 wait recompute in
+    // cents below; the whale flags robustly AND fixed; a mean/stddev rule
+    // would be dragged by the whale into flagging nothing
+    val rows = ((1 to 7).map(d => (0L, d * 100L)) :+ (0L, 100000000L)) ++
+      Seq((1L, 500L), (1L, 600L), (1L, 700L)) // odd-n day: median 600
+    val fix = rows.zipWithIndex.map { case ((d, c), i) => (d, c, i.toLong) }
+      .toDF("day0", "cents", "event_id")
+      .selectExpr(s"timestamp_micros(day0 * $dayUs + event_id) AS ts",
+        "CAST(cents AS DOUBLE) / 100 AS value", "event_id",
+        "'u' AS user_id", "'t' AS event_type")
+    val got = graft.ops.RelationalOps.robustOutliers(fix).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d0 = got(0L)
+    assert(d0.getLong(2) === 400L, "lower median of 8 values = rank 4")
+    // deviations: 300,200,100,0,100,200,300,99999600 sorted ->
+    // 0,100,100,200,200,300,300,big; lower median = rank 4 = 200
+    assert(d0.getLong(3) === 200L, "MAD = lower median of deviations")
+    // robust flags: |x-400| > 600 -> only the whale; fixed: > 10000c -> whale
+    assert(d0.getLong(4) === 1L && d0.getLong(5) === 1L)
+    assert(got(1L).getLong(2) === 600L, "odd-n day: true middle")
+    // corpus: exact driver recount of median/MAD/flags per day
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.RelationalOps.robustOutliers(events).collect()
+    val byDay = events.filter("value IS NOT NULL")
+      .selectExpr(s"unix_micros(ts) DIV $dayUs", "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    def lowMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    real.foreach { r =>
+      val xs = byDay(r.getLong(0)).map(_._2).toSeq
+      val med = lowMed(xs)
+      val mad = lowMed(xs.map(x => math.abs(x - med)))
+      assert(r.getLong(2) === med && r.getLong(3) === mad, s"day ${r.getLong(0)}")
+      assert(r.getLong(4) === xs.count(x =>
+        math.abs(x - med) > graft.ops.RelationalOps.MadK * mad))
+      assert(r.getLong(5) === xs.count(_ > 10000L))
+    }
+    val reparted = graft.ops.RelationalOps.robustOutliers(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q183 time travel: v-last IS q173, a key is born/deleted/resurrected as the cutoff sweeps") {
     // hand timeline spanning the four quarter cutoffs (t0=0, t1=4000):
     // key 5 born in Q1, deleted in Q2, resurrected in Q3; key 1 deleted
