@@ -594,6 +594,13 @@ object SparkEntry {
     // upgraded to exact per-day median/MAD flags, graded side by side
     "q187_robust_outliers" -> ((s, d) =>
       RelationalOps.robustOutliers(Tables.events(s, d))),
+    // Deequ-class profiling: per-column completeness/distinctness/
+    // uniqueness in ONE Expand-planned pass, and the candidate-key/FD/
+    // denial-constraint audit with exact violation counts
+    "q188_data_profile"    -> ((s, d) =>
+      graft.ops.ProfileOps.columnProfile(Tables.orders(s, d))),
+    "q189_constraint_audit" -> ((s, d) =>
+      graft.ops.ProfileOps.constraintAudit(Tables.lineitem(s, d))),
     // time travel: AS OF snapshots = base + LWW collapse of the log
     // PREFIX per cutoff — no stored snapshots; v4 IS q173's table
     "q183_time_travel"     -> ((s, d) =>
@@ -2029,7 +2036,7 @@ object SparkEntry {
   ) ++ TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
     PipelineOps.oracles ++ SketchOps.oracles ++ graft.ops.GraphOps.oracles ++
     graft.ops.BpeOps.oracles ++ graft.multimodal.MediaOps.oracles ++
-    graft.ops.QualityModelOps.oracles +
+    graft.ops.QualityModelOps.oracles ++ graft.ops.ProfileOps.oracles +
     // q71 composes the three component oracles verbatim (q61 quality, q66
     // dedup survivorship, q70 decontamination) — the verdict's inputs
     // cannot drift from the individually-hash-verified queries

@@ -1,0 +1,122 @@
+package graft
+
+import graft.ops.ProfileOps
+import org.apache.spark.sql.Row
+
+class ProfileOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Orders-shaped hand fixture: 5 rows — o_orderkey unique, o_custkey has
+    * a NULL and a dup, o_orderstatus constant, o_totalprice two distinct. */
+  private def handOrders = Seq(
+    (1L, Option(10L), "O", 1.5, 1000L, "1-URGENT"),
+    (2L, Option(10L), "O", 1.5, 2000L, "1-URGENT"),
+    (3L, Option(20L), "O", 2.5, 3000L, "1-URGENT"),
+    (4L, None: Option[Long], "O", 2.5, 4000L, "1-URGENT"),
+    (5L, Option(30L), "O", 2.5, 5000L, "1-URGENT"))
+    .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "us", "o_orderpriority")
+    .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "timestamp_micros(us) AS o_orderdate", "o_orderpriority")
+
+  test("q188 column profile: hand nulls/dups, ONE Expand pass, corpus recount") {
+    val prof = ProfileOps.columnProfile(handOrders)
+    // one pass, no join anywhere; multi-distinct plans via Expand
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "multi-column distinct must plan as Expand")
+    assert(!plan.contains("Join"), "the profile is a single-pass aggregate")
+    val rows = prof.collect().map(r => r.getString(0) -> r).toMap
+    val ck = rows("o_custkey")
+    assert(ck.getLong(1) === 5L && ck.getLong(2) === 4L && ck.getLong(3) === 3L)
+    assert(ck.getLong(4) === 800000L, "completeness = 4/5")
+    assert(ck.getLong(5) === 750000L, "distinctness = 3/4 of non-null")
+    assert(!ck.getBoolean(6))
+    assert(rows("o_orderkey").getBoolean(6), "the key column is unique")
+    assert(rows("o_orderstatus").getLong(3) === 1L)
+    assert(rows("o_totalprice").getLong(3) === 2L)
+    assert(rows.keySet === ProfileOps.ProfileColumns.toSet)
+    // corpus: exact driver recount per column
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val got = ProfileOps.columnProfile(orders).collect()
+    val data = orders.collect()
+    got.foreach { r =>
+      val c = r.getString(0)
+      val idx = orders.columns.indexOf(c)
+      val vals = data.map(_.get(idx))
+      assert(r.getLong(1) === data.length.toLong, c)
+      assert(r.getLong(2) === vals.count(_ != null).toLong, c)
+      assert(r.getLong(3) === vals.filter(_ != null).distinct.length.toLong, c)
+      assert(r.getBoolean(6) ===
+        (r.getLong(3) == r.getLong(2) && r.getLong(2) == r.getLong(1)), c)
+    }
+    val reparted = ProfileOps.columnProfile(orders.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === got.map(_.toSeq).toSeq)
+  }
+
+  /** Lineitem-shaped hand fixture covering every rule verdict: a duplicate
+    * (orderkey, linenumber) pair, an orderkey with two returnflags, a
+    * partkey sold by two suppliers, one quantity-range breach; discounts
+    * all legal. */
+  private def handLineitem = Seq(
+    // ok, pk, sk, ln, qty, disc, rf
+    (1L, 100L, 7L, 1, 5.0, 0.05, "N"),
+    (1L, 101L, 8L, 1, 5.0, 0.05, "R"), // dup PK (1,1); ok=1 has rf N and R
+    (1L, 100L, 9L, 2, 0.0, 0.10, "N"), // pk=100 sold by supp 7 AND 9; qty=0 breach
+    (2L, 102L, 7L, 1, 50.0, 0.00, "A"))
+    .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_discount", "l_returnflag")
+
+  test("q189 constraint audit: every rule verdict on a hand table, corpus recount") {
+    val got = ProfileOps.constraintAudit(handLineitem).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val key = got("key:l_orderkey,l_linenumber")
+    assert(key.getLong(1) === 3L, "3 distinct (ok, ln) groups")
+    assert(key.getLong(2) === 1L && key.getLong(3) === 2L && !key.getBoolean(6))
+    val fdRf = got("fd:l_orderkey->l_returnflag")
+    assert(fdRf.getLong(1) === 2L && fdRf.getLong(2) === 1L &&
+      fdRf.getLong(3) === 3L && !fdRf.getBoolean(6))
+    val fdSk = got("fd:l_partkey->l_suppkey")
+    assert(fdSk.getLong(2) === 1L && fdSk.getLong(3) === 2L)
+    val dcQty = got("dc:l_quantity_in_1_50")
+    assert(dcQty.isNullAt(1) && dcQty.getLong(3) === 1L &&
+      dcQty.getLong(4) === 4L && !dcQty.getBoolean(6))
+    assert(dcQty.getLong(5) === 250000L, "violation_micro = 1/4")
+    val dcDisc = got("dc:l_discount_in_0_0.1")
+    assert(dcDisc.getLong(3) === 0L && dcDisc.getBoolean(6))
+    // corpus: brute-force recount of every rule over collected rows
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val real = ProfileOps.constraintAudit(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = li.selectExpr("l_orderkey", "l_linenumber", "l_returnflag",
+      "l_partkey", "l_suppkey", "l_quantity", "l_discount").collect()
+    def fdCheck(name: String, lhs: Row => Any, rhs: Row => Any): Unit = {
+      val groups = rows.groupBy(lhs)
+      val violated = groups.filter(_._2.map(rhs).distinct.length > 1)
+      val r = real(name)
+      assert(r.getLong(1) === groups.size.toLong, name)
+      assert(r.getLong(2) === violated.size.toLong, name)
+      assert(r.getLong(3) === violated.values.map(_.length.toLong).sum, name)
+      assert(r.getLong(4) === rows.length.toLong, name)
+    }
+    fdCheck("fd:l_orderkey->l_returnflag", r => r.getLong(0), r => r.getString(2))
+    fdCheck("fd:l_partkey->l_suppkey", r => r.getLong(3), r => r.getLong(4))
+    val pkGroups = rows.groupBy(r => (r.getLong(0), r.getInt(1)))
+    val pkViol = pkGroups.filter(_._2.length > 1)
+    val k = real("key:l_orderkey,l_linenumber")
+    assert(k.getLong(1) === pkGroups.size.toLong)
+    assert(k.getLong(2) === pkViol.size.toLong)
+    assert(k.getLong(3) === pkViol.values.map(_.length.toLong).sum)
+    assert(real("dc:l_quantity_in_1_50").getLong(3) ===
+      rows.count(r => r.getDouble(5) < 1 || r.getDouble(5) > 50).toLong)
+    assert(real("dc:l_discount_in_0_0.1").getLong(3) ===
+      rows.count(r => r.getDouble(6) < 0 || r.getDouble(6) > 0.1).toLong)
+    // the graded report must carry BOTH verdicts on the real corpus
+    assert(real.values.exists(_.getBoolean(6)) &&
+      real.values.exists(!_.getBoolean(6)),
+      "rule book must show holds AND fails on the corpus")
+    val reparted = ProfileOps.constraintAudit(li.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === ProfileOps.constraintAudit(li).collect().map(_.toSeq).toSeq)
+  }
+}
