@@ -515,11 +515,25 @@ object RelationalOps {
     * discipline — each partition holds one day's distinct values, never
     * raw rows); the flag counts ride broadcast joins of the ≤ days-row
     * dial back onto one more map-combinable pass. */
-  def robustOutliers(events: DataFrame): DataFrame = {
-    val vc = events.filter(col("value").isNotNull)
+  def robustOutliers(events: DataFrame): DataFrame =
+    robustFromCounts(robustValueCounts(events))
+
+  /** q187's corpus collapse: the (day, cents, n) value-count table — ONE
+    * map-combinable pass, bounded by days × distinct values. Shared with
+    * [[graft.streaming.StreamRobustOutliers]], whose per-batch partials
+    * are exactly this table for the batch's rows (counts are SUM-state:
+    * partials over any split of the corpus sum to the whole). */
+  private[graft] def robustValueCounts(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
       .selectExpr(s"unix_micros(ts) DIV $DayUs AS day",
         "CAST(round(value * 100) AS BIGINT) AS cents")
       .groupBy("day", "cents").agg(count(lit(1)).as("n"))
+
+  /** q187's read stages — both exact medians, both flag rules — over an
+    * already-collapsed (day, cents, n) table, so the batch query and the
+    * streamed posture are bit-equal by construction. */
+  private[graft] def robustFromCounts(counts: DataFrame): DataFrame = {
+    val vc = counts
       .localCheckpoint() // bounded value-count table; read three times
     def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
       val w = Window.partitionBy("day").orderBy(valueCol)
