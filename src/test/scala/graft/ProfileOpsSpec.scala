@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.ProfileOps
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 class ProfileOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -118,5 +119,48 @@ class ProfileOpsSpec extends SparkSpec {
     val reparted = ProfileOps.constraintAudit(li.repartition(7))
       .collect().map(_.toSeq).toSeq
     assert(reparted === ProfileOps.constraintAudit(li).collect().map(_.toSeq).toSeq)
+  }
+
+  test("q189 composition laws: per-shard audits MISS spanning violations; (lhs,rhs,cnt) partials compose exactly") {
+    // two shards, each internally clean for fd:l_orderkey->l_returnflag,
+    // but order 1 carries rf N in shard A and rf R in shard B — the
+    // violation exists only in the union
+    val shardA = Seq((1L, 100L, 7L, 1, 5.0, 0.05, "N"),
+                     (2L, 101L, 8L, 1, 5.0, 0.05, "A"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_discount", "l_returnflag")
+    val shardB = Seq((1L, 102L, 9L, 2, 5.0, 0.05, "R"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_discount", "l_returnflag")
+    def fdRow(df: org.apache.spark.sql.DataFrame) =
+      ProfileOps.constraintAudit(df).collect()
+        .find(_.getString(0) == "fd:l_orderkey->l_returnflag").get
+    assert(fdRow(shardA).getBoolean(6) && fdRow(shardB).getBoolean(6),
+      "each shard alone must report the FD as holding")
+    assert(!fdRow(shardA.unionByName(shardB)).getBoolean(6),
+      "the union must surface the spanning violation — audits do not compose")
+    // what DOES compose: the (lhs, rhs, cnt) partials. SUM per-shard
+    // partials, re-collapse, and the whole-corpus audit falls out exactly
+    // — the state a streamed audit maintainer would keep. Verified on the
+    // real table across a 3-way split.
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("shard", expr("l_orderkey % 3"))
+    val partials = (0 to 2).map(sh =>
+      li.filter(col("shard") === sh)
+        .groupBy("l_orderkey", "l_returnflag").agg(count(lit(1)).as("cnt")))
+    val summed = partials.reduce(_ unionByName _)
+      .groupBy("l_orderkey", "l_returnflag").agg(sum("cnt").as("cnt"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_rhs"), sum("cnt").as("rws"))
+    val fromPartials = summed.agg(
+      count(lit(1)).as("lhs_groups"),
+      sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("violated_groups"),
+      sum(when(col("n_rhs") > 1, col("rws")).otherwise(0L)).as("violating_rows"),
+      sum("rws").as("total_rows")).collect().head
+    val whole = fdRow(li.drop("shard"))
+    assert(Seq(fromPartials.getLong(0), fromPartials.getLong(1),
+      fromPartials.getLong(2), fromPartials.getLong(3)) ===
+      Seq(whole.getLong(1), whole.getLong(2), whole.getLong(3), whole.getLong(4)),
+      "SUM-recollapsed shard partials must equal the whole-corpus audit")
   }
 }
