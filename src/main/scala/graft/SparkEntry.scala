@@ -599,6 +599,9 @@ object SparkEntry {
     // denial-constraint audit with exact violation counts
     "q188_data_profile"    -> ((s, d) =>
       graft.ops.ProfileOps.columnProfile(Tables.orders(s, d))),
+    // GROUP BY time(1h) fill(previous): the Grafana panel series, exact
+    "q190_resample_ffill"  -> ((s, d) =>
+      RelationalOps.resampleFill(Tables.events(s, d))),
     "q189_constraint_audit" -> ((s, d) =>
       graft.ops.ProfileOps.constraintAudit(Tables.lineitem(s, d))),
     // time travel: AS OF snapshots = base + LWW collapse of the log
@@ -1354,6 +1357,27 @@ object SparkEntry {
                 CAST(1000000 AS BIGINT) * n_robust_flag // n_rows AS robust_micro,
                 CAST(1000000 AS BIGINT) * n_fixed_flag // n_rows AS fixed_micro
          FROM f ORDER BY day"""
+    },
+    // q190: identical per-(user, hour) struct-MAX collapse, the same
+    // users × [h0, h1] dial grid, and an IGNORE NULLS running last
+    "q190_resample_ffill" -> {
+      val hourUs = graft.ops.RelationalOps.HourUs
+      s"""WITH obs AS (SELECT user_id, epoch_us(ts) // $hourUs AS hour,
+                              CAST(COUNT(*) AS BIGINT) AS n_obs,
+                              max({'u': epoch_us(ts), 'e': event_id,
+                                   'c': CAST(ROUND(value * 100) AS BIGINT)}) AS w
+                       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            span AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM obs),
+            grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour
+                     FROM (SELECT DISTINCT user_id FROM obs), span)
+         SELECT g.user_id AS user_id, g.hour AS hour,
+                CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+                last_value(o.w.c IGNORE NULLS)
+                  OVER (PARTITION BY g.user_id ORDER BY g.hour
+                        ROWS UNBOUNDED PRECEDING) AS cents_ffill
+         FROM grid g LEFT JOIN obs o
+           ON g.user_id = o.user_id AND g.hour = o.hour
+         ORDER BY user_id, hour"""
     },
     // q183: per version the SAME q173 merge over the log prefix; the
     // cutoff arithmetic is exact integer (floor on positive spans)

@@ -702,6 +702,47 @@ object RelationalOps {
       .orderBy("user_id")
   }
 
+  /** q190 — REGULAR-GRID RESAMPLE WITH FORWARD FILL: every (user, hour)
+    * cell of the corpus's global hourly grid carries the user's last
+    * observed value at or before that hour (NULL until the first
+    * observation) plus the cell's observation count — `GROUP BY
+    * time(1h) fill(previous)`, the query Grafana renders every
+    * time-series panel from and the gap-filling InfluxDB serves the
+    * reference's dashboard with (reference README.md:2,14-15: Grafana
+    * over the fraud-detection InfluxDB bucket). q170's TWAP weights by
+    * holding time; this materializes the held series itself.
+    *
+    * Scale shape: the corpus collapses ONCE map-combinably to per-(user,
+    * hour) last-observation cells — the winner is a lexicographic struct
+    * MAX over the (us, event_id) total order (the q173 idiom), never a
+    * window over raw rows. The grid is the product of two DIALS (the
+    * distinct-user table × the global [min, max] hour span from one
+    * broadcast row), so its size is users × hours regardless of row
+    * count, and the only window — the forward fill — runs per user over
+    * that bounded grid (≤ hours rows per partition). */
+  def resampleFill(events: DataFrame): DataFrame = {
+    val obs = events.filter(col("value").isNotNull)
+      .selectExpr("user_id", s"unix_micros(ts) DIV $HourUs AS hour",
+        "unix_micros(ts) AS us", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("user_id", "hour")
+      .agg(count(lit(1)).as("n_obs"),
+        max(struct(col("us"), col("event_id"), col("cents"))).as("w"))
+      .selectExpr("user_id", "hour", "n_obs", "w.cents AS c")
+      .localCheckpoint() // bounded (users × active hours); read three ways
+    val span = obs.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val grid = obs.select("user_id").distinct()
+      .crossJoin(broadcast(span))
+      .selectExpr("user_id", "explode(sequence(h0, h1)) AS hour")
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "hour"), "left")
+      .withColumn("cents_ffill", last(col("c"), ignoreNulls = true).over(w))
+      .selectExpr("user_id", "hour",
+        "coalesce(n_obs, CAST(0 AS BIGINT)) AS n_obs", "cents_ffill")
+      .orderBy("user_id", "hour")
+  }
+
   /** q168's experiment dials: the arm salt (a named experiment id so a
     * second experiment draws independently) and the two-sided 5%
     * critical value, written as the exact decimal text both engines

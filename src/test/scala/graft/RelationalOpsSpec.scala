@@ -670,6 +670,54 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q190 resample+ffill: gaps carry the last value, pre-first-obs is NULL, in-hour ties break on (us, event_id)") {
+    val hourUs = graft.ops.RelationalOps.HourUs
+    // user 1: obs in hours 0 and 2 (hour 2 has TWO obs — the later us wins);
+    // user 2: first obs in hour 1 -> hour 0 must stay NULL for them
+    val fix = Seq(
+      (1L, 0L, 10L, 100L, 0L), (1L, 2L, 5L, 250L, 1L), (1L, 2L, 9L, 300L, 2L),
+      (2L, 1L, 3L, 700L, 3L))
+      .toDF("user_id", "h", "off", "cents", "event_id")
+      .selectExpr(s"timestamp_micros(h * $hourUs + off) AS ts", "user_id",
+        "CAST(cents AS DOUBLE) / 100 AS value", "event_id", "'t' AS event_type")
+    val got = graft.ops.RelationalOps.resampleFill(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got.size === 6, "2 users x the global 3-hour span")
+    assert(got((1L, 0L)) === ((1L, Some(100L))))
+    assert(got((1L, 1L)) === ((0L, Some(100L))), "the gap hour carries the fill")
+    assert(got((1L, 2L)) === ((2L, Some(300L))), "later (us, event_id) wins in-hour")
+    assert(got((2L, 0L)) === ((0L, None)), "before a user's first obs: NULL")
+    assert(got((2L, 1L)) === ((1L, Some(700L))))
+    assert(got((2L, 2L)) === ((0L, Some(700L))))
+    // corpus: exact driver replay of the collapse + fill at sf0.001
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.RelationalOps.resampleFill(events).collect()
+    val obs = events.filter("value IS NOT NULL")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCell = obs.groupBy(o => (o._1, o._2 / hourUs))
+    val h0 = obs.map(_._2 / hourUs).min
+    val h1 = obs.map(_._2 / hourUs).max
+    val want = obs.map(_._1).distinct.sorted.flatMap { u =>
+      var fill: Option[Long] = None
+      (h0 to h1).map { h =>
+        val cell = byCell.getOrElse((u, h), Array.empty)
+        if (cell.nonEmpty) fill = Some(cell.maxBy(o => (o._2, o._3))._4)
+        (u, h, cell.length.toLong, fill)
+      }
+    }
+    assert(real.length === want.length)
+    real.zip(want).foreach { case (r, (u, h, n, f)) =>
+      assert(r.getLong(0) === u && r.getLong(1) === h && r.getLong(2) === n)
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) === f, s"($u,$h)")
+    }
+    val reparted = graft.ops.RelationalOps.resampleFill(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q183 time travel: v-last IS q173, a key is born/deleted/resurrected as the cutoff sweeps") {
     // hand timeline spanning the four quarter cutoffs (t0=0, t1=4000):
     // key 5 born in Q1, deleted in Q2, resurrected in Q3; key 1 deleted
