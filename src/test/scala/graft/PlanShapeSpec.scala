@@ -450,6 +450,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q187/q190: windows only over bounded collapsed tables — day-keyed value counts / user-keyed grid; no cartesian on a corpus side") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val d = "/root/testdata/sf0.001"
+    // q187: both median selections are cumulative windows PARTITIONED BY
+    // day over the checkpointed (day, cents/dev, n) tables, never raw rows
+    val q187 = graft.ops.RelationalOps.robustOutliers(Tables.events(spark, d))
+    val w187 = q187.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(w187.nonEmpty && w187.forall(_.partitionSpec.nonEmpty),
+      "q187's median selections must stay day-partitioned")
+    assert(!q187.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // q190: the forward fill is the ONLY window, user-partitioned over the
+    // dial-bounded grid; the span dial joins via broadcast, not cartesian
+    val q190 = graft.ops.RelationalOps.resampleFill(Tables.events(spark, d))
+    val w190 = q190.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(w190.size === 1 && w190.head.partitionSpec.nonEmpty,
+      "q190's fill must be one user-partitioned window")
+    assert(!q190.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("q152 attribution: the as-of window stays user-partitioned; no cartesian") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // the corpus-scale window runs inside the checkpointed census build —
