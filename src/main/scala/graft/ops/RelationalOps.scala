@@ -720,14 +720,29 @@ object RelationalOps {
     * broadcast row), so its size is users × hours regardless of row
     * count, and the only window — the forward fill — runs per user over
     * that bounded grid (≤ hours rows per partition). */
-  def resampleFill(events: DataFrame): DataFrame = {
-    val obs = events.filter(col("value").isNotNull)
+  def resampleFill(events: DataFrame): DataFrame =
+    resampleFromCells(resampleCells(events))
+
+  /** q190's corpus collapse: per-(user, hour) observation count and the
+    * winning (us, event_id, cents) struct — ONE map-combinable pass.
+    * Shared with [[graft.streaming.StreamResample]]: the struct MAX is
+    * associative, commutative, AND idempotent, and the count is SUM
+    * state, so per-batch cell partials merge into the standing store by
+    * the same (MAX, SUM) fold this aggregate already is. */
+  private[graft] def resampleCells(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
       .selectExpr("user_id", s"unix_micros(ts) DIV $HourUs AS hour",
         "unix_micros(ts) AS us", "event_id",
         "CAST(round(value * 100) AS BIGINT) AS cents")
       .groupBy("user_id", "hour")
       .agg(count(lit(1)).as("n_obs"),
         max(struct(col("us"), col("event_id"), col("cents"))).as("w"))
+
+  /** q190's read stages — dial grid + forward fill — over an
+    * already-collapsed cell table, so the batch query and the streamed
+    * panel are bit-equal by construction. */
+  private[graft] def resampleFromCells(cells: DataFrame): DataFrame = {
+    val obs = cells
       .selectExpr("user_id", "hour", "n_obs", "w.cents AS c")
       .localCheckpoint() // bounded (users × active hours); read three ways
     val span = obs.agg(min("hour").as("h0"), max("hour").as("h1"))
