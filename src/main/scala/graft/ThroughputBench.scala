@@ -119,6 +119,16 @@ object ThroughputBench {
       """CASE WHEN id % 50 = 0 THEN CAST(NULL AS DOUBLE)
               ELSE CAST(pmod(id * 37, 32753) AS DOUBLE) / 100.0 END AS value""")
 
+    // robustcells / panelcells modes: the q187 / q190 maintainers' per-
+    // micro-batch delta collapses (value counts / winner cells) — the
+    // in-flight cost of the two newest stores; panel arrivals carry the
+    // (user, event) identity the winner struct orders on
+    val panelWire = spark.range(n).selectExpr(
+      "timestamp_micros(1700000000000000 + id * 1000) AS ts",
+      "pmod(id * 31, 1000) AS user_id", "id AS event_id",
+      """CASE WHEN id % 50 = 0 THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(pmod(id * 37, 32753) AS DOUBLE) / 100.0 END AS value""")
+
     def once(): Double = {
       val t0 = System.nanoTime()
       val out = mode match {
@@ -146,6 +156,8 @@ object ThroughputBench {
           streaming.StreamBudgetGate.flag(qualityWire, w.toSeq, bias, budgetCutDial)
         case "burststore" => ops.RelationalOps.hourlyCounts(eventWire)
         case "zonestats" => ops.ScaleOps.zoneStats(eventWire)
+        case "robustcells" => ops.RelationalOps.robustValueCounts(eventWire)
+        case "panelcells" => ops.RelationalOps.resampleCells(panelWire)
         case _ => streaming.FraudPipeline.fraudAlerts(wire)
       }
       out.write.format("noop").mode("overwrite").save()
@@ -164,6 +176,8 @@ object ThroughputBench {
       case "budgetgate" => "budget_gate_rows_per_sec"
       case "burststore" => "burst_store_rows_per_sec"
       case "zonestats" => "zone_stats_rows_per_sec"
+      case "robustcells" => "robust_cells_rows_per_sec"
+      case "panelcells" => "panel_cells_rows_per_sec"
       case _ => "pipeline_rows_per_sec"
     }
     println(f"""{"metric":"$metric%s","value":$rps%.0f,"rows":$n,"sec":$sec%.3f,"cpus":$cpus}""")
