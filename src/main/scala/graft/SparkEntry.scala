@@ -602,6 +602,9 @@ object SparkEntry {
     // GROUP BY time(1h) fill(previous): the Grafana panel series, exact
     "q190_resample_ffill"  -> ((s, d) =>
       RelationalOps.resampleFill(Tables.events(s, d))),
+    // PromQL rate(): per-pair increase under counter-reset handling
+    "q191_counter_rate"    -> ((s, d) =>
+      RelationalOps.counterRate(Tables.events(s, d))),
     "q189_constraint_audit" -> ((s, d) =>
       graft.ops.ProfileOps.constraintAudit(Tables.lineitem(s, d))),
     // time travel: AS OF snapshots = base + LWW collapse of the log
@@ -1379,6 +1382,29 @@ object SparkEntry {
            ON g.user_id = o.user_id AND g.hour = o.hour
          ORDER BY user_id, hour"""
     },
+    // q191: identical (us, event_id)-ordered lag per user, the same
+    // reset rule and exact integer micro-rate
+    "q191_counter_rate" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                           CAST(ROUND(value * 100) AS BIGINT) AS cents
+                    FROM events WHERE value IS NOT NULL),
+             p AS (SELECT user_id, us, event_id, cents,
+                          lag(us) OVER w AS prev_us,
+                          lag(cents) OVER w AS prev_cents
+                   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+         SELECT user_id, us, event_id,
+                us - prev_us AS dt_us,
+                cents < prev_cents AS reset,
+                CASE WHEN cents < prev_cents THEN cents
+                     ELSE cents - prev_cents END AS increase_cents,
+                CASE WHEN us - prev_us = 0 THEN CAST(NULL AS BIGINT)
+                     ELSE CAST((CASE WHEN cents < prev_cents THEN cents
+                                     ELSE cents - prev_cents END)
+                               * CAST(1000000000000 AS BIGINT)
+                               // (us - prev_us) AS BIGINT)
+                END AS rate_micro
+         FROM p WHERE prev_us IS NOT NULL
+         ORDER BY user_id, us, event_id""",
     // q183: per version the SAME q173 merge over the log prefix; the
     // cutoff arithmetic is exact integer (floor on positive spans)
     "q183_time_travel" -> {

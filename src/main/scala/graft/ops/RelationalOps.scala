@@ -758,6 +758,42 @@ object RelationalOps {
       .orderBy("user_id", "hour")
   }
 
+  /** q191 — COUNTER RATE (PromQL `rate()` semantics, exact): per user,
+    * every consecutive observation pair ordered by the (us, event_id)
+    * total order yields its time delta, its INCREASE under counter-reset
+    * handling — a drop below the previous value means the counter
+    * restarted, so the increase is the new value itself, not a negative
+    * delta — and the micro-scaled per-second rate. This is the other
+    * query a monitoring dashboard renders (q190 materializes the held
+    * series; this derives its slope), and the reset taxonomy is the part
+    * engines get subtly wrong.
+    *
+    * All exact integers: the rate is `increase·10¹² DIV dt_us`
+    * (micro-cents-per-second; ≤ 10¹⁷ at graded value ranges — ANSI
+    * overflows loudly if the headroom ever goes), NULL when two
+    * observations share a microsecond (a zero interval has no slope).
+    * Scale shape: ONE user-partitioned lag window over the observation
+    * rows — the q152/q29 class — and nothing else; no self-join, no
+    * corpus-wide sort (the final orderBy is presentation). */
+  def counterRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events.filter(col("value").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .selectExpr("user_id", "us", "event_id",
+        "us - prev_us AS dt_us",
+        "cents < prev_cents AS reset",
+        "CASE WHEN cents < prev_cents THEN cents ELSE cents - prev_cents END AS increase_cents")
+      .selectExpr("user_id", "us", "event_id", "dt_us", "reset", "increase_cents",
+        """CASE WHEN dt_us = 0 THEN CAST(NULL AS BIGINT)
+                ELSE increase_cents * CAST(1000000000000 AS BIGINT) DIV dt_us
+           END AS rate_micro""")
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** q168's experiment dials: the arm salt (a named experiment id so a
     * second experiment draws independently) and the two-sided 5%
     * critical value, written as the exact decimal text both engines

@@ -718,6 +718,53 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q191 counter rate: monotone run, reset restarts the increase, zero-dt has no slope; driver recount") {
+    // user 1: 100c @1s, 300c @3s (rate 100c/s), 50c @4s (RESET -> increase
+    // 50), 50c @4s again via higher event_id (dt 0 -> NULL rate)
+    val fix = Seq(
+      (1L, 1000000L, 0L, 100L), (1L, 3000000L, 1L, 300L),
+      (1L, 4000000L, 2L, 50L), (1L, 4000000L, 3L, 50L))
+      .toDF("user_id", "us", "event_id", "cents")
+      .selectExpr("timestamp_micros(us) AS ts", "user_id", "event_id",
+        "CAST(cents AS DOUBLE) / 100 AS value", "'t' AS event_type")
+    val got = graft.ops.RelationalOps.counterRate(fix).collect()
+    assert(got.length === 3, "4 observations -> 3 consecutive pairs")
+    val p1 = got(0) // 1s -> 3s
+    assert(p1.getLong(3) === 2000000L && !p1.getBoolean(4) &&
+      p1.getLong(5) === 200L && p1.getLong(6) === 100000000L,
+      "monotone pair: 200c over 2s = 100c/s = 1e8 micro")
+    val p2 = got(1) // 3s -> 4s: 300 -> 50 is a reset
+    assert(p2.getBoolean(4) && p2.getLong(5) === 50L &&
+      p2.getLong(6) === 50000000L, "reset: increase = new value, 50c/s")
+    val p3 = got(2) // dt 0
+    assert(p3.getLong(3) === 0L && p3.isNullAt(6), "zero interval has no slope")
+    assert(!p3.getBoolean(4) && p3.getLong(5) === 0L)
+    // corpus: exact driver replay at sf0.001
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.RelationalOps.counterRate(events).collect()
+    val obs = events.filter("value IS NOT NULL")
+      .selectExpr("user_id", "unix_micros(ts)", "event_id",
+        "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = obs.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, os) =>
+      os.sortBy(o => (o._2, o._3)).sliding(2).collect { case Array(a, b) =>
+        val inc = if (b._4 < a._4) b._4 else b._4 - a._4
+        val dt = b._2 - a._2
+        (u, b._2, b._3, dt, b._4 < a._4, inc,
+          if (dt == 0) None else Some(inc * 1000000000000L / dt))
+      }
+    }
+    assert(real.length === want.length)
+    real.zip(want).foreach { case (r, (u, us, e, dt, rs, inc, rate)) =>
+      assert(r.getLong(0) === u && r.getLong(1) === us && r.getLong(2) === e)
+      assert(r.getLong(3) === dt && r.getBoolean(4) === rs && r.getLong(5) === inc)
+      assert((if (r.isNullAt(6)) None else Some(r.getLong(6))) === rate)
+    }
+    val reparted = graft.ops.RelationalOps.counterRate(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q183 time travel: v-last IS q173, a key is born/deleted/resurrected as the cutoff sweeps") {
     // hand timeline spanning the four quarter cutoffs (t0=0, t1=4000):
     // key 5 born in Q1, deleted in Q2, resurrected in Q3; key 1 deleted
