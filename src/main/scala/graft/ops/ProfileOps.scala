@@ -52,7 +52,11 @@ object ProfileOps {
       .selectExpr("n_rows",
         s"stack(${ProfileColumns.size}, $stacked) AS (column_name, n_nonnull, n_distinct)")
       .selectExpr("column_name", "n_rows", "n_nonnull", "n_distinct",
-        "CAST(1000000 AS BIGINT) * n_nonnull DIV n_rows AS completeness_micro",
+        // an empty drop must PROFILE as empty, not throw: ANSI division
+        // guards on both engines (the q174 zero-width-interval class)
+        """CASE WHEN n_rows = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(1000000 AS BIGINT) * n_nonnull DIV n_rows
+           END AS completeness_micro""",
         """CASE WHEN n_nonnull = 0 THEN CAST(NULL AS BIGINT)
                 ELSE CAST(1000000 AS BIGINT) * n_distinct DIV n_nonnull
            END AS distinctness_micro""",
@@ -92,9 +96,13 @@ object ProfileOps {
     def summarize(perLhs: DataFrame, name: String): DataFrame =
       perLhs.agg(
         count(lit(1)).as("lhs_groups"),
-        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("violated_groups"),
-        sum(when(col("n_rhs") > 1, col("rws")).otherwise(0L)).as("violating_rows"),
-        sum("rws").as("total_rows"))
+        // coalesce: SUM over zero groups is NULL, but an empty table has
+        // exactly zero violations and zero rows — report that, loudly typed
+        coalesce(sum(when(col("n_rhs") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("violated_groups"),
+        coalesce(sum(when(col("n_rhs") > 1, col("rws")).otherwise(0L)), lit(0L))
+          .as("violating_rows"),
+        coalesce(sum("rws"), lit(0L)).as("total_rows"))
         .selectExpr(s"'$name' AS rule", "lhs_groups", "violated_groups",
           "violating_rows", "total_rows")
     val key = {
@@ -113,7 +121,8 @@ object ProfileOps {
     }
     val dcs = DcRules.map { case (name, pred) =>
       lineitem.agg(
-        sum(when(expr(s"NOT ($pred)"), 1L).otherwise(0L)).as("violating_rows"),
+        coalesce(sum(when(expr(s"NOT ($pred)"), 1L).otherwise(0L)), lit(0L))
+          .as("violating_rows"),
         count(lit(1)).as("total_rows"))
         .selectExpr(s"'$name' AS rule", "CAST(NULL AS BIGINT) AS lhs_groups",
           "CAST(NULL AS BIGINT) AS violated_groups", "violating_rows", "total_rows")
@@ -121,7 +130,11 @@ object ProfileOps {
     (Seq(key) ++ fds ++ dcs).reduce(_ unionByName _)
       .selectExpr("rule", "lhs_groups", "violated_groups", "violating_rows",
         "total_rows",
-        "CAST(1000000 AS BIGINT) * violating_rows DIV total_rows AS violation_micro",
+        // empty-table guard: zero rows means nothing to violate — every
+        // rule reports vacuously held with a NULL price, never DIV 0
+        """CASE WHEN total_rows = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(1000000 AS BIGINT) * violating_rows DIV total_rows
+           END AS violation_micro""",
         "violating_rows = 0 AS holds")
       .orderBy("rule")
   }
@@ -143,7 +156,7 @@ object ProfileOps {
                    AS violated_groups,
                  CAST(COALESCE(SUM(CASE WHEN rws > 1 THEN rws END), 0) AS BIGINT)
                    AS violating_rows,
-                 CAST(SUM(rws) AS BIGINT) AS total_rows
+                 CAST(COALESCE(SUM(rws), 0) AS BIGINT) AS total_rows
           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS rws FROM lineitem
                 GROUP BY ${ks.mkString(", ")})"""
     }
@@ -154,7 +167,7 @@ object ProfileOps {
                    AS violated_groups,
                  CAST(COALESCE(SUM(CASE WHEN n_rhs > 1 THEN rws END), 0) AS BIGINT)
                    AS violating_rows,
-                 CAST(SUM(rws) AS BIGINT) AS total_rows
+                 CAST(COALESCE(SUM(rws), 0) AS BIGINT) AS total_rows
           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rhs,
                        CAST(SUM(cnt) AS BIGINT) AS rws
                 FROM (SELECT ${(lhs :+ rhs).mkString(", ")},
@@ -176,7 +189,9 @@ object ProfileOps {
         s"""WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, $profAggs
                        FROM orders)
             SELECT column_name, n_rows, n_nonnull, n_distinct,
-                   CAST(1000000 AS BIGINT) * n_nonnull // n_rows AS completeness_micro,
+                   CASE WHEN n_rows = 0 THEN CAST(NULL AS BIGINT)
+                        ELSE CAST(1000000 AS BIGINT) * n_nonnull // n_rows
+                   END AS completeness_micro,
                    CASE WHEN n_nonnull = 0 THEN CAST(NULL AS BIGINT)
                         ELSE CAST(1000000 AS BIGINT) * n_distinct // n_nonnull
                    END AS distinctness_micro,
@@ -184,8 +199,9 @@ object ProfileOps {
             FROM ($profSelects) ORDER BY column_name""",
       "q189_constraint_audit" ->
         s"""SELECT rule, lhs_groups, violated_groups, violating_rows, total_rows,
-                   CAST(1000000 AS BIGINT) * violating_rows // total_rows
-                     AS violation_micro,
+                   CASE WHEN total_rows = 0 THEN CAST(NULL AS BIGINT)
+                        ELSE CAST(1000000 AS BIGINT) * violating_rows // total_rows
+                   END AS violation_micro,
                    violating_rows = 0 AS holds
             FROM ($keySql UNION ALL ${(fdSqls ++ dcSqls).mkString(" UNION ALL ")})
             ORDER BY rule""")

@@ -121,6 +121,26 @@ class ProfileOpsSpec extends SparkSpec {
     assert(reparted === ProfileOps.constraintAudit(li).collect().map(_.toSeq).toSeq)
   }
 
+  test("q188/q189 on an EMPTY drop: profile reports emptiness, rules hold vacuously, no ANSI division throws") {
+    val noOrders = handOrders.filter(lit(false))
+    val prof = ProfileOps.columnProfile(noOrders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size === ProfileOps.ProfileColumns.size)
+    prof.values.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L)
+      assert(r.isNullAt(4) && r.isNullAt(5), "ratios of nothing are NULL, not DIV 0")
+      assert(r.getBoolean(6), "0 = 0 = 0: vacuously unique")
+    }
+    val audit = ProfileOps.constraintAudit(handLineitem.filter(lit(false)))
+      .collect()
+    assert(audit.length === 5)
+    audit.foreach { r =>
+      assert(r.getLong(3) === 0L && r.getLong(4) === 0L, r.getString(0))
+      assert(r.isNullAt(5) && r.getBoolean(6),
+        s"${r.getString(0)}: vacuously held with a NULL price")
+    }
+  }
+
   test("q189 composition laws: per-shard audits MISS spanning violations; (lhs,rhs,cnt) partials compose exactly") {
     // two shards, each internally clean for fd:l_orderkey->l_returnflag,
     // but order 1 carries rf N in shard A and rf R in shard B — the
