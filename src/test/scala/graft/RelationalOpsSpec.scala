@@ -765,6 +765,65 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q192 alert firing: pending vs fired, the transition instant, a dip resets the island; driver recount") {
+    val h = 3600000000L
+    // user 1: over @0h, over @13h (island fires AT 13h: held >= 12h),
+    // under @14h (reset), over @15h alone (pending forever);
+    // user 2: over @0h then under -> island of one, never fires
+    val fix = Seq(
+      (1L, 0L, 0L, 20000L), (1L, 13L, 1L, 30000L), (1L, 14L, 2L, 500L),
+      (1L, 15L, 3L, 25000L), (2L, 0L, 4L, 15000L), (2L, 1L, 5L, 100L))
+      .toDF("user_id", "hh", "event_id", "cents")
+      .selectExpr(s"timestamp_micros(hh * $h) AS ts", "user_id", "event_id",
+        "CAST(cents AS DOUBLE) / 100 AS value", "'t' AS event_type")
+    val got = graft.ops.RelationalOps.alertFiring(fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.size === 3, "two islands for user 1, one for user 2")
+    val i11 = got((1L, 1L))
+    assert(i11.getLong(2) === 0L && i11.getLong(3) === 13L * h &&
+      i11.getLong(4) === 2L && i11.getBoolean(6) && i11.getLong(7) === 13L * h,
+      "held 13h >= 12h: fires AT the second observation")
+    val i12 = got((1L, 2L))
+    assert(i12.getLong(4) === 1L && !i12.getBoolean(6) && i12.isNullAt(7),
+      "the dip reset the run; the lone spike stays pending")
+    assert(!got((2L, 1L)).getBoolean(6))
+    // corpus: exact driver replay at sf0.001 — island structure, spans,
+    // firing verdicts and instants
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.RelationalOps.alertFiring(events).collect()
+    val thr = (graft.ops.EventOps.FraudThreshold * 100).toLong
+    val obs = events.filter("value IS NOT NULL")
+      .selectExpr("user_id", "unix_micros(ts)", "event_id",
+        "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = obs.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, os) =>
+      val runs = scala.collection.mutable.ListBuffer.empty[Vector[Long]]
+      var cur = Vector.empty[Long]
+      os.sortBy(o => (o._2, o._3)).foreach { o =>
+        if (o._4 > thr) cur :+= o._2
+        else { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.toSeq.zipWithIndex.map { case (r, i) =>
+        val fire = r.find(_ >= r.head + graft.ops.RelationalOps.AlertForUs)
+        (u, (i + 1).toLong, r.head, r.last, r.size.toLong,
+          r.last - r.head, fire.nonEmpty, fire)
+      }
+    }
+    assert(real.length === want.length)
+    real.zip(want).foreach { case (r, (u, i, s, e, n, d, f, fu)) =>
+      assert(r.getLong(0) === u && r.getLong(1) === i && r.getLong(2) === s)
+      assert(r.getLong(3) === e && r.getLong(4) === n && r.getLong(5) === d)
+      assert(r.getBoolean(6) === f)
+      assert((if (r.isNullAt(7)) None else Some(r.getLong(7))) === fu)
+    }
+    assert(real.exists(_.getBoolean(6)) && real.exists(!_.getBoolean(6)),
+      "the corpus must populate BOTH alert branches")
+    val reparted = graft.ops.RelationalOps.alertFiring(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q183 time travel: v-last IS q173, a key is born/deleted/resurrected as the cutoff sweeps") {
     // hand timeline spanning the four quarter cutoffs (t0=0, t1=4000):
     // key 5 born in Q1, deleted in Q2, resurrected in Q3; key 1 deleted
