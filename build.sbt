@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~200 codegen'd query plans overflow the JVM's default 240 MB code
+  // cache mid-bench; flushing then recompiles hot methods in a loop and
+  // the whole JVM runs ~2.5x slow — uniformly, which the probe-based
+  // noise gate correctly flags but cannot attribute. Size it so the
+  // full graded surface stays compiled.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )
