@@ -609,6 +609,10 @@ object SparkEntry {
     // fires AT the transition instant; the reference's alert, production-shaped
     "q192_alert_firing"    -> ((s, d) =>
       RelationalOps.alertFiring(Tables.events(s, d))),
+    // Page's CUSUM: persistent upward drift no single observation
+    // reveals — prefix-sum-minus-running-min closed form, exact cents
+    "q193_cusum_drift"     -> ((s, d) =>
+      RelationalOps.cusumDrift(Tables.events(s, d))),
     "q189_constraint_audit" -> ((s, d) =>
       graft.ops.ProfileOps.constraintAudit(Tables.lineitem(s, d))),
     // time travel: AS OF snapshots = base + LWW collapse of the log
@@ -622,6 +626,10 @@ object SparkEntry {
     // theorem graded against the exact Σc²
     "q172_join_cardinality" -> ((s, d) =>
       SketchOps.cmsJoinCardinality(Tables.events(s, d))),
+    // theta-sketch set algebra: union/intersection/difference estimates
+    // from two bounded sketches at the common θ — what HLL cannot do
+    "q194_theta_sets" -> ((s, d) =>
+      SketchOps.thetaSets(Tables.orders(s, d))),
     // 2-D skyline (Pareto frontier): the cheapest-for-its-size staircase
     // via grid decomposition — bucket-partitioned window + bounded
     // prefix pruning, never an all-pairs join; graded vs the definition
@@ -644,6 +652,10 @@ object SparkEntry {
     // A/B experiment census: md5 arm assignment (never rand()), exact
     // per-arm conversion counts, pooled two-proportion z — the
     // experimentation-platform query, with a deterministic verdict
+    // Wald's SPRT: the sequential sibling of q168 — per (rule, arm) the
+    // exact-integer LLR walk, first boundary crossing, decision sample size
+    "q196_sprt"            -> ((s, d) =>
+      RelationalOps.sprtCensus(Tables.events(s, d))),
     "q168_ab_test"         -> ((s, d) =>
       RelationalOps.abTestCensus(Tables.events(s, d))),
     // exact bitmap distinct cube: the dense-key EXACT counterpart of
@@ -681,6 +693,10 @@ object SparkEntry {
     // k-anonymity audit: re-identification risk through quasi-identifier
     // classes up a generalization ladder — k and the at-risk set are
     // provably monotone level-over-level, both graded
+    // l-diversity: the attribute-disclosure audit — distinct-ℓ and
+    // recursive (c,2)-diversity per QI class up the region ladder
+    "q195_l_diversity"     -> ((s, d) =>
+      PipelineOps.lDiversityAudit(Tables.customer(s, d), Tables.nation(s, d))),
     "q180_k_anonymity"     -> ((s, d) =>
       PipelineOps.kAnonymityAudit(Tables.customer(s, d))),
     // weighted stratified sample: the cell completing the sampling
@@ -1440,6 +1456,29 @@ object SparkEntry {
                   AS fire_us
          FROM i GROUP BY user_id, island ORDER BY user_id, island"""
     },
+    // q193: identical prefix-sum / running-min closed form of the CUSUM
+    // clamp recursion under the same total order; windowed SUM/MIN are
+    // HUGEINT on DuckDB — cast at ship time
+    "q193_cusum_drift" -> {
+      val k = graft.ops.RelationalOps.CusumSlackCents
+      val h = graft.ops.RelationalOps.CusumAlarmCents
+      s"""WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                            CAST(ROUND(value * 100) AS BIGINT) AS cents
+                     FROM events WHERE value IS NOT NULL),
+              p AS (SELECT user_id, us, event_id, cents,
+                           CAST(SUM(cents - $k) OVER w AS BIGINT) AS pre
+                    FROM o WINDOW w AS (PARTITION BY user_id
+                                        ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING)),
+              s AS (SELECT user_id, us, event_id, cents,
+                           pre - LEAST(CAST(0 AS BIGINT),
+                                       CAST(MIN(pre) OVER w AS BIGINT)) AS cusum
+                    FROM p WINDOW w AS (PARTITION BY user_id
+                                        ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING))
+         SELECT user_id, us, event_id, cents, cusum, cusum >= $h AS alarm
+         FROM s ORDER BY user_id, us, event_id"""
+    },
     // q183: per version the SAME q173 merge over the log prefix; the
     // cutoff arithmetic is exact integer (floor on positive spans)
     "q183_time_travel" -> {
@@ -1599,6 +1638,58 @@ object SparkEntry {
     },
     // q168: identical md5 arm deal, exact counts, and the literal same
     // pooled-z expression text — the verdict is a stable graded fact
+    // q196: identical user collapse + md5 deal as q168, the same fixed
+    // integer step dials, the same cumulative walk under (first_us,
+    // first_eid) and the same first-crossing selection
+    "q196_sprt" -> {
+      val rules = graft.ops.RelationalOps.SprtRules.map { case (n, u, d) =>
+        s"('$n', CAST($u AS BIGINT), CAST($d AS BIGINT))" }.mkString(", ")
+      val b = graft.ops.RelationalOps.SprtBoundMicro
+      val cc = graft.ops.RelationalOps.AbConvCents
+      val eid = graft.ops.RelationalOps.AbExperimentId
+      s"""WITH u AS (SELECT CAST(user_id AS VARCHAR) AS uk,
+                            MIN(epoch_us(ts)) AS first_us,
+                            MIN(event_id) AS first_eid,
+                            MAX(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                                     AND CAST(ROUND(value * 100) AS BIGINT) >= $cc
+                                     THEN 1 ELSE 0 END) AS conv
+                     FROM events GROUP BY 1),
+              a AS (SELECT *, ('0x' || substr(md5('$eid:' || uk), 1, 12))::BIGINT % 2
+                             AS arm FROM u),
+              r(rule, up, down) AS (VALUES $rules),
+              w AS (SELECT rule, arm, conv,
+                           CAST(SUM(CASE WHEN conv = 1 THEN up ELSE down END)
+                             OVER (PARTITION BY rule, arm
+                                   ORDER BY first_us, first_eid
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr,
+                           CAST(row_number() OVER (PARTITION BY rule, arm
+                                   ORDER BY first_us, first_eid) AS BIGINT) AS i,
+                           CAST(COUNT(*) OVER (PARTITION BY rule, arm) AS BIGINT) AS n_tot
+                    FROM a CROSS JOIN r),
+              cen AS (SELECT rule, arm,
+                             CAST(COUNT(*) AS BIGINT) AS n_users,
+                             CAST(SUM(conv) AS BIGINT) AS n_conv,
+                             MAX(CASE WHEN i = n_tot THEN llr END) AS llr_final,
+                             MIN(CASE WHEN llr >= $b THEN i END) AS n_h1,
+                             MIN(CASE WHEN llr <= -$b THEN i END) AS n_h0
+                      FROM w GROUP BY 1, 2),
+              d AS (SELECT rule, arm, n_users, n_conv, llr_final,
+                           CASE WHEN n_h1 IS NOT NULL AND (n_h0 IS NULL OR n_h1 <= n_h0)
+                                  THEN 'accept_h1'
+                                WHEN n_h0 IS NOT NULL THEN 'accept_h0'
+                                ELSE 'continue' END AS decision,
+                           CASE WHEN n_h1 IS NULL THEN n_h0
+                                WHEN n_h0 IS NULL THEN n_h1
+                                ELSE least(n_h1, n_h0) END AS n_at_decision
+                    FROM cen)
+         SELECT d.rule AS rule, d.arm AS arm, d.n_users AS n_users,
+                d.n_conv AS n_conv, d.llr_final AS llr_final,
+                d.decision AS decision, d.n_at_decision AS n_at_decision,
+                w.llr AS llr_at_decision
+         FROM d LEFT JOIN w ON w.rule = d.rule AND w.arm = d.arm
+                            AND w.i = d.n_at_decision
+         ORDER BY d.rule, d.arm"""
+    },
     "q168_ab_test" -> {
       val (eid, crit) = (RelationalOps.AbExperimentId, RelationalOps.AbZCrit)
       s"""WITH u AS (SELECT CAST(user_id AS VARCHAR) AS uk,

@@ -946,6 +946,84 @@ object PipelineOps {
       .orderBy("level")
   }
 
+  /** q195's dials: the diversity floor L (a class needs ≥ L distinct
+    * sensitive values) and the recursive-diversity skew cap c (the most
+    * frequent sensitive value may hold at most c× the rest's mass —
+    * Machanavajjhala's (c, 2)-diversity, exact in integers). */
+  val LDivL = 3L
+  val LDivC = 3L
+
+  /** q195 — L-DIVERSITY AUDIT: the attribute-disclosure sibling of
+    * q180. k-anonymity bounds RE-IDENTIFICATION (how small can a
+    * quasi-identifier class get) but says nothing about what a class
+    * REVEALS: a class of 50 rows that all share one market segment
+    * discloses the segment of anyone linkable to the class without
+    * identifying a single row. Per QI class the sensitive attribute
+    * (market segment) must be diverse: the audit measures distinct-ℓ
+    * (the minimum number of distinct sensitive values in any class) and
+    * recursive (c, 2)-diversity (the modal sensitive value may carry at
+    * most c× the mass of the rest — skew-aware, because 49-of-50 one
+    * segment is barely better than 50-of-50) up a generalization ladder
+    * the q180 discipline prescribes: nation × $1000 balance bucket →
+    * nation → region (the nation dimension's own hierarchy, joined
+    * broadcast) → whole table. Distinct-ℓ is non-decreasing up the
+    * ladder for the same reason q180's k is (a merged class's sensitive
+    * set contains each constituent's), and the exposed row set (classes
+    * with ONE sensitive value — outright disclosure) only shrinks —
+    * graded as `monotone_ok`; the recursive verdict is an observation
+    * per level, not a theorem, and the corpus populates both sides.
+    *
+    * Scale shape: ONE map-combinable corpus collapse to the finest
+    * (nat, reg, bucket, sens) count table (bounded by the QI × sensitive
+    * domain); every ladder level re-aggregates that bounded table twice
+    * (class × sens, then class) — rows never travel past the first
+    * collapse, the q154/q180 store-rollup discipline. */
+  def lDiversityAudit(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val w = AnonBalCoarse
+    val fine = customer.join(
+        broadcast(nation.selectExpr("n_nationkey",
+          "CAST(n_regionkey AS BIGINT) AS reg")),
+        col("c_nationkey") === col("n_nationkey"))
+      .selectExpr("CAST(c_nationkey AS BIGINT) AS nat", "reg",
+        "c_mktsegment AS sens",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS cents")
+      .selectExpr("nat", "reg", "sens",
+        s"(cents - (((cents % $w) + $w) % $w)) DIV $w AS b")
+      .groupBy("nat", "reg", "b", "sens").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded fine store; every ladder level reads it
+    def level(classCols: Seq[String], lv: Long): DataFrame = {
+      val cls = fine
+        .groupBy((classCols :+ "sens").map(col): _*).agg(sum("n").as("cnt"))
+        .groupBy(classCols.map(col): _*)
+        .agg(sum("cnt").as("n"), count(lit(1)).as("dl"), max("cnt").as("mx"))
+      cls.agg(sum("n").as("n_rows"), count(lit(1)).as("n_classes"),
+          min("dl").as("min_l"),
+          count(when(col("dl") < lit(LDivL), 1)).as("n_undiverse"),
+          sum(when(col("dl") === 1, col("n")).otherwise(lit(0L))).as("n_exposed"),
+          count(when(col("mx") > lit(LDivC) * (col("n") - col("mx")), 1))
+            .as("n_recursive_fail"))
+        .selectExpr(s"CAST($lv AS BIGINT) AS level", "n_rows", "n_classes",
+          "min_l", "n_undiverse", "n_exposed",
+          "CAST(1000000 AS BIGINT) * n_exposed DIV n_rows AS exposure_micro",
+          "n_recursive_fail", "n_recursive_fail = 0 AS recursive_ok")
+    }
+    val ladder = level(Seq("nat", "b"), 0L)
+      .unionByName(level(Seq("nat"), 1L))
+      .unionByName(level(Seq("reg"), 2L))
+      .unionByName(level(Seq.empty, 3L))
+      .localCheckpoint() // 4 rows; read twice for the monotone join
+    ladder.as("a")
+      .join(broadcast(ladder.selectExpr("level + 1 AS level",
+        "min_l AS prev_l", "n_exposed AS prev_exposed").as("p")),
+        Seq("level"), "left")
+      .selectExpr("level", "n_rows", "n_classes", "min_l", "n_undiverse",
+        "n_exposed", "exposure_micro", "n_recursive_fail", "recursive_ok",
+        """coalesce(min_l >= prev_l AND n_exposed <= prev_exposed, true)
+           AS monotone_ok""",
+        s"min_l >= $LDivL AS l_ok")
+      .orderBy("level")
+  }
+
   /** q184's per-stratum sample size. */
   val WStratK = 16
 
@@ -1044,6 +1122,78 @@ object PipelineOps {
          ORDER BY lang, rk""",
     // q180: identical floor spelling, the same one-pass fine class table
     // re-aggregated per ladder level, the same +1-level self-join
+    // q195: identical fine collapse (same negative-safe floor bucket,
+    // region via the same dimension join), identical two-level class
+    // aggregation and ladder/monotone algebra
+    "q195_l_diversity" -> {
+      val (w, ll, cc) = (AnonBalCoarse, LDivL, LDivC)
+      s"""WITH fine AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+                               CAST(n_regionkey AS BIGINT) AS reg,
+                               c_mktsegment AS sens,
+                               (b0 - (((b0 % $w) + $w) % $w)) // $w AS b,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM (SELECT c_nationkey, n_regionkey, c_mktsegment,
+                                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS b0
+                              FROM customer JOIN nation ON c_nationkey = n_nationkey)
+                        GROUP BY 1, 2, 3, (b0 - (((b0 % $w) + $w) % $w)) // $w),
+              c0 AS (SELECT nat, b, sens, CAST(SUM(n) AS BIGINT) AS cnt
+                     FROM fine GROUP BY 1, 2, 3),
+              g0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                            CAST(COUNT(*) AS BIGINT) AS dl, MAX(cnt) AS mx
+                     FROM c0 GROUP BY nat, b),
+              c1 AS (SELECT nat, sens, CAST(SUM(n) AS BIGINT) AS cnt
+                     FROM fine GROUP BY 1, 2),
+              g1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                            CAST(COUNT(*) AS BIGINT) AS dl, MAX(cnt) AS mx
+                     FROM c1 GROUP BY nat),
+              c2 AS (SELECT reg, sens, CAST(SUM(n) AS BIGINT) AS cnt
+                     FROM fine GROUP BY 1, 2),
+              g2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                            CAST(COUNT(*) AS BIGINT) AS dl, MAX(cnt) AS mx
+                     FROM c2 GROUP BY reg),
+              c3 AS (SELECT sens, CAST(SUM(n) AS BIGINT) AS cnt
+                     FROM fine GROUP BY 1),
+              g3 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                            CAST(COUNT(*) AS BIGINT) AS dl, MAX(cnt) AS mx
+                     FROM c3),
+              ag AS (
+                SELECT CAST(0 AS BIGINT) AS level, * FROM (
+                  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                         CAST(COUNT(*) AS BIGINT) AS n_classes, MIN(dl) AS min_l,
+                         CAST(COUNT(CASE WHEN dl < $ll THEN 1 END) AS BIGINT) AS n_undiverse,
+                         CAST(COALESCE(SUM(CASE WHEN dl = 1 THEN n END), 0) AS BIGINT) AS n_exposed,
+                         CAST(COUNT(CASE WHEN mx > $cc * (n - mx) THEN 1 END) AS BIGINT) AS n_recursive_fail
+                  FROM g0)
+                UNION ALL SELECT CAST(1 AS BIGINT), * FROM (
+                  SELECT CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT), MIN(dl),
+                         CAST(COUNT(CASE WHEN dl < $ll THEN 1 END) AS BIGINT),
+                         CAST(COALESCE(SUM(CASE WHEN dl = 1 THEN n END), 0) AS BIGINT),
+                         CAST(COUNT(CASE WHEN mx > $cc * (n - mx) THEN 1 END) AS BIGINT)
+                  FROM g1)
+                UNION ALL SELECT CAST(2 AS BIGINT), * FROM (
+                  SELECT CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT), MIN(dl),
+                         CAST(COUNT(CASE WHEN dl < $ll THEN 1 END) AS BIGINT),
+                         CAST(COALESCE(SUM(CASE WHEN dl = 1 THEN n END), 0) AS BIGINT),
+                         CAST(COUNT(CASE WHEN mx > $cc * (n - mx) THEN 1 END) AS BIGINT)
+                  FROM g2)
+                UNION ALL SELECT CAST(3 AS BIGINT), * FROM (
+                  SELECT CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT), MIN(dl),
+                         CAST(COUNT(CASE WHEN dl < $ll THEN 1 END) AS BIGINT),
+                         CAST(COALESCE(SUM(CASE WHEN dl = 1 THEN n END), 0) AS BIGINT),
+                         CAST(COUNT(CASE WHEN mx > $cc * (n - mx) THEN 1 END) AS BIGINT)
+                  FROM g3))
+         SELECT a.level AS level, a.n_rows AS n_rows, a.n_classes AS n_classes,
+                a.min_l AS min_l, a.n_undiverse AS n_undiverse,
+                a.n_exposed AS n_exposed,
+                CAST(1000000 AS BIGINT) * a.n_exposed // a.n_rows AS exposure_micro,
+                a.n_recursive_fail AS n_recursive_fail,
+                a.n_recursive_fail = 0 AS recursive_ok,
+                COALESCE(a.min_l >= p.min_l AND a.n_exposed <= p.n_exposed, true)
+                  AS monotone_ok,
+                a.min_l >= $ll AS l_ok
+         FROM ag a LEFT JOIN ag p ON p.level = a.level - 1
+         ORDER BY a.level"""
+    },
     "q180_k_anonymity" -> {
       val (kk, f, cr) = (AnonK, AnonBalFine, AnonBalCoarse / AnonBalFine)
       s"""WITH fine AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,

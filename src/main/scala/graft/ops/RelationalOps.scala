@@ -844,6 +844,50 @@ object RelationalOps {
       .orderBy("user_id", "island")
   }
 
+  /** q193's CUSUM dials: the reference slack (target mean 5000¢ + the
+    * allowance 2500¢ — deviations below it decay the statistic, the
+    * standard k-allowance that keeps in-control noise from accumulating)
+    * and the alarm threshold h in exact cents. Sized against the graded
+    * corpora (mean ≈ 5000¢) so BOTH branches are populated at every
+    * scale: at sf0.001 one user's burst crosses h while 14 stay quiet. */
+  val CusumSlackCents: Long = 7500L
+  val CusumAlarmCents: Long = 25000L
+
+  /** q193 — CUSUM DRIFT DETECTION (Page's cumulative-sum chart): the
+    * sequential change-point statistic that completes the monitoring
+    * suite — q187 flags single outliers, q192 fires on a LEVEL held over
+    * a threshold, CUSUM catches a persistent upward SHIFT no single
+    * observation reveals (each transaction modestly high, the drift only
+    * visible cumulatively — the low-and-slow fraud pattern the
+    * reference's fixed per-transaction rule is structurally blind to).
+    * Per user under the (us, event_id) total order:
+    * `S_i = max(0, S_{i-1} + (cents_i − slack))`, alarm when
+    * `S_i ≥ h`.
+    *
+    * The recursion is NOT computed recursively: with prefix sums
+    * `P_i = Σ_{j≤i}(cents_j − slack)` the fold has the closed form
+    * `S_i = P_i − min(0, min_{j≤i} P_j)` (subtracting the running
+    * minimum restarts the sum exactly where the clamp would have), so
+    * both engines spell it as two user-partitioned running windows over
+    * observation rows — the q165/q192 class; no self-join, no UDF fold,
+    * no corpus sort. All exact integer cents; the windowed SUM is BIGINT
+    * on Spark and HUGEINT on DuckDB, cast at ship time (the q170
+    * ship-type lesson). [[graft.streaming.StreamCusum]] maintains the
+    * same statistic in-flight with O(1) per-key state — (P, min P) is
+    * exactly the left-fold state the closed form exposes. */
+  def cusumDrift(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("value").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .withColumn("pre", sum(col("cents") - lit(CusumSlackCents)).over(w))
+      .withColumn("cusum", col("pre") - least(lit(0L), min("pre").over(w)))
+      .selectExpr("user_id", "us", "event_id", "cents", "cusum",
+        s"cusum >= $CusumAlarmCents AS alarm")
+      .orderBy("user_id", "us", "event_id")
+  }
+
   /** q168's experiment dials: the arm salt (a named experiment id so a
     * second experiment draws independently) and the two-sided 5%
     * critical value, written as the exact decimal text both engines
@@ -901,6 +945,87 @@ object RelationalOps {
            END AS z""")
       .selectExpr("n_a", "conv_a", "n_b", "conv_b", "p_a", "p_b", "z",
         s"CASE WHEN z IS NULL THEN false ELSE abs(z) > $AbZCrit END AS significant")
+  }
+
+  /** q196's rule book: two Wald hypothesis pairs with their per-user
+    * log-likelihood steps as FIXED micro-scaled integer dials —
+    * `up = ⌊10⁶·ln(p₁/p₀)⌉` on a conversion, `down` on a miss —
+    * because runtime `ln` is IEEE-rounded differently per engine and the
+    * walk compares against an exact boundary: one ulp at a crossing
+    * silently moves the decision sample. With a true conversion rate
+    * ~3% at graded scales, `uplift` (1% vs 3%) drifts positive (accepts
+    * H₁ once enough users arrive) and `overclaim` (3% vs 9%) drifts
+    * negative (accepts H₀) — one artifact shows both terminations plus
+    * `continue` at small scales. Boundary: α = β = 0.05 →
+    * A = ⌊10⁶·ln((1−β)/α)⌉ = ln 19, symmetric. */
+  val SprtRules: Seq[(String, Long, Long)] = Seq(
+    ("uplift", 1098612L, -20409L),    // p0 = 1%, p1 = 3%
+    ("overclaim", 1098612L, -63851L)) // p0 = 3%, p1 = 9%
+  val SprtBoundMicro: Long = 2944439L
+
+  /** q196 — SEQUENTIAL PROBABILITY RATIO TEST (Wald's SPRT): the
+    * sequential sibling of q168's fixed-horizon z-test — the production
+    * experimentation question is not "is the effect significant on ALL
+    * the data" but "how EARLY could the experiment have stopped":
+    * per arm and hypothesis pair, users enter in first-seen order, each
+    * conversion outcome moves the log-likelihood walk by its exact
+    * integer step, and the test terminates at the FIRST boundary
+    * crossing — accept H₁ at +A, accept H₀ at −A, `continue` if the
+    * walk never leaves (A, −A). Ships per (rule, arm): user/conversion
+    * counts, the final walk value, the decision, the decision sample
+    * size (how many users the sequential test needed — the number the
+    * method exists for), and the walk value at that instant.
+    *
+    * Scale shape: ONE map-combinable user collapse (first-seen MIN,
+    * converted MAX — q168's discipline), the md5 arm deal row-local, a
+    * 2-row broadcast rule book, and the walk as a cumulative window
+    * partitioned by (rule, arm) over USERS — sequential within an arm
+    * by definition (that is what "sequential test" means), parallel
+    * across rules × arms; the decision row join broadcasts 4 rows. */
+  def sprtCensus(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val users = events
+      .selectExpr("CAST(user_id AS STRING) AS uk", "unix_micros(ts) AS us",
+        "event_id",
+        "CASE WHEN event_type = 'purchase' AND value IS NOT NULL " +
+          s"AND CAST(round(value * 100) AS BIGINT) >= $AbConvCents " +
+          "THEN 1L ELSE 0L END AS conv")
+      .groupBy("uk").agg(min("us").as("first_us"),
+        min("event_id").as("first_eid"), max("conv").as("conv"))
+      .withColumn("arm",
+        PipelineOps.md5Prefix48(concat(lit(AbExperimentId + ":"), col("uk"))) % 2)
+    import spark.implicits._
+    val rules = SprtRules.toDF("rule", "up", "down")
+    val w = Window.partitionBy("rule", "arm").orderBy("first_us", "first_eid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = users.crossJoin(broadcast(rules))
+      .withColumn("llr", sum(when(col("conv") === 1L, col("up"))
+        .otherwise(col("down"))).over(w))
+      .withColumn("i", count(lit(1)).over(w))
+      .withColumn("n_tot",
+        count(lit(1)).over(Window.partitionBy("rule", "arm")))
+      .localCheckpoint() // read by the census and the decision-instant join
+    val b = SprtBoundMicro
+    val census = walk.groupBy("rule", "arm").agg(
+        count(lit(1)).as("n_users"), sum("conv").as("n_conv"),
+        max(when(col("i") === col("n_tot"), col("llr"))).as("llr_final"),
+        min(when(col("llr") >= b, col("i"))).as("n_h1"),
+        min(when(col("llr") <= -b, col("i"))).as("n_h0"))
+      .selectExpr("rule", "arm", "n_users", "n_conv", "llr_final",
+        "CASE WHEN n_h1 IS NOT NULL AND (n_h0 IS NULL OR n_h1 <= n_h0) THEN 'accept_h1' " +
+          "WHEN n_h0 IS NOT NULL THEN 'accept_h0' ELSE 'continue' END AS decision",
+        // spelled null-safe rather than via least(): engines disagree on
+        // whether least() skips NULLs
+        "CASE WHEN n_h1 IS NULL THEN n_h0 WHEN n_h0 IS NULL THEN n_h1 " +
+          "ELSE least(n_h1, n_h0) END AS n_at_decision")
+    val dec = walk.selectExpr("rule AS r2", "arm AS a2", "i AS i2",
+      "llr AS llr_at_decision")
+    census.join(dec,
+        col("rule") === col("r2") && col("arm") === col("a2") &&
+          col("n_at_decision") === col("i2"), "left")
+      .select("rule", "arm", "n_users", "n_conv", "llr_final", "decision",
+        "n_at_decision", "llr_at_decision")
+      .orderBy("rule", "arm")
   }
 
   /** q165 — SCD2 STATE HISTORY via gaps-and-islands: per user, the

@@ -1442,6 +1442,112 @@ object SketchOps {
         "CAST(est_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE) AS blowup")
   }
 
+  /** q194's sketch capacity. Estimator RSE ≈ 1/√(K−2) ≈ 13% per set;
+    * intersections of small overlaps are worse (retained counts shrink
+    * with the overlap), hence the generous [[ThetaEstOkMicro]] bound —
+    * md5 draws make every estimate a stable graded fact per corpus, so
+    * the bound is a deterministic verdict, not a flaky tolerance. */
+  val ThetaK = 64
+  /** |err| ≤ 50% qualifies an estimate (floor'd micro fraction). */
+  val ThetaEstOkMicro = 500000L
+
+  /** q194 — THETA-SKETCH SET OPERATIONS (the Apache DataSketches /
+    * KMV audience-overlap framework): union, intersection, and both
+    * differences of two order audiences estimated from two ≤ [[ThetaK]]-
+    * entry sketches — the production answer to "how many orders are in
+    * BOTH segments?" at 100 TB, where the exact intersection is a
+    * full-shuffle join the planner cannot afford and no linear sketch
+    * (HLL included) supports subtraction. Audiences: A = orders placed
+    * in [1996, 1998), B = orders totalling > $150k — independent
+    * attributes, so the overlap is genuinely partial at every scale.
+    *
+    * The sketch of a set is its [[ThetaK]] smallest distinct 48-bit md5
+    * draws; θ = the K-th smallest (2⁴⁸ when the set fits — exact mode).
+    * Set algebra happens at the COMMON θ = min(θ_A, θ_B): below it,
+    * membership in EITHER set is decidable from the sketches alone
+    * (x < θ ≤ θ_B ⟹ x ∈ B ⟺ x ∈ sketch_B), which is exactly why this
+    * framework supports intersection and difference. Each operation
+    * ships its retained count, the exact-integer estimate
+    * `retained · 2⁴⁸ DIV θ`, the exact corpus count it is graded
+    * against, and the floor'd micro error; two laws are theorems over
+    * the retained counts and graded as such — inclusion–exclusion
+    * (|A|+|B| = |A∪B|+|A∩B| below θ, exactly) and the disjoint
+    * decomposition (A = (A∩B) ⊎ (A∖B)).
+    *
+    * Scale shape: ONE corpus pass computes hashes + membership flags
+    * row-locally and the exact census map-combinably; each sketch is a
+    * distinct over the (bounded-by-set-size) hash set followed by the
+    * bounded-state [[TopKByCount]] selection (≤ K-entry states
+    * tree-merge; the corpus is never sorted); every downstream join
+    * touches ≤ 2K rows. Mergeable like q164: per-shard sketches
+    * truncate-merge, so audiences build shard-local at 100 TB. */
+  def thetaSets(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val m = PipelineOps.TwoPow48
+    val base = orders.selectExpr(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AS in_a",
+        "o_totalprice > 150000.0D AS in_b",
+        "CAST(o_orderkey AS STRING) AS ok")
+      .withColumn("h", PipelineOps.md5Prefix48(col("ok")))
+      .localCheckpoint() // consumed by the census and both sketch builds
+    val census = base.agg(
+      count(when(col("in_a"), 1)).as("ex_a"),
+      count(when(col("in_b"), 1)).as("ex_b"),
+      count(when(col("in_a") && col("in_b"), 1)).as("ex_inter"),
+      count(when(col("in_a") || col("in_b"), 1)).as("ex_union"),
+      count(when(col("in_a") && !col("in_b"), 1)).as("ex_anb"),
+      count(when(col("in_b") && !col("in_a"), 1)).as("ex_bna"))
+    // the sketch is over the distinct HASH set (theta semantics: a
+    // 48-bit collision folds two keys into one sketch entry on both
+    // engines identically)
+    def sketch(flag: String): DataFrame = base.filter(col(flag))
+      .select("h").distinct()
+      .selectExpr("CAST(0 AS BIGINT) AS g", "CAST(h AS STRING) AS k", "-h AS c")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKByCount(ThetaK).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(explode(col("top")).as("e"))
+      .selectExpr("CAST(e._1 AS BIGINT) AS h")
+    val ska = sketch("in_a").localCheckpoint() // ≤ K rows each; read twice
+    val skb = sketch("in_b").localCheckpoint()
+    def thetaOf(sk: DataFrame): DataFrame = sk.agg(
+      when(count(lit(1)) < ThetaK, lit(m)).otherwise(max("h")).as("th"))
+    val theta = thetaOf(ska).crossJoin(thetaOf(skb).withColumnRenamed("th", "thb"))
+      .selectExpr("least(th, thb) AS theta")
+    val fo = ska.withColumn("ia", lit(true))
+      .join(skb.withColumn("ib", lit(true)), Seq("h"), "full_outer")
+      .crossJoin(broadcast(theta)).filter(col("h") < col("theta"))
+      .agg(count("ia").as("r_a"), count("ib").as("r_b"),
+        count(when(col("ia") && col("ib"), 1)).as("r_inter"),
+        count(lit(1)).as("r_union"),
+        count(when(col("ia") && col("ib").isNull, 1)).as("r_anb"),
+        count(when(col("ib") && col("ia").isNull, 1)).as("r_bna"))
+    census.crossJoin(broadcast(fo)).crossJoin(broadcast(theta))
+      .selectExpr("theta",
+        "r_a + r_b = r_union + r_inter AS incl_excl_ok",
+        "r_a = r_inter + r_anb AND r_b = r_inter + r_bna AS decomp_ok",
+        """stack(6,
+             'a',       ex_a,     r_a,
+             'b',       ex_b,     r_b,
+             'union',   ex_union, r_union,
+             'inter',   ex_inter, r_inter,
+             'a_not_b', ex_anb,   r_anb,
+             'b_not_a', ex_bna,   r_bna) AS (op, exact_n, retained)""")
+      .selectExpr("op", "exact_n", "retained", "theta",
+        s"retained * CAST($m AS BIGINT) DIV theta AS est",
+        "incl_excl_ok", "decomp_ok")
+      .selectExpr("op", "exact_n", "retained", "theta", "est",
+        "CASE WHEN exact_n = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE 1000000 * abs(est - exact_n) DIV exact_n END AS abs_err_micro",
+        s"coalesce(1000000 * abs(est - exact_n) DIV exact_n " +
+          s"<= $ThetaEstOkMicro, est = 0) AS est_ok",
+        "incl_excl_ok", "decomp_ok")
+      .orderBy("op")
+  }
+
   /** q64's oracle is exact (the two-pass output is exact; the sketch only
     * proposes candidates, and its recall guarantee is what the hash match
     * proves). q65's exact columns are recomputed by DuckDB from the same
@@ -1484,6 +1590,68 @@ object SketchOps {
          FROM fin CROSS JOIN s ORDER BY bucket"""
 
   def oracles: Map[String, String] = Map(
+    // q194: identical md5-48 draws, identical K-th-smallest θ and
+    // common-θ retained sets (DuckDB can afford the window rank the
+    // engine's bounded-state selection avoids); same exact-integer
+    // estimate and floor'd error — all operands nonnegative, so // and
+    // DIV agree
+    "q194_theta_sets" -> {
+      val m = PipelineOps.TwoPow48
+      s"""WITH base AS (
+            SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h,
+                   (o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01') AS in_a,
+                   (o_totalprice > 150000) AS in_b
+            FROM orders),
+          cen AS (SELECT CAST(COUNT(CASE WHEN in_a THEN 1 END) AS BIGINT) AS ex_a,
+                         CAST(COUNT(CASE WHEN in_b THEN 1 END) AS BIGINT) AS ex_b,
+                         CAST(COUNT(CASE WHEN in_a AND in_b THEN 1 END) AS BIGINT) AS ex_inter,
+                         CAST(COUNT(CASE WHEN in_a OR in_b THEN 1 END) AS BIGINT) AS ex_union,
+                         CAST(COUNT(CASE WHEN in_a AND NOT in_b THEN 1 END) AS BIGINT) AS ex_anb,
+                         CAST(COUNT(CASE WHEN in_b AND NOT in_a THEN 1 END) AS BIGINT) AS ex_bna
+                  FROM base),
+          ska AS (SELECT h FROM (
+                    SELECT h, row_number() OVER (ORDER BY h) AS rn
+                    FROM (SELECT DISTINCT h FROM base WHERE in_a)) WHERE rn <= $ThetaK),
+          skb AS (SELECT h FROM (
+                    SELECT h, row_number() OVER (ORDER BY h) AS rn
+                    FROM (SELECT DISTINCT h FROM base WHERE in_b)) WHERE rn <= $ThetaK),
+          th AS (SELECT least(
+                   (SELECT CASE WHEN COUNT(*) < $ThetaK THEN $m ELSE MAX(h) END FROM ska),
+                   (SELECT CASE WHEN COUNT(*) < $ThetaK THEN $m ELSE MAX(h) END FROM skb))
+                   AS theta),
+          fo AS (SELECT CAST(COUNT(a.h) AS BIGINT) AS r_a,
+                        CAST(COUNT(b.h) AS BIGINT) AS r_b,
+                        CAST(COUNT(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 END) AS BIGINT) AS r_inter,
+                        CAST(COUNT(*) AS BIGINT) AS r_union,
+                        CAST(COUNT(CASE WHEN b.h IS NULL THEN 1 END) AS BIGINT) AS r_anb,
+                        CAST(COUNT(CASE WHEN a.h IS NULL THEN 1 END) AS BIGINT) AS r_bna
+                 FROM (SELECT h FROM ska WHERE h < (SELECT theta FROM th)) a
+                 FULL OUTER JOIN (SELECT h FROM skb WHERE h < (SELECT theta FROM th)) b
+                 ON a.h = b.h),
+          rows6 AS (
+            SELECT 'a' AS op, ex_a AS exact_n, r_a AS retained FROM cen, fo
+            UNION ALL SELECT 'b', ex_b, r_b FROM cen, fo
+            UNION ALL SELECT 'union', ex_union, r_union FROM cen, fo
+            UNION ALL SELECT 'inter', ex_inter, r_inter FROM cen, fo
+            UNION ALL SELECT 'a_not_b', ex_anb, r_anb FROM cen, fo
+            UNION ALL SELECT 'b_not_a', ex_bna, r_bna FROM cen, fo)
+         SELECT op, exact_n, retained,
+                CAST((SELECT theta FROM th) AS BIGINT) AS theta,
+                CAST(retained * CAST($m AS BIGINT) // (SELECT theta FROM th) AS BIGINT) AS est,
+                CASE WHEN exact_n = 0 THEN CAST(NULL AS BIGINT)
+                     ELSE CAST(1000000 * abs(retained * CAST($m AS BIGINT)
+                            // (SELECT theta FROM th) - exact_n)
+                            // exact_n AS BIGINT) END AS abs_err_micro,
+                COALESCE(1000000 * abs(retained * CAST($m AS BIGINT)
+                           // (SELECT theta FROM th) - exact_n)
+                           // exact_n <= $ThetaEstOkMicro,
+                         retained * CAST($m AS BIGINT)
+                           // (SELECT theta FROM th) = 0) AS est_ok,
+                (SELECT r_a + r_b = r_union + r_inter FROM fo) AS incl_excl_ok,
+                (SELECT r_a = r_inter + r_anb AND r_b = r_inter + r_bna FROM fo)
+                  AS decomp_ok
+         FROM rows6 ORDER BY op"""
+    },
     // q169: the boundaries straight from the definition — a full
     // cumulative over distinct cents (the oracle can afford the sort the
     // engine's two-pass refinement avoids), ranks read off the same

@@ -580,6 +580,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q195 l-diversity: exposed and skewed classes graded, ladder merging diversifies, driver recount") {
+    import org.apache.spark.sql.functions.col
+    // nat 0: 4 AUTO + 1 BUILDING (dl 2 — undiverse at L=3; modal 4 > 3×1
+    // — recursive FAIL without being exposed); nat 1: 5 AUTO (dl 1 —
+    // outright disclosure, all 5 rows exposed). Region merges them:
+    // dl 2, exposure clears, modal 9 > 3×1 still skew-fails.
+    val fixNation = Seq((0L, "N0", 0L), (1L, "N1", 0L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val fixCust = ((1 to 4).map(i => (i.toLong, 0L, "AUTO")) ++
+        Seq((5L, 0L, "BUILDING")) ++ (6 to 10).map(i => (i.toLong, 1L, "AUTO")))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .withColumn("c_acctbal", col("c_custkey") * 0.0)
+    val fr = PipelineOps.lDiversityAudit(fixCust, fixNation).collect()
+    assert(fr.length === 4)
+    val f0 = fr(0)
+    assert(f0.getLong(2) === 2L && f0.getLong(3) === 1L &&
+      f0.getLong(4) === 2L && f0.getLong(5) === 5L && f0.getLong(7) === 2L,
+      "L0: two classes, min-l 1, both undiverse, 5 exposed rows, both skew-fail")
+    assert(f0.getLong(6) === 500000L, "exposure = 5/10 floor'd micro")
+    val f2 = fr(2)
+    assert(f2.getLong(2) === 1L && f2.getLong(3) === 2L && f2.getLong(5) === 0L
+      && f2.getLong(7) === 1L && !f2.getBoolean(8),
+      "region merge: diversity rises to 2, exposure clears, skew persists")
+    assert(fr.forall(_.getBoolean(9)), "monotone law on the hand ladder")
+    // real corpus: laws are theorems, driver recount of L0 and L3
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val nation = Tables.nation(spark, "/root/testdata/sf0.001")
+    val rows = PipelineOps.lDiversityAudit(customer, nation).collect()
+    assert(rows.length === 4 && rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(rows.forall(_.getBoolean(9)), "monotone laws must hold — they are theorems")
+    assert(rows.map(_.getLong(3)).toSeq === rows.map(_.getLong(3)).sorted)
+    assert(rows.map(_.getLong(5)).toSeq === rows.map(_.getLong(5)).sorted.reverse)
+    assert(rows.exists(_.getBoolean(8)) && rows.exists(!_.getBoolean(8)),
+      "the corpus must populate both recursive-diversity verdicts")
+    val regOf = nation.selectExpr("CAST(n_nationkey AS BIGINT)",
+        "CAST(n_regionkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cs = customer.selectExpr("CAST(c_nationkey AS BIGINT)", "c_mktsegment",
+        "CAST(round(c_acctbal * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def fl(c: Long, w: Long) = (c - (((c % w) + w) % w)) / w
+    def audit(classes: Iterable[Map[String, Long]]): (Long, Long, Long, Long) = {
+      val dls = classes.map(_.size.toLong)
+      val exposed = classes.filter(_.size == 1).map(_.values.sum).sum
+      val rf = classes.count { m =>
+        val mx = m.values.max; mx > PipelineOps.LDivC * (m.values.sum - mx) }
+      (dls.min, dls.count(_ < PipelineOps.LDivL).toLong, exposed, rf.toLong)
+    }
+    val l0 = audit(cs.groupBy(t => (t._1, fl(t._3, PipelineOps.AnonBalCoarse)))
+      .values.map(_.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }))
+    assert((rows(0).getLong(3), rows(0).getLong(4), rows(0).getLong(5),
+      rows(0).getLong(7)) === l0)
+    val l3 = audit(Seq(cs.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }))
+    assert((rows(3).getLong(3), rows(3).getLong(4), rows(3).getLong(5),
+      rows(3).getLong(7)) === l3)
+    val reparted = PipelineOps.lDiversityAudit(customer.repartition(7), nation)
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q184 weighted stratified: per-stratum brute rank matches, tiny stratum takes all, shard-mergeable per stratum") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

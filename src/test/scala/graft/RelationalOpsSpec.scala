@@ -824,6 +824,53 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q193 cusum drift: clamp at zero, accumulation across modest highs, alarm at h, decay below slack; driver fold replay") {
+    // user 1 (slack 7500, h 25000): 10000c (S 2500), 2000c (S clamps to
+    // 0 — the deficit must NOT bank), 30000c (S 22500), 12000c (S 27000
+    // >= h ALARM — neither observation alone is remarkable), 1000c
+    // (S decays to 20500, alarm clears); user 2: always small, S = 0
+    val fix = Seq(
+      (1L, 1L, 0L, 10000L), (1L, 2L, 1L, 2000L), (1L, 3L, 2L, 30000L),
+      (1L, 4L, 3L, 12000L), (1L, 5L, 4L, 1000L),
+      (2L, 1L, 5L, 100L), (2L, 2L, 6L, 200L))
+      .toDF("user_id", "sec", "event_id", "cents")
+      .selectExpr("timestamp_micros(sec * 1000000) AS ts", "user_id",
+        "event_id", "CAST(cents AS DOUBLE) / 100 AS value", "'t' AS event_type")
+    val got = graft.ops.RelationalOps.cusumDrift(fix).collect()
+    assert(got.length === 7)
+    val s1 = got.filter(_.getLong(0) == 1L).map(r => (r.getLong(4), r.getBoolean(5)))
+    assert(s1.toSeq === Seq((2500L, false), (0L, false), (22500L, false),
+      (27000L, true), (20500L, false)),
+      "clamp, accumulate, alarm at the cumulative crossing, decay")
+    assert(got.filter(_.getLong(0) == 2L).forall(r =>
+      r.getLong(4) === 0L && !r.getBoolean(5)), "in-control user stays at 0")
+    // corpus: exact driver replay of the recursive definition at sf0.001
+    // (the closed form is graded against the FOLD, not against itself)
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.RelationalOps.cusumDrift(events).collect()
+    val obs = events.filter("value IS NOT NULL")
+      .selectExpr("user_id", "unix_micros(ts)", "event_id",
+        "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = obs.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, os) =>
+      var s = 0L
+      os.sortBy(o => (o._2, o._3)).map { o =>
+        s = math.max(0L, s + o._4 - graft.ops.RelationalOps.CusumSlackCents)
+        (u, o._2, o._3, o._4, s, s >= graft.ops.RelationalOps.CusumAlarmCents)
+      }
+    }
+    assert(real.length === want.length)
+    real.zip(want).foreach { case (r, (u, us, e, c, s, a)) =>
+      assert(r.getLong(0) === u && r.getLong(1) === us && r.getLong(2) === e)
+      assert(r.getLong(3) === c && r.getLong(4) === s && r.getBoolean(5) === a)
+    }
+    assert(real.exists(_.getBoolean(5)) && real.exists(!_.getBoolean(5)),
+      "the corpus must populate BOTH alarm branches")
+    val reparted = graft.ops.RelationalOps.cusumDrift(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q183 time travel: v-last IS q173, a key is born/deleted/resurrected as the cutoff sweeps") {
     // hand timeline spanning the four quarter cutoffs (t0=0, t1=4000):
     // key 5 born in Q1, deleted in Q2, resurrected in Q3; key 1 deleted
@@ -947,6 +994,76 @@ class RelationalOpsSpec extends SparkSpec {
     val again = RelationalOps.twapPerUser(events.repartition(7))
       .collect().map(_.toSeq).toSeq
     assert(again === rows.map(_.toSeq).toSeq)
+  }
+
+  test("q196 SPRT: all-converters cross at ceil(A/up), the walk replays exactly on the corpus, decisions match first crossings") {
+    val up = graft.ops.RelationalOps.SprtRules.head._2
+    val bound = graft.ops.RelationalOps.SprtBoundMicro
+    val needH1 = (bound + up - 1) / up // 3 conversions cross +A
+    // 12 users, every one converts instantly: each (rule, arm) walk is
+    // i·up, so any arm with >= 3 users accepts H1 at EXACTLY user 3
+    val fix = (1 to 12).map(i =>
+        (i.toLong * 1000000L, i.toLong, i.toLong, "purchase", 400.0))
+      .toDF("usv", "event_id", "user_id", "event_type", "value")
+      .selectExpr("timestamp_micros(usv) AS ts", "event_id", "user_id",
+        "event_type", "value")
+    val fr = graft.ops.RelationalOps.sprtCensus(fix).collect()
+    assert(fr.length === 4, "2 rules x 2 arms (md5 spreads 12 users)")
+    fr.foreach { r =>
+      val n = r.getLong(2)
+      assert(r.getLong(3) === n, "everyone converted")
+      if (n >= needH1) {
+        assert(r.getString(5) === "accept_h1" && r.getLong(6) === needH1 &&
+          r.getLong(7) === needH1 * up, s"arm of $n converters")
+      } else assert(r.getString(5) === "continue" && r.isNullAt(6) && r.isNullAt(7))
+      assert(r.getLong(4) === n * up)
+    }
+    // corpus: exact driver replay of the whole walk at sf0.001
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.RelationalOps.sprtCensus(events).collect()
+    assert(real.length === 4)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(uk: String): Long = java.lang.Long.parseLong(
+      md.digest(s"${graft.ops.RelationalOps.AbExperimentId}:$uk".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12), 16) % 2
+    val users = events.selectExpr("CAST(user_id AS STRING) AS uk",
+        "unix_micros(ts) AS us", "event_id",
+        "CASE WHEN event_type = 'purchase' AND value IS NOT NULL AND " +
+          s"CAST(round(value * 100) AS BIGINT) >= ${graft.ops.RelationalOps.AbConvCents} " +
+          "THEN 1L ELSE 0L END AS conv")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (uk, es) =>
+        (uk, es.map(_._2).min, es.map(_._3).min, es.map(_._4).max, arm(uk))
+      }.toSeq
+    val want = graft.ops.RelationalOps.SprtRules.flatMap { case (rule, u, d) =>
+      users.groupBy(_._5).toSeq.map { case (a, us) =>
+        val walk = us.sortBy(x => (x._2, x._3)).map(_._4)
+          .scanLeft(0L)((acc, c) => acc + (if (c == 1L) u else d)).tail
+        val nH1 = walk.zipWithIndex.collectFirst {
+          case (v, i) if v >= bound => i + 1L }
+        val nH0 = walk.zipWithIndex.collectFirst {
+          case (v, i) if v <= -bound => i + 1L }
+        val nDec = (nH1, nH0) match {
+          case (Some(x), Some(y)) => Some(math.min(x, y))
+          case (x, y) => x.orElse(y)
+        }
+        val decision =
+          if (nH1.isDefined && (nH0.isEmpty || nH1.get <= nH0.get)) "accept_h1"
+          else if (nH0.isDefined) "accept_h0" else "continue"
+        (rule, a, us.size.toLong, us.count(_._4 == 1L).toLong, walk.last,
+          decision, nDec, nDec.map(i => walk(i.toInt - 1)))
+      }
+    }.sortBy(t => (t._1, t._2))
+    real.zip(want).foreach { case (r, (rule, a, n, nc, lf, dec, nd, ld)) =>
+      assert(r.getString(0) === rule && r.getLong(1) === a)
+      assert(r.getLong(2) === n && r.getLong(3) === nc && r.getLong(4) === lf)
+      assert(r.getString(5) === dec)
+      assert((if (r.isNullAt(6)) None else Some(r.getLong(6))) === nd)
+      assert((if (r.isNullAt(7)) None else Some(r.getLong(7))) === ld)
+    }
+    val reparted = graft.ops.RelationalOps.sprtCensus(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
   }
 
   test("q168 A/B census: a real effect turns the verdict on; zero-conversion corpora NULL out; corpus matches driver") {

@@ -479,6 +479,76 @@ class SketchOpsSpec extends SparkSpec {
     assert(again.toSeq === r.toSeq)
   }
 
+  test("q194 theta sets: exact mode below K, set laws are exact, common-θ estimates qualify; driver recount") {
+    import java.sql.Timestamp
+    def o(k: Long, date: String, price: Double) =
+      (k, 1L, "O", price, Timestamp.valueOf(s"$date 00:00:00"), "1-URGENT")
+    // 10 orders: 4 A-only (in window, cheap), 3 B-only (out of window,
+    // pricey), 2 in both, 1 in neither — all below K, so θ = 2⁴⁸ (exact
+    // mode) and every estimate EQUALS its exact count
+    val fix = ((1 to 4).map(i => o(i.toLong, "1996-06-01", 100.0)) ++
+        (5 to 7).map(i => o(i.toLong, "1990-01-01", 200000.0)) ++
+        (8 to 9).map(i => o(i.toLong, "1997-03-01", 200000.0)) :+
+        o(10L, "1990-01-01", 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = graft.ops.SketchOps.thetaSets(fix).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size === 6)
+    val wantEx = Map("a" -> 6L, "b" -> 5L, "union" -> 9L, "inter" -> 2L,
+      "a_not_b" -> 4L, "b_not_a" -> 3L)
+    wantEx.foreach { case (op, ex) =>
+      val r = got(op)
+      assert(r.getLong(1) === ex, op)
+      assert(r.getLong(3) === graft.ops.PipelineOps.TwoPow48, "exact mode θ")
+      assert(r.getLong(2) === ex && r.getLong(4) === ex,
+        s"$op: below K the sketch IS the set — estimate exact")
+      assert(r.getLong(5) === 0L && r.getBoolean(6))
+      assert(r.getBoolean(7) && r.getBoolean(8))
+    }
+    // real corpus: estimating mode; laws are theorems; driver recount of
+    // the whole estimator from first principles
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.SketchOps.thetaSets(orders).collect()
+    assert(real.length === 6)
+    val byOp = real.map(r => r.getString(0) -> r).toMap
+    assert(byOp("a").getLong(3) < graft.ops.PipelineOps.TwoPow48,
+      "sf0.001 audiences exceed K: estimating mode")
+    real.foreach { r =>
+      assert(r.getBoolean(7), "inclusion-exclusion is a theorem below θ")
+      assert(r.getBoolean(8), "disjoint decomposition is a theorem below θ")
+      assert(r.getBoolean(6), s"${r.getString(0)}: estimate must qualify")
+    }
+    // driver replay: md5-48 draws, K smallest per set, common θ, retained
+    val base = orders.selectExpr("o_orderkey",
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AS in_a",
+        "o_totalprice > 150000.0D AS in_b")
+      .withColumn("h", graft.ops.PipelineOps.md5Prefix48(
+        org.apache.spark.sql.functions.col("o_orderkey").cast("string")))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getLong(3)))
+    val k = graft.ops.SketchOps.ThetaK
+    val ha = base.filter(_._2).map(_._4).distinct.sorted.take(k)
+    val hb = base.filter(_._3).map(_._4).distinct.sorted.take(k)
+    val m = graft.ops.PipelineOps.TwoPow48
+    val tha = if (ha.length < k) m else ha.last
+    val thb = if (hb.length < k) m else hb.last
+    val th = math.min(tha, thb)
+    val ra = ha.filter(_ < th).toSet
+    val rb = hb.filter(_ < th).toSet
+    val wantRet = Map("a" -> ra.size, "b" -> rb.size,
+      "union" -> (ra | rb).size, "inter" -> (ra & rb).size,
+      "a_not_b" -> (ra -- rb).size, "b_not_a" -> (rb -- ra).size)
+    wantRet.foreach { case (op, ret) =>
+      assert(byOp(op).getLong(2) === ret.toLong, s"$op retained")
+      assert(byOp(op).getLong(3) === th)
+      assert(byOp(op).getLong(4) === ret.toLong * m / th, s"$op estimate")
+    }
+    val again = graft.ops.SketchOps.thetaSets(orders.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === real.map(_.toSeq).toSeq)
+  }
+
   test("q169 equi-depth stats: boundaries = exact sorted-rank picks, masses conserve, census exact") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val rows = SketchOps.equiDepthStats(events).collect()
