@@ -480,6 +480,11 @@ object SparkEntry {
     // PageRank over the symmetrized customer–supplier purchase graph:
     // exact integer micro-mass power iterations, checkpointed per round —
     // the canonical iterative message-passing workload
+    // multi-source BFS: hop distance from at-risk suppliers over the
+    // small-lot trading graph — frontier expansion, one exchange/round
+    "q197_bfs_radius"      -> ((s, d) =>
+      graft.ops.GraphOps.bfsBlastRadius(Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q140_pagerank"        -> ((s, d) =>
       graft.ops.GraphOps.pageRank(Tables.orders(s, d), Tables.lineitem(s, d))),
     // triangle/clustering-coefficient census of the near-dup pair graph

@@ -425,7 +425,93 @@ object GraphOps {
     * independently of the star-contraction algorithm under test.
     * q97 composes the q66 oracle verbatim (the q71 pattern), so the weight
     * table's cluster inputs cannot drift from the verified clustering. */
+  /** q197's dials: the hop budget (one past the small-lot graph's
+    * observed eccentricity from the seed set, so every reachable node
+    * carries its TRUE BFS distance and NULL genuinely means outside the
+    * component), the at-risk seed rule, and the small-lot edge cap
+    * (dense TPC-H-ish bipartite graphs have diameter ~2; capping
+    * quantity keeps only the thin trading relationships, which layers
+    * the frontier and leaves genuinely unreached nodes at every graded
+    * scale — both output branches populated). */
+  val BfsRounds = 4
+  val BfsSeedBal = 1000.0
+  val BfsQtyCap = 3.0
+
+  /** q197 — MULTI-SOURCE BFS / SHORTEST HOP DISTANCE: the blast-radius
+    * question a supply-chain risk desk asks of the trading graph — from
+    * every at-risk supplier (acctbal < $[[BfsSeedBal]]), how many hops
+    * of small-lot trading relationships (customer–supplier edges carried
+    * by lineitems with quantity ≤ [[BfsQtyCap]]) until each party is
+    * touched? Ships one row per customer AND supplier: hop distance
+    * from the NEAREST seed, NULL when the node is outside the radius
+    * within [[BfsRounds]] hops (here: outside the component — the dial
+    * exceeds the graph's eccentricity, spec-checked against an
+    * unbounded driver BFS).
+    *
+    * Scale shape: the iterative FRONTIER expansion (the scalable BFS —
+    * per round one equi-join of the current frontier against the
+    * src-partitioned edge list and one anti-join against the labeled
+    * set; rounds are bounded by the dial, like q140's pageRank loop),
+    * never a transitive-closure join. The oracle spells the same
+    * distances as [[BfsRounds]] unrolled min-relaxations — frontier BFS
+    * and bounded relaxation agree on unit-weight graphs by induction on
+    * hop count. */
+  def bfsBlastRadius(customer: DataFrame, supplier: DataFrame,
+                     orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val eb = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.filter(col("l_quantity") <= BfsQtyCap)
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
+      .distinct()
+    val edges = eb.unionByName(eb.selectExpr("dst AS src", "src AS dst"))
+      .repartition(col("src")).localCheckpoint()
+    var dist = supplier.filter(col("s_acctbal") < BfsSeedBal)
+      .selectExpr("s_suppkey * 2 + 1 AS node", "CAST(0 AS BIGINT) AS d")
+      .localCheckpoint()
+    for (r <- 1 to BfsRounds) {
+      val next = dist.filter(col("d") === (r - 1).toLong)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("d", lit(r.toLong))
+      dist = dist.unionByName(next).localCheckpoint()
+    }
+    val nodes = customer.selectExpr("c_custkey * 2 AS node")
+      .unionByName(supplier.selectExpr("s_suppkey * 2 + 1 AS node"))
+    nodes.join(dist, Seq("node"), "left")
+      .selectExpr(
+        "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type",
+        "node DIV 2 AS key", "d AS dist")
+      .orderBy("node_type", "key")
+  }
+
+  private[graft] def bfsSql(rounds: Int = BfsRounds): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT node, MIN(d) AS d FROM (
+            SELECT node, d FROM d${i - 1}
+            UNION ALL
+            SELECT e.dst AS node, p.d + 1 AS d
+            FROM d${i - 1} p JOIN e ON e.src = p.node) GROUP BY node)"""
+    }.mkString(",\n          ")
+    s"""WITH eb AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE l_quantity <= $BfsQtyCap),
+        e AS (SELECT src, dst FROM eb UNION ALL SELECT dst, src FROM eb),
+        d0 AS (SELECT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS d
+               FROM supplier WHERE s_acctbal < $BfsSeedBal),
+        $roundCtes,
+        nodes AS (SELECT c_custkey * 2 AS node FROM customer
+                  UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier)
+        SELECT CASE WHEN nodes.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_type,
+               nodes.node // 2 AS key, CAST(d$rounds.d AS BIGINT) AS dist
+        FROM nodes LEFT JOIN d$rounds ON d$rounds.node = nodes.node
+        ORDER BY node_type, key"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "q197_bfs_radius" -> bfsSql(),
     "q140_pagerank" -> pageRankSql(),
     // q150: identical cap, projection, cosine expression, and the same
     // MAX/equality/MIN-tie-break argmax (no window either side)

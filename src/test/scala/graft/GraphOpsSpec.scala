@@ -321,6 +321,64 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     r
   }
 
+  test("q197 BFS radius: path graph layers exactly, hop budget cuts, capped edges drop; corpus matches an unbounded driver BFS") {
+    // path s1(0)-c1(1)-s2(2)-c2(3)-s3(4)-c4(5: beyond the 4-hop budget ->
+    // NULL though connected); c5 trades with s1 only in a BIG lot (qty 10
+    // -> edge excluded -> NULL: outside the small-lot graph entirely)
+    val supplier = Seq((1L, 500.0), (2L, 5000.0), (3L, 5000.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val customer = Seq(1L, 2L, 4L, 5L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (20L, 2L), (30L, 4L), (40L, 5L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1L, 1.0), (10L, 2L, 2.0), (20L, 2L, 1.0),
+      (20L, 3L, 3.0), (30L, 3L, 1.0), (40L, 1L, 10.0))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity")
+    val got = GraphOps.bfsBlastRadius(customer, supplier, orders, lineitem)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got === Map(
+      ("supplier", 1L) -> Some(0L), ("customer", 1L) -> Some(1L),
+      ("supplier", 2L) -> Some(2L), ("customer", 2L) -> Some(3L),
+      ("supplier", 3L) -> Some(4L), ("customer", 4L) -> None,
+      ("customer", 5L) -> None))
+    // corpus: unbounded driver BFS — also proves the hop budget exceeds
+    // the graph's eccentricity (every reachable node's distance <= 4)
+    val dir = "/root/testdata/sf0.001"
+    val (c, s, o, l) = (Tables.customer(spark, dir), Tables.supplier(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+    val real = GraphOps.bfsBlastRadius(c, s, o, l).collect()
+    val eb = o.join(l.filter(col("l_quantity") <= GraphOps.BfsQtyCap),
+        o("o_orderkey") === l("l_orderkey"))
+      .selectExpr("o_custkey * 2", "l_suppkey * 2 + 1").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Array[Long]] = (eb ++ eb.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val seeds = s.filter(col("s_acctbal") < GraphOps.BfsSeedBal)
+      .selectExpr("s_suppkey * 2 + 1").collect().map(_.getLong(0))
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    val queue = scala.collection.mutable.Queue(seeds: _*)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+        if (!dist.contains(v)) { dist(v) = dist(u) + 1; queue += v }
+      }
+    }
+    assert(dist.values.max <= GraphOps.BfsRounds,
+      "the hop budget must exceed the corpus graph's eccentricity")
+    real.foreach { r =>
+      val node = if (r.getString(0) == "customer") r.getLong(1) * 2
+                 else r.getLong(1) * 2 + 1
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) === dist.get(node),
+        s"${r.getString(0)} ${r.getLong(1)}")
+    }
+    assert(real.exists(_.isNullAt(2)) && real.exists(!_.isNullAt(2)),
+      "the corpus must populate both the reached and unreached branches")
+    val reparted = GraphOps.bfsBlastRadius(c.repartition(7), s, o,
+      l.repartition(5)).collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q140 pagerank: hand graph matches the exact integer reference; hub outranks leaves") {
     // star: customer 1 buys from suppliers 1,2,3; customer 2 from supplier 1
     // orders (o_orderkey, o_custkey); lineitem (l_orderkey, l_suppkey)
