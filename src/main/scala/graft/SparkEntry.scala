@@ -295,6 +295,9 @@ object SparkEntry {
     "q60_repetition"       -> ((s, d) => TextOps.repetitionScore(Tables.documents(s, d))),
     "q61_training_filter"  -> ((s, d) => TextOps.trainingFilter(Tables.documents(s, d))),
     "q63_term_index"       -> ((s, d) => TextOps.termIndex(Tables.documents(s, d))),
+    // positional phrase search: exact adjacency over query-vocabulary
+    // postings — the index query q63's frequencies cannot answer
+    "q198_phrase_search"   -> ((s, d) => TextOps.phraseSearch(Tables.documents(s, d))),
     // BM25 retrieval scoring with a cross-engine-exact micro-unit sum (the
     // transcendental-score gap q63 documents, closed)
     "q67_bm25"             -> ((s, d) => TextOps.bm25(Tables.documents(s, d))),

@@ -321,6 +321,50 @@ object TextOps {
       .orderBy("doc_id", "token")
   }
 
+  /** q198's phrase book: a present bigram, a present-elsewhere bigram,
+    * and a trigram absent at small scales — exercising multi-term
+    * adjacency, phrase-length variety, and the legitimate zero-match
+    * case in one artifact. */
+  val PhraseBook: Seq[String] = Seq("hash join", "table scan", "sort merge join")
+
+  /** q198 — POSITIONAL PHRASE SEARCH: exact-adjacency phrase matching
+    * over a positional inverted index — the search-engine query class
+    * (`"hash join"` as a PHRASE, not a bag of terms) q63's term index
+    * cannot answer because it stores frequencies, not positions. Per
+    * (phrase, document): the match count and the first match position.
+    *
+    * The index is (token, doc_id, pos) postings; a length-L phrase is
+    * L−1 co-keyed equi-joins on (doc_id, pos + offset) — the classic
+    * positional-postings intersection. Scale shape: tokenize ONCE
+    * (posexplode), then filter the postings to the query vocabulary
+    * BEFORE any join — the selectivity that makes a positional index
+    * work at 100 TB: only the query terms' postings ever shuffle, the
+    * corpus text is touched exactly once, and each join is co-keyed on
+    * doc_id. A LIKE scan would re-read every byte per phrase and
+    * cannot use adjacency. */
+  def phraseSearch(docs: DataFrame): DataFrame = {
+    val postings = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token").isin(PhraseBook.flatMap(_.split(" ")).distinct: _*))
+      .localCheckpoint() // query-vocabulary postings; read per phrase
+    val perPhrase = PhraseBook.map { phrase =>
+      val terms = phrase.split(" ")
+      val first = postings.filter(col("token") === terms.head)
+        .select(col("doc_id"), col("pos"))
+      val matches = terms.zipWithIndex.drop(1).foldLeft(first) {
+        case (acc, (t, i)) =>
+          acc.join(postings.filter(col("token") === t)
+              .select(col("doc_id"), (col("pos") - i).as("pos")),
+            Seq("doc_id", "pos"))
+      }
+      matches.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+        .selectExpr(s"'$phrase' AS phrase", "doc_id",
+          "n_matches", "CAST(first_pos AS BIGINT) AS first_pos")
+    }
+    perPhrase.reduce(_.unionByName(_)).orderBy("phrase", "doc_id")
+  }
+
   /** q67's fixed query: one mid-frequency term, one common term, and the
     * corpus's one rare token (high idf) so scores actually spread. */
   val Bm25Terms: Seq[String] = Seq("spark", "query", "dup")
@@ -952,7 +996,29 @@ object TextOps {
       val rest = langs.drop(i + 1).map(r => s"hits_$l >= hits_$r").mkString(" AND ")
       s"WHEN $rest THEN '$l'"
     }.mkString(" ")
+    val phraseSql = PhraseBook.map { phrase =>
+      val terms = phrase.split(" ")
+      val joins = terms.zipWithIndex.drop(1).map { case (_, i) =>
+        s"JOIN tok t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i"
+      }.mkString(" ")
+      val preds = terms.zipWithIndex
+        .map { case (t, i) => s"t$i.tok = '$t'" }.mkString(" AND ")
+      s"""SELECT '$phrase' AS phrase, t0.doc_id AS doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_matches,
+                 CAST(MIN(t0.pos) - 1 AS BIGINT) AS first_pos
+          FROM tok t0 $joins WHERE $preds GROUP BY t0.doc_id"""
+    }.mkString(" UNION ALL ")
     val base = Map(
+      // q198: identical postings (DuckDB's 1-based subscripts shifted to
+      // Spark's 0-based posexplode at ship time; adjacency joins are
+      // base-invariant) and the same per-phrase position intersection
+      "q198_phrase_search" ->
+        s"""WITH tok AS (
+              SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,
+                LATERAL (SELECT unnest(str_split(text, ' ')) AS tok,
+                                generate_subscripts(str_split(text, ' '), 1) AS pos) u
+              WHERE true)
+            SELECT * FROM ($phraseSql) ORDER BY phrase, doc_id""",
       // q143: identical row-local bigramming (1-indexed scalar unnest vs
       // 0-indexed transform — same pairs; DuckDB's range() table function
       // rejects lateral column args, so the index explodes in SELECT),

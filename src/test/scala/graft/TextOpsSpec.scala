@@ -395,6 +395,46 @@ class TextOpsSpec extends SparkSpec {
   private def collocDocs(texts: Seq[String]) =
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
 
+  test("q198 phrase search: adjacency not co-occurrence, overlaps count, trigram offsets; corpus recount") {
+    // doc 1: "hash join" twice (pos 0 and 2); doc 2: both terms present
+    // but NOT adjacent — a bag-of-terms index would false-match; doc 3:
+    // both a bigram (@0) and the trigram (@2)
+    val fix = docs(
+      (1L, "hash join hash join", "en", "s", 19L),
+      (2L, "hash table join scan", "en", "s", 20L),
+      (3L, "table scan sort merge join", "en", "s", 26L))
+    val got = TextOps.phraseSearch(fix).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("hash join", 1L) -> (2L, 0L),
+      ("table scan", 3L) -> (1L, 0L),
+      ("sort merge join", 3L) -> (1L, 2L)),
+      "adjacency only — doc 2's non-adjacent terms must not match")
+    // corpus recount from first principles at sf0.001
+    val documents = Tables.documents(spark, "/root/testdata/sf0.001")
+    val real = TextOps.phraseSearch(documents).collect()
+    val texts = documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val want = TextOps.PhraseBook.flatMap { phrase =>
+      val terms = phrase.split(" ")
+      texts.flatMap { case (id, toks) =>
+        val hits = toks.indices.filter(i => i + terms.length <= toks.length &&
+          terms.indices.forall(j => toks(i + j) == terms(j)))
+        if (hits.isEmpty) None
+        else Some((phrase, id, hits.size.toLong, hits.min.toLong))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(real.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === want)
+    assert(real.exists(_.getString(0) == "hash join"),
+      "the present phrase must match on the corpus")
+    assert(!real.exists(_.getString(0) == "sort merge join"),
+      "the absent trigram's zero-match case must be exercised at sf0.001")
+    val reparted = TextOps.phraseSearch(documents.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q143 collocations: support and lift cuts are exact; lift is the plain ratio") {
     // (a,b)×5 and (c,d)×5 pass both cuts; (e,f)×4 fails support alone
     // (its lift 4·14/(4·4) = 3.5 clears the bar)
