@@ -902,6 +902,10 @@ object SparkEntry {
       DedupOps.incrementReport(Tables.documents(s, d), incrementPairsShared(s, d))),
     // §7.1 graft.ext — similarity search over `embeddings`
     "q42_knn_brute"        -> ((s, d) => SimilarityOps.knnBruteForce(Tables.embeddings(s, d))),
+    // hybrid search: BM25 + vector rankers fused on ranks alone (RRF,
+    // exact integer contributions) — incommensurable scores never meet
+    "q199_rank_fusion"     -> ((s, d) =>
+      SimilarityOps.rankFusion(Tables.documents(s, d), Tables.embeddings(s, d))),
     // contrastive-training mining: per anchor, the top-k closest vectors
     // with a DIFFERENT label (the closest impostors) — q42's broadcast
     // scan shape with label disagreement in the join condition

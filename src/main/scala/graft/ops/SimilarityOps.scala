@@ -1461,7 +1461,111 @@ object SimilarityOps {
                JOIN n y ON t.b_id = y.vec_id
         ORDER BY a_id, b_id"""
 
+  /** q199's dials: per-ranker candidate depth, shipped fused depth, the
+    * classic RRF damping k = 60 (Cormack et al.'s constant), the nano
+    * scale of the exact integer contribution, and the query-by-example
+    * vector. */
+  val RrfDepth = 50
+  val RrfTop = 20
+  val RrfK = 60L
+  val RrfScale = 1000000000L
+  val RrfQueryVec = 0L
+
+  /** q199 — RECIPROCAL-RANK FUSION: hybrid search, the production
+    * retrieval stack's ensemble step — a lexical ranker (q67's BM25 over
+    * the fixed term query) and a vector ranker (cosine against the
+    * query-by-example embedding, q42's scoring) each nominate their top
+    * [[RrfDepth]], and RRF merges them on RANKS alone:
+    * `score = Σ_r ⌊10⁹ / (60 + rank_r)⌋` — exact integers, so the fused
+    * ordering cannot drift cross-engine even though one ranker's score
+    * is a logarithm and the other's a square root. Rank-based fusion is
+    * the standard answer to fusing incommensurable scores (BM25 is
+    * unbounded, cosine lives in [−1, 1]); items nominated by one ranker
+    * only lose the other's contribution, and `in_both` marks consensus.
+    *
+    * Scale shape: the lexical side is q67's vocabulary-selective scan;
+    * the vector side broadcasts ONE query against the corpus scan with
+    * `orderBy(cos).limit(depth)` planned as TakeOrderedAndProject
+    * (map-side partial top-N — no full sort, no corpus window); ranks,
+    * the full-outer fusion, and the final sort all run on ≤ 2·depth
+    * rows. Item universes may differ per ranker (text corpus vs
+    * embedded subset) — the full outer join is the semantics, not a
+    * hack. */
+  def rankFusion(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val tinyByText = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_micro"), col("doc_id"))
+    val text = TextOps.bm25(docs, topN = RrfDepth)
+      .withColumn("rank_text", row_number().over(tinyByText).cast("long"))
+      .select(col("doc_id"), col("rank_text"))
+    val all = vecs(emb)
+    val q = all.filter(col("vec_id") === RrfQueryVec)
+      .selectExpr("v AS qv", "n2 AS qn2")
+    val tinyByCos = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cos"), col("doc_id"))
+    val vec = all.filter(col("vec_id") =!= RrfQueryVec)
+      .crossJoin(broadcast(q))
+      .selectExpr("vec_id AS doc_id",
+        s"${sparkDot("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos")
+      .orderBy(desc("cos"), col("doc_id")).limit(RrfDepth)
+      .withColumn("rank_vec", row_number().over(tinyByCos).cast("long"))
+      .select(col("doc_id"), col("rank_vec"))
+    val tinyByRrf = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rrf_nano"), col("doc_id"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id", "rank_text", "rank_vec",
+        s"coalesce($RrfScale DIV ($RrfK + rank_text), 0L) + " +
+          s"coalesce($RrfScale DIV ($RrfK + rank_vec), 0L) AS rrf_nano")
+      .orderBy(desc("rrf_nano"), col("doc_id")).limit(RrfTop)
+      .withColumn("fused_rank", row_number().over(tinyByRrf).cast("long"))
+      .selectExpr("fused_rank", "doc_id", "rank_text", "rank_vec", "rrf_nano",
+        "rank_text IS NOT NULL AND rank_vec IS NOT NULL AS in_both")
+      .orderBy("fused_rank")
+  }
+
   def oracles: Map[String, String] = Map(
+    // q199: the same two rankers — q67's BM25 CTE at fusion depth and
+    // the q42 cosine shape against the example vector — fused on ranks
+    // with the identical exact-integer RRF arithmetic
+    "q199_rank_fusion" -> {
+      val terms = TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+          l AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+          s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS total FROM l),
+          f AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+                WHERE token IN ($terms) GROUP BY 1, 2),
+          d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM f GROUP BY token),
+          c AS (SELECT f.doc_id AS doc_id,
+                       CAST(round((${TextOps.Bm25ContribExpr}) * 1e6) AS BIGINT) AS micro
+                FROM f JOIN d ON f.token = d.token
+                       JOIN l ON f.doc_id = l.doc_id, s),
+          tx AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                          AS BIGINT) AS rank_text
+                 FROM (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+                       FROM c GROUP BY doc_id
+                       ORDER BY score_micro DESC, doc_id LIMIT $RrfDepth)),
+          vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          nn AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),
+          vx AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                          AS BIGINT) AS rank_vec
+                 FROM (SELECT c.vec_id AS doc_id,
+                              ${duckDot("q.v", "c.v")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+                       FROM nn q JOIN nn c
+                         ON q.vec_id = $RrfQueryVec AND c.vec_id != $RrfQueryVec
+                       ORDER BY cos DESC, doc_id LIMIT $RrfDepth)),
+          fo AS (SELECT COALESCE(tx.doc_id, vx.doc_id) AS doc_id,
+                        tx.rank_text AS rank_text, vx.rank_vec AS rank_vec,
+                        COALESCE($RrfScale // ($RrfK + tx.rank_text), 0)
+                          + COALESCE($RrfScale // ($RrfK + vx.rank_vec), 0) AS rrf_nano
+                 FROM tx FULL OUTER JOIN vx ON tx.doc_id = vx.doc_id),
+          top AS (SELECT * FROM fo ORDER BY rrf_nano DESC, doc_id LIMIT $RrfTop)
+          SELECT CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS BIGINT)
+                   AS fused_rank,
+                 doc_id, rank_text, rank_vec, CAST(rrf_nano AS BIGINT) AS rrf_nano,
+                 rank_text IS NOT NULL AND rank_vec IS NOT NULL AS in_both
+          FROM top ORDER BY fused_rank"""
+    },
     "q145_jl_projection" -> q145Sql,
     "q74_embedding_quantize" ->
       """WITH a AS (SELECT vec_id,

@@ -62,6 +62,69 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(top.head === 4L)
   }
 
+  test("q199 rank fusion: consensus beats solo excellence, single-ranker items survive, corpus fusion replays exactly") {
+    // doc 10: lexical #1 but unembedded; vec 20: vector #1 (scaled copy
+    // of the query) but untexted; doc/vec 30: #2 in BOTH — RRF must put
+    // the consensus item first (2/(60+2) > 1/(60+1)), then break the
+    // equal-single-contribution tie by doc_id
+    val q = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = q.clone(); near(0) = near(0) + 0.05f
+    val fixDocs = Seq(
+      (10L, "spark spark spark", "en", "s", 17L),
+      (30L, "spark a b", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fixEmb = Seq(
+      (0L, q.toSeq, 1), (20L, q.map(x => 2 * x).toSeq, 1), (30L, near.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+    val fr = SimilarityOps.rankFusion(fixDocs, fixEmb).collect()
+    assert(fr.map(_.getLong(1)).toSeq === Seq(30L, 10L, 20L))
+    val r30 = fr(0)
+    assert(r30.getLong(2) === 2L && r30.getLong(3) === 2L && r30.getBoolean(5))
+    assert(r30.getLong(4) === 2 * (SimilarityOps.RrfScale / 62L))
+    assert(fr(1).isNullAt(3) && fr(2).isNullAt(2), "single-ranker survivors")
+    assert(fr(1).getLong(4) === SimilarityOps.RrfScale / 61L &&
+      fr(2).getLong(4) === SimilarityOps.RrfScale / 61L, "tied solo #1s")
+    // corpus: replay the fusion from the engine's own lexical ranking and
+    // a driver cosine ranking (graft_dot folds sequentially, so the JVM
+    // replay is bit-identical)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val real = SimilarityOps.rankFusion(docs, emb).collect()
+    assert(real.length === SimilarityOps.RrfTop)
+    val textRanks = graft.ops.TextOps.bm25(docs, topN = SimilarityOps.RrfDepth)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getLong(0) -> (i + 1L) }.toMap
+    val vs = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val qv = vs.find(_._1 == SimilarityOps.RrfQueryVec).get._2
+    val qn = math.sqrt(dot(qv, qv))
+    val vecRanks = vs.filter(_._1 != SimilarityOps.RrfQueryVec)
+      .map { case (id, v) => (id, dot(qv, v) / (qn * math.sqrt(dot(v, v)))) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(SimilarityOps.RrfDepth).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val want = (textRanks.keySet ++ vecRanks.keySet).toSeq.map { id =>
+      val rrf = textRanks.get(id).map(r => SimilarityOps.RrfScale / (60L + r)).getOrElse(0L) +
+        vecRanks.get(id).map(r => SimilarityOps.RrfScale / (60L + r)).getOrElse(0L)
+      (id, textRanks.get(id), vecRanks.get(id), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(SimilarityOps.RrfTop)
+      .zipWithIndex.map { case ((id, t, v, rrf), i) =>
+        (i + 1L, id, t, v, rrf, t.isDefined && v.isDefined) }
+    assert(real.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      r.getLong(4), r.getBoolean(5))).toSeq === want)
+    assert(real.exists(!_.isNullAt(2)) && real.exists(!_.isNullAt(3)),
+      "both rankers must place items in the fused list")
+    val reparted = SimilarityOps.rankFusion(docs.repartition(7), emb.repartition(5))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("graded recall audit: recall_at_k is the exact top-k intersection; quality holds") {
     val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = SimilarityOps.knnBruteForce(embT)
