@@ -906,6 +906,10 @@ object SparkEntry {
     // exact integer contributions) — incommensurable scores never meet
     "q199_rank_fusion"     -> ((s, d) =>
       SimilarityOps.rankFusion(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // filtered vector search: pre-filter exact vs post-filter IVF on a
+    // shared index — the measured recall loss IS the artifact
+    "q200_filtered_ann"    -> ((s, d) =>
+      SimilarityOps.filteredAnn(Tables.embeddings(s, d))),
     // contrastive-training mining: per anchor, the top-k closest vectors
     // with a DIFFERENT label (the closest impostors) — q42's broadcast
     // scan shape with label disagreement in the join condition

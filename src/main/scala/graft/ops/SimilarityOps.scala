@@ -426,6 +426,89 @@ object SimilarityOps {
     withRecallAudit(topk, emb, IvfQualityFloor)
   }
 
+  /** q200's tenant dial: `vec_id % 3 = 0` is the searched tenant — a
+    * metadata predicate deliberately UNCORRELATED with the cell geometry
+    * (labels), the realistic multi-tenant case where the filter
+    * decimates every probed cell uniformly. */
+  val TenantMod = 3L
+
+  /** q200 — FILTERED VECTOR SEARCH: ANN under a metadata predicate
+    * ("nearest neighbors WHERE tenant = t"), the production vector-store
+    * question plain kNN dodges — a shared index serves many tenants, and
+    * the two classic strategies trade differently:
+    *   - `pre_exact`: brute top-k over the FILTERED corpus — always
+    *     right, pays a full tenant scan per query (the fallback stores
+    *     use when the filter is tiny);
+    *   - `ivf_post`: probe [[NProbe]] cells of the SHARED index, apply
+    *     the filter to the probed candidates — pays only the probe, but
+    *     the filter decimates each cell, so the true filtered neighbors
+    *     may sit in unprobed cells. The per-query `recall_at_k` of the
+    *     post-filtered branch against the exact branch IS the graded
+    *     artifact (0 to 1 on the real corpus — the "filtered ANN needs
+    *     more probes" lesson, measured), alongside `cand_seen`, the
+    *     candidate count each strategy paid for.
+    *
+    * Scale shape: both branches broadcast the bounded query set against
+    * one corpus scan ([[knnBruteForce]]'s shape — the tenant filter is
+    * pushed into the scan on the exact branch); the IVF branch reuses
+    * the [[ivfAnn]] probe machinery (bounded cell table broadcast, one
+    * candidate join) with the filter applied at the candidate join; all
+    * rankings pass the map-side WindowGroupLimit. */
+  def filteredAnn(emb: DataFrame, nprobe: Int = NProbe): DataFrame = {
+    val perQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+    val all = vecs(emb)
+    val qVecs = all.filter(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS q_id", "v AS qv", "n2 AS qn2")
+    val tenant = all.filter(col("vec_id") % TenantMod === 0)
+    val exactScored = broadcast(qVecs)
+      .join(tenant, col("q_id") =!= col("vec_id"))
+      .selectExpr("q_id", "vec_id AS n_id",
+        s"${sparkDot("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos")
+      .localCheckpoint() // feeds its top-k, its census, and the recall probe
+    val exactTop = exactScored
+      .withColumn("rank", row_number().over(perQ).cast("long"))
+      .filter(col("rank") <= TopK)
+      .localCheckpoint() // ≤ K·|queries| rows; shipped and recall-probed
+    val dist = cellDist(emb)
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    val ranked = dist.withColumn("rn", row_number().over(byDist))
+    val assigned = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val probes = ranked
+      .filter(col("vec_id") < NumQueries && col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val ivfScored = broadcast(probes).join(assigned, "cell")
+      .filter(col("q_id") =!= col("vec_id") &&
+        col("vec_id") % TenantMod === 0) // the post-filter
+      .select("q_id", "vec_id").distinct()
+      .join(all, "vec_id").join(broadcast(qVecs), "q_id")
+      .selectExpr("q_id", "vec_id AS n_id",
+        s"${sparkDot("qv", "v")} / (sqrt(qn2) * sqrt(n2)) AS cos")
+      .localCheckpoint() // feeds its top-k and its census
+    val ivfTop = ivfScored
+      .withColumn("rank", row_number().over(perQ).cast("long"))
+      .filter(col("rank") <= TopK)
+    val exactSeen = exactScored.groupBy("q_id")
+      .agg(count(lit(1)).as("cand_seen"))
+    val ivfSeen = ivfScored.groupBy("q_id")
+      .agg(count(lit(1)).as("cand_seen"))
+    val hits = ivfTop.join(
+        exactTop.select(col("q_id"), col("n_id"), lit(1).as("hit")),
+        Seq("q_id", "n_id"), "left_outer")
+    val perQAll = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    val ivfRows = hits
+      .withColumn("recall_at_k",
+        sum(coalesce(col("hit"), lit(0))).over(perQAll).cast("double") / TopK)
+      .join(broadcast(ivfSeen), "q_id")
+      .selectExpr("'ivf_post' AS strategy", "q_id", "rank", "n_id", "cos",
+        "cand_seen", "recall_at_k")
+    val exactRows = exactTop.join(broadcast(exactSeen), "q_id")
+      .selectExpr("'pre_exact' AS strategy", "q_id", "rank", "n_id", "cos",
+        "cand_seen", "1e0 AS recall_at_k")
+    exactRows.unionByName(ivfRows).orderBy("strategy", "q_id", "rank")
+  }
+
   /** [[kmeans]] dials: k seeds, fixed Lloyd rounds (a runtime dial; real
     * pipelines run to a movement epsilon, which is just a dynamic round
     * count). */
@@ -1566,6 +1649,69 @@ object SimilarityOps {
                  rank_text IS NOT NULL AND rank_vec IS NOT NULL AS in_both
           FROM top ORDER BY fused_rank"""
     },
+    // q200: the q55 cell prelude with the tenant filter applied at the
+    // candidate join (post) vs in the scan (pre); identical recall
+    // window; fixed-denominator recall like the other ANN audits
+    "q200_filtered_ann" ->
+      s"""WITH q3 AS (SELECT vec_id, i - 1 AS d,
+                             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q3,
+                             CAST(label AS BIGINT) AS label
+                      FROM embeddings, range(1, ${Dim + 1}) t(i)),
+          cells AS (SELECT label AS cell, d, SUM(q3) AS sq, COUNT(*) AS n
+                    FROM q3 GROUP BY 1, 2),
+          dist AS (SELECT q3.vec_id, cells.cell,
+                          CAST(SUM((q3.q3 * cells.n - cells.sq) * (q3.q3 * cells.n - cells.sq)) AS DOUBLE)
+                            / CAST(MAX(cells.n) * MAX(cells.n) AS DOUBLE) AS dist
+                   FROM q3 JOIN cells ON q3.d = cells.d GROUP BY 1, 2),
+          assigned AS (SELECT vec_id, cell FROM (
+                         SELECT vec_id, cell,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                         FROM dist) WHERE rn = 1),
+          probes AS (SELECT vec_id AS q_id, cell FROM (
+                       SELECT vec_id, cell,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                       FROM dist WHERE vec_id < $NumQueries) WHERE rn <= $NProbe),
+          vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          nn AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM vecs),
+          exsc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                          ${duckDot("q.v", "c.v")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+                   FROM nn q JOIN nn c ON q.vec_id < $NumQueries
+                        AND c.vec_id % $TenantMod = 0 AND q.vec_id != c.vec_id),
+          extop AS (SELECT q_id, n_id, cos,
+                           CAST(rank AS BIGINT) AS rank FROM (
+                      SELECT q_id, n_id, cos,
+                             ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, n_id) AS rank
+                      FROM exsc) WHERE rank <= $TopK),
+          ivcand AS (SELECT DISTINCT p.q_id AS q_id, a.vec_id AS n_id
+                     FROM probes p JOIN assigned a ON p.cell = a.cell
+                     WHERE p.q_id != a.vec_id AND a.vec_id % $TenantMod = 0),
+          ivsc AS (SELECT cd.q_id, cd.n_id,
+                          ${duckDot("q.v", "c.v")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+                   FROM ivcand cd JOIN nn q ON cd.q_id = q.vec_id
+                        JOIN nn c ON cd.n_id = c.vec_id),
+          ivtop AS (SELECT q_id, n_id, cos,
+                           CAST(rank AS BIGINT) AS rank FROM (
+                      SELECT q_id, n_id, cos,
+                             ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, n_id) AS rank
+                      FROM ivsc) WHERE rank <= $TopK),
+          exseen AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS cand_seen
+                     FROM exsc GROUP BY q_id),
+          ivseen AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS cand_seen
+                     FROM ivsc GROUP BY q_id)
+          SELECT * FROM (
+            SELECT 'pre_exact' AS strategy, t.q_id AS q_id, t.rank AS rank,
+                   t.n_id AS n_id, t.cos AS cos, s.cand_seen AS cand_seen,
+                   1e0 AS recall_at_k
+            FROM extop t JOIN exseen s ON t.q_id = s.q_id
+            UNION ALL
+            SELECT 'ivf_post', t.q_id, t.rank, t.n_id, t.cos, s.cand_seen,
+                   CAST(SUM(CASE WHEN e.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY t.q_id) AS DOUBLE) / $TopK
+            FROM ivtop t JOIN ivseen s ON t.q_id = s.q_id
+                 LEFT JOIN extop e ON e.q_id = t.q_id AND e.n_id = t.n_id)
+          ORDER BY strategy, q_id, rank""",
     "q145_jl_projection" -> q145Sql,
     "q74_embedding_quantize" ->
       """WITH a AS (SELECT vec_id,

@@ -125,6 +125,54 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q200 filtered ANN: tenant contract holds, exact branch replays, recall loss is real and self-consistent") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val real = SimilarityOps.filteredAnn(emb).collect()
+    // contract: every neighbor is a tenant member and never the query
+    real.foreach { r =>
+      assert(r.getLong(3) % SimilarityOps.TenantMod === 0L, "tenant filter")
+      assert(r.getLong(3) !== r.getLong(1), "self excluded")
+    }
+    val exact = real.filter(_.getString(0) == "pre_exact")
+    val ivf = real.filter(_.getString(0) == "ivf_post")
+    // exact branch = driver brute over the tenant subset (bit-identical
+    // JVM cosine, as q199's replay)
+    val vs = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val wantExact = (0L until SimilarityOps.NumQueries).flatMap { q =>
+      val qv = vs.find(_._1 == q).get._2
+      val qn = math.sqrt(dot(qv, qv))
+      vs.filter(t => t._1 % SimilarityOps.TenantMod == 0 && t._1 != q)
+        .map { case (id, v) => (id, dot(qv, v) / (qn * math.sqrt(dot(v, v)))) }
+        .sortBy { case (id, c) => (-c, id) }.take(SimilarityOps.TopK)
+        .zipWithIndex.map { case ((id, c), i) => (q, i + 1L, id, c) }
+    }
+    assert(exact.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4))).toSeq === wantExact)
+    assert(exact.forall(_.getDouble(6) === 1.0), "exact is its own recall")
+    // recall self-consistency: the shipped recall equals the overlap of
+    // the two shipped branches; the post-filter loss is real on this corpus
+    val exactIds = exact.map(r => (r.getLong(1), r.getLong(3))).toSet
+    ivf.groupBy(_.getLong(1)).foreach { case (q, rows) =>
+      val overlap = rows.count(r => exactIds.contains((q, r.getLong(3))))
+      val want = overlap.toDouble / SimilarityOps.TopK
+      rows.foreach(r => assert(r.getDouble(6) === want, s"q$q recall"))
+    }
+    assert(ivf.exists(_.getDouble(6) < 1.0),
+      "the filter must decimate some probed cell — the lesson graded")
+    // the probe saw fewer candidates than the full tenant scan, always
+    val exactSeen = exact.map(r => r.getLong(1) -> r.getLong(5)).toMap
+    ivf.foreach(r => assert(r.getLong(5) < exactSeen(r.getLong(1)),
+      "post-filter candidates must be a strict subset of the tenant scan"))
+    val reparted = SimilarityOps.filteredAnn(emb.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("graded recall audit: recall_at_k is the exact top-k intersection; quality holds") {
     val embT = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = SimilarityOps.knnBruteForce(embT)
