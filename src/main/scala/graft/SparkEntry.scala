@@ -570,6 +570,10 @@ object SparkEntry {
     // file compaction plan (lakehouse OPTIMIZE): day-ordered roll of the
     // ingest files into contiguous target-size bins, cap/contiguity laws
     // per bin, conservation + bin-count laws on the sentinel row
+    // columnar encoding choice: plain vs dictionary vs RLE per
+    // (day-file, column) with exact byte ledgers — the writer's decision
+    "q201_encoding_audit"  -> ((s, d) =>
+      graft.ops.ScaleOps.encodingAudit(Tables.events(s, d))),
     "q179_compaction_plan" -> ((s, d) =>
       graft.ops.ScaleOps.compactionPlan(Tables.events(s, d))),
     // GDPR delete propagation: q173's tombstones priced against the q179
@@ -2023,6 +2027,71 @@ object SparkEntry {
                 NOT (ts_us_max < ts_lo_us OR ts_us_min >= ts_hi_us_excl)
                   OR n_match_ts = 0 AS skip_sound_ts
          FROM pb JOIN d USING (bin) ORDER BY bin"""
+    },
+    // q201: identical ingest-order lag runs, the same exact byte
+    // ledgers (shared bit-width CASE ladder — never log2), the same
+    // dict < plain < rle tie rule; all operands nonnegative so // = DIV
+    "q201_encoding_audit" -> {
+      def bits(d: String) = graft.ops.ScaleOps.bitsCase(d)
+      s"""WITH base AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                               epoch_us(ts) AS us, event_id, event_type,
+                               CASE WHEN value IS NULL THEN -1
+                                    ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents,
+                               epoch_us(ts) // 3600000000 AS hour
+                        FROM events),
+              lagd AS (SELECT *, lag(event_type) OVER w AS p_et,
+                              lag(cents) OVER w AS p_c, lag(hour) OVER w AS p_h
+                       FROM base WINDOW w AS (PARTITION BY day ORDER BY us, event_id)),
+              cen AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(len(event_type)) AS BIGINT) AS et_len,
+                             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS et_d,
+                             CAST(SUM(CASE WHEN p_et IS NULL OR event_type != p_et
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS et_runs,
+                             CAST(SUM(CASE WHEN p_et IS NULL OR event_type != p_et
+                                           THEN len(event_type) ELSE 0 END) AS BIGINT)
+                               AS et_head_len,
+                             CAST(COUNT(DISTINCT cents) AS BIGINT) AS c_d,
+                             CAST(SUM(CASE WHEN p_c IS NULL OR cents != p_c
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS c_runs,
+                             CAST(COUNT(DISTINCT hour) AS BIGINT) AS h_d,
+                             CAST(SUM(CASE WHEN p_h IS NULL OR hour != p_h
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS h_runs
+                      FROM lagd GROUP BY day),
+              ed AS (SELECT day, CAST(SUM(len(event_type)) AS BIGINT) AS et_dict_len
+                     FROM (SELECT DISTINCT day, event_type FROM base) GROUP BY day),
+              led AS (SELECT cen.day AS day, n,
+                             et_d, et_runs,
+                             et_len + 4 * n AS et_plain,
+                             et_dict_len + 4 * et_d
+                               + (n * (${bits("et_d")}) + 7) // 8 AS et_dict,
+                             et_head_len + 8 * et_runs AS et_rle,
+                             c_d, c_runs,
+                             8 * n AS c_plain,
+                             8 * c_d + (n * (${bits("c_d")}) + 7) // 8 AS c_dict,
+                             12 * c_runs AS c_rle,
+                             h_d, h_runs,
+                             8 * n AS h_plain,
+                             8 * h_d + (n * (${bits("h_d")}) + 7) // 8 AS h_dict,
+                             12 * h_runs AS h_rle
+                      FROM cen JOIN ed ON cen.day = ed.day),
+              st AS (SELECT day, n, 'cents' AS col, c_d AS ndv, c_runs AS runs,
+                            c_plain AS plain_bytes, c_dict AS dict_bytes,
+                            c_rle AS rle_bytes FROM led
+                     UNION ALL
+                     SELECT day, n, 'event_type', et_d, et_runs,
+                            et_plain, et_dict, et_rle FROM led
+                     UNION ALL
+                     SELECT day, n, 'hour', h_d, h_runs,
+                            h_plain, h_dict, h_rle FROM led)
+         SELECT day, col, n, ndv, runs, plain_bytes, dict_bytes, rle_bytes,
+                CASE WHEN dict_bytes <= plain_bytes AND dict_bytes <= rle_bytes
+                     THEN 'dict'
+                     WHEN plain_bytes <= rle_bytes THEN 'plain'
+                     ELSE 'rle' END AS chosen,
+                least(dict_bytes, plain_bytes, rle_bytes) AS chosen_bytes,
+                1000000 * (plain_bytes - least(dict_bytes, plain_bytes, rle_bytes))
+                  // plain_bytes AS savings_micro
+         FROM st ORDER BY day, col"""
     },
     // q179: identical byte proxy, the same bounded self-join prefix
     // arithmetic (exclusive cumsum, 1-based seq), ceil via (x+t-1)//t

@@ -246,6 +246,86 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.values.forall(r => r.getBoolean(8) && r.getBoolean(11)))
   }
 
+  test("q201 encoding audit: hand ledgers exact per encoding, day boundary resets runs, corpus replay + winner spread") {
+    val dayUs = 86400000000L
+    // day 0, ingest order: event_type a,a,b,a,a,a (3 runs); cents all
+    // distinct; hour constant. day 1: one lone row — runs reset at the
+    // file boundary, never carried from day 0
+    val fix = Seq(
+      (0L, "a", 100L), (1L, "a", 200L), (2L, "b", 300L),
+      (3L, "a", 400L), (4L, "a", 500L), (5L, "a", 600L),
+      (6L, "a", 700L))
+      .toDF("event_id", "event_type", "cents")
+      .selectExpr(
+        s"timestamp_micros(CASE WHEN event_id = 6 THEN $dayUs ELSE event_id END) AS ts",
+        "event_id", "event_type", "CAST(cents AS DOUBLE) / 100 AS value",
+        "CAST(1 AS BIGINT) AS user_id")
+    val got = ScaleOps.encodingAudit(fix).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(got.size === 6, "two day-files x three columns")
+    val et0 = got((0L, "event_type"))
+    assert((et0.getLong(3), et0.getLong(4), et0.getLong(5), et0.getLong(6),
+      et0.getLong(7)) === (2L, 3L, 30L, 11L, 27L),
+      "strings: plain 6+24, dict 2+8+1 packed byte, rle 3 heads + 24")
+    assert(et0.getString(8) === "dict" && et0.getLong(9) === 11L)
+    val c0 = got((0L, "cents"))
+    assert((c0.getLong(3), c0.getLong(4), c0.getLong(5), c0.getLong(6),
+      c0.getLong(7)) === (6L, 6L, 48L, 51L, 72L),
+      "high-NDV ints: dict stores everything twice (bits(6) = 3)")
+    assert(c0.getString(8) === "plain" && c0.getLong(10) === 0L)
+    val h0 = got((0L, "hour"))
+    assert((h0.getLong(3), h0.getLong(4), h0.getLong(6)) === (1L, 1L, 9L) &&
+      h0.getString(8) === "dict" && h0.getLong(10) === 812500L,
+      "constant column: 8 + 1 packed byte; savings = (48-9)/48 floor'd micro")
+    assert(got((1L, "event_type")).getLong(4) === 1L,
+      "the day-1 run must not continue day 0's final 'a' run")
+    // corpus: driver replay of every ledger at sf0.001
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = ScaleOps.encodingAudit(events).collect()
+    val rows = events.selectExpr("unix_micros(ts) AS us", "event_id",
+        "event_type",
+        "CASE WHEN value IS NULL THEN -1L ELSE CAST(round(value * 100) AS BIGINT) END")
+      .collect().map(r => (r.getLong(0) / dayUs, r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3), r.getLong(0) / 3600000000L))
+    def bits(d: Long): Long = { var b = 1L; while ((1L << b) < d) b += 1; b }
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (day, rs) =>
+      val o = rs.sortBy(t => (t._2, t._3))
+      val n = o.length.toLong
+      def ledger[T](vals: Seq[T], strLen: T => Long, isStr: Boolean) = {
+        val d = vals.distinct.size.toLong
+        val heads = vals.zipWithIndex.filter { case (v, i) => i == 0 || vals(i - 1) != v }
+        val runs = heads.size.toLong
+        val plain = if (isStr) vals.map(strLen).sum + 4 * n else 8 * n
+        val dict = (if (isStr) vals.distinct.map(strLen).sum + 4 * d else 8 * d) +
+          (n * bits(d) + 7) / 8
+        val rle = if (isStr) heads.map(h => strLen(h._1)).sum + 8 * runs else 12 * runs
+        (d, runs, plain, dict, rle)
+      }
+      Seq(
+        (day, "cents") -> ledger[Long](o.map(_._5), _ => 8L, isStr = false),
+        (day, "event_type") -> ledger[String](o.map(_._4), _.length.toLong, isStr = true),
+        (day, "hour") -> ledger[Long](o.map(_._6), _ => 8L, isStr = false))
+        .map { case ((dy, c), (d, runs, plain, dict, rle)) =>
+          val (chosen, cb) =
+            if (dict <= plain && dict <= rle) ("dict", dict)
+            else if (plain <= rle) ("plain", plain) else ("rle", rle)
+          (dy, c, n, d, runs, plain, dict, rle, chosen, cb,
+            1000000L * (plain - cb) / plain)
+        }
+    }.sortBy(t => (t._1, t._2))
+    assert(real.length === want.length)
+    real.zip(want).foreach { case (r, w) =>
+      assert((r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getString(8), r.getLong(9), r.getLong(10)) === w)
+    }
+    assert(real.map(_.getString(8)).distinct.length >= 2,
+      "the corpus must exercise more than one winner")
+    val reparted = ScaleOps.encodingAudit(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q179 compaction plan: laws hold on the corpus, driver roll matches, jumbo file straddles soundly") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, "/root/testdata/sf0.001")
