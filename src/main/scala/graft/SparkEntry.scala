@@ -642,6 +642,10 @@ object SparkEntry {
     // from two bounded sketches at the common θ — what HLL cannot do
     "q194_theta_sets" -> ((s, d) =>
       SketchOps.thetaSets(Tables.orders(s, d))),
+    // mergeable quantile estimation: bottom-K sample with payload,
+    // ceil-rank selection, exact rank audit + the err <= N/10 law
+    "q202_quantile_sample" -> ((s, d) =>
+      SketchOps.quantileSample(Tables.events(s, d))),
     // 2-D skyline (Pareto frontier): the cheapest-for-its-size staircase
     // via grid decomposition — bucket-partitioned window + bounded
     // prefix pruning, never an all-pairs join; graded vs the definition

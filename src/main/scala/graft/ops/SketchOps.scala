@@ -1548,6 +1548,77 @@ object SketchOps {
       .orderBy("op")
   }
 
+  /** q202's dials: sample capacity (per-quantile rank-error sd is
+    * ≈ √(q(1−q)/K)·N ≈ 3% of N at K = 256) and the graded bound — a
+    * 10%-of-N ceiling, ~3σ: generous enough to be a stable fact per
+    * corpus, tight enough that a broken selection fails it. */
+  val QSampleK = 256
+  val QSampleQuantiles: Seq[Int] = Seq(10, 25, 50, 75, 90)
+
+  /** q202 — MERGEABLE QUANTILE ESTIMATION: quantiles from a bottom-K
+    * uniform sample — the shard-mergeable path to percentiles that q156/
+    * q169 (exact, two-pass, corpus-touching) cannot give. The sample is
+    * the K smallest md5 draws WITH the value as payload (q164's KMV
+    * machinery through the bounded-state [[TopKByCount]]), so per-shard
+    * samples TRUNCATE-MERGE to the corpus sample — quantile summaries
+    * combine without re-reading a single shard, the property that makes
+    * fleet-wide ANALYZE cheap at 100 TB. Each quantile estimate is the
+    * ⌈q·k⌉-th smallest sampled value; the graded artifact carries the
+    * estimate, the exact corpus rank interval it lands in (the sketch
+    * proposes, the exact branch audits — the q21/q53 discipline), the
+    * rank error, and the `bound_ok` law `err ≤ N/10`.
+    *
+    * Scale shape: one linear pass hashes values (selection state ≤ K
+    * per partition, tree-merged); the payload join broadcasts ≤ K ids;
+    * the rank audit is ONE map-combinable pass over the corpus against
+    * a broadcast 5-row estimate panel (the q158/q174 probe-panel
+    * shape). The corpus is never sorted — the oracle can afford that
+    * sort, the engine never pays it. */
+  def quantileSample(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val v = events.filter(col("value").isNotNull)
+      .selectExpr("event_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .withColumn("h", PipelineOps.md5Prefix48(col("event_id")))
+      .localCheckpoint() // consumed by selection, payload join, census, audit
+    val sel = v.selectExpr("CAST(0 AS BIGINT) AS g",
+        "CAST(event_id AS STRING) AS k", "-h AS c")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKByCount(QSampleK).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(explode(col("top")).as("e"))
+      .selectExpr("CAST(e._1 AS BIGINT) AS event_id")
+    val sample = v.join(broadcast(sel), Seq("event_id"))
+      .localCheckpoint() // ≤ K rows
+    val census = v.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sample.agg(count(lit(1)).as("k"))))
+    val ranked = sample
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy("cents", "event_id")).cast("long"))
+    val qs = QSampleQuantiles.map(_.toLong).toDF("q_pct")
+    val ests = broadcast(qs).crossJoin(broadcast(census))
+      .selectExpr("q_pct", "n", "k", "(q_pct * k + 99) DIV 100 AS sel_r")
+      .join(ranked.selectExpr("r AS sel_r", "cents AS est_cents"), Seq("sel_r"))
+      .selectExpr("q_pct", "n", "k", "est_cents",
+        "(q_pct * n + 99) DIV 100 AS target_rank")
+    val audit = v.crossJoin(broadcast(ests))
+      .groupBy("q_pct", "n", "k", "est_cents", "target_rank")
+      .agg(sum(when(col("cents") < col("est_cents"), 1L).otherwise(0L))
+          .as("below"),
+        sum(when(col("cents") <= col("est_cents"), 1L).otherwise(0L))
+          .as("at_or_below"))
+    audit.selectExpr("q_pct", "k", "n", "est_cents", "target_rank",
+        "below + 1 AS lo_rank", "at_or_below AS hi_rank",
+        """CASE WHEN below + 1 <= target_rank AND target_rank <= at_or_below
+                THEN CAST(0 AS BIGINT)
+                ELSE least(abs(target_rank - below - 1),
+                           abs(target_rank - at_or_below)) END AS rank_err""")
+      .selectExpr("q_pct", "k", "n", "est_cents", "target_rank", "lo_rank",
+        "hi_rank", "rank_err", "rank_err * 10 <= n AS bound_ok")
+      .orderBy("q_pct")
+  }
+
   /** q64's oracle is exact (the two-pass output is exact; the sketch only
     * proposes candidates, and its recall guarantee is what the hash match
     * proves). q65's exact columns are recomputed by DuckDB from the same
@@ -1590,6 +1661,48 @@ object SketchOps {
          FROM fin CROSS JOIN s ORDER BY bucket"""
 
   def oracles: Map[String, String] = Map(
+    // q202: identical md5 bottom-K sample with payload, the same
+    // ceil-rank selection over the sorted sample, and the exact rank
+    // interval from one corpus pass — the oracle affords the sort
+    "q202_quantile_sample" -> {
+      val qvals = QSampleQuantiles.map(q => s"($q)").mkString(", ")
+      s"""WITH v AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                            ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h
+                     FROM events WHERE value IS NOT NULL),
+          samp AS (SELECT event_id, cents FROM (
+                     SELECT event_id, cents,
+                            row_number() OVER (ORDER BY h, CAST(event_id AS VARCHAR)) AS rn
+                     FROM v) WHERE rn <= $QSampleK),
+          cen AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS k),
+          rk AS (SELECT cents, CAST(row_number() OVER (ORDER BY cents, event_id)
+                                    AS BIGINT) AS r FROM samp),
+          est AS (SELECT CAST(q AS BIGINT) AS q_pct, n, k,
+                         (SELECT cents FROM rk
+                          WHERE r = (q * k + 99) // 100) AS est_cents,
+                         (q * n + 99) // 100 AS target_rank
+                  FROM (VALUES $qvals) t(q) CROSS JOIN cen),
+          aud AS (SELECT q_pct, n, k, est_cents, target_rank,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM v
+                          WHERE cents < est_cents) AS below,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM v
+                          WHERE cents <= est_cents) AS at_or_below
+                  FROM est)
+         SELECT q_pct, k, n, est_cents,
+                CAST(target_rank AS BIGINT) AS target_rank,
+                below + 1 AS lo_rank, at_or_below AS hi_rank,
+                CAST(CASE WHEN below + 1 <= target_rank
+                           AND target_rank <= at_or_below THEN 0
+                          ELSE least(abs(target_rank - below - 1),
+                                     abs(target_rank - at_or_below)) END
+                     AS BIGINT) AS rank_err,
+                CASE WHEN below + 1 <= target_rank
+                      AND target_rank <= at_or_below THEN 0
+                     ELSE least(abs(target_rank - below - 1),
+                                abs(target_rank - at_or_below)) END * 10 <= n
+                  AS bound_ok
+         FROM aud ORDER BY q_pct"""
+    },
     // q194: identical md5-48 draws, identical K-th-smallest θ and
     // common-θ retained sets (DuckDB can afford the window rank the
     // engine's bounded-state selection avoids); same exact-integer

@@ -479,6 +479,62 @@ class SketchOpsSpec extends SparkSpec {
     assert(again.toSeq === r.toSeq)
   }
 
+  test("q202 quantile sample: below K the sample IS the corpus, shard samples truncate-merge, corpus replay + error law") {
+    // 10 values, all sampled (k = n = 10): every estimate is the exact
+    // ceil-rank quantile and every rank error is zero
+    val fix = (1 to 10).map(i => (i.toLong, i * 100L))
+      .toDF("event_id", "cents")
+      .selectExpr("timestamp_micros(event_id) AS ts", "event_id",
+        "CAST(cents AS DOUBLE) / 100 AS value", "'t' AS event_type",
+        "CAST(1 AS BIGINT) AS user_id")
+    val fr = graft.ops.SketchOps.quantileSample(fix).collect()
+    assert(fr.map(r => (r.getLong(0), r.getLong(3), r.getLong(7))).toSeq ===
+      Seq((10L, 100L, 0L), (25L, 300L, 0L), (50L, 500L, 0L),
+        (75L, 800L, 0L), (90L, 900L, 0L)),
+      "ceil-rank selection: q25 of 10 values is rank 3, q75 rank 8")
+    assert(fr.forall(r => r.getLong(1) === 10L && r.getLong(2) === 10L &&
+      r.getBoolean(8)))
+    // corpus: full driver replay at sf0.001
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.SketchOps.quantileSample(events).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12), 16)
+    val vs = events.filter("value IS NOT NULL")
+      .selectExpr("event_id", "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), draw(r.getLong(0))))
+    def sampleOf(xs: Array[(Long, Long, Long)]) =
+      xs.sortBy(t => (t._3, t._1.toString)).take(graft.ops.SketchOps.QSampleK)
+    val samp = sampleOf(vs).sortBy(t => (t._2, t._1))
+    val n = vs.length.toLong
+    val want = graft.ops.SketchOps.QSampleQuantiles.map { q =>
+      val est = samp((q * samp.length + 99) / 100 - 1)._2
+      val target = (q * n + 99) / 100
+      val below = vs.count(_._2 < est).toLong
+      val atb = vs.count(_._2 <= est).toLong
+      val err = if (below + 1 <= target && target <= atb) 0L
+        else math.min(math.abs(target - below - 1), math.abs(target - atb))
+      (q.toLong, samp.length.toLong, n, est, target, below + 1, atb, err,
+        err * 10 <= n)
+    }
+    assert(real.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+      r.getBoolean(8))).toSeq === want)
+    assert(real.forall(_.getBoolean(8)), "the error law must hold")
+    assert(real.exists(_.getLong(7) > 0L),
+      "a genuine sample must miss some target rank — else it is not sampling")
+    // shard mergeability: bottom-K of the union of two shard bottom-Ks
+    // IS the corpus bottom-K (the law that makes fleet ANALYZE cheap)
+    val (a, b) = vs.partition(_._1 % 2 == 0)
+    val merged = sampleOf((sampleOf(a) ++ sampleOf(b)))
+      .map(t => (t._1, t._2)).toSet
+    assert(merged === sampleOf(vs).map(t => (t._1, t._2)).toSet)
+    val reparted = graft.ops.SketchOps.quantileSample(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q194 theta sets: exact mode below K, set laws are exact, common-θ estimates qualify; driver recount") {
     import java.sql.Timestamp
     def o(k: Long, date: String, price: Double) =
