@@ -195,6 +195,9 @@ object SparkEntry {
     "q03_stats"            -> ((s, d) => EventOps.statsGlobal(Tables.events(s, d))),
     "q04_latest_n"         -> ((s, d) => EventOps.latestN(Tables.events(s, d))),
     "q05_windowed_mean"    -> ((s, d) => EventOps.windowedMean(Tables.events(s, d))),
+    // hopping windows: q05 with overlap — bounded row-local fan-out to
+    // exactly length/hop windows, never a range self-join
+    "q203_hopping_mean"    -> ((s, d) => EventOps.hoppingMean(Tables.events(s, d))),
     "q06_tag_filter"       -> ((s, d) => EventOps.tagFilter(Tables.events(s, d))),
     "q07_raw_range"        -> ((s, d) => EventOps.rawRange(Tables.events(s, d))),
     "q08_parse_props"      -> ((s, d) => EventOps.parseProps(Tables.events(s, d))),
@@ -1052,6 +1055,25 @@ object SparkEntry {
     "q04_latest_n" ->
       """SELECT ts, user_id, value, event_id FROM events WHERE value > 100.0
          ORDER BY ts DESC, event_id DESC LIMIT 20""",
+    // q203: the same row-local window fan-out (range() unnest = explode
+    // sequence), the same integer-DIV hop cells and exact micro mean
+    "q203_hopping_mean" -> {
+      val hop = graft.ops.EventOps.HopUs
+      val w = graft.ops.EventOps.HopWindows
+      s"""WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+                            CAST(ROUND(value * 100) AS BIGINT) AS cents
+                     FROM events WHERE value IS NOT NULL),
+              f AS (SELECT user_id, cents,
+                           (us // $hop - t.i) * $hop AS win_start_us
+                    FROM o, range(0, $w) t(i))
+         SELECT user_id, win_start_us,
+                CAST(win_start_us + ${w * hop} AS BIGINT) AS win_end_us,
+                CAST(COUNT(*) AS BIGINT) AS n_obs,
+                CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                CAST(1000000 * SUM(cents) // COUNT(*) AS BIGINT) AS mean_micro
+         FROM f GROUP BY user_id, win_start_us
+         ORDER BY user_id, win_start_us"""
+    },
     "q05_windowed_mean" ->
       """SELECT date_trunc('hour', ts) AS w_start,
                 date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,

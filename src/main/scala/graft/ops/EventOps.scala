@@ -78,6 +78,40 @@ object EventOps {
         col("user_id"), col("mean_value"), col("n"))
       .orderBy("w_start", "user_id")
 
+  /** q203's dials: 24 h windows hopping every 6 h — length DIV hop = 4,
+    * the overlap factor every observation fans out to. */
+  val HopUs: Long = 6L * 3600000000L
+  val HopWindows: Long = 4L
+
+  /** q203 — HOPPING (sliding) WINDOW AGGREGATION: q05's tumbling mean
+    * generalized to OVERLAPPING windows — `window(ts, "24 hours",
+    * "6 hours")` in streaming SQL, the dashboard's smoothed series where
+    * tumbling cells are too jumpy. Every observation belongs to exactly
+    * [[HopWindows]] windows (the window starting at ⌊us/hop⌋·hop and the
+    * three before it), so the fan-out is a bounded row-local explode —
+    * never a range self-join — and the aggregate stays one map-combinable
+    * groupBy. Per (user, window start): exact count, cents sum, and the
+    * floor'd micro mean; windows with no observations don't ship (the
+    * q190 grid fills gaps when a panel needs them).
+    *
+    * Cross-engine note: hop indices come from integer DIV on nonneg
+    * epochs, window starts in exact µs — no timestamp arithmetic. */
+  def hoppingMean(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) AS us",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .selectExpr("user_id", "cents",
+        s"explode(sequence(0L, ${HopWindows - 1}L)) AS i",
+        s"us DIV $HopUs AS cell")
+      .selectExpr("user_id", "cents", s"(cell - i) * $HopUs AS win_start_us")
+      .groupBy("user_id", "win_start_us")
+      .agg(count(lit(1)).as("n_obs"), sum("cents").as("sum_cents"))
+      .selectExpr("user_id", "win_start_us",
+        s"win_start_us + ${HopWindows * HopUs} AS win_end_us",
+        "n_obs", "sum_cents",
+        "1000000 * sum_cents DIV n_obs AS mean_micro")
+      .orderBy("user_id", "win_start_us")
+
   /** C8 — dashboard tag filter: `userId` IN (...) checkboxes over the fraud
     * table (`screenshots/AmountHistogram.jpg`). `isin` benefits from parquet
     * predicate pushdown. */

@@ -49,6 +49,51 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("q203 hopping mean: each observation lands in exactly 4 overlapping windows; corpus fan-out replays") {
+    val h = 3600000000L
+    // one user: 100c @0h (hop cell 0) and 300c @7h (cell 1) — five
+    // windows total, the middle three hold both observations
+    val fix = Seq((0L, 0L, 100L), (1L, 7L * h, 300L))
+      .toDF("event_id", "usv", "cents")
+      .selectExpr("timestamp_micros(usv) AS ts", "event_id",
+        "CAST(1 AS BIGINT) AS user_id",
+        "CAST(cents AS DOUBLE) / 100 AS value", "'t' AS event_type")
+    val got = graft.ops.EventOps.hoppingMean(fix).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val hopUs = graft.ops.EventOps.HopUs
+    assert(got.toSeq === Seq(
+      (-3 * hopUs, 1L, 100L, 100000000L),
+      (-2 * hopUs, 2L, 400L, 200000000L),
+      (-hopUs, 2L, 400L, 200000000L),
+      (0L, 2L, 400L, 200000000L),
+      (hopUs, 1L, 300L, 300000000L)),
+      "overlap: the 7h-apart pair shares exactly the three middle windows")
+    val ends = graft.ops.EventOps.hoppingMean(fix).collect()
+      .map(r => r.getLong(2) - r.getLong(1)).distinct
+    assert(ends.toSeq === Seq(4 * hopUs), "every window spans 24h")
+    // corpus: fan-out replay at sf0.001 + the conservation law
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.EventOps.hoppingMean(events).collect()
+    val obs = events.filter("value IS NOT NULL")
+      .selectExpr("user_id", "unix_micros(ts)", "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = obs.flatMap { case (u, us, c) =>
+      (0L until graft.ops.EventOps.HopWindows).map(i =>
+        ((u, (us / hopUs - i) * hopUs), c))
+    }.groupBy(_._1).toSeq.map { case ((u, w), xs) =>
+      val n = xs.length.toLong; val s = xs.map(_._2).sum
+      (u, w, n, s, 1000000L * s / n)
+    }.sortBy(t => (t._1, t._2))
+    assert(real.map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+      r.getLong(4), r.getLong(5))).toSeq === want)
+    assert(real.map(_.getLong(3)).sum ===
+      graft.ops.EventOps.HopWindows * obs.length,
+      "conservation: every observation counts into exactly 4 windows")
+    val reparted = graft.ops.EventOps.hoppingMean(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q146 benford: digits from exact cents, all 9 rows present, χ² matches a local fold") {
     // amounts chosen so digit comes from CENTS (1.23 → 123 → digit 1),
     // zero amounts excluded, and some digits are absent
