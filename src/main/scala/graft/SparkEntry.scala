@@ -595,6 +595,10 @@ object SparkEntry {
     "q186_join_order"      -> ((s, d) =>
       SketchOps.joinOrderAudit(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
+    // Hilbert layout: q175's bake-off re-run under the unit-locality
+    // curve — same grid, shards, predicates; only the curve differs
+    "q204_hilbert_audit"   -> ((s, d) =>
+      graft.ops.ScaleOps.hilbertAudit(Tables.events(s, d))),
     "q175_zorder_audit"    -> ((s, d) =>
       graft.ops.ScaleOps.zOrderAudit(Tables.events(s, d))),
     // cardinality-estimation q-error audit: the q169 stats estimating
@@ -2163,6 +2167,60 @@ object SparkEntry {
     },
     // q175: identical Morton recipe (shift spelling aside), same
     // predicates and skip rules as q160, null cents in the all-ones bin
+    // q204: the q175 protocol under the Hilbert curve — identical base/
+    // anchor/bin CTEs, the shared per-level expression strings as CTEs,
+    // identical zone aggregation
+    "q204_hilbert_audit" -> {
+      val dayUs = graft.ops.RelationalOps.DayUs
+      val off = SketchOps.HllRangeStartOff
+      val offEnd = SketchOps.HllRangeStartOff + SketchOps.HllRangeLen
+      val (lo, hi) = (graft.ops.ScaleOps.ZoneCentsLo, graft.ops.ScaleOps.ZoneCentsHi)
+      val w = SketchOps.HistBinCents
+      val zPerShard = (1 << (2 * graft.ops.ScaleOps.ZOrderBits)) /
+        graft.ops.ScaleOps.ZOrderShards
+      val carry = Seq("ts_us", "cents", "ts_lo_us", "ts_hi_us_excl")
+      val (ctes, last) = graft.ops.ScaleOps.hilbertDuckCtes("zb", carry)
+      s"""WITH base AS (SELECT epoch_us(ts) // $dayUs AS day,
+                               epoch_us(ts) AS ts_us,
+                               CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT)
+                                    ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+                        FROM events),
+              a AS (SELECT MIN(day) AS d0 FROM base),
+              zb AS (SELECT ts_us, cents,
+                            CAST(day - d0 AS INT) AS hx,
+                            CAST(COALESCE((cents - (((cents % $w) + $w) % $w)) // $w,
+                                          ${graft.ops.ScaleOps.ZOrderNullBin}) AS INT) AS hy,
+                            CAST(0 AS BIGINT) AS h,
+                            (d0 + $off) * $dayUs AS ts_lo_us,
+                            (d0 + $offEnd) * $dayUs AS ts_hi_us_excl
+                     FROM base CROSS JOIN a),
+              $ctes,
+              zz AS (SELECT ts_us, cents, ts_lo_us, ts_hi_us_excl,
+                            h // $zPerShard AS shard
+                     FROM $last),
+              g AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                           MIN(ts_us) AS ts_us_min, MAX(ts_us) AS ts_us_max,
+                           MIN(cents) AS cents_min, MAX(cents) AS cents_max,
+                           MAX(ts_lo_us) AS ts_lo_us,
+                           MAX(ts_hi_us_excl) AS ts_hi_us_excl,
+                           CAST(COUNT(CASE WHEN ts_us >= ts_lo_us
+                                            AND ts_us < ts_hi_us_excl
+                                           THEN 1 END) AS BIGINT) AS n_match_ts,
+                           CAST(COUNT(CASE WHEN cents >= $lo AND cents <= $hi
+                                           THEN 1 END) AS BIGINT) AS n_match_cents
+                    FROM zz GROUP BY shard),
+              s AS (SELECT g.*,
+                           ts_us_max < ts_lo_us OR ts_us_min >= ts_hi_us_excl AS skip_ts,
+                           cents_max IS NULL OR cents_max < $lo
+                             OR cents_min > $hi AS skip_cents
+                    FROM g)
+         SELECT shard, n_rows, ts_us_min, ts_us_max, cents_min, cents_max,
+                skip_ts, n_match_ts,
+                NOT skip_ts OR n_match_ts = 0 AS skip_sound_ts,
+                skip_cents, n_match_cents,
+                NOT skip_cents OR n_match_cents = 0 AS skip_sound_cents
+         FROM s ORDER BY shard"""
+    },
     "q175_zorder_audit" -> {
       val dayUs = graft.ops.RelationalOps.DayUs
       val off = SketchOps.HllRangeStartOff

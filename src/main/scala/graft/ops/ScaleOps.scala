@@ -474,6 +474,116 @@ object ScaleOps {
       .orderBy("shard")
   }
 
+  /** q204's per-level Hilbert transform, ONE set of SQL expression
+    * strings shared verbatim by the Spark projections and the DuckDB
+    * CTEs (operators limited to the common dialect: `&`, CASE, integer
+    * arithmetic). Level `s` reads (hx, hy, h) and the classic xy2d
+    * step applies: quadrant digit `(3·rx) XOR ry` spelled as the
+    * 4-case table (engine-agnostic — no XOR operator needed), then the
+    * flip-and-swap rotation when ry = 0. */
+  private[graft] def hilbertLevelExprs(s: Int): (Seq[String], Seq[String]) = (
+    Seq(s"CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx",
+      s"CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry"),
+    Seq(("h + " + (s.toLong * s) + " * (CASE WHEN rx = 0 AND ry = 0 THEN 0 " +
+      "WHEN rx = 0 AND ry = 1 THEN 1 WHEN rx = 1 AND ry = 1 THEN 2 " +
+      "ELSE 3 END) AS h"),
+      s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $s - 1 - hy ELSE hy END) ELSE hx END AS hx",
+      s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $s - 1 - hx ELSE hx END) ELSE hy END AS hy"))
+
+  /** Applies the [[ZOrderBits]]-level Hilbert fold to a frame carrying
+    * integer columns hx, hy (grid coordinates) and h = 0, threading the
+    * named carry columns through every stage. */
+  private[graft] def hilbertIndex(df: DataFrame, carry: Seq[String]): DataFrame = {
+    var cur = df
+    (0 until ZOrderBits).reverse.foreach { lvl =>
+      val (st1, st2) = hilbertLevelExprs(1 << lvl)
+      cur = cur.selectExpr(carry ++ Seq("hx", "hy", "h") ++ st1: _*)
+      cur = cur.selectExpr(carry ++ st2: _*)
+    }
+    cur
+  }
+
+  /** q204 — HILBERT-CURVE LAYOUT AUDIT: the third point on the
+    * clustering spectrum the repo grades — q160 (time layout: one
+    * dimension prunes), q175 (Morton: both prune, but the Z-curve takes
+    * grid-diagonal JUMPS, so a contiguous shard's bounding box can
+    * stretch across the grid), and now Hilbert, whose defining property
+    * is UNIT-STEP locality: consecutive curve positions are always
+    * grid-adjacent (spec-proven over the whole 32×32 grid — bijection
+    * and |Δ| = 1 per step), so equal-size curve ranges tile the grid in
+    * tighter boxes and the min/max zone maps close in. Same grid, same
+    * shard count, same two predicates, same soundness laws as q175 —
+    * the artifacts differ ONLY in the curve, which is exactly what a
+    * layout bake-off should isolate.
+    *
+    * Scale shape: identical to q175 — the curve index is row-local
+    * integer arithmetic (10 narrow projections, whole-stage codegen'd),
+    * one map-combinable shard aggregation, zone maps from the same
+    * min/max algebra. */
+  def hilbertAudit(events: DataFrame): DataFrame = {
+    val dayUs = RelationalOps.DayUs
+    val (off, len) = (SketchOps.HllRangeStartOff, SketchOps.HllRangeLen)
+    val w = SketchOps.HistBinCents
+    val base = events.selectExpr(
+      s"unix_micros(ts) DIV $dayUs AS day",
+      "unix_micros(ts) AS ts_us",
+      "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(round(value * 100) AS BIGINT) END AS cents")
+    val anchor = base.agg(min("day").as("d0"))
+    val zPerShard = (1 << (2 * ZOrderBits)) / ZOrderShards
+    val carry = Seq("ts_us", "cents", "ts_lo_us", "ts_hi_us_excl")
+    val coded = hilbertIndex(
+      base.crossJoin(broadcast(anchor))
+        .selectExpr("ts_us", "cents",
+          "CAST(day - d0 AS INT) AS hx",
+          s"CAST(coalesce((cents - (((cents % $w) + $w) % $w)) DIV $w, " +
+            s"$ZOrderNullBin) AS INT) AS hy",
+          "CAST(0 AS BIGINT) AS h",
+          s"(d0 + $off) * $dayUs AS ts_lo_us",
+          s"(d0 + ${off + len}) * $dayUs AS ts_hi_us_excl"),
+      carry)
+    coded
+      .selectExpr("ts_us", "cents", "ts_lo_us", "ts_hi_us_excl",
+        s"h DIV $zPerShard AS shard")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min("ts_us").as("ts_us_min"), max("ts_us").as("ts_us_max"),
+        min("cents").as("cents_min"), max("cents").as("cents_max"),
+        max("ts_lo_us").as("ts_lo_us"), max("ts_hi_us_excl").as("ts_hi_us_excl"),
+        count(when(col("ts_us") >= col("ts_lo_us") &&
+          col("ts_us") < col("ts_hi_us_excl"), 1)).as("n_match_ts"),
+        count(when(col("cents") >= lit(ZoneCentsLo) &&
+          col("cents") <= lit(ZoneCentsHi), 1)).as("n_match_cents"))
+      .selectExpr("shard", "n_rows", "ts_us_min", "ts_us_max",
+        "cents_min", "cents_max",
+        "ts_us_max < ts_lo_us OR ts_us_min >= ts_hi_us_excl AS skip_ts",
+        "n_match_ts",
+        s"cents_max IS NULL OR cents_max < $ZoneCentsLo " +
+          s"OR cents_min > $ZoneCentsHi AS skip_cents",
+        "n_match_cents")
+      .selectExpr("shard", "n_rows", "ts_us_min", "ts_us_max",
+        "cents_min", "cents_max",
+        "skip_ts", "n_match_ts",
+        "NOT skip_ts OR n_match_ts = 0 AS skip_sound_ts",
+        "skip_cents", "n_match_cents",
+        "NOT skip_cents OR n_match_cents = 0 AS skip_sound_cents")
+      .orderBy("shard")
+  }
+
+  /** The q204 oracle's Hilbert CTE chain: the SAME per-level expression
+    * strings as [[hilbertIndex]], rendered as two CTEs per level. */
+  private[graft] def hilbertDuckCtes(src: String, carry: Seq[String]): (String, String) = {
+    val stages = (0 until ZOrderBits).reverse.zipWithIndex.flatMap {
+      case (lvl, i) =>
+        val (st1, st2) = hilbertLevelExprs(1 << lvl)
+        val prev = if (i == 0) src else s"l${i - 1}b"
+        Seq(
+          s"l${i}a AS (SELECT ${(carry ++ Seq("hx", "hy", "h") ++ st1).mkString(", ")} FROM $prev)",
+          s"l${i}b AS (SELECT ${(carry ++ st2).mkString(", ")} FROM l${i}a)")
+    }
+    (stages.mkString(",\n              "), s"l${ZOrderBits - 1}b")
+  }
+
   /** q179's bin-count dial: the target bin size is ⌈total/[[CompactionBins]]⌉
     * exact integer bytes, so the plan scales with the corpus and the
     * roll never produces more than [[CompactionBins]] bins. */

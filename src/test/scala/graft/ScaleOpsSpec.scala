@@ -326,6 +326,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q204 hilbert: the curve is a unit-adjacent bijection over the whole grid; corpus zones replay and both predicates engage") {
+    val side = 1 << ScaleOps.ZOrderBits
+    // the defining Hilbert property, proven over ALL 1024 cells: h is a
+    // bijection onto [0, side²) and consecutive positions are GRID
+    // NEIGHBORS (|Δx|+|Δy| = 1) — the locality Morton's diagonal jumps
+    // break, and the reason equal curve ranges make tighter zone maps
+    val grid = (0 until side).flatMap(x => (0 until side).map(y => (x, y)))
+      .toDF("gx", "gy")
+      .selectExpr("gx", "gy", "gx AS hx", "gy AS hy", "CAST(0 AS BIGINT) AS h")
+    val coded = ScaleOps.hilbertIndex(grid, Seq("gx", "gy")).collect()
+      .map(r => r.getLong(2) -> (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    assert(coded.map(_._1).toSeq === (0L until (side.toLong * side)),
+      "bijection onto the full curve range")
+    coded.sliding(2).foreach { case Array((_, (x0, y0)), (d, (x1, y1))) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1, s"step at $d")
+    }
+    // corpus: conservation, soundness laws, engagement on both predicates
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = ScaleOps.hilbertAudit(events).collect()
+    assert(real.map(_.getLong(1)).sum === events.count())
+    assert(real.forall(r => r.getBoolean(8) && r.getBoolean(11)),
+      "skip soundness on both predicates is the law")
+    assert(real.exists(_.getBoolean(6)) && real.exists(!_.getBoolean(6)),
+      "the ts predicate must engage (some shards skip, some do not)")
+    assert(real.exists(_.getBoolean(9)),
+      "the cents predicate must have skippable shards under the 2-D curve")
+    val reparted = ScaleOps.hilbertAudit(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q179 compaction plan: laws hold on the corpus, driver roll matches, jumbo file straddles soundly") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, "/root/testdata/sf0.001")
