@@ -720,6 +720,10 @@ object SparkEntry {
     // recursive (c,2)-diversity per QI class up the region ladder
     "q195_l_diversity"     -> ((s, d) =>
       PipelineOps.lDiversityAudit(Tables.customer(s, d), Tables.nation(s, d))),
+    // t-closeness: the trilogy's distributional law — exact integer TVD
+    // per class (absent-value mass included) up the same ladder
+    "q205_t_closeness"     -> ((s, d) =>
+      PipelineOps.tClosenessAudit(Tables.customer(s, d), Tables.nation(s, d))),
     "q180_k_anonymity"     -> ((s, d) =>
       PipelineOps.kAnonymityAudit(Tables.customer(s, d))),
     // weighted stratified sample: the cell completing the sampling

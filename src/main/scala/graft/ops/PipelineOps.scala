@@ -978,9 +978,12 @@ object PipelineOps {
     * domain); every ladder level re-aggregates that bounded table twice
     * (class × sens, then class) — rows never travel past the first
     * collapse, the q154/q180 store-rollup discipline. */
-  def lDiversityAudit(customer: DataFrame, nation: DataFrame): DataFrame = {
+  /** The q195/q205 finest privacy class table (nat, reg, b, sens, n) —
+    * ONE map-combinable corpus collapse, bounded by QI × sensitive
+    * domain; both audits' ladders re-aggregate it. */
+  private[graft] def privacyFine(customer: DataFrame, nation: DataFrame): DataFrame = {
     val w = AnonBalCoarse
-    val fine = customer.join(
+    customer.join(
         broadcast(nation.selectExpr("n_nationkey",
           "CAST(n_regionkey AS BIGINT) AS reg")),
         col("c_nationkey") === col("n_nationkey"))
@@ -990,6 +993,10 @@ object PipelineOps {
       .selectExpr("nat", "reg", "sens",
         s"(cents - (((cents % $w) + $w) % $w)) DIV $w AS b")
       .groupBy("nat", "reg", "b", "sens").agg(count(lit(1)).as("n"))
+  }
+
+  def lDiversityAudit(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val fine = privacyFine(customer, nation)
       .localCheckpoint() // bounded fine store; every ladder level reads it
     def level(classCols: Seq[String], lv: Long): DataFrame = {
       val cls = fine
@@ -1021,6 +1028,77 @@ object PipelineOps {
         """coalesce(min_l >= prev_l AND n_exposed <= prev_exposed, true)
            AS monotone_ok""",
         s"min_l >= $LDivL AS l_ok")
+      .orderBy("level")
+  }
+
+  /** q205's closeness dial: a class violates when its sensitive
+    * distribution sits more than 0.3 total-variation away from the
+    * table's (floor'd micro). */
+  val TCloseMicro = 300000L
+
+  /** q205 — T-CLOSENESS AUDIT: the third privacy law, completing the
+    * trilogy — k-anonymity (q180) bounds how small a QI class can get,
+    * l-diversity (q195) demands several sensitive values per class, and
+    * t-closeness (Li et al.) bounds how much a class's sensitive
+    * DISTRIBUTION may deviate from the table's: a class that is 90% one
+    * segment leaks belief even with 5 distinct values present. For the
+    * categorical sensitive attribute the distance is total variation,
+    * computed EXACTLY in integers by cross-multiplication —
+    * `Σ_present |cn·N − gn·cs| + (N·cs − Σ_present gn·cs)` over
+    * `2·cs·N` (the second term is the mass of sensitive values ABSENT
+    * from the class, which a present-only sum would silently drop) —
+    * floor'd micro. Per ladder level (the q180/q195 ladder): class
+    * count, the worst class's TVD, violations of [[TCloseMicro]], rows
+    * at risk, and `monotone_ok`: max-TVD is non-increasing up the
+    * ladder because a merged class's distribution is the size-weighted
+    * AVERAGE of its parts and TVD is convex — a theorem, graded.
+    *
+    * Scale shape: the [[privacyFine]] collapse once; per level two
+    * re-aggregations of the bounded class table joined against the
+    * bounded global distribution (≤ |sensitive| rows, broadcast). */
+  def tClosenessAudit(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val fine = privacyFine(customer, nation)
+      .localCheckpoint() // bounded fine store; every ladder level reads it
+    val g = fine.groupBy("sens").agg(sum("n").as("gn"))
+      .crossJoin(broadcast(fine.agg(sum("n").as("nn"))))
+      .localCheckpoint() // ≤ |sens| rows + the total
+    def level(classCols: Seq[String], lv: Long): DataFrame = {
+      val cls = fine
+        .groupBy((classCols :+ "sens").map(col): _*).agg(sum("n").as("cn"))
+      val csz = cls.groupBy(classCols.map(col): _*).agg(sum("cn").as("cs"))
+      val withSizes = {
+        val withG = cls.join(broadcast(g), Seq("sens"))
+        if (classCols.isEmpty) withG.crossJoin(broadcast(csz))
+        else withG.join(csz, classCols)
+      }
+      val tvd = withSizes
+        .groupBy((classCols :+ "cs").map(col) :+ col("nn"): _*)
+        .agg(sum(abs(col("cn") * col("nn") - col("gn") * col("cs")))
+            .as("num_present"),
+          sum(col("gn") * col("cs")).as("mass_present"))
+        .selectExpr("cs",
+          """1000000 * (num_present + (nn * cs - mass_present))
+             DIV (2 * cs * nn) AS tvd_micro""")
+      tvd.agg(count(lit(1)).as("n_classes"),
+          max("tvd_micro").as("max_tvd_micro"),
+          count(when(col("tvd_micro") > TCloseMicro, 1)).as("n_violations"),
+          sum(when(col("tvd_micro") > TCloseMicro, col("cs")).otherwise(lit(0L)))
+            .as("n_rows_at_risk"))
+        .selectExpr(s"CAST($lv AS BIGINT) AS level", "n_classes",
+          "max_tvd_micro", "n_violations", "n_rows_at_risk")
+    }
+    val ladder = level(Seq("nat", "b"), 0L)
+      .unionByName(level(Seq("nat"), 1L))
+      .unionByName(level(Seq("reg"), 2L))
+      .unionByName(level(Seq.empty, 3L))
+      .localCheckpoint() // 4 rows; read twice for the monotone join
+    ladder.as("a")
+      .join(broadcast(ladder.selectExpr("level + 1 AS level",
+        "max_tvd_micro AS prev_tvd").as("p")), Seq("level"), "left")
+      .selectExpr("level", "n_classes", "max_tvd_micro", "n_violations",
+        "n_rows_at_risk",
+        "coalesce(max_tvd_micro <= prev_tvd, true) AS monotone_ok",
+        s"max_tvd_micro <= $TCloseMicro AS t_ok")
       .orderBy("level")
   }
 
@@ -1122,6 +1200,63 @@ object PipelineOps {
          ORDER BY lang, rk""",
     // q180: identical floor spelling, the same one-pass fine class table
     // re-aggregated per ladder level, the same +1-level self-join
+    // q205: identical fine collapse, the same exact cross-multiplied
+    // TVD (present deviation + absent mass over 2·cs·N) and ladder
+    "q205_t_closeness" -> {
+      val (w, t) = (AnonBalCoarse, TCloseMicro)
+      def lvl(cols: Seq[String], lv: Int): String = {
+        val sel = if (cols.isEmpty) "" else cols.mkString("", ", ", ",")
+        val gbCls = (cols :+ "sens").mkString(", ")
+        val joinCsz =
+          if (cols.isEmpty) s"CROSS JOIN csz$lv"
+          else s"JOIN csz$lv USING (${cols.mkString(", ")})"
+        val gbCsz = if (cols.isEmpty) "" else s"GROUP BY ${cols.mkString(", ")}"
+        val gbTv = (cols ++ Seq("cs", "nn")).mkString(", ")
+        s"""cls$lv AS (SELECT $sel sens, CAST(SUM(n) AS BIGINT) AS cn
+                       FROM fine GROUP BY $gbCls),
+            csz$lv AS (SELECT $sel CAST(SUM(cn) AS BIGINT) AS cs
+                       FROM cls$lv $gbCsz),
+            tv$lv AS (SELECT cs,
+                             1000000 * (SUM(abs(cn * nn - gn * cs))
+                               + (nn * cs - SUM(gn * cs))) // (2 * cs * nn)
+                               AS tvd_micro
+                      FROM cls$lv JOIN g USING (sens) $joinCsz CROSS JOIN tot
+                      GROUP BY $gbTv),
+            ag$lv AS (SELECT CAST($lv AS BIGINT) AS level,
+                             CAST(COUNT(*) AS BIGINT) AS n_classes,
+                             CAST(MAX(tvd_micro) AS BIGINT) AS max_tvd_micro,
+                             CAST(COUNT(CASE WHEN tvd_micro > $t THEN 1 END) AS BIGINT)
+                               AS n_violations,
+                             CAST(COALESCE(SUM(CASE WHEN tvd_micro > $t THEN cs END), 0)
+                               AS BIGINT) AS n_rows_at_risk
+                      FROM tv$lv)"""
+      }
+      s"""WITH fine AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+                               CAST(n_regionkey AS BIGINT) AS reg,
+                               c_mktsegment AS sens,
+                               (b0 - (((b0 % $w) + $w) % $w)) // $w AS b,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM (SELECT c_nationkey, n_regionkey, c_mktsegment,
+                                     CAST(ROUND(c_acctbal * 100) AS BIGINT) AS b0
+                              FROM customer JOIN nation ON c_nationkey = n_nationkey)
+                        GROUP BY 1, 2, 3, (b0 - (((b0 % $w) + $w) % $w)) // $w),
+              g AS (SELECT sens, CAST(SUM(n) AS BIGINT) AS gn FROM fine GROUP BY 1),
+              tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM fine),
+              ${lvl(Seq("nat", "b"), 0)},
+              ${lvl(Seq("nat"), 1)},
+              ${lvl(Seq("reg"), 2)},
+              ${lvl(Seq.empty, 3)},
+              lad AS (SELECT * FROM ag0 UNION ALL SELECT * FROM ag1
+                      UNION ALL SELECT * FROM ag2 UNION ALL SELECT * FROM ag3)
+         SELECT a.level AS level, a.n_classes AS n_classes,
+                a.max_tvd_micro AS max_tvd_micro,
+                a.n_violations AS n_violations,
+                a.n_rows_at_risk AS n_rows_at_risk,
+                COALESCE(a.max_tvd_micro <= p.max_tvd_micro, true) AS monotone_ok,
+                a.max_tvd_micro <= $t AS t_ok
+         FROM lad a LEFT JOIN lad p ON p.level = a.level - 1
+         ORDER BY a.level"""
+    },
     // q195: identical fine collapse (same negative-safe floor bucket,
     // region via the same dimension join), identical two-level class
     // aggregation and ladder/monotone algebra

@@ -640,6 +640,74 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q205 t-closeness: exact TVD with absent mass, boundary non-violation, ladder converges to zero; driver recount") {
+    import org.apache.spark.sql.functions.col
+    // global: 4 AUTO + 6 BUILDING over 10 rows. nat 0 (4 AUTO + 1 B):
+    // TVD = (|4·10−4·5| + |1·10−6·5|) / (2·5·10) = 40/100 = 0.4 — wait,
+    // recompute in the assertion; nat 1 (5 B): pure class with absent
+    // AUTO mass. The whole-table level is ALWAYS distance zero.
+    val fixNation = Seq((0L, "N0", 0L), (1L, "N1", 0L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val fixCust = ((1 to 4).map(i => (i.toLong, 0L, "AUTO")) ++
+        Seq((5L, 0L, "BUILDING")) ++ (6 to 10).map(i => (i.toLong, 1L, "BUILDING")))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .withColumn("c_acctbal", col("c_custkey") * 0.0)
+    val fr = PipelineOps.tClosenessAudit(fixCust, fixNation).collect()
+    assert(fr.length === 4)
+    // exact: nat0 present sum |4·10−4·5|+|1·10−6·5| = 20+20 = 40, absent 0
+    //        → 1e6·40/(2·5·10) = 400000 (> 300000: violation, 5 at risk)
+    //        nat1 present |5·10−6·5| = 20, absent AUTO 4·5 = 20 → 400000
+    val f0 = fr(0)
+    assert(f0.getLong(1) === 2L && f0.getLong(2) === 400000L &&
+      f0.getLong(3) === 2L && f0.getLong(4) === 10L,
+      "both skewed classes violate at exactly 0.4 TVD")
+    assert(fr(2).getLong(2) === 0L && fr(3).getLong(2) === 0L,
+      "region/table levels merge to the global distribution — distance zero")
+    assert(fr.forall(_.getBoolean(5)), "monotone law on the hand ladder")
+    assert(!f0.getBoolean(6) && fr(3).getBoolean(6))
+    // real corpus: replay every column at sf0.001
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val nation = Tables.nation(spark, "/root/testdata/sf0.001")
+    val rows = PipelineOps.tClosenessAudit(customer, nation).collect()
+    assert(rows.length === 4 && rows.forall(_.getBoolean(5)),
+      "max-TVD monotonicity is a theorem (convexity of TVD under mixing)")
+    assert(rows.exists(!_.getBoolean(6)) && rows.exists(_.getBoolean(6)),
+      "the corpus must populate both t-closeness verdicts")
+    val regOf = nation.selectExpr("CAST(n_nationkey AS BIGINT)",
+        "CAST(n_regionkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cs = customer.selectExpr("CAST(c_nationkey AS BIGINT)", "c_mktsegment",
+        "CAST(round(c_acctbal * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def fl(c: Long, w: Long) = (c - (((c % w) + w) % w)) / w
+    val nn = cs.length.toLong
+    val gdist = cs.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    def auditLevel(key: ((Long, String, Long)) => Any): (Long, Long, Long, Long) = {
+      val classes = cs.groupBy(key).values.map { xs =>
+        val csz = xs.length.toLong
+        val dist = xs.groupBy(_._2).map { case (s, ys) => s -> ys.length.toLong }
+        val present = dist.map { case (s, cn) =>
+          math.abs(cn * nn - gdist(s) * csz) }.sum
+        // keys is a Set — map through a Seq or equal products dedup away
+        val massPresent = dist.keys.toSeq.map(s => gdist(s) * csz).sum
+        (csz, 1000000L * (present + (nn * csz - massPresent)) / (2 * csz * nn))
+      }.toSeq
+      (classes.size.toLong, classes.map(_._2).max,
+        classes.count(_._2 > PipelineOps.TCloseMicro).toLong,
+        classes.filter(_._2 > PipelineOps.TCloseMicro).map(_._1).sum)
+    }
+    val want = Seq(
+      auditLevel(t => (t._1, fl(t._3, PipelineOps.AnonBalCoarse))),
+      auditLevel(t => t._1), auditLevel(t => regOf(t._1)), auditLevel(_ => 0))
+    rows.zip(want).foreach { case (r, (nc, mx, nv, risk)) =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        === ((nc, mx, nv, risk)), s"level ${r.getLong(0)}")
+    }
+    val reparted = PipelineOps.tClosenessAudit(customer.repartition(7), nation)
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
   test("q184 weighted stratified: per-stratum brute rank matches, tiny stratum takes all, shard-mergeable per stratum") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
