@@ -634,6 +634,10 @@ object SparkEntry {
       RelationalOps.cusumDrift(Tables.events(s, d))),
     "q189_constraint_audit" -> ((s, d) =>
       graft.ops.ProfileOps.constraintAudit(Tables.lineitem(s, d))),
+    // tabular drift census: drop-over-drop TVD per monitored feature —
+    // the table monitor; null-effect on this stationary corpus, graded
+    "q206_drift_census"    -> ((s, d) =>
+      graft.ops.ProfileOps.driftCensus(Tables.events(s, d))),
     // time travel: AS OF snapshots = base + LWW collapse of the log
     // PREFIX per cutoff — no stored snapshots; v4 IS q173's table
     "q183_time_travel"     -> ((s, d) =>

@@ -139,6 +139,85 @@ object ProfileOps {
       .orderBy("rule")
   }
 
+  /** q206's drift dial: a feature drifts when the two periods'
+    * distributions sit more than 0.15 total-variation apart (floor'd
+    * micro) — the alarm a table-monitoring service pages on, sized
+    * above the fine-binned features' sampling noise at the smallest
+    * graded corpus (hour-of-day reaches 0.107 TVD at n = 1000 with 24
+    * bins — noise, not drift) so the in-control verdict is a stable
+    * fact at every scale. */
+  val DriftTvdMicro = 150000L
+
+  /** q206 — TABULAR DRIFT CENSUS: the table monitor an ML-ops service
+    * runs between data drops — "has this feature's distribution moved?"
+    * — q127 asks it of the embedding space; this asks it of the tabular
+    * features a model consumes. The corpus splits at the midpoint day
+    * into periods A and B (the drop-over-drop comparison), and each
+    * monitored feature (event type; cents in the shared q156 bins;
+    * hour-of-day) ships its exact total-variation distance between the
+    * periods, cross-multiplied integers as q205 — `Σ_v |na·N_B − nb·N_A|
+    * DIV (2·N_A·N_B)` over the union of observed values, so values
+    * present in only one period contribute their full one-sided mass —
+    * the worst bin (deterministic struct-max tiebreak), and the drift
+    * verdict. On this stationary corpus the monitor correctly reports
+    * no drift at every scale — the null-effect fact, graded like
+    * q168's; the spec forces a real shift through a hand fixture and
+    * watches the verdict flip. At 10¹²-row drops the cross-multiplies
+    * outgrow int64 — production lifts them to DECIMAL(38,0); at graded
+    * scales ANSI overflows loudly if that headroom ever goes.
+    *
+    * Scale shape: ONE corpus pass fans each row to its 3 (feature,
+    * value) pairs row-locally (the q203 bounded explode), one
+    * map-combinable collapse to the bounded (feature, value, na, nb)
+    * table, and per-feature aggregates over that bounded table. */
+  def driftCensus(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val w = SketchOps.HistBinCents
+    val anchor = events.agg(
+      min(expr(s"unix_micros(ts) DIV $dayUs")).as("d0"),
+      max(expr(s"unix_micros(ts) DIV $dayUs")).as("d1"))
+    val pairs = events.crossJoin(broadcast(anchor))
+      .selectExpr(
+        s"unix_micros(ts) DIV $dayUs < d0 + (d1 - d0 + 1) DIV 2 AS in_a",
+        "event_type",
+        "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round(value * 100) AS BIGINT) END AS cents",
+        s"(unix_micros(ts) DIV 3600000000) % 24 AS hod")
+      .selectExpr("in_a",
+        """stack(3,
+             'event_type', coalesce(event_type, '<null>'),
+             'cents_bin',  CAST(coalesce((cents - (((cents % """ + w +
+          s""") + $w) % $w)) DIV $w, -1) AS STRING),
+             'hour_of_day', CAST(hod AS STRING)) AS (feature, value_key)""")
+      .groupBy("feature", "value_key")
+      .agg(count(when(col("in_a"), 1)).as("na"),
+        count(when(!col("in_a"), 1)).as("nb"))
+    val binned = pairs.localCheckpoint() // bounded; read by totals + devs
+    val tot = binned.groupBy("feature")
+      .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+        count(lit(1)).as("n_bins"))
+    val dev = binned.join(broadcast(tot), "feature")
+      .groupBy("feature")
+      .agg(sum(abs(col("na") * col("n_b") - col("nb") * col("n_a")))
+          .as("dev_sum"),
+        max(struct(abs(col("na") * col("n_b") - col("nb") * col("n_a"))
+          .as("dev"), col("value_key").as("value_key"))).as("worst"))
+    tot.join(broadcast(dev), "feature")
+      .selectExpr("feature", "n_a", "n_b", "n_bins",
+        // empty-period guard (the q188 drop class): a single-day corpus
+        // has no drop to compare — NULL distance, never DIV 0
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT)
+                ELSE 1000000 * dev_sum DIV (2 * n_a * n_b) END AS tvd_micro""",
+        "worst.value_key AS worst_bin",
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT)
+                ELSE 1000000 * worst.dev DIV (2 * n_a * n_b)
+           END AS worst_bin_micro""")
+      .selectExpr("feature", "n_a", "n_b", "n_bins", "tvd_micro",
+        "worst_bin", "worst_bin_micro",
+        s"coalesce(tvd_micro > $DriftTvdMicro, false) AS drifted")
+      .orderBy("feature")
+  }
+
   def oracles: Map[String, String] = {
     val profSelects = ProfileColumns.map { c =>
       s"""SELECT '$c' AS column_name, n_rows,
@@ -185,6 +264,57 @@ object ProfileOps {
           FROM lineitem"""
     }
     Map(
+      // q206: identical midpoint cut, the same 3-feature stack (UNION
+      // ALL), the same cross-multiplied TVD with the struct-max worst
+      // bin and the empty-period guard
+      "q206_drift_census" -> {
+        val w = SketchOps.HistBinCents
+        s"""WITH a AS (SELECT MIN(epoch_us(ts) // 86400000000) AS d0,
+                              MAX(epoch_us(ts) // 86400000000) AS d1
+                       FROM events),
+              base AS (SELECT epoch_us(ts) // 86400000000
+                                < d0 + (d1 - d0 + 1) // 2 AS in_a,
+                              event_type,
+                              CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT)
+                                   ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents,
+                              (epoch_us(ts) // 3600000000) % 24 AS hod
+                       FROM events CROSS JOIN a),
+              pr AS (SELECT in_a, 'event_type' AS feature,
+                            COALESCE(event_type, '<null>') AS value_key FROM base
+                     UNION ALL
+                     SELECT in_a, 'cents_bin',
+                            CAST(COALESCE((cents - (((cents % $w) + $w) % $w)) // $w,
+                                          -1) AS VARCHAR) FROM base
+                     UNION ALL
+                     SELECT in_a, 'hour_of_day', CAST(hod AS VARCHAR) FROM base),
+              binned AS (SELECT feature, value_key,
+                                CAST(COUNT(CASE WHEN in_a THEN 1 END) AS BIGINT) AS na,
+                                CAST(COUNT(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS nb
+                         FROM pr GROUP BY 1, 2),
+              tot AS (SELECT feature, CAST(SUM(na) AS BIGINT) AS n_a,
+                             CAST(SUM(nb) AS BIGINT) AS n_b,
+                             CAST(COUNT(*) AS BIGINT) AS n_bins
+                      FROM binned GROUP BY 1),
+              dv AS (SELECT b.feature AS feature,
+                            CAST(SUM(abs(na * n_b - nb * n_a)) AS BIGINT) AS dev_sum,
+                            MAX({'dev': abs(na * n_b - nb * n_a),
+                                 'value_key': value_key}) AS worst
+                     FROM binned b JOIN tot t ON b.feature = t.feature
+                     GROUP BY 1)
+         SELECT t.feature AS feature, n_a, n_b, n_bins,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT)
+                     ELSE CAST(1000000 * dev_sum // (2 * n_a * n_b) AS BIGINT)
+                END AS tvd_micro,
+                worst.value_key AS worst_bin,
+                CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT)
+                     ELSE CAST(1000000 * worst.dev // (2 * n_a * n_b) AS BIGINT)
+                END AS worst_bin_micro,
+                COALESCE(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                              ELSE 1000000 * dev_sum // (2 * n_a * n_b)
+                                     > $DriftTvdMicro END, false) AS drifted
+         FROM tot t JOIN dv ON t.feature = dv.feature
+         ORDER BY t.feature"""
+      },
       "q188_data_profile" ->
         s"""WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, $profAggs
                        FROM orders)

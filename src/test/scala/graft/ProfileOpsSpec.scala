@@ -121,6 +121,68 @@ class ProfileOpsSpec extends SparkSpec {
     assert(reparted === ProfileOps.constraintAudit(li).collect().map(_.toSeq).toSeq)
   }
 
+  test("q206 drift census: a forced type shift drifts at exactly TVD 1, stationary features stay put; corpus is in-control") {
+    val dayUs = 86400000000L
+    // days 0,1 (period A): 4 clicks; days 2,3 (period B): 4 errors — the
+    // event_type distributions are disjoint (TVD exactly 1.0); value and
+    // hour identical across periods (TVD 0); one NULL value lands in the
+    // '-1' cents bin on both sides
+    val fix = (0 until 8).map { i =>
+      (i.toLong, i.toLong / 2 * dayUs, if (i < 4) "click" else "error",
+        if (i % 4 == 3) None else Some(50.0))
+    }.toDF("event_id", "usv", "event_type", "value")
+      .selectExpr("timestamp_micros(usv) AS ts", "event_id", "event_type",
+        "value", "CAST(1 AS BIGINT) AS user_id")
+    val fr = ProfileOps.driftCensus(fix).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(fr.size === 3)
+    val et = fr("event_type")
+    assert(et.getLong(4) === 1000000L && et.getBoolean(7) &&
+      et.getString(5) === "error",
+      "disjoint type distributions: TVD exactly 1, worst-bin tie broken to the larger key")
+    assert(fr("cents_bin").getLong(4) === 0L && !fr("cents_bin").getBoolean(7),
+      "identical value distributions (NULL bin included): zero distance")
+    assert(fr("hour_of_day").getLong(4) === 0L)
+    assert(fr("cents_bin").getLong(3) === 2L, "the NULL bin counts as a bin")
+    // corpus: in-control at sf0.001 (the null-effect fact) + full replay
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = ProfileOps.driftCensus(events).collect()
+    assert(real.length === 3 && real.forall(!_.getBoolean(7)),
+      "a stationary corpus must not page the monitor")
+    val w = graft.ops.SketchOps.HistBinCents
+    val rows = events.selectExpr("unix_micros(ts)", "event_type",
+        "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round(value * 100) AS BIGINT) END")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val days = rows.map(_._1 / dayUs)
+    val cut = days.min + (days.max - days.min + 1) / 2
+    def fl(c: Long) = (c - (((c % w) + w) % w)) / w
+    val feats = rows.flatMap { case (us, et2, cents) =>
+      val inA = us / dayUs < cut
+      Seq((inA, "event_type", Option(et2).getOrElse("<null>")),
+        (inA, "cents_bin", cents.map(fl).getOrElse(-1L).toString),
+        (inA, "hour_of_day", ((us / 3600000000L) % 24).toString))
+    }
+    val want = feats.groupBy(_._2).toSeq.sortBy(_._1).map { case (f, xs) =>
+      val bins = xs.groupBy(_._3).map { case (v, ys) =>
+        v -> (ys.count(_._1).toLong, ys.count(!_._1).toLong) }
+      val nA = bins.valuesIterator.map(_._1).sum
+      val nB = bins.valuesIterator.map(_._2).sum
+      val devs = bins.toSeq.map { case (v, (na, nb)) =>
+        (math.abs(na * nB - nb * nA), v) }
+      val devSum = devs.map(_._1).sum
+      val worst = devs.max
+      (f, nA, nB, bins.size.toLong, 1000000L * devSum / (2 * nA * nB),
+        worst._2, 1000000L * worst._1 / (2 * nA * nB))
+    }
+    assert(real.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6))).toSeq === want)
+    val reparted = ProfileOps.driftCensus(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q188/q189 on an EMPTY drop: profile reports emptiness, rules hold vacuously, no ANSI division throws") {
     val noOrders = handOrders.filter(lit(false))
     val prof = ProfileOps.columnProfile(noOrders).collect()
