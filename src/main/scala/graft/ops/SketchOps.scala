@@ -1515,7 +1515,8 @@ object SketchOps {
     val skb = sketch("in_b").localCheckpoint()
     def thetaOf(sk: DataFrame): DataFrame = sk.agg(
       when(count(lit(1)) < ThetaK, lit(m)).otherwise(max("h")).as("th"))
-    val theta = thetaOf(ska).crossJoin(thetaOf(skb).withColumnRenamed("th", "thb"))
+    val theta = thetaOf(ska)
+      .crossJoin(broadcast(thetaOf(skb).withColumnRenamed("th", "thb")))
       .selectExpr("least(th, thb) AS theta")
     val fo = ska.withColumn("ia", lit(true))
       .join(skb.withColumn("ib", lit(true)), Seq("h"), "full_outer")

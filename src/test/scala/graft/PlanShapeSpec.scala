@@ -949,4 +949,77 @@ class PlanShapeSpec extends SparkSpec {
     assert(!exec.contains("CartesianProduct"),
       s"unbounded cartesian leaked into q157:\n${exec.take(1200)}")
   }
+
+  test("q194 theta sets: no window, no cartesian, tiny sides broadcast (sketch selection guarded via q157's aggregate class)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val q = SketchOps.thetaSets(orders)
+    // the ≤K sketch stages sit behind localCheckpoints (ExistingRDD in
+    // this plan); their partial_topkbycount shape is pinned by the q157
+    // guard on the same Aggregator
+    val plan = q.queryExecution.executedPlan.toString
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q194 must not window — the oracle affords the rank, the engine never does")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian leaked into q194:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"θ/retained sides must broadcast:\n${plan.take(1200)}")
+  }
+
+  test("q199 rank fusion: both rankers take top-N map-side; no cartesian") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = SimilarityOps.rankFusion(docs, emb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"a ranker's top-N degraded to a full sort:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian leaked into q199:\n${plan.take(1200)}")
+  }
+
+  test("q202 quantile sample: corpus never range-sorted before the audit; no cartesian") {
+    val q = SketchOps.quantileSample(events)
+    // the bottom-K selection sits behind a localCheckpoint (its
+    // partial_topkbycount shape is the q157-guarded Aggregator); what the
+    // final plan must show is that the corpus-scale audit never sorts —
+    // the only range exchange allowed is the 5-row presentation sort
+    val plan = q.queryExecution.executedPlan.toString
+    val ranges = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(ranges <= 1, s"corpus-scale sort leaked into q202:\n${plan.take(1600)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian leaked into q202:\n${plan.take(1200)}")
+  }
+
+  test("q203 hopping windows: the overlap is a row-local explode — no window, no self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, Window => LWindow}
+    val q = graft.ops.EventOps.hoppingMean(events)
+    assert(q.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "q203 must not window")
+    assert(q.queryExecution.optimizedPlan.collect { case j: LJoin => j }.isEmpty,
+      "q203 must not join — the fan-out is row-local")
+    val plan = q.queryExecution.executedPlan.toString
+    val gens = "Generate explode".r.findAllIn(plan).length
+    assert(gens == 1, s"expected exactly one bounded explode, got $gens")
+  }
+
+  test("q201 encoding audit: the ledger stage carries the Expand distinct, no cartesian, no unpartitioned window") {
+    // the run-detection lag windows live behind the base localCheckpoint
+    // (ExistingRDD here); their day partitioning is pinned by the q201
+    // spec's day-boundary run-reset assertion instead
+    val q = graft.ops.ScaleOps.encodingAudit(events)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"multi-column exact distinct lost its Expand plan:\n${plan.take(1200)}")
+    assert(!plan.contains("windowspecdefinition()"),
+      "no window may order the whole corpus")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q206 drift census: one corpus pass, bounded bin table joins broadcast, no cartesian") {
+    val q = graft.ops.ProfileOps.driftCensus(events)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian leaked into q206:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"the anchor/bin sides must broadcast:\n${plan.take(1200)}")
+  }
 }
