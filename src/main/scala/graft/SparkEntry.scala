@@ -1040,6 +1040,10 @@ object SparkEntry {
     // is the measured operator.
     "q50_media_features"   -> ((s, d) =>
       graft.multimodal.MediaOps.mediaFeatureStatsOf(mediaShared(s, d))),
+    // the resize leg graded: real decode -> nearest-neighbor 4x4
+    // thumbnail, checksummed — the oracle resamples decoder-free
+    "q207_thumbnail"       -> ((s, d) =>
+      graft.multimodal.MediaOps.thumbnailCensus(Tables.documents(s, d))),
     // audio modality: RIFF/PCM16 payloads parsed by the JDK's WAVE reader
     // — format fields + an order-stable PCM sample checksum; the kind
     // predicate is pushed to the snapshot's parquet scan

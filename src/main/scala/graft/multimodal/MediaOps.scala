@@ -469,17 +469,93 @@ object MediaOps {
     }
   }
 
-  /** Resize stub: metadata-only transform (a real resize would re-encode
-    * `bytes`; the stub scales the typed metadata and tags the mime). */
+  /** Nearest-neighbor sample of a decoded raster onto a `side`×`side`
+    * grid, row-major — source pixel (tx·W DIV side, ty·H DIV side), the
+    * classic integer NN map (exactly reproducible by the decoder-free
+    * oracle; dimensions smaller than the grid duplicate rows/columns,
+    * which IS nearest-neighbor upsampling). Shared by [[resize]] and
+    * [[thumbnailCensus]]. */
+  private[multimodal] def nnSample(img: BufferedImage, w: Int, h: Int): Array[Long] = {
+    val out = new Array[Long](w * h)
+    var t = 0
+    while (t < out.length) {
+      val x = (t % w) * img.getWidth / w
+      val y = (t / w) * img.getHeight / h
+      out(t) = (img.getRGB(x, y) & 0xFFFFFF).toLong
+      t += 1
+    }
+    out
+  }
+
+  /** REAL raster resize: decode the PNG, nearest-neighbor sample onto
+    * the scaled grid, RE-ENCODE through the same pure-JDK PNG writer —
+    * payload and typed metadata stay consistent, unlike the
+    * metadata-only stub this replaced. Non-image kinds and images
+    * already within `maxSide` pass through untouched (no decode paid);
+    * undecodable payloads pass through unchanged (a corrupt record must
+    * not kill the job — the q50 tolerance contract). */
   def resize(media: Dataset[MediaRecord], maxSide: Int): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { m =>
       val s = math.max(m.meta.width, m.meta.height)
       if (m.kind != "image" || s <= maxSide) m
-      else m.copy(meta = m.meta.copy(
-        width = m.meta.width * maxSide / s, height = m.meta.height * maxSide / s))
+      else {
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(m.bytes))
+        if (img == null) m
+        else {
+          val nw = math.max(1, img.getWidth * maxSide / s)
+          val nh = math.max(1, img.getHeight * maxSide / s)
+          val px = nnSample(img, nw, nh)
+          val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+          var t = 0
+          while (t < px.length) {
+            out.setRGB(t % nw, t / nw, px(t).toInt)
+            t += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaRecord(m.media_id, m.kind, bos.toByteArray,
+            m.meta.copy(width = nw, height = nh))
+        }
+      }
     }
+  }
+
+  /** q207's thumbnail grid side. */
+  val ThumbSide = 4
+
+  /** q207 — THUMBNAIL CENSUS: the resize leg of the multimodal pipeline
+    * made a GRADED query — every image payload decodes (real ImageIO,
+    * as q50) and nearest-neighbor resamples onto the fixed
+    * [[ThumbSide]]² grid (the training-data shape: a vision pipeline
+    * normalizes every image to one raster size before featurization).
+    * Ships per image: true decoded dimensions, the rolling checksum
+    * over the 16 sampled values in row-major order (the q50 fold
+    * constants — ANY wrong sampled coordinate or channel breaks it),
+    * their exact sum, and the top-left sample. The oracle recomputes
+    * every value decoder-free from the synthetic raster formula at the
+    * SAME sampled coordinates — the hash grades the decode, the NN
+    * coordinate map, and the re-encode-free fold end to end.
+    *
+    * Scale shape: embarrassingly parallel map over image payloads (the
+    * modality filter prunes before synthesis/decode); output one narrow
+    * row per image. */
+  def thumbnailCensus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fromDocumentsOf(docs, Some("image")).flatMap { m =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(m.bytes))
+      if (img == null) None
+      else {
+        val px = nnSample(img, ThumbSide, ThumbSide)
+        var acc = 1125899906842597L
+        px.foreach(p => acc = 31 * acc + p)
+        Some((m.media_id, img.getWidth.toLong, img.getHeight.toLong,
+          acc, px.sum, px(0)))
+      }
+    }.toDF("doc_id", "w", "h", "thumb_checksum", "thumb_sum", "top_left")
+      .orderBy("doc_id")
   }
 
   /** Single-decode combined pass: every payload is decoded ONCE per record
@@ -653,6 +729,36 @@ object MediaOps {
                    chk.cks AS sample_checksum
             FROM a JOIN chk ON a.doc_id = chk.doc_id
             ORDER BY doc_id""",
+      // q207: the same raster formula sampled at the NN thumbnail
+      // coordinates ((t%4)·w//4, (t//4)·h//4) — identical fold
+      // constants, identical signed conversion; any wrong coordinate,
+      // channel, or order breaks the hash
+      "q207_thumbnail" -> {
+        val side = ThumbSide
+        def pxy(x: String, y: String) =
+          s"((((doc_id::HUGEINT * 6364136223846793005 + " +
+            s"(($x) * 31 + ($y) * 131 + 17) * 2654435761) % $U + $U) % $U // 65536) % 16777216)"
+        val sampled = pxy(s"(i % $side) * w // $side", s"(i // $side) * h // $side")
+        s"""WITH m AS (SELECT doc_id,
+                              CAST(n_chars AS INTEGER) % 16 + 4 AS w,
+                              CAST(n_chars AS INTEGER) % 12 + 3 AS h
+                       FROM documents WHERE doc_id % 3 = 0),
+                px AS (SELECT doc_id, w, h,
+                              list_transform(range(0, ${side * side}),
+                                             i -> $sampled) AS p
+                       FROM m),
+                f AS (SELECT doc_id, w, h, p,
+                             list_reduce(
+                               list_prepend(1125899906842597::HUGEINT, p),
+                               (acc, v) -> (acc * 31 + v) % $U) AS hu
+                      FROM px)
+           SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                  CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - $U
+                            ELSE hu END AS BIGINT) AS thumb_checksum,
+                  CAST(list_aggregate(p, 'sum') AS BIGINT) AS thumb_sum,
+                  CAST(p[1] AS BIGINT) AS top_left
+           FROM f ORDER BY doc_id"""
+      },
       "q50_media_features" ->
       s"""WITH m AS (
             SELECT doc_id,

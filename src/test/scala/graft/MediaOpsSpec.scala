@@ -156,15 +156,64 @@ class MediaOpsSpec extends SparkSpec {
       s"kind filter not pushed to the snapshot scan:\n${plan.take(1500)}")
   }
 
-  test("resize caps image dimensions and leaves other kinds alone") {
+  test("resize is a REAL raster transform: re-encoded payload decodes at the capped dims with NN-sampled pixels") {
     val spark2 = spark
     import spark2.implicits._
+    val src = MediaOps.pngBytes(7L, 16, 12)
     val media = Seq(
-      MediaRecord(0L, "image", Array[Byte](1), MediaMeta("image/png", 6400, 4800, 0L)),
-      MediaRecord(1L, "audio", Array[Byte](1), MediaMeta("audio/wav", 0, 0, 10L))
+      MediaRecord(0L, "image", src, MediaMeta("image/png", 16, 12, 0L)),
+      MediaRecord(1L, "audio", Array[Byte](1), MediaMeta("audio/wav", 0, 0, 10L)),
+      MediaRecord(2L, "image", Array[Byte](1), MediaMeta("image/png", 999, 999, 0L))
     ).toDS()
-    val out = MediaOps.resize(media, maxSide = 640).collect().sortBy(_.media_id)
-    assert(out(0).meta.width === 640 && out(0).meta.height === 480)
+    val out = MediaOps.resize(media, maxSide = 8).collect().sortBy(_.media_id)
+    assert(out(0).meta.width === 8 && out(0).meta.height === 6)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).bytes))
+    assert(img.getWidth === 8 && img.getHeight === 6,
+      "payload and metadata must agree after the re-encode")
+    val orig = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+    for (y <- 0 until 6; x <- 0 until 8)
+      assert((img.getRGB(x, y) & 0xFFFFFF) ===
+        (orig.getRGB(x * 16 / 8, y * 12 / 6) & 0xFFFFFF), s"($x,$y)")
     assert(out(1).meta === MediaMeta("audio/wav", 0, 0, 10L))
+    assert(out(2).bytes.length === 1,
+      "an undecodable payload passes through unchanged, never kills the job")
+  }
+
+  test("q207 thumbnail: NN samples equal the raster formula on a hand image; corpus replay by real decode") {
+    // hand raster: every thumbnail sample must equal the generator
+    // formula at the NN coordinates — the decode→resample path end to end
+    val w = 10; val h = 7; val seed = 3L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MediaOps.pngBytes(seed, w, h)))
+    val px = (0 until 16).map { t =>
+      val x = (t % 4) * w / 4; val y = (t / 4) * h / 4
+      val v = seed * 6364136223846793005L + (x * 31L + y * 131L + 17L) * 2654435761L
+      ((v >>> 16) & 0xFFFFFF, img.getRGB(x, y) & 0xFFFFFF)
+    }
+    px.foreach { case (want, got) => assert(got.toLong === want) }
+    // corpus: the graded query equals a driver replay through the real
+    // decoder at sf0.001
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val real = MediaOps.thumbnailCensus(docs).collect()
+    val want = docs.selectExpr("doc_id", "CAST(n_chars AS INT)")
+      .where("doc_id % 3 = 0").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      .map { case (id, n) =>
+        val (iw, ih) = (n % 16 + 4, n % 12 + 3)
+        val im = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(MediaOps.pngBytes(id, iw, ih)))
+        val ps = (0 until 16).map { t =>
+          (im.getRGB((t % 4) * iw / 4, (t / 4) * ih / 4) & 0xFFFFFF).toLong
+        }
+        var acc = 1125899906842597L
+        ps.foreach(p => acc = 31 * acc + p)
+        (id, iw.toLong, ih.toLong, acc, ps.sum, ps.head)
+      }
+    assert(real.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq === want.toSeq)
+    val reparted = MediaOps.thumbnailCensus(docs.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
   }
 }
