@@ -170,15 +170,24 @@ object ProfileOps {
     * value) pairs row-locally (the q203 bounded explode), one
     * map-combinable collapse to the bounded (feature, value, na, nb)
     * table, and per-feature aggregates over that bounded table. */
-  def driftCensus(events: DataFrame): DataFrame = {
-    val dayUs = 86400000000L
+  /** The row-local (in_a?, feature, value_key) fan-out shared by batch
+    * q206 and [[graft.streaming.StreamDrift]]'s per-batch collapse. When
+    * `cutExpr` is None every row is "live" (in_a = false) — the
+    * streamed side has no midpoint; its reference is an artifact. */
+  private[graft] def driftPairs(events: DataFrame,
+                                cutExpr: Option[String]): DataFrame = {
     val w = SketchOps.HistBinCents
-    val anchor = events.agg(
-      min(expr(s"unix_micros(ts) DIV $dayUs")).as("d0"),
-      max(expr(s"unix_micros(ts) DIV $dayUs")).as("d1"))
-    val pairs = events.crossJoin(broadcast(anchor))
-      .selectExpr(
-        s"unix_micros(ts) DIV $dayUs < d0 + (d1 - d0 + 1) DIV 2 AS in_a",
+    val dayUs = 86400000000L
+    val base = cutExpr match {
+      case Some(cut) =>
+        val anchor = events.agg(
+          min(expr(s"unix_micros(ts) DIV $dayUs")).as("d0"),
+          max(expr(s"unix_micros(ts) DIV $dayUs")).as("d1"))
+        events.crossJoin(broadcast(anchor)).selectExpr(s"$cut AS in_a",
+          "event_type", "value", "ts")
+      case None => events.selectExpr("false AS in_a", "event_type", "value", "ts")
+    }
+    base.selectExpr("in_a",
         "event_type",
         "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
           "ELSE CAST(round(value * 100) AS BIGINT) END AS cents",
@@ -189,10 +198,13 @@ object ProfileOps {
              'cents_bin',  CAST(coalesce((cents - (((cents % """ + w +
           s""") + $w) % $w)) DIV $w, -1) AS STRING),
              'hour_of_day', CAST(hod AS STRING)) AS (feature, value_key)""")
-      .groupBy("feature", "value_key")
-      .agg(count(when(col("in_a"), 1)).as("na"),
-        count(when(!col("in_a"), 1)).as("nb"))
-    val binned = pairs.localCheckpoint() // bounded; read by totals + devs
+  }
+
+  /** The drift ledger off a collapsed (feature, value_key, na, nb) bin
+    * table — shared verbatim by batch q206 and the streamed posture, so
+    * the two cannot drift (pun intended). */
+  private[graft] def driftRender(binned0: DataFrame): DataFrame = {
+    val binned = binned0.localCheckpoint() // bounded; read by totals + devs
     val tot = binned.groupBy("feature")
       .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
         count(lit(1)).as("n_bins"))
@@ -216,6 +228,16 @@ object ProfileOps {
         "worst_bin", "worst_bin_micro",
         s"coalesce(tvd_micro > $DriftTvdMicro, false) AS drifted")
       .orderBy("feature")
+  }
+
+  def driftCensus(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    driftRender(
+      driftPairs(events,
+        Some(s"unix_micros(ts) DIV $dayUs < d0 + (d1 - d0 + 1) DIV 2"))
+        .groupBy("feature", "value_key")
+        .agg(count(when(col("in_a"), 1)).as("na"),
+          count(when(!col("in_a"), 1)).as("nb")))
   }
 
   def oracles: Map[String, String] = {
