@@ -491,6 +491,11 @@ object SparkEntry {
     "q197_bfs_radius"      -> ((s, d) =>
       graft.ops.GraphOps.bfsBlastRadius(Tables.customer(s, d),
         Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // k-core: the robust trading core via the cascading peel — degree
+    // alone overcounts; survivors need K partners among THEMSELVES
+    "q208_kcore"           -> ((s, d) =>
+      graft.ops.GraphOps.kCore(Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q140_pagerank"        -> ((s, d) =>
       graft.ops.GraphOps.pageRank(Tables.orders(s, d), Tables.lineitem(s, d))),
     // triangle/clustering-coefficient census of the near-dup pair graph

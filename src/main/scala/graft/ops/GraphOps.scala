@@ -456,16 +456,24 @@ object GraphOps {
     * distances as [[BfsRounds]] unrolled min-relaxations — frontier BFS
     * and bounded relaxation agree on unit-weight graphs by induction on
     * hop count. */
-  def bfsBlastRadius(customer: DataFrame, supplier: DataFrame,
-                     orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  /** The q197/q208 small-lot trading graph: distinct customer–supplier
+    * pairs carried by quantity-capped lineitems, both directions,
+    * src-partitioned and materialized (every iterative consumer probes
+    * it once per round). */
+  private[graft] def smallLotEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val eb = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.filter(col("l_quantity") <= BfsQtyCap)
           .select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
       .distinct()
-    val edges = eb.unionByName(eb.selectExpr("dst AS src", "src AS dst"))
+    eb.unionByName(eb.selectExpr("dst AS src", "src AS dst"))
       .repartition(col("src")).localCheckpoint()
+  }
+
+  def bfsBlastRadius(customer: DataFrame, supplier: DataFrame,
+                     orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val edges = smallLotEdges(orders, lineitem)
     var dist = supplier.filter(col("s_acctbal") < BfsSeedBal)
       .selectExpr("s_suppkey * 2 + 1 AS node", "CAST(0 AS BIGINT) AS d")
       .localCheckpoint()
@@ -484,6 +492,112 @@ object GraphOps {
         "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type",
         "node DIV 2 AS key", "d AS dist")
       .orderBy("node_type", "key")
+  }
+
+  /** q208's dials: the core threshold and the peel unroll. The observed
+    * peel depths are 6 / 3 / 7 at the three graded scales; unrolling
+    * PAST the fixpoint is safe (a converged round recomputes the same
+    * alive set — the q121 argument), so 12 covers every scale with
+    * margin and the spec drives one extra peel to prove stability. */
+  val KCoreK = 5L
+  val KCoreRounds = 12
+
+  /** q208 — K-CORE DECOMPOSITION: the "robust trading core" question —
+    * iteratively remove every party with fewer than [[KCoreK]] small-lot
+    * trading partners until the survivors all have ≥ K partners AMONG
+    * THEMSELVES (Seidman's k-core; degree alone overcounts — a hub
+    * whose counterparties are all peripheral dies in the SECOND round,
+    * which is why the peel CASCADES and a one-shot degree filter is
+    * wrong). Ships one row per customer and supplier: the in-core
+    * verdict, the within-core degree (NULL outside), and the round the
+    * peel removed the node (NULL for survivors — the coreness layer, a
+    * centrality measure in its own right). At the smallest scale the
+    * 5-core is legitimately EMPTY (every node peels within 6 rounds);
+    * at sf0.01+ both branches populate.
+    *
+    * Scale shape: per round two co-keyed equi-joins restrict the edge
+    * list to the shrinking alive set and one map-combinable degree
+    * aggregate — the q140/q197 bounded-round iterative class; rounds
+    * are a dial, never data-dependent driver logic. The oracle unrolls
+    * the same peel as CTE pairs. */
+  def kCore(customer: DataFrame, supplier: DataFrame,
+            orders: DataFrame, lineitem: DataFrame,
+            k: Long = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
+    val spark = customer.sparkSession
+    import spark.implicits._
+    val edges = smallLotEdges(orders, lineitem)
+    val nodes = customer.selectExpr("c_custkey * 2 AS node")
+      .unionByName(supplier.selectExpr("s_suppkey * 2 + 1 AS node"))
+      .localCheckpoint()
+    var alive = nodes
+    var removed = Seq.empty[(Long, Long)].toDF("node", "removed_round")
+    var lastDeg: DataFrame = null
+    for (r <- 1 to rounds) {
+      val e2 = edges
+        .join(alive.selectExpr("node AS src"), "src")
+        .join(alive.selectExpr("node AS dst"), "dst")
+      val deg = e2.groupBy("src").agg(count(lit(1)).as("deg"))
+      val aliveDeg = alive
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .selectExpr("node", "coalesce(deg, CAST(0 AS BIGINT)) AS deg")
+        .localCheckpoint()
+      removed = removed.unionByName(
+        aliveDeg.filter(col("deg") < k)
+          .selectExpr("node", s"CAST($r AS BIGINT) AS removed_round"))
+      alive = aliveDeg.filter(col("deg") >= k).select("node")
+      lastDeg = aliveDeg
+    }
+    // within-core degree: at the fixpoint the last round's degree over
+    // the surviving set IS the core degree
+    val coreDeg = lastDeg.filter(col("deg") >= k)
+      .selectExpr("node", "deg AS core_degree")
+    nodes
+      .join(coreDeg, Seq("node"), "left")
+      .join(removed.localCheckpoint(), Seq("node"), "left")
+      .selectExpr(
+        "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type",
+        "node DIV 2 AS key", "core_degree IS NOT NULL AS in_core",
+        "core_degree", "removed_round")
+      .orderBy("node_type", "key")
+  }
+
+  private[graft] def kCoreSql(k: Long = KCoreK, rounds: Int = KCoreRounds): String = {
+    // every CTE is MATERIALIZED: each round references the previous one
+    // TWICE (both join sides), so default inlining would expand the
+    // 12-round peel into ~2^12 scans and exhaust the oracle's file
+    // descriptors before it exhausts the planner
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+                  SELECT a.node AS node, CAST(COUNT(b.node) AS BIGINT) AS deg
+                  FROM a${r - 1} a
+                  LEFT JOIN e ON e.src = a.node
+                  LEFT JOIN a${r - 1} b ON e.dst = b.node
+                  GROUP BY a.node),
+          a$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),
+          rm$r AS (SELECT node, CAST($r AS BIGINT) AS removed_round
+                   FROM d$r WHERE deg < $k)"""
+    }.mkString(",\n          ")
+    val rmUnion = (1 to rounds).map(r => s"SELECT * FROM rm$r")
+      .mkString(" UNION ALL ")
+    s"""WITH eb AS MATERIALIZED (
+                SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE l_quantity <= $BfsQtyCap),
+        e AS MATERIALIZED (SELECT src, dst FROM eb
+                           UNION ALL SELECT dst, src FROM eb),
+        a0 AS MATERIALIZED (SELECT c_custkey * 2 AS node FROM customer
+               UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+        $roundCtes,
+        rm AS ($rmUnion),
+        core AS (SELECT d$rounds.node AS node, d$rounds.deg AS core_degree
+                 FROM d$rounds JOIN a$rounds ON d$rounds.node = a$rounds.node)
+        SELECT CASE WHEN a0.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_type,
+               a0.node // 2 AS key, core.node IS NOT NULL AS in_core,
+               core.core_degree AS core_degree, rm.removed_round AS removed_round
+        FROM a0 LEFT JOIN core ON core.node = a0.node
+                LEFT JOIN rm ON rm.node = a0.node
+        ORDER BY node_type, key"""
   }
 
   private[graft] def bfsSql(rounds: Int = BfsRounds): String = {
@@ -511,6 +625,7 @@ object GraphOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "q208_kcore" -> kCoreSql(),
     "q197_bfs_radius" -> bfsSql(),
     "q140_pagerank" -> pageRankSql(),
     // q150: identical cap, projection, cosine expression, and the same

@@ -379,6 +379,77 @@ class GraphOpsSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q208 k-core: the peel cascades (a node dies only after its neighbor does), core degrees exact; corpus replay + fixpoint") {
+    // k=2 hand graph: 4-cycle c1-s1-c2-s2 survives; c3 (one partner)
+    // peels round 1; s3 (one partner) peels round 1, which drops c4 to
+    // one partner — it peels round 2: the CASCADE a one-shot degree
+    // filter cannot express
+    val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val supplier = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val orders = Seq((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (40L, 3L), (40L, 2L))
+      .map { case (o, s) => (o, s, 1.0) }
+      .toDF("l_orderkey", "l_suppkey", "l_quantity")
+    val got = GraphOps.kCore(customer, supplier, orders, lineitem,
+        k = 2L, rounds = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    def row(t: String, k: Long) = got((t, k))
+    Seq(("customer", 1L), ("customer", 2L), ("supplier", 1L), ("supplier", 2L))
+      .foreach { case (t, k) =>
+        val r = row(t, k)
+        assert(r.getBoolean(2) && r.getLong(3) === 2L && r.isNullAt(4), s"$t $k")
+      }
+    assert(!row("customer", 3L).getBoolean(2) &&
+      row("customer", 3L).getLong(4) === 1L)
+    assert(row("supplier", 3L).getLong(4) === 1L)
+    assert(row("customer", 4L).getLong(4) === 2L,
+      "c4 must die in round TWO — only after s3's removal starves it")
+    // corpus at sf0.001: exact driver peel replay + fixpoint stability
+    val dir = "/root/testdata/sf0.001"
+    val (c, s, o, l) = (Tables.customer(spark, dir), Tables.supplier(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+    val real = GraphOps.kCore(c, s, o, l).collect()
+    val eb = o.join(l.filter(col("l_quantity") <= GraphOps.BfsQtyCap),
+        o("o_orderkey") === l("l_orderkey"))
+      .selectExpr("o_custkey * 2", "l_suppkey * 2 + 1").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Set[Long]] = (eb ++ eb.map(_.swap)).groupBy(_._1)
+      .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val nodes = (c.selectExpr("c_custkey * 2").collect().map(_.getLong(0)) ++
+      s.selectExpr("s_suppkey * 2 + 1").collect().map(_.getLong(0))).toSet
+    var alive = nodes
+    val removedAt = scala.collection.mutable.Map.empty[Long, Long]
+    var r = 0
+    var changed = true
+    while (changed && r < GraphOps.KCoreRounds) {
+      r += 1
+      val deg = alive.map(n => n -> adj.getOrElse(n, Set.empty).count(alive)).toMap
+      val drop = alive.filter(n => deg(n) < GraphOps.KCoreK)
+      changed = drop.nonEmpty
+      drop.foreach(n => removedAt(n) = r.toLong)
+      alive = alive -- drop
+    }
+    assert(alive.forall(n =>
+      adj.getOrElse(n, Set.empty).count(alive) >= GraphOps.KCoreK),
+      "fixpoint: one more peel must remove nothing")
+    real.foreach { rr =>
+      val node = if (rr.getString(0) == "customer") rr.getLong(1) * 2
+                 else rr.getLong(1) * 2 + 1
+      assert(rr.getBoolean(2) === alive.contains(node))
+      if (alive.contains(node)) {
+        assert(rr.getLong(3) === adj(node).count(alive).toLong && rr.isNullAt(4))
+      } else {
+        assert(rr.isNullAt(3) && rr.getLong(4) === removedAt(node))
+      }
+    }
+    val reparted = GraphOps.kCore(c.repartition(7), s, o, l.repartition(5))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q140 pagerank: hand graph matches the exact integer reference; hub outranks leaves") {
     // star: customer 1 buys from suppliers 1,2,3; customer 2 from supplier 1
     // orders (o_orderkey, o_custkey); lineitem (l_orderkey, l_suppkey)
