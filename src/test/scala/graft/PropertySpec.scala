@@ -426,6 +426,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("theta sketches truncate-merge: bottom-K of shard bottom-Ks = corpus bottom-K, and the common-θ algebra survives merging (40 random splits)") {
+    // the law q194/q202's scale story rests on, proven from first
+    // principles: a sketch built from per-shard sketches is the corpus
+    // sketch — so the set-operation estimates computed from merged
+    // sketches are the single-pass estimates, bit for bit
+    val k = 16
+    val thRnd = new scala.util.Random(101)
+    (1 to 40).foreach { trial =>
+      val universe = (1 to 200).map(_ => thRnd.nextLong() & 0xFFFFFFFFFFFFL)
+        .distinct
+      val shards = universe.groupBy(_ => thRnd.nextInt(4)).values.toSeq
+      def sketchOf(xs: Seq[Long]) = xs.distinct.sorted.take(k)
+      val merged = sketchOf(shards.flatMap(sketchOf))
+      assert(merged === sketchOf(universe), s"trial $trial: truncate-merge")
+      // θ from the merged sketch equals the single-pass θ
+      def thetaOf(sk: Seq[Long], n: Int) =
+        if (n < k) Long.MaxValue else sk.last
+      assert(thetaOf(merged, universe.size) ===
+        thetaOf(sketchOf(universe), universe.size), s"trial $trial: θ")
+    }
+  }
+
+  test("CUSUM closed form (prefix minus running min) equals the clamp fold on 100 random series") {
+    val cuRnd = new scala.util.Random(103)
+    (1 to 100).foreach { trial =>
+      val xs = Seq.fill(cuRnd.nextInt(60) + 1)(cuRnd.nextLong() % 10000L)
+      // fold: S_i = max(0, S_{i-1} + x_i)
+      val fold = xs.scanLeft(0L)((s, x) => math.max(0L, s + x)).tail
+      // closed form: P_i − min(0, min_{j≤i} P_j)
+      val prefix = xs.scanLeft(0L)(_ + _).tail
+      val runMin = prefix.scanLeft(Long.MaxValue)(math.min).tail
+      val closed = prefix.zip(runMin).map { case (p, m) => p - math.min(0L, m) }
+      assert(closed === fold, s"trial $trial: the q193 identity")
+    }
+  }
+
+  test("k-core is peel-order independent: simultaneous rounds and one-at-a-time removal reach the same core (30 random bipartite graphs)") {
+    val kcRnd = new scala.util.Random(107)
+    (1 to 30).foreach { trial =>
+      val left = (0 until kcRnd.nextInt(15) + 5).map(i => i * 2L)
+      val right = (0 until kcRnd.nextInt(15) + 5).map(i => i * 2L + 1)
+      val edges = (for (a <- left; b <- right if kcRnd.nextInt(100) < 25)
+        yield (a, b)).toSet
+      val adj = (edges.toSeq ++ edges.toSeq.map(_.swap)).groupBy(_._1)
+        .map { case (n, v) => n -> v.map(_._2).toSet }
+      val k = 3
+      // simultaneous rounds (the engine's peel)
+      var alive = (left ++ right).toSet
+      var changed = true
+      while (changed) {
+        val drop = alive.filter(n => adj.getOrElse(n, Set.empty).count(alive) < k)
+        changed = drop.nonEmpty
+        alive = alive -- drop
+      }
+      // one-at-a-time removal in a scrambled order
+      var alive2 = (left ++ right).toSet
+      var again = true
+      while (again) {
+        kcRnd.shuffle(alive2.toSeq).find(n =>
+          adj.getOrElse(n, Set.empty).count(alive2) < k) match {
+          case Some(n) => alive2 -= n
+          case None => again = false
+        }
+      }
+      assert(alive === alive2,
+        s"trial $trial: the k-core must not depend on removal order")
+    }
+  }
+
   test("A-Res replica keys: max-of-w draws ranks exactly like exact-rational u^(1/w) on 50 random weighted sets") {
     // the q176/q184 exactness claim from first principles: the replica
     // key max_{r<w} md5_48(id:r) is a legitimate A-Res key — its
