@@ -618,6 +618,13 @@ object SparkEntry {
     // upgraded to exact per-day median/MAD flags, graded side by side
     "q187_robust_outliers" -> ((s, d) =>
       RelationalOps.robustOutliers(Tables.events(s, d))),
+    // dollar-weighted vs count median per day — the tail-heaviness pair,
+    // both exact selections over the shared bounded value-count table
+    "q209_weighted_median" -> ((s, d) =>
+      RelationalOps.weightedMedian(Tables.events(s, d))),
+    // per-nation supplier concentration: exact HHI / Gini / top-share
+    "q210_concentration"   -> ((s, d) =>
+      RelationalOps.concentrationCensus(Tables.supplier(s, d), Tables.lineitem(s, d))),
     // Deequ-class profiling: per-column completeness/distinctness/
     // uniqueness in ONE Expand-planned pass, and the candidate-key/FD/
     // denial-constraint audit with exact violation counts
@@ -1468,6 +1475,59 @@ object SparkEntry {
          FROM grid g LEFT JOIN obs o
            ON g.user_id = o.user_id AND g.hour = o.hour
          ORDER BY user_id, hour"""
+    },
+    // q209: identical value-count collapse and the same two cumulative
+    // lower-median selections; windowed SUMs cast from HUGEINT
+    "q209_weighted_median" ->
+      s"""WITH vc AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              cum AS (SELECT day, cents, n,
+                             CAST(SUM(cents * n) OVER w AS BIGINT) AS cm,
+                             CAST(SUM(n) OVER w AS BIGINT) AS cn,
+                             CAST(SUM(cents * n) OVER d AS BIGINT) AS tm,
+                             CAST(SUM(n) OVER d AS BIGINT) AS tn
+                      FROM vc
+                      WINDOW w AS (PARTITION BY day ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING),
+                             d AS (PARTITION BY day)),
+              sel AS (SELECT day, MAX(tn) AS n_obs, MAX(tm) AS total_cents,
+                             MIN(CASE WHEN 2 * cm >= tm THEN cents END) AS wmedian_cents,
+                             MIN(CASE WHEN 2 * cn >= tn THEN cents END) AS cmedian_cents
+                      FROM cum GROUP BY day)
+         SELECT day, n_obs, total_cents, wmedian_cents, cmedian_cents,
+                1000000 * wmedian_cents // cmedian_cents AS wm_over_cm_micro,
+                wmedian_cents >= cmedian_cents AS tail_heavy
+         FROM sel ORDER BY day""",
+    // q210: identical per-supplier collapse and ascending rank; HHI and
+    // Gini cross-multiplied in HUGEINT, shipped BIGINT
+    "q210_concentration" -> {
+      val t = graft.ops.RelationalOps.HhiConcentratedMicro
+      s"""WITH rev AS (SELECT CAST(s_nationkey AS BIGINT) AS nat, l_suppkey,
+                              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                                   AS BIGINT) AS r
+                       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                       GROUP BY 1, 2),
+              rk AS (SELECT nat, r,
+                            CAST(row_number() OVER (PARTITION BY nat
+                                 ORDER BY r, l_suppkey) AS BIGINT) AS i
+                     FROM rev),
+              g AS (SELECT nat, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(r) AS BIGINT) AS rr,
+                           SUM(CAST(r AS HUGEINT) * r) AS sum_r2,
+                           SUM(CAST(i AS HUGEINT) * r) AS sum_ir,
+                           MAX(r) AS max_r
+                    FROM rk GROUP BY nat)
+         SELECT nat, n, rr AS total_cents,
+                CAST(1000000 * sum_r2 // (CAST(rr AS HUGEINT) * rr) AS BIGINT)
+                  AS hhi_micro,
+                CAST((2 * sum_ir - CAST(n + 1 AS HUGEINT) * rr) * 1000000
+                     // (CAST(n AS HUGEINT) * rr) AS BIGINT) AS gini_micro,
+                1000000 * max_r // rr AS top1_micro,
+                CAST(1000000 * sum_r2 // (CAST(rr AS HUGEINT) * rr) AS BIGINT)
+                  > $t AS concentrated
+         FROM g ORDER BY nat"""
     },
     // q191: identical (us, event_id)-ordered lag per user, the same
     // reset rule and exact integer micro-rate

@@ -824,6 +824,99 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q209 weighted median: dollars and counts split differently on a tail, agree on uniform days; corpus replay") {
+    // day 0: four 1c + one 10c — HALF THE DOLLARS travel in the one big
+    // transaction (wmedian 10) while the count median is 1; day 1:
+    // uniform — the two medians coincide
+    val fix = Seq((0L, 1L), (0L, 1L), (0L, 1L), (0L, 1L), (0L, 10L),
+      (1L, 5L), (1L, 5L), (1L, 5L)).zipWithIndex
+      .map { case ((d, c), i) => (d * 86400000000L + i, i.toLong, c) }
+      .toDF("usv", "event_id", "cents")
+      .selectExpr("timestamp_micros(usv) AS ts", "event_id",
+        "CAST(1 AS BIGINT) AS user_id",
+        "CAST(cents AS DOUBLE) / 100 AS value", "'t' AS event_type")
+    val got = graft.ops.RelationalOps.weightedMedian(fix).collect()
+    assert(got.length === 2)
+    assert((got(0).getLong(3), got(0).getLong(4), got(0).getLong(5),
+      got(0).getBoolean(6)) === ((10L, 1L, 10000000L, true)),
+      "day 0: weighted 10, count 1 — the tail pair")
+    assert(got(1).getLong(3) === 5L && got(1).getLong(4) === 5L &&
+      got(1).getLong(5) === 1000000L)
+    // corpus: driver replay at sf0.001
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.RelationalOps.weightedMedian(events).collect()
+    val vs = events.filter("value IS NOT NULL")
+      .selectExpr("unix_micros(ts) DIV 86400000000", "CAST(round(value * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = vs.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, xs) =>
+      val cs = xs.map(_._2).sorted
+      val tm = cs.sum; val tn = cs.length.toLong
+      def lowerBy(mass: Long => Long, tot: Long): Long = {
+        var acc = 0L
+        cs.find { c => acc += mass(c); 2 * acc >= tot }.get
+      }
+      val wm = lowerBy(identity, tm)
+      val cm = lowerBy(_ => 1L, tn)
+      (d, tn, tm, wm, cm, 1000000L * wm / cm, wm >= cm)
+    }
+    assert(real.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq === want)
+    assert(real.forall(_.getBoolean(6)),
+      "this corpus is tail-heavy on every day — the fact the pair exists to show")
+    val reparted = graft.ops.RelationalOps.weightedMedian(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
+  test("q210 concentration: monopoly, balanced duopoly, and skewed trio price exactly; corpus replay") {
+    // nation 0: monopoly (gini 0, hhi 1e6); nation 1: equal duopoly
+    // (gini 0, hhi 500000 — still over the 0.25 line); nation 2: trio
+    // 1/1/8 (hhi 660000, gini 466666, top1 800000)
+    val supplier = Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 2L))
+      .toDF("s_suppkey", "s_nationkey")
+    val lineitem = Seq((1L, 500L), (2L, 300L), (3L, 300L),
+      (4L, 100L), (5L, 100L), (6L, 400L), (6L, 400L))
+      .toDF("l_suppkey", "cents")
+      .selectExpr("l_suppkey", "CAST(cents AS DOUBLE) / 100 AS l_extendedprice")
+    val got = graft.ops.RelationalOps.concentrationCensus(supplier, lineitem)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((got(0L).getLong(1), got(0L).getLong(3), got(0L).getLong(4),
+      got(0L).getBoolean(6)) === ((1L, 1000000L, 0L, true)))
+    assert((got(1L).getLong(3), got(1L).getLong(4)) === ((500000L, 0L)),
+      "equal duopoly: hhi half, gini zero")
+    assert((got(2L).getLong(3), got(2L).getLong(4), got(2L).getLong(5)) ===
+      ((660000L, 466666L, 800000L)), "1/1/8 trio")
+    // corpus replay at sf0.001 (every nation a monopoly there — the
+    // degenerate-but-correct small-scale face)
+    val dir = "/root/testdata/sf0.001"
+    val real = graft.ops.RelationalOps.concentrationCensus(
+      Tables.supplier(spark, dir), Tables.lineitem(spark, dir)).collect()
+    val rev = Tables.lineitem(spark, dir)
+      .selectExpr("l_suppkey", "CAST(round(l_extendedprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val natOf = Tables.supplier(spark, dir)
+      .selectExpr("s_suppkey", "CAST(s_nationkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rev.toSeq.map { case (sk, r) => (natOf(sk), r) }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (nat, xs) =>
+        val rs = xs.map(_._2).sorted
+        val n = rs.length.toLong; val rr = rs.map(BigInt(_)).sum
+        val hhi = BigInt(1000000) * rs.map(r => BigInt(r) * r).sum / (rr * rr)
+        val sumIr = rs.zipWithIndex.map { case (r, i) => BigInt(i + 1) * r }.sum
+        val gini = (2 * sumIr - BigInt(n + 1) * rr) * 1000000 / (BigInt(n) * rr)
+        (nat, n, rr.toLong, hhi.toLong, gini.toLong,
+          (BigInt(1000000) * rs.max / rr).toLong,
+          hhi.toLong > graft.ops.RelationalOps.HhiConcentratedMicro)
+      }
+    assert(real.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq === want)
+    val reparted = graft.ops.RelationalOps.concentrationCensus(
+      Tables.supplier(spark, dir),
+      Tables.lineitem(spark, dir).repartition(7)).collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q193 cusum drift: clamp at zero, accumulation across modest highs, alarm at h, decay below slack; driver fold replay") {
     // user 1 (slack 7500, h 25000): 10000c (S 2500), 2000c (S clamps to
     // 0 — the deficit must NOT bank), 30000c (S 22500), 12000c (S 27000
