@@ -625,6 +625,10 @@ object SparkEntry {
     // per-nation supplier concentration: exact HHI / Gini / top-share
     "q210_concentration"   -> ((s, d) =>
       RelationalOps.concentrationCensus(Tables.supplier(s, d), Tables.lineitem(s, d))),
+    // top walked event-type trigrams — counted paths, not a Markov
+    // reconstruction; two lags, one bounded count, TakeOrdered top-N
+    "q211_journeys"        -> ((s, d) =>
+      RelationalOps.journeyCensus(Tables.events(s, d))),
     // Deequ-class profiling: per-column completeness/distinctness/
     // uniqueness in ONE Expand-planned pass, and the candidate-key/FD/
     // denial-constraint audit with exact violation counts
@@ -1475,6 +1479,27 @@ object SparkEntry {
          FROM grid g LEFT JOIN obs o
            ON g.user_id = o.user_id AND g.hour = o.hour
          ORDER BY user_id, hour"""
+    },
+    // q211: identical per-user double lag under the same total order,
+    // the same count-then-top-N with the (n DESC, path ASC) tie rule
+    "q211_journeys" -> {
+      val n = graft.ops.RelationalOps.JourneyTopN
+      s"""WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                     FROM events),
+              l AS (SELECT user_id, event_type,
+                           lag(event_type, 1) OVER w AS p1,
+                           lag(event_type, 2) OVER w AS p2
+                    FROM o WINDOW w AS (PARTITION BY user_id
+                                        ORDER BY us, event_id)),
+              c AS (SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path,
+                           CAST(COUNT(*) AS BIGINT) AS n_walks,
+                           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+                    FROM l WHERE p2 IS NOT NULL GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY n_walks DESC, path)
+                     AS BIGINT) AS rank,
+                path, n_walks, n_users
+         FROM (SELECT * FROM c ORDER BY n_walks DESC, path LIMIT $n)
+         ORDER BY rank"""
     },
     // q209: identical value-count collapse and the same two cumulative
     // lower-median selections; windowed SUMs cast from HUGEINT

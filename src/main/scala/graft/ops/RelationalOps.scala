@@ -879,6 +879,41 @@ object RelationalOps {
       .orderBy("day")
   }
 
+  /** q211's shipped depth. */
+  val JourneyTopN = 20
+
+  /** q211 — JOURNEY PATH CENSUS: the top event-type TRIGRAMS across
+    * user histories — the product-analytics "what paths do users
+    * actually walk" question q144's transition matrix cannot answer
+    * (a Markov matrix multiplies bigrams under an independence
+    * assumption; real paths are counted, not reconstructed). Per
+    * trigram under each user's (us, event_id) total order: total
+    * occurrences, distinct walkers, and the rank; ships the top
+    * [[JourneyTopN]] with a deterministic (count DESC, path ASC) order.
+    *
+    * Scale shape: two lag windows per user (the q191/q152 class — one
+    * user_id shuffle serves both), row-local concat, one map-combinable
+    * count with an exact distinct-user count per path (bounded by the
+    * event-type³ domain), and the final top-N as TakeOrderedAndProject
+    * — never a global sort. */
+  def journeyCensus(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events.selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type")
+      .withColumn("p1", lag("event_type", 1).over(w))
+      .withColumn("p2", lag("event_type", 2).over(w))
+      .filter(col("p2").isNotNull)
+      .selectExpr("user_id",
+        "concat_ws(' > ', p2, p1, event_type) AS path")
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_walks"), countDistinct("user_id").as("n_users"))
+      .orderBy(desc("n_walks"), col("path")).limit(JourneyTopN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n_walks"), col("path"))).cast("long"))
+      .select("rank", "path", "n_walks", "n_users")
+      .orderBy("rank")
+  }
+
   /** q210's concentration dial: the antitrust "highly concentrated"
     * line — HHI above 0.25 of the squared-shares scale (2500 points on
     * the 10000-point convention), floor'd micro. */

@@ -917,6 +917,44 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === real.map(_.toSeq).toSeq)
   }
 
+  test("q211 journeys: counted paths with exact walkers, deterministic ties; corpus replay of the full top-N") {
+    // user 1 walks a,b,c,a,b,c → trigrams abc, bca, cab, abc; user 2
+    // walks a,b,c → abc again: 'a > b > c' counts 3 walks by 2 users
+    val fix = (Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map { case (t, i) =>
+        (1L, i.toLong, t) } ++
+      Seq("a", "b", "c").zipWithIndex.map { case (t, i) => (2L, i.toLong, t) })
+      .toDF("user_id", "event_id", "event_type")
+      .selectExpr("timestamp_micros(event_id * 1000000 + user_id) AS ts",
+        "user_id", "event_id", "event_type", "CAST(1.0 AS DOUBLE) AS value")
+    val got = graft.ops.RelationalOps.journeyCensus(fix).collect()
+    assert(got.head.getString(1) === "a > b > c" &&
+      got.head.getLong(2) === 3L && got.head.getLong(3) === 2L)
+    assert(got.map(_.getString(1)).toSeq ===
+      Seq("a > b > c", "b > c > a", "c > a > b"),
+      "equal-count paths order by path text")
+    // corpus: the full top-N replays from a driver walk at sf0.001
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val real = graft.ops.RelationalOps.journeyCensus(events).collect()
+    assert(real.length === graft.ops.RelationalOps.JourneyTopN)
+    val obs = events.selectExpr("user_id", "unix_micros(ts)", "event_id",
+        "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tris = obs.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      xs.sortBy(t => (t._2, t._3)).map(_._4).sliding(3)
+        .filter(_.length == 3).map(w => (u, w.mkString(" > "))).toSeq
+    }
+    val want = tris.groupBy(_._2).toSeq.map { case (p, ws) =>
+      (p, ws.length.toLong, ws.map(_._1).distinct.length.toLong) }
+      .sortBy { case (p, n, _) => (-n, p) }
+      .take(graft.ops.RelationalOps.JourneyTopN)
+      .zipWithIndex.map { case ((p, n, u), i) => (i + 1L, p, n, u) }
+    assert(real.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq === want)
+    val reparted = graft.ops.RelationalOps.journeyCensus(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === real.map(_.toSeq).toSeq)
+  }
+
   test("q193 cusum drift: clamp at zero, accumulation across modest highs, alarm at h, decay below slack; driver fold replay") {
     // user 1 (slack 7500, h 25000): 10000c (S 2500), 2000c (S clamps to
     // 0 — the deficit must NOT bank), 30000c (S 22500), 12000c (S 27000
