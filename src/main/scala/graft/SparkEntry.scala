@@ -1431,7 +1431,8 @@ object SparkEntry {
                     FROM (SELECT day, cents, n,
                                  SUM(n) OVER (PARTITION BY day ORDER BY cents
                                    ROWS UNBOUNDED PRECEDING) AS cum,
-                                 SUM(n) OVER (PARTITION BY day) AS n_day
+                                 CAST(SUM(n) OVER (PARTITION BY day) AS BIGINT)
+                                   AS n_day
                           FROM vc)
                     WHERE cum >= (n_day + 1) // 2 GROUP BY day),
               dv AS (SELECT vc.day AS day, abs(cents - med_cents) AS dev,

@@ -71,10 +71,17 @@ def norm_type(t):
     return t
 
 def fetch(con, sql):
-    """(sorted column names, matching dtype classes, rows in that order)."""
+    """(sorted column names, matching dtype classes, rows in that order).
+
+    Types MUST come from rel.types, not rel.description: the DB-API
+    description typecode is 'NUMBER' for every numeric (BIGINT, HUGEINT,
+    DECIMAL all collapse), so a description-based lint can never fire on
+    the exact ship-type class it exists to catch (r13 q187 shipped a
+    HUGEINT oracle through a description-based check). rel.types reports
+    the real logical types (BIGINT / HUGEINT / DECIMAL(10,2) / ...)."""
     rel = con.sql(sql)
-    cols = [d[0] for d in rel.description]
-    types = [norm_type(d[1]) for d in rel.description]
+    cols = list(rel.columns)
+    types = [norm_type(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [[r[i] for i in order] for r in rel.fetchall()]
     return [cols[i] for i in order], [types[i] for i in order], rows
@@ -90,6 +97,16 @@ def main(sf_dir, out_dir):
             ecols, etypes, exp = fetch(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        # permanent oracle type-audit (runs on EVERY compare invocation,
+        # before any spark-side check, so a HUGEINT/DECIMAL oracle is
+        # flagged even when the spark output is absent): windowed SUMs
+        # and // division silently promote to HUGEINT in DuckDB.
+        obad = [c for c, t in zip(ecols, etypes) if t in ("DECIMAL", "HUGEINT")]
+        if obad:
+            print(f"FAIL {name}: ORACLE ships {obad} as DECIMAL/HUGEINT — "
+                  f"cast in the oracle SQL (windowed SUM / // promote)")
             n_fail += 1
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -109,10 +126,18 @@ def main(sf_dir, out_dir):
                   f"value-identical results still hash-fail on the driver")
             n_fail += 1
             continue
-        if "DECIMAL" in gtypes:
-            dec = [c for c, g in zip(gcols, gtypes) if g == "DECIMAL"]
-            print(f"FAIL {name}: ships DECIMAL column(s) {dec} — cast to "
-                  f"BIGINT/DOUBLE/STRING at select time (ship-type lint)")
+        # ship-type lint on BOTH sides: DECIMAL and HUGEINT fetch as
+        # distinct Python objects (decimal.Decimal / int128 path) and
+        # hash-fail on the driver even when values are identical —
+        # exactly the r12 q170/q172 (Spark side) and r13 q187 (oracle
+        # side) failures. Flag them wherever they appear.
+        banned = [(side, c)
+                  for side, tys in (("spark", gtypes), ("oracle", etypes))
+                  for c, g in zip(gcols, tys) if g in ("DECIMAL", "HUGEINT")]
+        if banned:
+            print(f"FAIL {name}: ships DECIMAL/HUGEINT column(s) {banned} — "
+                  f"cast to BIGINT/DOUBLE/STRING at select time "
+                  f"(ship-type lint, both sides)")
             n_fail += 1
             continue
         if len(exp) != len(got):
