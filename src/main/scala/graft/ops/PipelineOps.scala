@@ -755,14 +755,9 @@ object PipelineOps {
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
         md5Prefix48(col("doc_id")).as("h"))
       .localCheckpoint() // consumed by selection, census, and payload join
-    val sel = hashed.selectExpr("CAST(0 AS BIGINT) AS g",
-        "CAST(doc_id AS STRING) AS k", "-h AS c")
-      .as[(Long, String, Long)]
-      .groupByKey(_._1)
-      .agg(new SketchOps.TopKByCount(BottomK).toColumn.name("top"))
-      .toDF("g", "top")
-      .select(explode(col("top")).as("e"))
-      .selectExpr("CAST(e._1 AS BIGINT) AS doc_id")
+    val sel = SketchOps.selectTopKIds(
+        hashed.selectExpr("0 AS g", "doc_id AS id", "-h AS key"), BottomK)
+      .withColumnRenamed("id", "doc_id")
     val sample = hashed.join(broadcast(sel), Seq("doc_id"))
       .localCheckpoint() // ≤ K rows; rank reads it twice
     val rk = sample.as("a").join(broadcast(sample.as("b")),
@@ -840,15 +835,9 @@ object PipelineOps {
     import spark.implicits._
     val keyed = aresKeyed(docs).drop("lang")
       .localCheckpoint() // consumed by selection, census, and payload join
-    val sel = keyed
-      .selectExpr("CAST(0 AS BIGINT) AS g", "CAST(doc_id AS STRING) AS k",
-        "key48 AS c") // TopKByCount orders c DESC, k ASC — largest keys win
-      .as[(Long, String, Long)]
-      .groupByKey(_._1)
-      .agg(new SketchOps.TopKByCount(WBottomK).toColumn.name("top"))
-      .toDF("g", "top")
-      .select(explode(col("top")).as("e"))
-      .selectExpr("CAST(e._1 AS BIGINT) AS doc_id")
+    val sel = SketchOps.selectTopKIds( // largest A-Res keys win
+        keyed.selectExpr("0 AS g", "doc_id AS id", "key48 AS key"), WBottomK)
+      .withColumnRenamed("id", "doc_id")
     val sample = keyed.join(broadcast(sel), Seq("doc_id"))
       .localCheckpoint() // ≤ K rows; rank reads it twice
     val rk = sample.as("a").join(broadcast(sample.as("b")),
@@ -1130,14 +1119,10 @@ object PipelineOps {
       .collect().map(_.getString(0)).toSeq // bounded dial: the strata
     val lidx = langs.zipWithIndex.map { case (l, i) => (l, i.toLong) }
       .toDF("lang", "g")
-    val sel = keyed.join(broadcast(lidx), Seq("lang"))
-      .selectExpr("g", "CAST(doc_id AS STRING) AS k", "key48 AS c")
-      .as[(Long, String, Long)]
-      .groupByKey(_._1)
-      .agg(new SketchOps.TopKByCount(WStratK).toColumn.name("top"))
-      .toDF("g", "top")
-      .select(explode(col("top")).as("e"))
-      .selectExpr("CAST(e._1 AS BIGINT) AS doc_id")
+    val sel = SketchOps.selectTopKIds(
+        keyed.join(broadcast(lidx), Seq("lang"))
+          .selectExpr("g", "doc_id AS id", "key48 AS key"), WStratK)
+      .withColumnRenamed("id", "doc_id")
     val sample = keyed.join(broadcast(sel), Seq("doc_id"))
       .localCheckpoint() // ≤ K × strata rows
     val rk = sample.as("a").join(broadcast(sample.as("b")),

@@ -620,6 +620,36 @@ object SketchOps {
     override def outputEncoder: Encoder[Array[(String, Long)]] = ExpressionEncoder()
   }
 
+  /** THE SHARED SELECTION STAGE behind every fixed-size sample in the
+    * engine — q164 (uniform bottom-K), q176 (weighted A-Res top-K),
+    * q184 (weighted stratified, per-language groups), and q202 (the
+    * mergeable-quantile bottom-K): per group `g`, the `k` ids with the
+    * LARGEST `key` (ties broken by smallest id string). Bottom-K
+    * callers negate their key — the md5 draw space is 48-bit positive,
+    * so negation is a strict order reversal with no overflow.
+    *
+    * Two dials: the capacity `k` and the caller's (group, key)
+    * expressions; everything else — bounded ≤ k-entry state, tree-merge,
+    * the TRUNCATE-MERGE law (selection over a union of id-disjoint
+    * shards == truncate(merge of per-shard selections)) — is one
+    * implementation, spec'd ONCE in `SketchOpsSpec`'s shared-stage law
+    * test and inherited by every caller. Input columns: (g BIGINT,
+    * id STRING-castable, key BIGINT), one row per id per group; output:
+    * the selected ids as BIGINT, column name `id`. The corpus is never
+    * sorted — only ≤ k-entry states move. */
+  def selectTopKIds(rows: DataFrame, k: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.selectExpr("CAST(g AS BIGINT) AS g", "CAST(id AS STRING) AS k",
+        "CAST(key AS BIGINT) AS c")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKByCount(k).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(explode(col("top")).as("e"))
+      .selectExpr("CAST(e._1 AS BIGINT) AS id")
+  }
+
   /** The collapsed per-(day, user) activity table — q157's input and its
     * exact-branch probe target. One map-combinable aggregate; the only
     * corpus-scale shuffle in the whole query. */
@@ -1582,14 +1612,9 @@ object SketchOps {
       .selectExpr("event_id", "CAST(round(value * 100) AS BIGINT) AS cents")
       .withColumn("h", PipelineOps.md5Prefix48(col("event_id")))
       .localCheckpoint() // consumed by selection, payload join, census, audit
-    val sel = v.selectExpr("CAST(0 AS BIGINT) AS g",
-        "CAST(event_id AS STRING) AS k", "-h AS c")
-      .as[(Long, String, Long)]
-      .groupByKey(_._1)
-      .agg(new TopKByCount(QSampleK).toColumn.name("top"))
-      .toDF("g", "top")
-      .select(explode(col("top")).as("e"))
-      .selectExpr("CAST(e._1 AS BIGINT) AS event_id")
+    val sel = selectTopKIds(
+        v.selectExpr("0 AS g", "event_id AS id", "-h AS key"), QSampleK)
+      .withColumnRenamed("id", "event_id")
     val sample = v.join(broadcast(sel), Seq("event_id"))
       .localCheckpoint() // ≤ K rows
     val census = v.agg(count(lit(1)).as("n"))

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.SketchOps
 import graft.ops.SketchOps.MisraGries
+import org.apache.spark.sql.functions.col
 
 class SketchOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -279,6 +280,53 @@ class SketchOpsSpec extends SparkSpec {
     val whole = rows.map { case (_, u, c) => (c, u) }
       .foldLeft(agg.zero)((s, e) => agg.reduce(s, (1L, e._2, e._1)))
     assert(agg.finish(agg.merge(a, b)).toSeq === agg.finish(whole).toSeq)
+  }
+
+  test("selectTopKIds (shared q164/q176/q184/q202 selection stage): exact selection, truncate-merge law, partitioning-invariant") {
+    // synthetic id/key table with boundary ties, two groups
+    val rows = (for (g <- Seq(0L, 1L); i <- 1 to 20)
+      yield (g, (g * 100 + i), (i.toLong % 7) * 10 + g)).toSeq
+    val k = 5
+    def expect(g: Long): Seq[Long] = rows.filter(_._1 == g)
+      .map { case (_, id, key) => (key, id.toString) }
+      .sortBy { case (key, id) => (-key, id) }.take(k).map(_._2.toLong)
+    val want = (expect(0L) ++ expect(1L)).sorted
+    for (parts <- Seq(1, 3, 8)) {
+      val got = SketchOps.selectTopKIds(
+          rows.toDF("g", "id", "key").repartition(parts), k)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want, s"selection diverged at $parts partitions")
+    }
+    // THE truncate-merge law, spec'd once for every sampling caller:
+    // selection over a union of id-disjoint shards == truncate(merge of
+    // the per-shard selections). Selections carry their keys for the
+    // merge by re-joining the keyed table (what every caller does).
+    val df = rows.toDF("g", "id", "key")
+    val shardA = df.filter("id % 2 = 0")
+    val shardB = df.filter("id % 2 = 1")
+    def selWithKeys(shard: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      SketchOps.selectTopKIds(shard, k).withColumnRenamed("id", "sid")
+        .join(df, col("sid") === col("id"))
+        .select("g", "id", "key").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val merged = (selWithKeys(shardA) ++ selWithKeys(shardB))
+      .groupBy(_._1).view.mapValues(_.toSeq
+        .sortBy { case (_, id, key) => (-key, id.toString) }
+        .take(k).map(_._2.toLong).sorted).toMap
+    val whole = SketchOps.selectTopKIds(df, k)
+      .join(df.withColumnRenamed("id", "jid"), col("id") === col("jid"))
+      .select("g", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(merged === whole,
+      "truncate-merge of per-shard selections must equal the global selection")
+    // bottom-K callers negate the key: smallest keys win under -key
+    val bottom = SketchOps.selectTopKIds(
+        df.filter("g = 0").selectExpr("g", "id", "-key AS key"), k)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val wantBottom = rows.filter(_._1 == 0L)
+      .map { case (_, id, key) => (key, id.toString) }
+      .sortBy { case (key, id) => (key, id) }.take(k).map(_._2.toLong).sorted
+    assert(bottom === wantBottom, "negated key must select the bottom-K")
   }
 
   test("q157 range top-k: bounds bracket exact, census matches a driver reference, sketch is genuinely lossy here") {
