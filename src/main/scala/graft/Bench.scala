@@ -65,26 +65,53 @@ object Bench {
   /** Queries between two mid-pass probes. */
   val ProbeEvery = 20
 
-  /** Committed quiet-host probe cost (sec). The 64M-row probe is
+  /** Committed quiet-host probe cost (sec) — the HISTORICAL reference from
+    * rounds 8–13 on the original host class. The 64M-row probe is
     * scheduling-overhead-bound, not compute-bound: measured 0.136–0.157 s
     * at local[32] and 0.150–0.203 s at local[8] in a quiet window, with
     * r8/r9 official-run minima at 0.119–0.132. Anything well above this
-    * is external CPU steal, not the probe. */
+    * is external CPU steal, not the probe. Official runs RECALIBRATE this
+    * per round start ([[calibrateQuiet]], the r13 forensics' lesson: the
+    * round-14 host floors at ~10× this constant, so a stale reference
+    * would flag every pass forever and the remediation loop would burn
+    * MaxPasses on an unreachable bar); this constant remains the floor so
+    * calibration can only ever RAISE the bar, never launder genuine noise
+    * below the known physical cost. */
   val ProbeQuietSec = 0.13
+
+  /** The current host's idle-window probe floor, measured at process start
+    * (nothing else runs yet — an idle window by construction): the MIN of
+    * `n` spaced post-warmup probes, floored at [[ProbeQuietSec]]. MIN, not
+    * median: a start-of-run steal burst inflates most probes but the
+    * minimum tracks the achievable floor, so a burst cannot bake itself
+    * into the reference and un-flag later noise. Published in the compact
+    * line as `probe_quiet_cal` so a reader can compare rounds on hosts
+    * with different floors. */
+  def calibrateQuiet(spark: SparkSession, probeRows: Long, n: Int = 5): Double = {
+    val samples = (1 to n).map { _ =>
+      Thread.sleep(500)
+      probeOnce(spark, probeRows)
+    }
+    math.max(ProbeQuietSec, samples.min)
+  }
 
   /** Noise gate over one probe sequence: flagged noise-bound when the
     * MEDIAN probe exceeds 1.5× the ABSOLUTE quiet baseline. The r12
-    * artifact exposed why the gate must not be self-relative: a pass that
-    * is UNIFORMLY slow (every probe ~2.5× quiet — sustained steal, not a
-    * burst) has a best probe close to its median, so the old
-    * `max(ProbeQuietSec, sorted.head)` clause judged it quiet and
-    * published inflated minima under `noise_bound: false`. The probe plan
-    * is constant, so the only honest reference is the committed quiet
-    * constant; a host uniformly above it IS interference by definition. */
-  def noiseBound(probes: Seq[Double]): Boolean =
+    * artifact exposed why the gate must not be self-relative WITHIN a
+    * pass: a pass that is UNIFORMLY slow (every probe ~2.5× quiet —
+    * sustained steal, not a burst) has a best probe close to its median,
+    * so the old `max(ProbeQuietSec, sorted.head)` clause judged it quiet
+    * and published inflated minima under `noise_bound: false`. The probe
+    * plan is constant, so the honest reference is a constant measured
+    * OUTSIDE the pass: the committed historical floor, raised to the
+    * current host's idle-window floor by [[calibrateQuiet]] on official
+    * runs — a host uniformly above ITS OWN idle floor is interference by
+    * definition; a host whose floor is simply higher than the r8 one is a
+    * slower host, not noise. */
+  def noiseBound(probes: Seq[Double], quietSec: Double = ProbeQuietSec): Boolean =
     probes.nonEmpty && {
       val sorted = probes.sorted
-      sorted(sorted.size / 2) > 1.5 * ProbeQuietSec
+      sorted(sorted.size / 2) > 1.5 * quietSec
     }
 
   /** Per-PASS noise verdicts — the artifact-level flag is their
@@ -96,7 +123,8 @@ object Bench {
     * steal-bound pass had polluted the pool — remediation passes could
     * never clear it.) A run where EVERY pass saw steal stays flagged:
     * that is documented exhaustion, not laundering. */
-  def passNoise(probes: Probes): Seq[Boolean] = probes.passes.map(noiseBound)
+  def passNoise(probes: Probes, quietSec: Double = ProbeQuietSec): Seq[Boolean] =
+    probes.passes.map(noiseBound(_, quietSec))
 
   /** Measured-pass budget: the standard two, plus remediation passes while
     * every pass so far is individually noise-bound. */
@@ -152,7 +180,8 @@ object Bench {
     * flaky, never silently scored as healthy.
     */
   def renderLines(results: Seq[QueryResult], probes: Probes, sfDir: String,
-                  gateWaitSec: Double = 0.0): Seq[String] = {
+                  gateWaitSec: Double = 0.0,
+                  quietSec: Double = ProbeQuietSec): Seq[String] = {
     val merged = results.map { case QueryResult(name, ps) =>
       val oks = ps.collect { case Right(v) => v }
       val firstErr = ps.zipWithIndex.collectFirst { case (Left(e), i) => (e, i + 1) }
@@ -195,13 +224,14 @@ object Bench {
     val perQuery =
       s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":${secObj(ok)},""" +
         s""""errors":$errJson,"pass_totals":$passTotals,"sf":"$sf"}"""
-    val perPass = passNoise(probes)
+    val perPass = passNoise(probes, quietSec)
     val noisy = perPass.nonEmpty && perPass.forall(identity)
     val passNoiseJson = perPass.mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},""" +
         s""""nqueries":${ok.size},"nerrors":${errors.size},"noise_bound":$noisy,""" +
-        s""""pass_noise":$passNoiseJson,"gate_wait":${fmt(gateWaitSec)},""" +
+        s""""pass_noise":$passNoiseJson,"probe_quiet_cal":${fmt(quietSec)},""" +
+        s""""gate_wait":${fmt(gateWaitSec)},""" +
         s""""pass_totals":$passTotals,"probe":${probeArr(probes.all)},"sf":"$sf"}"""
     Seq(detail, perQuery, compact)
   }
@@ -236,6 +266,10 @@ object Bench {
       (timings, mids.result())
     }
     probeOnce(spark, probeRows) // probe warmup (JIT for the probe plan itself)
+    // Per-run idle-window recalibration (the r13 forensics' lesson): the
+    // current host's probe floor, measured before any measured pass, is
+    // the noise reference for THIS run — published as probe_quiet_cal.
+    val quietCal = calibrateQuiet(spark, probeRows)
     // QUIET GATE (official runs only — gateMaxWaitSec=0 disables): hold
     // the first measured pass until the median of the last 3 probes is
     // quiet, bounded by gateMaxWaitSec of waiting. Steal bursts outlast
@@ -244,7 +278,7 @@ object Bench {
     // — telemetry, never laundering.
     val gateT0 = System.nanoTime()
     var gateProbes = Seq(probeOnce(spark, probeRows))
-    while (noiseBound(gateProbes.takeRight(3)) &&
+    while (noiseBound(gateProbes.takeRight(3), quietCal) &&
            (System.nanoTime() - gateT0) / 1e9 < gateMaxWaitSec) {
       Thread.sleep(2000)
       gateProbes = gateProbes :+ probeOnce(spark, probeRows)
@@ -264,7 +298,7 @@ object Bench {
     // (see [[passNoise]]). A run still all-noisy after MaxPasses stays
     // flagged rather than laundered — documented exhaustion.
     var lastBoundary = p2a
-    while (passes.size < MaxPasses && passNoise(probes).forall(identity)) {
+    while (passes.size < MaxPasses && passNoise(probes, quietCal).forall(identity)) {
       val (passN, midsN) = measuredPass()
       val pNa = probeOnce(spark, probeRows)
       probes = Probes(probes.passes :+ ((lastBoundary +: midsN) :+ pNa))
@@ -277,7 +311,7 @@ object Bench {
     val failed = results.collect {
       case QueryResult(name, ps) if ps.exists(_.isLeft) => name
     }
-    RunResult(renderLines(results, probes, sfDir, gateWait), failed)
+    RunResult(renderLines(results, probes, sfDir, gateWait, quietCal), failed)
   }
 
   def main(args: Array[String]): Unit = {

@@ -109,6 +109,34 @@ class BenchOutputSpec extends SparkSpec {
     assert(!Bench.noiseBound(Seq.empty), "empty probes must not flag")
   }
 
+  test("recalibrated gate: a slower host's own floor judges its passes; calibration is floored and published") {
+    // r14 host class: idle probe floor ~1.3s. Against the stale 0.13
+    // constant every pass flags forever; against the host's own calibrated
+    // floor, a run sitting AT the floor is quiet and genuine steal above
+    // it still flags.
+    val floor = 1.3
+    assert(!Bench.noiseBound(Seq(1.25, 1.3, 1.4), floor),
+      "host running at its own idle floor flagged as noisy")
+    assert(Bench.noiseBound(Seq(2.1, 2.2, 2.3), floor),
+      "sustained steal above the calibrated floor laundered")
+    // the committed constant stays the lower bound: calibration can only
+    // RAISE the bar (a quieter-than-historical sample must not tighten the
+    // gate below the known physical probe cost)
+    assert(math.max(Bench.ProbeQuietSec, 0.09) === Bench.ProbeQuietSec)
+    // the calibrated constant is published on the compact line
+    val results = Seq(Bench.QueryResult("q01_a", Right(0.1), Right(0.1)))
+    val line = parseObj(Bench.renderLines(results,
+      Bench.Probes(Seq(1.25, 1.3), Seq(1.3, 1.25)), "/sf", 0.0, floor).last)
+    assert(line.get("probe_quiet_cal").asDouble === 1.3)
+    assert(!line.get("noise_bound").asBoolean,
+      "at-floor probes must be quiet under the published calibration")
+    // default-path render still judges against the historical constant
+    val stale = parseObj(Bench.renderLines(results,
+      Bench.Probes(Seq(1.25, 1.3), Seq(1.3, 1.25)), "/sf").last)
+    assert(stale.get("noise_bound").asBoolean)
+    assert(stale.get("probe_quiet_cal").asDouble === Bench.ProbeQuietSec)
+  }
+
   test("renderLines: compact line carries the noise_bound verdict") {
     val results = Seq(Bench.QueryResult("q01_a", Right(0.1), Right(0.1)))
     val quiet = parseObj(Bench.renderLines(results,
