@@ -844,17 +844,33 @@ object DedupOps {
     * only at positions ≥ max(1, c) preserves every true match — and on
     * a shared-prefix corpus (exactly the adversarial case) it shrinks
     * the double-deletion table by (L/(L-c))² ≈ 10×. */
-  def editLinkageD2Pairs(customer: DataFrame): DataFrame =
-    editLinkageD2PairsCandidates(customer)
-      // materialize before the global sort: range partitioning SAMPLES
-      // its child, which would otherwise re-execute every branch join a
-      // second time — measured as ~60% of the query's wall-clock
-      .localCheckpoint()
-      .orderBy("name_a", "name_b")
+  def editLinkageD2Pairs(customer: DataFrame): DataFrame = {
+    // materialize before the global sort (range partitioning SAMPLES its
+    // child, which would otherwise re-execute every branch join a second
+    // time — measured as ~60% of the query's wall-clock), and checkpoint
+    // the six branches CONCURRENTLY (separate jobs from separate threads)
+    // rather than as one union job: the heavy branches (b11x/b12 distinct
+    // + DP) end in long low-parallelism tail stages, and concurrent jobs
+    // let the scheduler fill those tails with the other branches' work —
+    // measured A/B on the round-14 host before landing.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val checked = Await.result(
+      Future.sequence(editLinkageD2Branches(customer)
+        .map(b => Future(b.localCheckpoint()))), Duration.Inf)
+    checked.reduce(_.unionByName(_)).orderBy("name_a", "name_b")
+  }
 
   /** q177's pair stage pre-checkpoint (the topkStored pattern) for the
     * plan guard. */
-  private[graft] def editLinkageD2PairsCandidates(customer: DataFrame): DataFrame = {
+  private[graft] def editLinkageD2PairsCandidates(customer: DataFrame): DataFrame =
+    editLinkageD2Branches(customer).reduce(_.unionByName(_))
+
+  /** The six structurally-disjoint candidate branches, each tagged with
+    * its certified distance — built once, checkpointed concurrently by
+    * [[editLinkageD2Pairs]], unioned lazily by the plan guard. */
+  private[graft] def editLinkageD2Branches(customer: DataFrame): Seq[DataFrame] = {
     graft.expressions.GraftFunctions.register(customer.sparkSession)
     val names = customer.selectExpr("c_name AS name")
       .where("name IS NOT NULL").distinct()
@@ -935,12 +951,12 @@ object DedupOps {
     val b02 = v2.as("a").join(names.as("b"), col("a.variant") === col("b.name"))
       .selectExpr("least(a.name, b.name) AS name_a",
         "greatest(a.name, b.name) AS name_b")
-    sub.withColumn("dist", lit(1L))
-      .unionByName(b01.withColumn("dist", lit(1L)))
-      .unionByName(b22.withColumn("dist", lit(2L)))
-      .unionByName(b11x.withColumn("dist", lit(2L)))
-      .unionByName(b12.withColumn("dist", lit(2L)))
-      .unionByName(b02.withColumn("dist", lit(2L)))
+    Seq(sub.withColumn("dist", lit(1L)),
+      b01.withColumn("dist", lit(1L)),
+      b22.withColumn("dist", lit(2L)),
+      b11x.withColumn("dist", lit(2L)),
+      b12.withColumn("dist", lit(2L)),
+      b02.withColumn("dist", lit(2L)))
   }
 
   def oracles: Map[String, String] = {
