@@ -622,6 +622,14 @@ object SparkEntry {
     // both exact selections over the shared bounded value-count table
     "q209_weighted_median" -> ((s, d) =>
       RelationalOps.weightedMedian(Tables.events(s, d))),
+    // growth accounting: active/new/returning per day + cumulative
+    // uniques as Σ new — never a running COUNT(DISTINCT) window
+    "q213_growth_accounting" -> ((s, d) =>
+      RelationalOps.growthAccounting(Tables.events(s, d))),
+    // seasonal (dow × hour) traffic profile + per-cell deseasonalized
+    // anomaly census — q187's posture with the calendar structure
+    "q214_seasonal_census" -> ((s, d) =>
+      RelationalOps.seasonalCensus(Tables.events(s, d))),
     // per-nation supplier concentration: exact HHI / Gini / top-share
     "q210_concentration"   -> ((s, d) =>
       RelationalOps.concentrationCensus(Tables.supplier(s, d), Tables.lineitem(s, d))),
@@ -634,6 +642,11 @@ object SparkEntry {
     // denial-constraint audit with exact violation counts
     "q188_data_profile"    -> ((s, d) =>
       graft.ops.ProfileOps.columnProfile(Tables.orders(s, d))),
+    // migration reconciliation: row-fingerprint diff census of orders vs
+    // its rule-derived "migrated copy" — one co-keyed full-outer join,
+    // conservation laws graded
+    "q212_table_diff"      -> ((s, d) =>
+      graft.ops.ProfileOps.tableDiff(Tables.orders(s, d))),
     // GROUP BY time(1h) fill(previous): the Grafana panel series, exact
     "q190_resample_ffill"  -> ((s, d) =>
       RelationalOps.resampleFill(Tables.events(s, d))),
@@ -1480,6 +1493,56 @@ object SparkEntry {
          FROM grid g LEFT JOIN obs o
            ON g.user_id = o.user_id AND g.hour = o.hour
          ORDER BY user_id, hour"""
+    },
+    // q213: identical per-(day, user) distinct collapse, first-touch
+    // min, and the same bounded running sum (cast from HUGEINT)
+    "q213_growth_accounting" ->
+      s"""WITH du AS (SELECT DISTINCT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs}
+                               AS day, user_id
+                      FROM events WHERE user_id IS NOT NULL),
+              act AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active
+                      FROM du GROUP BY day),
+              ft AS (SELECT user_id, MIN(day) AS day FROM du GROUP BY user_id),
+              nw AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+                     FROM ft GROUP BY day),
+              j AS (SELECT act.day AS day, n_active,
+                           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+                    FROM act LEFT JOIN nw ON act.day = nw.day)
+         SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+                CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cum_users
+         FROM j ORDER BY day""",
+    // q214: identical integer dow/hod binning, the same value-count
+    // collapse, floor'd micro moments, and the same K·MAD anomaly rule
+    "q214_seasonal_census" -> {
+      val k = graft.ops.RelationalOps.SeasonalMadK
+      s"""WITH vc AS (SELECT (epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} + 4) % 7 AS dow,
+                             (epoch_us(ts) // ${graft.ops.RelationalOps.HourUs}) % 24 AS hod,
+                             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+              mom AS (SELECT dow, hod,
+                             CAST(1000000 * SUM(cents * n) // SUM(n) AS BIGINT)
+                               AS mean_micro
+                      FROM vc GROUP BY 1, 2),
+              mad AS (SELECT vc.dow AS dow, vc.hod AS hod,
+                             CAST(SUM(abs(cents * 1000000 - mean_micro) * n)
+                                  // SUM(n) AS BIGINT) AS mad_micro
+                      FROM vc JOIN mom ON vc.dow = mom.dow AND vc.hod = mom.hod
+                      GROUP BY 1, 2),
+              f AS (SELECT vc.dow AS dow, vc.hod AS hod,
+                           CAST(SUM(n) AS BIGINT) AS n_obs,
+                           MAX(mean_micro) AS mean_micro,
+                           MAX(mad_micro) AS mad_micro,
+                           CAST(COALESCE(SUM(CASE WHEN abs(cents * 1000000 - mean_micro)
+                                                       > $k * mad_micro
+                                                  THEN n END), 0) AS BIGINT) AS n_anom
+                    FROM vc JOIN mom ON vc.dow = mom.dow AND vc.hod = mom.hod
+                         JOIN mad ON vc.dow = mad.dow AND vc.hod = mad.hod
+                    GROUP BY 1, 2)
+         SELECT dow, hod, n_obs, mean_micro, mad_micro, n_anom,
+                CAST(1000000 AS BIGINT) * n_anom // n_obs AS anom_micro
+         FROM f ORDER BY dow, hod"""
     },
     // q211: identical per-user double lag under the same total order,
     // the same count-then-top-N with the (n DESC, path ASC) tie rule

@@ -819,7 +819,7 @@ object PipelineOps {
   /** The A-Res keyed table shared by q176 and q184: per doc the clipped
     * integer weight and the exact-integer u^(1/w) key via the
     * max-of-w-replicas identity, computed ROW-LOCALLY. */
-  private def aresKeyed(docs: DataFrame): DataFrame =
+  private[graft] def aresKeyed(docs: DataFrame): DataFrame =
     docs
       .selectExpr("doc_id", "lang", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
       .selectExpr("doc_id", "lang", "n_tok", s"least(n_tok, $WeightCap) AS w")

@@ -21,6 +21,99 @@ import org.apache.spark.sql.functions._
   */
 object ProfileOps {
 
+  /** q212's dials: the synthetic-insert key offset (far above any real
+    * orderkey) and the 16-way drift bucket rule. The "migrated copy" is
+    * DERIVED inside the query by one md5 rule both engines share —
+    * bucket 0 rows are dropped (only_in_a), bucket 1 rows shift price by
+    * one exact cent, bucket 2 rows corrupt the status, bucket 3 rows
+    * additionally appear under an offset key (only_in_b); everything
+    * else migrates clean. Perturbations happen in the CANONICAL integer/
+    * string domain (cents + 1, not price + 0.01 — IEEE addition would
+    * not replicate across engines). */
+  val DiffKeyOffset = 1000000000000L
+  private val DiffBucket =
+    "CAST(conv(substring(md5(concat('rc:', CAST(k AS STRING))), 1, 2), 16, 10) AS BIGINT) % 16"
+
+  /** The canonical row image both diff sides hash: every column rendered
+    * to an exact integer or string (cents, epoch micros) so the
+    * fingerprint is engine-stable. NULLs sentineled BEFORE concat_ws
+    * (which silently skips nulls — two rows differing only in which
+    * column is null would otherwise collide). */
+  private def diffCanon(orders: DataFrame): DataFrame =
+    orders.selectExpr("o_orderkey AS k",
+      "COALESCE(CAST(o_custkey AS STRING), '<null>') AS c_cust",
+      "COALESCE(o_orderstatus, '<null>') AS c_status",
+      "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c_price",
+      // o_orderdate is parquet TIMESTAMP(MICROS, ntz) → Spark NTZ; the
+      // cast to session-TZ timestamp is value-preserving under the UTC
+      // session every entrypoint enforces (the Tables.events discipline)
+      "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS c_date",
+      "COALESCE(o_orderpriority, '<null>') AS c_prio")
+
+  private def withFp(side: DataFrame): DataFrame =
+    side.selectExpr("k", "c_cust", "c_status", "c_price", "c_date", "c_prio",
+      """md5(concat_ws('|', c_cust, c_status, CAST(c_price AS STRING),
+                       CAST(c_date AS STRING), c_prio)) AS fp""",
+      "1 AS present")
+
+  /** q212 — TABLE RECONCILIATION (migration validation): the row-level
+    * diff census a team runs after any copy/migration/backfill — which
+    * keys exist only in the source, only in the target, changed, or
+    * survived intact, with per-column mismatch counts and the
+    * conservation laws that prove the census itself is complete
+    * (only_in_a + changed + equal = |A|, and the B twin).
+    *
+    * Scale shape — the part that matters at 100 TB: each side collapses
+    * to (key, row-fingerprint) ROW-LOCALLY (the canonical rendering and
+    * md5 fuse into the scan), so the diff is ONE co-keyed full-outer
+    * equi-join on the natural key — sort-merge on co-partitioned
+    * bucketed tables, never a column-by-column join and never a
+    * driver-side compare; the per-column drilldown touches only the
+    * matched rows' already-joined canonical columns, and the census is
+    * one map-combinable aggregate over a 4-value category domain.
+    * Equality via the 128-bit fingerprint is one comparison per key
+    * pair regardless of schema width. */
+  def tableDiff(orders: DataFrame): DataFrame = {
+    val a = withFp(diffCanon(orders))
+    val b0 = diffCanon(orders).withColumn("rb", expr(DiffBucket))
+    val bKept = b0.filter("rb <> 0").selectExpr("k", "c_cust",
+      "CASE WHEN rb = 2 THEN 'X' ELSE c_status END AS c_status",
+      "c_price + CASE WHEN rb = 1 THEN 1 ELSE 0 END AS c_price",
+      "c_date", "c_prio")
+    val bIns = b0.filter("rb = 3").selectExpr(s"k + $DiffKeyOffset AS k",
+      "c_cust", "c_status", "c_price", "c_date", "c_prio")
+    val b = withFp(bKept.unionByName(bIns))
+    val j = a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
+      .selectExpr(
+        """CASE WHEN b.present IS NULL THEN 'only_in_a'
+                WHEN a.present IS NULL THEN 'only_in_b'
+                WHEN a.fp = b.fp THEN 'equal'
+                ELSE 'changed' END AS category""",
+        "CASE WHEN a.c_cust   <> b.c_cust   THEN 1L ELSE 0L END AS m_cust",
+        "CASE WHEN a.c_status <> b.c_status THEN 1L ELSE 0L END AS m_status",
+        "CASE WHEN a.c_price  <> b.c_price  THEN 1L ELSE 0L END AS m_price",
+        "CASE WHEN a.c_date   <> b.c_date   THEN 1L ELSE 0L END AS m_date",
+        "CASE WHEN a.c_prio   <> b.c_prio   THEN 1L ELSE 0L END AS m_prio")
+    val perCat = j.groupBy("category").agg(
+      count(lit(1)).as("n_keys"),
+      coalesce(sum("m_cust"), lit(0L)).as("mism_cust"),
+      coalesce(sum("m_status"), lit(0L)).as("mism_status"),
+      coalesce(sum("m_price"), lit(0L)).as("mism_price"),
+      coalesce(sum("m_date"), lit(0L)).as("mism_date"),
+      coalesce(sum("m_prio"), lit(0L)).as("mism_prio"))
+    val recon = perCat.agg(
+      sum(when(col("category") =!= "only_in_b", col("n_keys")).otherwise(0L))
+        .as("na_rec"),
+      sum(when(col("category") =!= "only_in_a", col("n_keys")).otherwise(0L))
+        .as("nb_rec"))
+    val laws = recon
+      .crossJoin(broadcast(a.agg(count(lit(1)).as("n_a"))))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      .selectExpr("n_a", "n_b",
+        "na_rec = n_a AND nb_rec = n_b AS conservation_ok")
+    perCat.crossJoin(broadcast(laws)).orderBy("category")
+  }
+
   /** q188's subject columns (orders). ONE definition drives the Spark
     * aggregate, the stack unpivot, and the DuckDB oracle — a drift here
     * would silently desync the sides. */
@@ -286,6 +379,65 @@ object ProfileOps {
           FROM lineitem"""
     }
     Map(
+      // q212: identical canonical rendering (cents/micros/sentinels),
+      // the same md5 drift rule ('0x'-prefix cast ≡ Spark's conv), the
+      // same fingerprint concat, one full-outer diff, and the same
+      // conservation laws; every SUM cast (DuckDB sums to HUGEINT)
+      "q212_table_diff" ->
+        s"""WITH a0 AS (SELECT o_orderkey AS k,
+                               COALESCE(CAST(o_custkey AS VARCHAR), '<null>') AS c_cust,
+                               COALESCE(o_orderstatus, '<null>') AS c_status,
+                               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c_price,
+                               epoch_us(o_orderdate) AS c_date,
+                               COALESCE(o_orderpriority, '<null>') AS c_prio
+                        FROM orders),
+              b0 AS (SELECT *, ('0x' || substr(md5('rc:' || CAST(k AS VARCHAR)),
+                                               1, 2))::BIGINT % 16 AS rb
+                     FROM a0),
+              b1 AS (SELECT k, c_cust,
+                            CASE WHEN rb = 2 THEN 'X' ELSE c_status END AS c_status,
+                            c_price + CASE WHEN rb = 1 THEN 1 ELSE 0 END AS c_price,
+                            c_date, c_prio
+                     FROM b0 WHERE rb <> 0
+                     UNION ALL
+                     SELECT k + $DiffKeyOffset, c_cust, c_status, c_price,
+                            c_date, c_prio
+                     FROM b0 WHERE rb = 3),
+              af AS (SELECT *, md5(concat_ws('|', c_cust, c_status,
+                               CAST(c_price AS VARCHAR), CAST(c_date AS VARCHAR),
+                               c_prio)) AS fp, 1 AS present FROM a0),
+              bf AS (SELECT *, md5(concat_ws('|', c_cust, c_status,
+                               CAST(c_price AS VARCHAR), CAST(c_date AS VARCHAR),
+                               c_prio)) AS fp, 1 AS present FROM b1),
+              j AS (SELECT CASE WHEN bf.present IS NULL THEN 'only_in_a'
+                                WHEN af.present IS NULL THEN 'only_in_b'
+                                WHEN af.fp = bf.fp THEN 'equal'
+                                ELSE 'changed' END AS category,
+                           CASE WHEN af.c_cust   <> bf.c_cust   THEN 1 ELSE 0 END AS m_cust,
+                           CASE WHEN af.c_status <> bf.c_status THEN 1 ELSE 0 END AS m_status,
+                           CASE WHEN af.c_price  <> bf.c_price  THEN 1 ELSE 0 END AS m_price,
+                           CASE WHEN af.c_date   <> bf.c_date   THEN 1 ELSE 0 END AS m_date,
+                           CASE WHEN af.c_prio   <> bf.c_prio   THEN 1 ELSE 0 END AS m_prio
+                    FROM af FULL OUTER JOIN bf ON af.k = bf.k),
+              pc AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                            CAST(COALESCE(SUM(m_cust), 0) AS BIGINT) AS mism_cust,
+                            CAST(COALESCE(SUM(m_status), 0) AS BIGINT) AS mism_status,
+                            CAST(COALESCE(SUM(m_price), 0) AS BIGINT) AS mism_price,
+                            CAST(COALESCE(SUM(m_date), 0) AS BIGINT) AS mism_date,
+                            CAST(COALESCE(SUM(m_prio), 0) AS BIGINT) AS mism_prio
+                     FROM j GROUP BY category),
+              laws AS (SELECT
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM a0) AS n_a,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM b1) AS n_b,
+                         CAST(SUM(CASE WHEN category <> 'only_in_b'
+                                       THEN n_keys ELSE 0 END) AS BIGINT) AS na_rec,
+                         CAST(SUM(CASE WHEN category <> 'only_in_a'
+                                       THEN n_keys ELSE 0 END) AS BIGINT) AS nb_rec
+                       FROM pc)
+         SELECT category, n_keys, mism_cust, mism_status, mism_price,
+                mism_date, mism_prio, n_a, n_b,
+                na_rec = n_a AND nb_rec = n_b AS conservation_ok
+         FROM pc CROSS JOIN laws ORDER BY category""",
       // q206: identical midpoint cut, the same 3-feature stack (UNION
       // ALL), the same cross-multiplied TVD with the struct-max worst
       // bin and the empty-period guard

@@ -568,6 +568,92 @@ object RelationalOps {
       .orderBy("day")
   }
 
+  /** q213 — GROWTH ACCOUNTING: per day the active / new / returning user
+    * split and the running cumulative distinct-user count — the product
+    * dashboard row ("how many users have we EVER seen by day d") that
+    * tempts a running COUNT(DISTINCT) window nobody can run at scale.
+    * Decomposed into exact relational pieces instead: actives from the
+    * per-(day, user) collapse; news from the FIRST-TOUCH collapse
+    * (groupBy user, min(day) — each user counted on exactly one day);
+    * cumulative uniques as a running SUM of news over the BOUNDED day
+    * table, which is exact because distinct-ever(d) = Σ_{d'≤d} new(d')
+    * (every user contributes once, on their first day).
+    *
+    * Scale shape: ONE corpus collapse to (day, user) (map-combinable
+    * distinct), reused for both censuses; the running sum is a window
+    * over ≤ days rows (never the corpus); the join is days-sized. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val du = events.filter(col("user_id").isNotNull)
+      .selectExpr(s"unix_micros(ts) DIV $DayUs AS day", "user_id")
+      .distinct()
+      .localCheckpoint() // |users × active-days| table; read twice
+    val act = du.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val nw = du.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    act.join(nw, Seq("day"), "left_outer")
+      .selectExpr("day", "n_active", "COALESCE(n_new, 0L) AS n_new")
+      .withColumn("cum_users", sum("n_new").over(w))
+      .selectExpr("day", "n_active", "n_new",
+        "n_active - n_new AS n_returning", "cum_users")
+      .orderBy("day")
+  }
+
+  /** q214's dial: a value is anomalous for its seasonal cell when its
+    * deviation from the cell mean exceeds this multiple of the cell's
+    * mean absolute deviation. */
+  val SeasonalMadK = 4L
+
+  /** q214 — SEASONAL PROFILE + DESEASONALIZED ANOMALIES: the calendar
+    * structure q187's per-day posture is blind to — per (day-of-week ×
+    * hour-of-day) cell the exact traffic moments (micro-scaled integer
+    * mean, mean absolute deviation) and the count of observations
+    * anomalous FOR THEIR CELL (a 3am value that is normal at 3pm). The
+    * dow/hod keys come from shared integer epoch arithmetic
+    * ((day + 4) % 7, 0 = Sunday — 1970-01-01 was a Thursday), never an
+    * engine calendar function, so both engines bin identically.
+    *
+    * Scale shape: the q187 discipline — the corpus collapses ONCE to the
+    * (dow, hod, cents, n) value-count table (bounded by 168 × distinct
+    * values); moments, deviations, and the anomaly census are
+    * map-combinable passes over that bounded table against a broadcast
+    * 168-row dial. Int64 headroom: devs are micro-cents (≤ 5·10¹⁰ here);
+    * the weighted dev sum stays exact past 10⁸ rows/cell — beyond that
+    * the sums move to DECIMAL internally, same plan shape. */
+  def seasonalCensus(events: DataFrame): DataFrame = {
+    val vc = events.filter(col("value").isNotNull)
+      .selectExpr(
+        s"(unix_micros(ts) DIV $DayUs + 4) % 7 AS dow",
+        s"(unix_micros(ts) DIV $HourUs) % 24 AS hod",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("dow", "hod", "cents").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded value-count table; read twice
+    val mom = vc.groupBy("dow", "hod")
+      .agg(sum("n").as("cn"), sum(expr("cents * n")).as("s"))
+      .selectExpr("dow", "hod",
+        "1000000L * s DIV cn AS mean_micro") // exact floor'd micro mean
+    val census = vc.join(broadcast(mom), Seq("dow", "hod"))
+      .selectExpr("dow", "hod", "n AS nv", "cents",
+        "abs(cents * 1000000L - mean_micro) AS dev_micro")
+      .groupBy("dow", "hod")
+      .agg(sum(expr("dev_micro * nv")).as("dev_sum"),
+        sum("nv").as("n_chk"))
+      .selectExpr("dow", "hod", "dev_sum DIV n_chk AS mad_micro")
+    val dials = mom.join(census, Seq("dow", "hod")) // 168-row dial
+    vc.join(broadcast(dials), Seq("dow", "hod"))
+      .groupBy("dow", "hod")
+      .agg(max(col("mean_micro")).as("mean_micro"),
+        max(col("mad_micro")).as("mad_micro"),
+        sum(col("n")).as("n_obs"),
+        sum(when(
+          expr(s"abs(cents * 1000000L - mean_micro) > $SeasonalMadK * mad_micro"),
+          col("n")).otherwise(lit(0L))).as("n_anom"))
+      .selectExpr("dow", "hod", "n_obs", "mean_micro", "mad_micro", "n_anom",
+        "CAST(1000000 AS BIGINT) * n_anom DIV n_obs AS anom_micro")
+      .orderBy("dow", "hod")
+  }
+
   /** q183's version count: snapshots at quarter points of the log's
     * time span. */
   val TimeTravelVersions = 4

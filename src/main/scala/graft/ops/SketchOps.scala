@@ -637,7 +637,15 @@ object SketchOps {
     * id STRING-castable, key BIGINT), one row per id per group; output:
     * the selected ids as BIGINT, column name `id`. The corpus is never
     * sorted — only ≤ k-entry states move. */
-  def selectTopKIds(rows: DataFrame, k: Int): DataFrame = {
+  def selectTopKIds(rows: DataFrame, k: Int): DataFrame =
+    selectTopKRows(rows, k).select("id")
+
+  /** [[selectTopKIds]] with the (g, key) columns kept — the shape a
+    * MERGEABLE partial needs: per-shard/per-batch selections stored as
+    * (g, id, key) rows re-enter this same stage to produce the global
+    * selection (the truncate-merge law, applied rather than just spec'd —
+    * [[graft.streaming.StreamSample]] is the live consumer). */
+  def selectTopKRows(rows: DataFrame, k: Int): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows.selectExpr("CAST(g AS BIGINT) AS g", "CAST(id AS STRING) AS k",
@@ -646,8 +654,8 @@ object SketchOps {
       .groupByKey(_._1)
       .agg(new TopKByCount(k).toColumn.name("top"))
       .toDF("g", "top")
-      .select(explode(col("top")).as("e"))
-      .selectExpr("CAST(e._1 AS BIGINT) AS id")
+      .select(col("g"), explode(col("top")).as("e"))
+      .selectExpr("g", "CAST(e._1 AS BIGINT) AS id", "e._2 AS key")
   }
 
   /** The collapsed per-(day, user) activity table — q157's input and its

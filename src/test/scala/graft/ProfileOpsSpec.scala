@@ -245,4 +245,40 @@ class ProfileOpsSpec extends SparkSpec {
       Seq(whole.getLong(1), whole.getLong(2), whole.getLong(3), whole.getLong(4)),
       "SUM-recollapsed shard partials must equal the whole-corpus audit")
   }
+
+  test("q212 table diff: category counts match the drift rule, drilldown matches fingerprints, conservation graded") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val rows = ProfileOps.tableDiff(orders).collect()
+    val byCat = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCat.keySet === Set("changed", "equal", "only_in_a", "only_in_b"),
+      "the drift rule must surface all four diff categories on the corpus")
+    assert(rows.forall(_.getBoolean(9)), "conservation laws must grade true")
+    // driver recount of the derivation rule, bucket by bucket
+    val bCounts = orders.selectExpr(
+        """CAST(conv(substring(md5(concat('rc:', CAST(o_orderkey AS STRING))),
+           1, 2), 16, 10) AS BIGINT) % 16 AS rb""")
+      .groupBy("rb").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val total = orders.count()
+    def n(cat: String) = byCat(cat).getLong(1)
+    assert(n("only_in_a") === bCounts(0L), "dropped rows = bucket 0")
+    assert(n("only_in_b") === bCounts(3L), "inserted rows = bucket 3")
+    assert(n("changed") === bCounts(1L) + bCounts(2L),
+      "changed rows = price-shift + status-corrupt buckets")
+    assert(n("equal") === total - bCounts(0L) - bCounts(1L) - bCounts(2L))
+    // the per-column drilldown must agree with the fingerprint verdict:
+    // bucket 1 changes exactly the price, bucket 2 exactly the status
+    val ch = byCat("changed")
+    assert(ch.getLong(4) === bCounts(1L), "price mismatches = bucket 1")
+    assert(ch.getLong(3) === bCounts(2L), "status mismatches = bucket 2")
+    assert(ch.getLong(2) === 0L && ch.getLong(5) === 0L && ch.getLong(6) === 0L,
+      "untouched columns must show zero mismatches")
+    // equal/only_in rows carry no column mismatches at all
+    for (cat <- Seq("equal", "only_in_a", "only_in_b"); i <- 2 to 6)
+      assert(byCat(cat).getLong(i) === 0L, s"$cat drilldown col $i nonzero")
+    // partitioning invariance of the whole census
+    val reparted = ProfileOps.tableDiff(orders.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }

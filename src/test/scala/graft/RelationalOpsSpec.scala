@@ -1342,4 +1342,61 @@ class RelationalOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
+
+  test("q213 growth accounting: hand cohort, corpus identities, invariance") {
+    val dayUs = RelationalOps.DayUs
+    // A active d1+d3, B only d1, C d2+d3 (B visits d1 twice — distinct)
+    val hand = Seq((1L, "A"), (1L, "B"), (1L, "B"), (2L, "C"),
+        (3L, "A"), (3L, "C"))
+      .zipWithIndex.map { case ((d, u), i) => (d * dayUs + i, u.hashCode.toLong) }
+      .toDF("us", "user_id").selectExpr("timestamp_micros(us) AS ts", "user_id")
+    val got = RelationalOps.growthAccounting(hand).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === ((2L, 2L, 0L, 2L)), "day 1: two new actives")
+    assert(got(2L) === ((1L, 1L, 0L, 3L)), "day 2: one new")
+    assert(got(3L) === ((2L, 0L, 2L, 3L)), "day 3: two returning, cum flat")
+    // corpus: the closing cumulative count IS the distinct-ever count,
+    // and Σ new = distinct (every user first-touches exactly once)
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.growthAccounting(events).collect()
+    val distinctUsers = events.filter("user_id IS NOT NULL")
+      .select("user_id").distinct().count()
+    assert(rows.last.getLong(4) === distinctUsers)
+    assert(rows.map(_.getLong(2)).sum === distinctUsers)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), "actives can never be below news")
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+    }
+    val reparted = RelationalOps.growthAccounting(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
+
+  test("q214 seasonal census: hand cell moments exact, whale flags for its cell, corpus conservation and invariance") {
+    val dayUs = RelationalOps.DayUs
+    // ten observations in ONE (dow=1, hod=0) cell: nine $1 rows + one $100
+    // whale. mean = 1090 cents, MAD = 1 782 000 000 micro, 4·MAD = 7.128e9:
+    // the whale's dev 8.91e9 flags, the $1 devs (0.99e9) do not.
+    val us0 = 4L * dayUs // 1970-01-05 (Monday): dow = (4+4)%7 = 1, hod 0
+    val hand = ((1 to 9).map(i => (us0 + i * 1000L, 1.0)) :+ (us0 + 10000L, 100.0))
+      .toDF("us", "value").selectExpr("timestamp_micros(us) AS ts", "value")
+    val row = RelationalOps.seasonalCensus(hand).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 0L)))
+    assert(r.getLong(2) === 10L)
+    assert(r.getLong(3) === 1090000000L, "floor'd micro mean")
+    assert(r.getLong(4) === 1782000000L, "exact weighted mean abs deviation")
+    assert(r.getLong(5) === 1L && r.getLong(6) === 100000L,
+      "exactly the whale flags; rate = 1/10")
+    // corpus: cells partition the observations (Σ n_obs = non-null rows)
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.seasonalCensus(events).collect()
+    assert(rows.map(_.getLong(2)).sum === events.filter("value IS NOT NULL").count())
+    assert(rows.forall(x => x.getLong(0) >= 0 && x.getLong(0) < 7
+      && x.getLong(1) >= 0 && x.getLong(1) < 24))
+    val reparted = RelationalOps.seasonalCensus(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
