@@ -956,6 +956,10 @@ object SparkEntry {
     "q42_knn_brute"        -> ((s, d) => SimilarityOps.knnBruteForce(Tables.embeddings(s, d))),
     // hybrid search: BM25 + vector rankers fused on ranks alone (RRF,
     // exact integer contributions) — incommensurable scores never meet
+    // ranking agreement: overlap / Kendall pairs / footrule between the
+    // same two rankers q199 fuses — bounded-list integer census
+    "q215_rank_agreement"  -> ((s, d) =>
+      SimilarityOps.rankAgreement(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q199_rank_fusion"     -> ((s, d) =>
       SimilarityOps.rankFusion(Tables.documents(s, d), Tables.embeddings(s, d))),
     // filtered vector search: pre-filter exact vs post-filter IVF on a

@@ -1632,7 +1632,10 @@ object SimilarityOps {
     * rows. Item universes may differ per ranker (text corpus vs
     * embedded subset) — the full outer join is the semantics, not a
     * hack. */
-  def rankFusion(docs: DataFrame, emb: DataFrame): DataFrame = {
+  /** The two ranked top-[[RrfDepth]] lists both q199 (fusion) and q215
+    * (agreement) consume — ONE construction, so the fused ordering and
+    * the agreement census can never measure different rankers. */
+  private[graft] def rrfLists(docs: DataFrame, emb: DataFrame): (DataFrame, DataFrame) = {
     val tinyByText = org.apache.spark.sql.expressions.Window
       .orderBy(desc("score_micro"), col("doc_id"))
     val text = TextOps.bm25(docs, topN = RrfDepth)
@@ -1650,6 +1653,11 @@ object SimilarityOps {
       .orderBy(desc("cos"), col("doc_id")).limit(RrfDepth)
       .withColumn("rank_vec", row_number().over(tinyByCos).cast("long"))
       .select(col("doc_id"), col("rank_vec"))
+    (text, vec)
+  }
+
+  def rankFusion(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val (text, vec) = rrfLists(docs, emb)
     val tinyByRrf = org.apache.spark.sql.expressions.Window
       .orderBy(desc("rrf_nano"), col("doc_id"))
     text.join(vec, Seq("doc_id"), "full_outer")
@@ -1663,13 +1671,58 @@ object SimilarityOps {
       .orderBy("fused_rank")
   }
 
-  def oracles: Map[String, String] = Map(
-    // q199: the same two rankers — q67's BM25 CTE at fusion depth and
-    // the q42 cosine shape against the example vector — fused on ranks
-    // with the identical exact-integer RRF arithmetic
-    "q199_rank_fusion" -> {
-      val terms = TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+  /** q215 — RANKING AGREEMENT: the measurement twin of q199's fusion —
+    * before ensembling two rankers, quantify how much they actually
+    * agree: overlap of the two top-[[RrfDepth]] lists, exact Kendall
+    * concordant/discordant pair counts over the COMMON items (ranks are
+    * permutations, so no tie terms), the sign-safe integer tau, and the
+    * Spearman footrule (Σ |rank_text − rank_vec|). High overlap + high
+    * tau means the rankers are redundant (fusion buys little); low
+    * overlap with high tau on the intersection is the complementary
+    * regime RRF exists for — the decision this census feeds.
+    *
+    * Exactness discipline: tau's numerator can be negative and floor
+    * (DuckDB `//`) disagrees with truncation on negatives, so the
+    * division runs on the |difference| and the sign is applied OUTSIDE —
+    * identical in both engines. Scale shape: both lists are bounded
+    * dials ([[RrfDepth]] rows); the pair census is a ≤ depth² self-join
+    * of a broadcast list — the corpus is touched only by the two
+    * rankers themselves. */
+  def rankAgreement(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val (text, vec) = rrfLists(docs, emb)
+    val common = text.join(vec, Seq("doc_id"))
+      .localCheckpoint() // ≤ depth rows; pairs + census + footrule
+    val pairs = common.as("a").join(broadcast(common.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
+      .selectExpr(
+        """CASE WHEN (a.rank_text - b.rank_text) * (a.rank_vec - b.rank_vec) > 0
+                THEN 1L ELSE 0L END AS conc""",
+        """CASE WHEN (a.rank_text - b.rank_text) * (a.rank_vec - b.rank_vec) < 0
+                THEN 1L ELSE 0L END AS disc""")
+      .agg(coalesce(sum("conc"), lit(0L)).as("n_conc"),
+        coalesce(sum("disc"), lit(0L)).as("n_disc"))
+    text.agg(count(lit(1)).as("n_text"))
+      .crossJoin(broadcast(vec.agg(count(lit(1)).as("n_vec"))))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"),
+        coalesce(sum(expr("abs(rank_text - rank_vec)")), lit(0L))
+          .as("footrule"))))
+      .crossJoin(broadcast(pairs))
+      .selectExpr("n_text", "n_vec", "n_common",
+        "CAST(1000000 AS BIGINT) * n_common DIV least(n_text, n_vec) AS overlap_micro",
+        "n_conc", "n_disc",
+        """CASE WHEN n_conc + n_disc = 0 THEN CAST(NULL AS BIGINT)
+                WHEN n_conc >= n_disc
+                THEN 1000000L * (n_conc - n_disc) DIV (n_conc + n_disc)
+                ELSE -(1000000L * (n_disc - n_conc) DIV (n_conc + n_disc))
+           END AS tau_micro""",
+        "footrule")
+  }
+
+  /** The q199/q215 shared oracle prefix: both rankers' top-depth CTEs
+    * (`tx`, `vx`) — one text, like the Spark-side [[rrfLists]]. */
+  private lazy val rrfListsSql: String = {
+    val terms = TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
           l AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS total FROM l),
           f AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t
@@ -1694,7 +1747,47 @@ object SimilarityOps {
                               ${duckDot("q.v", "c.v")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
                        FROM nn q JOIN nn c
                          ON q.vec_id = $RrfQueryVec AND c.vec_id != $RrfQueryVec
-                       ORDER BY cos DESC, doc_id LIMIT $RrfDepth)),
+                       ORDER BY cos DESC, doc_id LIMIT $RrfDepth))"""
+  }
+
+  def oracles: Map[String, String] = Map(
+    // q215: the identical two ranked lists, the same bounded pair
+    // census, and the same sign-outside floor'd tau
+    "q215_rank_agreement" ->
+      s"""WITH $rrfListsSql,
+          cm AS (SELECT tx.doc_id AS doc_id, rank_text, rank_vec
+                 FROM tx JOIN vx ON tx.doc_id = vx.doc_id),
+          pr AS (SELECT
+                   CAST(COALESCE(SUM(CASE WHEN (a.rank_text - b.rank_text)
+                                             * (a.rank_vec - b.rank_vec) > 0
+                                          THEN 1 END), 0) AS BIGINT) AS n_conc,
+                   CAST(COALESCE(SUM(CASE WHEN (a.rank_text - b.rank_text)
+                                             * (a.rank_vec - b.rank_vec) < 0
+                                          THEN 1 END), 0) AS BIGINT) AS n_disc
+                 FROM cm a JOIN cm b ON a.doc_id < b.doc_id),
+          sz AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tx) AS n_text,
+                        (SELECT CAST(COUNT(*) AS BIGINT) FROM vx) AS n_vec,
+                        (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS n_common,
+                        (SELECT CAST(COALESCE(SUM(abs(rank_text - rank_vec)), 0)
+                                     AS BIGINT) FROM cm) AS footrule)
+          SELECT n_text, n_vec, n_common,
+                 CAST(1000000 AS BIGINT) * n_common // least(n_text, n_vec)
+                   AS overlap_micro,
+                 n_conc, n_disc,
+                 CASE WHEN n_conc + n_disc = 0 THEN CAST(NULL AS BIGINT)
+                      WHEN n_conc >= n_disc
+                      THEN CAST(1000000 * (n_conc - n_disc)
+                                // (n_conc + n_disc) AS BIGINT)
+                      ELSE -CAST(1000000 * (n_disc - n_conc)
+                                 // (n_conc + n_disc) AS BIGINT)
+                 END AS tau_micro,
+                 footrule
+          FROM sz CROSS JOIN pr""",
+    // q199: the same two rankers — q67's BM25 CTE at fusion depth and
+    // the q42 cosine shape against the example vector — fused on ranks
+    // with the identical exact-integer RRF arithmetic
+    "q199_rank_fusion" -> {
+      s"""WITH $rrfListsSql,
           fo AS (SELECT COALESCE(tx.doc_id, vx.doc_id) AS doc_id,
                         tx.rank_text AS rank_text, vx.rank_vec AS rank_vec,
                         COALESCE($RrfScale // ($RrfK + tx.rank_text), 0)

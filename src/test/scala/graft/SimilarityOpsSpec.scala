@@ -919,4 +919,33 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(again === rows.map(_.toSeq).toSeq)
   }
 
+  test("q215 rank agreement: census matches a driver fold over the SAME lists q199 fuses; sign-safe tau") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (textDf, vecDf) = SimilarityOps.rrfLists(docs, embs)
+    val rt = textDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rv = vecDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val common = rt.keySet.intersect(rv.keySet).toSeq.sorted
+    val pairs = for (i <- common.indices; j <- i + 1 until common.length)
+      yield (common(i), common(j))
+    val nConc = pairs.count { case (a, b) =>
+      (rt(a) - rt(b)) * (rv(a) - rv(b)) > 0 }
+    val nDisc = pairs.count { case (a, b) =>
+      (rt(a) - rt(b)) * (rv(a) - rv(b)) < 0 }
+    val foot = common.map(d => math.abs(rt(d) - rv(d))).sum
+    val r = SimilarityOps.rankAgreement(docs, embs).collect().head
+    assert(r.getLong(0) === rt.size && r.getLong(1) === rv.size)
+    assert(r.getLong(2) === common.size.toLong)
+    assert(r.getLong(3) === 1000000L * common.size / math.min(rt.size, rv.size))
+    assert((r.getLong(4), r.getLong(5)) === ((nConc.toLong, nDisc.toLong)))
+    val wantTau =
+      if (nConc + nDisc == 0) null
+      else if (nConc >= nDisc) 1000000L * (nConc - nDisc) / (nConc + nDisc)
+      else -(1000000L * (nDisc - nConc) / (nConc + nDisc))
+    assert((if (r.isNullAt(6)) null else r.getLong(6)) === wantTau)
+    assert(r.getLong(7) === foot.toLong)
+    // the sign-outside rule: floor'd magnitude, negated — spot-check the
+    // discordant-majority arithmetic the engines must share
+    assert(-(1000000L * (7L - 3L) / 10L) === -400000L)
+  }
 }
