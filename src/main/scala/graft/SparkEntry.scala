@@ -606,6 +606,10 @@ object SparkEntry {
       graft.ops.ScaleOps.hilbertAudit(Tables.events(s, d))),
     "q175_zorder_audit"    -> ((s, d) =>
       graft.ops.ScaleOps.zOrderAudit(Tables.events(s, d))),
+    // partition-key advisor: 3 candidate keys scored on balance + a
+    // 3-predicate pruning workload in ONE stacked corpus pass
+    "q216_partition_advisor" -> ((s, d) =>
+      graft.ops.ScaleOps.partitionKeyAdvisor(Tables.events(s, d))),
     // cardinality-estimation q-error audit: the q169 stats estimating
     // probe selectivities off the 8-row histogram, graded beside exact
     // counts — the loop a database team runs to evaluate statistics
@@ -2390,6 +2394,70 @@ object SparkEntry {
                 skip_cents, n_match_cents,
                 NOT skip_cents OR n_match_cents = 0 AS skip_sound_cents
          FROM s ORDER BY shard"""
+    },
+    // q216: identical dials, the same 3-way candidate stack (UNION ALL),
+    // the same bounded collapse, skew/small census, and per-predicate
+    // scan sums; every SUM cast (DuckDB sums to HUGEINT)
+    "q216_partition_advisor" -> {
+      val dayUs = graft.ops.RelationalOps.DayUs
+      val nb = graft.ops.ScaleOps.PartUserBuckets
+      val po = graft.ops.ScaleOps.PartProbeDayOff
+      s"""WITH dials AS (SELECT MIN(epoch_us(ts) // $dayUs) AS d0,
+                                MIN(user_id) AS u0, MIN(event_type) AS t0
+                         FROM events),
+              base AS (SELECT CAST(epoch_us(ts) // $dayUs AS VARCHAR) AS k_day,
+                              CAST(COALESCE(user_id % $nb, -1) AS VARCHAR) AS k_user_bucket,
+                              COALESCE(event_type, '<null>') AS k_event_type,
+                              epoch_us(ts) // $dayUs = d0 + $po AS m_day,
+                              COALESCE(user_id = u0, false) AS m_user,
+                              COALESCE(event_type = t0, false) AS m_type
+                       FROM events CROSS JOIN dials),
+              st AS (SELECT 'day' AS cand, k_day AS k, m_day, m_user, m_type FROM base
+                     UNION ALL
+                     SELECT 'user_bucket', k_user_bucket, m_day, m_user, m_type FROM base
+                     UNION ALL
+                     SELECT 'event_type', k_event_type, m_day, m_user, m_type FROM base),
+              sizes AS (SELECT cand, k, CAST(COUNT(*) AS BIGINT) AS n,
+                               MAX(CASE WHEN m_day THEN 1 ELSE 0 END) AS t_day,
+                               MAX(CASE WHEN m_user THEN 1 ELSE 0 END) AS t_user,
+                               MAX(CASE WHEN m_type THEN 1 ELSE 0 END) AS t_type
+                        FROM st GROUP BY 1, 2),
+              cens AS (SELECT cand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                              CAST(SUM(n) AS BIGINT) AS total_rows,
+                              MAX(n) AS max_part_rows,
+                              CAST(1000000 * MAX(n) * COUNT(*) // SUM(n) AS BIGINT)
+                                AS skew_micro
+                       FROM sizes GROUP BY 1),
+              small AS (SELECT s.cand AS cand,
+                               CAST(COALESCE(SUM(CASE WHEN n * n_parts * 10 < total_rows
+                                                      THEN 1 END), 0) AS BIGINT) AS n_small
+                        FROM sizes s JOIN cens c ON s.cand = c.cand GROUP BY 1),
+              sc AS (SELECT cand, pred,
+                            CAST(COALESCE(SUM(CASE WHEN t = 1 THEN n END), 0) AS BIGINT)
+                              AS scan_rows
+                     FROM (SELECT cand, n, 'one_day' AS pred, t_day AS t FROM sizes
+                           UNION ALL SELECT cand, n, 'one_user', t_user FROM sizes
+                           UNION ALL SELECT cand, n, 'one_type', t_type FROM sizes)
+                     GROUP BY 1, 2),
+              mt AS (SELECT 'one_day' AS pred,
+                            CAST(COALESCE(SUM(CASE WHEN m_day THEN 1 END), 0) AS BIGINT)
+                              AS match_rows FROM base
+                     UNION ALL
+                     SELECT 'one_user',
+                            CAST(COALESCE(SUM(CASE WHEN m_user THEN 1 END), 0) AS BIGINT)
+                     FROM base
+                     UNION ALL
+                     SELECT 'one_type',
+                            CAST(COALESCE(SUM(CASE WHEN m_type THEN 1 END), 0) AS BIGINT)
+                     FROM base)
+         SELECT sc.cand AS cand, sc.pred AS pred, n_parts, total_rows,
+                max_part_rows, skew_micro, n_small, match_rows, scan_rows,
+                CAST(1000000 AS BIGINT) * scan_rows // total_rows AS scan_micro,
+                scan_rows >= match_rows AS prune_sound
+         FROM sc JOIN cens ON sc.cand = cens.cand
+                 JOIN small ON sc.cand = small.cand
+                 JOIN mt ON sc.pred = mt.pred
+         ORDER BY cand, pred"""
     },
     "q175_zorder_audit" -> {
       val dayUs = graft.ops.RelationalOps.DayUs

@@ -467,4 +467,49 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === real.map(_.toSeq).toSeq)
   }
+
+  test("q216 partition advisor: day key prunes time not users, bucket key the reverse; laws and invariance on the corpus") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = graft.ops.ScaleOps.partitionKeyAdvisor(events).collect()
+    assert(rows.length === 9, "3 candidates × 3 predicates")
+    val cell = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // soundness law graded true everywhere: a scan never misses a match
+    assert(rows.forall(_.getBoolean(10)))
+    // every candidate's total is the same corpus (candidates re-key,
+    // never drop); match counts are candidate-independent
+    assert(rows.map(_.getLong(3)).distinct.length === 1)
+    for (p <- Seq("one_day", "one_user", "one_type"))
+      assert(Seq("day", "user_bucket", "event_type")
+        .map(c => cell((c, p)).getLong(7)).distinct.length === 1,
+        s"match_rows for $p must not depend on the candidate key")
+    // THE lesson, on real data: the day key prunes its own predicate
+    // (scan < total) but reads everything for the user probe (an active
+    // user touches every day); the user bucket prunes the user probe
+    // but reads everything for the day probe
+    val dayDay = cell(("day", "one_day"))
+    assert(dayDay.getLong(8) * 2 < dayDay.getLong(3),
+      "day key must strongly prune the day probe")
+    val dayUser = cell(("day", "one_user"))
+    assert(dayUser.getLong(8) * 2 > dayUser.getLong(3),
+      "day key barely prunes a single-user probe (the user is active most days)")
+    val bucketUser = cell(("user_bucket", "one_user"))
+    assert(bucketUser.getLong(8) * bucketUser.getLong(2)
+      <= bucketUser.getLong(3) * 2,
+      "a single-user probe reads ~one bucket under the hash key")
+    assert(dayUser.getLong(8) > bucketUser.getLong(8) * 10,
+      "the user probe must read far more under the day key than the bucket key")
+    val bucketDay = cell(("user_bucket", "one_day"))
+    assert(bucketDay.getLong(8) * 2 > bucketDay.getLong(3),
+      "user bucket barely prunes a time probe (the day's rows spread over buckets)")
+    assert(bucketDay.getLong(8) > dayDay.getLong(8) * 5,
+      "the day probe must read far more under the bucket key than the day key")
+    // balance census: buckets are near-uniform (md5-free modulo on dense
+    // ids), so no bucket is starved; skew ≥ the perfect 1e6 by definition
+    assert(rows.forall(_.getLong(5) >= 1000000L))
+    assert(cell(("user_bucket", "one_day")).getLong(6) === 0L,
+      "uniform buckets must show zero starved partitions")
+    val reparted = graft.ops.ScaleOps.partitionKeyAdvisor(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(reparted === rows.map(_.toSeq).toSeq)
+  }
 }
