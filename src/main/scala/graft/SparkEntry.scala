@@ -634,6 +634,14 @@ object SparkEntry {
     // anomaly census — q187's posture with the calendar structure
     "q214_seasonal_census" -> ((s, d) =>
       RelationalOps.seasonalCensus(Tables.events(s, d))),
+    // recency-decayed vs all-time leaderboard — exact dyadic half-life,
+    // both top-Ns TakeOrdered, flips surfaced
+    "q217_decayed_leaderboard" -> ((s, d) =>
+      RelationalOps.decayedLeaderboard(Tables.events(s, d))),
+    // Theil–Sen median-of-slopes daily trend beside its OLS twin —
+    // exact milli slopes, sign outside the floor, bounded pair table
+    "q218_robust_trend" -> ((s, d) =>
+      RelationalOps.robustTrend(Tables.events(s, d))),
     // per-nation supplier concentration: exact HHI / Gini / top-share
     "q210_concentration"   -> ((s, d) =>
       RelationalOps.concentrationCensus(Tables.supplier(s, d), Tables.lineitem(s, d))),
@@ -1552,6 +1560,81 @@ object SparkEntry {
                 CAST(1000000 AS BIGINT) * n_anom // n_obs AS anom_micro
          FROM f ORDER BY dow, hod"""
     },
+    // q217: identical (user, day) collapse, the same truncated dyadic
+    // decay (integer shift), the same two top-Ns and fill join
+    "q217_decayed_leaderboard" -> {
+      val w = graft.ops.RelationalOps.DecayWindowDays
+      val n = graft.ops.RelationalOps.LeaderTopN
+      s"""WITH ud AS (SELECT user_id, epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+              d1 AS (SELECT MAX(day) AS d1 FROM ud),
+              sc AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_total,
+                            CAST(SUM(CASE WHEN d1 - day < $w
+                                          THEN n * (CAST(1 AS BIGINT)
+                                                    << CAST(${w - 1} - (d1 - day) AS INT))
+                                          ELSE 0 END) AS BIGINT) AS decayed_score
+                     FROM ud CROSS JOIN d1 GROUP BY user_id),
+              td AS (SELECT user_id, CAST(row_number() OVER (
+                              ORDER BY decayed_score DESC, user_id) AS BIGINT)
+                              AS rank_decayed
+                     FROM (SELECT * FROM sc
+                           ORDER BY decayed_score DESC, user_id LIMIT $n)),
+              tr AS (SELECT user_id, CAST(row_number() OVER (
+                              ORDER BY n_total DESC, user_id) AS BIGINT) AS rank_raw
+                     FROM (SELECT * FROM sc
+                           ORDER BY n_total DESC, user_id LIMIT $n)),
+              m AS (SELECT COALESCE(td.user_id, tr.user_id) AS user_id,
+                           rank_decayed, rank_raw
+                    FROM td FULL OUTER JOIN tr ON td.user_id = tr.user_id)
+         SELECT m.user_id AS user_id, rank_decayed, rank_raw,
+                decayed_score, n_total,
+                rank_decayed IS NOT NULL AND rank_raw IS NOT NULL AS in_both
+         FROM m JOIN sc ON m.user_id = sc.user_id
+         ORDER BY COALESCE(rank_decayed, ${n + 1}),
+                  COALESCE(rank_raw, ${n + 1}), user_id"""
+    },
+    // q218: identical daily collapse, the same sign-outside milli
+    // slopes, the q187 value-count median, the same centered OLS moments
+    "q218_robust_trend" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS t
+                         FROM events WHERE value IS NOT NULL GROUP BY 1),
+              sl AS (SELECT CASE WHEN b.t - a.t >= 0
+                                 THEN 1000 * (b.t - a.t) // (b.day - a.day)
+                                 ELSE -((1000 * (a.t - b.t)) // (b.day - a.day))
+                            END AS slope_milli
+                     FROM daily a JOIN daily b ON a.day < b.day),
+              vc AS (SELECT slope_milli, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM sl GROUP BY 1),
+              m AS (SELECT MAX(n_pairs) AS n_pairs,
+                           MIN(CASE WHEN cum >= (n_pairs + 1) // 2
+                                    THEN slope_milli END) AS theilsen_milli
+                    FROM (SELECT slope_milli,
+                                 CAST(SUM(n) OVER (ORDER BY slope_milli
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                                 CAST(SUM(n) OVER () AS BIGINT) AS n_pairs
+                          FROM vc)),
+              d0 AS (SELECT MIN(day) AS d0 FROM daily),
+              o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                           CAST(SUM(day - d0) AS BIGINT) AS sx,
+                           CAST(SUM(t) AS BIGINT) AS sy,
+                           CAST(SUM((day - d0) * (day - d0)) AS BIGINT) AS sxx,
+                           CAST(SUM((day - d0) * t) AS BIGINT) AS sxy
+                    FROM daily CROSS JOIN d0),
+              o2 AS (SELECT n_days, n_days * sxy - sx * sy AS onum,
+                            n_days * sxx - sx * sx AS oden FROM o),
+              f AS (SELECT n_days, n_pairs, theilsen_milli,
+                           CASE WHEN oden = 0 THEN CAST(NULL AS BIGINT)
+                                WHEN onum >= 0
+                                THEN CAST(1000 * onum // oden AS BIGINT)
+                                ELSE -CAST((1000 * -onum) // oden AS BIGINT)
+                           END AS ols_milli
+                    FROM o2 CROSS JOIN m)
+         SELECT n_days, n_pairs, CAST(theilsen_milli AS BIGINT) AS theilsen_milli,
+                ols_milli,
+                abs(theilsen_milli - ols_milli) AS disagreement_milli
+         FROM f""",
     // q211: identical per-user double lag under the same total order,
     // the same count-then-top-N with the (n DESC, path ASC) tie rule
     "q211_journeys" -> {

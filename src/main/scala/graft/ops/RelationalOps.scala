@@ -654,6 +654,113 @@ object RelationalOps {
       .orderBy("dow", "hod")
   }
 
+  /** q217's dials: the truncated dyadic decay window (ages ≥ W days
+    * contribute zero — the q162 exact-decay discipline) and the
+    * leaderboard depth. */
+  val DecayWindowDays = 8L
+  val LeaderTopN = 10
+
+  /** q217 — RECENCY-DECAYED LEADERBOARD: "who matters NOW" vs "who has
+    * the biggest history" — the two rankings every popularity surface
+    * conflates. Each user's decayed score is Σ n_day · 2^(W−1−age)
+    * truncated at the [[DecayWindowDays]] window: an exact-integer
+    * dyadic half-life (the q162 discipline — IEEE exp() would drift the
+    * hash), so yesterday outweighs a week ago 128×, and both engines
+    * agree bit-for-bit. The shipped artifact is the FULL-OUTER merge of
+    * the decayed top-[[LeaderTopN]] and the raw-count top-N with both
+    * scores filled for every surfaced user — the flips (`in_both` false)
+    * are the product lesson: a faded whale drops off the live board
+    * while a surging newcomer never shows on the all-time one.
+    *
+    * Scale shape: ONE corpus collapse to (user, day) counts; scores are
+    * one map-combinable aggregate over that table against a one-row MAX
+    * dial; both top-Ns plan as TakeOrdered over the per-user table; the
+    * merge touches ≤ 2N rows. */
+  def decayedLeaderboard(events: DataFrame): DataFrame = {
+    val ud = events.filter(col("user_id").isNotNull)
+      .selectExpr("user_id", s"unix_micros(ts) DIV $DayUs AS day")
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    val d1 = ud.agg(max("day").as("d1"))
+    val scored = ud.crossJoin(broadcast(d1))
+      .selectExpr("user_id", "n",
+        s"""CASE WHEN d1 - day < $DecayWindowDays
+                 THEN shiftleft(n, CAST($DecayWindowDays - 1 - (d1 - day) AS INT))
+                 ELSE 0L END AS dec""")
+      .groupBy("user_id")
+      .agg(sum("n").as("n_total"), sum("dec").as("decayed_score"))
+      .localCheckpoint() // per-user table; two TakeOrdered reads + fill
+    val byDec = Window.orderBy(desc("decayed_score"), col("user_id"))
+    val topDec = scored.orderBy(desc("decayed_score"), col("user_id"))
+      .limit(LeaderTopN)
+      .withColumn("rank_decayed", row_number().over(byDec).cast("long"))
+      .select("user_id", "rank_decayed")
+    val byRaw = Window.orderBy(desc("n_total"), col("user_id"))
+    val topRaw = scored.orderBy(desc("n_total"), col("user_id"))
+      .limit(LeaderTopN)
+      .withColumn("rank_raw", row_number().over(byRaw).cast("long"))
+      .select("user_id", "rank_raw")
+    topDec.join(topRaw, Seq("user_id"), "full_outer")
+      .join(scored, Seq("user_id")) // fill both scores for every surfaced user
+      .selectExpr("user_id", "rank_decayed", "rank_raw",
+        "decayed_score", "n_total",
+        "rank_decayed IS NOT NULL AND rank_raw IS NOT NULL AS in_both")
+      .orderBy(expr(s"COALESCE(rank_decayed, ${LeaderTopN + 1})"),
+        expr(s"COALESCE(rank_raw, ${LeaderTopN + 1})"), col("user_id"))
+  }
+
+  /** q218 — THEIL–SEN ROBUST TREND: the median-of-pairwise-slopes trend
+    * estimator beside its OLS twin — the robust-regression answer to
+    * "is daily volume growing", immune to the single whale day that
+    * drags a least-squares fit. Slopes are exact milli-cents/day with
+    * the sign applied OUTSIDE the floor division (negative floor vs
+    * truncation is an engine trap — the q215 rule); the median is the
+    * q187 value-count selection, never a sort of raw pairs; OLS is the
+    * exact cross-multiplied rational (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)
+    * under the same sign-outside milli rendering, with days centered on
+    * the min-day dial so every moment stays in int64.
+    *
+    * Scale shape: the corpus collapses ONCE to daily totals (bounded by
+    * the day span); the pair table, the median selection, and the OLS
+    * moments all live on that bounded table — at 100 TB the trend costs
+    * one map-combinable aggregate. */
+  def robustTrend(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("value").isNotNull)
+      .selectExpr(s"unix_micros(ts) DIV $DayUs AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .groupBy("day").agg(sum("cents").as("t"))
+      .localCheckpoint() // ≤ days rows; pairs + OLS + dial
+    val d0 = daily.agg(min("day").as("d0"))
+    val slopes = daily.as("a").join(broadcast(daily.as("b")),
+        col("a.day") < col("b.day"))
+      .selectExpr("b.t - a.t AS num", "b.day - a.day AS den")
+      .selectExpr(
+        """CASE WHEN num >= 0 THEN 1000 * num DIV den
+                ELSE -((1000 * -num) DIV den) END AS slope_milli""")
+      .groupBy("slope_milli").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("slope_milli")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = slopes
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("n_pairs", sum("n").over(
+        Window.partitionBy(lit(1))))
+      .filter(col("cum") >= expr("(n_pairs + 1) DIV 2"))
+      .groupBy("n_pairs")
+      .agg(min("slope_milli").as("theilsen_milli"))
+    val ols = daily.crossJoin(broadcast(d0))
+      .selectExpr("day - d0 AS x", "t")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"), sum("t").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * t")).as("sxy"))
+      .selectExpr("n_days",
+        "n_days * sxy - sx * sy AS onum", "n_days * sxx - sx * sx AS oden")
+      .selectExpr("n_days",
+        """CASE WHEN oden = 0 THEN CAST(NULL AS BIGINT)
+                WHEN onum >= 0 THEN 1000 * onum DIV oden
+                ELSE -((1000 * -onum) DIV oden) END AS ols_milli""")
+    ols.crossJoin(broadcast(med))
+      .selectExpr("n_days", "n_pairs", "theilsen_milli", "ols_milli",
+        "abs(theilsen_milli - ols_milli) AS disagreement_milli")
+  }
+
   /** q183's version count: snapshots at quarter points of the log's
     * time span. */
   val TimeTravelVersions = 4

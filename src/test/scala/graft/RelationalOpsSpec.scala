@@ -1372,6 +1372,72 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q217 decayed leaderboard: a faded whale loses the live board to a surging newcomer; corpus replay") {
+    val dayUs = RelationalOps.DayUs
+    // whale: 100 events on day 0 (age 29 — outside the window, decayed 0);
+    // newcomer: 10 events on day 29 (age 0 — decayed 10·128 = 1280);
+    // steady: 2 events/day every day (n_total 60; decayed 2·(128+…+1)=510)
+    val rows =
+      (1 to 100).map(_ => (0L, 900L)) ++ // one whale user, all on day 0
+        (1 to 10).map(_ => (29L, 800L)) ++ // newcomer, all on the last day
+        (0L to 29L).flatMap(d => Seq((d, 700L), (d, 700L))) // steady 2/day
+    val hand = rows.zipWithIndex
+      .map { case ((d, u), i) => (d * dayUs + i, u) }
+      .toDF("us", "user_id").selectExpr("timestamp_micros(us) AS ts", "user_id")
+    val got = RelationalOps.decayedLeaderboard(hand).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val whale = got(900L)
+    assert(whale.getLong(2) === 1L && whale.getLong(3) === 0L,
+      "the whale tops the all-time board but has fully decayed")
+    val newc = got(800L)
+    assert(newc.getLong(3) === 1280L && newc.getLong(1) === 1L,
+      "newcomer decayed = 10 · 2^7 and leads the live board")
+    val steady = got(700L)
+    assert(steady.getLong(3) === 510L, "steady decayed = 2 · (2^8 − 1)")
+    assert(steady.getLong(4) === 60L)
+    assert(whale.getLong(1) > steady.getLong(1),
+      "on the live board the faded whale sits below steady")
+    // corpus: decayed ranking flips at least someone vs the raw ranking
+    // is data-dependent — grade instead the replay + fill contract
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val corpus = RelationalOps.decayedLeaderboard(events).collect()
+    assert(corpus.nonEmpty && corpus.length <= 2 * RelationalOps.LeaderTopN)
+    corpus.foreach { r =>
+      assert(!r.isNullAt(3) && !r.isNullAt(4),
+        "both scores must be filled for every surfaced user")
+    }
+    val again = RelationalOps.decayedLeaderboard(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === corpus.map(_.toSeq).toSeq)
+  }
+
+  test("q218 robust trend: a whale day drags OLS but not Theil–Sen; exact hand slopes; corpus replay") {
+    val dayUs = RelationalOps.DayUs
+    // five days of steady +100 cents/day growth, then a whale day
+    // (day 5 total = 100000): OLS chases the whale, the median slope
+    // stays at the steady 100 cents/day = 100000 milli
+    def mk(totals: Seq[Long]) = totals.zipWithIndex.flatMap { case (t, d) =>
+      Seq((d.toLong * dayUs, t)) // one event carrying the whole day total
+    }.toDF("us", "c").selectExpr("timestamp_micros(us) AS ts",
+      "CAST(c AS DOUBLE) / 100 AS value")
+    val steady = Seq(1000L, 1100L, 1200L, 1300L, 1400L)
+    val r1 = RelationalOps.robustTrend(mk(steady)).collect().head
+    assert(r1.getLong(0) === 5L && r1.getLong(1) === 10L)
+    assert(r1.getLong(2) === 100000L && r1.getLong(3) === 100000L,
+      "pure linear growth: both estimators see exactly 100 cents/day")
+    assert(r1.getLong(4) === 0L)
+    val whale = steady :+ 100000L
+    val r2 = RelationalOps.robustTrend(mk(whale)).collect().head
+    assert(r2.getLong(2) < r2.getLong(3) / 10,
+      "the whale day must drag OLS far above the median slope")
+    // corpus replay under repartitioning
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.robustTrend(events).collect().map(_.toSeq).toSeq
+    val again = RelationalOps.robustTrend(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === rows)
+  }
+
   test("q214 seasonal census: hand cell moments exact, whale flags for its cell, corpus conservation and invariance") {
     val dayUs = RelationalOps.DayUs
     // ten observations in ONE (dow=1, hod=0) cell: nine $1 rows + one $100
