@@ -968,6 +968,10 @@ object SparkEntry {
     "q42_knn_brute"        -> ((s, d) => SimilarityOps.knnBruteForce(Tables.embeddings(s, d))),
     // hybrid search: BM25 + vector rankers fused on ranks alone (RRF,
     // exact integer contributions) — incommensurable scores never meet
+    // per-language characteristic keyterms by exact cross-multiplied
+    // lift (the c-TF-IDF ask without the logarithm) — vocab-bounded
+    "q219_class_keyterms"  -> ((s, d) =>
+      TextOps.classKeyterms(Tables.documents(s, d))),
     // ranking agreement: overlap / Kendall pairs / footrule between the
     // same two rankers q199 fuses — bounded-list integer census
     "q215_rank_agreement"  -> ((s, d) =>

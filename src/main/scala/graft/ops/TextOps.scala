@@ -270,6 +270,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q219's dials: the minimum in-class term count (kills hapax noise —
+    * a term seen twice in a tiny class would otherwise post an enormous
+    * lift) and the per-class keyterm depth. */
+  val KeytermMinTf = 5L
+  val KeytermTopN = 10
+
+  /** q219 — CLASS KEYTERMS (c-TF-IDF family): per language, the terms
+    * that CHARACTERIZE it — what BERTopic-style class-TF-IDF surfaces,
+    * ranked here by the exact lift P(term | class) / P(term) so the
+    * score needs no logarithm: lift = (tf_c · T_all) / (tf_all · T_c),
+    * cross-multiplied in DECIMAL(38,0) and shipped as the floor'd micro
+    * integer (the q170 discipline — IEEE ln/idf would drift the hash).
+    * Ties break on the term, so the board is total in both engines.
+    *
+    * Scale shape: ONE corpus tokenize pass collapses to the
+    * (lang, token, tf) table (bounded by vocab × classes, never rows);
+    * the class and corpus totals are bounded aggregates; the only joins
+    * are a broadcast class dial and a co-keyed vocab-sized term-total
+    * join; the rank window partitions by class over the vocab-bounded
+    * scored table. */
+  def classKeyterms(docs: DataFrame): DataFrame = {
+    val tf = docs.filter(col("lang").isNotNull)
+      .selectExpr("lang", "explode(split(text, ' ')) AS token")
+      .groupBy("lang", "token").agg(count(lit(1)).as("tf_c"))
+      .localCheckpoint() // vocab × classes table; read three ways
+    val classTot = tf.groupBy("lang").agg(sum("tf_c").as("t_c"))
+    val termTot = tf.groupBy("token").agg(sum("tf_c").as("tf_all"))
+    val corpusTot = tf.agg(sum("tf_c").as("t_all"))
+    val scored = tf.filter(col("tf_c") >= KeytermMinTf)
+      .join(broadcast(classTot), "lang")
+      .join(termTot, "token")
+      .crossJoin(broadcast(corpusTot))
+      .selectExpr("lang", "token", "tf_c", "tf_all",
+        """CAST(CAST(1000000 AS DECIMAL(38,0)) * tf_c * t_all
+                DIV (tf_all * t_c) AS BIGINT) AS lift_micro""")
+    val byLift = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("lift_micro"), col("token"))
+    scored.withColumn("rank", row_number().over(byLift).cast("long"))
+      .filter(col("rank") <= KeytermTopN)
+      .select("lang", "rank", "token", "tf_c", "tf_all", "lift_micro")
+      .orderBy("lang", "rank")
+  }
+
   /** The q61 quality-threshold dials, ONE definition shared by
     * [[trainingFilter]] and its streaming twin
     * [[graft.streaming.StreamQualityGate]] — retuning the batch defaults
@@ -1009,6 +1052,32 @@ object TextOps {
           FROM tok t0 $joins WHERE $preds GROUP BY t0.doc_id"""
     }.mkString(" UNION ALL ")
     val base = Map(
+      // q219: identical (lang, token) collapse, the same HUGEINT
+      // cross-multiplied lift (≡ Spark's DECIMAL(38,0) on these
+      // magnitudes), the same min-tf cut, rank window, and tie rule
+      "q219_class_keyterms" ->
+        s"""WITH tf AS (SELECT lang, unnest(str_split(text, ' ')) AS token
+                        FROM documents WHERE lang IS NOT NULL),
+              c AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf_c
+                    FROM tf GROUP BY 1, 2),
+              ct AS (SELECT lang, CAST(SUM(tf_c) AS BIGINT) AS t_c
+                     FROM c GROUP BY 1),
+              tt AS (SELECT token, CAST(SUM(tf_c) AS BIGINT) AS tf_all
+                     FROM c GROUP BY 1),
+              g AS (SELECT CAST(SUM(tf_c) AS BIGINT) AS t_all FROM c),
+              sc AS (SELECT c.lang AS lang, c.token AS token, tf_c, tf_all,
+                            CAST(CAST(1000000 AS HUGEINT) * tf_c * t_all
+                                 // (tf_all * t_c) AS BIGINT) AS lift_micro
+                     FROM c JOIN ct ON c.lang = ct.lang
+                            JOIN tt ON c.token = tt.token
+                            CROSS JOIN g
+                     WHERE tf_c >= $KeytermMinTf)
+         SELECT lang, rank, token, tf_c, tf_all, lift_micro
+         FROM (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                          ORDER BY lift_micro DESC, token) AS BIGINT) AS rank
+               FROM sc)
+         WHERE rank <= $KeytermTopN
+         ORDER BY lang, rank""",
       // q198: identical postings (DuckDB's 1-based subscripts shifted to
       // Spark's 0-based posexplode at ship time; adjacency joins are
       // base-invariant) and the same per-phrase position intersection

@@ -488,4 +488,36 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
+
+  test("q219 class keyterms: a class-exclusive term posts exact max lift, shared filler sinks, min-tf gates hapax") {
+    // two classes, 60 tokens each: "shared" everywhere (lift 1), "aaa"
+    // exclusive to en, "bbb" exclusive to fr, "rare" seen 4× (below the
+    // 5-count gate despite enormous would-be lift)
+    val en = ("shared " * 50 + "aaa " * 6 + "rare " * 4).trim
+    val fr = ("shared " * 54 + "bbb " * 6).trim
+    val docs = Seq((1L, en, "en"), (2L, fr, "fr"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TextOps.classKeyterms(docs).collect()
+    val byKey = rows.map(r => (r.getString(0), r.getString(2)) -> r).toMap
+    // en-exclusive "aaa": lift = (6/60)/(6/120) = 2 exactly
+    assert(byKey(("en", "aaa")).getLong(5) === 2000000L)
+    assert(byKey(("en", "aaa")).getLong(1) === 1L, "exclusive term tops its class")
+    assert(byKey(("fr", "bbb")).getLong(5) === 2000000L)
+    // shared filler: lift = (50/60)/(104/120) = 961538 micro floor'd
+    assert(byKey(("en", "shared")).getLong(5) === 1000000L * 50 * 120 / (104 * 60))
+    // the hapax gate: "rare" (4 < 5) must not appear at all
+    assert(!rows.exists(_.getString(2) == "rare"), "below-min-tf term surfaced")
+    // corpus: per-class boards are full and total-ordered; replay invariant
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cRows = TextOps.classKeyterms(corpus).collect()
+    val perLang = cRows.groupBy(_.getString(0))
+    perLang.foreach { case (l, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length).toSeq,
+        s"ranks for $l must be 1..n")
+      assert(rs.length <= TextOps.KeytermTopN)
+    }
+    val again = TextOps.classKeyterms(corpus.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === cRows.map(_.toSeq).toSeq)
+  }
 }
