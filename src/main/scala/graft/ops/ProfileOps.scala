@@ -74,16 +74,15 @@ object ProfileOps {
     * Equality via the 128-bit fingerprint is one comparison per key
     * pair regardless of schema width. */
   def tableDiff(orders: DataFrame): DataFrame = {
-    val a = withFp(diffCanon(orders))
-    val b0 = diffCanon(orders).withColumn("rb", expr(DiffBucket))
-    val bKept = b0.filter("rb <> 0").selectExpr("k", "c_cust",
-      "CASE WHEN rb = 2 THEN 'X' ELSE c_status END AS c_status",
-      "c_price + CASE WHEN rb = 1 THEN 1 ELSE 0 END AS c_price",
-      "c_date", "c_prio")
-    val bIns = b0.filter("rb = 3").selectExpr(s"k + $DiffKeyOffset AS k",
-      "c_cust", "c_status", "c_price", "c_date", "c_prio")
-    val b = withFp(bKept.unionByName(bIns))
-    val j = a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
+    val (a, b) = tableDiffSides(orders)
+    tableDiffFromSides(a, b)
+  }
+
+  /** q212's categorized diff join pre-aggregation — the corpus-scale
+    * stage, exposed for the `PlanShapeSpec` guard (the shipped query
+    * checkpoints the 4-row census, which truncates the visible plan). */
+  private[graft] def tableDiffJoined(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
       .selectExpr(
         """CASE WHEN b.present IS NULL THEN 'only_in_a'
                 WHEN a.present IS NULL THEN 'only_in_b'
@@ -94,13 +93,34 @@ object ProfileOps {
         "CASE WHEN a.c_price  <> b.c_price  THEN 1L ELSE 0L END AS m_price",
         "CASE WHEN a.c_date   <> b.c_date   THEN 1L ELSE 0L END AS m_date",
         "CASE WHEN a.c_prio   <> b.c_prio   THEN 1L ELSE 0L END AS m_prio")
+
+  /** q212's diff-side entry for the plan guard: (a, b) fingerprinted
+    * canonical sides for ANY orders frame. */
+  private[graft] def tableDiffSides(orders: DataFrame): (DataFrame, DataFrame) = {
+    val a = withFp(diffCanon(orders))
+    val b0 = diffCanon(orders).withColumn("rb", expr(DiffBucket))
+    val bKept = b0.filter("rb <> 0").selectExpr("k", "c_cust",
+      "CASE WHEN rb = 2 THEN 'X' ELSE c_status END AS c_status",
+      "c_price + CASE WHEN rb = 1 THEN 1 ELSE 0 END AS c_price",
+      "c_date", "c_prio")
+    val bIns = b0.filter("rb = 3").selectExpr(s"k + $DiffKeyOffset AS k",
+      "c_cust", "c_status", "c_price", "c_date", "c_prio")
+    (a, withFp(bKept.unionByName(bIns)))
+  }
+
+  private def tableDiffFromSides(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = tableDiffJoined(a, b)
     val perCat = j.groupBy("category").agg(
-      count(lit(1)).as("n_keys"),
-      coalesce(sum("m_cust"), lit(0L)).as("mism_cust"),
-      coalesce(sum("m_status"), lit(0L)).as("mism_status"),
-      coalesce(sum("m_price"), lit(0L)).as("mism_price"),
-      coalesce(sum("m_date"), lit(0L)).as("mism_date"),
-      coalesce(sum("m_prio"), lit(0L)).as("mism_prio"))
+        count(lit(1)).as("n_keys"),
+        coalesce(sum("m_cust"), lit(0L)).as("mism_cust"),
+        coalesce(sum("m_status"), lit(0L)).as("mism_status"),
+        coalesce(sum("m_price"), lit(0L)).as("mism_price"),
+        coalesce(sum("m_date"), lit(0L)).as("mism_date"),
+        coalesce(sum("m_prio"), lit(0L)).as("mism_prio"))
+      // ≤ 4 rows, but consumed twice (the shipped rows AND the
+      // conservation laws) — without this the corpus-scale full-outer
+      // join executes twice (plan-guarded in PlanShapeSpec)
+      .localCheckpoint()
     val recon = perCat.agg(
       sum(when(col("category") =!= "only_in_b", col("n_keys")).otherwise(0L))
         .as("na_rec"),

@@ -1022,4 +1022,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"),
       s"the anchor/bin sides must broadcast:\n${plan.take(1200)}")
   }
+
+  test("q212 diff: ONE corpus-scale full-outer equi-join, never nested-loop; no cartesian anywhere") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    // the corpus-scale stage, pre-checkpoint (the shipped query
+    // checkpoints the 4-row census, which truncates the visible plan)
+    val (a, b) = graft.ops.ProfileOps.tableDiffSides(orders)
+    val j = graft.ops.ProfileOps.tableDiffJoined(a, b)
+    val jPlan = j.queryExecution.executedPlan.toString
+    val fullOuter = "FullOuter".r.findAllIn(jPlan).length
+    assert(fullOuter === 1,
+      s"expected exactly one FullOuter join, got $fullOuter:\n${jPlan.take(1500)}")
+    assert(!jPlan.contains("BroadcastNestedLoopJoin"),
+      "the diff join must stay a hash/sort-merge equi-join")
+    assert(!jPlan.contains("CartesianProduct"),
+      s"cartesian leaked into the diff join:\n${jPlan.take(1200)}")
+    // the shipped query: no cartesian; the law row broadcasts
+    val plan = graft.ops.ProfileOps.tableDiff(orders)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian leaked into q212:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"the law row must broadcast:\n${plan.take(1200)}")
+  }
 }
