@@ -642,6 +642,10 @@ object SparkEntry {
     // exact milli slopes, sign outside the floor, bounded pair table
     "q218_robust_trend" -> ((s, d) =>
       RelationalOps.robustTrend(Tables.events(s, d))),
+    // native PIVOT crosstab (status × priority) with margins, the
+    // conservation law, unseen-value safety, and exact independence devs
+    "q220_pivot_census" -> ((s, d) =>
+      RelationalOps.pivotCensus(Tables.orders(s, d))),
     // per-nation supplier concentration: exact HHI / Gini / top-share
     "q210_concentration"   -> ((s, d) =>
       RelationalOps.concentrationCensus(Tables.supplier(s, d), Tables.lineitem(s, d))),
@@ -1563,6 +1567,50 @@ object SparkEntry {
          SELECT dow, hod, n_obs, mean_micro, mad_micro, n_anom,
                 CAST(1000000 AS BIGINT) * n_anom // n_obs AS anom_micro
          FROM f ORDER BY dow, hod"""
+    },
+    // q220: the pivot as conditional aggregation (the relational
+    // identity of PIVOT), same margins, unseen census, HUGEINT
+    // cross-multiplied deviations shipped BIGINT
+    "q220_pivot_census" -> {
+      val sts = graft.ops.RelationalOps.PivotStatuses
+      val cells = sts.map(s =>
+        s"""CAST(COALESCE(SUM(CASE WHEN st = '$s' THEN 1 END), 0) AS BIGINT)
+            AS n_${s.toLowerCase}""").mkString(", ")
+      val inList = sts.map(s => s"'$s'").mkString(", ")
+      val colSums = sts.map(s =>
+        s"""CAST(COALESCE(SUM(CASE WHEN st = '$s' THEN 1 END), 0) AS BIGINT)
+            AS c_${s.toLowerCase}""").mkString(", ")
+      val rowTotal = sts.map(s => s"n_${s.toLowerCase}").mkString(" + ")
+      val devs = sts.map { s =>
+        val (n, c) = (s"n_${s.toLowerCase}", s"c_${s.toLowerCase}")
+        s"""CASE WHEN row_total = 0 OR $c = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(CAST(1000000 AS HUGEINT)
+                          * abs($n * n_all - row_total * $c)
+                          // (row_total * $c) AS BIGINT) END"""
+      }.mkString("greatest(", ", ", ")")
+      s"""WITH i AS (SELECT o_orderpriority AS prio, o_orderstatus AS st
+                     FROM orders),
+              piv AS (SELECT prio, $cells FROM i WHERE st IN ($inList)
+                      GROUP BY prio),
+              un AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_unseen
+                     FROM i WHERE st IS NULL OR st NOT IN ($inList)
+                     GROUP BY prio),
+              dial AS (SELECT $colSums,
+                              CAST(COALESCE(SUM(CASE WHEN st IN ($inList)
+                                                     THEN 1 END), 0) AS BIGINT)
+                                AS n_all
+                       FROM i),
+              rows0 AS (SELECT piv.*, CAST(COALESCE(n_unseen, 0) AS BIGINT)
+                                        AS n_unseen, dial.*
+                        FROM piv LEFT JOIN un ON piv.prio = un.prio
+                             CROSS JOIN dial),
+              rows1 AS (SELECT *, $rowTotal AS row_total FROM rows0),
+              rows2 AS (SELECT *, $devs AS max_dev_micro FROM rows1),
+              law AS (SELECT CAST(SUM(row_total) AS BIGINT) = MAX(n_all)
+                               AS conservation_ok FROM rows2)
+         SELECT prio, ${sts.map(s => s"n_${s.toLowerCase}").mkString(", ")},
+                n_unseen, row_total, n_all, max_dev_micro, conservation_ok
+         FROM rows2 CROSS JOIN law ORDER BY prio"""
     },
     // q217: identical (user, day) collapse, the same truncated dyadic
     // decay (integer shift), the same two top-Ns and fill join

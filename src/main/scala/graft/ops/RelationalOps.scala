@@ -761,6 +761,70 @@ object RelationalOps {
         "abs(theilsen_milli - ols_milli) AS disagreement_milli")
   }
 
+  /** q220's pivot column dial: the TPC-H order-status domain. The pivot
+    * drops values outside its column list SILENTLY — so the census
+    * carries an `n_unseen` column (graded 0 on this corpus) that turns a
+    * broken dial into a visible red number instead of vanished rows. */
+  val PivotStatuses: Seq[String] = Seq("F", "O", "P")
+
+  /** q220 — PIVOT / CONTINGENCY CENSUS: the crosstab every BI layer
+    * asks for (status columns × priority rows, exact counts via Spark's
+    * native PIVOT operator with an explicit column list — never the
+    * dial-free overload, which adds a hidden corpus pass to discover
+    * columns and makes the output schema data-dependent), with row/
+    * column margins, the conservation law (Σ margins = N, graded), and
+    * per row the maximum INDEPENDENCE DEVIATION — max_j |n_ij·N −
+    * r_i·c_j| / (r_i·c_j) as a floor'd micro integer (the χ²-style
+    * association signal without IEEE): 0 means the row's status mix is
+    * exactly the corpus mix.
+    *
+    * Scale shape: the pivot is ONE map-combinable aggregate (counts
+    * fan out to a fixed column list row-locally — the Expand shape);
+    * margins and the unseen census are bounded aggregates; the
+    * deviation math runs on the 5-row pivoted table against a one-row
+    * broadcast dial, cross-multiplied in DECIMAL(38,0), shipped
+    * BIGINT. */
+  def pivotCensus(orders: DataFrame): DataFrame = {
+    val in = orders.selectExpr("o_orderpriority AS prio", "o_orderstatus AS st")
+    val piv = in.filter(col("st").isin(PivotStatuses: _*))
+      .groupBy("prio").pivot("st", PivotStatuses).agg(count(lit(1)))
+      .select(col("prio") +:
+        PivotStatuses.map(s =>
+          coalesce(col(s), lit(0L)).as(s"n_${s.toLowerCase}")): _*)
+    val unseen = in
+      .filter(col("st").isNull || !col("st").isin(PivotStatuses: _*))
+      .groupBy("prio").agg(count(lit(1)).as("n_unseen"))
+    val colSums = PivotStatuses.map(s =>
+      sum(when(col("st") === s, 1L).otherwise(0L)).as(s"c_${s.toLowerCase}"))
+    val dial = in.agg(colSums.head, (colSums.tail :+
+      sum(when(col("st").isin(PivotStatuses: _*), 1L).otherwise(0L))
+        .as("n_all")): _*)
+    val rowTotal = PivotStatuses.map(s => s"n_${s.toLowerCase}").mkString(" + ")
+    val devs = PivotStatuses.map { s =>
+      val (n, c) = (s"n_${s.toLowerCase}", s"c_${s.toLowerCase}")
+      s"""CASE WHEN row_total = 0 OR $c = 0 THEN CAST(NULL AS BIGINT)
+              ELSE CAST(CAST(1000000 AS DECIMAL(38,0))
+                        * abs($n * n_all - row_total * $c)
+                        DIV (row_total * $c) AS BIGINT) END"""
+    }.mkString("greatest(", ", ", ")")
+    val rows = piv.join(unseen, Seq("prio"), "left_outer")
+      .selectExpr(Seq("prio") ++
+        PivotStatuses.map(s => s"n_${s.toLowerCase}") :+
+        "COALESCE(n_unseen, 0L) AS n_unseen": _*)
+      .crossJoin(broadcast(dial))
+      .withColumn("row_total", expr(rowTotal))
+      .withColumn("max_dev_micro", expr(devs))
+      .localCheckpoint() // 5 rows; shipped AND feeds the conservation law
+    val conserve = rows.agg(sum("row_total").as("rt_sum"),
+        max("n_all").as("na"))
+      .selectExpr("rt_sum = na AS conservation_ok")
+    rows.crossJoin(broadcast(conserve))
+      .selectExpr(Seq("prio") ++ PivotStatuses.map(s => s"n_${s.toLowerCase}") ++
+        Seq("n_unseen", "row_total", "n_all", "max_dev_micro",
+          "conservation_ok"): _*)
+      .orderBy("prio")
+  }
+
   /** q183's version count: snapshots at quarter points of the log's
     * time span. */
   val TimeTravelVersions = 4

@@ -1372,6 +1372,36 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q220 pivot census: independent mix devs to zero, a skewed row flags, unseen statuses surface; corpus invariance") {
+    def df(rows: Seq[(String, String)]) = rows.toDF("o_orderpriority", "o_orderstatus")
+    // perfectly independent 2×2: every row has the corpus mix → dev 0
+    val indep = df(Seq(("1-URGENT", "F"), ("1-URGENT", "O"),
+      ("2-HIGH", "F"), ("2-HIGH", "O")))
+    val ri = RelationalOps.pivotCensus(indep).collect()
+    assert(ri.forall(_.getLong(7) === 0L), "independent mix must dev to 0")
+    assert(ri.forall(_.getBoolean(8)), "conservation must hold")
+    // skewed: URGENT is all-F. Its F cell devs 2/6, but its EMPTY O cell
+    // devs |0·4 − 2·1|/(2·1) = 1 → the max deviation is the missing mass
+    val skew = df(Seq(("1-URGENT", "F"), ("1-URGENT", "F"),
+      ("2-HIGH", "F"), ("2-HIGH", "O")))
+    val rs = RelationalOps.pivotCensus(skew).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rs("1-URGENT").getLong(7) === 1000000L,
+      "all-F row: the empty O cell carries the max deviation (exactly 1)")
+    // an out-of-dial status lands in n_unseen, not silently dropped
+    val odd = df(Seq(("1-URGENT", "F"), ("1-URGENT", "X")))
+    val ro = RelationalOps.pivotCensus(odd).collect().head
+    assert(ro.getLong(4) === 1L, "unseen status must be counted visibly")
+    assert(ro.getLong(5) === 1L && ro.getLong(6) === 1L,
+      "margins and N count only the matched universe")
+    // corpus: replay invariance
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.pivotCensus(orders).collect().map(_.toSeq).toSeq
+    val again = RelationalOps.pivotCensus(orders.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === rows)
+  }
+
   test("q217 decayed leaderboard: a faded whale loses the live board to a surging newcomer; corpus replay") {
     val dayUs = RelationalOps.DayUs
     // whale: 100 events on day 0 (age 29 — outside the window, decayed 0);
