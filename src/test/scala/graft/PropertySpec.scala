@@ -526,4 +526,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sign-outside floor rendering (q215/q218): equals trunc-toward-zero rational, engine-order-free, on 2000 random rationals") {
+    // THE law both engines must share for signed scaled division: floor
+    // on the |numerator| with the sign applied OUTSIDE equals truncation
+    // toward zero of the exact rational — Spark's DIV truncates but
+    // DuckDB's // floors, so the raw spellings disagree on negatives and
+    // only the sign-outside form is engine-agnostic. Verified against
+    // BigDecimal truncation, plus the Spark-side expression itself.
+    val rnd = new scala.util.Random(214)
+    val cases = Seq.tabulate(2000) { _ =>
+      (rnd.nextLong() % 1000000L, math.abs(rnd.nextLong() % 9999L) + 1L)
+    } ++ Seq((0L, 7L), (-1L, 3L), (1L, 3L), (-999999L, 1L), (Long.MinValue / 2000000L, 13L))
+    def signOutside(num: Long, den: Long): Long =
+      if (num >= 0) 1000L * num / den else -((1000L * -num) / den)
+    cases.foreach { case (num, den) =>
+      val exact = (BigDecimal(1000L) * num / den)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.DOWN).toLongExact
+      assert(signOutside(num, den) === exact,
+        s"sign-outside floor diverged from trunc(${num} * 1000 / ${den})")
+    }
+    // and the SQL spelling the queries actually ship evaluates the same
+    val df = cases.toDF("num", "den").selectExpr("num", "den",
+      """CASE WHEN num >= 0 THEN 1000 * num DIV den
+              ELSE -((1000 * -num) DIV den) END AS r""")
+    df.collect().foreach { r =>
+      assert(r.getLong(2) === signOutside(r.getLong(0), r.getLong(1)),
+        s"SQL spelling diverged at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
 }

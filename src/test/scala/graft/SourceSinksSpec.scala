@@ -163,4 +163,28 @@ class SourceSinksSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n${plan.take(800)}")
     assert(joined.count() === 4)
   }
+
+  test("q212 diff over bucketed sides: the full-outer runs with ZERO shuffle exchanges and the census is unchanged") {
+    // the 100 TB reconciliation shape: both sides land bucketed on the
+    // natural key (the writer's job), so the diff's one corpus-scale
+    // full-outer join is a co-partitioned sort-merge with no Exchange —
+    // the same rows, without the shuffle the unbucketed plan pays
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val want = graft.ops.ProfileOps.tableDiff(orders).collect().map(_.toSeq).toSeq
+    val (a, b) = graft.ops.ProfileOps.tableDiffSides(orders)
+    SourceSinks.writeBucketed(a, "diff_a_bucketed", "k")
+    SourceSinks.writeBucketed(b, "diff_b_bucketed", "k")
+    val j = graft.ops.ProfileOps.tableDiffJoined(
+      spark.table("diff_a_bucketed"), spark.table("diff_b_bucketed"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed diff must join shuffle-free:\n${plan.take(1000)}")
+    // value parity with the unbucketed census on the category counts
+    val cats = j.groupBy("category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    want.foreach { row =>
+      assert(cats(row.head.asInstanceOf[String]) === row(1),
+        s"bucketed census diverged for ${row.head}")
+    }
+  }
 }
