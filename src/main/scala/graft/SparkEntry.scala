@@ -976,6 +976,10 @@ object SparkEntry {
     // lift (the c-TF-IDF ask without the logarithm) — vocab-bounded
     "q219_class_keyterms"  -> ((s, d) =>
       TextOps.classKeyterms(Tables.documents(s, d))),
+    // Fisher class-separability of the embedding clouds — exact
+    // rational on the (label, d) collapse, DECIMAL/HUGEINT carried
+    "q221_fisher_separability" -> ((s, d) =>
+      SimilarityOps.fisherSeparability(Tables.embeddings(s, d))),
     // ranking agreement: overlap / Kendall pairs / footrule between the
     // same two rankers q199 fuses — bounded-list integer census
     "q215_rank_agreement"  -> ((s, d) =>

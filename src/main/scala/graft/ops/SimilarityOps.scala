@@ -1750,7 +1750,102 @@ object SimilarityOps {
                        ORDER BY cos DESC, doc_id LIMIT $RrfDepth))"""
   }
 
+  /** q221 — CLASS SEPARABILITY (Fisher ratio): for every label pair, how
+    * far apart the two embedding clouds sit relative to their spread —
+    * the classifier-facing diagnostic the per-label drift census (q126)
+    * does not answer ("COULD a router tell these classes apart?").
+    * Exact-integer derivation on the shared 1e-3 quantization grid:
+    * with S = per-dim coordinate sums, Q = Σ|x|², n = class size,
+    *   ‖μ_a − μ_b‖² = Σ_d (S_ad·n_b − S_bd·n_a)² / (n_a·n_b)²   and
+    *   σ²_a + σ²_b  = (n_a·Q_a − ‖S_a‖²)/n_a² + (n_b·Q_b − ‖S_b‖²)/n_b²,
+    * so fisher = N2 / (n_b²·(n_a·Q_a − ‖S_a‖²) + n_a²·(n_b·Q_b − ‖S_b‖²))
+    * with N2 = Σ_d (S_ad·n_b − S_bd·n_a)² — one exact rational, carried
+    * in DECIMAL(38,0)/HUGEINT and shipped as the floor'd micro integer.
+    *
+    * Scale shape: ONE corpus pass collapses to the (label, d) sum table
+    * (classes × dims rows — bounded by the schema, not the corpus);
+    * per-class scalars, the pair join on d, and the ranking all run on
+    * that bounded table. */
+  def fisherSeparability(emb: DataFrame): DataFrame = {
+    val counts = emb.select(col("label").cast("long").as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val dims = emb.select(col("label").cast("long").as("label"),
+        posexplode(expr(KmeansQuantize)))
+      .select(col("label"), col("pos").cast("long").as("d"), col("col").as("q"))
+      .groupBy("label", "d")
+      .agg(sum("q").as("s"), sum(expr("q * q")).as("qq"))
+      .join(broadcast(counts), "label")
+      .localCheckpoint() // classes × dims rows; scalars + pair join
+    val per = dims.groupBy("label")
+      .agg(max("n").as("n"), sum("qq").as("qk"), sum(expr("s * s")).as("s2"))
+    val n2 = dims.as("a").join(dims.as("b"),
+        col("a.d") === col("b.d") && col("a.label") < col("b.label"))
+      .selectExpr("a.label AS label_a", "b.label AS label_b",
+        "a.s * b.n - b.s * a.n AS v")
+      .groupBy("label_a", "label_b")
+      .agg(sum(expr(
+        "CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))")).as("n2"))
+    val byFisher = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("fisher_micro"), col("label_a"), col("label_b"))
+    n2.join(broadcast(per.selectExpr("label AS label_a", "n AS n_a",
+        "qk AS qk_a", "s2 AS s2_a")), "label_a")
+      .join(broadcast(per.selectExpr("label AS label_b", "n AS n_b",
+        "qk AS qk_b", "s2 AS s2_b")), "label_b")
+      .selectExpr("label_a", "label_b", "n_a", "n_b", "n2",
+        """CAST(n_b AS DECIMAL(38,0)) * n_b * (n_a * qk_a - s2_a)
+           + CAST(n_a AS DECIMAL(38,0)) * n_a * (n_b * qk_b - s2_b)
+           AS within""")
+      .selectExpr("label_a", "label_b", "n_a", "n_b",
+        """CASE WHEN within = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * n2 DIV within
+                          AS BIGINT) END AS fisher_micro""")
+      .withColumn("rank", row_number().over(byFisher).cast("long"))
+      .selectExpr("rank", "label_a", "label_b", "n_a", "n_b", "fisher_micro")
+      .orderBy("rank")
+  }
+
   def oracles: Map[String, String] = Map(
+    // q221: the same (label, d) integer collapse, the same exact
+    // rational in HUGEINT, the same rank/tie rule
+    "q221_fisher_separability" ->
+      s"""WITH q AS (SELECT CAST(label AS BIGINT) AS label, d.i - 1 AS d,
+                            CAST(ROUND(CAST(embedding[d.i] AS DOUBLE) * 1000)
+                                 AS BIGINT) AS q
+                     FROM embeddings, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS i) d),
+              cn AS (SELECT CAST(label AS BIGINT) AS label,
+                            CAST(COUNT(*) AS BIGINT) AS n
+                     FROM embeddings GROUP BY 1),
+              dims AS (SELECT q.label AS label, d, CAST(SUM(q.q) AS BIGINT) AS s,
+                              CAST(SUM(q.q * q.q) AS BIGINT) AS qq,
+                              MAX(n) AS n
+                       FROM q JOIN cn ON q.label = cn.label GROUP BY 1, 2),
+              per AS (SELECT label, MAX(n) AS n, CAST(SUM(qq) AS BIGINT) AS qk,
+                             CAST(SUM(s * s) AS BIGINT) AS s2
+                      FROM dims GROUP BY label),
+              n2 AS (SELECT a.label AS label_a, b.label AS label_b,
+                            SUM(CAST(a.s * b.n - b.s * a.n AS HUGEINT)
+                                * (a.s * b.n - b.s * a.n)) AS n2
+                     FROM dims a JOIN dims b
+                       ON a.d = b.d AND a.label < b.label
+                     GROUP BY 1, 2),
+              f AS (SELECT label_a, label_b, pa.n AS n_a, pb.n AS n_b,
+                           CASE WHEN CAST(pb.n AS HUGEINT) * pb.n
+                                       * (pa.n * pa.qk - pa.s2)
+                                     + CAST(pa.n AS HUGEINT) * pa.n
+                                       * (pb.n * pb.qk - pb.s2) = 0
+                                THEN CAST(NULL AS BIGINT)
+                                ELSE CAST(CAST(1000000 AS HUGEINT) * n2
+                                          // (CAST(pb.n AS HUGEINT) * pb.n
+                                              * (pa.n * pa.qk - pa.s2)
+                                             + CAST(pa.n AS HUGEINT) * pa.n
+                                               * (pb.n * pb.qk - pb.s2))
+                                          AS BIGINT) END AS fisher_micro
+                    FROM n2 JOIN per pa ON n2.label_a = pa.label
+                            JOIN per pb ON n2.label_b = pb.label)
+         SELECT CAST(row_number() OVER (ORDER BY fisher_micro DESC,
+                       label_a, label_b) AS BIGINT) AS rank,
+                label_a, label_b, n_a, n_b, fisher_micro
+         FROM f ORDER BY rank""",
     // q215: the identical two ranked lists, the same bounded pair
     // census, and the same sign-outside floor'd tau
     "q215_rank_agreement" ->

@@ -919,6 +919,36 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(again === rows.map(_.toSeq).toSeq)
   }
 
+  test("q221 fisher separability: exact hand rational, ordering tracks geometry, corpus invariance") {
+    // 2-dim hand clouds on the 1e-3 grid: class 0 at the origin, class 1
+    // at x=1.0, class 2 at x=1.01 — each a 2-point cloud of variance 1
+    // (in grid units). fisher(0,1) = |μΔ|²/(σ²+σ²) = 1000²·... exactly
+    // 500000; class 2 sits 10 grid units from class 1 → fisher(1,2) =
+    // 10²·... far smaller, and fisher(0,2) ≈ fisher(0,1).
+    def cloud(lbl: Int, x0: Float): Seq[(Long, Seq[Float], Int)] = Seq(
+      (lbl * 10L, Seq(x0, 0f), lbl), (lbl * 10L + 1, Seq(x0 + 0.002f, 0f), lbl))
+    val emb = (cloud(0, 0f) ++ cloud(1, 1f) ++ cloud(2, 1.01f))
+      .toDF("vec_id", "embedding", "label")
+    val rows = SimilarityOps.fisherSeparability(emb).collect()
+    val byPair = rows.map(r => (r.getLong(1), r.getLong(2)) -> r).toMap
+    assert(byPair((0L, 1L)).getLong(5) === 500000000000L,
+      "hand rational: N2/within = 4000²/32 exactly, in micro")
+    assert(byPair((0L, 1L)).getLong(5) > byPair((1L, 2L)).getLong(5) * 1000,
+      "near-identical classes must score far below separated ones")
+    assert(rows.head.getLong(1) === 0L,
+      "rank 1 is one of the origin-vs-far pairs")
+    // corpus: 45 ranked pairs, all fisher values non-null and
+    // non-negative, replay invariant
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cRows = SimilarityOps.fisherSeparability(corpus).collect()
+    assert(cRows.length === 45)
+    assert(cRows.forall(r => !r.isNullAt(5) && r.getLong(5) >= 0L))
+    assert(cRows.map(_.getLong(0)).toSeq === (1L to 45L).toSeq)
+    val again = SimilarityOps.fisherSeparability(corpus.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === cRows.map(_.toSeq).toSeq)
+  }
+
   test("q215 rank agreement: census matches a driver fold over the SAME lists q199 fuses; sign-safe tau") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
