@@ -646,6 +646,10 @@ object SparkEntry {
     // conservation law, unseen-value safety, and exact independence devs
     "q220_pivot_census" -> ((s, d) =>
       RelationalOps.pivotCensus(Tables.orders(s, d))),
+    // cohort LTV curve: cumulative revenue per cohort member by age —
+    // the revenue twin of the q138 retention triangle, laws graded
+    "q222_cohort_ltv" -> ((s, d) =>
+      RelationalOps.cohortLtv(Tables.events(s, d))),
     // per-nation supplier concentration: exact HHI / Gini / top-share
     "q210_concentration"   -> ((s, d) =>
       RelationalOps.concentrationCensus(Tables.supplier(s, d), Tables.lineitem(s, d))),
@@ -1616,6 +1620,40 @@ object SparkEntry {
                 n_unseen, row_total, n_all, max_dev_micro, conservation_ok
          FROM rows2 CROSS JOIN law ORDER BY prio"""
     },
+    // q222: identical first-touch cohorts, (cohort, age) collapse,
+    // per-cohort running sum (cast from HUGEINT), and both laws
+    "q222_cohort_ltv" ->
+      s"""WITH base AS (SELECT user_id, epoch_us(ts) // ${graft.ops.RelationalOps.DayUs} AS day,
+                               CAST(ROUND(value * 100) AS BIGINT) AS cents
+                        FROM events
+                        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+              ft AS (SELECT user_id, MIN(day) AS cohort FROM base GROUP BY 1),
+              sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+                        FROM ft GROUP BY 1),
+              cells AS (SELECT cohort, day - cohort AS age,
+                               CAST(COUNT(*) AS BIGINT) AS n_events,
+                               CAST(SUM(cents) AS BIGINT) AS cents
+                        FROM base JOIN ft ON base.user_id = ft.user_id
+                        GROUP BY 1, 2),
+              curve AS (SELECT *, CAST(SUM(cents) OVER (PARTITION BY cohort
+                                    ORDER BY age ROWS UNBOUNDED PRECEDING)
+                                  AS BIGINT) AS cum_cents
+                        FROM cells),
+              c2 AS (SELECT *, lag(cum_cents) OVER (PARTITION BY cohort
+                                ORDER BY age) AS prev_cum
+                     FROM curve),
+              law AS (SELECT CAST(SUM(final_cum) AS BIGINT) =
+                               (SELECT CAST(SUM(cents) AS BIGINT) FROM base)
+                               AS conservation_ok
+                      FROM (SELECT cohort, MAX(cum_cents) AS final_cum
+                            FROM curve GROUP BY 1))
+         SELECT c2.cohort AS cohort, age, cohort_users, n_events, cents,
+                cum_cents,
+                CAST(1000000 AS BIGINT) * cum_cents // cohort_users AS ltv_micro,
+                COALESCE(cum_cents >= prev_cum, true) AS monotone_ok,
+                conservation_ok
+         FROM c2 JOIN sizes ON c2.cohort = sizes.cohort CROSS JOIN law
+         ORDER BY cohort, age""",
     // q217: identical (user, day) collapse, the same truncated dyadic
     // decay (integer shift), the same two top-Ns and fill join
     "q217_decayed_leaderboard" -> {

@@ -1372,6 +1372,37 @@ class RelationalOpsSpec extends SparkSpec {
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
 
+  test("q222 cohort LTV: hand curve exact, laws hold on the corpus, invariance") {
+    val dayUs = RelationalOps.DayUs
+    // user A acquired day 0 ($1 then $2 on day 2), user B acquired day 0
+    // ($4 on day 0), user C acquired day 2 ($8) — cohort 0 has 2 users
+    val hand = Seq((0L, 10L, 1.0), (2L, 10L, 2.0), (0L, 11L, 4.0),
+        (2L, 12L, 8.0))
+      .zipWithIndex.map { case ((d, u, v), i) => (d * dayUs + i, u, v) }
+      .toDF("us", "user_id", "value")
+      .selectExpr("timestamp_micros(us) AS ts", "user_id", "value")
+    val got = RelationalOps.cohortLtv(hand).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // cohort 0, age 0: $5 across 2 users → cum 500 cents, ltv 250 cents = 250e6 micro
+    val c00 = got((0L, 0L))
+    assert(c00.getLong(2) === 2L && c00.getLong(5) === 500L
+      && c00.getLong(6) === 250000000L)
+    // cohort 0, age 2: +$2 → cum 700, ltv 350e6 micro, monotone
+    val c02 = got((0L, 2L))
+    assert(c02.getLong(5) === 700L && c02.getLong(6) === 350000000L
+      && c02.getBoolean(7))
+    // cohort 2 (user C): its own curve, one cell
+    assert(got((2L, 0L)).getLong(5) === 800L)
+    assert(got.values.forall(_.getBoolean(8)), "conservation must grade true")
+    // corpus: both laws true everywhere, curves monotone, invariance
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = RelationalOps.cohortLtv(events).collect()
+    assert(rows.forall(r => r.getBoolean(7) && r.getBoolean(8)))
+    val again = RelationalOps.cohortLtv(events.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === rows.map(_.toSeq).toSeq)
+  }
+
   test("q220 pivot census: independent mix devs to zero, a skewed row flags, unseen statuses surface; corpus invariance") {
     def df(rows: Seq[(String, String)]) = rows.toDF("o_orderpriority", "o_orderstatus")
     // perfectly independent 2×2: every row has the corpus mix → dev 0
