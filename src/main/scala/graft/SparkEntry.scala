@@ -1554,12 +1554,18 @@ object SparkEntry {
                              CAST(COUNT(*) AS BIGINT) AS n
                       FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
               mom AS (SELECT dow, hod,
-                             CAST(1000000 * SUM(cents * n) // SUM(n) AS BIGINT)
-                               AS mean_micro
+                             CAST(CASE WHEN SUM(cents * n) >= 0
+                                       THEN 1000000 * SUM(cents * n) // SUM(n)
+                                       ELSE -((1000000 * -SUM(cents * n)) // SUM(n))
+                                  END AS BIGINT) AS mean_micro
                       FROM vc GROUP BY 1, 2),
               mad AS (SELECT vc.dow AS dow, vc.hod AS hod,
-                             CAST(SUM(abs(cents * 1000000 - mean_micro) * n)
-                                  // SUM(n) AS BIGINT) AS mad_micro
+                             CAST(CASE WHEN SUM(abs(cents * 1000000 - mean_micro) * n) >= 0
+                                       THEN SUM(abs(cents * 1000000 - mean_micro) * n)
+                                            // SUM(n)
+                                       ELSE -((-SUM(abs(cents * 1000000 - mean_micro) * n))
+                                              // SUM(n))
+                                  END AS BIGINT) AS mad_micro
                       FROM vc JOIN mom ON vc.dow = mom.dow AND vc.hod = mom.hod
                       GROUP BY 1, 2),
               f AS (SELECT vc.dow AS dow, vc.hod AS hod,
@@ -1608,9 +1614,16 @@ object SparkEntry {
                                                      THEN 1 END), 0) AS BIGINT)
                                 AS n_all
                        FROM i),
-              rows0 AS (SELECT piv.*, CAST(COALESCE(n_unseen, 0) AS BIGINT)
-                                        AS n_unseen, dial.*
-                        FROM piv LEFT JOIN un ON piv.prio = un.prio
+              -- FULL join (the Spark side's full_outer twin): a priority
+              -- with only out-of-dial statuses exists in un alone and must
+              -- still surface with its n_unseen, pivot cells coalesced to 0
+              rows0 AS (SELECT COALESCE(piv.prio, un.prio) AS prio,
+                               ${sts.map(s =>
+                                 s"""CAST(COALESCE(n_${s.toLowerCase}, 0) AS BIGINT)
+                                     AS n_${s.toLowerCase}""").mkString(", ")},
+                               CAST(COALESCE(n_unseen, 0) AS BIGINT)
+                                 AS n_unseen, dial.*
+                        FROM piv FULL JOIN un ON piv.prio = un.prio
                              CROSS JOIN dial),
               rows1 AS (SELECT *, $rowTotal AS row_total FROM rows0),
               rows2 AS (SELECT *, $devs AS max_dev_micro FROM rows1),
@@ -1701,14 +1714,19 @@ object SparkEntry {
                      FROM daily a JOIN daily b ON a.day < b.day),
               vc AS (SELECT slope_milli, CAST(COUNT(*) AS BIGINT) AS n
                      FROM sl GROUP BY 1),
-              m AS (SELECT MAX(n_pairs) AS n_pairs,
+              -- GROUPED median (mirrors the Spark side's groupBy(n_pairs)):
+              -- an ungrouped aggregate here would return one all-NULL row
+              -- on a degenerate single-day corpus (zero slope pairs) while
+              -- Spark's grouped path returns 0 rows — both now return 0
+              m AS (SELECT n_pairs,
                            MIN(CASE WHEN cum >= (n_pairs + 1) // 2
                                     THEN slope_milli END) AS theilsen_milli
                     FROM (SELECT slope_milli,
                                  CAST(SUM(n) OVER (ORDER BY slope_milli
                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
                                  CAST(SUM(n) OVER () AS BIGINT) AS n_pairs
-                          FROM vc)),
+                          FROM vc)
+                    GROUP BY n_pairs),
               d0 AS (SELECT MIN(day) AS d0 FROM daily),
               o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
                            CAST(SUM(day - d0) AS BIGINT) AS sx,
@@ -2582,8 +2600,13 @@ object SparkEntry {
       s"""WITH dials AS (SELECT MIN(epoch_us(ts) // $dayUs) AS d0,
                                 MIN(user_id) AS u0, MIN(event_type) AS t0
                          FROM events),
+              -- floor-mod spelling: Spark pmod is nonnegative for a positive
+              -- modulus while DuckDB % carries the dividend's sign, so a
+              -- negative user_id would bucket differently; ((x % m) + m) % m
+              -- equals pmod for every sign of x
               base AS (SELECT CAST(epoch_us(ts) // $dayUs AS VARCHAR) AS k_day,
-                              CAST(COALESCE(user_id % $nb, -1) AS VARCHAR) AS k_user_bucket,
+                              CAST(COALESCE(((user_id % $nb) + $nb) % $nb, -1) AS VARCHAR)
+                                AS k_user_bucket,
                               COALESCE(event_type, '<null>') AS k_event_type,
                               epoch_us(ts) // $dayUs = d0 + $po AS m_day,
                               COALESCE(user_id = u0, false) AS m_user,

@@ -571,8 +571,8 @@ object DedupOps {
     val lsh = lshPairTable.select("a_id", "b_id")
     val common = exact.join(lsh, Seq("a_id", "b_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
       .selectExpr("n_exact", "n_lsh", "n_common",
         """CASE WHEN n_exact = 0 THEN 1.0
                 ELSE CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall""")

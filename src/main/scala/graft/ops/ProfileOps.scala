@@ -50,10 +50,18 @@ object ProfileOps {
       "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS c_date",
       "COALESCE(o_orderpriority, '<null>') AS c_prio")
 
-  private def withFp(side: DataFrame): DataFrame =
+  // EVERY column is sentineled, the numeric ones via COALESCE(CAST(...))
+  // — concat_ws silently SKIPS nulls, so a bare cast that becomes NULL
+  // would make two rows differing only in WHICH of price/date is null
+  // collide into one fingerprint (the very collision diffCanon's string
+  // sentinels exist to prevent). NOT NULL on TPC-H, latent for any other
+  // table wired through tableDiff.
+  private[graft] def withFp(side: DataFrame): DataFrame =
     side.selectExpr("k", "c_cust", "c_status", "c_price", "c_date", "c_prio",
-      """md5(concat_ws('|', c_cust, c_status, CAST(c_price AS STRING),
-                       CAST(c_date AS STRING), c_prio)) AS fp""",
+      """md5(concat_ws('|', c_cust, c_status,
+                       COALESCE(CAST(c_price AS STRING), '<null>'),
+                       COALESCE(CAST(c_date AS STRING), '<null>'),
+                       c_prio)) AS fp""",
       "1 AS present")
 
   /** q212 — TABLE RECONCILIATION (migration validation): the row-level
@@ -424,10 +432,12 @@ object ProfileOps {
                             c_date, c_prio
                      FROM b0 WHERE rb = 3),
               af AS (SELECT *, md5(concat_ws('|', c_cust, c_status,
-                               CAST(c_price AS VARCHAR), CAST(c_date AS VARCHAR),
+                               COALESCE(CAST(c_price AS VARCHAR), '<null>'),
+                               COALESCE(CAST(c_date AS VARCHAR), '<null>'),
                                c_prio)) AS fp, 1 AS present FROM a0),
               bf AS (SELECT *, md5(concat_ws('|', c_cust, c_status,
-                               CAST(c_price AS VARCHAR), CAST(c_date AS VARCHAR),
+                               COALESCE(CAST(c_price AS VARCHAR), '<null>'),
+                               COALESCE(CAST(c_date AS VARCHAR), '<null>'),
                                c_prio)) AS fp, 1 AS present FROM b1),
               j AS (SELECT CASE WHEN bf.present IS NULL THEN 'only_in_a'
                                 WHEN af.present IS NULL THEN 'only_in_b'

@@ -629,17 +629,27 @@ object RelationalOps {
         "CAST(round(value * 100) AS BIGINT) AS cents")
       .groupBy("dow", "hod", "cents").agg(count(lit(1)).as("n"))
       .localCheckpoint() // bounded value-count table; read twice
+    // Divisions render sign-OUTSIDE the floor (the q215/q218 law): Spark
+    // DIV truncates toward zero while DuckDB // floors, so a NEGATIVE
+    // dividend (a refunds-bearing corpus makes the cents sum negative)
+    // would diverge by one micro and cascade into the MAD and the anomaly
+    // census. sign(x)·(|x| div d) is engine-stable for every sign. The
+    // MAD dividend is an abs-sum (provably nonnegative) — spelled the
+    // same way so the law holds by inspection, not by domain argument.
     val mom = vc.groupBy("dow", "hod")
       .agg(sum("n").as("cn"), sum(expr("cents * n")).as("s"))
       .selectExpr("dow", "hod",
-        "1000000L * s DIV cn AS mean_micro") // exact floor'd micro mean
+        """CASE WHEN s >= 0 THEN 1000000L * s DIV cn
+                ELSE -((1000000L * -s) DIV cn) END AS mean_micro""")
     val census = vc.join(broadcast(mom), Seq("dow", "hod"))
       .selectExpr("dow", "hod", "n AS nv", "cents",
         "abs(cents * 1000000L - mean_micro) AS dev_micro")
       .groupBy("dow", "hod")
       .agg(sum(expr("dev_micro * nv")).as("dev_sum"),
         sum("nv").as("n_chk"))
-      .selectExpr("dow", "hod", "dev_sum DIV n_chk AS mad_micro")
+      .selectExpr("dow", "hod",
+        """CASE WHEN dev_sum >= 0 THEN dev_sum DIV n_chk
+                ELSE -((-dev_sum) DIV n_chk) END AS mad_micro""")
     val dials = mom.join(census, Seq("dow", "hod")) // 168-row dial
     vc.join(broadcast(dials), Seq("dow", "hod"))
       .groupBy("dow", "hod")
@@ -817,7 +827,12 @@ object RelationalOps {
   /** q220's pivot column dial: the TPC-H order-status domain. The pivot
     * drops values outside its column list SILENTLY — so the census
     * carries an `n_unseen` column (graded 0 on this corpus) that turns a
-    * broken dial into a visible red number instead of vanished rows. */
+    * broken dial into a visible red number instead of vanished rows. For
+    * the guarantee to be total, the unseen census joins FULL-OUTER: a
+    * priority whose rows ALL carry out-of-dial statuses never enters the
+    * pivot side at all, and a left join FROM the pivot would vanish it
+    * together with its n_unseen — exactly the silent drop the column
+    * exists to surface. */
   val PivotStatuses: Seq[String] = Seq("F", "O", "P")
 
   /** q220 — PIVOT / CONTINGENCY CENSUS: the crosstab every BI layer
@@ -860,9 +875,10 @@ object RelationalOps {
                         * abs($n * n_all - row_total * $c)
                         DIV (row_total * $c) AS BIGINT) END"""
     }.mkString("greatest(", ", ", ")")
-    val rows = piv.join(unseen, Seq("prio"), "left_outer")
+    val rows = piv.join(unseen, Seq("prio"), "full_outer")
       .selectExpr(Seq("prio") ++
-        PivotStatuses.map(s => s"n_${s.toLowerCase}") :+
+        PivotStatuses.map(s =>
+          s"COALESCE(n_${s.toLowerCase}, 0L) AS n_${s.toLowerCase}") :+
         "COALESCE(n_unseen, 0L) AS n_unseen": _*)
       .crossJoin(broadcast(dial))
       .withColumn("row_total", expr(rowTotal))

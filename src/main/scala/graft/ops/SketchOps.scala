@@ -730,8 +730,9 @@ object SketchOps {
     val est = ss.groupBy("uk")
       .agg(sum("cnt").as("est_count"), count(lit(1)).as("days_present"))
     // absent-day slack: candidates × range thresholds, minus present
-    // pairs — all bounded frames, the anti-join is ≤ (range×K)×range
-    val slack = cands.crossJoin(st)
+    // pairs — all bounded frames, the anti-join is ≤ (range×K)×range;
+    // st is hinted so the plan shape never depends on AQE size estimates
+    val slack = cands.crossJoin(broadcast(st))
       .join(ss.select("day", "uk"), Seq("day", "uk"), "left_anti")
       .groupBy("uk").agg(sum("thr").as("slack"))
     val exact = counts

@@ -137,6 +137,37 @@ class BenchOutputSpec extends SparkSpec {
     assert(stale.get("probe_quiet_cal").asDouble === Bench.ProbeQuietSec)
   }
 
+  test("folded calibration: a smaller run probe lowers the bar; cal_high flags a suspect calibration") {
+    // the r12-via-calibration laundering: a steal burst spanning the whole
+    // ~3.5s calibration window inflates the MIN of its samples, and a bar
+    // judged against the inflated reference publishes noise_bound:false on
+    // a stolen run. foldQuiet folds the smallest probe EVER seen back in,
+    // so one genuinely idle mid-run probe collapses the bar toward honesty.
+    assert(Bench.foldQuiet(0.9, Seq(0.85, 0.2, 0.88)) === 0.2,
+      "mid-run idle probe must lower a steal-inflated calibration")
+    // folding never RAISES: slow probes leave the calibration untouched
+    assert(Bench.foldQuiet(0.2, Seq(0.85, 0.9)) === 0.2)
+    // and never drops below the known physical probe cost
+    assert(Bench.foldQuiet(0.9, Seq(0.05)) === Bench.ProbeQuietSec)
+    assert(Bench.foldQuiet(0.09, Seq.empty) === Bench.ProbeQuietSec)
+    // with the folded bar, the stolen-calibration run is correctly flagged
+    val stolenCal = 0.9 // every calibration sample saw the burst
+    val folded = Bench.foldQuiet(stolenCal, Seq(0.85, 0.2, 0.88))
+    assert(Bench.noiseBound(Seq(0.85, 0.88, 0.9), folded),
+      "sustained steal judged quiet against its own stolen calibration")
+    // cal_high: a calibration above CalHighFactor x the historical floor is
+    // visible on the compact line — slow host class or stolen window, the
+    // reader must not trust the bar blindly
+    val results = Seq(Bench.QueryResult("q01_a", Right(0.1), Right(0.1)))
+    val probes = Bench.Probes(Seq(0.12, 0.13), Seq(0.13, 0.12))
+    val high = parseObj(Bench.renderLines(results, probes, "/sf", 0.0, 0.2, 1.3).last)
+    assert(high.get("cal_high").asBoolean)
+    assert(high.get("cal0").asDouble === 1.3)
+    assert(high.get("probe_quiet_cal").asDouble === 0.2)
+    val low = parseObj(Bench.renderLines(results, probes, "/sf", 0.0, 0.2, 0.2).last)
+    assert(!low.get("cal_high").asBoolean)
+  }
+
   test("renderLines: compact line carries the noise_bound verdict") {
     val results = Seq(Bench.QueryResult("q01_a", Right(0.1), Right(0.1)))
     val quiet = parseObj(Bench.renderLines(results,

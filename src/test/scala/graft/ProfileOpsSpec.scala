@@ -281,4 +281,27 @@ class ProfileOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(reparted === rows.map(_.toSeq).toSeq)
   }
+
+  test("q212 fingerprint: EVERY column is null-sentineled — rows differing only in WHICH numeric column is null must not collide") {
+    import spark.implicits._
+    // same key, same everything except: row A has a null price, row B a
+    // null date (with the other column carrying the same rendered text).
+    // concat_ws silently SKIPS nulls, so without the numeric sentinels
+    // both rows would render 'c|s|42|p' and collide into one fingerprint
+    // — the exact collision the diffCanon sentinels exist to prevent.
+    val canon = Seq(
+      (1L, "c", "s", Option.empty[Long], Option(42L), "p"),
+      (1L, "c", "s", Option(42L), Option.empty[Long], "p"))
+      .toDF("k", "c_cust", "c_status", "c_price", "c_date", "c_prio")
+    val fps = ProfileOps.withFp(canon).select("fp").collect().map(_.getString(0))
+    assert(fps(0) !== fps(1),
+      "null-price and null-date rows collided into one fingerprint")
+    // and the sentinel is stable: a genuinely identical row pair agrees
+    val same = Seq(
+      (1L, "c", "s", Option.empty[Long], Option(42L), "p"),
+      (2L, "c", "s", Option.empty[Long], Option(42L), "p"))
+      .toDF("k", "c_cust", "c_status", "c_price", "c_date", "c_prio")
+    val sf = ProfileOps.withFp(same).select("fp").collect().map(_.getString(0))
+    assert(sf(0) === sf(1), "identical canonical rows must share a fingerprint")
+  }
 }

@@ -1425,6 +1425,19 @@ class RelationalOpsSpec extends SparkSpec {
     assert(ro.getLong(4) === 1L, "unseen status must be counted visibly")
     assert(ro.getLong(5) === 1L && ro.getLong(6) === 1L,
       "margins and N count only the matched universe")
+    // a priority whose rows ALL carry out-of-dial statuses never enters
+    // the pivot side — the full-outer unseen join must still surface it
+    // with its n_unseen (a left join FROM the pivot would vanish it,
+    // n_unseen and all — the silent drop the column exists to prevent)
+    val allUnseen = df(Seq(("1-URGENT", "F"), ("3-LOW", "Z"), ("3-LOW", "Z")))
+    val ru = RelationalOps.pivotCensus(allUnseen).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ru.contains("3-LOW"), "fully-unseen priority must surface")
+    val low = ru("3-LOW")
+    assert(low.getLong(4) === 2L, "its unseen count must be visible")
+    assert((1 to 3).forall(i => low.getLong(i) === 0L) && low.getLong(5) === 0L,
+      "its pivot cells and row_total are zero, not NULL")
+    assert(low.isNullAt(7), "zero row_total: deviation is undefined, not 0")
     // corpus: replay invariance
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val rows = RelationalOps.pivotCensus(orders).collect().map(_.toSeq).toSeq
@@ -1491,6 +1504,12 @@ class RelationalOpsSpec extends SparkSpec {
     val r2 = RelationalOps.robustTrend(mk(whale)).collect().head
     assert(r2.getLong(2) < r2.getLong(3) / 10,
       "the whale day must drag OLS far above the median slope")
+    // degenerate single-day corpus: zero slope pairs → the grouped median
+    // returns no rows and the census is EMPTY on both engines (the oracle's
+    // median CTE is grouped for exactly this — an ungrouped aggregate
+    // would return one all-NULL row and strict-compare 1 vs 0 rows)
+    assert(RelationalOps.robustTrend(mk(Seq(1000L))).count() === 0L,
+      "single-day corpus must yield an empty census, not a NULL row")
     // corpus replay under repartitioning
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val rows = RelationalOps.robustTrend(events).collect().map(_.toSeq).toSeq
@@ -1516,6 +1535,16 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getLong(4) === 1782000000L, "exact weighted mean abs deviation")
     assert(r.getLong(5) === 1L && r.getLong(6) === 100000L,
       "exactly the whale flags; rate = 1/10")
+    // negative cell sum: the mean renders sign-OUTSIDE the floor —
+    // cents {1, 1, -3} sum to -1 over 3 obs, so mean_micro must be
+    // -(10⁶ div 3) = -333333 (toward zero) on BOTH engines; a bare Spark
+    // DIV against DuckDB // would disagree by one micro here and cascade
+    // into the MAD and the anomaly census
+    val neg = Seq((us0 + 1L, 0.01), (us0 + 2L, 0.01), (us0 + 3L, -0.03))
+      .toDF("us", "value").selectExpr("timestamp_micros(us) AS ts", "value")
+    val rn = RelationalOps.seasonalCensus(neg).collect().head
+    assert(rn.getLong(3) === -333333L,
+      "negative mean must truncate toward zero under the sign-outside law")
     // corpus: cells partition the observations (Σ n_obs = non-null rows)
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val rows = RelationalOps.seasonalCensus(events).collect()
