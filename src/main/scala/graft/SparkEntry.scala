@@ -1105,6 +1105,11 @@ object SparkEntry {
     // thumbnail, checksummed — the oracle resamples decoder-free
     "q207_thumbnail"       -> ((s, d) =>
       graft.multimodal.MediaOps.thumbnailCensus(Tables.documents(s, d))),
+    // image perceptual near-dup: 64-bit dHash over the real decoded
+    // rasters, 4x16 bands (pigeonhole-complete at Hamming<=3), planted
+    // brightness twins, exact popcount verify
+    "q223_image_dhash"     -> ((s, d) =>
+      graft.multimodal.MediaOps.dhashNearDup(Tables.documents(s, d))),
     // audio modality: RIFF/PCM16 payloads parsed by the JDK's WAVE reader
     // — format fields + an order-stable PCM sample checksum; the kind
     // predicate is pushed to the snapshot's parquet scan

@@ -558,6 +558,145 @@ object MediaOps {
       .orderBy("doc_id")
   }
 
+  /** q223's dials. dHash grid: 9×8 luminance samples → 8 horizontal
+    * comparisons × 8 rows = 64 bits (the standard difference-hash shape).
+    * Banding: 4 × 16-bit bands, so by pigeonhole any pair within Hamming
+    * [[PhHamK]] = 3 shares at least one whole band — the band equi-join
+    * is candidate-complete at that radius, never all-pairs. The variant
+    * offset keys the planted brightness twins ([[imageDhashes]]); the
+    * bucket cap bounds the candidate space on degenerate corpora (a
+    * constant-color drop collapses every image into one band bucket —
+    * the q38 hot-key discipline: over-cap buckets are excluded, trading
+    * recall inside them for a hard quadratic bound, and the exclusion is
+    * mirrored in the oracle).
+    *
+    * Scale dial (not exercised here): at billions of images a 64-bit
+    * dHash itself saturates (band buckets grow to N/2¹⁶ and genuinely
+    * different images collide at Hamming ≤ 3); the production turn is a
+    * longer hash (pHash-256) with more/wider bands — same plan shape,
+    * wider keys. */
+  val PhGridW = 9
+  val PhGridH = 8
+  val PhHamK = 3L
+  val PhBandBucketCap = 64L
+  val PhVariantOffset = 2000000000000L
+  val PhVariantBuckets = 4
+
+  /** Integer luminance of a packed 0xRRGGBB value: r + g + b (0..765) —
+    * no IEEE weights, so ordering comparisons are engine-exact. */
+  private def phLum(v: Long): Long =
+    ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+
+  /** The planted near-dup perturbation: +1 per channel mod 256 — a
+    * brightness nudge that PRESERVES every luminance ordering except
+    * where a channel wraps 255→0 (≈ 3/256 of cells), so a variant's
+    * dHash sits within a few bits of its original: Hamming 0 for most
+    * twins, small positive when a wrap flips the ≤ 2 comparisons the
+    * wrapped cell participates in. Exactly the invariance dHash is FOR
+    * (monotone intensity changes don't move the hash), with the wrap
+    * providing honest nonzero distances. */
+  private def phPerturbLum(v: Long): Long =
+    (((v >> 16) & 0xFF) + 1) % 256 + (((v >> 8) & 0xFF) + 1) % 256 +
+      ((v & 0xFF) + 1) % 256
+
+  /** 64-bit difference hash over a row-major [[PhGridW]]×[[PhGridH]]
+    * luminance grid: bit y·8+x is set iff lum(x, y) > lum(x+1, y). */
+  private[graft] def dhashOf(lums: Array[Long]): Long = {
+    var h = 0L
+    var y = 0
+    while (y < PhGridH) {
+      var x = 0
+      while (x < PhGridW - 1) {
+        if (lums(y * PhGridW + x) > lums(y * PhGridW + x + 1))
+          h |= 1L << (y * (PhGridW - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** The md5 variant-selection rule, row-local and engine-shared: the
+    * first md5 byte of "ph:<id>" mod [[PhVariantBuckets]] — the same
+    * rendering the q212 drift rule uses, so the DuckDB oracle replays
+    * membership exactly ('0x'-substr cast ≡ first byte). */
+  private def phVariant(id: Long): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ph:$id".getBytes("UTF-8"))
+    (d(0) & 0xFF) % PhVariantBuckets == 0
+  }
+
+  /** q223's corpus stage: every image payload REALLY decodes (ImageIO, the
+    * q50 path) and yields its 64-bit dHash from the shared NN 9×8 grid
+    * sample; an md5-selected quarter additionally yields a PLANTED
+    * brightness-twin hash under [[PhVariantOffset]] — the perturbation is
+    * applied to the decoded raster (sample-then-perturb ≡ perturb-then-
+    * sample for a pointwise map; PNG losslessness of a re-encode round
+    * trip is already graded by q50/q93/q207, so re-encoding here would
+    * re-prove a proven identity at double the decode cost). One synthesis
+    * + one decode per image, embarrassingly parallel, two narrow output
+    * rows max. */
+  def imageDhashes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fromDocumentsOf(docs, Some("image")).flatMap { m =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(m.bytes))
+      if (img == null) Seq.empty[(Long, Long)]
+      else {
+        val px = nnSample(img, PhGridW, PhGridH)
+        val base = (m.media_id, dhashOf(px.map(phLum)))
+        if (phVariant(m.media_id))
+          Seq(base, (m.media_id + PhVariantOffset, dhashOf(px.map(phPerturbLum))))
+        else Seq(base)
+      }
+    }.toDF("id", "h")
+  }
+
+  /** q223's pairing stage over ANY (id, h) hash table (factored out so the
+    * spec can drive it with hand-built and degenerate hash sets): band
+    * each hash into 4 × 16-bit keys row-locally, drop over-cap buckets
+    * (broadcast anti-join against the ≤ 4·2¹⁶-row bucket census — bounded
+    * by the KEY DOMAIN, not the corpus), self-equi-join on (band, key),
+    * dedup multi-band hits, and verify candidates with the exact popcount
+    * distance. Candidates ≤ 4·N·[[PhBandBucketCap]] by construction. */
+  private[graft] def dhashPairs(hashes: DataFrame): DataFrame = {
+    val bands = hashes.selectExpr("id", "h",
+      """stack(4, 0L, CAST(h AS BIGINT) & 65535L,
+               1L, shiftrightunsigned(h, 16) & 65535L,
+               2L, shiftrightunsigned(h, 32) & 65535L,
+               3L, shiftrightunsigned(h, 48) & 65535L) AS (band, bk)""")
+    val over = bands.groupBy("band", "bk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > PhBandBucketCap)
+    val kept = bands.join(broadcast(over), Seq("band", "bk"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.h").as("a_h"), col("b.h").as("b_h"))
+      .distinct()
+      .selectExpr("a_id", "b_id",
+        "CAST(bit_count(a_h ^ b_h) AS BIGINT) AS hamming",
+        s"b_id = a_id + $PhVariantOffset AS planted")
+      .filter(s"hamming <= $PhHamK")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q223 — IMAGE PERCEPTUAL-HASH NEAR-DUP (dHash): the standard
+    * image-dedup primitive a multimodal training pipeline runs beside
+    * embedding dedup (q59) — a 64-bit difference hash over the REAL
+    * decoded rasters, banded 4×16 so Hamming ≤ [[PhHamK]] candidates
+    * come from equi-joins (pigeonhole-complete at that radius), never
+    * an all-pairs scan. Planted brightness twins guarantee true
+    * near-dups at every scale; chance band collisions between unrelated
+    * images enter as candidates and are rejected by the exact popcount
+    * verify (random 64-bit hashes sit near Hamming 32). The oracle
+    * recomputes hashes decoder-free from the synthetic raster formula
+    * at the same NN coordinates (the q207 discipline) and replays the
+    * banding, cap, join, and verify relationally. */
+  def dhashNearDup(docs: DataFrame): DataFrame =
+    // narrow (id, h) table; read twice by the band self-join
+    dhashPairs(imageDhashes(docs).localCheckpoint())
+
   /** Single-decode combined pass: every payload is decoded ONCE per record
     * (feature extraction and raster facts share the decode) — at corpus
     * scale the decode dominates, so a second decode pass would double the
@@ -758,6 +897,65 @@ object MediaOps {
                   CAST(list_aggregate(p, 'sum') AS BIGINT) AS thumb_sum,
                   CAST(p[1] AS BIGINT) AS top_left
            FROM f ORDER BY doc_id"""
+      },
+      // q223: the same raster formula sampled at the dHash 9×8 NN grid,
+      // base + perturbed (+1 mod 256 per channel) integer luminances,
+      // the 64-comparison bit fold as a sum of distinct powers of two in
+      // HUGEINT, the same md5 variant rule, and the banding / bucket-cap
+      // / band-join / popcount verify replayed relationally
+      "q223_image_dhash" -> {
+        val gw = PhGridW
+        val bits = (gw - 1) * PhGridH
+        def pxy(x: String, y: String) =
+          s"((((doc_id::HUGEINT * 6364136223846793005 + " +
+            s"(($x) * 31 + ($y) * 131 + 17) * 2654435761) % $U + $U) % $U // 65536) % 16777216)"
+        val sampled = pxy(s"(t % $gw) * w // $gw", s"(t // $gw) * h // $PhGridH")
+        def dh(lumList: String) =
+          s"""list_aggregate(list_transform(range(0, $bits), b ->
+                CASE WHEN $lumList[(b // ${gw - 1}) * $gw + (b % ${gw - 1}) + 1]
+                          > $lumList[(b // ${gw - 1}) * $gw + (b % ${gw - 1}) + 2]
+                     THEN (1::HUGEINT << b) ELSE 0::HUGEINT END), 'sum')"""
+        def signed(c: String) =
+          s"CAST(CASE WHEN $c >= 9223372036854775808 THEN $c - $U ELSE $c END AS BIGINT)"
+        s"""WITH m AS (SELECT doc_id,
+                              CAST(n_chars AS INTEGER) % 16 + 4 AS w,
+                              CAST(n_chars AS INTEGER) % 12 + 3 AS h
+                       FROM documents WHERE doc_id % 3 = 0),
+                p AS (SELECT doc_id,
+                             list_transform(range(0, ${gw * PhGridH}),
+                                            t -> $sampled) AS pv
+                      FROM m),
+                lu AS (SELECT doc_id,
+                              list_transform(pv, v ->
+                                v // 65536 + (v // 256) % 256 + v % 256) AS l0,
+                              list_transform(pv, v ->
+                                (v // 65536 + 1) % 256 + ((v // 256) % 256 + 1) % 256
+                                + (v % 256 + 1) % 256) AS l1
+                       FROM p),
+                hh AS (SELECT doc_id, ${dh("l0")} AS hu, ${dh("l1")} AS vhu
+                       FROM lu),
+                u AS (SELECT doc_id AS id, hu FROM hh
+                      UNION ALL
+                      SELECT doc_id + $PhVariantOffset, vhu FROM hh
+                      WHERE ('0x' || substr(md5('ph:' || CAST(doc_id AS VARCHAR)),
+                                            1, 2))::BIGINT % $PhVariantBuckets = 0),
+                bands AS (SELECT id, hu, band,
+                                 (hu // (1::HUGEINT << (16 * band))) % 65536 AS bk
+                          FROM u CROSS JOIN (VALUES (0), (1), (2), (3)) AS vb(band)),
+                over AS (SELECT band, bk FROM bands
+                         GROUP BY 1, 2 HAVING COUNT(*) > $PhBandBucketCap),
+                kept AS (SELECT bands.* FROM bands ANTI JOIN over USING (band, bk)),
+                cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                                a.hu AS ah, b.hu AS bh
+                         FROM kept a JOIN kept b
+                           ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+                v AS (SELECT a_id, b_id,
+                             CAST(bit_count(xor(${signed("ah")}, ${signed("bh")}))
+                                  AS BIGINT) AS hamming,
+                             b_id = a_id + $PhVariantOffset AS planted
+                      FROM cand)
+           SELECT a_id, b_id, hamming, planted FROM v
+           WHERE hamming <= $PhHamK ORDER BY a_id, b_id"""
       },
       "q50_media_features" ->
       s"""WITH m AS (

@@ -60,6 +60,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q223 dhash pairs: band self-join is an equi-join, over-cap anti-join broadcasts, no all-pairs shape") {
+    import spark.implicits._
+    val hand = (0L until 100L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("id", "h")
+    val plan = graft.multimodal.MediaOps.dhashPairs(hand)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dhash candidates must come from band equi-joins, never all-pairs:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the bounded over-cap bucket census must broadcast:\n${plan.take(1200)}")
+  }
+
   test("q36 signature expression is evaluated once, with no shuffle") {
     val plan = DedupOps.minhashSignature(docs).queryExecution.optimizedPlan.toString
     // the sig[i] column split must NOT collapse the expensive expression
