@@ -116,7 +116,11 @@ object ProfileOps {
     (a, withFp(bKept.unionByName(bIns)))
   }
 
-  private def tableDiffFromSides(a: DataFrame, b: DataFrame): DataFrame = {
+  /** Shared census tail for q212 (live sides) and q224 (bucketed-table
+    * sides): the caller picks the storage layout, the algebra is one
+    * definition — so the bucketed path can't drift from the graded live
+    * one. */
+  private[graft] def tableDiffFromSides(a: DataFrame, b: DataFrame): DataFrame = {
     val j = tableDiffJoined(a, b)
     val perCat = j.groupBy("category").agg(
         count(lit(1)).as("n_keys"),
@@ -539,5 +543,15 @@ object ProfileOps {
                    violating_rows = 0 AS holds
             FROM ($keySql UNION ALL ${(fdSqls ++ dcSqls).mkString(" UNION ALL ")})
             ORDER BY rule""")
+  }
+
+  /** q224 shares q212's oracle SQL VERBATIM: the bucketed layout is a
+    * storage decision, not a semantics one, so grading it against the
+    * identical relational definition IS the claim — the zero-Exchange
+    * physical plan (guarded in SourceSinksSpec) returns exactly the rows
+    * the shuffled plan does. */
+  def oraclesWithBucketed: Map[String, String] = {
+    val m = oracles
+    m + ("q224_bucketed_diff" -> m("q212_table_diff"))
   }
 }

@@ -164,27 +164,27 @@ class SourceSinksSpec extends SparkSpec {
     assert(joined.count() === 4)
   }
 
-  test("q212 diff over bucketed sides: the full-outer runs with ZERO shuffle exchanges and the census is unchanged") {
-    // the 100 TB reconciliation shape: both sides land bucketed on the
-    // natural key (the writer's job), so the diff's one corpus-scale
-    // full-outer join is a co-partitioned sort-merge with no Exchange —
-    // the same rows, without the shuffle the unbucketed plan pays
+  test("q224 graded bucketed diff: the full-outer runs with ZERO shuffle exchanges and equals q212 row for row") {
+    // the 100 TB reconciliation shape, now the graded query's own path:
+    // both sides land bucketed on the natural key (SparkEntry's once-per-
+    // corpus storage stage), so the diff's one corpus-scale full-outer
+    // join is a co-partitioned sort-merge with no Exchange — the same
+    // rows, without the shuffle the unbucketed q212 plan pays
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val want = graft.ops.ProfileOps.tableDiff(orders).collect().map(_.toSeq).toSeq
-    val (a, b) = graft.ops.ProfileOps.tableDiffSides(orders)
-    SourceSinks.writeBucketed(a, "diff_a_bucketed", "k")
-    SourceSinks.writeBucketed(b, "diff_b_bucketed", "k")
-    val j = graft.ops.ProfileOps.tableDiffJoined(
-      spark.table("diff_a_bucketed"), spark.table("diff_b_bucketed"))
+    val (a, b) = SparkEntry.bucketedDiffTables(spark, "/root/testdata/sf0.001")
+    // plan guard on the corpus-scale stage (the shipped census checkpoints
+    // the 4-row table, which truncates the visible plan — same discipline
+    // as PlanShapeSpec's q212 guard)
+    val j = graft.ops.ProfileOps.tableDiffJoined(a, b)
     val plan = j.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"bucketed diff must join shuffle-free:\n${plan.take(1000)}")
-    // value parity with the unbucketed census on the category counts
-    val cats = j.groupBy("category").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    want.foreach { row =>
-      assert(cats(row.head.asInstanceOf[String]) === row(1),
-        s"bucketed census diverged for ${row.head}")
-    }
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"the diff must stay a co-partitioned sort-merge full-outer:\n${plan.take(1000)}")
+    // the graded query returns EXACTLY q212's census (same oracle SQL)
+    val got = SparkEntry.queries("q224_bucketed_diff")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want, "bucketed census must equal the live q212 census")
   }
 }
