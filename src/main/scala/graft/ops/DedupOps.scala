@@ -879,19 +879,19 @@ object DedupOps {
     // V1 tagged (pos, variant) — the q159 sub-branch key; pos is the
     // 0-based index within the pruned range, an injective renaming of
     // the true position cs+pos shared by both join sides
-    val v1t = names.select(col("name"), posexplode(expr(
+    val v1tRaw = names.select(col("name"), posexplode(expr(
       s"""transform(sequence($cs, length(name)),
                     i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))"""))
       .as(Seq("pos", "variant")))
     // V1 untagged, row-locally distinct (adjacent equal chars collapse)
-    val v1 = names.select(col("name"), explode(expr(
+    val v1Raw = names.select(col("name"), explode(expr(
       s"""array_distinct(transform(sequence($cs, length(name)),
                          i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"""))
       .as("variant"))
     // V2 positional: delete original positions i < j, (i, j) kept as the
     // join tag for the hamming-2 branch (the length guard keeps every
     // sequence() ascending — Spark DESCENDS when start > stop)
-    val v2p = names.where(s"length(name) > $cs")
+    val v2pRaw = names.where(s"length(name) > $cs")
       .select(col("name"), explode(expr(
         s"""flatten(transform(sequence($cs, length(name) - 1),
           |  i -> transform(sequence(i + 1, length(name)),
@@ -901,13 +901,28 @@ object DedupOps {
           |                  substring(name, j + 1))))))""".stripMargin)).as("e"))
       .selectExpr("name", "e.i AS i", "e.j AS j", "e.v AS variant")
     // V2 untagged distinct (row-local dedup) for the Δ1/Δ2 branches
-    val v2 = names.where(s"length(name) > $cs")
+    val v2Raw = names.where(s"length(name) > $cs")
       .select(col("name"), explode(expr(
         s"""array_distinct(flatten(transform(sequence($cs, length(name) - 1),
           |  i -> transform(sequence(i + 1, length(name)),
           |    j -> concat(substring(name, 1, i - 1),
           |                substring(name, i + 1, j - i - 1),
           |                substring(name, j + 1))))))""".stripMargin)).as("variant"))
+    // The four variant tables are consumed 2–4× each by the branch joins
+    // below (the sub/b22 self-joins scan their table twice; v1 feeds
+    // b01, b11x twice, and b12) — checkpoint each ONCE, concurrently,
+    // so no explode re-executes per consumer. Measured A/B (r15, sf0.1
+    // local[32], quiet min): the b22 branch alone 5.4 → 4.6 s with its
+    // v2p checkpointed; full-query numbers in SURVEY §8.
+    val checkpointed = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence(Seq(v1tRaw, v1Raw, v2pRaw, v2Raw)
+          .map(t => Future(t.localCheckpoint()))), Duration.Inf)
+    }
+    val Seq(v1t, v1, v2p, v2) = checkpointed
     // equal-length hamming, restricted to the positions that can differ
     // (≤ c agree corpus-wide) — the codegen'd native expression; the
     // interpreted HOF spelling it replaces ran at ~136 µs/row
