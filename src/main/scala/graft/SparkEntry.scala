@@ -66,6 +66,21 @@ object SparkEntry {
     val (ta, tb) = (s"graft_diff_a_$tag", s"graft_diff_b_$tag")
     this.synchronized {
       if (!s.catalog.tableExists(ta) || !s.catalog.tableExists(tb)) {
+        // a PREVIOUS session's managed-table location may survive in the
+        // warehouse dir while the (in-memory) catalog has forgotten the
+        // table — saveAsTable then fails LOCATION_ALREADY_EXISTS. Clear
+        // both: the catalog entry if present, and the stale directory.
+        Seq(ta, tb).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
+            f.delete(); ()
+          }
+          val dir = new java.io.File(wh, t)
+          if (dir.exists) rm(dir)
+        }
         val (a, b) = graft.ops.ProfileOps.tableDiffSides(Tables.orders(s, d))
         graft.sources.SourceSinks.writeBucketed(a, ta, "k")
         graft.sources.SourceSinks.writeBucketed(b, tb, "k")

@@ -187,4 +187,24 @@ class SourceSinksSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(got === want, "bucketed census must equal the live q212 census")
   }
+
+  test("q224 survives a STALE warehouse location: a prior session's table dir without a catalog entry must not kill the landing") {
+    // the r15 quiet-bench failure: the in-memory catalog forgets managed
+    // tables across sessions but their warehouse directories survive, and
+    // saveAsTable then throws LOCATION_ALREADY_EXISTS. Simulate: drop the
+    // tables (which removes dirs), recreate a bare stale directory with a
+    // junk file, and re-land.
+    val d = "/root/testdata/sf0.001"
+    val tag = f"${d.hashCode & 0x7fffffff}%08x"
+    spark.sql(s"DROP TABLE IF EXISTS graft_diff_a_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_diff_b_$tag")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val stale = new java.io.File(wh, s"graft_diff_a_$tag")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stale, "leftover.parquet").toPath, "junk")
+    val (a, b) = SparkEntry.bucketedDiffTables(spark, d)
+    assert(a.count() > 0 && b.count() > 0,
+      "landing over a stale location must recreate both tables")
+  }
 }
