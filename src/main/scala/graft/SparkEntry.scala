@@ -1153,6 +1153,10 @@ object SparkEntry {
     // brightness twins, exact popcount verify
     "q223_image_dhash"     -> ((s, d) =>
       graft.multimodal.MediaOps.dhashNearDup(Tables.documents(s, d))),
+    // image dedup end-to-end: q223 pairs -> transitive clusters -> the
+    // per-image KEEP/DROP decision (the q66 stage for the image modality)
+    "q225_image_dhash_clusters" -> ((s, d) =>
+      graft.multimodal.MediaOps.dhashClusters(Tables.documents(s, d))),
     // audio modality: RIFF/PCM16 payloads parsed by the JDK's WAVE reader
     // — format fields + an order-stable PCM sample checksum; the kind
     // predicate is pushed to the snapshot's parquet scan

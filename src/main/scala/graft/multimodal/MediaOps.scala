@@ -697,6 +697,35 @@ object MediaOps {
     // narrow (id, h) table; read twice by the band self-join
     dhashPairs(imageDhashes(docs).localCheckpoint())
 
+  /** q225 — IMAGE DUP CLUSTERS: q223's pairwise verdicts turned into the
+    * per-image KEEP/DROP decision (the q66 stage for the image modality,
+    * completing image dedup end-to-end): transitive closure of the
+    * Hamming ≤ [[PhHamK]] pair graph via the same alternating
+    * large-star/small-star contraction, every hashed id (originals AND
+    * planted variants) appearing exactly once, `keep` marking the
+    * cluster's minimum id — so each brightness twin drops in favor of
+    * its original, and chance-collision chains collapse to one survivor.
+    * The oracle composes the verified q223 pair SQL verbatim with a
+    * recursive-CTE min-label reachability (the q66 oracle pattern), so
+    * the clustering is graded independently of the contraction
+    * algorithm under test.
+    *
+    * Scale shape: the pair stage is q223's (banded, capped, never
+    * all-pairs); the contraction runs on the |near-dup| pair table with
+    * one checkpointed exchange per round; the universe join is
+    * co-keyed. */
+  def dhashClusters(docs: DataFrame): DataFrame = {
+    val hashes = imageDhashes(docs).localCheckpoint() // pairs (2×) + universe
+    val pairs = dhashPairs(hashes).select("a_id", "b_id")
+    hashes.select(col("id"))
+      .join(graft.ops.GraphOps.connectedComponents(pairs)
+          .withColumnRenamed("node", "id"),
+        Seq("id"), "left_outer")
+      .selectExpr("id", "COALESCE(cluster_id, id) AS cluster_id")
+      .selectExpr("id", "cluster_id", "id = cluster_id AS keep")
+      .orderBy("id")
+  }
+
   /** Single-decode combined pass: every payload is decoded ONCE per record
     * (feature extraction and raster facts share the decode) — at corpus
     * scale the decode dominates, so a second decode pass would double the
@@ -898,65 +927,34 @@ object MediaOps {
                   CAST(p[1] AS BIGINT) AS top_left
            FROM f ORDER BY doc_id"""
       },
-      // q223: the same raster formula sampled at the dHash 9×8 NN grid,
-      // base + perturbed (+1 mod 256 per channel) integer luminances,
-      // the 64-comparison bit fold as a sum of distinct powers of two in
-      // HUGEINT, the same md5 variant rule, and the banding / bucket-cap
-      // / band-join / popcount verify replayed relationally
-      "q223_image_dhash" -> {
-        val gw = PhGridW
-        val bits = (gw - 1) * PhGridH
-        def pxy(x: String, y: String) =
-          s"((((doc_id::HUGEINT * 6364136223846793005 + " +
-            s"(($x) * 31 + ($y) * 131 + 17) * 2654435761) % $U + $U) % $U // 65536) % 16777216)"
-        val sampled = pxy(s"(t % $gw) * w // $gw", s"(t // $gw) * h // $PhGridH")
-        def dh(lumList: String) =
-          s"""list_aggregate(list_transform(range(0, $bits), b ->
-                CASE WHEN $lumList[(b // ${gw - 1}) * $gw + (b % ${gw - 1}) + 1]
-                          > $lumList[(b // ${gw - 1}) * $gw + (b % ${gw - 1}) + 2]
-                     THEN (1::HUGEINT << b) ELSE 0::HUGEINT END), 'sum')"""
-        def signed(c: String) =
-          s"CAST(CASE WHEN $c >= 9223372036854775808 THEN $c - $U ELSE $c END AS BIGINT)"
-        s"""WITH m AS (SELECT doc_id,
-                              CAST(n_chars AS INTEGER) % 16 + 4 AS w,
-                              CAST(n_chars AS INTEGER) % 12 + 3 AS h
-                       FROM documents WHERE doc_id % 3 = 0),
-                p AS (SELECT doc_id,
-                             list_transform(range(0, ${gw * PhGridH}),
-                                            t -> $sampled) AS pv
-                      FROM m),
-                lu AS (SELECT doc_id,
-                              list_transform(pv, v ->
-                                v // 65536 + (v // 256) % 256 + v % 256) AS l0,
-                              list_transform(pv, v ->
-                                (v // 65536 + 1) % 256 + ((v // 256) % 256 + 1) % 256
-                                + (v % 256 + 1) % 256) AS l1
-                       FROM p),
-                hh AS (SELECT doc_id, ${dh("l0")} AS hu, ${dh("l1")} AS vhu
-                       FROM lu),
-                u AS (SELECT doc_id AS id, hu FROM hh
-                      UNION ALL
-                      SELECT doc_id + $PhVariantOffset, vhu FROM hh
-                      WHERE ('0x' || substr(md5('ph:' || CAST(doc_id AS VARCHAR)),
-                                            1, 2))::BIGINT % $PhVariantBuckets = 0),
-                bands AS (SELECT id, hu, band,
-                                 (hu // (1::HUGEINT << (16 * band))) % 65536 AS bk
-                          FROM u CROSS JOIN (VALUES (0), (1), (2), (3)) AS vb(band)),
-                over AS (SELECT band, bk FROM bands
-                         GROUP BY 1, 2 HAVING COUNT(*) > $PhBandBucketCap),
-                kept AS (SELECT bands.* FROM bands ANTI JOIN over USING (band, bk)),
-                cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
-                                a.hu AS ah, b.hu AS bh
-                         FROM kept a JOIN kept b
-                           ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
-                v AS (SELECT a_id, b_id,
-                             CAST(bit_count(xor(${signed("ah")}, ${signed("bh")}))
-                                  AS BIGINT) AS hamming,
-                             b_id = a_id + $PhVariantOffset AS planted
-                      FROM cand)
-           SELECT a_id, b_id, hamming, planted FROM v
-           WHERE hamming <= $PhHamK ORDER BY a_id, b_id"""
-      },
+      // q223: factored below ([[q223Sql]]) so q225 composes it verbatim
+      "q223_image_dhash" -> q223Sql,
+      // q225: the verified q223 pair SQL composed VERBATIM (the q66
+      // oracle pattern) with a recursive-CTE min-label reachability —
+      // component minima independent of the star-contraction algorithm
+      // under test — over the same id universe (image originals + the
+      // md5-selected planted variants)
+      "q225_image_dhash_clusters" ->
+        s"""WITH RECURSIVE pairs AS ($q223Sql),
+              u AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0
+                    UNION ALL
+                    SELECT doc_id + $PhVariantOffset FROM documents
+                    WHERE doc_id % 3 = 0
+                      AND ('0x' || substr(md5('ph:' || CAST(doc_id AS VARCHAR)),
+                                          1, 2))::BIGINT % $PhVariantBuckets = 0),
+              edges AS (SELECT a_id AS eu, b_id AS ev FROM pairs
+                        UNION ALL SELECT b_id, a_id FROM pairs),
+              walk(node, label) AS (
+                SELECT eu AS node, eu AS label FROM edges
+                UNION
+                SELECT e.ev AS node, w.label AS label
+                FROM walk w JOIN edges e ON e.eu = w.node),
+              cc AS (SELECT node, MIN(label) AS cluster_id
+                     FROM walk GROUP BY node)
+           SELECT u.id AS id, COALESCE(cc.cluster_id, u.id) AS cluster_id,
+                  u.id = COALESCE(cc.cluster_id, u.id) AS keep
+           FROM u LEFT OUTER JOIN cc ON u.id = cc.node
+           ORDER BY id""",
       "q50_media_features" ->
       s"""WITH m AS (
             SELECT doc_id,
@@ -1012,5 +1010,69 @@ object MediaOps {
                    chk.cks AS frames_checksum
             FROM v JOIN chk ON v.doc_id = chk.doc_id
             ORDER BY doc_id""")
+  }
+
+  /** q223's oracle SQL, factored so q225 composes it VERBATIM (the q66
+    * pattern — the cluster oracle's edges cannot drift from the
+    * individually-hash-checked pair query): the raster formula sampled at
+    * the dHash 9×8 NN grid, base + perturbed (+1 mod 256 per channel)
+    * integer luminances, the 64-comparison bit fold as a sum of distinct
+    * powers of two in HUGEINT, the same md5 variant rule, and the
+    * banding / bucket-cap / band-join / popcount verify replayed
+    * relationally. */
+  private lazy val q223Sql: String = {
+    val U = "18446744073709551616" // 2^64
+    val gw = PhGridW
+    val bits = (gw - 1) * PhGridH
+    def pxy(x: String, y: String) =
+      s"((((doc_id::HUGEINT * 6364136223846793005 + " +
+        s"(($x) * 31 + ($y) * 131 + 17) * 2654435761) % $U + $U) % $U // 65536) % 16777216)"
+    val sampled = pxy(s"(t % $gw) * w // $gw", s"(t // $gw) * h // $PhGridH")
+    def dh(lumList: String) =
+      s"""list_aggregate(list_transform(range(0, $bits), b ->
+            CASE WHEN $lumList[(b // ${gw - 1}) * $gw + (b % ${gw - 1}) + 1]
+                      > $lumList[(b // ${gw - 1}) * $gw + (b % ${gw - 1}) + 2]
+                 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END), 'sum')"""
+    def signed(c: String) =
+      s"CAST(CASE WHEN $c >= 9223372036854775808 THEN $c - $U ELSE $c END AS BIGINT)"
+    s"""WITH m AS (SELECT doc_id,
+                          CAST(n_chars AS INTEGER) % 16 + 4 AS w,
+                          CAST(n_chars AS INTEGER) % 12 + 3 AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+            p AS (SELECT doc_id,
+                         list_transform(range(0, ${gw * PhGridH}),
+                                        t -> $sampled) AS pv
+                  FROM m),
+            lu AS (SELECT doc_id,
+                          list_transform(pv, v ->
+                            v // 65536 + (v // 256) % 256 + v % 256) AS l0,
+                          list_transform(pv, v ->
+                            (v // 65536 + 1) % 256 + ((v // 256) % 256 + 1) % 256
+                            + (v % 256 + 1) % 256) AS l1
+                   FROM p),
+            hh AS (SELECT doc_id, ${dh("l0")} AS hu, ${dh("l1")} AS vhu
+                   FROM lu),
+            u AS (SELECT doc_id AS id, hu FROM hh
+                  UNION ALL
+                  SELECT doc_id + $PhVariantOffset, vhu FROM hh
+                  WHERE ('0x' || substr(md5('ph:' || CAST(doc_id AS VARCHAR)),
+                                        1, 2))::BIGINT % $PhVariantBuckets = 0),
+            bands AS (SELECT id, hu, band,
+                             (hu // (1::HUGEINT << (16 * band))) % 65536 AS bk
+                      FROM u CROSS JOIN (VALUES (0), (1), (2), (3)) AS vb(band)),
+            over AS (SELECT band, bk FROM bands
+                     GROUP BY 1, 2 HAVING COUNT(*) > $PhBandBucketCap),
+            kept AS (SELECT bands.* FROM bands ANTI JOIN over USING (band, bk)),
+            cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                            a.hu AS ah, b.hu AS bh
+                     FROM kept a JOIN kept b
+                       ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+            v AS (SELECT a_id, b_id,
+                         CAST(bit_count(xor(${signed("ah")}, ${signed("bh")}))
+                              AS BIGINT) AS hamming,
+                         b_id = a_id + $PhVariantOffset AS planted
+                  FROM cand)
+       SELECT a_id, b_id, hamming, planted FROM v
+       WHERE hamming <= $PhHamK ORDER BY a_id, b_id"""
   }
 }

@@ -281,4 +281,38 @@ class MediaOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(again === rows.map(_.toSeq).toSeq)
   }
+
+  test("q225 dhash clusters: union-find laws, planted twins drop in favor of originals, singletons keep; replay") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = MediaOps.dhashClusters(docs).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // totality: every hashed id exactly once
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.length === MediaOps.imageDhashes(docs).count())
+    // keep ⟺ the id IS its cluster label, and the label is the cluster min
+    rows.foreach { r =>
+      assert(r.getBoolean(2) === (r.getLong(0) === r.getLong(1)))
+      assert(r.getLong(1) <= r.getLong(0), "cluster label must be the minimum")
+    }
+    // union-find law: endpoints of every surviving pair share a cluster
+    val pairs = MediaOps.dhashNearDup(docs).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(cluster(p.getLong(0)) === cluster(p.getLong(1)),
+        s"pair ${p.getLong(0)}–${p.getLong(1)} split across clusters")
+    }
+    // planted twins cluster BELOW their originals: variant ids (offset
+    // range) never survive as keepers of a multi-member cluster
+    val planted = rows.filter(_.getLong(0) >= MediaOps.PhVariantOffset)
+    assert(planted.nonEmpty)
+    val paired = pairs.flatMap(p => Seq(p.getLong(0), p.getLong(1))).toSet
+    planted.filter(r => paired(r.getLong(0))).foreach { r =>
+      assert(!r.getBoolean(2),
+        "a paired brightness twin must drop in favor of its original")
+    }
+    // replay invariance
+    val again = MediaOps.dhashClusters(docs.repartition(7))
+      .collect().map(_.toSeq).toSeq
+    assert(again === rows.map(_.toSeq).toSeq)
+  }
 }
