@@ -518,6 +518,12 @@ object SparkEntry {
     "q141_roc_auc"         -> ((s, d) =>
       graft.ops.QualityModelOps.rocAuc(
         qualityScoresShared(s, d), qualityLabelsShared(s, d))),
+    // Cohen's kappa between the learned filter and its supervising
+    // heuristic — chance-corrected label agreement, the third face of
+    // label QA beside q103 calibration and q141 ranking
+    "q226_label_agreement" -> ((s, d) =>
+      graft.ops.QualityModelOps.labelAgreement(
+        qualityScoresShared(s, d), qualityLabelsShared(s, d))),
     // PageRank over the symmetrized customer–supplier purchase graph:
     // exact integer micro-mass power iterations, checkpointed per round —
     // the canonical iterative message-passing workload

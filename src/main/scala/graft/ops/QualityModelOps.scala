@@ -225,6 +225,60 @@ object QualityModelOps {
         "CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate")
       .orderBy("bin")
 
+  /** q226 — LABEL AGREEMENT / COHEN'S KAPPA: the chance-corrected
+    * agreement between the pipeline's two quality labelers — the learned
+    * filter's thresholded verdict (q101 `pred`) and the heuristic that
+    * weak-supervised it (q61 `keep`). Raw percent agreement flatters any
+    * pair of raters that mostly says "keep" (agreeing by chance); kappa
+    * subtracts the chance floor: κ = (p_o − p_e)/(1 − p_e) over the 2×2
+    * confusion matrix (Cohen 1960) — the label-QA number a curation team
+    * reads before trusting weak labels, beside q103's per-bin curve and
+    * q141's AUC (calibration and ranking answer different questions than
+    * chance-corrected agreement).
+    *
+    * Exactness: the four cells are exact counts; p_o, p_e, and κ ship as
+    * floor'd micro integers with the sign OUTSIDE the floor (the
+    * q215/q218 law — κ < 0, worse-than-chance, is a legal value), the
+    * cross-multiplied rationals carried in DECIMAL(38,0)/HUGEINT (N²·10⁶
+    * outruns int64 past ~3 M docs), shipped BIGINT. κ is NULL when the
+    * chance term saturates (both raters constant — agreement is then
+    * undefined, not 1), and all three ratios are NULL on an empty join.
+    *
+    * Scale shape: two row-local snapshot reads joined co-keyed on
+    * doc_id, ONE map-combinable aggregate to four counters; every ratio
+    * computed on the single 1-row frame. */
+  def labelAgreement(scores: DataFrame, labels: DataFrame): DataFrame =
+    scores.select(col("doc_id"), col("pred"))
+      .join(labels.select(col("doc_id"), col("keep")), "doc_id")
+      .agg(
+        coalesce(sum(when(col("pred") && col("keep"), 1L)), lit(0L)).as("n11"),
+        coalesce(sum(when(col("pred") && !col("keep"), 1L)), lit(0L)).as("n10"),
+        coalesce(sum(when(!col("pred") && col("keep"), 1L)), lit(0L)).as("n01"),
+        coalesce(sum(when(!col("pred") && !col("keep"), 1L)), lit(0L)).as("n00"))
+      .selectExpr("n11", "n10", "n01", "n00",
+        "n11 + n10 + n01 + n00 AS n_docs")
+      .selectExpr("n11", "n10", "n01", "n00", "n_docs",
+        "CAST(n11 + n00 AS DECIMAL(38,0)) AS agree",
+        """CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
+           + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0))
+           AS chance""",
+        "CAST(n_docs AS DECIMAL(38,0)) AS nd")
+      .selectExpr("n11", "n10", "n01", "n00", "n_docs",
+        """CAST(CASE WHEN nd = 0 THEN CAST(NULL AS DECIMAL(38,0))
+                ELSE CAST(1000000 AS DECIMAL(38,0)) * agree DIV nd
+           END AS BIGINT) AS po_micro""",
+        """CAST(CASE WHEN nd = 0 THEN CAST(NULL AS DECIMAL(38,0))
+                ELSE CAST(1000000 AS DECIMAL(38,0)) * chance DIV (nd * nd)
+           END AS BIGINT) AS pe_micro""",
+        """CAST(CASE WHEN nd = 0 OR nd * nd - chance = 0
+                     THEN CAST(NULL AS DECIMAL(38,0))
+                WHEN nd * agree - chance >= 0
+                THEN CAST(1000000 AS DECIMAL(38,0)) * (nd * agree - chance)
+                     DIV (nd * nd - chance)
+                ELSE -((CAST(1000000 AS DECIMAL(38,0)) * (chance - nd * agree))
+                       DIV (nd * nd - chance))
+           END AS BIGINT) AS kappa_micro""")
+
   /** q108 — the QUALITY→TOKEN-BUDGET CURVE: for each q101 score bin
     * (descending), how many documents and tokens survive a "keep
     * everything scoring at least this bin" threshold — the curve a
@@ -429,6 +483,41 @@ object QualityModelOps {
     * boundary guard lives on the Spark side). */
   def oracles: Map[String, String] = Map(
     "q101_quality_classifier" -> QualityClassifierSql,
+    // q226 composes the q101 and q61 oracles verbatim (the q103 pattern):
+    // exact confusion cells, cross-multiplied chance term in HUGEINT,
+    // sign-outside floor'd micro kappa, NULL on saturated chance
+    "q226_label_agreement" ->
+      s"""WITH q AS ($QualityClassifierSql),
+          t AS (${graft.ops.TextOps.oracles("q61_training_filter")}),
+          j AS (SELECT q.pred AS pred, t.keep AS keep
+                FROM q JOIN t ON q.doc_id = t.doc_id),
+          c AS (SELECT CAST(COALESCE(SUM(CASE WHEN pred AND keep THEN 1 END), 0)
+                            AS BIGINT) AS n11,
+                       CAST(COALESCE(SUM(CASE WHEN pred AND NOT keep THEN 1 END), 0)
+                            AS BIGINT) AS n10,
+                       CAST(COALESCE(SUM(CASE WHEN NOT pred AND keep THEN 1 END), 0)
+                            AS BIGINT) AS n01,
+                       CAST(COALESCE(SUM(CASE WHEN NOT pred AND NOT keep THEN 1 END), 0)
+                            AS BIGINT) AS n00
+                FROM j),
+          d AS (SELECT *, n11 + n10 + n01 + n00 AS n_docs,
+                       (n11 + n00)::HUGEINT AS agree,
+                       (n11 + n10)::HUGEINT * (n11 + n01)::HUGEINT
+                         + (n01 + n00)::HUGEINT * (n10 + n00)::HUGEINT AS chance,
+                       (n11 + n10 + n01 + n00)::HUGEINT AS nd
+                FROM c)
+          SELECT n11, n10, n01, n00, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(CASE WHEN nd = 0 THEN NULL
+                           ELSE 1000000 * agree // nd END AS BIGINT) AS po_micro,
+                 CAST(CASE WHEN nd = 0 THEN NULL
+                           ELSE 1000000 * chance // (nd * nd) END AS BIGINT) AS pe_micro,
+                 CAST(CASE WHEN nd = 0 OR nd * nd - chance = 0 THEN NULL
+                           WHEN nd * agree - chance >= 0
+                           THEN 1000000 * (nd * agree - chance) // (nd * nd - chance)
+                           ELSE -((1000000 * (chance - nd * agree))
+                                  // (nd * nd - chance))
+                      END AS BIGINT) AS kappa_micro
+          FROM d""",
     // q103 composes the q101 and q61 oracles verbatim (the q99 pattern):
     // identical floor-division binning, exact counts, one IEEE rate
     // q108 composes the q101 oracle verbatim: identical binning, exact

@@ -229,4 +229,37 @@ class QualityModelOpsSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum === docs.count(),
       "bins partition the corpus")
   }
+
+  test("q226 kappa: perfect 1, independent 0, inverted -1 (sign-outside), saturated NULL; corpus laws + replay") {
+    import spark.implicits._
+    def scores(ps: Seq[Boolean]) = ps.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "pred")
+    def labels(ks: Seq[Boolean]) = ks.zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("doc_id", "keep")
+    def kappa(ps: Seq[Boolean], ks: Seq[Boolean]) =
+      QualityModelOps.labelAgreement(scores(ps), labels(ks)).collect().head
+    // perfect agreement on a mixed table: po = 1, kappa = 1
+    val perfect = kappa(Seq(true, true, false, false), Seq(true, true, false, false))
+    assert(perfect.getLong(5) === 1000000L && perfect.getLong(7) === 1000000L)
+    // chance-level: the 1/1/1/1 table has po = pe = 0.5, kappa exactly 0
+    val indep = kappa(Seq(true, true, false, false), Seq(true, false, true, false))
+    assert(indep.getLong(5) === 500000L && indep.getLong(6) === 500000L)
+    assert(indep.getLong(7) === 0L)
+    // inversion: kappa = -1 — the sign-outside floor law's negative leg
+    val inv = kappa(Seq(true, true, false, false), Seq(false, false, true, true))
+    assert(inv.getLong(7) === -1000000L)
+    // saturated chance (both raters constant): kappa undefined, NOT 1
+    val sat = kappa(Seq(true, true), Seq(true, true))
+    assert(sat.getLong(5) === 1000000L && sat.isNullAt(7),
+      "constant raters must yield NULL kappa, never a fake 1")
+    // corpus: cells partition the join, po within [0, 1e6], replay
+    val sc = SparkEntry.qualityScoresShared(spark, "/root/testdata/sf0.001")
+    val lb = SparkEntry.qualityLabelsShared(spark, "/root/testdata/sf0.001")
+    val row = QualityModelOps.labelAgreement(sc, lb).collect().head
+    assert((0 to 3).map(row.getLong).sum === row.getLong(4))
+    assert(row.getLong(5) >= 0L && row.getLong(5) <= 1000000L)
+    val again = QualityModelOps.labelAgreement(
+      sc.repartition(7), lb.repartition(5)).collect().head
+    assert(again.toSeq === row.toSeq)
+  }
 }
